@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The engine targets very large inputs on multi-executor clusters; the same
+configs are correct (and testable) on ``local[N]``:
+
+- AQE on: runtime re-planning, skew-join splitting, partition coalescing —
+  the knobs that keep a 100 TB shuffle healthy without hand-tuning.
+- UTC session timezone: parquet timestamps compare cleanly against the
+  DuckDB oracle (DuckDB timestamps are UTC-naive).
+- Arrow enabled: Pandas-UDF paths (similarity search, multimodal) move
+  columnar batches, not pickled rows.
+- broadcast threshold left at default (10 MB) — dimension tables (region /
+  nation / supplier / part at any realistic SF) broadcast; fact-fact joins
+  shuffle with AQE watching for skew.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "kinesis-log-watcher-spark"
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster master is configured; on a real cluster pass
+    ``master=None`` and let spark-submit decide.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local: ~1 partition per core. On a cluster this is overridden by
+        # AQE coalescing from a higher initial value.
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

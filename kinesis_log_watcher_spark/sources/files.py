@@ -1,0 +1,36 @@
+"""File-based record sources (batch + streaming).
+
+The reference reads only from Kinesis (main.go:148-243); for offline
+correctness the same logical stream is a parquet/json directory with the
+RAW_KINESIS_SCHEMA. Structured Streaming's file source gives the same
+micro-batch semantics the connector would (SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kinesis_log_watcher_spark.envelope import RAW_KINESIS_SCHEMA
+
+
+def read_raw_records(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Batch read of a raw-record directory."""
+    return spark.read.format(fmt).schema(RAW_KINESIS_SCHEMA).load(path)
+
+
+def read_raw_records_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming read of a raw-record directory.
+
+    ``maxFilesPerTrigger`` is the file-source analogue of the reference's
+    10k-records-per-GetRecords batch cap (main.go:218) — it bounds
+    micro-batch size for backpressure.
+    """
+    reader = spark.readStream.format(fmt).schema(RAW_KINESIS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)

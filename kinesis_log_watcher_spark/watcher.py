@@ -1,0 +1,184 @@
+"""watch() — the CLI-equivalent API.
+
+The reference CLI (README.md:9-12):
+
+    kinesis-log-watcher [-f fmt] [-s start] [-w poll] [-O] <stream>
+
+maps to::
+
+    watch(records, template=fmt, start=…, poll=…, one_shot=…)
+
+where ``records`` is any raw-record DataFrame (batch or streaming) in
+RAW_KINESIS_SCHEMA. The pipeline is the reference's whole per-record path
+(main.go:247-293) as one declarative plan:
+
+    time filter (≥ t₀) → envelope projection → template render →
+    drop error rows → sink
+
+- ``start``: lookback duration (default ``5m``, main.go:66) or an absolute
+  datetime; the filter sits directly on the source scan so it pushes down
+  (the reference pushes it into the AT_TIMESTAMP iterator, main.go:300-305
+  — same idea, Catalyst does it for parquet/connector scans).
+- ``poll``: trigger interval for streaming (default ``10s``, main.go:67).
+- ``one_shot``: ``Trigger.AvailableNow`` — read until caught up, then stop
+  (the reference's ``-O``, main.go:89-92, 376-382).
+- render errors: first one reported once, bad rows dropped, stream
+  continues (main.go:283-289) — implemented in the foreachBatch sink.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+import threading
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kinesis_log_watcher_spark.envelope import with_envelope
+from kinesis_log_watcher_spark.template import DEFAULT_TEMPLATE, compile_template
+
+_DURATION_RE = re.compile(r"^(\d+(?:\.\d+)?)(ms|s|m|h|d)$")
+_UNIT_SECONDS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
+
+
+def parse_duration(text: str) -> timedelta:
+    """Parse the CLI duration dialect (``30s``, ``5m``, ``3h``, ``1d`` —
+    reference README.md:10-11, validated via time.ParseDuration at
+    main.go:82-87). Composite forms like ``1h30m`` are also accepted."""
+    total = 0.0
+    pos = 0
+    for m in re.finditer(r"(\d+(?:\.\d+)?)(ms|s|m|h|d)", text):
+        if m.start() != pos:
+            raise ValueError(f"invalid duration: {text!r}")
+        total += float(m.group(1)) * _UNIT_SECONDS[m.group(2)]
+        pos = m.end()
+    if pos != len(text) or pos == 0:
+        raise ValueError(f"invalid duration: {text!r}")
+    return timedelta(seconds=total)
+
+
+@dataclass
+class RenderErrorReporter:
+    """Report-first-error-once across micro-batches (reference keeps an
+    atomic print-once flag, main.go:245, 283-286)."""
+
+    reported: bool = False
+    dropped_rows: int = 0
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def observe(self, n_errors: int, sample: str | None) -> None:
+        if n_errors <= 0:
+            return
+        with self._lock:
+            self.dropped_rows += n_errors
+            if not self.reported:
+                self.reported = True
+                print(
+                    f"error rendering record (first of {n_errors} in batch): "
+                    f"{sample!r}; further errors suppressed",
+                    file=sys.stderr,
+                )
+
+
+def _start_cutoff(
+    start: str | datetime | timedelta | None, now: datetime | None
+) -> datetime | None:
+    if start is None:
+        return None
+    if isinstance(start, datetime):
+        return start
+    if isinstance(start, str):
+        start = parse_duration(start)
+    if isinstance(start, timedelta):
+        if now is None:
+            raise ValueError(
+                "relative start requires now= (tests pass a fixed time; "
+                "prod passes datetime.now(timezone.utc))"
+            )
+        return now - start
+    raise TypeError(f"unsupported start: {start!r}")
+
+
+def build_lines(
+    records: DataFrame,
+    template: str = DEFAULT_TEMPLATE,
+    start: str | datetime | timedelta | None = None,
+    now: datetime | None = None,
+    keep_errors: bool = False,
+) -> DataFrame:
+    """The full watch pipeline as a DataFrame of rendered lines.
+
+    Works for batch and streaming inputs alike (same logical plan). With
+    ``keep_errors`` the error flag is kept for the sink to report/count.
+    """
+    compiled = compile_template(template)
+    df = records
+    cutoff = _start_cutoff(start, now)
+    if cutoff is not None:
+        # Filter on the raw scan column → pushes into the parquet scan /
+        # connector start position (the AT_TIMESTAMP analogue).
+        df = df.filter(
+            F.col("approximateArrivalTimestamp") >= F.lit(cutoff.replace(tzinfo=None))
+        )
+    env = with_envelope(df)
+    if keep_errors:
+        return compiled.apply_with_errors(env)
+    return compiled.apply(env)
+
+
+def watch(
+    records: DataFrame,
+    template: str = DEFAULT_TEMPLATE,
+    start: str | datetime | timedelta | None = None,
+    now: datetime | None = None,
+    poll: str = "10s",
+    one_shot: bool = False,
+    checkpoint_dir: str | None = None,
+    sink=print,
+    reporter: RenderErrorReporter | None = None,
+) -> StreamingQuery | list[str]:
+    """Run the watcher.
+
+    Batch input → returns the rendered lines (list[str], collected).
+    Streaming input → starts a foreachBatch query printing each line via
+    ``sink`` and returns the StreamingQuery (caller: ``awaitTermination()``
+    / ``stop()`` — the reference's SIGINT path, main.go:191-208).
+    """
+    reporter = reporter or RenderErrorReporter()
+    lines = build_lines(records, template, start=start, now=now, keep_errors=True)
+
+    if not lines.isStreaming:
+        rows = lines.collect()
+        bad = [r for r in rows if r["_render_error"]]
+        if bad:
+            reporter.observe(len(bad), bad[0]["line"])
+        return [r["line"] for r in rows if not r["_render_error"]]
+
+    def emit_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        rows = batch_df.collect()
+        n_err = sum(1 for r in rows if r["_render_error"])
+        if n_err:
+            sample = next(r["line"] for r in rows if r["_render_error"])
+            reporter.observe(n_err, sample)
+        for r in rows:
+            if not r["_render_error"]:
+                sink(r["line"])
+        # per-batch flush ≙ the reference's os.Stdout.Sync() (main.go:292)
+        if sink is print:
+            sys.stdout.flush()
+
+    writer = lines.writeStream.foreachBatch(emit_batch).outputMode("append")
+    if checkpoint_dir:
+        # durable offsets — the corrected version of the reference's
+        # in-memory sequence-number resume (main.go:320-363, W4)
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if one_shot:
+        writer = writer.trigger(availableNow=True)  # -O (main.go:89-92)
+    else:
+        interval = parse_duration(poll)
+        writer = writer.trigger(processingTime=f"{interval.total_seconds()} seconds")
+    return writer.start()

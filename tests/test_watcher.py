@@ -1,0 +1,103 @@
+"""watch() end-to-end — the reference CLI path (main.go:63-208)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from kinesis_log_watcher_spark.sources.files import (
+    read_raw_records,
+    read_raw_records_stream,
+)
+from kinesis_log_watcher_spark.sources.fixture import (
+    EPOCH,
+    kinesis_records_fixture,
+    write_fixture_parquet,
+)
+from kinesis_log_watcher_spark.watcher import (
+    RenderErrorReporter,
+    parse_duration,
+    watch,
+)
+
+
+def test_parse_duration():
+    assert parse_duration("30s") == timedelta(seconds=30)
+    assert parse_duration("5m") == timedelta(minutes=5)
+    assert parse_duration("3h") == timedelta(hours=3)
+    assert parse_duration("1d") == timedelta(days=1)
+    assert parse_duration("1h30m") == timedelta(hours=1, minutes=30)
+    assert parse_duration("250ms") == timedelta(milliseconds=250)
+    for bad in ("", "x", "5", "5x", "m5"):
+        with pytest.raises(ValueError):
+            parse_duration(bad)
+
+
+def test_batch_one_shot_default_template(spark):
+    records = kinesis_records_fixture(spark, n_records=40)
+    lines = watch(records)
+    assert len(lines) == 40
+    assert any(l.startswith("abc-123 2024-05-01") for l in lines)
+
+
+def test_start_filter(spark):
+    """-s lookback: only records with arrival ts >= now - start survive
+    (the AT_TIMESTAMP analogue, main.go:174, 300-305)."""
+    records = kinesis_records_fixture(spark, n_records=400, n_shards=4)
+    fake_now = EPOCH.replace(tzinfo=None) + timedelta(seconds=100)
+    lines = watch(records, start="20s", now=fake_now)
+    # per shard: records at EPOCH+80..99s (±1s jitter) pass → ~20/shard
+    assert 4 * 18 <= len(lines) <= 4 * 22
+    lines_abs = watch(records, start=fake_now - timedelta(seconds=20))
+    assert sorted(lines_abs) == sorted(lines)
+
+
+def test_error_rows_dropped_and_reported_once(spark):
+    records = kinesis_records_fixture(spark, n_records=120)
+    reporter = RenderErrorReporter()
+    lines = watch(records, template="{{.Log.level}}", reporter=reporter)
+    # payload kinds: 3 of 6 are JSON objects → half the rows survive
+    assert len(lines) == 60
+    assert reporter.dropped_rows == 60
+    assert reporter.reported
+
+
+def test_streaming_one_shot_matches_batch(spark, tmp_path):
+    """W2: -O one-shot streaming produces the same record set as batch
+    (SURVEY.md §5.2 streaming-semantics test)."""
+    path = str(tmp_path / "records")
+    write_fixture_parquet(spark, path, n_records=200)
+
+    batch_lines = watch(read_raw_records(spark, path))
+
+    got: list[str] = []
+    q = watch(
+        read_raw_records_stream(spark, path, max_files_per_trigger=2),
+        one_shot=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sink=got.append,
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == sorted(batch_lines)
+
+
+def test_streaming_resume_from_checkpoint(spark, tmp_path):
+    """W4 done right: restart re-reads nothing (the reference *intends*
+    sequence-number resume but its renewal is buggy, main.go:345)."""
+    path = str(tmp_path / "records")
+    ckpt = str(tmp_path / "ckpt")
+    write_fixture_parquet(spark, path, n_records=100)
+
+    got: list[str] = []
+    q = watch(read_raw_records_stream(spark, path), one_shot=True,
+              checkpoint_dir=ckpt, sink=got.append)
+    q.awaitTermination(120)
+    n_first = len(got)
+    assert n_first == 100
+
+    # second run, same checkpoint: nothing new to read
+    q = watch(read_raw_records_stream(spark, path), one_shot=True,
+              checkpoint_dir=ckpt, sink=got.append)
+    q.awaitTermination(120)
+    assert len(got) == n_first
