@@ -1,0 +1,109 @@
+"""Relational operators (SURVEY.md §2.2 coverage).
+
+All pure DataFrame compositions — Catalyst plans them (broadcast vs
+shuffle joins, partial aggregation, AQE skew handling). The helpers here
+encode the *shape* decisions that matter at scale:
+
+- dimension joins broadcast explicitly (no shuffle of the fact side),
+- top-k is aggregate-style (``limit`` after ``orderBy`` → Spark plans a
+  TakeOrderedAndProject: per-partition heap + driver merge, no full sort),
+- per-group top-k uses a ranking window (single shuffle on the group key),
+- sessionization is the lag/cumsum trick (one shuffle, two window passes
+  over the same partitioning — Spark reuses the sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Fact⋈dim with the dim side broadcast — zero shuffle of the fact.
+
+    At 100 TB the fact side must never move for a dimension join;
+    region/nation/supplier-sized dims are KBs→MBs."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
+    """Global top-k. orderBy+limit → TakeOrderedAndProject (no total sort,
+    no single-partition shuffle of everything — each partition keeps a
+    k-heap, driver merges k×partitions rows)."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, group_by: list[str], order_by: list[Column], k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k within each group via row_number — one shuffle on the group
+    key; ties must be broken deterministically by the caller's order_by."""
+    w = Window.partitionBy(*group_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def running_total(
+    df: DataFrame, partition_by: list[str], order_by: list[Column], value: Column,
+    out_col: str = "running",
+) -> DataFrame:
+    """Prefix aggregate (rows unbounded-preceding..current). Deterministic
+    iff order_by is a total order within each partition."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.sum(value).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Gap-based sessionization: session starts where the gap to the
+    previous event exceeds ``gap_seconds``; session_id = running count of
+    session starts. Both window passes share one partitioning/sort —
+    a single shuffle on the user key."""
+    order = [F.col(ts_col), F.col(tiebreak_col)]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    gap = F.col(ts_col).cast("long") - prev_ts.cast("long")
+    is_start = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    run = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_id", F.sum(is_start).over(run))
+
+
+def set_ops_tagged(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """union / intersect / except of two key sets, tagged in one result
+    (distinct keys only). Spark plans these as aggregates/joins."""
+    union = a.select(key).union(b.select(key)).distinct().withColumn("op", F.lit("union"))
+    inter = a.select(key).intersect(b.select(key)).withColumn("op", F.lit("intersect"))
+    # NB: EXCEPT (distinct) semantics — exceptAll would keep a key that
+    # appears in both sides whenever `a` holds it with multiplicity > |b|.
+    diff = a.select(key).distinct().subtract(b.select(key).distinct()).withColumn(
+        "op", F.lit("except")
+    )
+    return union.unionByName(inter).unionByName(diff)
+
+
+def pivot_counts(
+    df: DataFrame, row_key: Column, pivot_col: str, values: list[str],
+    row_key_name: str = "row_key",
+) -> DataFrame:
+    """Pivot with an explicit value list (never let Spark scan for distinct
+    pivot values on a huge input — that's an extra job)."""
+    return (
+        df.groupBy(row_key.alias(row_key_name))
+        .pivot(pivot_col, values)
+        .count()
+        .na.fill(0, values)
+    )

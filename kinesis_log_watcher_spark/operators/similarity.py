@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- brute-force top-k: queries broadcast against the full index — exact,
+  O(|Q|·|N|·d) but embarrassingly parallel (the index never shuffles;
+  each partition scores its slice and keeps a local top-k via the ranking
+  window / TakeOrdered).
+- IVF-style cell-probed top-k: vectors are assigned to their best anchor
+  (inner product); a query probes only its own cell — the classic
+  coarse-quantization trade (recall vs candidates scanned). Anchors are
+  broadcast; assignment is a narrow map + argmax, no shuffle of the index
+  beyond the final per-cell ranking.
+
+Scoring has two implementations:
+- ``*_fast``: zip_with/aggregate on doubles — JVM codegen, the production
+  hot path.
+- exact-decimal scoring (used by the oracle-checked queries): per-element
+  decimal products summed exactly, so Spark and DuckDB produce
+  bit-identical doubles (see functions/exact.py for why).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_fast(a: Column, b: Column) -> Column:
+    """Inner product in double — codegen'd zip_with + aggregate fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_fast(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk_fast(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    vec_id: str = "vec_id",
+    emb: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k, fast path: broadcast queries × index.
+
+    Plan shape: BroadcastNestedLoopJoin (queries are small by contract)
+    → narrow scoring map → per-query ranking window. The index side is
+    scanned once, never shuffled for the join."""
+    q = F.broadcast(
+        queries.select(F.col(q_id), F.col(emb).alias("q_emb"))
+    )
+    scored = index.select(F.col(vec_id), F.col(emb)).crossJoin(q).filter(
+        F.col(vec_id) != F.col(q_id)
+    )
+    cos = dot_fast(F.col("q_emb"), F.col(emb)) / (
+        norm_fast(F.col("q_emb")) * norm_fast(F.col(emb))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(vec_id))
+    return (
+        scored.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(q_id, F.col(vec_id).alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-decimal scoring (oracle-reproducible)
+# ---------------------------------------------------------------------------
+
+
+def exploded_components(df: DataFrame, id_col: str, emb: str = "embedding",
+                        out_val: str = "x") -> DataFrame:
+    """(id, dim, component) rows; dim is 1-based to match SQL unnest."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.col(emb)).alias("pos", out_val),
+    ).select(F.col(id_col), (F.col("pos") + 1).alias("dim"), F.col(out_val))
+
+
+# Component quantization scale: 1e7 ≈ float32's own precision. Scores are
+# computed on int64-quantized components so every engine gets bit-identical
+# results. Decimal casts are NOT portable here: engines disagree on
+# round-half ties for dyadic float values (half-up vs half-even) and on
+# decimal downscale (DuckDB truncates); an explicit floor(x*S + 0.5) is the
+# same IEEE op sequence everywhere.
+QSCALE = 10_000_000  # 1e7
+QSCALE2 = float(QSCALE) * float(QSCALE)  # exact power of ten < 2^53
+
+
+def quantize(x: Column) -> Column:
+    """float component → int64 at 7 dp via explicit half-up rounding."""
+    return F.floor(x.cast("double") * F.lit(float(QSCALE)) + F.lit(0.5)).cast("long")
+
+
+def exact_dot(
+    a: DataFrame, b: DataFrame, a_id: str, b_id: str,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Engine-exact inner product: int64 sum of quantized products,
+    converted to double once at the end (values < 2^53 → exact).
+    ``a`` must be the small side (queries): it is broadcast, so the
+    64-distinct-key dim join never shuffles the index; the aggregation
+    shuffles once on (a_id, b_id)."""
+    j = b.join(F.broadcast(a), "dim")
+    if exclude_self:
+        j = j.filter(F.col(a_id) != F.col(b_id))
+    prod = quantize(F.col("qx")) * quantize(F.col("x"))
+    return j.groupBy(a_id, b_id).agg(
+        (F.sum(prod).cast("double") / F.lit(QSCALE2)).alias("dot")
+    )
+
+
+def exact_norm2(df: DataFrame, id_col: str, emb: str = "embedding") -> DataFrame:
+    comp = exploded_components(df, id_col, emb)
+    q = quantize(F.col("x"))
+    return comp.groupBy(id_col).agg(
+        (F.sum(q * q).cast("double") / F.lit(QSCALE2)).alias("norm2")
+    )

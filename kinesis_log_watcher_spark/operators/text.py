@@ -1,0 +1,96 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+fingerprinting. All pure built-ins — per-row narrow maps that scale
+linearly with input partitions; the only shuffles are the final
+aggregations a query asks for."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword lists for the n-gram/stopword-vote heuristic.
+# (A production system would use character n-gram profiles; the operator
+# shape — token explode + broadcast stoplist join + per-doc argmax — is
+# identical.)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is", "in"],
+    "es": ["el", "la", "de", "y", "que", "los", "un"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "les", "un", "est"],
+    "zh": ["de5", "shi4", "le5", "zai4", "wo3", "you3", "he2"],
+}
+
+UND = "und"  # prediction when no stopword list scores any hit
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single other glyphs.
+# Space-only (not \s) so the regex behaves identically in Java and RE2.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.size(F.split(text, " ")).cast("long")
+
+
+def regex_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
+def punct_count(text: Column) -> Column:
+    return (
+        F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
+    ).cast("long")
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    return F.size(
+        F.filter(F.split(text, " "), lambda t: t.isin(*words))
+    ).cast("long")
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = F.split(text, " ")
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return total.cast("double") / F.size(toks)
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Composite quality score; the exact op order is mirrored in the SQL
+    oracle so doubles match bit-for-bit:
+    stop_ratio - punct_ratio + mean_token_len/10."""
+    stop_ratio = stopword_hits(text).cast("double") / ws_token_count(text)
+    punct_ratio = punct_count(text).cast("double") / n_chars
+    return stop_ratio - punct_ratio + mean_token_length(text) / 10
+
+
+def stopword_table(spark) -> DataFrame:
+    rows = [(lang, w) for lang, words in STOPWORDS.items() for w in words]
+    return spark.createDataFrame(rows, "sw_lang string, w string")
+
+
+def predict_language(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: explode tokens, broadcast-join the
+    stoplist, count hits per (doc, lang), argmax with deterministic
+    tie-break (hits desc, lang asc); no hits → 'und'.
+    One shuffle (the per-doc aggregate); the stoplist join is broadcast."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    toks = docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    hits = (
+        toks.join(F.broadcast(stopword_table(spark)), "w")
+        .groupBy(id_col, "sw_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("hits").desc(), F.col("sw_lang").asc())
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("sw_lang").alias("pred_nonnull"))
+    )
+    return docs.select(id_col).join(best, id_col, "left").select(
+        id_col, F.coalesce(F.col("pred_nonnull"), F.lit(UND)).alias("pred_lang")
+    )

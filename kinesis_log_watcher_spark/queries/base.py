@@ -1,0 +1,83 @@
+"""Query registry: every engine capability as a (Spark fn, oracle SQL) pair.
+
+Each registered query is the correctness contract for one operator (or a
+small composition) from SURVEY.md §2: the Spark implementation and an
+ANSI-SQL oracle DuckDB runs on the same parquet tables. The driver
+hash-compares them at sf0.01 (BASELINE.json t2 gate).
+
+Determinism rules every query follows:
+- every computed column aliased identically in both dialects,
+- float aggregates via exact DECIMAL sums (functions/exact.py) so results
+  are bit-identical regardless of partitioning/engine,
+- rankings/limits always carry a deterministic tie-break key,
+- derived ints cast to BIGINT on both sides (schema parity).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one driver table. Parquet → columnar scan with predicate
+    pushdown and column pruning for whatever the query selects.
+
+    events.ts is parquet TIMESTAMP(NANOS); with
+    spark.sql.legacy.parquet.nanosAsLong it scans as long — convert to a
+    microsecond TimestampType here (the data is µs-aligned; integer div
+    keeps it exact)."""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: add a (spark_fn, oracle_sql) pair to the registry."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def registry() -> dict[str, Query]:
+    # Import side-effect modules once, on first use.
+    from kinesis_log_watcher_spark.queries import (  # noqa: F401
+        llm,
+        relational,
+        streaming,
+        watcher_surface,
+    )
+
+    return _REGISTRY

@@ -1,0 +1,551 @@
+"""LLM-data-pipeline queries: dedup (exact / minhash-LSH / simhash /
+n-gram Jaccard), similarity search (brute-force + IVF-probed),
+text analysis (lang-ID / quality / tokens / fingerprints), multimodal
+metadata. Every oracle recomputes the same md5-derived hashes / exact
+decimal sums, so results are engine-identical."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_log_watcher_spark.functions.exact import dsum
+from kinesis_log_watcher_spark.operators import text as T
+from kinesis_log_watcher_spark.operators.dedup import (
+    SIMHASH_BITS,
+    exact_dedup_groups,
+    exploded_shingles,
+    fingerprint_col,
+    jaccard_pairs,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from kinesis_log_watcher_spark.operators.multimodal import (
+    image_metadata,
+    with_binary_payload,
+)
+from kinesis_log_watcher_spark.operators.similarity import (
+    exact_dot,
+    exact_norm2,
+    exploded_components,
+    quantize,
+)
+from kinesis_log_watcher_spark.queries.base import load, register
+
+# Shared SQL fragments -------------------------------------------------------
+
+# distinct 3-token shingles per doc (docs with ≥3 tokens)
+_SH_SQL = """
+  sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 1),
+             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+           ))) AS shingle
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3)
+"""
+
+# ---------------------------------------------------------------------------
+# dedup: exact + fingerprint
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS dedup_key,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_members
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on content; canonical = min id.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, F.md5(F.col("text")))
+
+
+@register(
+    "dedup_fingerprint",
+    """
+    SELECT md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' '))
+             AS dedup_key,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_members
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Order-insensitive fingerprint dedup (sorted token bag).",
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, fingerprint_col(F.col("text")))
+
+
+# ---------------------------------------------------------------------------
+# dedup: n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+    pruned AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM pruned a JOIN pruned b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           (common / (sa.sz + sb.sz - common)) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE (common / (sa.sz + sb.sz - common)) >= 0.5
+    """,
+    doc="Near-dup pairs by 3-gram Jaccard ≥ 0.5 via inverted-index join "
+    "with a doc-frequency cap (stop-shingle skew guard).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs)
+    return jaccard_pairs(sh, threshold=0.5, max_doc_freq=100)
+
+
+# ---------------------------------------------------------------------------
+# dedup: MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_NUM_HASHES = 16
+_BANDS = 4
+_ROWS = _NUM_HASHES // _BANDS
+
+_MINHASH_COLS = ",\n           ".join(
+    f"MIN(md5('{k}|' || shingle)) AS m{k}" for k in range(_NUM_HASHES)
+)
+_BAND_SIGS = ",\n           ".join(
+    "md5(" + " || '|' || ".join(f"m{b * _ROWS + r}" for r in range(_ROWS)) + f") AS b{b}"
+    for b in range(_BANDS)
+)
+_BAND_UNION = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {b} AS band, b{b} AS band_sig FROM sigs"
+    for b in range(_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SH_SQL},
+    mh AS (
+      SELECT doc_id,
+           {_MINHASH_COLS}
+      FROM sh GROUP BY doc_id),
+    sigs AS (
+      SELECT doc_id,
+           {_BAND_SIGS}
+      FROM mh),
+    bands AS (
+{_BAND_UNION}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_bands FROM pairs
+    """,
+    doc=f"MinHash({_NUM_HASHES} hashes) + LSH({_BANDS} bands): banded "
+    "signature bucket-join candidates — never all-pairs. md5-based hashes "
+    "make signatures engine-reproducible.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs)
+    sig = minhash_signature(sh, _NUM_HASHES)
+    bands = lsh_bands(sig, _NUM_HASHES, _BANDS)
+    return lsh_candidate_pairs(bands)
+
+
+# ---------------------------------------------------------------------------
+# dedup: SimHash
+# ---------------------------------------------------------------------------
+
+_S_SUMS = ",\n           ".join(
+    f"SUM((h >> {j}) & 1) AS s{j}" for j in range(SIMHASH_BITS)
+)
+_SIG_TERMS = "\n           + ".join(
+    f"CASE WHEN 2 * s{j} > n THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+          FROM tok),
+    s AS (SELECT doc_id, COUNT(*) AS n,
+           {_S_SUMS}
+          FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id,
+           CAST({_SIG_TERMS} AS BIGINT) AS sig
+          FROM s),
+    bands AS (
+      SELECT doc_id, sig, t.bd, (sig >> (15 * t.bd)) & 32767 AS bv
+      FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) t(bd)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b ON a.bd = b.bd AND a.bv = b.bv
+      WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= 7
+    """,
+    doc="SimHash(60-bit) near-dup pairs, hamming ≤ 7, via 4×15-bit banded "
+    "candidates (pigeonhole-exact for hamming ≤ 3).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs)
+    return simhash_near_pairs(sigs, max_hamming=7)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+# float32 → double → DECIMAL(16,12): engines agree on decimal rounding of
+# the double value, not of the raw float (see operators.similarity).
+# int64-quantized inner product — see operators.similarity.quantize.
+_Q = "CAST(floor(CAST({0} AS DOUBLE) * 10000000 + 0.5) AS BIGINT)"
+_DOT_DEC = (f"(CAST(SUM({_Q.format('qx')} * {_Q.format('x')}) AS DOUBLE) "
+            "/ 100000000000000.0)")
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, unnest(embedding) AS qx,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings WHERE vec_id < 10),
+    c AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings),
+    d AS (
+      SELECT q_id, vec_id, {_DOT_DEC} AS dot
+      FROM c JOIN q USING (dim)
+      WHERE vec_id != q_id
+      GROUP BY q_id, vec_id),
+    n AS (
+      SELECT vec_id AS nid,
+             (CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5) AS BIGINT)
+                      * CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5) AS BIGINT)) AS DOUBLE)
+              / 100000000000000.0) AS norm2
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id),
+    s AS (
+      SELECT q_id, vec_id, (dot / (sqrt(nq.norm2) * sqrt(nc.norm2))) AS cosine
+      FROM d JOIN n nq ON nq.nid = q_id
+             JOIN n nc ON nc.nid = vec_id)
+    SELECT q_id, vec_id AS neighbor_id, cosine, rank FROM (
+      SELECT q_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+      FROM s)
+    WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-5 for 10 query vectors; exact-decimal dot "
+    "products → engine-identical scores and deterministic ranking. "
+    "Production fast path: operators.similarity.cosine_topk_fast.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = exploded_components(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        ),
+        "q_id",
+        out_val="qx",
+    )
+    c = exploded_components(emb, "vec_id")
+    d = exact_dot(q, c, "q_id", "vec_id")
+    n = exact_norm2(emb, "vec_id")
+    nq = n.select(F.col("vec_id").alias("q_id"), F.col("norm2").alias("qn"))
+    nc = n.select(F.col("vec_id"), F.col("norm2").alias("cn"))
+    s = (
+        d.join(F.broadcast(nq), "q_id")
+        .join(nc, "vec_id")
+        .select(
+            "q_id",
+            "vec_id",
+            (F.col("dot") / (F.sqrt(F.col("qn")) * F.sqrt(F.col("cn")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH comp AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings),
+    anchors AS (SELECT vec_id AS a_id, x AS qx, dim FROM comp WHERE vec_id < 8),
+    dots AS (
+      SELECT c.vec_id, a_id, {_DOT_DEC.replace('qx', 'a.qx').replace('CAST(x', 'CAST(c.x')} AS dot
+      FROM comp c JOIN anchors a USING (dim)
+      WHERE c.vec_id >= 8
+      GROUP BY c.vec_id, a_id),
+    cells AS (
+      SELECT vec_id, a_id AS cell FROM (
+        SELECT vec_id, a_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, a_id) AS rn
+        FROM dots)
+      WHERE rn = 1),
+    qcomp AS (
+      SELECT vec_id AS q_id, x AS qx, dim FROM comp
+      WHERE vec_id >= 10 AND vec_id < 20),
+    cand AS (
+      SELECT q.q_id, c.vec_id, {_DOT_DEC.replace('CAST(x', 'CAST(c.x')} AS dot
+      FROM comp c JOIN qcomp q USING (dim)
+      JOIN cells cc ON cc.vec_id = c.vec_id
+      JOIN cells qc ON qc.vec_id = q.q_id AND qc.cell = cc.cell
+      WHERE c.vec_id != q.q_id AND c.vec_id >= 8
+      GROUP BY q.q_id, c.vec_id)
+    SELECT q_id, vec_id AS neighbor_id, dot, rank FROM (
+      SELECT q_id, vec_id, dot,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY dot DESC, vec_id) AS BIGINT) AS rank
+      FROM cand)
+    WHERE rank <= 3
+    """,
+    doc="IVF-style ANN: vectors assigned to best anchor cell (inner "
+    "product, anchors = vec_id<8 as deterministic centroid stand-ins); "
+    "each query probes only its own cell → candidates scanned shrink by "
+    "the cell fan-out. Anchors broadcast; index shuffles once.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    comp = exploded_components(emb, "vec_id")
+    anchors = comp.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("a_id"), F.col("x").alias("qx"), "dim"
+    )
+    # cell assignment for all non-anchor vectors
+    dots = exact_dot(
+        anchors.select("a_id", "qx", "dim"),
+        comp.filter(F.col("vec_id") >= 8),
+        "a_id",
+        "vec_id",
+        exclude_self=False,
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("a_id"))
+    cells = (
+        dots.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("a_id").alias("cell"))
+    )
+    qcomp = comp.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("q_id"), F.col("x").alias("qx"), "dim"
+    )
+    cand_dots = exact_dot(qcomp, comp.filter(F.col("vec_id") >= 8), "q_id", "vec_id")
+    qcells = cells.select(F.col("vec_id").alias("q_id"), F.col("cell").alias("q_cell"))
+    cand = (
+        cand_dots.join(cells, "vec_id")
+        .join(F.broadcast(qcells), "q_id")
+        .filter(F.col("cell") == F.col("q_cell"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "dot", "rank")
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    """
+    SELECT label, dim,
+           COUNT(*) AS n,
+           ((CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / COUNT(*)) / 10000000.0) AS mean_val
+    FROM (SELECT label, unnest(embedding) AS x,
+                 unnest(range(1, len(embedding) + 1)) AS dim
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+    doc="Per-label centroid components (exact-decimal means) — the "
+    "aggregate shape of embedding statistics at corpus scale.",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).select("label", (F.col("pos") + 1).alias("dim"), "x")
+    return comp.groupBy("label", "dim").agg(
+        F.count("*").alias("n"),
+        (
+            (F.sum(quantize(F.col("x"))).cast("double") / F.count("*"))
+            / F.lit(10_000_000.0)
+        ).alias("mean_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_EN = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
+_SW_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in T.STOPWORDS.items() for w in ws
+)
+
+
+@register(
+    "lang_id_stopwords",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    hits AS (
+      SELECT doc_id, sw.sw_lang, COUNT(*) AS hits
+      FROM toks JOIN (VALUES {_SW_VALUES}) sw(sw_lang, w) USING (w)
+      GROUP BY doc_id, sw.sw_lang),
+    best AS (
+      SELECT doc_id, sw_lang AS pred_nonnull FROM (
+        SELECT doc_id, sw_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY hits DESC, sw_lang) AS rn
+        FROM hits)
+      WHERE rn = 1)
+    SELECT d.doc_id,
+           COALESCE(b.pred_nonnull, 'und') AS pred_lang,
+           d.lang AS actual_lang,
+           CAST(CASE WHEN COALESCE(b.pred_nonnull, 'und') = d.lang
+                     THEN 1 ELSE 0 END AS BIGINT) AS correct
+    FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+    """,
+    doc="Stopword-vote language ID (broadcast stoplist + per-doc argmax) "
+    "compared against the labeled lang column.",
+)
+def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pred = T.predict_language(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .select(
+            "doc_id",
+            "pred_lang",
+            F.col("lang").alias("actual_lang"),
+            F.when(F.col("pred_lang") == F.col("lang"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("correct"),
+        )
+    )
+
+
+@register(
+    "doc_quality_scores",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                AS BIGINT) AS n_punct,
+           CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ({_EN}))) AS BIGINT) AS stop_hits,
+           (CAST(list_sum(list_transform(string_split(text, ' '),
+                    t -> strlen(t))) AS DOUBLE)
+            / len(string_split(text, ' '))) AS mean_token_len,
+           ((CAST(len(list_filter(string_split(text, ' '),
+                     t -> t IN ({_EN}))) AS DOUBLE)
+             / len(string_split(text, ' ')))
+            - (CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                    AS DOUBLE) / n_chars)
+            + ((CAST(list_sum(list_transform(string_split(text, ' '),
+                     t -> strlen(t))) AS DOUBLE)
+                / len(string_split(text, ' '))) / 10)) AS quality
+    FROM documents
+    """,
+    doc="Quality scoring: token/punct/stopword ratios + mean token length "
+    "composed in a fixed op order (engine-identical doubles).",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.ws_token_count(text).alias("n_tokens"),
+        T.punct_count(text).alias("n_punct"),
+        T.stopword_hits(text).alias("stop_hits"),
+        T.mean_token_length(text).alias("mean_token_len"),
+        T.quality_score(text, F.col("n_chars")).alias("quality"),
+    )
+
+
+@register(
+    "token_counts_by_source",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))
+                AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Token counting: whitespace + BPE-ish regex pre-tokenizer, "
+    "aggregated per source (integer sums — exact).",
+)
+def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.ws_token_count(text)).alias("ws_tokens"),
+        F.sum(T.regex_token_count(text)).alias("bpe_ish_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal metadata (mapInPandas plumbing, arithmetic oracle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_image_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
+           CAST(64 + (7 * octet_length(encode(text))) % 512 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           ((octet_length(encode(text)) % 256) / 255.0) AS mean_val
+    FROM documents
+    """,
+    doc="Multimodal plumbing: binary payload → Arrow → mapInPandas "
+    "metadata extraction (deterministic stand-in decoder; real decoder "
+    "stubbed — operators/multimodal.py).",
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return image_metadata(with_binary_payload(docs))

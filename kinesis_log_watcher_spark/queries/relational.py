@@ -1,0 +1,768 @@
+"""Relational surface queries (SURVEY.md §2.2): scans, filters, joins of
+every flavor, aggregations (incl. rollup/cube/grouping-sets), windows,
+sorts/top-k, set ops, string/date/JSON scalar functions.
+
+Scale notes are per-query docstrings; the common rules:
+- dim joins broadcast (region/nation/customer at dimension scale),
+- fact-fact joins shuffle on their keys with AQE skew handling,
+- top-k never total-sorts (TakeOrderedAndProject),
+- exact DECIMAL aggregation for engine-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_log_watcher_spark.functions.exact import davg, dec, dsum
+from kinesis_log_watcher_spark.operators.relational import (
+    broadcast_join,
+    pivot_counts,
+    running_total,
+    set_ops_tagged,
+    sessionize,
+    top_k,
+    top_k_per_group,
+)
+from kinesis_log_watcher_spark.queries.base import load, register
+
+# --------------------------------------------------------------------------
+# q01 — TPC-H-Q1-style pricing summary (the flagship: scan+filter+hash agg)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*)) AS avg_qty,
+           (CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*)) AS avg_price,
+           (CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*)) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Scan + pushed filter + hash aggregate with 8 exact-decimal aggs.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = dec(F.col("l_extendedprice"), 9, 2) * (
+        F.lit(1) - dec(F.col("l_discount"), 3, 2)
+    )
+    charge = disc_price * (F.lit(1) + dec(F.col("l_tax"), 3, 2))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity"), 9, 2).alias("sum_qty"),
+        dsum(F.col("l_extendedprice"), 9, 2).alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        davg(F.col("l_quantity"), 9, 2).alias("avg_qty"),
+        davg(F.col("l_extendedprice"), 9, 2).alias("avg_price"),
+        davg(F.col("l_discount"), 3, 2).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — time-range filter + projection (the reference's F1/P1 on a table)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_time_filter",
+    """
+    SELECT event_id, ts, user_id, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+      AND event_type = 'error'
+    """,
+    doc="Predicate + projection pushed to the parquet scan "
+    "(reference F1: AT_TIMESTAMP start filter, main.go:300-305).",
+)
+def events_time_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+        & (F.col("event_type") == "error")
+    ).select("event_id", "ts", "user_id", "value")
+
+
+# --------------------------------------------------------------------------
+# q03 — broadcast dimension join chain
+# --------------------------------------------------------------------------
+
+
+@register(
+    "customers_per_region",
+    """
+    SELECT r_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal,
+           (CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c_acctbal)) AS avg_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Fact⋈dim⋈dim with both dims broadcast — fact side never shuffles "
+    "for the join (only the final small agg).",
+)
+def customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = broadcast_join(
+        broadcast_join(cust, nation, F.col("c_nationkey") == F.col("n_nationkey")),
+        region,
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return joined.groupBy("r_name").agg(
+        F.count("*").alias("n_customers"),
+        dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+        davg(F.col("c_acctbal")).alias("avg_acctbal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — fact⋈fact shuffle join + aggregate
+# --------------------------------------------------------------------------
+
+
+@register(
+    "revenue_by_priority",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="orders⋈lineitem on orderkey: co-partitioned shuffle join (AQE "
+    "handles skew); partial aggregation before the final 5-group reduce.",
+)
+def revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    revenue = dec(F.col("l_extendedprice"), 9, 2) * (
+        F.lit(1) - dec(F.col("l_discount"), 3, 2)
+    )
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q05/q06 — semi / anti joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "customers_with_recent_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    """,
+    doc="Left-semi join (EXISTS). Broadcast of the filtered key set when "
+    "small; shuffled semi otherwise — Catalyst/AQE picks.",
+)
+def customers_with_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS).",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_acctbal")
+
+
+# --------------------------------------------------------------------------
+# q07/q08 — top-k (global and per-group)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "top_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Global top-k: TakeOrderedAndProject (per-partition heap + driver "
+    "merge) — no total sort at any scale. Deterministic tie-break.",
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return top_k(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+@register(
+    "top_orders_per_segment",
+    """
+    SELECT * FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+      FROM orders JOIN customer ON o_custkey = c_custkey)
+    WHERE rank <= 5
+    """,
+    doc="Per-group top-k: ranking window, one shuffle on the group key; "
+    "customer side broadcast into the join.",
+)
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    joined = broadcast_join(
+        orders, cust.select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    ranked = top_k_per_group(
+        joined.select("c_mktsegment", "o_orderkey", "o_totalprice"),
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        5,
+    )
+    return ranked.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# q09 — running (prefix) aggregate window
+# --------------------------------------------------------------------------
+
+
+@register(
+    "user_running_value",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value
+    FROM events
+    WHERE user_id < 20
+    """,
+    doc="Prefix-sum window; exact decimal accumulation keeps every prefix "
+    "bit-identical across engines and partitionings.",
+)
+def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    out = running_total(
+        ev,
+        ["user_id"],
+        [F.col("ts"), F.col("event_id")],
+        dec(F.col("value"), 28, 4),
+        out_col="running_value",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("running_value").cast("double").alias("running_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 — set operations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "nation_set_ops",
+    """
+    SELECT 'union' AS op, n FROM (
+        SELECT DISTINCT c_nationkey AS n FROM customer
+        UNION SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect' AS op, n FROM (
+        SELECT DISTINCT c_nationkey AS n FROM customer
+        INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, n FROM (
+        SELECT DISTINCT c_nationkey AS n FROM customer
+        EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+    doc="UNION / INTERSECT / EXCEPT over key sets, tagged in one result.",
+)
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n"))
+    supp = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n"))
+    return set_ops_tagged(cust, supp, "n").select("op", "n")
+
+
+# --------------------------------------------------------------------------
+# q11/q12 — rollup / cube
+# --------------------------------------------------------------------------
+
+
+@register(
+    "order_priority_rollup",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP: partial-aggregate expansion planned by Catalyst (Expand + "
+    "single shuffle), not one pass per grouping level.",
+)
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum(F.col("o_totalprice")).alias("sum_total"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "sum_total",
+        )
+    )
+
+
+@register(
+    "lineitem_cube",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two low-cardinality keys.",
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum(F.col("l_quantity"), 9, 2).alias("sum_qty"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — distinct aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "segment_distinct_nations",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT c_nationkey) AS n_nations
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    doc="COUNT(DISTINCT): two-phase distinct aggregate.",
+)
+def segment_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — multi-column sort + limit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_multisort",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 50
+    """,
+    doc="Multi-key ordered limit — still TakeOrderedAndProject.",
+)
+def orders_multisort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return top_k(
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        [
+            F.col("o_orderstatus").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        ],
+        50,
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 — statistical aggregates from exact sums
+# --------------------------------------------------------------------------
+
+
+@register(
+    "nation_acctbal_stats",
+    """
+    SELECT c_nationkey,
+           COUNT(*) AS n,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
+           (CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) AS avg_bal,
+           CASE WHEN COUNT(*) > 1 THEN
+             sqrt((CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))
+                           * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   - CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                     * CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+                  / (COUNT(*) - 1))
+           END AS stddev_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="min/max/avg/stddev where stddev is derived from exact decimal "
+    "sums — deterministic across engines, unlike native STDDEV on doubles.",
+)
+def nation_acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    agg = cust.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        dsum(F.col("c_acctbal")).alias("s1"),
+        # square in DECIMAL (exact), not double: a double product rounds
+        # differently when later cast to decimal across engines
+        F.sum(dec(F.col("c_acctbal")) * dec(F.col("c_acctbal")))
+        .cast("double")
+        .alias("s2"),
+    )
+    n = F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+    return agg.select(
+        "c_nationkey",
+        "n",
+        "min_bal",
+        "max_bal",
+        (F.col("s1") / n).alias("avg_bal"),
+        F.when(n > 1, F.sqrt(var)).alias("stddev_bal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — CASE-WHEN bucketing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "price_band_agg",
+    """
+    SELECT CASE WHEN l_extendedprice < 5000 THEN 'low'
+                WHEN l_extendedprice < 20000 THEN 'mid'
+                ELSE 'high' END AS band,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="Computed grouping key (CASE WHEN) — stays in codegen.",
+)
+def price_band_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_extendedprice") < 5000, "low")
+        .when(F.col("l_extendedprice") < 20000, "mid")
+        .otherwise("high")
+    )
+    return li.groupBy(band.alias("band")).agg(
+        F.count("*").alias("n"),
+        dsum(F.col("l_extendedprice"), 9, 2).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — SQL front end with correlated EXISTS
+# --------------------------------------------------------------------------
+
+
+@register(
+    "big_spender_customers",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    doc="spark.sql() front end: correlated EXISTS — Catalyst rewrites to a "
+    "left-semi join (no per-row subquery execution).",
+)
+def big_spender_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("q17_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q17_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM q17_customer c
+        WHERE EXISTS (SELECT 1 FROM q17_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — string scalar functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "part_brand_stats",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           COUNT(DISTINCT upper(p_type)) AS n_types,
+           COUNT(DISTINCT substring(p_name, 1, 4)) AS n_name_prefixes,
+           (CAST(SUM(CAST(p_retailprice AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*)) AS avg_price
+    FROM part
+    GROUP BY p_brand
+    """,
+    doc="upper/substring in grouping-adjacent expressions.",
+)
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.countDistinct(F.upper(F.col("p_type"))).alias("n_types"),
+        F.countDistinct(F.substring(F.col("p_name"), 1, 4)).alias("n_name_prefixes"),
+        davg(F.col("p_retailprice"), 9, 2).alias("avg_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — date functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_by_month",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="year/month extraction + aggregate (time-bucketed rollup).",
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+    ).agg(F.count("*").alias("n"), dsum(F.col("o_totalprice")).alias("sum_total"))
+
+
+# --------------------------------------------------------------------------
+# q20 — JSON extraction (the reference's X4/X5 on a table column)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           (CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+            / COUNT(json_extract_string(props, '$.k'))) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Schema-on-read JSON access (get_json_object ≙ the reference's "
+    "lenient {{.Log.k}} — null on missing, main.go:273-279).",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(k)).alias("avg_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q36 — as-of join (no native Spark op: join + ranked-window composition)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "asof_latest_order",
+    """
+    SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+    FROM (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM (SELECT * FROM events WHERE user_id < 50) e
+      LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    WHERE rn = 1 OR o_orderkey IS NULL
+    """,
+    doc="As-of join (latest order at or before each event). Spark lacks a "
+    "native as-of: equi-join on the entity key + time inequality, then a "
+    "per-event ranking window keeps the latest. One shuffle on the key; "
+    "for dense per-key history, pre-bucket by time or merge_asof per group.",
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    joined = ev.join(
+        orders,
+        (F.col("o_custkey") == F.col("user_id")) & (F.col("o_orderdate") <= F.col("ts")),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) | F.col("o_orderkey").isNull())
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+    )
+
+
+# --------------------------------------------------------------------------
+# q37 — sessionization
+# --------------------------------------------------------------------------
+
+
+@register(
+    "user_sessions",
+    """
+    SELECT user_id,
+           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT user_id,
+             SUM(CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (SELECT user_id, ts, event_id,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events))
+    GROUP BY user_id
+    """,
+    doc="Gap-based sessionization (30-min gap): lag + running count of "
+    "session starts — one shuffle, both windows share the sort.",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", 1800, "event_id")
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q38 — pivot
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "event_type_pivot",
+    """
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_decile,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS "view"
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Pivot with an explicit value list (no distinct-scan pre-job).",
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return pivot_counts(
+        ev,
+        (F.col("user_id") % 10).cast("long"),
+        "event_type",
+        _EVENT_TYPES,
+        row_key_name="user_decile",
+    )
+
+
+# --------------------------------------------------------------------------
+# q39 — grouping sets
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_grouping_sets",
+    """
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           CAST(COALESCE(hour(ts), -1) AS BIGINT) AS hour,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (hour(ts)), ())
+    """,
+    doc="GROUPING SETS — Expand + one shuffle, like rollup/cube.",
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("q39_events")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               CAST(COALESCE(hour(ts), -1) AS BIGINT) AS hour,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        FROM q39_events
+        GROUP BY GROUPING SETS ((event_type), (hour(ts)), ())
+        """
+    )

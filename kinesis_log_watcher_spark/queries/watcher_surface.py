@@ -1,0 +1,162 @@
+"""The reference's own operator surface (SURVEY.md §2.1) as oracle-checked
+queries over the driver tables.
+
+The driver tables have no Kinesis records, so these queries *synthesize*
+the envelope inputs deterministically from `events` (partition keys from
+user_id, payload from props) and then run the real engine derivations —
+the same Column expressions the watcher path uses — against a DuckDB
+re-statement of the reference semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_log_watcher_spark.envelope import short_host_id
+from kinesis_log_watcher_spark.functions.strftime import (
+    go_default_render_col,
+    strftime_col,
+)
+from kinesis_log_watcher_spark.queries.base import load, register
+
+# Reconstruct the reference's four documented PartitionKey shapes
+# (main.go:249-262; FIXTURES.md §1) from user_id — same expression in SQL.
+_PK_SQL = """
+    CASE CAST(user_id % 4 AS BIGINT)
+      WHEN 0 THEN 'arn:aws:ecs:us-east-1:123456789012:task/task-' || CAST(user_id AS VARCHAR)
+      WHEN 1 THEN 'arn:aws:ec2:us-east-1:123456789012:instance/i-' || CAST(user_id AS VARCHAR)
+      WHEN 2 THEN 'ip-address:10.0.0.' || CAST(user_id AS VARCHAR)
+      ELSE 'uuid:00000000-0000-0000-0000-' || lpad(CAST(user_id AS VARCHAR), 12, '0')
+    END
+"""
+
+
+def _partition_key() -> F.Column:
+    uid = F.col("user_id").cast("string")
+    return (
+        F.when(F.col("user_id") % 4 == 0,
+               F.concat(F.lit("arn:aws:ecs:us-east-1:123456789012:task/task-"), uid))
+        .when(F.col("user_id") % 4 == 1,
+              F.concat(F.lit("arn:aws:ec2:us-east-1:123456789012:instance/i-"), uid))
+        .when(F.col("user_id") % 4 == 2,
+              F.concat(F.lit("ip-address:10.0.0."), uid))
+        .otherwise(
+            F.concat(F.lit("uuid:00000000-0000-0000-0000-"),
+                     F.lpad(uid, 12, "0")))
+    )
+
+
+@register(
+    "shorthost_derivation",
+    f"""
+    SELECT host_id,
+           regexp_replace(
+             list_extract(string_split(host_id, ':'), -1),
+             '^(task/|instance/)', '') AS short_host_id,
+           COUNT(*) AS n
+    FROM (SELECT {_PK_SQL} AS host_id FROM events)
+    GROUP BY host_id
+    """,
+    doc="X1+X2 (main.go:252-262): split/take-last + conditional prefix "
+    "strip — the engine's actual short_host_id() expression vs a SQL "
+    "restatement of the reference's Go code.",
+)
+def shorthost_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(_partition_key().alias("host_id"))
+    return ev.groupBy("host_id").agg(F.count("*").alias("n")).select(
+        "host_id",
+        short_host_id(F.col("host_id")).alias("short_host_id"),
+        "n",
+    )
+
+
+@register(
+    "strftime_render",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS micros,
+           CAST(floor(epoch(ts)) AS BIGINT) AS unix_s,
+           strftime(ts, '%H') || 'h' AS hour_label
+    FROM events
+    WHERE event_id < 500
+    """,
+    doc="X6 (main.go:400-416): the engine's strftime→date_format "
+    "translation vs DuckDB's native strftime, incl. %f and %s.",
+)
+def strftime_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        strftime_col("%Y-%m-%dT%H:%M:%S", ts).alias("iso"),
+        strftime_col("%Y-%m-%d %H:%M:%S.%f", ts).alias("micros"),
+        strftime_col("%s", ts).cast("long").alias("unix_s"),
+        strftime_col("%Hh", ts).alias("hour_label"),
+    )
+
+
+@register(
+    "template_render_line",
+    f"""
+    SELECT event_id,
+           regexp_replace(
+             list_extract(string_split({_PK_SQL}, ':'), -1),
+             '^(task/|instance/)', '')
+           || ' ' ||
+           strftime(ts, '%Y-%m-%d %H:%M:%S')
+           || CASE WHEN regexp_replace(strftime(ts, '.%f'), '0+$', '') = '.'
+                   THEN '' ELSE regexp_replace(strftime(ts, '.%f'), '0+$', '') END
+           || ' +0000 UTC ' || props AS line
+    FROM events
+    """,
+    doc="T1 (main.go:65, 281-289): the default template "
+    "'{{.ShortHostId}} {{.Timestamp}} {{.LogEntry}}' rendered by the real "
+    "template compiler vs a SQL restatement (incl. Go's trailing-zero "
+    "fraction trimming).",
+)
+def template_render_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Build the envelope from events, then use the engine's own
+    # template-compiled columns.
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").alias("Timestamp"),
+        _partition_key().alias("HostId"),
+        F.col("props").alias("LogEntry"),
+    )
+    line = F.concat(
+        short_host_id(F.col("HostId")),
+        F.lit(" "),
+        go_default_render_col(F.col("Timestamp")),
+        F.lit(" "),
+        F.col("LogEntry"),
+    )
+    return ev.select("event_id", line.alias("line"))
+
+
+@register(
+    "lenient_json_classify",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN json_valid(props)
+                          AND json_type(json(props)) = 'OBJECT'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_object,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="X4 (main.go:273-279): lenient JSON parse classification — "
+    "object vs not, field present vs not; null on failure, never error.",
+)
+def lenient_json_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    is_obj = F.json_object_keys(F.col("props")).isNotNull()
+    has_k = F.get_json_object(F.col("props"), "$.k").isNotNull()
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(is_obj, 1).otherwise(0)).alias("n_object"),
+        F.sum(F.when(has_k, 1).otherwise(0)).alias("n_with_k"),
+    )

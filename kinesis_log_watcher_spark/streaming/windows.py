@@ -1,0 +1,62 @@
+"""Event-time windowed aggregation over a replayed stream.
+
+``run_windowed_counts`` drives a bounded parquet-backed stream through a
+tumbling-window aggregate with Trigger.AvailableNow (the reference's -O
+one-shot, main.go:89-92) into a memory sink and returns the static
+result — the streaming analogue of a GROUP BY date_trunc query, which is
+exactly what its DuckDB oracle computes.
+
+At scale: the same plan with a real source + ``withWatermark`` bounds
+state; complete-mode memory sink here is test-scale plumbing only.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_log_watcher_spark.functions.exact import dec
+
+_counter = itertools.count()
+
+
+def run_windowed_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    timeout_s: int = 300,
+) -> DataFrame:
+    import os
+
+    schema = spark.read.parquet(events_path).schema
+    # The file stream source wants a directory; point it at the parent and
+    # glob-filter to this table's file(s).
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    # events.ts is parquet TIMESTAMP(NANOS) read as long (see session.py);
+    # windowing needs a real timestamp — µs-aligned data, exact conversion.
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec(F.col("value"), 28, 4)).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    name = f"windowed_counts_{next(_counter)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)

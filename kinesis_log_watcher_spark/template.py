@@ -194,6 +194,8 @@ def compile_template(template: str = DEFAULT_TEMPLATE) -> CompiledTemplate:
     pos = 0
     for m in _ACTION_RE.finditer(template):
         literal = template[pos : m.start()]
+        if "{{" in literal:
+            raise TemplateError(f"unclosed action in template: {template!r}")
         if m.group(0).startswith("{{-"):
             literal = literal.rstrip()
         if literal:
@@ -209,6 +211,8 @@ def compile_template(template: str = DEFAULT_TEMPLATE) -> CompiledTemplate:
             stripped = rest.lstrip()
             pos += len(rest) - len(stripped)
     tail = template[pos:]
+    if "{{" in tail:
+        raise TemplateError(f"unclosed action in template: {template!r}")
     if tail:
         segments.append(F.lit(tail))
 

@@ -134,6 +134,14 @@ def test_unsupported_action_raises(spark):
         compile_template("{{range .Items}}x{{end}}")
 
 
+def test_unclosed_action_raises(spark):
+    """Go's parser errors on unclosed actions (main.go:110-114 exit-2)."""
+    with pytest.raises(TemplateError):
+        compile_template("{{.Nope")
+    with pytest.raises(TemplateError):
+        compile_template("{{.HostId}} and {{.Tail")
+
+
 def test_compile_is_pure_columns_no_python_in_plan(spark):
     """The render must be codegen-able: no BatchEvalPython/ArrowEval."""
     compiled = compile_template(DEFAULT_TEMPLATE)
