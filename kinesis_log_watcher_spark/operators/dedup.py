@@ -186,17 +186,16 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 7,
                       "band", "bv")
     b = banded.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"),
                       "band", "bv")
-    cand = (
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+    # Verify hamming BEFORE the distinct: non-matching candidates never
+    # enter the dedup shuffle (a pair can collide in up to 4 bands).
+    return (
         a.join(b, ["band", "bv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
-    return (
-        cand.withColumn("hamming", hamming)
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

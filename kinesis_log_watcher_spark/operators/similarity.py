@@ -129,3 +129,106 @@ def exact_norm2(df: DataFrame, id_col: str, emb: str = "embedding") -> DataFrame
     return comp.groupBy(id_col).agg(
         (F.sum(q * q).cast("double") / F.lit(QSCALE2)).alias("norm2")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (sign-LSH blocked)
+# ---------------------------------------------------------------------------
+
+
+def quantized_embedding(emb: Column) -> Column:
+    """array<float> → array<long> at 7 dp (engine-exact, see quantize)."""
+    return F.transform(emb, lambda x: quantize(x))
+
+
+def sign_bands(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb: str = "embedding",
+    bands: int = 4,
+    bits: int = 4,
+) -> DataFrame:
+    """Random-hyperplane LSH with axis-aligned planes: the bucket key of
+    band b is the sign pattern of components [b·bits, (b+1)·bits). Two
+    vectors at high cosine agree on most signs, so they collide in ≥1
+    band with high probability; candidate generation is an equi-join on
+    (band, bucket) — never all-pairs. At corpus scale, bands/bits tune
+    the recall-vs-candidates trade exactly like MinHash banding."""
+    entries = []
+    for b in range(bands):
+        bv = F.lit(0)
+        for r in range(bits):
+            bv = bv + F.when(
+                F.col(emb).getItem(b * bits + r) > 0, F.lit(1 << r)
+            ).otherwise(F.lit(0))
+        entries.append(F.struct(F.lit(b).alias("band"), bv.alias("bv")))
+    return df.select(
+        F.col(id_col), F.explode(F.array(*entries)).alias("e")
+    ).select(F.col(id_col), "e.band", "e.bv")
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    emb: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    sign-LSH bands → candidate equi-join → exact verification with the
+    int64-quantized dot/norms (bit-identical to the DuckDB oracle). The
+    verification dot product is a codegen'd zip_with fold over the two
+    quantized arrays carried through the join — per-candidate work is
+    O(d) with no further shuffle after the bucket join."""
+    n2_long = F.aggregate(
+        F.transform(F.col("qe"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # One feature projection per vector: (id, quantized components, norm²)
+    # — candidates re-join it twice (standard LSH shape: band-join on ids
+    # only, fetch features for the survivors).
+    feat = df.select(
+        F.col(id_col), quantized_embedding(F.col(emb)).alias("qe")
+    ).select(
+        F.col(id_col),
+        "qe",
+        (n2_long.cast("double") / F.lit(QSCALE2)).alias("norm2"),
+    )
+    bands_df = sign_bands(df, id_col, emb)
+    a = bands_df.select(F.col(id_col).alias("vec_a"), "band", "bv")
+    b = bands_df.select(F.col(id_col).alias("vec_b"), "band", "bv")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    fa = feat.select(
+        F.col(id_col).alias("vec_a"), F.col("qe").alias("qe_a"),
+        F.col("norm2").alias("n2_a"),
+    )
+    fb = feat.select(
+        F.col(id_col).alias("vec_b"), F.col("qe").alias("qe_b"),
+        F.col("norm2").alias("n2_b"),
+    )
+    dot_long = F.aggregate(
+        F.zip_with(F.col("qe_a"), F.col("qe_b"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cosine = F.col("dot") / (F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b")))
+    return (
+        cand.join(fa, "vec_a")
+        .join(fb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot_long.cast("double") / F.lit(QSCALE2)).alias("dot"),
+            "n2_a",
+            "n2_b",
+        )
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("vec_a", "vec_b", "cosine")
+    )

@@ -65,6 +65,50 @@ def quality_score(text: Column, n_chars: Column) -> Column:
     return stop_ratio - punct_ratio + mean_token_length(text) / 10
 
 
+# Polynomial rolling hash: h ← (h·B + tokhash) mod M, folded left→right
+# over the token stream (order-SENSITIVE, unlike the sorted-bag
+# fingerprint). Constants sized so the fold never overflows int64:
+# acc < M = 2^31-1, acc·B < 2^51, + tokhash (< 16^7 = 2^28) < 2^52.
+ROLL_B = 1_000_003
+ROLL_M = 2_147_483_647  # 2^31 − 1
+
+
+def _roll_token_hash(tok: Column) -> Column:
+    """Token → 28-bit int via md5 prefix (engine-reproducible)."""
+    return F.conv(F.substring(F.md5(tok), 1, 7), 16, 10).cast("long")
+
+
+def _roll_fold(tokens: Column) -> Column:
+    """Fold rolling hash over an array of tokens."""
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(ROLL_B) + _roll_token_hash(t)) % F.lit(ROLL_M),
+    )
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Whole-document rolling hash (order-sensitive content id)."""
+    return _roll_fold(F.split(text, " "))
+
+
+def min_window_fingerprint(text: Column, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: min rolling hash over all
+    `window`-token windows — robust to prefix/suffix edits because any
+    shared w-token run yields the same candidate hash. Docs shorter than
+    the window fall back to the whole-doc hash. Per-row cost is
+    O(tokens·window), still a narrow codegen'd map (no shuffle)."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    window_hashes = F.transform(
+        F.sequence(F.lit(1), n - (window - 1)),
+        lambda i: _roll_fold(F.slice(toks, i, window)),
+    )
+    return F.when(n >= window, F.array_min(window_hashes)).otherwise(
+        _roll_fold(toks)
+    )
+
+
 def stopword_table(spark) -> DataFrame:
     rows = [(lang, w) for lang, words in STOPWORDS.items() for w in words]
     return spark.createDataFrame(rows, "sw_lang string, w string")
@@ -75,9 +119,9 @@ def predict_language(docs: DataFrame, id_col: str = "doc_id",
     """Stopword-vote language ID: explode tokens, broadcast-join the
     stoplist, count hits per (doc, lang), argmax with deterministic
     tie-break (hits desc, lang asc); no hits → 'und'.
-    One shuffle (the per-doc aggregate); the stoplist join is broadcast."""
-    from pyspark.sql import Window
-
+    The argmax is a min(struct(-hits, lang)) aggregate — partial
+    (map-side) combinable, unlike a ranking window which needs a full
+    shuffle+sort per doc. The stoplist join is broadcast."""
     spark = docs.sparkSession
     toks = docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
     hits = (
@@ -85,12 +129,10 @@ def predict_language(docs: DataFrame, id_col: str = "doc_id",
         .groupBy(id_col, "sw_lang")
         .agg(F.count("*").alias("hits"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("hits").desc(), F.col("sw_lang").asc())
-    best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, F.col("sw_lang").alias("pred_nonnull"))
-    )
+    best = hits.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("hits")).alias("neg"), F.col("sw_lang").alias("lang")))
+        .alias("top")
+    ).select(id_col, F.col("top.lang").alias("pred_nonnull"))
     return docs.select(id_col).join(best, id_col, "left").select(
         id_col, F.coalesce(F.col("pred_nonnull"), F.lit(UND)).alias("pred_lang")
     )

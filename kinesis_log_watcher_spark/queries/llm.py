@@ -6,6 +6,7 @@ decimal sums, so results are engine-identical."""
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -28,6 +29,7 @@ from kinesis_log_watcher_spark.operators.multimodal import (
     with_binary_payload,
 )
 from kinesis_log_watcher_spark.operators.similarity import (
+    embedding_near_dup_pairs,
     exact_dot,
     exact_norm2,
     exploded_components,
@@ -115,7 +117,10 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sh = exploded_shingles(docs)
+    # The shingle index feeds sizes, doc-frequency pruning, and both join
+    # sides — materialize it once (at corpus scale this is "write the
+    # inverted index, then query it"; MEMORY_AND_DISK spills safely).
+    sh = exploded_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     return jaccard_pairs(sh, threshold=0.5, max_doc_freq=100)
 
 
@@ -169,6 +174,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sh = exploded_shingles(docs)
     sig = minhash_signature(sh, _NUM_HASHES)
+    # Signatures feed both sides of the band bucket-join — compute once.
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     bands = lsh_bands(sig, _NUM_HASHES, _BANDS)
     return lsh_candidate_pairs(bands)
 
@@ -217,8 +224,64 @@ _SIG_TERMS = "\n           + ".join(
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sigs = simhash_signatures(docs)
+    # Signatures (one 60-field aggregation over all tokens) feed both
+    # sides of the band self-join — compute once.
+    sigs = simhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
     return simhash_near_pairs(sigs, max_hamming=7)
+
+
+# ---------------------------------------------------------------------------
+# dedup: embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5) AS BIGINT)) AS qe
+      FROM embeddings),
+    n AS (
+      SELECT vec_id,
+             (CAST(list_sum(list_transform(qe, x -> x * x)) AS DOUBLE)
+              / 100000000000000.0) AS norm2
+      FROM q),
+    bands AS (
+      SELECT vec_id, t.bd,
+             (CASE WHEN embedding[4 * t.bd + 1] > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[4 * t.bd + 2] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[4 * t.bd + 3] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4 * t.bd + 4] > 0 THEN 8 ELSE 0 END) AS bv
+      FROM embeddings CROSS JOIN (VALUES (0), (1), (2), (3)) t(bd)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b ON a.bd = b.bd AND a.bv = b.bv
+      WHERE a.vec_id < b.vec_id),
+    dots AS (
+      SELECT c.vec_a, c.vec_b,
+             (CAST(list_sum(list_transform(list_zip(qa.qe, qb.qe),
+                    p -> p[1] * p[2])) AS DOUBLE)
+              / 100000000000000.0) AS dot
+      FROM cand c
+      JOIN q qa ON qa.vec_id = c.vec_a
+      JOIN q qb ON qb.vec_id = c.vec_b)
+    SELECT vec_a, vec_b,
+           (dot / (sqrt(na.norm2) * sqrt(nb.norm2))) AS cosine
+    FROM dots
+    JOIN n na ON na.vec_id = vec_a
+    JOIN n nb ON nb.vec_id = vec_b
+    WHERE (dot / (sqrt(na.norm2) * sqrt(nb.norm2))) >= 0.35
+    """,
+    doc="Embedding-cosine near-dup pairs (cosine ≥ 0.35): sign-bit LSH "
+    "bands (4×4 axis-aligned hyperplanes) generate candidates via "
+    "equi-join — never all-pairs — then exact int64-quantized cosine "
+    "verification (engine-identical doubles).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.35)
 
 
 # ---------------------------------------------------------------------------
@@ -523,6 +586,42 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(T.ws_token_count(text)).alias("ws_tokens"),
         F.sum(T.regex_token_count(text)).alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "doc_rolling_fingerprint",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               t -> CAST('0x' || substr(md5(t), 1, 7) AS BIGINT)) AS th
+      FROM documents)
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+             (acc, h) -> (acc * 1000003 + h) % 2147483647) AS roll_fp,
+           CASE WHEN len(th) >= 8 THEN
+             list_min(list_transform(range(1, len(th) - 6),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_slice(th, i, i + 7)),
+                    (acc, h) -> (acc * 1000003 + h) % 2147483647)))
+           ELSE
+             list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+               (acc, h) -> (acc * 1000003 + h) % 2147483647)
+           END AS min_win_fp
+    FROM toks
+    """,
+    doc="Document fingerprinting via polynomial rolling hash: whole-doc "
+    "order-sensitive hash + winnowing-style min 8-token-window hash. "
+    "Pure narrow map, no shuffle (operators/text.py).",
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.rolling_fingerprint(text).alias("roll_fp"),
+        T.min_window_fingerprint(text, window=8).alias("min_win_fp"),
     )
 
 
