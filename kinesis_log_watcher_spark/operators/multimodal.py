@@ -52,6 +52,70 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
 
 
+def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover - stub
+    """REAL resize stub: needs an imaging library. The plumbing path is
+    the same as image_metadata (binary in → binary out via mapInPandas)."""
+    raise NotImplementedError(
+        "image resize requires an imaging library; swap this stub into a "
+        "mapInPandas transform exactly like image_metadata(decode=...)"
+    )
+
+
+def decode_audio(payload: bytes):  # pragma: no cover - stub
+    """REAL audio decoder stub: needs an audio library (soundfile/librosa
+    not in this container). Frame extraction plumbing is exercised by
+    frame_samples with the deterministic byte-window stand-in."""
+    raise NotImplementedError(
+        "audio decoding requires an audio library; swap this stub into "
+        "frame_samples(frame_fn=...)"
+    )
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_md5 string"
+
+
+def fake_frame_fn(payload: bytes, frame_bytes: int, stride: int):
+    """Deterministic stand-in frame extractor: the payload is cut into
+    fixed-size byte frames; every ``stride``-th frame is sampled and
+    summarized by its md5 (what a real decoder would do with pixel/PCM
+    frame content). SQL-reproducible via substr+md5."""
+    import hashlib
+
+    out = []
+    n_frames = len(payload) // frame_bytes
+    for i in range(0, n_frames, stride):
+        chunk = payload[i * frame_bytes : (i + 1) * frame_bytes]
+        out.append((i, hashlib.md5(chunk).hexdigest()))
+    return out
+
+
+def frame_samples(
+    df: DataFrame, frame_bytes: int = 32, stride: int = 4, frame_fn=fake_frame_fn
+) -> DataFrame:
+    """Video/audio frame sampling over a binary column via mapInPandas:
+    one input row fans out to its sampled frames (1→N), batched through
+    Arrow. Swap ``frame_fn`` for a real decoder (frame_fn(payload, …) →
+    [(frame_idx, digest)]). Narrow map — scales with input partitions,
+    no shuffle; a downstream per-frame model step would chain another
+    mapInPandas over the same partitioning."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            digests: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, digest in frame_fn(payload, frame_bytes, stride):
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    digests.append(digest)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": digests}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(extract, FRAME_SCHEMA)
+
+
 def image_metadata(df: DataFrame, decode=fake_image_meta) -> DataFrame:
     """Extract typed metadata from a binary column via mapInPandas.
 

@@ -25,6 +25,7 @@ from kinesis_log_watcher_spark.operators.dedup import (
     simhash_signatures,
 )
 from kinesis_log_watcher_spark.operators.multimodal import (
+    frame_samples,
     image_metadata,
     with_binary_payload,
 )
@@ -648,3 +649,27 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return image_metadata(with_binary_payload(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH f AS (
+      SELECT doc_id, text,
+             unnest(range(0, octet_length(encode(text)) // 32)) AS frame_idx
+      FROM documents)
+    SELECT doc_id,
+           frame_idx,
+           md5(substr(text, CAST(frame_idx * 32 + 1 AS INT), 32)) AS frame_md5
+    FROM f
+    WHERE frame_idx % 4 = 0
+    """,
+    doc="Video/audio frame sampling plumbing: binary payload → Arrow → "
+    "mapInPandas 1→N frame fan-out (every 4th 32-byte frame, md5 "
+    "summary). Real decoder stubbed (operators/multimodal.py); the "
+    "payload is ASCII so the SQL oracle reproduces byte frames with "
+    "substr.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return frame_samples(with_binary_payload(docs), frame_bytes=32, stride=4)

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from kinesis_log_watcher_spark.queries.base import register
+from kinesis_log_watcher_spark.streaming.stateful import run_stateful_sessions
 from kinesis_log_watcher_spark.streaming.windows import run_windowed_counts
 
 
@@ -27,3 +28,34 @@ from kinesis_log_watcher_spark.streaming.windows import run_windowed_counts
 )
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_windowed_counts(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "stream_sessionization_stateful",
+    """
+    WITH lagd AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM lagd)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    doc="Custom stateful streaming operator: applyInPandasWithState "
+    "sessionization (30-min gap, per-user state store) replayed over a "
+    "bounded stream; the update-mode emissions reduce monotonically to "
+    "the batch answer, which the lag/gap SQL oracle computes directly "
+    "(streaming/stateful.py).",
+)
+def stream_sessionization_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stateful_sessions(spark, f"{sf_dir}/events.parquet")

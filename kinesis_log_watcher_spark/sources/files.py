@@ -13,9 +13,18 @@ from pyspark.sql import DataFrame, SparkSession
 from kinesis_log_watcher_spark.envelope import RAW_KINESIS_SCHEMA
 
 
+# JSON/CSV are text formats: without an explicit pattern, timestamps
+# round-trip at millisecond precision and lose the microseconds the
+# envelope carries (arrival timestamps are µs, SURVEY.md §1.3).
+TEXT_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
 def read_raw_records(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """Batch read of a raw-record directory."""
-    return spark.read.format(fmt).schema(RAW_KINESIS_SCHEMA).load(path)
+    reader = spark.read.format(fmt).schema(RAW_KINESIS_SCHEMA)
+    if fmt in ("json", "csv"):
+        reader = reader.option("timestampFormat", TEXT_TS_FORMAT)
+    return reader.load(path)
 
 
 def read_raw_records_stream(

@@ -1,0 +1,154 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState``.
+
+The reference has no stateful/event-time processing at all (SURVEY.md
+§2.2 — its only state is a per-shard resume sequence number,
+main.go:320). This is the engine-extension path the prompt's operator
+checklist calls "custom stateful operators".
+
+Design for unboundedness: per-user session state (start, last-seen,
+count) lives in the state store; each micro-batch updates it and emits
+the *current* snapshot of every session it touched (update semantics).
+Because a session's (start → end, n_events) only ever grows, the final
+answer for a bounded replay is a monotone reduction of the update stream:
+
+    groupBy(user_id, session_start).agg(max(session_end), max(n_events))
+
+— which is exactly what ``final_sessions`` computes from the update sink,
+and what the batch lag/gap SQL oracle computes directly. This makes the
+stateful path oracle-checkable: replayed-stream result == batch result,
+for any micro-batch partitioning of the input (SURVEY.md §5.2 property 3).
+
+Scale: state is per-user O(1); the state store shuffles by the grouping
+key exactly once per batch; at 100 TB the same plan runs with watermarked
+state eviction (``GroupStateTimeout.EventTimeTimeout``) so the store
+holds only active sessions.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_S = 1800
+
+# update-stream row: the current snapshot of one session
+UPDATE_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint"
+)
+# state: open session only (closed ones were fully emitted)
+STATE_SCHEMA = "start_us bigint, last_us bigint, n_events bigint"
+
+_US = 1_000_000
+_counter = itertools.count()
+
+
+def _session_updates(gap_s: int):
+    """Build the per-group stateful update function (a closure over the
+    session gap)."""
+
+    gap_us = gap_s * _US
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n_events = state.get
+        else:
+            start_us = last_us = n_events = None
+
+        out: list[tuple[int, int, int, int]] = []
+        for pdf in pdfs:
+            # micro-batch rows for this user, in event-time order
+            ts_us = (
+                pdf.sort_values(["ts", "event_id"])["ts"]
+                .astype("datetime64[us]")
+                .astype("int64")
+            )
+            for t in ts_us:
+                t = int(t)
+                if start_us is None:
+                    start_us, last_us, n_events = t, t, 1
+                elif t - last_us > gap_us:
+                    out.append((user_id, start_us, last_us, n_events))
+                    start_us, last_us, n_events = t, t, 1
+                else:
+                    last_us, n_events = t, n_events + 1
+        if start_us is not None:
+            # snapshot of the still-open session (update semantics)
+            out.append((user_id, start_us, last_us, n_events))
+            state.update((start_us, last_us, n_events))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "session_start": pd.to_datetime([r[1] for r in out], unit="us"),
+                    "session_end": pd.to_datetime([r[2] for r in out], unit="us"),
+                    "n_events": [r[3] for r in out],
+                }
+            )
+
+    return fn
+
+
+def session_update_stream(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """The stateful transformation itself (stream in → update stream out)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_updates(gap_s),
+        outputStructType=UPDATE_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def final_sessions(updates: DataFrame) -> DataFrame:
+    """Monotone reduction of the update stream to final sessions."""
+    return updates.groupBy("user_id", "session_start").agg(
+        F.max("session_end").alias("session_end"),
+        F.max("n_events").alias("n_events"),
+    )
+
+
+def run_stateful_sessions(
+    spark: SparkSession,
+    events_path: str,
+    gap_s: int = SESSION_GAP_S,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Replay a bounded events table through the stateful operator and
+    reduce the update stream to final sessions."""
+    schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema).option(
+        "pathGlobFilter", os.path.basename(events_path)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(os.path.dirname(events_path))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    name = f"stateful_sessions_{next(_counter)}"
+    q = (
+        session_update_stream(stream, gap_s)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return final_sessions(spark.table(name))

@@ -1,0 +1,81 @@
+"""File-format source/sink coverage (SURVEY.md §2.2 row 1): the engine
+reads and writes Parquet / ORC / JSON / CSV through the standard
+DataFrame reader/writer, and the watch pipeline runs identically over any
+of them (the source abstraction is format-agnostic — sources/files.py).
+
+CSV carries no binary type, so the raw `data` column round-trips through
+a base64 string there — the documented CSV envelope convention.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kinesis_log_watcher_spark.sources.files import TEXT_TS_FORMAT, read_raw_records
+from kinesis_log_watcher_spark.sources.fixture import kinesis_records_fixture
+from kinesis_log_watcher_spark.watcher import watch
+
+
+@pytest.fixture(scope="module")
+def records(spark):
+    return kinesis_records_fixture(spark, n_records=200).cache()
+
+
+def _rows(df):
+    return sorted(
+        df.select(
+            "streamName", "shardId", "sequenceNumber",
+            "approximateArrivalTimestamp", "partitionKey", "data",
+        ).collect(),
+        key=lambda r: r.sequenceNumber,
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json"])
+def test_roundtrip_binary_formats(spark, records, tmp_path, fmt):
+    path = str(tmp_path / fmt)
+    w = records.write.format(fmt)
+    if fmt == "json":
+        w = w.option("timestampFormat", TEXT_TS_FORMAT)
+    w.save(path)
+    back = read_raw_records(spark, path, fmt=fmt)
+    assert _rows(back) == _rows(records)
+
+
+def test_roundtrip_csv_base64(spark, records, tmp_path):
+    path = str(tmp_path / "csv")
+    # base64() MIME-wraps at 76 chars; strip the newlines so the CSV
+    # field is single-line (unbase64 accepts unwrapped input).
+    records.withColumn(
+        "data", F.translate(F.base64("data"), "\r\n", "")
+    ).write.option("header", True).option(
+        "timestampFormat", TEXT_TS_FORMAT
+    ).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .option("timestampFormat", TEXT_TS_FORMAT)
+        .schema(
+            "streamName string, shardId string, sequenceNumber string, "
+            "approximateArrivalTimestamp timestamp, partitionKey string, "
+            "data string"
+        )
+        .csv(path)
+        # CSV reads the empty field as null; the envelope's empty payload
+        # is b"" (the reference renders it as an empty LogEntry, not nil)
+        .withColumn("data", F.coalesce(F.unbase64("data"), F.lit(b"")))
+    )
+    assert _rows(back) == _rows(records)
+
+
+def test_watch_runs_over_any_format(spark, records, tmp_path):
+    expected = sorted(watch(records, one_shot=True))
+    for fmt in ("parquet", "orc", "json"):
+        path = str(tmp_path / f"w_{fmt}")
+        w = records.write.format(fmt)
+        if fmt == "json":
+            w = w.option("timestampFormat", TEXT_TS_FORMAT)
+        w.save(path)
+        got = sorted(watch(read_raw_records(spark, path, fmt=fmt), one_shot=True))
+        assert got == expected, fmt

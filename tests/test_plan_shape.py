@@ -1,0 +1,97 @@
+"""Physical-plan shape assertions — the 100 TB posture, checked in CI.
+
+Correctness says the answer is right; these tests say the *plan* is the
+one that survives a 1000-executor scale-up: filters push into the
+parquet scan, projections prune columns at the reader, dimension joins
+broadcast instead of shuffling the fact side, and top-k never
+total-sorts. A regression here is a performance bug even when every
+value still matches the oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_log_watcher_spark.queries import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return registry()
+
+
+def plan_of(spark, reg, name: str) -> str:
+    df = reg[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, reg):
+    """events_time_filter: the ts predicate must be in PushedFilters, not
+    a post-scan Filter only (at 100 TB this is the difference between
+    reading one partition and reading the table)."""
+    plan = plan_of(spark, reg, "events_time_filter")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), f"no pushed filters: {pushed!r}"
+
+
+def test_column_pruning_at_reader(spark, reg):
+    """pricing_summary reads 7 of lineitem's 16 columns — the ReadSchema
+    must contain only what the query needs."""
+    plan = plan_of(spark, reg, "pricing_summary")
+    read_schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "l_comment" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_dimension_joins_broadcast(spark, reg):
+    """customers_per_region joins customer⋈nation⋈region: the dimension
+    sides must broadcast (no shuffle of the customer side per dim)."""
+    plan = plan_of(spark, reg, "customers_per_region")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_never_total_sorts(spark, reg):
+    """top_orders (ORDER BY … LIMIT 10) must plan TakeOrderedAndProject,
+    not a global Sort."""
+    plan = plan_of(spark, reg, "top_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_joins_stay_semi(spark, reg):
+    """EXISTS / NOT EXISTS must plan as semi/anti joins (never
+    materialize the match side per row)."""
+    plan_semi = plan_of(spark, reg, "customers_with_recent_orders")
+    plan_anti = plan_of(spark, reg, "customers_without_orders")
+    assert "Semi" in plan_semi
+    assert "Anti" in plan_anti
+
+
+def test_render_pipeline_is_jvm_only(spark, reg):
+    """The watcher render path (template_render_line) must stay inside
+    codegen — no Python evaluation nodes in the hot path."""
+    plan = plan_of(spark, reg, "template_render_line")
+    assert "Python" not in plan
+    # "*(n) Op" marks whole-stage-codegen'd operators in the plan string
+    assert "*(" in plan
+
+
+def test_lsh_never_cross_joins(spark, reg):
+    """Every near-dup candidate generator must be an equi-join on bucket
+    keys — a cartesian/broadcast-nested-loop here would be the O(n²)
+    plan that dies at corpus scale."""
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine"):
+        plan = plan_of(spark, reg, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_exact_dedup_partial_aggregates(spark, reg):
+    """Hash-groupBy dedup must do map-side partial aggregation (two
+    HashAggregate levels) so the shuffle carries groups, not rows."""
+    plan = plan_of(spark, reg, "dedup_exact")
+    assert plan.count("HashAggregate") >= 2
