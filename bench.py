@@ -27,7 +27,11 @@ from kinesis_log_watcher_spark.session import get_spark  # noqa: E402
 # Headline set: every oracle-checked query except the streaming one (its
 # micro-batch bootstrap cost is not a query-engine number; it is still
 # correctness-gated via the registry).
-SKIP = {"stream_windowed_counts", "stream_sessionization_stateful"}
+SKIP = {
+    "stream_windowed_counts",
+    "stream_sessionization_stateful",
+    "stream_session_windows",
+}
 
 
 def main() -> None:

@@ -169,6 +169,16 @@ def go_default_render_col(ts: Column) -> Column:
     )
 
 
+def go_default_render(dt) -> str:
+    """Python-side twin of go_default_render_col, for the render_fn
+    escape hatch (a datetime → the same Go ``%v`` string the compiled
+    path produces)."""
+    frac = ""
+    if dt.microsecond:
+        frac = "." + f"{dt.microsecond:06d}".rstrip("0")
+    return f"{dt:%Y-%m-%d %H:%M:%S}{frac} +0000 UTC"
+
+
 def strftime_or_fallback(fmt: str, ts: Column) -> Column:
     """Reference semantics for a bad format: warn once, render RFC3339Nano
     for every row (main.go:411-415). Validation happens at compile time

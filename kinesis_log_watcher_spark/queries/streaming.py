@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from kinesis_log_watcher_spark.queries.base import register
 from kinesis_log_watcher_spark.streaming.stateful import run_stateful_sessions
-from kinesis_log_watcher_spark.streaming.windows import run_windowed_counts
+from kinesis_log_watcher_spark.streaming.windows import run_session_windows, run_windowed_counts
 
 
 @register(
@@ -59,3 +59,35 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_sessionization_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stateful_sessions(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "stream_session_windows",
+    """
+    WITH lagd AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM lagd)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    doc="Native session windows (F.session_window, 30-min gap) over a "
+    "replayed stream — Spark's built-in gap-merge stateful aggregation; "
+    "window end = last event + gap, which the lag/gap oracle mirrors. "
+    "NB: session_window merges on ts > prev + gap vs the oracle's strict "
+    "epoch comparison — both sides use the same strict-inequality "
+    "boundary (streaming/windows.py).",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_session_windows(spark, f"{sf_dir}/events.parquet")

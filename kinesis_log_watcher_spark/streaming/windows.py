@@ -60,3 +60,54 @@ def run_windowed_counts(
     )
     q.awaitTermination(timeout_s)
     return spark.table(name)
+
+
+def run_session_windows(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Native session windows (``F.session_window``): Spark's built-in
+    gap-merge stateful aggregation — the engine-supplied version of what
+    streaming/stateful.py builds by hand with applyInPandasWithState.
+
+    Semantics note: a session window's end is ``last event + gap`` (the
+    instant the session *would have* timed out), so the SQL oracle
+    computes MAX(ts) + gap, not MAX(ts).
+
+    At scale: same state-store story as any streaming agg — state is one
+    entry per open session, shuffled by (user, session); with a watermark
+    the store evicts closed sessions (complete-mode memory sink here is
+    bounded-replay test plumbing).
+    """
+    import os
+
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"session_windows_{next(_counter)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)

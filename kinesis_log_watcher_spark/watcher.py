@@ -103,19 +103,68 @@ def _start_cutoff(
     raise TypeError(f"unsupported start: {start!r}")
 
 
+def _render_fn_lines(env: DataFrame, render_fn) -> DataFrame:
+    """UDF escape hatch for templates beyond the compiled dialect.
+
+    ``render_fn(row: dict) -> str`` sees the reference's full row model
+    (main.go:264-279): envelope fields plus ``Log`` — the leniently
+    parsed JSON payload, None on parse failure (X4 semantics). A raised
+    exception marks the row as a render error (E1 semantics: dropped,
+    reported once).
+
+    This is the SLOW PATH by design: row-at-a-time Python, ~100× slower
+    than the compiled-Column path — use only for template features the
+    compiler doesn't cover.
+    """
+    import json
+
+    def render(ts, host_id, short_host_id, seq, log_entry):
+        try:
+            log = json.loads(log_entry)
+        except (ValueError, TypeError):
+            log = None
+        row = {
+            "Timestamp": ts,
+            "HostId": host_id,
+            "HostID": host_id,
+            "ShortHostId": short_host_id,
+            "ShortHostID": short_host_id,
+            "SequenceNumber": seq,
+            "LogEntry": log_entry,
+            "Log": log,
+        }
+        try:
+            return (str(render_fn(row)), False)
+        except Exception as exc:
+            return (f"render error: {exc}", True)
+
+    udf = F.udf(render, "line string, _render_error boolean")
+    out = udf(
+        F.col("Timestamp"),
+        F.col("HostId"),
+        F.col("ShortHostId"),
+        F.col("SequenceNumber"),
+        F.col("LogEntry"),
+    )
+    return env.select(out.alias("r")).select("r.line", "r._render_error")
+
+
 def build_lines(
     records: DataFrame,
     template: str = DEFAULT_TEMPLATE,
     start: str | datetime | timedelta | None = None,
     now: datetime | None = None,
     keep_errors: bool = False,
+    render_fn=None,
 ) -> DataFrame:
     """The full watch pipeline as a DataFrame of rendered lines.
 
     Works for batch and streaming inputs alike (same logical plan). With
     ``keep_errors`` the error flag is kept for the sink to report/count.
+    ``render_fn`` switches rendering to the Python escape hatch (see
+    _render_fn_lines) instead of the compiled template.
     """
-    compiled = compile_template(template)
+    compiled = None if render_fn is not None else compile_template(template)
     df = records
     cutoff = _start_cutoff(start, now)
     if cutoff is not None:
@@ -125,6 +174,11 @@ def build_lines(
             F.col("approximateArrivalTimestamp") >= F.lit(cutoff.replace(tzinfo=None))
         )
     env = with_envelope(df)
+    if render_fn is not None:
+        lines = _render_fn_lines(env, render_fn)
+        if keep_errors:
+            return lines
+        return lines.filter(~F.col("_render_error")).select("line")
     if keep_errors:
         return compiled.apply_with_errors(env)
     return compiled.apply(env)
@@ -140,6 +194,7 @@ def watch(
     checkpoint_dir: str | None = None,
     sink=print,
     reporter: RenderErrorReporter | None = None,
+    render_fn=None,
 ) -> StreamingQuery | list[str]:
     """Run the watcher.
 
@@ -147,9 +202,14 @@ def watch(
     Streaming input → starts a foreachBatch query printing each line via
     ``sink`` and returns the StreamingQuery (caller: ``awaitTermination()``
     / ``stop()`` — the reference's SIGINT path, main.go:191-208).
+    ``render_fn`` routes rendering through the Python escape hatch for
+    templates beyond the compiled dialect (slow path).
     """
     reporter = reporter or RenderErrorReporter()
-    lines = build_lines(records, template, start=start, now=now, keep_errors=True)
+    lines = build_lines(
+        records, template, start=start, now=now, keep_errors=True,
+        render_fn=render_fn,
+    )
 
     if not lines.isStreaming:
         rows = lines.collect()

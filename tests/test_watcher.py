@@ -101,3 +101,41 @@ def test_streaming_resume_from_checkpoint(spark, tmp_path):
               checkpoint_dir=ckpt, sink=got.append)
     q.awaitTermination(120)
     assert len(got) == n_first
+
+
+def test_render_fn_escape_hatch(spark):
+    """Arbitrary-template fallback: full row model incl. parsed Log,
+    error rows dropped with report-once (E1/X4 semantics)."""
+    from kinesis_log_watcher_spark.sources.fixture import kinesis_records_fixture
+    from kinesis_log_watcher_spark.watcher import RenderErrorReporter, watch
+
+    rec = kinesis_records_fixture(spark, n_records=40)
+
+    def render(row):
+        # beyond the compiled dialect: conditionals + dict access
+        if row["Log"] is None:
+            raise ValueError("no json")
+        return f"{row['ShortHostId']}|{row['Log'].get('level', '?')}"
+
+    rep = RenderErrorReporter()
+    lines = watch(rec, render_fn=render, reporter=rep)
+    assert lines and all("|" in l for l in lines)
+    # fixture makes some payloads non-JSON → those rows dropped
+    assert rep.dropped_rows > 0
+    assert len(lines) + rep.dropped_rows == 40
+
+
+def test_render_fn_matches_compiled_default(spark):
+    """The escape hatch and the compiled path agree on the default
+    template's semantics."""
+    from kinesis_log_watcher_spark.sources.fixture import kinesis_records_fixture
+    from kinesis_log_watcher_spark.functions.strftime import go_default_render
+    from kinesis_log_watcher_spark.watcher import watch
+
+    rec = kinesis_records_fixture(spark, n_records=40)
+    compiled = watch(rec)
+
+    def render(row):
+        return f"{row['ShortHostId']} {go_default_render(row['Timestamp'])} {row['LogEntry']}"
+
+    assert sorted(watch(rec, render_fn=render)) == sorted(compiled)
