@@ -1,0 +1,99 @@
+"""CLI parity with the reference (README.md:9-12):
+
+    kinesis-log-watcher [-f <template>] [-s <start>] [-w <poll>] [-O] <stream>
+    python -m kinesis_log_watcher_spark [same flags] <stream>
+
+``<stream>`` is a Kinesis stream name in production (needs a connector
+jar, sources/kinesis.py) or a local directory of raw-record files for
+offline use (sources/files.py) — the pipeline downstream of the source is
+identical (SURVEY.md §1.1).
+
+Flag semantics match the reference exactly:
+  -f/--format   render template       (default main.go:65)
+  -s/--start    lookback duration     (default 5m, main.go:66)
+  -w/--watch    poll interval         (default 10s, main.go:67)
+  -O/--one-shot read until caught up, then exit (main.go:64, 89-92)
+Invalid durations/templates exit with code 2 (main.go:86, 99, 113);
+SIGINT stops the query gracefully (main.go:191-208 ≙ query.stop()).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from datetime import datetime, timezone
+
+from kinesis_log_watcher_spark.session import get_spark
+from kinesis_log_watcher_spark.template import DEFAULT_TEMPLATE, TemplateError
+from kinesis_log_watcher_spark.watcher import parse_duration, watch
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="kinesis-log-watcher-spark",
+        description="Tail a log stream and render each record through a template.",
+    )
+    p.add_argument("-f", "--format", default=DEFAULT_TEMPLATE,
+                   help="render template (Go text/template dialect)")
+    p.add_argument("-s", "--start", default="5m",
+                   help="how far back to start reading (e.g. 30s, 5m, 3h, 1d)")
+    p.add_argument("-w", "--watch", default="10s",
+                   help="poll interval when caught up")
+    p.add_argument("-O", "--one-shot", action="store_true",
+                   help="read each shard until caught up, then exit")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint dir for durable resume (improves on the "
+                        "reference's in-memory-only offsets)")
+    p.add_argument("stream", help="Kinesis stream name, or a local directory "
+                                  "of raw-record files")
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    try:
+        parse_duration(args.start)
+        parse_duration(args.watch)
+    except ValueError as exc:
+        print(exc, file=sys.stderr)
+        return 2
+
+    spark = spark or get_spark(app_name="kinesis-log-watcher")
+
+    if os.path.isdir(args.stream):
+        from kinesis_log_watcher_spark.sources.files import read_raw_records_stream
+
+        records = read_raw_records_stream(spark, args.stream)
+    else:
+        from kinesis_log_watcher_spark.sources.kinesis import read_kinesis_stream
+
+        records = read_kinesis_stream(spark, args.stream)
+
+    try:
+        query = watch(
+            records,
+            template=args.format,
+            start=args.start,
+            now=datetime.now(timezone.utc),
+            poll=args.watch,
+            one_shot=args.one_shot,
+            checkpoint_dir=args.checkpoint,
+        )
+    except TemplateError as exc:
+        print(exc, file=sys.stderr)
+        return 2
+
+    try:
+        query.awaitTermination()
+    except KeyboardInterrupt:
+        # the reference's SIGINT path: broadcast close, wait for workers
+        # (main.go:191-208) — here: stop the streaming query cleanly
+        query.stop()
+        query.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

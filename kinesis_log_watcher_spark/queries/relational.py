@@ -766,3 +766,72 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type), (hour(ts)), ())
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q41 — pandas-UDAF aggregate (exact median, no built-in equivalent)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "priority_median_price",
+    """
+    SELECT o_orderpriority,
+           median(o_totalprice) AS median_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Grouped-aggregate pandas UDF (exact median — Spark's built-in "
+    "percentile_approx is approximate): one shuffle on the grouping key, "
+    "one vectorized Arrow reduce per group (functions/udfs.py).",
+)
+def priority_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.udfs import count_udaf, median_udaf
+
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        median_udaf()("o_totalprice").alias("median_price"),
+        count_udaf()("o_totalprice").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q42 — range (theta) join against an interval dimension
+# --------------------------------------------------------------------------
+
+_TIERS = [("bronze", 0.0, 100000.0), ("silver", 100000.0, 300000.0),
+          ("gold", 300000.0, 1000000.0)]
+_TIER_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _TIERS)
+
+
+@register(
+    "orders_tier_range_join",
+    f"""
+    SELECT t.tier,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS sum_price
+    FROM orders o
+    JOIN (VALUES {_TIER_VALUES}) t(tier, lo, hi)
+      ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+    GROUP BY t.tier
+    """,
+    doc="Range (theta) join: facts joined to an interval dimension on "
+    "lo ≤ x < hi. The interval table broadcasts, so the non-equi "
+    "condition evaluates as a broadcast nested-loop over 3 rows — a "
+    "narrow map in practice, no fact shuffle before the aggregate. "
+    "(For interval tables too large to broadcast, the scale path is "
+    "binning both sides to an equi-join key — price_band_agg shows the "
+    "degenerate precomputed-bin form.)",
+)
+def orders_tier_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    joined = orders.join(
+        F.broadcast(tiers),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return joined.groupBy("tier").agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice"), 9, 2).alias("sum_price"),
+    )
