@@ -72,3 +72,25 @@ def discounted_price_udf():
         return price * (1.0 - discount)
 
     return discounted
+
+
+@lru_cache(maxsize=1)
+def tokenize_udtf():
+    """Python UDTF (table function): one doc row → (pos, token) rows.
+
+    Completes the UDF/UDAF/UDTF surface (SURVEY.md §2.2). For plain
+    whitespace tokens the built-in posexplode(split(...)) is the fast
+    path (tests assert equivalence); the UDTF form is the extension
+    point for tokenizers that aren't expressible as Column functions
+    (BPE merges, stateful normalizers)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for pos, token in enumerate(text.split(" ")):
+                yield pos, token
+
+    return Tokenize

@@ -82,6 +82,34 @@ def sessionize(
     return df.withColumn("session_id", F.sum(is_start).over(run))
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for fact⋈fact when one key dominates.
+
+    AQE's skew-join splitting (enabled in session.py) handles most skew
+    at runtime; this is the explicit technique for known pathological
+    keys, or engines/modes where AQE can't re-plan (streaming joins):
+
+    - the LEFT (skewed) side gets a random salt in [0, salt);
+    - the RIGHT side is replicated ``salt`` times (explode);
+    - the join key becomes (key, salt) → a hot key's rows spread over
+      ``salt`` shuffle partitions instead of one straggler task.
+
+    Cost: right side × salt (keep it the smaller input or a pre-shrunk
+    projection). Result equals a plain equi-join row-for-row."""
+    salt_l = left.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    salt_r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = salt_l.join(salt_r, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
 def set_ops_tagged(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
     """union / intersect / except of two key sets, tagged in one result
     (distinct keys only). Spark plans these as aggregates/joins."""

@@ -31,3 +31,59 @@ def test_grouped_agg_pandas_udf_median(spark):
     }
     assert got == {"a": 2.0, "b": 5.0}
     assert got["b"] == float(np.median([4.0, 6.0]))
+
+
+def test_udtf_matches_posexplode(spark):
+    from kinesis_log_watcher_spark.functions.udfs import tokenize_udtf
+
+    Tokenize = tokenize_udtf()
+    spark.udtf.register("tokenize", Tokenize)
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "x"), (3, None)], "doc_id long, text string"
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    got = sorted(
+        (r.doc_id, r.pos, r.token)
+        for r in spark.sql(
+            "SELECT d.doc_id, t.pos, t.token "
+            "FROM udtf_docs d, LATERAL tokenize(d.text) t"
+        ).collect()
+    )
+    exp = sorted(
+        (r.doc_id, r.pos, r.token)
+        for r in docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+        ).collect()
+    )
+    assert got == exp
+
+
+def test_salted_join_equals_plain_join(spark):
+    from kinesis_log_watcher_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for k in ("hot", "a", "b") for i in range(50 if k == "hot" else 3)],
+        "k string, lv long",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("hot", 2), ("a", 3), ("c", 4)], "k string, rv long"
+    )
+    plain = sorted(
+        (r.k, r.lv, r.rv) for r in left.join(right, "k").collect()
+    )
+    salted = sorted(
+        (r.k, r.lv, r.rv) for r in salted_join(left, right, "k", salt=4).collect()
+    )
+    assert salted == plain
+
+
+def test_approx_count_distinct_within_bounds(spark):
+    """Approximate aggregates (HLL++): rsd=0.05 must land within ±3·rsd
+    of the exact count on the orders custkeys — the scale path when an
+    exact distinct shuffle is too expensive."""
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    exact = orders.select("o_custkey").distinct().count()
+    approx = orders.select(
+        F.approx_count_distinct("o_custkey", rsd=0.05).alias("a")
+    ).collect()[0].a
+    assert abs(approx - exact) <= 3 * 0.05 * exact

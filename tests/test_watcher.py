@@ -139,3 +139,34 @@ def test_render_fn_matches_compiled_default(spark):
         return f"{row['ShortHostId']} {go_default_render(row['Timestamp'])} {row['LogEntry']}"
 
     assert sorted(watch(rec, render_fn=render)) == sorted(compiled)
+
+
+def test_streaming_processing_time_trigger(spark, tmp_path):
+    """W1 (continuous poll, main.go:67) + G1 (graceful stop): a
+    processingTime-triggered watch emits the same record set a one-shot
+    does, and query.stop() ends it cleanly."""
+    import time
+
+    from kinesis_log_watcher_spark.sources.files import read_raw_records_stream
+    from kinesis_log_watcher_spark.sources.fixture import kinesis_records_fixture
+    from kinesis_log_watcher_spark.watcher import watch
+
+    d = tmp_path / "records"
+    rec = kinesis_records_fixture(spark, n_records=40)
+    rec.write.parquet(str(d))
+    expected = sorted(watch(rec, one_shot=True))
+
+    got = []
+    q = watch(
+        read_raw_records_stream(spark, str(d)),
+        poll="1s",
+        sink=got.append,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    deadline = time.time() + 120
+    while len(got) < len(expected) and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    assert not q.isActive
+    assert sorted(got) == expected
