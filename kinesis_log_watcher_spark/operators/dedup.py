@@ -200,6 +200,70 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 7,
 
 
 # ---------------------------------------------------------------------------
+# connected components (near-dup pairs → dedup clusters)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Turn a near-dup pair list into dedup clusters: (node, component)
+    where component = min doc id reachable — the canonical survivor.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds, and near-dup graphs are shallow (clusters are
+    near-cliques), so this terminates in a handful of rounds. Each round
+    is one equi-join + one aggregate; localCheckpoint truncates the plan
+    between rounds so lineage doesn't grow (the standard Spark iterative
+    pattern — at extreme graph sizes you'd switch to the alternating
+    large-star/small-star formulation, same join/agg building blocks).
+
+    The convergence check is a driver-side count per round — bounded by
+    max_iter, and each check is a cheap aggregate, not a collect of data.
+    """
+    fwd = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = fwd.unionAll(
+        pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("node").alias("a"), "lbl"), "a"
+        ).select(F.col("b").alias("node"), "lbl")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), "node")
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("lbl").alias("component"),
+            F.col("cluster_size").cast("long"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
 

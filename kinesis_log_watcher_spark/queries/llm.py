@@ -14,6 +14,7 @@ from kinesis_log_watcher_spark.functions.exact import dsum
 from kinesis_log_watcher_spark.operators import text as T
 from kinesis_log_watcher_spark.operators.dedup import (
     SIMHASH_BITS,
+    connected_components,
     exact_dedup_groups,
     exploded_shingles,
     fingerprint_col,
@@ -229,6 +230,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides of the band self-join — compute once.
     sigs = simhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
     return simhash_near_pairs(sigs, max_hamming=7)
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+    pruned AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    p0 AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM pruned a JOIN pruned b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM p0
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE (common / (sa.sz + sb.sz - common)) >= 0.5),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    cc AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.b AS node, cc.lbl FROM cc JOIN edges e ON e.a = cc.node)
+    SELECT node AS doc_id, MIN(lbl) AS component,
+           CAST(COUNT(*) OVER (PARTITION BY MIN(lbl)) AS BIGINT) AS cluster_size
+    FROM cc GROUP BY node
+    """,
+    doc="Dedup clusters: connected components over the Jaccard≥0.5 "
+    "near-dup graph via iterative min-label propagation (one join+agg "
+    "per round, localCheckpoint between rounds; converges in O(diameter) "
+    "— near-dup clusters are near-cliques). component = canonical "
+    "survivor id. Oracle: DuckDB recursive CTE reachability.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = jaccard_pairs(sh, threshold=0.5, max_doc_freq=100)
+    return connected_components(pairs)
 
 
 # ---------------------------------------------------------------------------

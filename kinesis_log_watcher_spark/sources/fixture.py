@@ -49,7 +49,9 @@ def _payload(rng: random.Random, i: int) -> bytes:
         ).encode()
     if kind == 3:  # valid JSON non-object
         return rng.choice([b"[1,2]", b'"plain string"', b"42"])
-    if kind == 4:  # invalid JSON plain text
+    if kind == 4:  # invalid JSON: plain text, or invalid UTF-8 bytes
+        if (i // 6) % 2 == 1:
+            return b"\xff\xfe raw bytes \xff" + str(i).encode()
         return f"plain text log line {i}".encode()
     return b""  # empty payload
 

@@ -58,3 +58,25 @@ def test_envelope_is_narrow_no_shuffle(spark):
     env = with_envelope(kinesis_records_fixture(spark, n_records=40))
     plan = env._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_invalid_utf8_payload_survives(spark):
+    """Invalid-UTF-8 payloads (FIXTURES.md §1) must not crash the
+    pipeline: LogEntry decodes with replacement chars (Go keeps raw bytes
+    and prints U+FFFD at output — same visible result), the row renders
+    under the default template, and {{.Log.x}} treats it as unparseable
+    (dropped, main.go:276-279)."""
+    from kinesis_log_watcher_spark.sources.fixture import kinesis_records_fixture
+    from kinesis_log_watcher_spark.watcher import watch
+
+    rec = kinesis_records_fixture(spark, n_records=120)
+    n_invalid = sum(
+        1 for r in rec.collect()
+        if r.data and bytes(r.data).startswith(b"\xff\xfe")
+    )
+    assert n_invalid > 0
+    lines = watch(rec)
+    assert len(lines) == 120  # default template renders every row
+    assert any("�" in l for l in lines)
+    log_lines = watch(rec, template="{{.Log.level}}")
+    assert len(log_lines) == 60  # non-JSON-object rows dropped, as before

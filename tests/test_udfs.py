@@ -87,3 +87,21 @@ def test_approx_count_distinct_within_bounds(spark):
         F.approx_count_distinct("o_custkey", rsd=0.05).alias("a")
     ).collect()[0].a
     assert abs(approx - exact) <= 3 * 0.05 * exact
+
+
+def test_connected_components_chain_and_pair(spark):
+    """A 4-node chain (needs multiple propagation rounds) and a separate
+    pair must resolve to min-id components."""
+    from kinesis_log_watcher_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (7, 9)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: (r.component, r.cluster_size)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        10: (10, 4), 20: (10, 4), 30: (10, 4), 40: (10, 4),
+        7: (7, 2), 9: (7, 2),
+    }
