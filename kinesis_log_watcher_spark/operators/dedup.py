@@ -225,9 +225,14 @@ def connected_components(
     The convergence check is a driver-side count per round — bounded by
     max_iter, and each check is a cheap aggregate, not a collect of data.
     """
-    fwd = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    # Materialize the pair computation ONCE before fanning into the
+    # forward+reverse union (two lazy references would evaluate the
+    # upstream near-dup query twice inside one job).
+    fwd = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint()
     edges = fwd.unionAll(
-        pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("a").alias("node"))

@@ -717,3 +717,22 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return frame_samples(with_binary_payload(docs), frame_bytes=32, stride=4)
+
+
+@register(
+    "ann_cosine_topk_fast",
+    None,  # double-precision fold ≠ decimal oracle → rows-only check;
+           # tests/test_udfs.py pins exact parity with a Python left-fold
+    doc="Production brute-force ANN path: broadcast queries × index, "
+    "zip_with/aggregate codegen'd dot product in doubles (no exact-"
+    "decimal overhead), per-query top-5 ranking window. The index is "
+    "scanned once and never shuffled for the join.",
+)
+def ann_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.similarity import cosine_topk_fast
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return cosine_topk_fast(q, emb, k=5)

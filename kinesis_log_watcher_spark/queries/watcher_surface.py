@@ -160,3 +160,31 @@ def lenient_json_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_obj, 1).otherwise(0)).alias("n_object"),
         F.sum(F.when(has_k, 1).otherwise(0)).alias("n_with_k"),
     )
+
+
+@register(
+    "golayout_render",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS rfc3339,
+           strftime(ts, '%d %b %Y') AS date_layout,
+           strftime(ts, '%-I:%M:%S %p') AS kitchen_s
+    FROM events
+    WHERE event_id < 500
+    """,
+    doc="X7 (README.md:21-23): Go reference-time layouts "
+    "({{.Timestamp.Format ...}}) via the layout→JVM-pattern translator "
+    "vs DuckDB strftime equivalents. RFC3339's Z07:00 renders 'Z' in "
+    "the UTC session.",
+)
+def golayout_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.strftime import go_layout_col
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        go_layout_col("2006-01-02T15:04:05Z07:00", ts).alias("rfc3339"),
+        go_layout_col("02 Jan 2006", ts).alias("date_layout"),
+        go_layout_col("3:04:05 PM", ts).alias("kitchen_s"),
+    )

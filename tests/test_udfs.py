@@ -105,3 +105,33 @@ def test_connected_components_chain_and_pair(spark):
         10: (10, 4), 20: (10, 4), 30: (10, 4), 40: (10, 4),
         7: (7, 2), 9: (7, 2),
     }
+
+
+def test_cosine_topk_fast_exact_parity(spark):
+    """The fast ANN path's doubles are deterministic: zip_with/aggregate
+    folds left-to-right, so a Python left-fold reproduces them bit-for-
+    bit (np.dot would not — it reorders)."""
+    import math
+
+    from kinesis_log_watcher_spark.operators.similarity import cosine_topk_fast
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = {r.vec_id: r.embedding for r in emb.collect()}
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = cosine_topk_fast(q, emb, k=3).collect()
+    assert len(got) == 9
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    for r in got:
+        a, b = rows[r.q_id], rows[r.neighbor_id]
+        exp = fold_dot(a, b) / (
+            math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b))
+        )
+        assert r.cosine == exp, (r.q_id, r.neighbor_id)
