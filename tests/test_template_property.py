@@ -1,0 +1,154 @@
+"""Property-based template testing (hypothesis): for ANY template built
+from the documented dialect, the compiled Column path and the Python
+render_fn escape hatch must agree row-for-row — including which rows are
+dropped as render errors.
+
+This pins the compiler's semantics far beyond the hand-written cases:
+arbitrary interleavings of literals, envelope fields, aliases, .Log
+paths, strftime calls, and Go layouts.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kinesis_log_watcher_spark.functions.strftime import go_default_render
+from kinesis_log_watcher_spark.sources.fixture import kinesis_records_fixture
+from kinesis_log_watcher_spark.watcher import build_lines
+
+NO_VALUE = "<no value>"
+
+# ---- a Python reference renderer for the documented dialect ----------------
+
+
+def make_render_fn(actions):
+    # Everything the closure touches must be nested (pickled by value), a
+    # stdlib module, or an importable package symbol — the test module
+    # itself is not importable on executors, so module-level helpers
+    # (pickled by reference) would fail to unpickle there.
+    no_value = NO_VALUE
+    default_render = go_default_render
+
+    def ref_strftime(fmt, dt):
+        out = []
+        i = 0
+        while i < len(fmt):
+            if fmt[i] == "%" and i + 1 < len(fmt):
+                c = fmt[i + 1]
+                if c == "f":
+                    out.append(f"{dt.microsecond:06d}")
+                elif c == "L":
+                    out.append(f"{dt.microsecond // 1000:03d}")
+                elif c == "s":
+                    import calendar
+
+                    out.append(str(int(calendar.timegm(dt.timetuple()))))
+                else:
+                    out.append(dt.strftime("%" + c))
+                i += 2
+            else:
+                out.append(fmt[i])
+                i += 1
+        return "".join(out)
+
+    def render(row):
+        parts = []
+        for kind, arg in actions:
+            if kind == "lit":
+                parts.append(arg)
+            elif kind == "field":
+                v = row.get(arg)
+                if arg == "Timestamp":
+                    parts.append(default_render(v))
+                else:
+                    parts.append(no_value if v is None else str(v))
+            elif kind == "log":
+                log = row["Log"]
+                if not isinstance(log, dict):
+                    raise ValueError("not an object")
+                cur = log
+                path = arg.split(".")
+                for p in path[:-1]:
+                    cur = cur.get(p)
+                    if not isinstance(cur, dict):
+                        raise ValueError("intermediate not an object")
+                leaf = cur.get(path[-1])
+                if leaf is None:
+                    parts.append(no_value)
+                elif isinstance(leaf, (dict, list)):
+                    parts.append(json.dumps(leaf, separators=(",", ":")))
+                elif leaf is True or leaf is False:
+                    parts.append("true" if leaf else "false")
+                else:
+                    parts.append(str(leaf))
+            elif kind == "strftime":
+                parts.append(ref_strftime(arg, row["Timestamp"]))
+        return "".join(parts)
+
+    return render
+
+
+def to_template(actions) -> str:
+    out = []
+    for kind, arg in actions:
+        if kind == "lit":
+            out.append(arg)
+        elif kind == "field":
+            out.append("{{." + arg + "}}")
+        elif kind == "log":
+            out.append("{{.Log." + arg + "}}")
+        elif kind == "strftime":
+            out.append('{{strftime "' + arg + '" .Timestamp}}')
+    return "".join(out)
+
+
+_LITS = st.text(
+    alphabet="abc XYZ0-:/,", min_size=1, max_size=8
+).filter(lambda s: "{{" not in s and "}}" not in s)
+_FIELDS = st.sampled_from(
+    ["HostId", "HostID", "ShortHostId", "ShortHostID", "SequenceNumber", "LogEntry", "Timestamp"]
+)
+_LOG_PATHS = st.sampled_from(
+    ["level", "msg", "FieldName", "latency_ms", "nested", "nested.code", "missing", "nested.missing"]
+)
+_STRFTIMES = st.sampled_from(
+    ["%Y-%m-%d", "%H:%M:%S", "%Y-%m-%dT%H:%M:%S.%f", "%s", "%d/%m/%y %L"]
+)
+
+_ACTION = st.one_of(
+    st.tuples(st.just("lit"), _LITS),
+    st.tuples(st.just("field"), _FIELDS),
+    st.tuples(st.just("log"), _LOG_PATHS),
+    st.tuples(st.just("strftime"), _STRFTIMES),
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(actions=st.lists(_ACTION, min_size=1, max_size=6))
+def test_compiled_equals_reference_renderer(spark, records_cache, actions):
+    template = to_template(actions)
+    compiled = build_lines(records_cache, template=template, keep_errors=True)
+    via_fn = build_lines(
+        records_cache, render_fn=make_render_fn(actions), keep_errors=True
+    )
+    got = [(r.line, r._render_error) for r in compiled.collect()]
+    exp = [(r.line, r._render_error) for r in via_fn.collect()]
+    # error rows: only the flag must agree (messages differ by design)
+    assert len(got) == len(exp)
+    for (gl, ge), (el, ee) in zip(got, exp):
+        assert ge == ee, template
+        if not ge:
+            assert gl == el, template
+
+
+@pytest.fixture(scope="module")
+def records_cache(spark):
+    return kinesis_records_fixture(spark, n_records=60).cache()
