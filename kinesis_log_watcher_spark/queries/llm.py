@@ -736,3 +736,57 @@ def ann_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return cosine_topk_fast(q, emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation composite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_pipeline",
+    f"""
+    WITH canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    q AS (
+      SELECT doc_id,
+             ((CAST(len(list_filter(string_split(text, ' '),
+                       t -> t IN ({_EN}))) AS DOUBLE)
+               / len(string_split(text, ' ')))
+              - (CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                      AS DOUBLE) / n_chars)
+              + ((CAST(list_sum(list_transform(string_split(text, ' '),
+                       t -> strlen(t))) AS DOUBLE)
+                  / len(string_split(text, ' '))) / 10)) AS quality
+      FROM documents)
+    SELECT d.source, e.label,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents d
+    JOIN canon USING (doc_id)
+    JOIN q USING (doc_id)
+    JOIN embeddings e ON e.vec_id = d.doc_id
+    WHERE q.quality > 0.5
+    GROUP BY 1, 2
+    """,
+    doc="End-to-end curation composite — the training-data pipeline "
+    "shape: exact-dedup survivors ∩ quality threshold ⋈ embedding "
+    "labels → per-(source, label) doc/token budget. Composes the dedup, "
+    "text-analysis, and join operators in one plan; at corpus scale "
+    "each stage is the already-verified distributed operator.",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    canon = exact_dedup_groups(docs, F.md5(F.col("text"))).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    survivors = docs.join(canon, "doc_id")
+    good = survivors.filter(T.quality_score(F.col("text"), F.col("n_chars")) > 0.5)
+    labeled = good.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "label"), "doc_id"
+    )
+    return labeled.groupBy("source", "label").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.ws_token_count(F.col("text"))).alias("total_tokens"),
+    )
