@@ -122,7 +122,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle index feeds sizes, doc-frequency pruning, and both join
     # sides — materialize it once (at corpus scale this is "write the
     # inverted index, then query it"; MEMORY_AND_DISK spills safely).
-    sh = exploded_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    # hashed=True: 8-byte join keys instead of shingle strings.
+    sh = exploded_shingles(docs, hashed=True).persist(StorageLevel.MEMORY_AND_DISK)
     return jaccard_pairs(sh, threshold=0.5, max_doc_freq=100)
 
 
@@ -270,7 +271,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sh = exploded_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = exploded_shingles(docs, hashed=True).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = jaccard_pairs(sh, threshold=0.5, max_doc_freq=100)
     return connected_components(pairs)
 
