@@ -152,3 +152,30 @@ def test_compiled_equals_reference_renderer(spark, records_cache, actions):
 @pytest.fixture(scope="module")
 def records_cache(spark):
     return kinesis_records_fixture(spark, n_records=60).cache()
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(paths=st.lists(_LOG_PATHS, min_size=1, max_size=4))
+def test_variant_mode_equals_string_mode(spark, records_cache, paths):
+    """The VariantType .Log engine must agree with the get_json_object
+    engine on values AND error rows, for any access pattern."""
+    actions = []
+    for i, p in enumerate(paths):
+        if i:
+            actions.append(("lit", "|"))
+        actions.append(("log", p))
+    template = to_template(actions)
+    a = build_lines(records_cache, template=template, keep_errors=True).collect()
+    from kinesis_log_watcher_spark.template import compile_template
+    from kinesis_log_watcher_spark.envelope import with_envelope
+
+    b = compile_template(template, variant_log=True).apply_with_errors(
+        with_envelope(records_cache)
+    ).collect()
+    assert [(r.line, r._render_error) for r in a] == [
+        (r.line, r._render_error) for r in b
+    ], template
