@@ -82,6 +82,41 @@ def sessionize(
     return df.withColumn("session_id", F.sum(is_start).over(run))
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_id: str,
+    left_ts: str,
+    right_ts: str,
+    tiebreak: str,
+    how: str = "left",
+) -> DataFrame:
+    """As-of join: for each left row (identified by unique ``left_id``),
+    the single latest right row with ``right_ts <= left_ts`` on the same
+    key (Spark has no native as-of).
+
+    Shape: equi-join on the key + time inequality, then a per-left-row
+    ranking window keeps the newest match (ties broken by ``tiebreak``
+    desc for determinism). One shuffle on the key. For dense per-key
+    history at extreme scale, pre-bucket the right side by time range so
+    the inequality join fans out per bucket instead of per key-history.
+    Unmatched left rows survive with nulls under how='left'."""
+    joined = left.join(
+        right,
+        (left[on] == right[on]) & (right[right_ts] <= left[left_ts]),
+        how,
+    ).drop(right[on])
+    w = Window.partitionBy(left_id).orderBy(
+        F.col(right_ts).desc(), F.col(tiebreak).desc()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) | F.col(tiebreak).isNull())
+        .drop("_rn")
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from kinesis_log_watcher_spark.functions.exact import davg, dec, dsum
 from kinesis_log_watcher_spark.operators.relational import (
+    asof_join,
     broadcast_join,
     pivot_counts,
     running_total,
@@ -652,22 +653,20 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "for dense per-key history, pre-bucket by time or merge_asof per group.",
 )
 def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .withColumnRenamed("user_id", "o_custkey")
+    )
     orders = load(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate"
     )
-    joined = ev.join(
-        orders,
-        (F.col("o_custkey") == F.col("user_id")) & (F.col("o_orderdate") <= F.col("ts")),
-        "left",
-    )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) | F.col("o_orderkey").isNull())
-        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+    return asof_join(
+        ev, orders, on="o_custkey", left_id="event_id",
+        left_ts="ts", right_ts="o_orderdate", tiebreak="o_orderkey",
+    ).select(
+        "event_id", F.col("o_custkey").alias("user_id"), "ts",
+        "o_orderkey", "o_orderdate",
     )
 
 

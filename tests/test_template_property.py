@@ -179,3 +179,35 @@ def test_variant_mode_equals_string_mode(spark, records_cache, paths):
     assert [(r.line, r._render_error) for r in a] == [
         (r.line, r._render_error) for r in b
     ], template
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.text(alphabet="abc:/-.0123456789", min_size=0, max_size=24),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_short_host_id_matches_go_semantics(spark, keys):
+    """ShortHostId for ANY partition key must equal the Go reference
+    logic (main.go:252-262): last ':'-segment, then strip one leading
+    'task/' or 'instance/'. Covers empty strings, missing/trailing
+    colons, repeated separators."""
+    from kinesis_log_watcher_spark.envelope import short_host_id
+    from pyspark.sql import functions as F
+
+    def go_ref(pk: str) -> str:
+        seg = pk.split(":")[-1]
+        for prefix in ("task/", "instance/"):
+            if seg.startswith(prefix):
+                return seg[len(prefix):]
+        return seg
+
+    df = spark.createDataFrame([(k,) for k in keys], "pk string")
+    got = [r.s for r in df.select(short_host_id(F.col("pk")).alias("s")).collect()]
+    assert got == [go_ref(k) for k in keys]
