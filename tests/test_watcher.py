@@ -170,3 +170,32 @@ def test_streaming_processing_time_trigger(spark, tmp_path):
     q.awaitTermination(60)
     assert not q.isActive
     assert sorted(got) == expected
+
+
+def test_per_shard_order_preserved(spark, tmp_path):
+    """SURVEY §5.2(3): within a shard, output preserves sequence-number
+    order (the reference's only ordering guarantee, main.go:320, 362);
+    across shards there is none. The render pipeline is a narrow map, so
+    per-partition input order survives to the sink."""
+    from kinesis_log_watcher_spark.sources.files import read_raw_records
+    from kinesis_log_watcher_spark.sources.fixture import kinesis_records_fixture
+    from kinesis_log_watcher_spark.watcher import watch
+
+    d = tmp_path / "sharded"
+    rec = kinesis_records_fixture(spark, n_records=400, n_shards=4)
+    # one file per shard — the connector-like layout (partition per shard)
+    rec.repartition(4, "shardId").sortWithinPartitions("sequenceNumber").write.parquet(str(d))
+
+    lines = watch(
+        read_raw_records(spark, str(d)),
+        template="{{.SequenceNumber}}",
+        one_shot=True,
+    )
+    assert len(lines) == 400
+    # group back by shard (fixture seq numbers embed the shard prefix)
+    by_shard: dict[str, list[str]] = {}
+    for seq in lines:
+        by_shard.setdefault(seq[:4], []).append(seq)
+    assert len(by_shard) == 4
+    for shard, seqs in by_shard.items():
+        assert seqs == sorted(seqs), f"shard {shard} out of order"
