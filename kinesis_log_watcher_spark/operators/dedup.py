@@ -199,15 +199,29 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 7,
     b = banded.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"),
                       "band", "bv")
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
-    # Verify hamming BEFORE the distinct: non-matching candidates never
-    # enter the dedup shuffle (a pair can collide in up to 4 bands).
+    # First-matching-band dedup: a pair colliding in k bands would emit k
+    # times; instead of a distinct() (an extra full shuffle of every
+    # candidate), emit the pair only from its LOWEST matching band — for
+    # band bd require that no earlier band matches. Both signatures are
+    # already in the join row, so this is a pure filter: zero-shuffle
+    # dedup, the classic LSH trick.
+    first_match = F.lit(True)
+    for j in range(SIMHASH_BANDS):
+        earlier_differs = (
+            F.shiftright(F.col("sig_a").bitwiseXOR(F.col("sig_b")), j * _BAND_BITS)
+            .bitwiseAND(F.lit(_BAND_MASK))
+            != 0
+        )
+        first_match = first_match & (
+            (F.col("band") <= j) | earlier_differs
+        )
     return (
         a.join(b, ["band", "bv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(first_match)
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
-        .distinct()
     )
 
 

@@ -153,18 +153,24 @@ def sign_bands(
     vectors at high cosine agree on most signs, so they collide in ≥1
     band with high probability; candidate generation is an equi-join on
     (band, bucket) — never all-pairs. At corpus scale, bands/bits tune
-    the recall-vs-candidates trade exactly like MinHash banding."""
+    the recall-vs-candidates trade exactly like MinHash banding.
+
+    Also carries ``sig`` — the full bands·bits sign signature — so the
+    candidate join can dedup multi-band collisions with a first-matching-
+    band filter instead of a distinct() shuffle."""
     entries = []
+    sig = F.lit(0)
     for b in range(bands):
         bv = F.lit(0)
         for r in range(bits):
             bv = bv + F.when(
                 F.col(emb).getItem(b * bits + r) > 0, F.lit(1 << r)
             ).otherwise(F.lit(0))
+        sig = sig + F.shiftleft(bv, b * bits)
         entries.append(F.struct(F.lit(b).alias("band"), bv.alias("bv")))
     return df.select(
-        F.col(id_col), F.explode(F.array(*entries)).alias("e")
-    ).select(F.col(id_col), "e.band", "e.bv")
+        F.col(id_col), sig.alias("sig"), F.explode(F.array(*entries)).alias("e")
+    ).select(F.col(id_col), "sig", "e.band", "e.bv")
 
 
 def embedding_near_dup_pairs(
@@ -196,13 +202,27 @@ def embedding_near_dup_pairs(
         (n2_long.cast("double") / F.lit(QSCALE2)).alias("norm2"),
     )
     bands_df = sign_bands(df, id_col, emb)
-    a = bands_df.select(F.col(id_col).alias("vec_a"), "band", "bv")
-    b = bands_df.select(F.col(id_col).alias("vec_b"), "band", "bv")
+    a = bands_df.select(
+        F.col(id_col).alias("vec_a"), F.col("sig").alias("sig_a"), "band", "bv"
+    )
+    b = bands_df.select(
+        F.col(id_col).alias("vec_b"), F.col("sig").alias("sig_b"), "band", "bv"
+    )
+    # Emit each colliding pair only from its lowest matching band (pure
+    # filter on the carried signatures — no distinct() shuffle).
+    first_match = F.lit(True)
+    for j in range(4):
+        earlier_differs = (
+            F.shiftright(F.col("sig_a").bitwiseXOR(F.col("sig_b")), j * 4)
+            .bitwiseAND(F.lit(15))
+            != 0
+        )
+        first_match = first_match & ((F.col("band") <= j) | earlier_differs)
     cand = (
         a.join(b, ["band", "bv"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(first_match)
         .select("vec_a", "vec_b")
-        .distinct()
     )
     fa = feat.select(
         F.col(id_col).alias("vec_a"), F.col("qe").alias("qe_a"),
