@@ -148,3 +148,15 @@ def test_compile_is_pure_columns_no_python_in_plan(spark):
     df = compiled.apply(_env(spark, b"x"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_trim_markers(spark):
+    """{{- and -}} trim adjacent whitespace (Go text/template)."""
+    env = _env(spark, b"x")
+    got = (
+        compile_template("  {{- .HostId -}}   end")
+        .apply(env)
+        .collect()[0]["line"]
+    )
+    host = env.collect()[0]["HostId"]
+    assert got == f"{host}end"

@@ -135,3 +135,31 @@ def test_cosine_topk_fast_exact_parity(spark):
             math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b))
         )
         assert r.cosine == exp, (r.q_id, r.neighbor_id)
+
+
+def test_multimodal_stubs_and_custom_decoder(spark):
+    """Real decoders are stubbed (NotImplementedError with guidance); the
+    mapInPandas plumbing accepts a swapped-in decoder."""
+    import pytest as _pytest
+
+    from kinesis_log_watcher_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        image_metadata,
+        resize_image,
+        with_binary_payload,
+    )
+
+    for stub, args in ((decode_image, (b"x",)), (decode_audio, (b"x",)),
+                       (resize_image, (b"x", 8, 8))):
+        with _pytest.raises(NotImplementedError):
+            stub(*args)
+
+    docs = spark.createDataFrame([(1, "abc"), (2, "defg")], "doc_id long, text string")
+
+    def custom(payload: bytes):
+        return len(payload), 1, 2, 3, 0.5
+
+    rows = {r.doc_id: r.n_bytes for r in
+            image_metadata(with_binary_payload(docs), decode=custom).collect()}
+    assert rows == {1: 3, 2: 4}
