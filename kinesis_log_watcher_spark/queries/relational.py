@@ -834,3 +834,75 @@ def orders_tier_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dsum(F.col("o_totalprice"), 9, 2).alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q43 — multiset set ops (ALL variants preserve duplicates)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "priority_multiset_ops",
+    """
+    WITH y97 AS (SELECT o_orderpriority AS p FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                   AND o_orderdate < TIMESTAMP '1998-01-01'),
+    y98 AS (SELECT o_orderpriority AS p FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+    i AS (SELECT p, 'intersect_all' AS op FROM (SELECT * FROM y97 INTERSECT ALL SELECT * FROM y98)),
+    e AS (SELECT p, 'except_all' AS op FROM (SELECT * FROM y97 EXCEPT ALL SELECT * FROM y98))
+    SELECT op, p, COUNT(*) AS n
+    FROM (SELECT * FROM i UNION ALL SELECT * FROM e)
+    GROUP BY op, p
+    """,
+    doc="Multiset set ops: INTERSECT ALL / EXCEPT ALL keep multiplicities "
+    "(Spark intersectAll/exceptAll plan as counted aggregates + joins, "
+    "not row-dedup) — counted per priority for a stable result.",
+)
+def priority_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(F.col("o_orderpriority").alias("p"))
+    y98 = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select(F.col("o_orderpriority").alias("p"))
+    i = y97.intersectAll(y98).withColumn("op", F.lit("intersect_all"))
+    e = y97.exceptAll(y98).withColumn("op", F.lit("except_all"))
+    return i.unionByName(e).groupBy("op", "p").agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# q44 — uncorrelated scalar subquery
+# --------------------------------------------------------------------------
+
+
+@register(
+    "above_avg_balance",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_above
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                              / COUNT(c_acctbal)
+                       FROM customer)
+    GROUP BY c_mktsegment
+    """,
+    doc="Uncorrelated scalar subquery: the average computes once and "
+    "broadcasts into the filter (Catalyst plans a subquery-scalar reuse, "
+    "not a per-row re-evaluation). Exact-decimal mean both sides.",
+)
+def above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_above
+        FROM customer_v
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                                  / COUNT(c_acctbal)
+                           FROM customer_v)
+        GROUP BY c_mktsegment
+        """
+    )
