@@ -2,7 +2,10 @@
 n-gram Jaccard), similarity search (brute-force + IVF-probed),
 text analysis (lang-ID / quality / tokens / fingerprints), multimodal
 metadata. Every oracle recomputes the same md5-derived hashes / exact
-decimal sums, so results are engine-identical."""
+decimal sums, so results are engine-identical. (One deliberate
+exception: ann_cosine_topk_fast is the double-precision production path
+and registers without an oracle — rows-only driver check, with a
+bit-exact fold-parity unit test instead.)"""
 
 from __future__ import annotations
 
