@@ -794,3 +794,51 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(T.ws_token_count(F.col("text"))).alias("total_tokens"),
     )
+
+
+@register(
+    "top_ngrams_per_lang",
+    """
+    WITH bg AS (
+      SELECT lang,
+             unnest(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')
+             )) AS bigram
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    counts AS (
+      SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram)
+    SELECT lang, bigram, n, rank FROM (
+      SELECT lang, bigram, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY n DESC, bigram) AS BIGINT) AS rank
+      FROM counts)
+    WHERE rank <= 5
+    """,
+    doc="Corpus n-gram statistics: bigram explode → (lang, bigram) count "
+    "→ deterministic top-5 per language (count desc, bigram asc). The "
+    "count shuffle keys on (lang, bigram) — high cardinality, well "
+    "spread; the ranking window only sees the counted aggregate.",
+)
+def top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.dedup import tokens_col
+
+    docs = load(spark, sf_dir, "documents")
+    # every occurrence counts (frequency stats) — unlike the dedup
+    # shingle index, which distincts per doc
+    toks = tokens_col(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    bg = docs.filter(F.size(toks) >= 2).select(
+        "lang", F.explode(bigrams).alias("bigram")
+    )
+    counts = bg.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "bigram", "n", "rank")
+    )
