@@ -31,6 +31,7 @@ SKIP = {
     "stream_windowed_counts",
     "stream_sessionization_stateful",
     "stream_session_windows",
+    "stream_click_purchase_join",
 }
 
 

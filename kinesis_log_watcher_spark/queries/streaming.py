@@ -91,3 +91,31 @@ def stream_sessionization_stateful(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_session_windows(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "stream_click_purchase_join",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    doc="Stream-stream join (watermarked both sides, event-time bounded): "
+    "purchases within 1h of a click by the same user, the two streams "
+    "replayed from the same bounded table; inner joins emit eagerly so "
+    "the replay equals the batch self-join the oracle computes "
+    "(streaming/joins.py). State is bounded by the join window via the "
+    "watermarks.",
+)
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.joins import run_stream_stream_join
+
+    return run_stream_stream_join(spark, f"{sf_dir}/events.parquet")

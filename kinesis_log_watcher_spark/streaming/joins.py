@@ -1,0 +1,90 @@
+"""Stream-stream join: watermarked, time-bounded equi-join of two event
+streams — the most state-intensive streaming operator Spark offers, and
+one the reference has nothing like (SURVEY.md §2.2).
+
+The canonical attribution shape: for every click, the purchases by the
+same user within the following hour. Both sides carry watermarks and the
+join condition bounds the event-time distance, so the state store can
+evict rows once the other side's watermark passes the bound — state is
+O(events within the join window), not O(stream).
+
+On a bounded replay the inner join's emissions equal the batch join
+(inner stream-stream joins emit eagerly on match; watermarks only bound
+state), which is what the SQL oracle computes.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_counter = itertools.count()
+
+
+def clicks_to_purchases(
+    clicks: DataFrame, purchases: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """The join itself (works for static and streaming inputs)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+    )
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    events_path: str,
+    within: str = "1 hour",
+    timeout_s: int = 300,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Replay the events table as TWO streams (clicks / purchases) and
+    stream-stream join them."""
+    schema = spark.read.parquet(events_path).schema
+
+    def stream():
+        reader = spark.readStream.schema(schema).option(
+            "pathGlobFilter", os.path.basename(events_path)
+        )
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        s = reader.parquet(os.path.dirname(events_path))
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s.withWatermark("ts", "1 minute")
+
+    clicks = stream().filter(F.col("event_type") == "click")
+    purchases = stream().filter(F.col("event_type") == "purchase")
+    joined = clicks_to_purchases(clicks, purchases, within)
+
+    name = f"stream_stream_join_{next(_counter)}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)
