@@ -24,9 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from kinesis_log_watcher_spark.queries import registry  # noqa: E402
 from kinesis_log_watcher_spark.session import get_spark  # noqa: E402
 
-# Headline set: every oracle-checked query except the streaming one (its
-# micro-batch bootstrap cost is not a query-engine number; it is still
-# correctness-gated via the registry).
+# Headline set: every registered query except the streaming replays
+# (their micro-batch bootstrap cost is not a query-engine number; they
+# are still correctness-gated via the registry).
 SKIP = {
     "stream_windowed_counts",
     "stream_sessionization_stateful",
