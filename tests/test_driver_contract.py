@@ -1,0 +1,41 @@
+"""Guards on the driver contract (__spark_entry__ + bench.py): these are
+the interfaces the round harness consumes; breaking them silently would
+void every other green test."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_contract_shape():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert qs, "queries() must not be empty"
+    assert set(oracles) <= set(qs), "every oracle key must be a query"
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in oracles.values())
+    # at most a handful of rows-only entries; the gate is oracle coverage
+    rows_only = set(qs) - set(oracles)
+    assert len(rows_only) <= 2, f"too many un-oracled queries: {rows_only}"
+
+
+def test_bench_emits_single_json_line():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True, text=True, timeout=560, env=env,
+        cwd=os.path.dirname(os.path.abspath(entrymod.__file__)),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, f"bench must print exactly one line, got {len(lines)}"
+    d = json.loads(lines[0])
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in d, key
+    assert d["unit"] == "sec" and d["value"] > 0
+    assert abs(d["sf"] - 0.001) < 1e-9
