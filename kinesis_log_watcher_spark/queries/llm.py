@@ -842,3 +842,57 @@ def top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("lang", "bigram", "n", "rank")
     )
+
+
+@register(
+    "dedup_normalized",
+    """
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[.,!?;:]', '', 'g'), ' +', ' ', 'g'))) AS dedup_key,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_members
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup after canonicalization (lowercase, strip "
+    "punctuation, collapse whitespace) — the standard normalizer pass "
+    "that catches trivially-reformatted duplicates before any "
+    "near-dup machinery runs. Same single-shuffle hash-groupBy shape "
+    "as dedup_exact.",
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[.,!?;:]", ""),
+            " +",
+            " ",
+        )
+    )
+    return exact_dedup_groups(docs, F.md5(norm))
+
+
+@register(
+    "doc_length_histogram",
+    """
+    SELECT CASE WHEN n_chars >= 600 THEN 13
+                ELSE CAST(floor(n_chars / 50) + 1 AS BIGINT) END AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Corpus length histogram via width_bucket (12 equal bins over "
+    "[0, 600) chars) — the distribution profile a curation pipeline "
+    "checks before setting length filters. Single partial-aggregated "
+    "shuffle on the bucket id.",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.width_bucket(F.col("n_chars"), F.lit(0), F.lit(600), F.lit(12))
+    return docs.groupBy(bucket.cast("long").alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
