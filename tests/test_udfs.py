@@ -163,3 +163,38 @@ def test_multimodal_stubs_and_custom_decoder(spark):
     rows = {r.doc_id: r.n_bytes for r in
             image_metadata(with_binary_payload(docs), decode=custom).collect()}
     assert rows == {1: 3, 2: 4}
+
+
+def test_asof_join_edges(spark):
+    """asof_join: picks the latest at-or-before match, breaks exact-ts
+    ties by tiebreak desc, and keeps unmatched left rows with nulls."""
+    from datetime import datetime
+
+    from kinesis_log_watcher_spark.operators.relational import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, s)
+    left = spark.createDataFrame(
+        [(1, 100, t(12)), (2, 100, t(5)), (3, 200, t(12))],
+        "lid long, k long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, t(9)), (100, 11, t(9)), (100, 12, t(10)), (100, 13, t(13))],
+        "k long, rid long, rts timestamp",
+    )
+    got = {
+        r.lid: r.rid
+        for r in asof_join(
+            left, right, on="k", left_id="lid",
+            left_ts="lts", right_ts="rts", tiebreak="rid",
+        ).collect()
+    }
+    assert got[1] == 12       # latest <= 12:00 is 10:00
+    assert got[2] is None     # nothing at or before 05:00
+    assert got[3] is None     # key 200 has no history
+    # exact-ts tie: rows 10 and 11 at 09:00 → highest rid wins
+    left2 = spark.createDataFrame([(9, 100, t(9))], "lid long, k long, lts timestamp")
+    got2 = asof_join(
+        left2, right, on="k", left_id="lid",
+        left_ts="lts", right_ts="rts", tiebreak="rid",
+    ).collect()
+    assert [(r.lid, r.rid) for r in got2] == [(9, 11)]
