@@ -896,3 +896,50 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ((CAST(tf.tf AS DOUBLE) * n.n_docs) / df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, score, rank FROM (
+      SELECT doc_id, term, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, term) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+    doc="TF-IDF-style term salience, top-3 per doc. The score is the "
+    "exact rational tf*N/df (one multiply, one divide — engine-"
+    "deterministic; log-scaled IDF differs across libm implementations "
+    "by ULPs, so a hash-compared gate cannot use it). Shapes: tf "
+    "aggregates on (doc, term); df on term; the df join broadcasts when "
+    "the vocabulary is small and shuffles on the high-cardinality term "
+    "key otherwise.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; the oracle's CROSS JOIN n
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        ((F.col("tf").cast("double") * F.lit(n_docs)) / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "score", "rank")
+    )
