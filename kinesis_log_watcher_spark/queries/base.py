@@ -77,6 +77,7 @@ def registry() -> dict[str, Query]:
         llm,
         relational,
         streaming,
+        tpch_deep,
         watcher_surface,
     )
 

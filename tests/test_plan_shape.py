@@ -95,3 +95,42 @@ def test_exact_dedup_partial_aggregates(spark, reg):
     HashAggregate levels) so the shuffle carries groups, not rows."""
     plan = plan_of(spark, reg, "dedup_exact")
     assert plan.count("HashAggregate") >= 2
+
+def test_deep_joins_broadcast_every_dim(spark, reg):
+    """The TPC-H-deep family: every dimension side must broadcast. The
+    only SortMergeJoin allowed is fact⋈fact on the order key (Q3/5/7/8
+    lineitem⋈orders, Q17/Q18 lineitem⋈agg-of-lineitem)."""
+    for name, max_smj in [
+        ("shipping_priority_topk", 1),
+        ("local_supplier_volume", 1),
+        ("nation_trade_flows", 1),
+        ("market_share_by_year", 1),
+        ("returned_items_topk", 1),
+        ("promo_revenue_ratio", 0),
+        ("brand_size_qty_revenue", 0),
+        ("idle_rich_customers", 1),  # anti join vs orders may shuffle
+    ]:
+        plan = plan_of(spark, reg, name)
+        assert "CartesianProduct" not in plan, name
+        n_smj = plan.count("SortMergeJoin")
+        assert n_smj <= max_smj, f"{name}: {n_smj} SortMergeJoins (max {max_smj})"
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_deep_topk_takeordered(spark, reg):
+    """Q3/Q10/Q18 top-k must plan TakeOrderedAndProject, not total sort."""
+    for name in (
+        "shipping_priority_topk",
+        "returned_items_topk",
+        "large_volume_customers",
+    ):
+        assert "TakeOrderedAndProject" in plan_of(spark, reg, name), name
+
+
+def test_q4_semi_join_non_equi_residual(spark, reg):
+    """Q4's EXISTS with interval correlate must stay a semi join with the
+    non-equi predicate as residual — never a pre-aggregated or looped
+    rewrite that materializes matches."""
+    plan = plan_of(spark, reg, "late_shipment_priority")
+    assert "Semi" in plan
+    assert "CartesianProduct" not in plan
