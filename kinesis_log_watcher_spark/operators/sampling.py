@@ -1,0 +1,109 @@
+"""Deterministic sampling, splitting, and packing for training-data
+pipelines.
+
+The common trick: a content-independent uniform draw per row derived
+from ``md5(key)`` hex — both Spark and any ANSI engine produce the
+*identical* digest for the identical key, so sample membership is
+reproducible across engines, runs, partitionings, and cluster sizes
+(none of which is true of ``rand(seed)`` or ``TABLESAMPLE``). Selection
+compares lowercase-hex prefixes lexicographically against a threshold —
+no hex→int parsing, which keeps the oracle SQL portable.
+
+All three operators are narrow or single-shuffle:
+- stratified sampling / split assignment: pure per-row filters, no
+  shuffle, pushable below scans and joins;
+- contiguous packing: one shuffle on the group key + one running-sum
+  window per group — at 100 TB the group key (e.g. source shard) must
+  be balanced; pathological groups get salted into sub-shards first.
+
+The reference has no sampling surface (main.go:1-416); this is the
+LLM-pipeline extension family from the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_draw(key: Column, n_hex: int = 8) -> Column:
+    """Uniform draw in hex-string space: first ``n_hex`` chars of
+    md5(key as string). Compare lexicographically against
+    ``rate_threshold`` output."""
+    return F.substring(F.md5(key.cast("string")), 1, n_hex)
+
+
+def rate_threshold(rate: float, n_hex: int = 8) -> str:
+    """Hex threshold t such that P[hash_draw < t] ≈ rate (exact to
+    1/16^n_hex)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1]: {rate}")
+    return format(int(rate * (16**n_hex)), f"0{n_hex}x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically in
+    the row key. Zero-shuffle (a filter), reproducible at any scale."""
+    thresh: Column = F.lit(rate_threshold(default_rate))
+    for value, rate in rates.items():
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(rate_threshold(rate))
+        ).otherwise(thresh)
+    return df.filter(hash_draw(F.col(key_col)) < thresh)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test …)
+    with the given weights — disjoint hex ranges over the same draw.
+    Deterministic in the key: a doc never migrates between splits when
+    the corpus grows."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1: {weights}")
+    draw = hash_draw(F.col(key_col))
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        cond = draw < F.lit(rate_threshold(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def pack_bins(
+    df: DataFrame,
+    group_col: str,
+    size_col: Column,
+    budget: int,
+    order_col: str,
+) -> DataFrame:
+    """Contiguous sequence packing: within each group, lay documents end
+    to end in ``order_col`` order and cut bins every ``budget`` tokens —
+    a doc belongs to the bin its *start offset* falls in. One window per
+    group; integer arithmetic throughout (engine-exact)."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start_off = (F.sum(size_col).over(w) - size_col).alias("_start_off")
+    return df.select(
+        group_col,
+        F.col(order_col),
+        size_col.alias("_sz"),
+        start_off,
+    ).withColumn("bin_id", F.floor(F.col("_start_off") / budget).cast("bigint"))

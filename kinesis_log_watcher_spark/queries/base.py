@@ -76,6 +76,7 @@ def registry() -> dict[str, Query]:
     from kinesis_log_watcher_spark.queries import (  # noqa: F401
         llm,
         relational,
+        sampling,
         streaming,
         tpch_deep,
         watcher_surface,

@@ -1,0 +1,130 @@
+"""Training-data pipeline queries: deterministic sampling, dataset
+splitting, and sequence packing over the documents corpus.
+
+All selection is md5-hex-threshold based (operators/sampling.py) so the
+DuckDB oracle reproduces membership bit-for-bit — the property a real
+pipeline needs anyway (resumable, engine-portable, growth-stable
+sampling), demonstrated here as the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_log_watcher_spark.operators.sampling import (
+    pack_bins,
+    split_assign,
+    stratified_sample,
+)
+from kinesis_log_watcher_spark.operators.text import ws_token_count
+from kinesis_log_watcher_spark.queries.base import load, register
+
+# --------------------------------------------------------------------------
+# stratified (per-language) rebalancing sample
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stratified_sample_counts",
+    """
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE WHEN lang = 'en' THEN '33333333' ELSE '80000000' END
+    GROUP BY lang
+    """,
+    doc="Class-rebalancing sample: keep 20% of the dominant language, "
+    "50% of the rest, membership = md5(doc_id) hex threshold — "
+    "deterministic at any scale/partitioning, zero shuffle (a filter).",
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs, "lang", {"en": 0.2}, key_col="doc_id", default_rate=0.5
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# train/val/test split assignment
+# --------------------------------------------------------------------------
+
+
+@register(
+    "train_val_test_split",
+    """
+    SELECT CASE
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+             ELSE 'test'
+           END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY split
+    """,
+    doc="80/10/10 deterministic split: disjoint hex ranges over one "
+    "md5 draw — a doc never migrates between splits as the corpus "
+    "grows, and no engine/run/partitioning changes membership.",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    assigned = split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# contiguous sequence packing into token-budget bins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_pack_bins",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    cum AS (
+        SELECT source, doc_id, tok,
+               SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - tok AS start_off
+        FROM toks
+    )
+    SELECT source,
+           CAST(FLOOR(start_off / 2048) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS bin_tokens
+    FROM cum
+    GROUP BY source, bin_id
+    """,
+    doc="Sequence packing: lay docs end-to-end per source (doc_id order), "
+    "cut a bin every 2048 tokens; a doc belongs to its start offset's "
+    "bin. One shuffle on source + one running-sum window; all-integer "
+    "(engine-exact).",
+)
+def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_bins(
+        docs,
+        group_col="source",
+        size_col=ws_token_count(F.col("text")),
+        budget=2048,
+        order_col="doc_id",
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_sz").cast("bigint").alias("bin_tokens"),
+    )
