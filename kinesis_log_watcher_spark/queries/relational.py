@@ -906,3 +906,83 @@ def above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q29 — time-RANGE window frame: trailing 1-hour moving aggregate
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_moving_window",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(28,10)))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS win_sum,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS win_n
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    doc="RANGE-frame window: per-user trailing 1-hour sum/count over "
+    "event time, ordered by epoch microseconds so both engines frame "
+    "identically (RANGE peers = exact value ties). Parallel by user; "
+    "no global sort.",
+)
+def events_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec(F.col("value"), 28, 10)).over(w).cast("double").alias("win_sum"),
+        F.count("*").over(w).alias("win_n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q30 — NTILE deciles within partitions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "segment_balance_deciles",
+    """
+    WITH d AS (
+        SELECT c_mktsegment, c_acctbal,
+               NTILE(10) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer
+    )
+    SELECT c_mktsegment, CAST(decile AS BIGINT) AS decile,
+           COUNT(*) AS n_customers,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS lo,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS hi
+    FROM d
+    GROUP BY c_mktsegment, decile
+    """,
+    doc="NTILE(10) deciles per market segment (tie-break on c_custkey "
+    "makes bucket assignment total-order deterministic), then per-decile "
+    "min/max/count. Partitioned window — parallel across segments; a "
+    "global decile at corpus scale would instead use approx quantile "
+    "boundaries + a broadcast range join.",
+)
+def segment_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    d = cust.select(
+        "c_mktsegment", "c_acctbal", F.ntile(10).over(w).cast("bigint").alias("decile")
+    )
+    return d.groupBy("c_mktsegment", "decile").agg(
+        F.count("*").alias("n_customers"),
+        F.min("c_acctbal").cast("double").alias("lo"),
+        F.max("c_acctbal").cast("double").alias("hi"),
+    )
