@@ -1,0 +1,138 @@
+"""Stateful streaming on the modern transformWithState API (Spark 4).
+
+A second custom stateful operator alongside streaming/stateful.py's
+applyInPandasWithState sessionization — this one on the
+``transformWithStateInPandas`` StatefulProcessor API (typed state
+variables via a handle; the engine manages encoding, TTL, and timers).
+
+The operator: per-user running totals (event count + value sum). Each
+micro-batch folds its rows into a ``ValueState`` and emits the updated
+snapshot, so the update stream is monotone per user and the final
+answer of a bounded replay is::
+
+    groupBy(user_id).agg(max(n_events), max(value_sum_q))
+
+which must equal the plain batch aggregate — the same
+oracle-checkable-replay design as the sessionizer (test asserts
+equality for any micro-batch split of the input).
+
+Determinism: the value sum is held as int64 micro-units
+(round(value*1e6)) — integer addition is associative, so the result is
+identical for every batch partitioning, which a float running sum would
+not be.
+
+Scale: state is O(1) per user; each batch shuffles once on the grouping
+key into the state store, exactly like the production path; the RocksDB
+state backend and TTL config apply unchanged on a cluster.
+
+ENVIRONMENT GATE: transformWithState's Python worker requires
+``protobuf`` at runtime (its state-server protocol is proto-encoded).
+This container doesn't ship protobuf, so tests/test_tws.py skips unless
+``google.protobuf`` imports; ``require_tws_runtime()`` below gives
+callers the same check. The tested-everywhere equivalent of this
+operator's semantics is streaming/stateful.py (applyInPandasWithState),
+which needs no extra deps.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+def require_tws_runtime() -> None:
+    """Raise ImportError unless the transformWithState Python worker can
+    actually run here (needs protobuf)."""
+    import importlib
+
+    importlib.import_module("google.protobuf.descriptor")
+
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, value_sum_q bigint"
+_STATE_SCHEMA = "n_events bigint, value_sum_q bigint"
+_counter = itertools.count()
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """ValueState-backed per-key running (count, quantized value sum)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n, sq = (self._totals.get() or (0, 0)) if self._totals.exists() else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            # int64 micro-units: associative, partition-order independent
+            sq += int((pdf["value"] * 1_000_000).round().astype("int64").sum())
+        self._totals.update((n, sq))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_sum_q": [sq]})
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Stream in → per-user running-totals update stream out."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def final_totals(updates: DataFrame) -> DataFrame:
+    """Monotone reduction of the update stream to final totals."""
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("value_sum_q").alias("value_sum_q"),
+    )
+
+
+def batch_totals(events: DataFrame) -> DataFrame:
+    """The batch answer the replay must reproduce."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("value_sum_q"),
+    )
+
+
+def run_running_totals(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Replay a directory of parquet event files through the operator
+    and reduce the update stream to final totals."""
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(events_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    name = f"tws_totals_{next(_counter)}"
+    q = (
+        running_totals_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return final_totals(spark.table(name))
