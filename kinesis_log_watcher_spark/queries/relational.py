@@ -986,3 +986,50 @@ def segment_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_acctbal").cast("double").alias("lo"),
         F.max("c_acctbal").cast("double").alias("hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# q31 — lead / first_value / last_value analytics
+# --------------------------------------------------------------------------
+
+
+@register(
+    "user_event_gaps",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+             FIRST_VALUE(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS first_type,
+             LAST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+      FROM events)
+    SELECT user_id, first_type, last_type,
+           COUNT(next_ts) AS n_gaps,
+           CAST(MAX(epoch_us(next_ts) - epoch_us(ts)) AS BIGINT) AS max_gap_us,
+           CAST(SUM(epoch_us(next_ts) - epoch_us(ts)) AS BIGINT) AS total_gap_us
+    FROM g
+    GROUP BY user_id, first_type, last_type
+    """,
+    doc="lead + first_value/last_value analytics: per-user inter-event "
+    "gaps (integer µs — exact) and first/last event type, all three "
+    "window functions sharing one partition sort (tie-break event_id "
+    "makes first/last deterministic). One shuffle on user_id.",
+)
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    gap = F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+    g = ev.select(
+        "user_id",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+    )
+    return g.groupBy("user_id", "first_type", "last_type").agg(
+        F.count("next_ts").alias("n_gaps"),
+        F.max(gap).cast("bigint").alias("max_gap_us"),
+        F.sum(gap).cast("bigint").alias("total_gap_us"),
+    )

@@ -97,3 +97,74 @@ def test_single_batch_equals_multi_batch(spark, event_files):
     got_single = _run(spark, f"{event_files}/*.parquet")
     got_multi = _run(spark, f"{event_files}/*.parquet", max_files_per_trigger=1)
     assert got_single == got_multi == _expected()
+
+
+def test_state_survives_checkpoint_restart(spark, tmp_path):
+    """Stop the stateful query, add data, restart from the SAME
+    checkpoint: per-user session state must carry across the restart —
+    a session whose events straddle the stop/start boundary comes out
+    as ONE session (the durable-resume property the reference intends
+    but gets wrong, SURVEY.md §2.1 W4 / main.go:345)."""
+    import glob
+    import os
+    import shutil
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from kinesis_log_watcher_spark.streaming.stateful import (
+        final_sessions,
+        session_update_stream,
+    )
+
+    m = timedelta(minutes=1)
+    d = tmp_path / "stream"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    collected = []
+
+    def write_file(name, rows, mtime):
+        stage = tmp_path / f"stage_{name}"
+        _mk_events(spark, rows).coalesce(1).write.parquet(str(stage))
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        dest = d / f"{name}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(str(d))
+        q = (
+            session_update_stream(stream, gap_s=1800)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # run 1: user 1's session is open (2 events), user 2 has 1 event
+    write_file("f1", [(1, T0), (1, T0 + 5 * m), (2, T0)], 1_700_000_000)
+    run_once()
+    # query fully stopped; new file arrives while "down"
+    write_file("f2", [(1, T0 + 10 * m), (2, T0 + 600 * m)], 1_700_000_001)
+    # run 2: restart from the same checkpoint — must NOT re-read f1, and
+    # must resume user 1's open session from state
+    run_once()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in final_sessions(
+            spark.createDataFrame(collected)
+        ).collect()
+    }
+    assert got == {
+        (1, T0, T0 + 10 * m, 3),          # ONE session across the restart
+        (2, T0, T0, 1),
+        (2, T0 + 600 * m, T0 + 600 * m, 1),
+    }
