@@ -53,12 +53,53 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover - stub
-    """REAL resize stub: needs an imaging library. The plumbing path is
-    the same as image_metadata (binary in → binary out via mapInPandas)."""
+    """REAL resize stub: needs an imaging library. Swap into
+    resize_images(resize_fn=...) — same signature as fake_resize."""
     raise NotImplementedError(
-        "image resize requires an imaging library; swap this stub into a "
-        "mapInPandas transform exactly like image_metadata(decode=...)"
+        "image resize requires an imaging library; swap this stub into "
+        "resize_images(resize_fn=...)"
     )
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in resize kernel: nearest-neighbor-style byte
+    subsample/pad of the payload to exactly width*height bytes (what a
+    real kernel does to pixels, done to raw bytes so tests can verify
+    the plumbing end to end without an imaging lib)."""
+    target = width * height
+    if not payload:
+        return bytes(target)
+    if len(payload) >= target:
+        step = len(payload) / target
+        return bytes(payload[int(i * step)] for i in range(target))
+    reps = -(-target // len(payload))
+    return (payload * reps)[:target]
+
+
+RESIZED_SCHEMA = "doc_id bigint, resized binary, n_bytes_out bigint"
+
+
+def resize_images(
+    df: DataFrame, width: int = 16, height: int = 16, resize_fn=fake_resize
+) -> DataFrame:
+    """Batch image resize over a binary column: binary in → binary out
+    through one mapInPandas stage (Arrow both directions). Swap
+    ``resize_fn`` for a real kernel (resize_fn(payload, w, h) → bytes).
+    Narrow map, no shuffle; chains with image_metadata/frame_samples on
+    the same partitioning."""
+
+    def transform(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [resize_fn(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "resized": resized,
+                    "n_bytes_out": [len(r) for r in resized],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(transform, RESIZED_SCHEMA)
 
 
 def decode_audio(payload: bytes):  # pragma: no cover - stub

@@ -1033,3 +1033,33 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(gap).cast("bigint").alias("max_gap_us"),
         F.sum(gap).cast("bigint").alias("total_gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# q32 — array functions: collect_set → array_sort → array_join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "segment_nation_roster",
+    """
+    SELECT c_mktsegment,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
+           CAST(len(list(DISTINCT n_name)) AS BIGINT) AS n_nations
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Array aggregation surface: collect_set (unordered) made "
+    "deterministic via array_sort, emitted as a joined string so both "
+    "engines compare scalar values (array reprs differ across pandas "
+    "bridges). Broadcast dim join + one small agg.",
+)
+def segment_nation_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    j = cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    names = F.array_sort(F.collect_set("n_name"))
+    return j.groupBy("c_mktsegment").agg(
+        F.array_join(names, ",").alias("nations"),
+        F.size(names).cast("bigint").alias("n_nations"),
+    )

@@ -198,3 +198,30 @@ def test_asof_join_edges(spark):
         left_ts="lts", right_ts="rts", tiebreak="rid",
     ).collect()
     assert [(r.lid, r.rid) for r in got2] == [(9, 11)]
+
+
+def test_resize_images_plumbing(spark):
+    """Binary→binary mapInPandas resize: exact target size both when
+    downsampling and when padding up; deterministic kernel verified
+    against a local reference."""
+    from kinesis_log_watcher_spark.operators.multimodal import (
+        fake_resize,
+        resize_images,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "x" * 1000)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in resize_images(
+            with_binary_payload(docs), width=8, height=8
+        ).collect()
+    }
+    assert rows[1].n_bytes_out == 64 and rows[2].n_bytes_out == 64
+    assert bytes(rows[1].resized) == fake_resize(b"short", 8, 8)
+    assert bytes(rows[2].resized) == fake_resize(b"x" * 1000, 8, 8)
+    # padding path repeats the payload; downsampling strides it
+    assert bytes(rows[1].resized)[:5] == b"short"
+    assert set(bytes(rows[2].resized)) == {ord("x")}
