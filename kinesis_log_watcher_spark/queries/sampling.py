@@ -128,3 +128,83 @@ def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("_sz").cast("bigint").alias("bin_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# decontamination: test-split docs sharing content with the train split
+# --------------------------------------------------------------------------
+
+
+@register(
+    "split_contamination",
+    """
+    WITH assigned AS (
+        SELECT doc_id, lang, text,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM documents
+    ),
+    sh AS (
+        SELECT a.doc_id, a.lang, a.split, unnest(list_distinct(sub.grams)) AS shingle
+        FROM assigned a,
+             LATERAL (
+               SELECT list_transform(
+                        range(1, len(string_split(a.text, ' ')) - 3 + 2),
+                        i -> array_to_string(string_split(a.text, ' ')[i:i+2], ' ')
+                      ) AS grams
+             ) sub
+        WHERE len(string_split(a.text, ' ')) >= 3
+    ),
+    train_sh AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+    contaminated AS (
+        SELECT DISTINCT s.doc_id, s.lang
+        FROM sh s JOIN train_sh t USING (shingle)
+        WHERE s.split = 'eval'
+    ),
+    eval_docs AS (SELECT doc_id, lang FROM assigned WHERE split = 'eval')
+    SELECT e.lang,
+           COUNT(*) AS n_eval_docs,
+           COUNT(c.doc_id) AS n_contaminated
+    FROM eval_docs e LEFT JOIN contaminated c ON e.doc_id = c.doc_id
+    GROUP BY e.lang
+    """,
+    doc="Decontamination check: eval-split docs sharing any 3-gram "
+    "shingle with the train split, per language. Composes the "
+    "deterministic split with the shingle inverted index: train "
+    "shingles dedup'd, eval shingles semi-joined against them — an "
+    "equi-join on the shingle key, never doc×doc. At 100 TB both "
+    "sides partition by shingle hash; the semi join is the same "
+    "shuffle the dedup family already pays.",
+)
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.dedup import exploded_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    assigned = split_assign(
+        docs, "doc_id", {"train": 0.8, "eval": 0.2}
+    )
+    sh = exploded_shingles(assigned, n=3).join(
+        assigned.select("doc_id", "lang", "split"), "doc_id"
+    )
+    train_sh = (
+        sh.filter(F.col("split") == "train").select("shingle").distinct()
+    )
+    contaminated = (
+        sh.filter(F.col("split") == "eval")
+        .join(train_sh, "shingle", "left_semi")
+        .select("doc_id", "lang")
+        .distinct()
+    )
+    eval_docs = assigned.filter(F.col("split") == "eval").select("doc_id", "lang")
+    return (
+        eval_docs.join(
+            contaminated.select(F.col("doc_id").alias("c_doc_id")),
+            F.col("doc_id") == F.col("c_doc_id"),
+            "left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_eval_docs"),
+            F.count("c_doc_id").alias("n_contaminated"),
+        )
+    )
