@@ -35,10 +35,15 @@ def hash_draw(key: Column, n_hex: int = 8) -> Column:
 
 def rate_threshold(rate: float, n_hex: int = 8) -> str:
     """Hex threshold t such that P[hash_draw < t] ≈ rate (exact to
-    1/16^n_hex)."""
+    1/16^n_hex). rate=1.0 returns a same-length sentinel above every
+    hex draw ('g' > 'f') — a longer string like '1' + 8 zeros would
+    lexicographically EXCLUDE most draws."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0,1]: {rate}")
-    return format(int(rate * (16**n_hex)), f"0{n_hex}x")
+    v = int(rate * (16**n_hex))
+    if v >= 16**n_hex:
+        return "g" * n_hex
+    return format(v, f"0{n_hex}x")
 
 
 def stratified_sample(

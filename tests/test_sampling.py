@@ -19,7 +19,7 @@ from kinesis_log_watcher_spark.queries.base import load
 def test_rate_threshold_boundaries():
     assert rate_threshold(0.0) == "00000000"
     assert rate_threshold(0.5) == "80000000"
-    assert rate_threshold(1.0) == "100000000"  # above every 8-char draw
+    assert rate_threshold(1.0) == "gggggggg"  # 'g' > 'f': above every draw
     with pytest.raises(ValueError):
         rate_threshold(1.5)
 
