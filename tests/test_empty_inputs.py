@@ -1,0 +1,44 @@
+"""Every batch query must survive EMPTY inputs — no exceptions, no
+spurious rows beyond global-aggregate nulls. At 100 TB empty inputs are
+routine (a pruned partition, a filter that matches nothing, an empty
+shard) and an operator that throws on them kills the job."""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_log_watcher_spark.queries import registry
+from kinesis_log_watcher_spark.queries.base import TABLES, load
+
+STREAMING = {
+    "stream_windowed_counts",
+    "stream_sessionization_stateful",
+    "stream_session_windows",
+    "stream_click_purchase_join",
+}
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
+    """A mirror of the driver tables with identical schemas and 0 rows."""
+    base = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        load(spark, sf_dir, t).limit(0).write.parquet(str(base / f"{t}.parquet"))
+    return str(base)
+
+
+def test_every_batch_query_survives_empty_tables(spark, empty_sf_dir):
+    failures = []
+    for name, q in registry().items():
+        if name in STREAMING:
+            continue
+        try:
+            rows = q.fn(spark, empty_sf_dir).collect()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+            continue
+        # global aggregates may return one all-null row; nothing should
+        # fabricate more than that from empty inputs
+        if len(rows) > 1:
+            failures.append(f"{name}: {len(rows)} rows from empty input")
+    assert not failures, "\n".join(failures)
