@@ -1063,3 +1063,37 @@ def segment_nation_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(names, ",").alias("nations"),
         F.size(names).cast("bigint").alias("n_nations"),
     )
+
+
+# --------------------------------------------------------------------------
+# q33 — unpivot (wide → long)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "acctbal_extremes_unpivot",
+    """
+    WITH wide AS (
+        SELECT c_mktsegment,
+               CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+               CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+        FROM customer
+        GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, metric, value
+    FROM wide
+    UNPIVOT (value FOR metric IN (min_bal, max_bal))
+    """,
+    doc="Unpivot (wide→long): per-segment min/max balance melted into "
+    "(metric, value) rows. A narrow 1→k row expansion after the "
+    "aggregate — no extra shuffle.",
+)
+def acctbal_extremes_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_mktsegment").agg(
+        F.min("c_acctbal").cast("double").alias("min_bal"),
+        F.max("c_acctbal").cast("double").alias("max_bal"),
+    )
+    return wide.unpivot(
+        ["c_mktsegment"], ["min_bal", "max_bal"], "metric", "value"
+    )

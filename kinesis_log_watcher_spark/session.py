@@ -12,6 +12,9 @@ configs are correct (and testable) on ``local[N]``:
 - broadcast threshold left at default (10 MB) — dimension tables (region /
   nation / supplier / part at any realistic SF) broadcast; fact-fact joins
   shuffle with AQE watching for skew.
+- dynamic partition pruning and runtime bloom-filter joins are Spark
+  defaults (verified on; tests/test_partitioned_layout.py pins DPP) —
+  join-derived predicates prune fact scans at runtime.
 """
 
 from __future__ import annotations
