@@ -1097,3 +1097,43 @@ def acctbal_extremes_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["c_mktsegment"], ["min_bal", "max_bal"], "metric", "value"
     )
+
+
+# --------------------------------------------------------------------------
+# q34 — exact percentile as an order statistic (rank-based, engine-exact)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "segment_p95_balance",
+    """
+    WITH r AS (
+        SELECT c_mktsegment, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS rn,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM customer
+    )
+    SELECT c_mktsegment, CAST(c_acctbal AS DOUBLE) AS p95_bal
+    FROM r
+    WHERE rn = CAST(ceil(0.95 * n) AS BIGINT)
+    """,
+    doc="Exact p95 as an order statistic: the value at rank ceil(0.95·n) "
+    "per segment — integer rank selection, so no interpolation and no "
+    "engine float divergence (unlike percentile_cont). One partitioned "
+    "sort; at corpus scale the approx path is approx_percentile, this "
+    "is the exact companion.",
+)
+def segment_p95_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    r = cust.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return r.filter(
+        F.col("rn") == F.ceil(F.lit(0.95) * F.col("n")).cast("bigint")
+    ).select("c_mktsegment", F.col("c_acctbal").cast("double").alias("p95_bal"))
