@@ -1137,3 +1137,81 @@ def segment_p95_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.filter(
         F.col("rn") == F.ceil(F.lit(0.95) * F.col("n")).cast("bigint")
     ).select("c_mktsegment", F.col("c_acctbal").cast("double").alias("p95_bal"))
+
+
+# --------------------------------------------------------------------------
+# q35 — map-typed aggregation emitted as canonical JSON
+# --------------------------------------------------------------------------
+
+
+@register(
+    "user_event_type_map",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events
+        GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           '{' || string_agg('"' || event_type || '":' || cnt, ',' ORDER BY event_type)
+               || '}' AS type_counts
+    FROM c
+    GROUP BY user_id
+    """,
+    doc="Map-typed aggregation: per-user event_type→count map, emitted "
+    "as canonical (key-sorted) JSON so engines compare strings. Two "
+    "partial-aggregated shuffles on progressively smaller keys.",
+)
+def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    entries = F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+    return c.groupBy("user_id").agg(
+        F.to_json(F.map_from_entries(entries)).alias("type_counts")
+    )
+
+
+# --------------------------------------------------------------------------
+# q36 — percent_rank / cume_dist distribution cuts
+# --------------------------------------------------------------------------
+
+
+@register(
+    "priority_price_distribution",
+    """
+    WITH r AS (
+        SELECT o_orderpriority, o_totalprice,
+               PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey) AS pr,
+               CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice, o_orderkey) AS cd
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(CASE WHEN cd <= 0.25 THEN 1 END) AS n_bottom_quartile,
+           CAST(MAX(CASE WHEN pr <= 0.5 THEN o_totalprice END) AS DOUBLE)
+               AS median_ish_price
+    FROM r
+    GROUP BY o_orderpriority
+    """,
+    doc="percent_rank + cume_dist over a unique total order (tie-break "
+    "o_orderkey → single-row peer groups, so both are exact integer "
+    "ratios — engine-identical doubles). Distribution cuts per priority.",
+)
+def priority_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    r = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return r.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.when(F.col("cd") <= 0.25, 1)).alias("n_bottom_quartile"),
+        F.max(F.when(F.col("pr") <= 0.5, F.col("o_totalprice")))
+        .cast("double")
+        .alias("median_ish_price"),
+    )
