@@ -1215,3 +1215,40 @@ def priority_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("median_ish_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q37 — calendar hierarchy rollup (year/quarter date parts)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_quarterly_rollup",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS o_quarter,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY ROLLUP (o_year, o_quarter)
+    """,
+    doc="Calendar-hierarchy rollup: year → quarter subtotals + grand "
+    "total over filtered orders (quarter extraction agrees across "
+    "engines; exact-decimal revenue). Single scan, one grouping-sets "
+    "aggregate.",
+)
+def orders_quarterly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.quarter("o_orderdate").cast("bigint").alias("o_quarter"),
+            "o_totalprice",
+        )
+        .rollup("o_year", "o_quarter")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
