@@ -7,9 +7,16 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": 0.1}
 
 Timing protocol: one untimed warm-up pass of the first query (JVM/codegen
-warm-up), then each query timed as full execution to a driver-side
-materialization (count on the result — forces every stage; results are
-small aggregates so collection cost is negligible).
+warm-up), then each query timed as a full `noop`-format write — every
+stage AND every final projection expression executes on the executors
+(under a bare .count() Catalyst prunes unevaluated projections, silently
+under-timing render-heavy queries), with zero sink cost and no
+driver-side collection.
+
+Stdout hygiene: the driver parses stdout as one JSON line, but the JVM
+(launched as a child sharing fd 1) writes its own banner lines to stdout.
+So fd 1 is pointed at stderr for the whole Spark lifetime and restored
+only for the final print.
 """
 
 from __future__ import annotations
@@ -20,9 +27,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from kinesis_log_watcher_spark.queries import registry  # noqa: E402
-from kinesis_log_watcher_spark.session import get_spark  # noqa: E402
 
 # Headline set: every registered query except the streaming replays
 # (their micro-batch bootstrap cost is not a query-engine number; they
@@ -35,7 +39,22 @@ SKIP = {
 }
 
 
+def materialize(df) -> None:
+    """Execute the full plan, final projections included, executor-side."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
+    # Point fd 1 at stderr BEFORE the JVM launches so its stdout banners
+    # ("Setting default log level...", Ivy, WARNs) can't pollute the one
+    # JSON line the driver parses.
+    real_stdout = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
+
+    from kinesis_log_watcher_spark.queries import registry
+    from kinesis_log_watcher_spark.session import get_spark
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="klw-bench")
@@ -45,26 +64,28 @@ def main() -> None:
     names = [n for n in reg if n not in SKIP]
 
     # warm-up (JVM, codegen, parquet footer caches)
-    reg[names[0]].fn(spark, sf_dir).count()
+    materialize(reg[names[0]].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        reg[name].fn(spark, sf_dir).count()
+        materialize(reg[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    # Restore the real stdout for exactly one line.
+    sys.stdout.flush()
+    os.dup2(real_stdout, 1)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -22,7 +22,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 from kinesis_log_watcher_spark.session import get_spark
 from kinesis_log_watcher_spark.template import DEFAULT_TEMPLATE, TemplateError
@@ -54,13 +54,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     args = build_parser().parse_args(argv)
 
     try:
-        parse_duration(args.start)
+        start_delta = parse_duration(args.start)
         parse_duration(args.watch)
     except ValueError as exc:
         print(exc, file=sys.stderr)
         return 2
 
     spark = spark or get_spark(app_name="kinesis-log-watcher")
+    now = datetime.now(timezone.utc)
 
     if os.path.isdir(args.stream):
         from kinesis_log_watcher_spark.sources.files import read_raw_records_stream
@@ -69,14 +70,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     else:
         from kinesis_log_watcher_spark.sources.kinesis import read_kinesis_stream
 
-        records = read_kinesis_stream(spark, args.stream)
+        # The reference starts every shard at AT_TIMESTAMP now-start
+        # (main.go:300-305); without start_timestamp the connector would
+        # default to 'latest' and the -s lookback records could never be
+        # read — the downstream >=cutoff filter only drops, never recovers.
+        records = read_kinesis_stream(spark, args.stream, start_timestamp=now - start_delta)
 
     try:
         query = watch(
             records,
             template=args.format,
             start=args.start,
-            now=datetime.now(timezone.utc),
+            now=now,
             poll=args.watch,
             one_shot=args.one_shot,
             checkpoint_dir=args.checkpoint,

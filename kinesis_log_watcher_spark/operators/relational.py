@@ -110,11 +110,12 @@ def asof_join(
     w = Window.partitionBy(left_id).orderBy(
         F.col(right_ts).desc(), F.col(tiebreak).desc()
     )
-    return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) | F.col(tiebreak).isNull())
-        .drop("_rn")
-    )
+    # _rn == 1 alone is correct for matched AND unmatched left rows:
+    # an unmatched row (all right cols null under how='left') is its own
+    # partition of one, so it ranks 1. An extra isNull(tiebreak) escape
+    # would leak duplicate rank>1 rows whenever a matched right row has a
+    # NULL tiebreak value.
+    return joined.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
 def salted_join(

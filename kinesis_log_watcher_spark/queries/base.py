@@ -20,6 +20,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kinesis_log_watcher_spark.session import ensure_session_confs  # noqa: F401  (re-export)
+
 TABLES = [
     "region",
     "nation",
@@ -42,6 +44,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     spark.sql.legacy.parquet.nanosAsLong it scans as long — convert to a
     microsecond TimestampType here (the data is µs-aligned; integer div
     keeps it exact)."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

@@ -26,6 +26,29 @@ from pyspark.sql import SparkSession
 DEFAULT_APP_NAME = "kinesis-log-watcher-spark"
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Defensively apply the runtime-settable confs the engine's semantics
+    depend on. Harnesses (like the driver's correctness gate) may build a
+    bare SparkSession without this module's factory, so every entry point
+    that reads data calls this first. Both confs are runtime-settable:
+
+    - ``nanosAsLong``: testdata events.ts is parquet TIMESTAMP(NANOS),
+      which Spark has no native type for — without the legacy conf the
+      scan throws PARQUET_TYPE_ILLEGAL.
+    - ``session.timeZone=UTC``: the DuckDB oracle compares UTC-naive
+      timestamps; a session in another zone would skew every
+      timestamp-rendering query.
+    """
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass  # non-settable on some build: keep whatever the session has
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,

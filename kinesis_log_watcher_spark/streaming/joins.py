@@ -21,6 +21,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_log_watcher_spark.session import ensure_session_confs
+
 _counter = itertools.count()
 
 
@@ -61,6 +63,7 @@ def run_stream_stream_join(
 ) -> DataFrame:
     """Replay the events table as TWO streams (clicks / purchases) and
     stream-stream join them."""
+    ensure_session_confs(spark)
     schema = spark.read.parquet(events_path).schema
 
     def stream():

@@ -36,6 +36,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from kinesis_log_watcher_spark.session import ensure_session_confs
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_S = 1800
@@ -131,6 +133,7 @@ def run_stateful_sessions(
 ) -> DataFrame:
     """Replay a bounded events table through the stateful operator and
     reduce the update stream to final sessions."""
+    ensure_session_confs(spark)
     schema = spark.read.parquet(events_path).schema
     reader = spark.readStream.schema(schema).option(
         "pathGlobFilter", os.path.basename(events_path)

@@ -40,10 +40,13 @@ import itertools
 import os
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from kinesis_log_watcher_spark.session import ensure_session_confs
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
@@ -74,8 +77,13 @@ class RunningTotalsProcessor(StatefulProcessor):
         n, sq = (self._totals.get() or (0, 0)) if self._totals.exists() else (0, 0)
         for pdf in rows:
             n += len(pdf)
-            # int64 micro-units: associative, partition-order independent
-            sq += int((pdf["value"] * 1_000_000).round().astype("int64").sum())
+            # int64 micro-units: associative, partition-order independent.
+            # floor(x*1e6+0.5) — same rounding rule as batch_totals and
+            # operators/similarity.quantize (pandas .round is half-even,
+            # F.round half-up; they disagree on .5 micro-unit ties).
+            sq += int(
+                np.floor(pdf["value"].to_numpy() * 1_000_000 + 0.5).astype("int64").sum()
+            )
         self._totals.update((n, sq))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_sum_q": [sq]})
 
@@ -105,7 +113,9 @@ def batch_totals(events: DataFrame) -> DataFrame:
     """The batch answer the replay must reproduce."""
     return events.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("value_sum_q"),
+        F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")).alias(
+            "value_sum_q"
+        ),
     )
 
 
@@ -117,6 +127,7 @@ def run_running_totals(
 ) -> DataFrame:
     """Replay a directory of parquet event files through the operator
     and reduce the update stream to final totals."""
+    ensure_session_confs(spark)
     schema = spark.read.parquet(events_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

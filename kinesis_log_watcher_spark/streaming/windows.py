@@ -17,6 +17,8 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_log_watcher_spark.session import ensure_session_confs
+
 from kinesis_log_watcher_spark.functions.exact import dec
 
 _counter = itertools.count()
@@ -30,6 +32,7 @@ def run_windowed_counts(
 ) -> DataFrame:
     import os
 
+    ensure_session_confs(spark)
     schema = spark.read.parquet(events_path).schema
     # The file stream source wants a directory; point it at the parent and
     # glob-filter to this table's file(s).
@@ -83,6 +86,7 @@ def run_session_windows(
     """
     import os
 
+    ensure_session_confs(spark)
     schema = spark.read.parquet(events_path).schema
     stream = (
         spark.readStream.schema(schema)

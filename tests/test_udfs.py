@@ -200,6 +200,32 @@ def test_asof_join_edges(spark):
     assert [(r.lid, r.rid) for r in got2] == [(9, 11)]
 
 
+def test_asof_join_null_tiebreak(spark):
+    """A matched right row with NULL tiebreak must not leak rank>1
+    duplicates: exactly one output row per left row, and the newest-ts
+    match still wins."""
+    from datetime import datetime
+
+    from kinesis_log_watcher_spark.operators.relational import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, s)
+    left = spark.createDataFrame(
+        [(1, 100, t(12)), (2, 100, t(9))], "lid long, k long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, None, t(8)), (100, 7, t(10)), (100, None, t(11))],
+        "k long, rid long, rts timestamp",
+    )
+    out = asof_join(
+        left, right, on="k", left_id="lid",
+        left_ts="lts", right_ts="rts", tiebreak="rid",
+    ).collect()
+    assert len(out) == 2  # one row per left row, no NULL-tiebreak leakage
+    got = {r.lid: (r.rid, r.rts) for r in out}
+    assert got[1] == (None, t(11))  # newest <=12:00 is the NULL-rid row at 11
+    assert got[2] == (None, t(8))   # newest <=09:00 is the NULL-rid row at 8
+
+
 def test_resize_images_plumbing(spark):
     """Binary→binary mapInPandas resize: exact target size both when
     downsampling and when padding up; deterministic kernel verified

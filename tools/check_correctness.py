@@ -9,7 +9,11 @@ on DuckDB over the same parquet tables, then compares:
     equality (floats compared exactly — the engine is built to be
     bit-identical; report max abs diff when not)
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--bare] [sf_dir] [query ...]
+
+--bare simulates the driver's bare SparkSession (which has none of
+session.py's confs) by mis-setting the runtime confs before every query;
+queries must heal the session themselves (queries/base.ensure_session_confs).
 """
 
 from __future__ import annotations
@@ -77,8 +81,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    bare = "--bare" in argv
+    argv = [a for a in argv if a != "--bare"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from kinesis_log_watcher_spark.session import get_spark
@@ -97,6 +104,9 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        if bare:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception:
