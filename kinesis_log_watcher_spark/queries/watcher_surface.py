@@ -136,6 +136,51 @@ def template_render_line(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "template_conditional_render",
+    f"""
+    SELECT event_id,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS DOUBLE) < 50
+                THEN 'low' ELSE 'high' END
+           || ' ' ||
+           printf('k=%03d', CAST(json_extract_string(props, '$.k') AS BIGINT))
+           || ' ' ||
+           regexp_replace(
+             list_extract(string_split({_PK_SQL}, ':'), -1),
+             '^(task/|instance/)', '') AS line
+    FROM events
+    WHERE event_id % 7 <> 0
+    """,
+    doc="T1 control flow (main.go:109 parses the FULL text/template "
+    "dialect): {{if lt …}}/{{else}}, a printf pipeline, and error-drop — "
+    "rows whose payload is made unparseable (event_id%7=0) vanish, Go's "
+    "render-error semantics (main.go:283-287). Compiled entirely to "
+    "CASE WHEN / format_string Columns, zero Python per row.",
+)
+def template_conditional_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.template import compile_template
+
+    tpl = (
+        '{{if lt .Log.k 50}}low{{else}}high{{end}} '
+        '{{printf "k=%03d" .Log.k}} {{.ShortHostId}}'
+    )
+    compiled = compile_template(tpl)
+    ev = load(spark, sf_dir, "events")
+    env = ev.select(
+        "event_id",
+        F.col("ts").alias("Timestamp"),
+        _partition_key().alias("HostId"),
+        short_host_id(_partition_key()).alias("ShortHostId"),
+        # poison ~1/7 of payloads to exercise the render-error drop path
+        F.when(F.col("event_id") % 7 == 0, F.lit("not json"))
+        .otherwise(F.col("props"))
+        .alias("LogEntry"),
+    )
+    return env.filter(~compiled.error).select(
+        "event_id", compiled.line.alias("line")
+    )
+
+
+@register(
     "lenient_json_classify",
     """
     SELECT event_type,

@@ -2,7 +2,9 @@
 
 The reference's only user-facing query surface is a Go text/template
 applied per record (reference main.go:103-114 compile, 281-289 execute;
-README.md:13-24 documents the dialect). Documented constructs:
+README.md:13-24 documents the dialect). The reference parses the FULL
+text/template language (main.go:109); this compiler covers the documented
+constructs plus the control-flow/pipeline core:
 
 - ``{{.Field}}`` — envelope field access (README.md:15-19)
 - ``{{.Log.FieldName}}`` — nested access into the dynamic JSON payload
@@ -10,6 +12,16 @@ README.md:13-24 documents the dialect). Documented constructs:
 - ``{{.Timestamp.Format "<go layout>"}}`` — method call (README.md:21-23)
 - ``{{strftime "<fmt>" .Timestamp}}`` — function call (README.md:24,
   main.go:106)
+- ``{{if P}} … {{else if P}} … {{else}} … {{end}}`` — conditionals with
+  Go truthiness (empty = false / 0 / nil / "" / empty map-slice)
+- ``{{with P}} … {{else}} … {{end}}`` — dot rebinding: inside the body
+  ``.`` is P's value and ``.x`` resolves under it (supported when P is a
+  ``.Log`` path; rebinding dot to a scalar supports ``.`` only)
+- pipelines ``{{P | cmd args | cmd2}}`` with the text/template built-ins
+  ``printf print len not and or eq ne lt le gt ge`` plus ``strftime``;
+  a piped value is appended as the final argument of the next command
+- ``{{range}}`` is the one construct NOT compiled (it multiplies rows —
+  inherently a Python/explode path); use ``watcher.watch(render_fn=…)``.
 
 This compiler turns a template into ONE string Column (the rendered line)
 plus ONE boolean Column (the render-error condition). That reproduces the
@@ -25,16 +37,26 @@ reference's execution semantics declaratively:
 - an unknown top-level field likewise renders ``<no value>`` (the
   reference's row is a ``map[string]interface{}``, main.go:264).
 
+Documented divergences (all on contrived payloads, none load-bearing):
+- JSON leaves are accessed as their text (``get_json_object``), so a JSON
+  string ``"false"``/``"0"`` is indistinguishable from boolean
+  false / number 0 for truthiness and ``eq``.
+- ``lt/le/gt/ge`` compare numerically when both sides cast to double,
+  else lexicographically (Go compares within one static type).
+- a ``printf`` numeric verb (%d/%f/…) whose argument doesn't parse is a
+  render error (Go renders a ``%!d(...)`` marker instead).
+
 Everything is built-ins (``concat``, ``get_json_object``,
-``json_object_keys``, ``date_format``): the whole render is a codegen'd
-narrow projection — no Python in the per-row path, no shuffle, linear
-scale-out with input partitions.
+``json_object_keys``, ``date_format``, ``format_string``): the whole
+render — control flow included, compiled to ``CASE WHEN`` — is a
+codegen'd narrow projection. No Python in the per-row path, no shuffle,
+linear scale-out with input partitions.
 """
 
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -57,12 +79,12 @@ class TemplateError(ValueError):
 
 
 _ACTION_RE = re.compile(r"\{\{-?\s*(.*?)\s*-?\}\}", re.DOTALL)
-_TRIM_LEFT = re.compile(r"\{\{-")
-_TRIM_RIGHT = re.compile(r"-\}\}")
 
-_FIELD_PATH_RE = re.compile(r"^\.(\w+(?:\.\w+)*)$")
+_FIELD_PATH_RE = re.compile(r"^\.(\w+(?:\.\w+)*)?$")
 _FORMAT_CALL_RE = re.compile(r'^\.(\w+)\.Format\s+"((?:[^"\\]|\\.)*)"$')
-_STRFTIME_CALL_RE = re.compile(r'^strftime\s+"((?:[^"\\]|\\.)*)"\s+\.(\w+(?:\.\w+)*)$')
+_NUMBER_RE = re.compile(r"^-?\d+(\.\d+)?$")
+_TOKEN_RE = re.compile(r'"(?:[^"\\]|\\.)*"|\||[^\s|]+')
+_VERB_RE = re.compile(r"%[-+ 0#]*\d*(?:\.\d+)?[a-zA-Z%]")
 
 
 def _unescape(s: str) -> str:
@@ -101,18 +123,184 @@ class CompiledTemplate:
         )
 
 
+# --------------------------------------------------------------------------
+# parse phase: template text → node tree
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _Text:
+    text: str
+
+
+@dataclass
+class _Action:
+    pipe: str
+
+
+@dataclass
+class _Block:  # if / with
+    kind: str  # "if" | "with"
+    pipe: str
+    body: list = field(default_factory=list)
+    else_: list = field(default_factory=list)
+
+
+_KEYWORD_RE = re.compile(r"^(if|else if|else|end|with|range|template|block|define)\b\s*")
+
+
+def _parse(template: str) -> list:
+    """Template text → node tree. Handles {{- -}} whitespace trimming and
+    nested if/with blocks; range/template/define raise TemplateError."""
+    root: list = []
+    # stack entries: (_Block, which_list_currently_filling)
+    stack: list[tuple[_Block, list]] = []
+
+    def emit(node) -> None:
+        (stack[-1][1] if stack else root).append(node)
+
+    def emit_text(text: str) -> None:
+        if text:
+            emit(_Text(text))
+
+    pos = 0
+    pending_ltrim = False
+    for m in _ACTION_RE.finditer(template):
+        literal = template[pos : m.start()]
+        if "{{" in literal:
+            raise TemplateError(f"unclosed action in template: {template!r}")
+        if pending_ltrim:
+            literal = literal.lstrip()
+        if m.group(0).startswith("{{-"):
+            literal = literal.rstrip()
+        emit_text(literal)
+        pos = m.end()
+        pending_ltrim = m.group(0).endswith("-}}")
+
+        body = m.group(1)
+        kw = _KEYWORD_RE.match(body)
+        if not kw:
+            emit(_Action(body))
+            continue
+        word = kw.group(1)
+        rest = body[kw.end() :].strip()
+        if word in ("range", "template", "block", "define"):
+            raise TemplateError(
+                f"{{{{{word}}}}} is not compilable to a single-row projection; "
+                "use watcher.watch(render_fn=…) for templates that need it"
+            )
+        if word == "if" or word == "with":
+            if not rest:
+                raise TemplateError(f"{{{{{word}}}}} needs a pipeline")
+            blk = _Block(kind=word, pipe=rest)
+            emit(blk)
+            stack.append((blk, blk.body))
+        elif word == "else if":
+            if not stack or stack[-1][0].kind != "if":
+                raise TemplateError("{{else if}} outside {{if}}")
+            # desugar: else branch contains a nested if; re-point the stack
+            # entry at the nested block so {{end}} closes both.
+            outer, _ = stack.pop()
+            nested = _Block(kind="if", pipe=rest)
+            outer.else_.append(nested)
+            stack.append((nested, nested.body))
+        elif word == "else":
+            if rest:
+                raise TemplateError("malformed {{else}}")
+            if not stack:
+                raise TemplateError("{{else}} outside a block")
+            blk, cur = stack[-1]
+            if cur is blk.else_:
+                raise TemplateError("duplicate {{else}}")
+            stack[-1] = (blk, blk.else_)
+        elif word == "end":
+            if rest:
+                raise TemplateError("malformed {{end}}")
+            if not stack:
+                raise TemplateError("{{end}} without open block")
+            stack.pop()
+    tail = template[pos:]
+    if "{{" in tail:
+        raise TemplateError(f"unclosed action in template: {template!r}")
+    if pending_ltrim:
+        tail = tail.lstrip()
+    emit_text(tail)
+    if stack:
+        raise TemplateError(f"unclosed {{{{{stack[-1][0].kind}}}}} block")
+    return root
+
+
+# --------------------------------------------------------------------------
+# compile phase: node tree → Columns
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _Expr:
+    """A compiled pipeline value: rendered text, Go truthiness, render
+    error. ``log_parts`` is set when the value is a .Log path (so
+    ``with`` can rebind dot under it); ``is_timestamp`` marks the
+    envelope Timestamp for strftime/Format."""
+
+    col: Column  # string-rendered value
+    truth: Column
+    err: Column
+    log_parts: list[str] | None = None
+    is_timestamp: bool = False
+
+
+@dataclass
+class _Ctx:
+    """What ``.`` means at this point in the tree."""
+
+    log_base: list[str] | None = None  # dot = .Log.<base…>  ([] = .Log itself)
+    scalar: _Expr | None = None  # dot = a scalar value
+
+    @property
+    def is_root(self) -> bool:
+        return self.log_base is None and self.scalar is None
+
+
+_FALSE = None  # placeholder; F.lit needs an active session at call time
+
+
+def _false() -> Column:
+    return F.lit(False)
+
+
+def _truthy_json(v: Column) -> Column:
+    """Go 'empty' test on a JSON-extracted text value (see module
+    docstring for the string-"false"/"0" divergence)."""
+    num = v.try_cast("double")
+    return (
+        v.isNotNull()
+        & (v != "")
+        & (v != "false")
+        & ~F.coalesce(num == 0.0, F.lit(False))
+        & (v != "[]")
+        & (v != "{}")
+    )
+
+
+def _bool_expr(truth: Column, err: Column) -> _Expr:
+    return _Expr(
+        col=F.when(truth, F.lit("true")).otherwise(F.lit("false")),
+        truth=truth,
+        err=err,
+    )
+
+
 def _json_path(parts: list[str]) -> str:
     return "$." + ".".join(parts)
 
 
-def _compile_log_access(parts: list[str]) -> tuple[Column, Column]:
+def _compile_log_access(parts: list[str]) -> _Expr:
     """Access ``{{.Log.p1.p2…}}`` into the dynamic JSON payload.
 
-    Returns (value segment, error condition). Faithful Go semantics
-    (main.go:273-279 + text/template map rules):
+    Faithful Go semantics (main.go:273-279 + text/template map rules):
     - payload not a JSON object (incl. unparseable) → render error
     - any intermediate path element missing or non-object → render error
-    - leaf missing or JSON null → ``<no value>``
+    - leaf missing or JSON null → ``<no value>`` (falsey)
     - leaf scalar → raw text (numbers/bools as JSON text, strings unquoted
       — ``get_json_object`` matches this)
     - leaf object/array → its JSON text (divergence: Go prints Go-syntax
@@ -125,24 +313,25 @@ def _compile_log_access(parts: list[str]) -> tuple[Column, Column]:
         inter = F.get_json_object(entry, _json_path(parts[:i]))
         error = error | F.json_object_keys(inter).isNull()
     leaf = F.get_json_object(entry, _json_path(parts))
-    value = F.coalesce(leaf, F.lit(NO_VALUE))
-    return value, error
+    return _Expr(
+        col=F.coalesce(leaf, F.lit(NO_VALUE)),
+        truth=_truthy_json(leaf),
+        err=error,
+        log_parts=list(parts),
+    )
 
 
-def _compile_log_access_variant(parts: list[str]) -> tuple[Column, Column]:
+def _compile_log_access_variant(parts: list[str]) -> _Expr:
     """Variant-engine ``{{.Log.p…}}`` access (Spark 4 ``VariantType`` —
     the closest native match to the reference's ``interface{}`` payload,
     SURVEY.md §1.3).
 
     Same semantics as the string path (tests assert equality on random
-    templates): parse failure / non-object → render error; missing or
-    null leaf → ``<no value>``; scalars and nested objects render
-    exactly as ``get_json_object`` does (variant→string cast). The win:
-    the payload is parsed ONCE into the binary variant encoding and each
-    access is an O(log fields) lookup, vs one full JSON re-parse per
-    ``get_json_object`` call — the fast path for many-field templates.
-    (Whole-stage codegen's subexpression elimination shares the single
-    try_parse_json across all accesses in the projection.)"""
+    templates). The win: the payload is parsed ONCE into the binary
+    variant encoding and each access is an O(log fields) lookup, vs one
+    full JSON re-parse per ``get_json_object`` call — the fast path for
+    many-field templates. (Whole-stage codegen's subexpression
+    elimination shares the single try_parse_json across all accesses.)"""
     v = F.try_parse_json(F.col("LogEntry"))
 
     def not_object(col: Column) -> Column:
@@ -155,64 +344,326 @@ def _compile_log_access_variant(parts: list[str]) -> tuple[Column, Column]:
         inter = F.try_variant_get(v, _json_path(parts[:i]), "variant")
         error = error | not_object(inter)
     leaf = F.try_variant_get(v, _json_path(parts), "variant").cast("string")
-    value = F.coalesce(leaf, F.lit(NO_VALUE))
-    return value, error
+    return _Expr(
+        col=F.coalesce(leaf, F.lit(NO_VALUE)),
+        truth=_truthy_json(leaf),
+        err=error,
+        log_parts=list(parts),
+    )
 
 
-def _compile_action(body: str, variant_log: bool = False) -> tuple[Column, Column]:
-    """Compile one ``{{…}}`` action → (segment, error condition)."""
-    false = F.lit(False)
+def _log_expr(parts: list[str], variant_log: bool) -> _Expr:
+    if variant_log:
+        return _compile_log_access_variant(parts)
+    return _compile_log_access(parts)
 
-    m = _FORMAT_CALL_RE.match(body)
+
+def _whole_log_expr() -> _Expr:
+    """``{{.Log}}``: nil payload → <no value> (Go zero value, falsey);
+    otherwise the JSON text (divergence noted in the module docstring)."""
+    entry = F.col("LogEntry")
+    parsed_ok = F.json_object_keys(entry).isNotNull()
+    return _Expr(
+        col=F.when(parsed_ok, entry).otherwise(F.lit(NO_VALUE)),
+        truth=parsed_ok,
+        err=_false(),
+        log_parts=[],
+    )
+
+
+def _field_expr(path: str, ctx: _Ctx, variant_log: bool) -> _Expr:
+    """Resolve ``.``, ``.x``, ``.x.y`` relative to the current dot."""
+    parts = path.split(".") if path else []
+
+    if ctx.scalar is not None:
+        if not parts:
+            return ctx.scalar
+        raise TemplateError(
+            f"cannot access .{path} under a scalar dot (bind {{{{with}}}} to "
+            "a .Log path for nested access)"
+        )
+    if ctx.log_base is not None:
+        full = ctx.log_base + parts
+        if not full:
+            return _whole_log_expr()
+        return _log_expr(full, variant_log)
+
+    # root context
+    if not parts:
+        raise TemplateError(
+            "'.' alone is only supported inside {{with}} (the root dot is "
+            "the whole record)"
+        )
+    head = parts[0]
+    if head == "Log":
+        if len(parts) == 1:
+            return _whole_log_expr()
+        return _log_expr(parts[1:], variant_log)
+    canon = _canonical(head)
+    if canon is None:
+        # Unknown key on the map[string]interface{} row → <no value>.
+        return _Expr(col=F.lit(NO_VALUE), truth=_false(), err=_false())
+    if len(parts) > 1:
+        raise TemplateError(f"nested access only supported under .Log, got .{path}")
+    if canon == "Timestamp":
+        ts = F.col("Timestamp")
+        return _Expr(
+            col=go_default_render_col(ts),
+            truth=ts.isNotNull(),
+            err=_false(),
+            is_timestamp=True,
+        )
+    v = F.col(canon)
+    return _Expr(
+        col=F.coalesce(v, F.lit(NO_VALUE)),
+        truth=v.isNotNull() & (v != ""),
+        err=_false(),
+    )
+
+
+def _operand(token: str, ctx: _Ctx, variant_log: bool) -> _Expr:
+    if token.startswith('"'):
+        s = _unescape(token[1:-1])
+        return _Expr(col=F.lit(s), truth=F.lit(bool(s)), err=_false())
+    if _NUMBER_RE.match(token):
+        num = float(token)
+        text = token if "." in token or "-" in token[1:] else str(int(num))
+        return _Expr(col=F.lit(text), truth=F.lit(num != 0), err=_false())
+    if token == "true":
+        return _Expr(col=F.lit("true"), truth=F.lit(True), err=_false())
+    if token == "false":
+        return _Expr(col=F.lit("false"), truth=F.lit(False), err=_false())
+    if token == "nil":
+        return _Expr(col=F.lit(NO_VALUE), truth=F.lit(False), err=_false())
+    m = _FIELD_PATH_RE.match(token)
+    if m:
+        return _field_expr(m.group(1) or "", ctx, variant_log)
+    raise TemplateError(f"unsupported operand {token!r}")
+
+
+def _num(e: _Expr) -> Column:
+    return e.col.try_cast("double")
+
+
+def _any_err(exprs: list[_Expr]) -> Column:
+    err = _false()
+    for e in exprs:
+        err = err | e.err
+    return err
+
+
+def _compile_printf(fmt: str, args: list[_Expr]) -> _Expr:
+    """Go fmt verbs → java.util.Formatter via ``format_string``. %v → %s;
+    %d/%f/%e/%g/%x/%o args are cast (cast failure on a non-null value is
+    a render error — documented divergence)."""
+    verbs = [v for v in _VERB_RE.findall(fmt) if not v.endswith("%")]
+    if len(verbs) != len(args):
+        raise TemplateError(
+            f"printf format {fmt!r} has {len(verbs)} verb(s) but got {len(args)} arg(s)"
+        )
+    jfmt = fmt
+    cols: list[Column] = []
+    err = _any_err(args)
+    for verb, arg in zip(verbs, args):
+        kind = verb[-1]
+        if kind in ("v", "s", "q"):
+            if kind == "q":
+                jfmt = jfmt.replace(verb, verb[:-1] + "s", 1)
+                cols.append(F.concat(F.lit('"'), arg.col, F.lit('"')))
+            else:
+                if kind == "v":
+                    jfmt = jfmt.replace(verb, verb[:-1] + "s", 1)
+                cols.append(arg.col)
+        elif kind in ("d", "x", "o", "X"):
+            n = arg.col.try_cast("double").try_cast("long")
+            err = err | (arg.col.isNotNull() & n.isNull())
+            cols.append(n)
+        elif kind in ("f", "e", "g", "E", "G"):
+            n = _num(arg)
+            err = err | (arg.col.isNotNull() & n.isNull())
+            cols.append(n)
+        elif kind == "t":
+            jfmt = jfmt.replace(verb, verb[:-1] + "s", 1)
+            cols.append(F.when(arg.truth, F.lit("true")).otherwise(F.lit("false")))
+        else:
+            raise TemplateError(f"unsupported printf verb {verb!r}")
+    out = F.format_string(jfmt, *cols)
+    return _Expr(col=out, truth=out.isNotNull() & (out != ""), err=err)
+
+
+def _compile_compare(op: str, a: _Expr, b: _Expr) -> _Expr:
+    """eq/ne: text equality (null-safe). lt/le/gt/ge: numeric when both
+    sides cast to double, else lexicographic (see divergence note)."""
+    err = a.err | b.err
+    if op in ("eq", "ne"):
+        t = a.col.eqNullSafe(b.col)
+        return _bool_expr(t if op == "eq" else ~t, err)
+    an, bn = _num(a), _num(b)
+    both_num = an.isNotNull() & bn.isNotNull()
+    import operator as _op
+
+    py = {"lt": _op.lt, "le": _op.le, "gt": _op.gt, "ge": _op.ge}[op]
+    t = F.when(both_num, py(an, bn)).otherwise(py(a.col, b.col))
+    # comparing a nil (null-rendered) value errors in Go
+    err = err | a.col.isNull() | b.col.isNull()
+    return _bool_expr(t, err)
+
+
+_FUNCTIONS = {
+    "printf", "print", "println", "len", "not", "and", "or",
+    "eq", "ne", "lt", "le", "gt", "ge", "strftime",
+}
+
+
+def _compile_command(tokens: list[str], piped: _Expr | None, ctx: _Ctx,
+                     variant_log: bool) -> _Expr:
+    """One pipeline command: either a bare operand or FUNC args…; a piped
+    value is appended as the last argument (text/template semantics)."""
+    head = tokens[0]
+
+    if head not in _FUNCTIONS:
+        if len(tokens) != 1:
+            raise TemplateError(
+                f"unsupported command {' '.join(tokens)!r} (not a known function)"
+            )
+        if piped is not None:
+            raise TemplateError(f"cannot pipe into non-function operand {head!r}")
+        return _operand(head, ctx, variant_log)
+
+    args = [_operand(t, ctx, variant_log) for t in tokens[1:]]
+    if piped is not None:
+        args.append(piped)
+
+    if head == "strftime":
+        # reference signature (main.go:106): strftime "<fmt>" <time>
+        if len(args) != 2 or not tokens[1].startswith('"'):
+            raise TemplateError('strftime expects: strftime "<fmt>" .Timestamp')
+        fmt = _unescape(tokens[1][1:-1])
+        target = args[1]
+        if not target.is_timestamp:
+            raise TemplateError("strftime expects .Timestamp as its time argument")
+        out = strftime_or_fallback(fmt, F.col("Timestamp"))
+        return _Expr(col=out, truth=out.isNotNull() & (out != ""),
+                     err=_any_err(args))
+    if head == "printf":
+        if not args or not tokens[1].startswith('"'):
+            raise TemplateError('printf expects a literal format: printf "<fmt>" args…')
+        return _compile_printf(_unescape(tokens[1][1:-1]), args[1:])
+    if head in ("print", "println"):
+        if not args:
+            raise TemplateError(f"{head} needs at least one argument")
+        out = F.concat(*[a.col for a in args])
+        if head == "println":
+            out = F.concat(out, F.lit("\n"))
+        return _Expr(col=out, truth=out.isNotNull() & (out != ""),
+                     err=_any_err(args))
+    if head == "len":
+        if len(args) != 1:
+            raise TemplateError("len takes exactly one argument")
+        v = args[0].col
+        arr_len = F.json_array_length(v)
+        keys = F.json_object_keys(v)
+        n = (
+            F.when(arr_len.isNotNull(), arr_len.cast("long"))
+            .when(keys.isNotNull(), F.array_size(keys).cast("long"))
+            .otherwise(F.length(v).cast("long"))
+        )
+        # len of nil errors in Go
+        err = _any_err(args) | v.isNull() | ~args[0].truth & v.eqNullSafe(F.lit(NO_VALUE))
+        return _Expr(col=n.cast("string"), truth=n > 0, err=err)
+    if head == "not":
+        if len(args) != 1:
+            raise TemplateError("not takes exactly one argument")
+        return _bool_expr(~args[0].truth, args[0].err)
+    if head in ("and", "or"):
+        if len(args) < 2:
+            raise TemplateError(f"{head} needs at least two arguments")
+        # Go value semantics: and → first falsey arg else last;
+        # or → first truthy arg else last.
+        acc = args[0]
+        for nxt in args[1:]:
+            if head == "and":
+                col = F.when(acc.truth, nxt.col).otherwise(acc.col)
+                truth = acc.truth & nxt.truth
+            else:
+                col = F.when(acc.truth, acc.col).otherwise(nxt.col)
+                truth = acc.truth | nxt.truth
+            acc = _Expr(col=col, truth=truth, err=acc.err | nxt.err)
+        return acc
+    if head in ("eq", "ne", "lt", "le", "gt", "ge"):
+        if head == "eq" and len(args) > 2:
+            # eq a b1 b2… = a==b1 || a==b2 || …
+            base, rest = args[0], args[1:]
+            t = F.lit(False)
+            for b in rest:
+                t = t | base.col.eqNullSafe(b.col)
+            return _bool_expr(t, _any_err(args))
+        if len(args) != 2:
+            raise TemplateError(f"{head} takes exactly two arguments")
+        return _compile_compare(head, args[0], args[1])
+    raise TemplateError(f"unsupported function {head!r}")  # pragma: no cover
+
+
+def _compile_pipeline(pipe: str, ctx: _Ctx, variant_log: bool) -> _Expr:
+    """``cmd | cmd | …`` — each stage's value feeds the next as its last
+    argument."""
+    # legacy method-call form: .Timestamp.Format "layout"
+    m = _FORMAT_CALL_RE.match(pipe)
     if m:
         name, layout = m.group(1), _unescape(m.group(2))
-        canon = _canonical(name)
-        if canon != "Timestamp":
+        if _canonical(name) != "Timestamp":
             raise TemplateError(f".Format is only supported on .Timestamp, got .{name}")
-        return go_layout_col(layout, F.col("Timestamp")), false
+        out = go_layout_col(layout, F.col("Timestamp"))
+        return _Expr(col=out, truth=out.isNotNull() & (out != ""), err=_false())
 
-    m = _STRFTIME_CALL_RE.match(body)
-    if m:
-        fmt, path = _unescape(m.group(1)), m.group(2)
-        canon = _canonical(path)
-        if canon != "Timestamp":
-            raise TemplateError(f"strftime expects .Timestamp, got .{path}")
-        return strftime_or_fallback(fmt, F.col("Timestamp")), false
+    if "(" in pipe or ")" in pipe:
+        raise TemplateError(
+            f"parenthesized sub-pipelines are not supported: {pipe!r}"
+        )
+    # quote-aware stage split: '|' inside a string literal is data
+    stages: list[list[str]] = [[]]
+    for tok in _TOKEN_RE.findall(pipe):
+        if tok == "|":
+            stages.append([])
+        else:
+            stages[-1].append(tok)
+    result: _Expr | None = None
+    for tokens in stages:
+        if not tokens:
+            raise TemplateError(f"empty pipeline stage in {pipe!r}")
+        result = _compile_command(tokens, result, ctx, variant_log)
+    assert result is not None
+    return result
 
-    m = _FIELD_PATH_RE.match(body)
-    if m:
-        parts = m.group(1).split(".")
-        head = parts[0]
-        if head == "Log":
-            if len(parts) == 1:
-                # {{.Log}}: nil payload → <no value> (Go zero value);
-                # otherwise render the JSON text (divergence noted above).
-                entry = F.col("LogEntry")
-                parsed_ok = F.json_object_keys(entry).isNotNull()
-                return (
-                    F.when(parsed_ok, entry).otherwise(F.lit(NO_VALUE)),
-                    false,
-                )
-            if variant_log:
-                return _compile_log_access_variant(parts[1:])
-            return _compile_log_access(parts[1:])
-        canon = _canonical(head)
-        if canon is None:
-            # Unknown key on the map[string]interface{} row → <no value>.
-            return F.lit(NO_VALUE), false
-        if len(parts) > 1:
-            raise TemplateError(
-                f"nested access only supported under .Log, got .{m.group(1)}"
-            )
-        if canon == "Timestamp":
-            return go_default_render_col(F.col("Timestamp")), false
-        return F.coalesce(F.col(canon), F.lit(NO_VALUE)), false
 
-    raise TemplateError(
-        f"unsupported template action {{{{{body}}}}}: this engine compiles the "
-        "documented dialect (field access, .Log access, .Timestamp.Format, "
-        "strftime); for arbitrary templates use watcher.watch(render_fn=…)"
-    )
+def _compile_nodes(nodes: list, ctx: _Ctx, variant_log: bool) -> tuple[Column, Column]:
+    """Node list → (concatenated text Column, error Column)."""
+    segments: list[Column] = []
+    err = _false()
+    for node in nodes:
+        if isinstance(node, _Text):
+            segments.append(F.lit(node.text))
+        elif isinstance(node, _Action):
+            e = _compile_pipeline(node.pipe, ctx, variant_log)
+            segments.append(e.col)
+            err = err | e.err
+        elif isinstance(node, _Block):
+            cond = _compile_pipeline(node.pipe, ctx, variant_log)
+            if node.kind == "with":
+                if cond.log_parts is not None:
+                    inner_ctx = _Ctx(log_base=cond.log_parts)
+                else:
+                    inner_ctx = _Ctx(scalar=cond)
+            else:
+                inner_ctx = ctx
+            body_col, body_err = _compile_nodes(node.body, inner_ctx, variant_log)
+            else_col, else_err = _compile_nodes(node.else_, ctx, variant_log)
+            segments.append(F.when(cond.truth, body_col).otherwise(else_col))
+            err = err | cond.err | F.when(cond.truth, body_err).otherwise(else_err)
+        else:  # pragma: no cover
+            raise AssertionError(node)
+    line = F.concat(*segments) if segments else F.lit("")
+    return line, err
 
 
 def compile_template(
@@ -228,35 +679,6 @@ def compile_template(
     Compile errors raise TemplateError — the analogue of the reference's
     exit-2-on-parse-failure (main.go:110-114).
     """
-    segments: list[Column] = []
-    errors: list[Column] = []
-    pos = 0
-    for m in _ACTION_RE.finditer(template):
-        literal = template[pos : m.start()]
-        if "{{" in literal:
-            raise TemplateError(f"unclosed action in template: {template!r}")
-        if m.group(0).startswith("{{-"):
-            literal = literal.rstrip()
-        if literal:
-            segments.append(F.lit(literal))
-        seg, err = _compile_action(m.group(1), variant_log)
-        segments.append(seg)
-        errors.append(err)
-        pos = m.end()
-        # {{- … -}} right-trim applies to the following literal; handle by
-        # peeking at next literal slice lazily via a flag.
-        if m.group(0).endswith("-}}"):
-            rest = template[pos:]
-            stripped = rest.lstrip()
-            pos += len(rest) - len(stripped)
-    tail = template[pos:]
-    if "{{" in tail:
-        raise TemplateError(f"unclosed action in template: {template!r}")
-    if tail:
-        segments.append(F.lit(tail))
-
-    line = F.concat(*segments) if segments else F.lit("")
-    error = errors[0] if errors else F.lit(False)
-    for e in errors[1:]:
-        error = error | e
+    nodes = _parse(template)
+    line, error = _compile_nodes(nodes, _Ctx(), variant_log)
     return CompiledTemplate(line=line, error=error, source=template)

@@ -1,0 +1,220 @@
+"""Control-flow + pipeline dialect tests (the text/template core the
+reference parses in full, main.go:109): if/else if/else, with dot
+rebinding, pipelines, and the built-in function set — all compiled to
+Column exprs, verified against Go text/template semantics."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+import pytest
+
+from kinesis_log_watcher_spark.envelope import RAW_KINESIS_SCHEMA, with_envelope
+from kinesis_log_watcher_spark.template import (
+    NO_VALUE,
+    TemplateError,
+    compile_template,
+)
+
+
+def _env(spark, payload: bytes, pk="uuid:abc", ts=datetime(2024, 5, 1, 12, 0, 0, 123456)):
+    raw = spark.createDataFrame(
+        [("s", "shardId-0", "0001", ts, pk, bytearray(payload))], RAW_KINESIS_SCHEMA
+    )
+    return with_envelope(raw)
+
+
+def _render(spark, template, payload, variant_log=False, **kw):
+    compiled = compile_template(template, variant_log=variant_log)
+    rows = compiled.apply(_env(spark, payload, **kw)).collect()
+    return [r["line"] for r in rows]
+
+
+# --- if / else ---------------------------------------------------------
+
+
+def test_if_truthy_branch(spark):
+    t = "{{if .Log.level}}L={{.Log.level}}{{else}}none{{end}}"
+    assert _render(spark, t, b'{"level": "warn"}') == ["L=warn"]
+    assert _render(spark, t, b'{"other": 1}') == ["none"]
+
+
+@pytest.mark.parametrize(
+    "payload,expect",
+    [
+        (b'{"v": 0}', "F"),        # number zero → empty
+        (b'{"v": 1}', "T"),
+        (b'{"v": ""}', "F"),       # empty string → empty
+        (b'{"v": "x"}', "T"),
+        (b'{"v": false}', "F"),
+        (b'{"v": true}', "T"),
+        (b'{"v": null}', "F"),     # nil → empty
+        (b'{"v": []}', "F"),       # empty slice → empty
+        (b'{"v": [0]}', "T"),
+        (b'{"v": {}}', "F"),       # empty map → empty
+        (b'{"v": {"a":1}}', "T"),
+    ],
+)
+def test_go_truthiness(spark, payload, expect):
+    t = "{{if .Log.v}}T{{else}}F{{end}}"
+    assert _render(spark, t, payload) == [expect]
+
+
+def test_else_if_chain(spark):
+    t = (
+        '{{if eq .Log.lv "a"}}A{{else if eq .Log.lv "b"}}B'
+        "{{else}}other{{end}}"
+    )
+    assert _render(spark, t, b'{"lv": "a"}') == ["A"]
+    assert _render(spark, t, b'{"lv": "b"}') == ["B"]
+    assert _render(spark, t, b'{"lv": "z"}') == ["other"]
+
+
+def test_nested_if(spark):
+    t = "{{if .Log.a}}{{if .Log.b}}both{{else}}a-only{{end}}{{else}}no-a{{end}}"
+    assert _render(spark, t, b'{"a":1,"b":1}') == ["both"]
+    assert _render(spark, t, b'{"a":1}') == ["a-only"]
+    assert _render(spark, t, b'{"b":1}') == ["no-a"]
+
+
+def test_if_condition_on_nil_log_drops_row(spark):
+    """Go: field access on a nil payload errors even inside a condition →
+    row dropped (main.go:283-287 semantics)."""
+    t = "{{if .Log.a}}x{{else}}y{{end}}"
+    assert _render(spark, t, b"not json") == []
+
+
+def test_if_envelope_field(spark):
+    t = "{{if .SequenceNumber}}has-seq{{end}}"
+    assert _render(spark, t, b"x") == ["has-seq"]
+
+
+# --- with --------------------------------------------------------------
+
+
+def test_with_rebinds_dot(spark):
+    payload = json.dumps({"user": {"name": "ada", "id": 7}}).encode()
+    t = "{{with .Log.user}}{{.name}}#{{.id}}{{else}}anon{{end}}"
+    assert _render(spark, t, payload) == ["ada#7"]
+    assert _render(spark, t, b'{"other": 1}') == ["anon"]
+
+
+def test_with_dot_renders_value(spark):
+    t = "{{with .Log.msg}}[{{.}}]{{end}}"
+    assert _render(spark, t, b'{"msg": "hi"}') == ["[hi]"]
+    # falsey target → body skipped entirely
+    assert _render(spark, t, b'{"msg": ""}') == [""]
+
+
+def test_with_nested_under_rebound_dot(spark):
+    payload = json.dumps({"a": {"b": {"c": 9}}}).encode()
+    t = "{{with .Log.a}}{{.b.c}}{{end}}"
+    assert _render(spark, t, payload) == ["9"]
+
+
+def test_with_scalar_envelope_field(spark):
+    t = "{{with .ShortHostId}}<{{.}}>{{end}}"
+    assert _render(spark, t, b"x") == ["<abc>"]
+
+
+# --- pipelines + functions --------------------------------------------
+
+
+def test_pipeline_printf(spark):
+    t = '{{.Log.n | printf "n=%s"}}'
+    assert _render(spark, t, b'{"n": 42}') == ["n=42"]
+
+
+def test_printf_verbs(spark):
+    t = '{{printf "%s|%d|%.2f|%q" .Log.s .Log.i .Log.f .Log.s}}'
+    assert _render(spark, t, b'{"s":"x","i":7,"f":1.5}') == ['x|7|1.50|"x"']
+
+
+def test_printf_numeric_verb_mismatch_drops_row(spark):
+    assert _render(spark, '{{printf "%d" .Log.s}}', b'{"s":"abc"}') == []
+
+
+def test_len_function(spark):
+    t = '{{len .Log.arr}}/{{len .Log.obj}}/{{len .Log.s}}'
+    payload = json.dumps({"arr": [1, 2, 3], "obj": {"a": 1, "b": 2}, "s": "abcd"}).encode()
+    assert _render(spark, t, payload) == ["3/2/4"]
+
+
+def test_comparisons(spark):
+    t = (
+        '{{if lt .Log.k 50}}low{{else}}high{{end}}'
+        '-{{if eq .Log.tag "x"}}X{{else}}notX{{end}}'
+    )
+    assert _render(spark, t, b'{"k": 7, "tag": "x"}') == ["low-X"]
+    assert _render(spark, t, b'{"k": 99, "tag": "y"}') == ["high-notX"]
+
+
+def test_numeric_compare_is_numeric_not_lexicographic(spark):
+    # "9" < "10" numerically (lexicographically "10" < "9")
+    t = "{{if lt .Log.a .Log.b}}lt{{else}}ge{{end}}"
+    assert _render(spark, t, b'{"a": 9, "b": 10}') == ["lt"]
+
+
+def test_and_or_not(spark):
+    t = (
+        "{{if and .Log.a .Log.b}}both{{end}}"
+        "{{if or .Log.c .Log.a}}some{{end}}"
+        "{{if not .Log.c}}noc{{end}}"
+    )
+    assert _render(spark, t, b'{"a":1,"b":2}') == ["bothsomenoc"]
+
+
+def test_and_returns_value_semantics(spark):
+    # Go: and returns the last arg when all truthy, first falsey otherwise
+    assert _render(spark, "{{and .Log.a .Log.b}}", b'{"a":1,"b":2}') == ["2"]
+    assert _render(spark, "{{or .Log.z .Log.b}}", b'{"b":2}') == ["2"]
+
+
+def test_strftime_in_pipeline_form(spark):
+    [line] = _render(spark, '{{strftime "%Y" .Timestamp}}', b"x")
+    assert line == "2024"
+
+
+def test_missing_key_still_no_value_inside_if_body(spark):
+    t = "{{if .Log.a}}[{{.Log.missing}}]{{end}}"
+    assert _render(spark, t, b'{"a":1}') == [f"[{NO_VALUE}]"]
+
+
+def test_variant_engine_matches_string_engine(spark):
+    payload = json.dumps({"user": {"name": "ada"}, "k": 0, "lv": "b"}).encode()
+    t = (
+        '{{if .Log.k}}K{{else if eq .Log.lv "b"}}B{{else}}other{{end}}'
+        "-{{with .Log.user}}{{.name}}{{end}}"
+    )
+    assert _render(spark, t, payload) == _render(spark, t, payload, variant_log=True)
+    assert _render(spark, t, payload) == ["B-ada"]
+
+
+# --- compile errors ----------------------------------------------------
+
+
+def test_range_raises_template_error(spark):
+    with pytest.raises(TemplateError, match="render_fn"):
+        compile_template("{{range .Log.xs}}{{.}}{{end}}")
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "{{if .Log.a}}unclosed",
+        "{{end}}",
+        "{{else}}",
+        "{{if .Log.a}}{{else}}{{else}}x{{end}}",
+        "{{unknownfn .Log.a}}",
+        '{{printf "%d %d" .Log.a}}',  # verb/arg count mismatch
+    ],
+)
+def test_malformed_templates_raise(bad):
+    with pytest.raises(TemplateError):
+        compile_template(bad)
+
+
+def test_whitespace_trim_with_blocks(spark):
+    t = "{{if .Log.a -}}   x   {{- end}}"
+    assert _render(spark, t, b'{"a":1}') == ["x"]
