@@ -181,6 +181,56 @@ def template_conditional_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "template_range_render",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 10 = 0 THEN 'none'
+                ELSE '<' || CAST(event_id % 5 AS VARCHAR) || '><'
+                     || CAST(event_id % 97 AS VARCHAR) || '>'
+           END
+           || '|' || CAST(user_id % 7 AS VARCHAR) || ','
+           || CAST(event_id % 3 AS VARCHAR) || ',' AS line
+    FROM events
+    """,
+    doc="T1 {{range}} (main.go:109: the reference parses the full "
+    "text/template dialect): array iteration with an {{else}} empty "
+    "branch, and object iteration in Go's sorted-key order — compiled to "
+    "transform/array_join higher-order functions (one line per row, no "
+    "row fan-out, no Python). The payload is synthesized from event "
+    "fields so DuckDB can restate the render as string concatenation.",
+)
+def template_range_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.template import compile_template
+
+    tpl = (
+        "{{range .Log.xs}}<{{.}}>{{else}}none{{end}}"
+        "|{{range .Log.m}}{{.}},{{end}}"
+    )
+    compiled = compile_template(tpl)
+    ev = load(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 10 == 0,
+        F.format_string(
+            '{"xs": [], "m": {"b": %d, "a": %d}}',
+            F.col("event_id") % 3,
+            F.col("user_id") % 7,
+        ),
+    ).otherwise(
+        F.format_string(
+            '{"xs": [%d, %d], "m": {"b": %d, "a": %d}}',
+            F.col("event_id") % 5,
+            F.col("event_id") % 97,
+            F.col("event_id") % 3,
+            F.col("user_id") % 7,
+        )
+    )
+    env = ev.select("event_id", payload.alias("LogEntry"))
+    return env.filter(~compiled.error).select(
+        "event_id", compiled.line.alias("line")
+    )
+
+
+@register(
     "lenient_json_classify",
     """
     SELECT event_type,

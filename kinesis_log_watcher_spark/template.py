@@ -20,8 +20,15 @@ constructs plus the control-flow/pipeline core:
 - pipelines ``{{P | cmd args | cmd2}}`` with the text/template built-ins
   ``printf print len not and or eq ne lt le gt ge`` plus ``strftime``;
   a piped value is appended as the final argument of the next command
-- ``{{range}}`` is the one construct NOT compiled (it multiplies rows —
-  inherently a Python/explode path); use ``watcher.watch(render_fn=…)``.
+- ``{{range P}} … {{else}} … {{end}}`` — iterate a JSON array (dot = each
+  element) or object (dot = each value, keys sorted — Go map order); the
+  per-element renders concatenate into the SAME output line, so it
+  compiles to ``transform`` + ``array_join`` (higher-order functions, no
+  row multiplication, no Python). Empty → else branch; range over
+  nil/missing/scalar is a render error (Go reflect semantics). Range
+  *variables* (``{{range $i, $v := …}}``) and ``{{template}}/{{define}}``
+  are the only constructs left to the ``watcher.watch(render_fn=…)``
+  escape hatch.
 
 This compiler turns a template into ONE string Column (the rendered line)
 plus ONE boolean Column (the render-error condition). That reproduces the
@@ -139,8 +146,8 @@ class _Action:
 
 
 @dataclass
-class _Block:  # if / with
-    kind: str  # "if" | "with"
+class _Block:  # if / with / range
+    kind: str  # "if" | "with" | "range"
     pipe: str
     body: list = field(default_factory=list)
     else_: list = field(default_factory=list)
@@ -151,7 +158,8 @@ _KEYWORD_RE = re.compile(r"^(if|else if|else|end|with|range|template|block|defin
 
 def _parse(template: str) -> list:
     """Template text → node tree. Handles {{- -}} whitespace trimming and
-    nested if/with blocks; range/template/define raise TemplateError."""
+    nested if/with/range blocks; template/define (and range variables)
+    raise TemplateError."""
     root: list = []
     # stack entries: (_Block, which_list_currently_filling)
     stack: list[tuple[_Block, list]] = []
@@ -184,14 +192,19 @@ def _parse(template: str) -> list:
             continue
         word = kw.group(1)
         rest = body[kw.end() :].strip()
-        if word in ("range", "template", "block", "define"):
+        if word in ("template", "block", "define"):
             raise TemplateError(
                 f"{{{{{word}}}}} is not compilable to a single-row projection; "
                 "use watcher.watch(render_fn=…) for templates that need it"
             )
-        if word == "if" or word == "with":
+        if word in ("if", "with", "range"):
             if not rest:
                 raise TemplateError(f"{{{{{word}}}}} needs a pipeline")
+            if word == "range" and (":=" in rest or "$" in rest):
+                raise TemplateError(
+                    "range variables ({{range $i, $v := …}}) are not "
+                    "compilable; use watcher.watch(render_fn=…)"
+                )
             blk = _Block(kind=word, pipe=rest)
             emit(blk)
             stack.append((blk, blk.body))
@@ -247,6 +260,9 @@ class _Expr:
     err: Column
     log_parts: list[str] | None = None
     is_timestamp: bool = False
+    # Uncoalesced JSON text of the value (no <no value> substitution) —
+    # what {{range}} parses and {{with}} rebinds dot onto.
+    raw: Column | None = None
 
 
 @dataclass
@@ -255,10 +271,12 @@ class _Ctx:
 
     log_base: list[str] | None = None  # dot = .Log.<base…>  ([] = .Log itself)
     scalar: _Expr | None = None  # dot = a scalar value
+    elem: Column | None = None  # dot = a JSON-text value (range element /
+    # with-bound subtree) — field access parses INTO this column
 
     @property
     def is_root(self) -> bool:
-        return self.log_base is None and self.scalar is None
+        return self.log_base is None and self.scalar is None and self.elem is None
 
 
 _FALSE = None  # placeholder; F.lit needs an active session at call time
@@ -318,6 +336,33 @@ def _compile_log_access(parts: list[str]) -> _Expr:
         truth=_truthy_json(leaf),
         err=error,
         log_parts=list(parts),
+        raw=leaf,
+    )
+
+
+def _json_elem_access(base: Column, parts: list[str]) -> _Expr:
+    """Access relative to a JSON-text column (a range element or a
+    with-bound subtree): ``.`` is the value itself, ``.x.y`` parses into
+    it. Same Go semantics as ``_compile_log_access`` with the element as
+    the root object."""
+    if not parts:
+        return _Expr(
+            col=F.coalesce(base, F.lit(NO_VALUE)),
+            truth=_truthy_json(base),
+            err=_false(),
+            raw=base,
+        )
+    # field access requires the element to be an object (nil/scalar → error)
+    error = F.json_object_keys(base).isNull()
+    for i in range(1, len(parts)):
+        inter = F.get_json_object(base, _json_path(parts[:i]))
+        error = error | F.json_object_keys(inter).isNull()
+    leaf = F.get_json_object(base, _json_path(parts))
+    return _Expr(
+        col=F.coalesce(leaf, F.lit(NO_VALUE)),
+        truth=_truthy_json(leaf),
+        err=error,
+        raw=leaf,
     )
 
 
@@ -349,6 +394,7 @@ def _compile_log_access_variant(parts: list[str]) -> _Expr:
         truth=_truthy_json(leaf),
         err=error,
         log_parts=list(parts),
+        raw=leaf,
     )
 
 
@@ -368,6 +414,7 @@ def _whole_log_expr() -> _Expr:
         truth=parsed_ok,
         err=_false(),
         log_parts=[],
+        raw=F.when(parsed_ok, entry),
     )
 
 
@@ -375,6 +422,8 @@ def _field_expr(path: str, ctx: _Ctx, variant_log: bool) -> _Expr:
     """Resolve ``.``, ``.x``, ``.x.y`` relative to the current dot."""
     parts = path.split(".") if path else []
 
+    if ctx.elem is not None:
+        return _json_elem_access(ctx.elem, parts)
     if ctx.scalar is not None:
         if not parts:
             return ctx.scalar
@@ -636,6 +685,50 @@ def _compile_pipeline(pipe: str, ctx: _Ctx, variant_log: bool) -> _Expr:
     return result
 
 
+def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, Column]:
+    """``{{range P}}body{{else}}alt{{end}}`` → higher-order functions.
+
+    Go reflect semantics over a JSON-decoded payload (main.go:276 decodes
+    into ``interface{}``):
+    - array → iterate elements in order (dot = element)
+    - object → iterate values with keys sorted (Go map range order)
+    - empty array/object → else branch
+    - nil / missing / scalar → render error ("range can't iterate over")
+
+    The per-element bodies land in the SAME rendered line, so this is
+    ``transform`` (body per element) + ``array_join`` (concatenate) +
+    ``exists`` (any-element render error) — all JVM higher-order
+    functions; zero Python, no row fan-out, no shuffle."""
+    target = _compile_pipeline(node.pipe, ctx, variant_log)
+    raw = target.raw if target.raw is not None else target.col
+    arr = F.from_json(raw, "array<string>")
+    obj = F.from_json(raw, "map<string,string>")
+    items = F.when(arr.isNotNull(), arr).otherwise(
+        F.transform(F.array_sort(F.map_keys(obj)), lambda k: F.element_at(obj, k))
+    )
+    rangeable = arr.isNotNull() | obj.isNotNull()
+
+    def body_line(el: Column) -> Column:
+        col, _ = _compile_nodes(node.body, _Ctx(elem=el), variant_log)
+        return col
+
+    def body_err(el: Column) -> Column:
+        _, e = _compile_nodes(node.body, _Ctx(elem=el), variant_log)
+        return e
+
+    rendered = F.array_join(F.transform(items, body_line), "")
+    any_body_err = F.coalesce(F.exists(items, body_err), F.lit(False))
+    nonempty = rangeable & (F.size(items) > 0)
+    else_col, else_err = _compile_nodes(node.else_, ctx, variant_log)
+    seg = F.when(nonempty, rendered).otherwise(else_col)
+    err = (
+        target.err
+        | ~rangeable
+        | F.when(nonempty, any_body_err).otherwise(else_err)
+    )
+    return seg, err
+
+
 def _compile_nodes(nodes: list, ctx: _Ctx, variant_log: bool) -> tuple[Column, Column]:
     """Node list → (concatenated text Column, error Column)."""
     segments: list[Column] = []
@@ -648,10 +741,17 @@ def _compile_nodes(nodes: list, ctx: _Ctx, variant_log: bool) -> tuple[Column, C
             segments.append(e.col)
             err = err | e.err
         elif isinstance(node, _Block):
+            if node.kind == "range":
+                seg, rerr = _compile_range(node, ctx, variant_log)
+                segments.append(seg)
+                err = err | rerr
+                continue
             cond = _compile_pipeline(node.pipe, ctx, variant_log)
             if node.kind == "with":
-                if cond.log_parts is not None:
+                if cond.log_parts is not None and ctx.is_root:
                     inner_ctx = _Ctx(log_base=cond.log_parts)
+                elif cond.raw is not None:
+                    inner_ctx = _Ctx(elem=cond.raw)
                 else:
                     inner_ctx = _Ctx(scalar=cond)
             else:

@@ -130,8 +130,11 @@ def test_whole_log_renders_json_or_no_value(spark):
 
 
 def test_unsupported_action_raises(spark):
+    # {{template}}/{{define}} stay on the render_fn escape hatch
+    # ({{range}} compiles since the control-flow work — see
+    # test_template_control.py)
     with pytest.raises(TemplateError):
-        compile_template("{{range .Items}}x{{end}}")
+        compile_template('{{template "sub" .}}')
 
 
 def test_unclosed_action_raises(spark):

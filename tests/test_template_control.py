@@ -191,12 +191,97 @@ def test_variant_engine_matches_string_engine(spark):
     assert _render(spark, t, payload) == ["B-ada"]
 
 
+# --- range -------------------------------------------------------------
+
+
+def test_range_scalars(spark):
+    t = "{{range .Log.xs}}[{{.}}]{{end}}"
+    assert _render(spark, t, b'{"xs": [1, 2, 3]}') == ["[1][2][3]"]
+    assert _render(spark, t, b'{"xs": ["a", "b"]}') == ["[a][b]"]
+
+
+def test_range_objects(spark):
+    payload = json.dumps(
+        {"items": [{"name": "x", "n": 1}, {"name": "y", "n": 2}]}
+    ).encode()
+    t = "{{range .Log.items}}{{.name}}={{.n}};{{end}}"
+    assert _render(spark, t, payload) == ["x=1;y=2;"]
+
+
+def test_range_empty_takes_else(spark):
+    t = "{{range .Log.xs}}x{{else}}empty{{end}}"
+    assert _render(spark, t, b'{"xs": []}') == ["empty"]
+    assert _render(spark, t, b'{"xs": [1]}') == ["x"]
+
+
+def test_range_map_iterates_values_keys_sorted(spark):
+    # Go ranges maps in sorted key order, dot = value
+    t = "{{range .Log.m}}{{.}},{{end}}"
+    assert _render(spark, t, b'{"m": {"b": 2, "a": 1, "c": 3}}') == ["1,2,3,"]
+
+
+def test_range_over_missing_or_scalar_drops_row(spark):
+    # Go: range can't iterate over <no value> / a number / a string → error
+    t = "{{range .Log.xs}}x{{end}}"
+    assert _render(spark, t, b'{"other": 1}') == []
+    assert _render(spark, t, b'{"xs": 5}') == []
+    assert _render(spark, t, b'{"xs": "abc"}') == []
+    assert _render(spark, t, b'{"xs": null}') == []
+
+
+def test_range_null_element_renders_no_value(spark):
+    t = "{{range .Log.xs}}[{{.}}]{{end}}"
+    assert _render(spark, t, b'{"xs": [1, null]}') == [f"[1][{NO_VALUE}]"]
+
+
+def test_range_body_field_on_scalar_elem_drops_row(spark):
+    t = "{{range .Log.xs}}{{.name}}{{end}}"
+    assert _render(spark, t, b'{"xs": [1, 2]}') == []
+
+
+def test_nested_range(spark):
+    payload = json.dumps({"rows": [{"c": [1, 2]}, {"c": [3]}]}).encode()
+    t = "{{range .Log.rows}}({{range .c}}{{.}}.{{end}}){{end}}"
+    assert _render(spark, t, payload) == ["(1.2.)(3.)"]
+
+
+def test_range_inside_if_and_if_inside_range(spark):
+    payload = json.dumps({"xs": [1, 0, 2]}).encode()
+    t = "{{if .Log.xs}}{{range .Log.xs}}{{if .}}+{{else}}-{{end}}{{end}}{{end}}"
+    assert _render(spark, t, payload) == ["+-+"]
+
+
+def test_range_nested_object_elements(spark):
+    payload = json.dumps({"items": [{"u": {"id": 7}}, {"u": {"id": 8}}]}).encode()
+    t = "{{range .Log.items}}{{.u.id}} {{end}}"
+    assert _render(spark, t, payload) == ["7 8 "]
+
+
+def test_range_variant_engine_parity(spark):
+    payload = json.dumps({"xs": [3, 1], "m": {"k": "v"}}).encode()
+    t = "{{range .Log.xs}}[{{.}}]{{end}}|{{range .Log.m}}{{.}}{{end}}"
+    assert _render(spark, t, payload) == _render(spark, t, payload, variant_log=True)
+    assert _render(spark, t, payload) == ["[3][1]|v"]
+
+
+def test_range_whitespace_trim(spark):
+    t = "{{range .Log.xs -}} {{.}} {{- end}}"
+    assert _render(spark, t, b'{"xs": [1, 2]}') == ["12"]
+
+
+def test_range_variables_raise(spark):
+    with pytest.raises(TemplateError, match="render_fn"):
+        compile_template("{{range $i, $v := .Log.xs}}{{$v}}{{end}}")
+
+
 # --- compile errors ----------------------------------------------------
 
 
-def test_range_raises_template_error(spark):
+def test_template_define_raise(spark):
     with pytest.raises(TemplateError, match="render_fn"):
-        compile_template("{{range .Log.xs}}{{.}}{{end}}")
+        compile_template('{{template "x" .}}')
+    with pytest.raises(TemplateError):
+        compile_template('{{define "x"}}y{{end}}')
 
 
 @pytest.mark.parametrize(
