@@ -239,50 +239,84 @@ def connected_components(
     """Turn a near-dup pair list into dedup clusters: (node, component)
     where component = min doc id reachable — the canonical survivor.
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels; converges in O(graph
-    diameter) rounds, and near-dup graphs are shallow (clusters are
-    near-cliques), so this terminates in a handful of rounds. Each round
-    is one equi-join + one aggregate; localCheckpoint truncates the plan
-    between rounds so lineage doesn't grow (the standard Spark iterative
-    pattern — at extreme graph sizes you'd switch to the alternating
-    large-star/small-star formulation, same join/agg building blocks).
+    Alternating large-star / small-star (the published MapReduce
+    connected-components formulation — Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round rewires
+    every node toward the minimum of its neighborhood, halving the
+    remaining tree height, so convergence is O(log²) rounds in the worst
+    case (O(log) in practice) — independent of graph DIAMETER. A
+    100M-node path graph converges in ~30 rounds where per-hop min-label
+    propagation would need 100M. Each half-round is one groupBy-min +
+    one equi-join; localCheckpoint truncates lineage between rounds.
 
-    The convergence check is a driver-side count per round — bounded by
-    max_iter, and each check is a cheap aggregate, not a collect of data.
+    The convergence check is a driver-side count of changed edges per
+    round — a cheap aggregate, never a data collect — and ``max_iter``
+    (25 ≫ log²(any realistic graph)) bounds the loop.
     """
     # Materialize the pair computation ONCE before fanning into the
     # forward+reverse union (two lazy references would evaluate the
     # upstream near-dup query twice inside one job).
-    fwd = pairs.select(
-        F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    ).localCheckpoint()
-    edges = fwd.unionAll(
-        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=False)
-    labels = (
-        edges.select(F.col("a").alias("node"))
+    fwd = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint()
+    )
+    nodes = (
+        fwd.select(F.col("u").alias("node"))
+        .unionAll(fwd.select(F.col("v").alias("node")))
         .distinct()
-        .withColumn("lbl", F.col("node"))
+    )
+    # orient big→small; the loop invariant keeps v < u for every edge
+    edges = (
+        fwd.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
-        nbr = edges.join(
-            labels.select(F.col("node").alias("a"), "lbl"), "a"
-        ).select(F.col("b").alias("node"), "lbl")
-        new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
+        # large-star: every neighbor bigger than u links to
+        # min(Γ(u) ∪ {u}); strictly-smaller neighbors keep u's subtree
+        # connected via the small-star half-round.
+        sym = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", "u").alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: edges are (u, v<u); every v in Γ(u) ∪ {u} links to
+        # the minimum of that set (self-loops dropped).
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .unionAll(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
             .localCheckpoint(eager=False)
         )
         changed = (
-            new_labels.join(labels.withColumnRenamed("lbl", "old"), "node")
-            .filter(F.col("lbl") != F.col("old"))
+            small.unionAll(edges)
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") == 1)
             .count()
         )
-        labels = new_labels
+        edges = small
         if changed == 0:
             break
+    # fixpoint is a star forest: every non-root points straight at its
+    # component minimum; roots (the minima) have no outgoing edge.
+    labels = nodes.join(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("root")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("root", "node").alias("lbl"))
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "lbl")

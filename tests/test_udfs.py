@@ -107,6 +107,57 @@ def test_connected_components_chain_and_pair(spark):
     }
 
 
+def test_connected_components_deep_chain(spark):
+    """A 201-node path graph: diameter (200) far exceeds max_iter (25).
+    The alternating large-star/small-star rounds halve tree height, so
+    this converges in O(log) rounds — per-hop label propagation would
+    silently return partial labels here."""
+    from kinesis_log_watcher_spark.operators.dedup import connected_components
+
+    n = 201
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    rows = connected_components(pairs).collect()
+    assert len(rows) == n
+    assert all(r.component == 0 and r.cluster_size == n for r in rows)
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    """Star-contraction output equals a driver-side union-find on the
+    same edge list (seeded random graph with several components)."""
+    import random
+
+    from kinesis_log_watcher_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    nodes = list(range(120))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(90)
+    ]
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    # canonical label = min node id per component, only for edge-touched nodes
+    touched = {v for e in edges for v in e if e[0] != e[1]}
+    comp: dict[int, int] = {}
+    for v in touched:
+        root = find(v)
+        comp[root] = min(comp.get(root, v), v)
+    expect = {v: comp[find(v)] for v in touched}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert got == expect
+
+
 def test_cosine_topk_fast_exact_parity(spark):
     """The fast ANN path's doubles are deterministic: zip_with/aggregate
     folds left-to-right, so a Python left-fold reproduces them bit-for-
