@@ -201,7 +201,9 @@ def watch(
     sink=print,
     reporter: RenderErrorReporter | None = None,
     render_fn=None,
-) -> StreamingQuery | list[str]:
+    max_lines: int | None = None,
+    distributed_sink=None,
+) -> StreamingQuery | list[str] | None:
     """Run the watcher.
 
     Batch input → returns the rendered lines (list[str], collected).
@@ -210,6 +212,19 @@ def watch(
     / ``stop()`` — the reference's SIGINT path, main.go:191-208).
     ``render_fn`` routes rendering through the Python escape hatch for
     templates beyond the compiled dialect (slow path).
+
+    Driver-memory bounds (default stays reference-faithful — the
+    reference streams every line to one stdout, main.go:288-292):
+
+    - ``max_lines=N``: at most N rendered lines ever reach the driver.
+      Batch mode plans a CollectLimit (executors stop early); streaming
+      mode caps each micro-batch's collect.
+    - ``distributed_sink=fn``: batch mode emits on the EXECUTORS —
+      ``fn(iter_of_lines)`` runs once per partition via
+      ``foreachPartition`` and the driver never materializes a single
+      line (the 100×-scale path; ``fn`` must be picklable). Returns
+      None; render-error totals still reach ``reporter`` via an
+      aggregate (a count, not a collect).
     """
     reporter = reporter or RenderErrorReporter()
     lines = build_lines(
@@ -217,7 +232,27 @@ def watch(
         render_fn=render_fn,
     )
 
+    def observe_errors_via_agg(df: DataFrame) -> None:
+        """Error count + first sample as a tiny aggregate row — never a
+        data collect."""
+        stats = (
+            df.filter(F.col("_render_error"))
+            .agg(F.count("*").alias("n"), F.first("line").alias("sample"))
+            .collect()[0]
+        )
+        if stats["n"]:
+            reporter.observe(stats["n"], stats["sample"])
+
     if not lines.isStreaming:
+        ok = lines.filter(~F.col("_render_error")).select("line")
+        if distributed_sink is not None:
+            observe_errors_via_agg(lines)
+            fn = distributed_sink
+            ok.foreachPartition(lambda it: fn(r["line"] for r in it))
+            return None
+        if max_lines is not None:
+            observe_errors_via_agg(lines)
+            return [r["line"] for r in ok.limit(max_lines).collect()]
         rows = lines.collect()
         bad = [r for r in rows if r["_render_error"]]
         if bad:
@@ -225,6 +260,18 @@ def watch(
         return [r["line"] for r in rows if not r["_render_error"]]
 
     def emit_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if max_lines is not None:
+            observe_errors_via_agg(batch_df)
+            rows = (
+                batch_df.filter(~F.col("_render_error"))
+                .limit(max_lines)
+                .collect()
+            )
+            for r in rows:
+                sink(r["line"])
+            if sink is print:
+                sys.stdout.flush()
+            return
         rows = batch_df.collect()
         n_err = sum(1 for r in rows if r["_render_error"])
         if n_err:

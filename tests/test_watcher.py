@@ -199,3 +199,67 @@ def test_per_shard_order_preserved(spark, tmp_path):
     assert len(by_shard) == 4
     for shard, seqs in by_shard.items():
         assert seqs == sorted(seqs), f"shard {shard} out of order"
+
+
+def test_watch_max_lines_bounds_driver(spark):
+    """max_lines plans a CollectLimit: at most N rendered lines reach the
+    driver, and render errors are still counted via an aggregate."""
+    records = kinesis_records_fixture(spark, n_records=400)
+    rep = RenderErrorReporter()
+    lines = watch(records, max_lines=10, reporter=rep)
+    assert len(lines) == 10
+    # errors still observed (the fixture includes non-JSON payloads that
+    # error under a .Log template)
+    rep2 = RenderErrorReporter()
+    got = watch(records, template="{{.Log.msg}}", max_lines=5, reporter=rep2)
+    assert len(got) <= 5
+    assert rep2.dropped_rows > 0
+
+
+def test_watch_distributed_sink_emits_on_executors(spark, tmp_path):
+    """distributed_sink routes emission through foreachPartition — the
+    driver materializes no lines (watch returns None); every rendered
+    line lands via the executor-side sink."""
+    import glob
+    import os
+
+    out_dir = tmp_path / "emitted"
+    out_dir.mkdir()
+    out = str(out_dir)
+
+    def partition_sink(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        with open(os.path.join(out, f"p{pid:05d}.txt"), "a") as f:
+            for line in it:
+                f.write(line + "\n")
+
+    records = kinesis_records_fixture(spark, n_records=200)
+    expected = watch(records)  # reference-faithful collect path
+    rep = RenderErrorReporter()
+    ret = watch(records, distributed_sink=partition_sink, reporter=rep)
+    assert ret is None
+    emitted = []
+    for path in glob.glob(os.path.join(out, "p*.txt")):
+        with open(path) as f:
+            emitted.extend(ln.rstrip("\n") for ln in f)
+    assert sorted(emitted) == sorted(expected)
+
+
+def test_streaming_max_lines_caps_each_batch(spark, tmp_path):
+    """Streaming mode with max_lines collects at most N lines per
+    micro-batch."""
+    src = tmp_path / "records"
+    write_fixture_parquet(spark, str(src), n_records=60)
+    got: list[str] = []
+    q = watch(
+        read_raw_records_stream(spark, str(src)),
+        one_shot=True,
+        max_lines=7,
+        sink=got.append,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert 0 < len(got) <= 7
