@@ -2,12 +2,20 @@
 
 The Spark-side plumbing is real and tested — binary columns move through
 Arrow record batches into Pandas UDFs (`mapInPandas`), the schema is
-typed, and the batch shape is what a decoder needs. The *decoders*
-themselves are stubbed: the image/audio libraries are not in this
-container, so `decode_image`/`decode_audio` raise NotImplementedError and
-the deterministic `fake_image_meta` path stands in for them in tests and
-oracle-checked queries (its outputs are pure arithmetic on the byte
-length, so a SQL oracle can verify the plumbing end-to-end).
+typed, and the batch shape is what a decoder needs.
+
+The decoders are real too, within what the standard library can express
+(no imaging package ships in this container): ``decode_image`` /
+``resize_image`` decode and nearest-neighbor-resample actual PNGs
+(functions/imagecodec.py implements the public PNG spec — zlib inflate +
+the five scanline filters), and ``decode_audio`` reads WAV PCM via
+stdlib ``wave``. Formats beyond PNG/WAV (JPEG, MP3, H.264 …) need a
+native library and raise ValueError → the row lands on the error path,
+exactly like a corrupt blob. The deterministic ``fake_*`` kernels remain
+the default for the SQL-oracle-checked queries (a DuckDB oracle can't
+run a PNG codec), and the real kernels are swapped in via the same
+``decode=`` / ``resize_fn=`` / ``frame_fn=`` seams they were designed
+for.
 
 Scale: mapInPandas streams Arrow batches per partition — no row-at-a-time
 Python, no driver involvement; a 100 TB binary column processes as
@@ -23,20 +31,27 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kinesis_log_watcher_spark.functions.imagecodec import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    resize_nearest,
+)
+
 IMAGE_META_SCHEMA = (
     "doc_id bigint, n_bytes bigint, width bigint, height bigint, "
     "channels bigint, mean_val double"
 )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """REAL decoder stub: needs an image library (PIL/cv2) not present in
-    this environment. The mapInPandas plumbing around it is tested via
-    fake_image_meta."""
-    raise NotImplementedError(
-        "image decoding requires an imaging library; install one and swap "
-        "this stub into image_metadata(decode=...)"
-    )
+def decode_image(payload: bytes) -> tuple[int, int, int, int, float]:
+    """REAL image decoder (PNG, pure stdlib — functions/imagecodec.py):
+    returns (n_bytes, width, height, channels, mean pixel value in
+    [0, 1]). Non-PNG payloads raise ValueError (the corrupt-blob path).
+    Swap into ``image_metadata(decode=decode_image)``."""
+    width, height, channels, pixels = decode_png(payload)
+    mean = (sum(pixels) / len(pixels)) / 255.0 if pixels else 0.0
+    return len(payload), width, height, channels, mean
 
 
 def fake_image_meta(payload: bytes) -> tuple[int, int, int, int, float]:
@@ -52,13 +67,13 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
 
 
-def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover - stub
-    """REAL resize stub: needs an imaging library. Swap into
-    resize_images(resize_fn=...) — same signature as fake_resize."""
-    raise NotImplementedError(
-        "image resize requires an imaging library; swap this stub into "
-        "resize_images(resize_fn=...)"
-    )
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL image resize (PNG in → PNG out): decode, nearest-neighbor
+    resample on actual pixels, re-encode. Same signature as fake_resize;
+    swap into ``resize_images(resize_fn=resize_image)``."""
+    w, h, ch, pixels = decode_png(payload)
+    return encode_png(resize_nearest(pixels, w, h, ch, width, height),
+                      width, height, ch)
 
 
 def fake_resize(payload: bytes, width: int, height: int) -> bytes:
@@ -102,14 +117,20 @@ def resize_images(
     return df.select("doc_id", "payload").mapInPandas(transform, RESIZED_SCHEMA)
 
 
-def decode_audio(payload: bytes):  # pragma: no cover - stub
-    """REAL audio decoder stub: needs an audio library (soundfile/librosa
-    not in this container). Frame extraction plumbing is exercised by
-    frame_samples with the deterministic byte-window stand-in."""
-    raise NotImplementedError(
-        "audio decoding requires an audio library; swap this stub into "
-        "frame_samples(frame_fn=...)"
-    )
+def decode_audio(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """REAL audio decoder (WAV/PCM via stdlib ``wave``): returns
+    (channels, sample_width, frame_rate, n_frames, pcm). Non-WAV
+    payloads raise ValueError. Compressed formats (MP3/AAC/…) need a
+    native codec library."""
+    return decode_wav(payload)
+
+
+def wav_frame_fn(payload: bytes, frame_bytes: int, stride: int):
+    """REAL frame extractor for WAV payloads: decodes the PCM stream,
+    then windows it exactly like fake_frame_fn windows raw bytes — swap
+    into ``frame_samples(frame_fn=wav_frame_fn)``."""
+    _ch, _sw, _rate, _n, pcm = decode_wav(payload)
+    return fake_frame_fn(pcm, frame_bytes, stride)
 
 
 FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_md5 string"

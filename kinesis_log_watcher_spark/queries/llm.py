@@ -724,6 +724,75 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_roundtrip",
+    """
+    SELECT d.doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           (SELECT AVG((d.doc_id * 31 + i) % 256) FROM range(192) t(i))
+             / 255.0 AS mean_val,
+           (SELECT AVG((d.doc_id * 31
+                        + ((2 * (i // 12) * 8 + 2 * ((i % 12) // 3)) * 3
+                           + i % 3)) % 256)
+            FROM range(48) t(i)) / 255.0 AS resized_mean
+    FROM documents d
+    WHERE d.doc_id < 200
+    """,
+    doc="REAL image codec end-to-end (functions/imagecodec.py, pure-"
+    "stdlib PNG per the public spec): pixels synthesized from doc_id → "
+    "encode_png → decode_image (zlib inflate + unfilter) → "
+    "resize_image (decode, nearest-neighbor on real pixels, re-encode) "
+    "→ decode again. The pixel formula is arithmetic on doc_id, so the "
+    "SQL oracle recomputes every decoded width/height/channel/mean — "
+    "including the mean AFTER resize (nearest-neighbor index mapping "
+    "restated in SQL). All stages are Arrow-batched mapInPandas.",
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from kinesis_log_watcher_spark.functions.imagecodec import encode_png
+    from kinesis_log_watcher_spark.operators.multimodal import (
+        decode_image,
+        image_metadata,
+        resize_image,
+        resize_images,
+    )
+
+    w = h = 8
+    ch = 3
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    bytes((int(d) * 31 + i) % 256 for i in range(w * h * ch)),
+                    w, h, ch,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+    imgs = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    meta = image_metadata(imgs, decode=decode_image).select(
+        "doc_id", "width", "height", "channels", "mean_val"
+    )
+    resized = resize_images(imgs, width=4, height=4, resize_fn=resize_image)
+    rmeta = image_metadata(
+        resized.select("doc_id", F.col("resized").alias("payload")),
+        decode=decode_image,
+    ).select("doc_id", F.col("mean_val").alias("resized_mean"))
+    return meta.join(rmeta, "doc_id")
+
+
+@register(
     "ann_cosine_topk_fast",
     None,  # double-precision fold ≠ decimal oracle → rows-only check;
            # tests/test_udfs.py pins exact parity with a Python left-fold
