@@ -188,9 +188,10 @@ def test_cosine_topk_fast_exact_parity(spark):
         assert r.cosine == exp, (r.q_id, r.neighbor_id)
 
 
-def test_multimodal_stubs_and_custom_decoder(spark):
-    """Real decoders are stubbed (NotImplementedError with guidance); the
-    mapInPandas plumbing accepts a swapped-in decoder."""
+def test_multimodal_decoders_and_custom_decoder(spark):
+    """Real decoders reject non-decodable payloads (ValueError — the
+    corrupt-blob path; see test_multimodal_codec.py for decode success);
+    the mapInPandas plumbing accepts a swapped-in decoder."""
     import pytest as _pytest
 
     from kinesis_log_watcher_spark.operators.multimodal import (
@@ -201,10 +202,10 @@ def test_multimodal_stubs_and_custom_decoder(spark):
         with_binary_payload,
     )
 
-    for stub, args in ((decode_image, (b"x",)), (decode_audio, (b"x",)),
-                       (resize_image, (b"x", 8, 8))):
-        with _pytest.raises(NotImplementedError):
-            stub(*args)
+    for decoder, args in ((decode_image, (b"x",)), (decode_audio, (b"x",)),
+                          (resize_image, (b"x", 8, 8))):
+        with _pytest.raises(ValueError):
+            decoder(*args)
 
     docs = spark.createDataFrame([(1, "abc"), (2, "defg")], "doc_id long, text string")
 
