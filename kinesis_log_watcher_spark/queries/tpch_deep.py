@@ -583,3 +583,357 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_custs"),
         dsum(F.col("c_acctbal")).alias("total_bal"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q6 — pure scan-aggregate revenue delta (no joins: the pushdown showcase)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "forecast_revenue_delta",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
+             AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 analogue: single-table scan-aggregate — every predicate "
+    "pushes into the parquet scan and the projection reads 4 columns; at "
+    "100 TB this is the I/O-bound showcase (no shuffle at all, one "
+    "map-side partial + one 1-row exchange).",
+)
+def forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(dec(F.col("l_extendedprice"), 9, 2) * dec(F.col("l_discount"), 3, 2))
+        .cast("double")
+        .alias("revenue_delta"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — profit by supplier nation × ship year over a name-matched part set
+# --------------------------------------------------------------------------
+
+
+@register(
+    "nation_year_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(year(l_shipdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                      * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                    - CAST(p_retailprice AS DECIMAL(9,2))
+                      * CAST(l_quantity AS DECIMAL(4,1))
+                      * CAST(0.05 AS DECIMAL(3,2))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 analogue (no partsupp table: supply cost proxied as 5% "
+    "of retail price × quantity, in exact decimal). Plan: the LIKE-"
+    "filtered part set, supplier, and nation all broadcast — the fact "
+    "table shuffles once, for the final (nation, year) aggregate.",
+)
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    profit = _disc_price() - dec(F.col("p_retailprice"), 9, 2) * dec(
+        F.col("l_quantity"), 4, 1
+    ) * F.lit(0.05).cast("decimal(3,2)")
+    j = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — parts whose lineitem value exceeds a global-total threshold
+# --------------------------------------------------------------------------
+
+
+@register(
+    "important_part_values",
+    f"""
+    WITH pv AS (
+      SELECT l_partkey, SUM({_DISC_SQL}) AS val
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM pv
+    WHERE val > (SELECT SUM({_DISC_SQL}) * 0.0006 FROM lineitem)
+    """,
+    doc="TPC-H Q11 analogue: per-group aggregate filtered against a "
+    "global-aggregate threshold (uncorrelated scalar subquery). Plan: "
+    "both aggregates are map-side partial; the 1-row global total "
+    "broadcasts into the filter — no second pass over the fact table "
+    "for the comparison.",
+)
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(F.sum(_disc_price()).alias("val"))
+    total = li.agg(
+        (F.sum(_disc_price()) * F.lit(0.0006).cast("decimal(5,4)")).alias("threshold")
+    )
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("val") > F.col("threshold"))
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — conditional (high/low priority) line counts per return flag
+# --------------------------------------------------------------------------
+
+
+@register(
+    "returnflag_priority_lines",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_tax > 0.04
+    GROUP BY l_returnflag
+    """,
+    doc="TPC-H Q12 analogue (no shipmode column: return flag groups, tax "
+    "band filters): fact⋈fact equi-join with the filter pushed to the "
+    "lineitem scan, conditional aggregation via CASE inside SUM — one "
+    "shuffle for the join, map-side partial for the 3-group agg.",
+)
+def returnflag_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_tax") > 0.04)
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution (left join + double aggregate)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 analogue: LEFT OUTER join with a join-condition filter "
+    "(not a WHERE — zero-order customers must survive), COUNT over a "
+    "nullable key, then a second aggregate over the first's output. The "
+    "histogram shape: two shuffles total, the second over tiny data.",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    c_orders = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier(s) by quarterly revenue (agg-max scalar filter)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "top_supplier_revenue",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no, SUM({_DISC_SQL}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15 analogue: quarterly revenue per supplier, then keep "
+    "the max (ties kept — exact decimal comparison, so the 'view used "
+    "twice' shape is deterministic). Plan: one fact aggregate reused for "
+    "both the max scalar and the filter; supplier broadcasts.",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_disc_price()).alias("total_rev"))
+        .localCheckpoint(eager=False)  # reuse: max scalar + filter, one compute
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — distinct supplier counts per part attribute, excluding bad suppliers
+# --------------------------------------------------------------------------
+
+
+@register(
+    "part_supplier_counts",
+    """
+    SELECT p_brand, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_type <> 'ECONOMY'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+    doc="TPC-H Q16 analogue (lineitem stands in for partsupp): COUNT "
+    "DISTINCT per (brand, size) with a NOT-IN exclusion — compiled as a "
+    "broadcast anti-join against the (tiny) negative-balance supplier "
+    "set, part broadcast, distinct-agg two-phase (partial distinct "
+    "map-side before the exchange).",
+)
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who alone held up multi-supplier orders
+# --------------------------------------------------------------------------
+
+
+@register(
+    "waiting_supplier_ranking",
+    """
+    WITH late_lines AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'),
+    marked AS (
+      SELECT l_orderkey, l_suppkey, is_late,
+             COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey)
+               AS n_supp,
+             COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+               OVER (PARTITION BY l_orderkey) AS n_late_supp
+      FROM late_lines)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM marked JOIN supplier ON s_suppkey = l_suppkey
+    WHERE is_late AND n_supp > 1 AND n_late_supp = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+    doc="TPC-H Q21 analogue (late = shipped >90d after order date): the "
+    "EXISTS (another supplier in the order) / NOT EXISTS (another LATE "
+    "supplier) pair rewritten as per-order distinct counts over a window "
+    "— ONE pass over the fact join instead of two correlated self-joins; "
+    "same rows by construction (a late line is 'alone late' iff "
+    "n_late_supp = 1). Top-10 with name tiebreak.",
+)
+def waiting_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    lines = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .alias("is_late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    marked = lines.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        marked.filter(
+            F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )

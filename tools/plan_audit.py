@@ -50,6 +50,8 @@ ALLOWED_BNLJ = {
     "orders_tier_range_join": "tiny interval dim, non-equi by design",
     # uncorrelated scalar subquery: 1-row broadcast threshold
     "idle_rich_customers": "1-row scalar-subquery broadcast",
+    "important_part_values": "1-row scalar-subquery broadcast",
+    "top_supplier_revenue": "1-row scalar-subquery broadcast",
     # brute-force ANN baseline: small broadcast query set vs the index
     # (the scale path is ann_ivf_topk — cell-pruned equi-join)
     "ann_cosine_topk_fast": "broadcast query set, brute-force baseline",
