@@ -793,6 +793,112 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_meta",
+    """
+    SELECT d.doc_id,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(2 AS BIGINT) AS sample_width,
+           CAST(16000 AS BIGINT) AS frame_rate,
+           CAST(64 AS BIGINT) AS n_frames,
+           (SELECT AVG((d.doc_id * 17 + i) % 256) FROM range(128) t(i))
+             AS pcm_mean
+    FROM documents d
+    WHERE d.doc_id < 200
+    """,
+    doc="REAL audio codec end-to-end (stdlib wave): PCM synthesized from "
+    "doc_id → encode_wav → decode_audio → header metadata (channels/"
+    "width/rate/frames) + PCM byte mean, all restated arithmetically in "
+    "SQL. Arrow-batched mapInPandas, same seam as the image path.",
+)
+def multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from kinesis_log_watcher_spark.functions.imagecodec import encode_wav
+    from kinesis_log_watcher_spark.operators.multimodal import decode_audio
+
+    n_bytes = 128  # 64 frames of 16-bit mono
+
+    def synth_and_decode(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "channels": [], "sample_width": [],
+                   "frame_rate": [], "n_frames": [], "pcm_mean": []}
+            for d in pdf["doc_id"]:
+                pcm = bytes((int(d) * 17 + i) % 256 for i in range(n_bytes))
+                ch, sw, rate, n, got = decode_audio(
+                    encode_wav(pcm, channels=1, sample_width=2,
+                               frame_rate=16000)
+                )
+                out["doc_id"].append(int(d))
+                out["channels"].append(ch)
+                out["sample_width"].append(sw)
+                out["frame_rate"].append(rate)
+                out["n_frames"].append(n)
+                out["pcm_mean"].append(sum(got) / len(got))
+            yield pd.DataFrame(out)
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+    return docs.mapInPandas(
+        synth_and_decode,
+        "doc_id bigint, channels bigint, sample_width bigint, "
+        "frame_rate bigint, n_frames bigint, pcm_mean double",
+    )
+
+
+@register(
+    "embedding_int8_quantize",
+    """
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))) AS s
+      FROM embeddings),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                e -> CAST(floor(CAST(e AS DOUBLE) / s * 127 + 0.5)
+                          AS BIGINT)) AS qv
+      FROM scaled WHERE s > 0)
+    SELECT vec_id,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           CAST(list_min(qv) AS BIGINT) AS q_min
+    FROM q
+    """,
+    doc="Symmetric int8 embedding quantization (the storage/serving "
+    "compression step of an embedding pipeline): per-vector scale = "
+    "max|x|, q = floor(x/s*127 + 0.5) — the engine-portable half-up "
+    "convention (see quantize() in operators/similarity.py; round() "
+    "half-even ties differ across engines). All higher-order functions "
+    "(transform/array_max/aggregate) — JVM-side, no UDF, narrow "
+    "projection, zero shuffle.",
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda e: e.cast("double"))
+    s = F.array_max(F.transform(dbl, F.abs))
+    q = F.transform(
+        dbl, lambda e: F.floor(e / F.col("s") * 127 + F.lit(0.5)).cast("long")
+    )
+    return (
+        emb.withColumn("s", s)
+        .filter(F.col("s") > 0)
+        .withColumn("qv", q)
+        .select(
+            "vec_id",
+            F.aggregate(
+                "qv", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("q_sum"),
+            F.array_max("qv").alias("q_max"),
+            F.array_min("qv").alias("q_min"),
+        )
+    )
+
+
+@register(
     "ann_cosine_topk_fast",
     None,  # double-precision fold ≠ decimal oracle → rows-only check;
            # tests/test_udfs.py pins exact parity with a Python left-fold

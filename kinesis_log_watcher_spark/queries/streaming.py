@@ -119,3 +119,22 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.streaming.joins import run_stream_stream_join
 
     return run_stream_stream_join(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "stream_exact_dedup",
+    """
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    """,
+    doc="Streaming exact dedup: dropDuplicates over a replayed stream — "
+    "per-key state suppresses every later duplicate; the surviving key "
+    "set equals batch SELECT DISTINCT (key-only projection keeps the "
+    "result order-independent). The watermark-bounded variant "
+    "(dropDuplicatesWithinWatermark) is pinned in "
+    "tests/test_streaming_dedup.py (streaming/windows.py).",
+)
+def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.windows import run_streaming_dedup
+
+    return run_streaming_dedup(spark, f"{sf_dir}/events.parquet")

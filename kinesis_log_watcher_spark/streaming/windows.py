@@ -115,3 +115,42 @@ def run_session_windows(
     )
     q.awaitTermination(timeout_s)
     return spark.table(name)
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    events_path: str,
+    keys: list[str] | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` over a bounded replay —
+    first arrival per key wins, later duplicates are suppressed by the
+    state store. Output = the distinct key set (key-only projection, so
+    the result is deterministic regardless of which physical row arrived
+    first — the oracle is SELECT DISTINCT).
+
+    At scale: state is one entry per distinct key; with a watermark the
+    ``dropDuplicatesWithinWatermark`` variant bounds the store for
+    unbounded keyspaces (pinned in tests/test_streaming_dedup.py).
+    """
+    import os
+
+    ensure_session_confs(spark)
+    keys = keys or ["user_id", "event_type"]
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    deduped = stream.select(*keys).dropDuplicates(keys)
+    name = f"stream_dedup_{next(_counter)}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)

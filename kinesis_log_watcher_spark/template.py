@@ -703,30 +703,45 @@ def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, 
     raw = target.raw if target.raw is not None else target.col
     arr = F.from_json(raw, "array<string>")
     obj = F.from_json(raw, "map<string,string>")
-    items = F.when(arr.isNotNull(), arr).otherwise(
-        F.transform(F.array_sort(F.map_keys(obj)), lambda k: F.element_at(obj, k))
+    # Normalize both shapes to one element array. Expression-count
+    # discipline matters here: higher-order functions are interpreted
+    # (CodegenFallback — no codegen subexpression elimination), so every
+    # reference to `items`/the fold result re-parses the JSON per row.
+    # coalesce evaluates `arr` ONCE in the common (array) case, and the
+    # fold below is referenced once per output tree via null-encoding.
+    # map branch: sort the (key, value) entry structs (struct ordering is
+    # field-wise → key order) and project values — ONE `obj` reference;
+    # an element_at-per-key lookup would re-parse the map for every key.
+    items = F.coalesce(
+        arr,
+        F.transform(F.array_sort(F.map_entries(obj)), lambda e: e["value"]),
     )
-    rangeable = arr.isNotNull() | obj.isNotNull()
 
-    def body_line(el: Column) -> Column:
-        col, _ = _compile_nodes(node.body, _Ctx(elem=el), variant_log)
-        return col
+    def step(acc: Column, el: Column) -> Column:
+        line, err = _compile_nodes(node.body, _Ctx(elem=el), variant_log)
+        return F.struct(
+            # null accumulator fields mark "no elements yet" — after the
+            # fold, a null text/err means the collection was EMPTY (else
+            # branch), with no separate count needed.
+            F.concat(F.coalesce(acc["text"], F.lit("")), line).alias("text"),
+            (F.coalesce(acc["err"], F.lit(False)) | err).alias("err"),
+        )
 
-    def body_err(el: Column) -> Column:
-        _, e = _compile_nodes(node.body, _Ctx(elem=el), variant_log)
-        return e
-
-    rendered = F.array_join(F.transform(items, body_line), "")
-    any_body_err = F.coalesce(F.exists(items, body_err), F.lit(False))
-    nonempty = rangeable & (F.size(items) > 0)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("boolean").alias("err"),
+    )
+    res = F.aggregate(items, zero, step)
     else_col, else_err = _compile_nodes(node.else_, ctx, variant_log)
-    seg = F.when(nonempty, rendered).otherwise(else_col)
+    seg = F.coalesce(res["text"], else_col)
+    # range over nil/missing/scalar: neither parse succeeds → Go reflect
+    # error ("range can't iterate over …")
     err = (
         target.err
-        | ~rangeable
-        | F.when(nonempty, any_body_err).otherwise(else_err)
+        | (arr.isNull() & obj.isNull())
+        | F.coalesce(res["err"], else_err)
     )
-    return seg, err
+    return seg, F.coalesce(err, F.lit(True))
 
 
 def _compile_nodes(nodes: list, ctx: _Ctx, variant_log: bool) -> tuple[Column, Column]:
