@@ -91,25 +91,33 @@ def asof_join(
     right_ts: str,
     tiebreak: str,
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row (identified by unique ``left_id``),
     the single latest right row with ``right_ts <= left_ts`` on the same
-    key (Spark has no native as-of).
+    key (Spark has no native as-of). ``direction='forward'`` flips the
+    inequality and ranking: the EARLIEST right row with
+    ``right_ts >= left_ts`` (the next-event lookup).
 
     Shape: equi-join on the key + time inequality, then a per-left-row
-    ranking window keeps the newest match (ties broken by ``tiebreak``
-    desc for determinism). One shuffle on the key. For dense per-key
-    history at extreme scale, pre-bucket the right side by time range so
-    the inequality join fans out per bucket instead of per key-history.
-    Unmatched left rows survive with nulls under how='left'."""
+    ranking window keeps the newest (oldest, for forward) match (ties
+    broken by ``tiebreak`` for determinism). One shuffle on the key. For
+    dense per-key history at extreme scale, pre-bucket the right side by
+    time range so the inequality join fans out per bucket instead of per
+    key-history. Unmatched left rows survive with nulls under
+    how='left'."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction == "backward":
+        cond = right[right_ts] <= left[left_ts]
+        order = [F.col(right_ts).desc(), F.col(tiebreak).desc()]
+    else:
+        cond = right[right_ts] >= left[left_ts]
+        order = [F.col(right_ts).asc_nulls_last(), F.col(tiebreak).asc_nulls_last()]
     joined = left.join(
-        right,
-        (left[on] == right[on]) & (right[right_ts] <= left[left_ts]),
-        how,
+        right, (left[on] == right[on]) & cond, how
     ).drop(right[on])
-    w = Window.partitionBy(left_id).orderBy(
-        F.col(right_ts).desc(), F.col(tiebreak).desc()
-    )
+    w = Window.partitionBy(left_id).orderBy(*order)
     # _rn == 1 alone is correct for matched AND unmatched left rows:
     # an unmatched row (all right cols null under how='left') is its own
     # partition of one, so it ranks 1. An extra isNull(tiebreak) escape

@@ -1252,3 +1252,191 @@ def orders_quarterly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice")).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# posexplode (position-preserving lateral view)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_positions",
+    """
+    SELECT doc_id,
+           unnest(range(len(string_split(text, ' ')))) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id < 50
+    """,
+    doc="posexplode: 1→N lateral fan-out that PRESERVES element position "
+    "(the ordinal a plain explode loses). Narrow generator — no shuffle, "
+    "output partitioning inherits the scan. Oracle = DuckDB's aligned "
+    "dual-unnest (values zipped with their range of ordinals).",
+)
+def doc_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+# --------------------------------------------------------------------------
+# salted (skew-safe) join — result parity with the plain equi-join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "salted_user_event_rollup",
+    """
+    WITH d AS (
+      SELECT user_id, COUNT(*) AS user_total
+      FROM events GROUP BY user_id)
+    SELECT e.user_id, e.event_type, d.user_total, COUNT(*) AS n
+    FROM events e JOIN d ON e.user_id = d.user_id
+    GROUP BY 1, 2, 3
+    """,
+    doc="Skew-safe salted join (operators/relational.py salted_join): the "
+    "fact side salts into 16 sub-keys, the dim side explodes 16×, the "
+    "hot key's rows spread across 16 shuffle partitions instead of one "
+    "straggler task. The oracle is the PLAIN join — salting must be "
+    "result-invariant, which is the whole point (AQE skew-split is the "
+    "runtime variant; this is the explicit one for streaming/known-"
+    "pathological keys).",
+)
+def salted_user_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.relational import salted_join
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("user_total"))
+    return (
+        salted_join(ev, dim, "user_id", salt=16)
+        .groupBy("user_id", "event_type", "user_total")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# forward as-of join (next event at or after each order)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "asof_next_event",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate, event_id, ts
+    FROM (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, e.event_id, e.ts,
+             ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                  ORDER BY e.ts ASC, e.event_id ASC) AS rn
+      FROM (SELECT * FROM orders WHERE o_custkey < 50) o
+      LEFT JOIN events e
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+    WHERE rn = 1
+    """,
+    doc="FORWARD as-of join (asof_join direction='forward'): for each "
+    "order, the EARLIEST event at or after the order date by the same "
+    "user — the mirror of asof_latest_order's backward lookup. Same "
+    "shape: one equi-join shuffle + per-left-row ranking window, "
+    "ascending with (ts, event_id) tiebreak.",
+)
+def asof_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50).select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    events = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    out = asof_join(
+        orders,
+        events,
+        on="user_id",
+        left_id="o_orderkey",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        tiebreak="event_id",
+        direction="forward",
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("user_id").alias("o_custkey"),
+        "o_orderdate",
+        "event_id",
+        "ts",
+    )
+
+
+# --------------------------------------------------------------------------
+# file-format round-trips: text/columnar sinks re-read as sources
+# --------------------------------------------------------------------------
+
+_RT_ORACLE = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS revenue,
+           MIN(o_orderdate) AS first_order
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Write orders through a sink format, read it back as a source, and
+    aggregate — byte-faithful round-trip is what makes the oracle (which
+    reads the ORIGINAL parquet) hash-match. Text formats carry the
+    explicit µs timestampFormat (sources/files.py): without it Spark
+    truncates to millis on write."""
+    import tempfile
+
+    from kinesis_log_watcher_spark.sources.files import TEXT_TS_FORMAT
+
+    orders = load(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix=f"rt_{fmt}_") + "/orders"
+    writer = orders.write.mode("overwrite")
+    reader = spark.read.schema(orders.schema)
+    if fmt in ("csv", "json"):
+        writer = writer.option("timestampFormat", TEXT_TS_FORMAT)
+        reader = reader.option("timestampFormat", TEXT_TS_FORMAT)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+        reader = reader.option("header", True)
+    getattr(writer, fmt)(path)
+    back = getattr(reader, fmt)(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("o_totalprice"), 12, 2).alias("revenue"),
+        F.min("o_orderdate").alias("first_order"),
+    )
+
+
+@register(
+    "orders_csv_roundtrip",
+    _RT_ORACLE,
+    doc="CSV sink → CSV source round-trip: header, explicit µs timestamp "
+    "format both directions, schema-applied read (no inference on the "
+    "hot path). The aggregate hash-matches the oracle computed on the "
+    "ORIGINAL parquet — the round-trip lost nothing.",
+)
+def orders_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@register(
+    "orders_json_roundtrip",
+    _RT_ORACLE,
+    doc="JSON-lines sink → source round-trip with explicit µs timestamp "
+    "format (default JSON write truncates timestamps to millis). Same "
+    "original-parquet oracle as the CSV variant.",
+)
+def orders_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@register(
+    "orders_orc_roundtrip",
+    _RT_ORACLE,
+    doc="ORC sink → source round-trip (columnar, typed — no text-format "
+    "timestamp hazards; included so both columnar formats have an "
+    "official correctness row, not just parquet).",
+)
+def orders_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "orc")

@@ -252,6 +252,40 @@ def test_asof_join_edges(spark):
     assert [(r.lid, r.rid) for r in got2] == [(9, 11)]
 
 
+def test_asof_join_forward(spark):
+    """direction='forward': earliest at-or-after match, ascending
+    tiebreak, unmatched survive with nulls."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from kinesis_log_watcher_spark.operators.relational import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, s)
+    left = spark.createDataFrame(
+        [(1, 100, t(9)), (2, 100, t(14)), (3, 200, t(1))],
+        "lid long, k long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, t(9)), (100, 11, t(9)), (100, 12, t(10)), (100, 13, t(13))],
+        "k long, rid long, rts timestamp",
+    )
+    got = {
+        r.lid: r.rid
+        for r in asof_join(
+            left, right, on="k", left_id="lid", left_ts="lts",
+            right_ts="rts", tiebreak="rid", direction="forward",
+        ).collect()
+    }
+    # earliest >= 09:00 is 09:00; exact-ts tie → LOWEST rid (asc)
+    assert got[1] == 10
+    assert got[2] is None     # nothing at or after 14:00
+    assert got[3] is None     # key 200 unmatched
+    with _pytest.raises(ValueError):
+        asof_join(left, right, on="k", left_id="lid", left_ts="lts",
+                  right_ts="rts", tiebreak="rid", direction="sideways")
+
+
 def test_asof_join_null_tiebreak(spark):
     """A matched right row with NULL tiebreak must not leak rank>1
     duplicates: exactly one output row per left row, and the newest-ts
