@@ -134,3 +134,47 @@ def test_q4_semi_join_non_equi_residual(spark, reg):
     plan = plan_of(spark, reg, "late_shipment_priority")
     assert "Semi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_new_tpch_family_plan_shapes(spark, reg):
+    """Round-2 TPC-H additions: same discipline — dims broadcast, at most
+    the expected fact-side SortMergeJoins, never a cartesian."""
+    for name, max_smj in [
+        ("nation_year_profit", 0),       # part/supplier/nation all broadcast
+        ("returnflag_priority_lines", 1),  # orders⋈lineitem fact join
+        ("customer_order_distribution", 1),  # customer⋈orders left join
+        ("part_supplier_counts", 0),     # anti + dim both broadcast
+        ("top_supplier_revenue", 0),     # agg + broadcast max + supplier
+        ("important_part_values", 0),    # agg + 1-row broadcast threshold
+        ("waiting_supplier_ranking", 1),  # lineitem⋈orders fact join
+    ]:
+        plan = plan_of(spark, reg, name)
+        assert "CartesianProduct" not in plan, name
+        n_smj = plan.count("SortMergeJoin")
+        assert n_smj <= max_smj, f"{name}: {n_smj} SortMergeJoins (max {max_smj})"
+
+
+def test_q6_scan_aggregate_no_shuffle_joins(spark, reg):
+    """Q6: pure scan-aggregate — predicates reach the parquet scan
+    (PushedFilters) and the plan contains NO join of any kind."""
+    plan = plan_of(spark, reg, "forecast_revenue_delta")
+    assert "Join" not in plan
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_q21_single_fact_pass(spark, reg):
+    """Q21's exists/not-exists rewrite must read lineitem ONCE (the
+    window computes both per-order counts) — a correlated-subquery plan
+    would scan the fact table two or three times."""
+    plan = plan_of(spark, reg, "waiting_supplier_ranking")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_roundtrip_reads_apply_schema_not_inference(spark, reg):
+    """Format round-trips must read with the applied schema: an
+    inference pass would show up as a second scan job and breaks at
+    100 TB. The aggregate itself stays partial (map-side combine)."""
+    plan = plan_of(spark, reg, "orders_csv_roundtrip")
+    assert "partial" in plan.lower()

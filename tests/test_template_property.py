@@ -211,3 +211,123 @@ def test_short_host_id_matches_go_semantics(spark, keys):
     df = spark.createDataFrame([(k,) for k in keys], "pk string")
     got = [r.s for r in df.select(short_host_id(F.col("pk")).alias("s")).collect()]
     assert got == [go_ref(k) for k in keys]
+
+
+# ---- range property: compiled HOFs vs a Python reference -------------------
+
+_RANGE_CORPUS = [
+    '{"xs":[1,2,3],"m":{"b":2,"a":1},"s":"str","n":5,'
+    '"obj":{"name":"x"},"items":[{"name":"a","k":1},{"name":"b"}],'
+    '"empty":[],"eobj":{},"nested":{"xs":[7,8]},"nullv":null,'
+    '"mixed":[1,"a",null,{"name":"z"},[2]],"deep":[[1,2],[3]]}',
+    '{"xs":"notarray","m":5,"items":{"a":{"name":"q"}},"empty":[0]}',
+    "not json",
+    "{}",
+    '{"xs":[0,"","false","0",true,false],"m":{"only":null}}',
+]
+
+_TARGETS = [
+    "xs", "m", "items", "empty", "eobj", "missing", "s", "n", "obj",
+    "nullv", "mixed", "deep", "nested.xs",
+]
+_BODIES = ["[{{.}}]", "{{.}},", "{{.name}};", "{{if .}}T{{else}}F{{end}}"]
+
+
+def _jtext(v):
+    """The element's raw text as the string engine sees it
+    (get_json_object / from_json array<string> semantics)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (dict, list)):
+        return json.dumps(v, separators=(",", ":"))
+    return str(v)
+
+
+def _truthy_text(t):
+    if t is None or t == "" or t == "false" or t in ("[]", "{}"):
+        return False
+    try:
+        return float(t) != 0.0
+    except ValueError:
+        return True
+
+
+def _ref_range_render(payload_text, target, body, else_text):
+    """Python reference for the compiled range semantics: returns the
+    rendered string, or None for a render-error (dropped row)."""
+    try:
+        payload = json.loads(payload_text)
+    except ValueError:
+        payload = None
+    if not isinstance(payload, dict):
+        return None
+    cur = payload
+    parts = target.split(".")
+    for p in parts[:-1]:
+        cur = cur.get(p) if isinstance(cur, dict) else None
+        if not isinstance(cur, dict):
+            return None
+    leaf = cur.get(parts[-1]) if isinstance(cur, dict) else None
+    if isinstance(leaf, list):
+        items = leaf
+    elif isinstance(leaf, dict):
+        items = [leaf[k] for k in sorted(leaf)]
+    else:
+        return None  # range over nil/missing/scalar: Go reflect error
+    if not items:
+        return else_text or ""
+    out = []
+    for el in items:
+        t = _jtext(el)
+        if body == "[{{.}}]":
+            out.append("[" + (t if t is not None else NO_VALUE) + "]")
+        elif body == "{{.}},":
+            out.append((t if t is not None else NO_VALUE) + ",")
+        elif body == "{{.name}};":
+            if not isinstance(el, dict):
+                return None  # field access on non-object element: error
+            out.append((_jtext(el.get("name")) or NO_VALUE) + ";")
+        else:  # {{if .}}T{{else}}F{{end}}
+            out.append("T" if _truthy_text(t) else "F")
+    return "".join(out)
+
+
+@pytest.fixture(scope="module")
+def range_corpus_df(spark):
+    return spark.createDataFrame(
+        [(i, p) for i, p in enumerate(_RANGE_CORPUS)],
+        "rid long, LogEntry string",
+    ).cache()
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    target=st.sampled_from(_TARGETS),
+    body=st.sampled_from(_BODIES),
+    with_else=st.booleans(),
+)
+def test_range_compiled_equals_reference(spark, range_corpus_df, target, body, with_else):
+    from kinesis_log_watcher_spark.template import compile_template
+
+    else_text = "E" if with_else else None
+    tpl = (
+        "{{range .Log." + target + "}}" + body
+        + ("{{else}}" + else_text if else_text else "")
+        + "{{end}}"
+    )
+    compiled = compile_template(tpl)
+    rows = range_corpus_df.select(
+        "rid", compiled.line.alias("line"), compiled.error.alias("err")
+    ).collect()
+    got = {r.rid: (None if r.err else r.line) for r in rows}
+    exp = {
+        i: _ref_range_render(p, target, body, else_text)
+        for i, p in enumerate(_RANGE_CORPUS)
+    }
+    assert got == exp, tpl
