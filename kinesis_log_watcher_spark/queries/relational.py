@@ -1440,3 +1440,51 @@ def orders_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "orc")
+
+
+# --------------------------------------------------------------------------
+# bucketed co-located join (storage-layout shuffle elimination)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bucketed_order_lineitem_join",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE)
+             AS gross
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Bucketed co-located fact⋈fact join (operators/bucketing.py): "
+    "both tables re-written bucketed (8 buckets, in-bucket sorted) on "
+    "the order key, then joined and aggregated — the join itself plans "
+    "NO Exchange on either side (write-time shuffle amortized across "
+    "every downstream keyed query; the 100 TB join story). Oracle = the "
+    "same join on the original parquet: bucketing must be "
+    "result-invariant. Exchange-freeness is pinned by "
+    "tests/test_bucketing.py; this row pins the results.",
+)
+def bucketed_order_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from kinesis_log_watcher_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    tag = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="bucketed_q_")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    write_bucketed(orders.withColumnRenamed("o_orderkey", "k"),
+                   f"bq_orders_{tag}", "k", n_buckets=8, path=f"{base}/o")
+    write_bucketed(li.withColumnRenamed("l_orderkey", "k"),
+                   f"bq_lineitem_{tag}", "k", n_buckets=8, path=f"{base}/l")
+    j = bucketed_join(spark, f"bq_orders_{tag}", f"bq_lineitem_{tag}", "k")
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        dsum(F.col("l_extendedprice"), 9, 2).alias("gross"),
+    )
