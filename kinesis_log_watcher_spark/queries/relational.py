@@ -1488,3 +1488,109 @@ def bucketed_order_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         dsum(F.col("l_extendedprice"), 9, 2).alias("gross"),
     )
+
+
+# --------------------------------------------------------------------------
+# time-series gap filling (dense hourly series incl. empty buckets)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly_gapfill",
+    """
+    WITH bounds AS (
+      SELECT event_type,
+             date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events GROUP BY 1),
+    hours AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds),
+    counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_start,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT h.event_type, h.hour_start, COALESCE(c.n, 0) AS n
+    FROM hours h
+    LEFT JOIN counts c
+      ON h.event_type = c.event_type AND h.hour_start = c.hour_start
+    """,
+    doc="Time-series gap filling (the time_bucket_gapfill shape): per "
+    "series, generate the dense hourly axis with sequence() + explode "
+    "and left-join the sparse counts so EMPTY hours appear as 0 — the "
+    "operator dashboards/alerting need that a plain GROUP BY can't give. "
+    "The generated axis is tiny (series × hours); the one real shuffle "
+    "is the counts aggregate.",
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour_start"),
+    )
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count("*").alias("n"))
+    return (
+        hours.join(counts, ["event_type", "hour_start"], "left")
+        .select(
+            "event_type",
+            "hour_start",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# retention cohorts (week-over-week distinct-user retention)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "user_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY 1),
+    weeks AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+    joined AS (
+      SELECT f.cohort,
+             CAST((epoch(w.wk) - epoch(f.cohort)) / 604800 AS BIGINT)
+               AS week_k,
+             w.user_id
+      FROM firsts f JOIN weeks w ON f.user_id = w.user_id)
+    SELECT cohort, week_k,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM joined GROUP BY 1, 2
+    """,
+    doc="Retention cohort analysis: users grouped by first-activity week, "
+    "counted distinct in each subsequent week (week_k = exact 7-day "
+    "offsets between week-truncated stamps — engine-portable integer "
+    "division, no week-boundary-crossing semantics). Two aggregates + "
+    "one user-keyed join; every stage shuffles on user or (cohort, "
+    "week) — no skew risk beyond AQE's handling.",
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    joined = firsts.join(weeks, "user_id").select(
+        "cohort",
+        (
+            (F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800
+        ).cast("long").alias("week_k"),
+        "user_id",
+    )
+    return joined.groupBy("cohort", "week_k").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users")
+    )
