@@ -1594,3 +1594,100 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("cohort", "week_k").agg(
         F.count_distinct("user_id").cast("long").alias("n_users")
     )
+
+
+# --------------------------------------------------------------------------
+# gaps-and-islands (consecutive same-value run detection)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "user_event_type_islands",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type IS DISTINCT FROM
+                       LAG(event_type) OVER w THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    islands AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM flagged)
+    SELECT user_id, island_id, event_type,
+           MIN(ts) AS island_start,
+           MAX(ts) AS island_end,
+           COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, island_id, event_type
+    """,
+    doc="Gaps-and-islands: detect runs of CONSECUTIVE same-type events "
+    "per user (state-change sessionization — the SCD2/run-length shape): "
+    "lag() marks run starts, a running sum assigns island ids, then one "
+    "aggregate per island. Two window passes + one aggregate over the "
+    "same (user) partitioning — a single shuffle reused across all "
+    "three stages.",
+)
+def user_event_type_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+        ).otherwise(0).alias("is_start"),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("user_id", "island_id", "event_type").agg(
+        F.min("ts").alias("island_start"),
+        F.max("ts").alias("island_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "json_corrupt_tolerance",
+    """
+    SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey < 1000) AS n_good,
+           CAST(2 AS BIGINT) AS n_bad
+    """,
+    doc="Resilient ingestion: a JSON source containing malformed lines "
+    "reads under PERMISSIVE mode with an explicit _corrupt_record "
+    "column — bad rows are captured, good rows parse, nothing throws "
+    "(the lenient-parse posture of X4 applied at the source level). "
+    "The oracle states the expected good/bad split arithmetically.",
+)
+def json_corrupt_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    d = tempfile.mkdtemp(prefix="corrupt_json_") + "/data"
+    orders.write.mode("overwrite").json(d)
+    with open(os.path.join(d, "zz_corrupt.json"), "w") as f:
+        f.write('this is not json\n{"o_orderkey": 1, "unterminated\n')
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderpriority string, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(d)
+        # Spark disallows referencing ONLY _corrupt_record in a query
+        # (QUERY_ONLY_CORRUPT_RECORD_COLUMN); the documented workaround
+        # is materializing first.
+        .cache()
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n_bad"),
+    )
