@@ -138,3 +138,26 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.streaming.windows import run_streaming_dedup
 
     return run_streaming_dedup(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "stream_sliding_counts",
+    """
+    SELECT date_trunc('hour', ts) - to_hours(o) AS window_start,
+           date_trunc('hour', ts) - to_hours(o) + INTERVAL 2 HOUR
+             AS window_end,
+           event_type,
+           COUNT(*) AS n
+    FROM events, (VALUES (0), (1)) AS t(o)
+    GROUP BY 1, 2, 3
+    """,
+    doc="Sliding event-time windows (2h window, 1h slide) via Structured "
+    "Streaming: every event contributes to exactly 2 overlapping "
+    "windows, which the oracle restates by cross-joining each row with "
+    "offsets {0,1} hours off its truncated hour. Complete-mode replay "
+    "equals the batch double-count (streaming/windows.py).",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.windows import run_sliding_counts
+
+    return run_sliding_counts(spark, f"{sf_dir}/events.parquet")

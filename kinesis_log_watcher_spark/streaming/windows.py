@@ -154,3 +154,47 @@ def run_streaming_dedup(
     )
     q.awaitTermination(timeout_s)
     return spark.table(name)
+
+
+def run_sliding_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Sliding event-time windows over a bounded replay: each event lands
+    in window/slide overlapping windows (2 here). Same AvailableNow →
+    memory-sink plumbing as run_windowed_counts; at scale the identical
+    plan runs with a watermark bounding state to window+lateness."""
+    import os
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+    name = f"sliding_counts_{next(_counter)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)
