@@ -1118,3 +1118,45 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "score", "rank")
     )
+
+
+@register(
+    "cms_user_counts",
+    """
+    WITH ix AS (SELECT unnest(range(4)) AS i),
+    hashed AS (
+      SELECT e.user_id, ix.i,
+             CAST('0x' || substr(md5(CAST(ix.i AS VARCHAR) || ':'
+                  || CAST(e.user_id AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS b
+      FROM events e CROSS JOIN ix),
+    counters AS (SELECT i, b, COUNT(*) AS c FROM hashed GROUP BY 1, 2),
+    keys AS (SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1),
+    probes AS (
+      SELECT k.user_id, k.exact_n, ix.i,
+             CAST('0x' || substr(md5(CAST(ix.i AS VARCHAR) || ':'
+                  || CAST(k.user_id AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS b
+      FROM keys k CROSS JOIN ix)
+    SELECT p.user_id,
+           CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est_n,
+           CAST(MIN(p.exact_n) AS BIGINT) AS exact_n
+    FROM probes p LEFT JOIN counters c ON p.i = c.i AND p.b = c.b
+    GROUP BY p.user_id
+    """,
+    doc="Count-Min Sketch (operators/sketch.py): frequency estimation in "
+    "a 4×64 counter grid — ONE aggregation pass builds it at any input "
+    "size, estimation is a broadcast join against 256 rows, and the "
+    "estimate is provably ≥ exact (collisions only inflate). md5-derived "
+    "row hashes make the grid — hence every estimate — SQL-reproducible; "
+    "the oracle rebuilds it and must match bit-for-bit, exact counts "
+    "included for the error profile.",
+)
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = load(spark, sf_dir, "events")
+    cms = cms_build(ev, "user_id", depth=4, width=64)
+    keys = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    est = cms_estimate(cms, keys, "user_id", depth=4, width=64)
+    return est.join(keys, "user_id").select(
+        "user_id", "est_n", F.col("exact_n").cast("long").alias("exact_n")
+    )

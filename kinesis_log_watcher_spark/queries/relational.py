@@ -1691,3 +1691,62 @@ def json_corrupt_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
         F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n_bad"),
     )
+
+
+# --------------------------------------------------------------------------
+# statistical aggregates from exact-decimal moments (Pearson correlation)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "price_quantity_correlation",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                      * CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                      * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(4,1))
+                      * CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_lines,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS price_qty_corr
+    FROM m
+    """,
+    doc="Pearson correlation the partitioning-independent way: the five "
+    "co-moments accumulate as EXACT decimals (map-side partial sums — "
+    "order never matters), convert to double once, and the closed-form "
+    "formula runs in the same IEEE op order on both engines → "
+    "bit-identical doubles. Spark's built-in corr() streams float "
+    "co-moments and is partitioning-dependent in the last bits — "
+    "unusable under a hash-compare gate.",
+)
+def price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    x = dec(F.col("l_extendedprice"), 9, 2)
+    y = dec(F.col("l_quantity"), 4, 1)
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n_lines"),
+        corr.alias("price_qty_corr"),
+    )

@@ -337,3 +337,34 @@ def test_resize_images_plumbing(spark):
     # padding path repeats the payload; downsampling strides it
     assert bytes(rows[1].resized)[:5] == b"short"
     assert set(bytes(rows[2].resized)) == {ord("x")}
+
+
+def test_cms_overestimates_and_small_exact(spark):
+    """Count-Min property: est >= exact for every key, and with a grid
+    far wider than the keyspace (no collisions) est == exact."""
+    from kinesis_log_watcher_spark.operators.sketch import cms_build, cms_estimate
+
+    import pyspark.sql.functions as _F
+
+    df = spark.createDataFrame(
+        [(k,) for k in [1] * 50 + [2] * 30 + [3] * 7 + [4] * 1],
+        "user_id long",
+    )
+    exact = {1: 50, 2: 30, 3: 7, 4: 1}
+    # tight grid (collisions possible): est >= exact always
+    cms = cms_build(df, "user_id", depth=4, width=4)
+    keys = df.select("user_id").distinct()
+    est = {
+        r["user_id"]: r["est_n"]
+        for r in cms_estimate(cms, keys, "user_id", depth=4, width=4).collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact)
+    # wide grid: 4 keys in 4x1024 buckets -> no collisions -> exact
+    cms_w = cms_build(df, "user_id", depth=4, width=1024)
+    est_w = {
+        r["user_id"]: r["est_n"]
+        for r in cms_estimate(cms_w, keys, "user_id", depth=4, width=1024).collect()
+    }
+    assert est_w == exact
+    # the grid never exceeds depth*width rows
+    assert cms_w.count() <= 4 * 1024
