@@ -1750,3 +1750,88 @@ def price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_lines"),
         corr.alias("price_qty_corr"),
     )
+
+
+# --------------------------------------------------------------------------
+# partitioned-layout write + partition-pruned read (official row)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_partitioned_pruning",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+    doc="Partitioned-directory layout end-to-end: orders written "
+    "partitionBy(o_orderpriority) to a fresh location, read back with a "
+    "partition-column filter — the scan plans PartitionFilters and "
+    "touches 2 of 5 directories (pruning pinned in "
+    "tests/test_partitioned_layout.py; this row pins the results "
+    "against the original-parquet oracle).",
+)
+def orders_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="part_layout_") + "/orders"
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("o_totalprice"), 12, 2).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC-style upsert (apply a change batch via anti-join ∪ union)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_upsert_totals",
+    """
+    WITH applied AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1.1
+                            AS DECIMAL(14,3))
+                  ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                            AS DECIMAL(14,3))
+             END AS price
+      FROM orders)
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(price) AS DOUBLE) AS revenue
+    FROM applied
+    GROUP BY o_orderpriority
+    """,
+    doc="CDC-style upsert on plain parquet (no MERGE INTO in OSS Spark): "
+    "a change batch (10% of orders re-priced +10%, in exact decimal) "
+    "applies as changes ∪ (base ANTI-JOIN changes) — the standard "
+    "rewrite; the anti-join broadcasts when the delta is small, and the "
+    "row count must be invariant. The oracle states the post-upsert "
+    "totals directly with a CASE.",
+)
+def orders_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", dec(F.col("o_totalprice"), 12, 2).alias("price")
+    )
+    changes = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "price", (F.col("price") * F.lit(1.1).cast("decimal(2,1)")).cast("decimal(14,3)")
+    )
+    base_kept = orders.join(
+        F.broadcast(changes.select("o_orderkey")), "o_orderkey", "left_anti"
+    ).withColumn("price", F.col("price").cast("decimal(14,3)"))
+    upserted = changes.unionByName(base_kept)
+    return upserted.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("price").cast("double").alias("revenue"),
+    )

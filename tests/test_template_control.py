@@ -303,3 +303,11 @@ def test_malformed_templates_raise(bad):
 def test_whitespace_trim_with_blocks(spark):
     t = "{{if .Log.a -}}   x   {{- end}}"
     assert _render(spark, t, b'{"a":1}') == ["x"]
+
+
+def test_with_inside_range_body(spark):
+    payload = json.dumps(
+        {"items": [{"name": "a"}, {"k": 1}, {"name": "c"}]}
+    ).encode()
+    t = "{{range .Log.items}}{{with .name}}<{{.}}>{{else}}anon{{end}}{{end}}"
+    assert _render(spark, t, payload) == ["<a>anon<c>"]
