@@ -691,8 +691,9 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     doc="Multimodal plumbing: binary payload → Arrow → mapInPandas "
-    "metadata extraction (deterministic stand-in decoder; real decoder "
-    "stubbed — operators/multimodal.py).",
+    "metadata extraction with the deterministic stand-in kernel (SQL-"
+    "reproducible); the REAL PNG decoder path is oracle-checked by "
+    "multimodal_png_roundtrip (operators/multimodal.py).",
 )
 def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -714,7 +715,8 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Video/audio frame sampling plumbing: binary payload → Arrow → "
     "mapInPandas 1→N frame fan-out (every 4th 32-byte frame, md5 "
-    "summary). Real decoder stubbed (operators/multimodal.py); the "
+    "summary; the REAL WAV frame path is wav_frame_fn, oracle-checked "
+    "via multimodal_wav_meta); the "
     "payload is ASCII so the SQL oracle reproduces byte frames with "
     "substr.",
 )
