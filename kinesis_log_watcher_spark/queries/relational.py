@@ -1781,7 +1781,9 @@ def orders_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     path = tempfile.mkdtemp(prefix="part_layout_") + "/orders"
     orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
-    back = spark.read.parquet(path).filter(
+    # explicit schema: an EMPTY partitioned write leaves nothing to infer
+    # from (and production reads shouldn't pay inference anyway)
+    back = spark.read.schema(orders.schema).parquet(path).filter(
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     )
     return back.groupBy("o_orderpriority").agg(
