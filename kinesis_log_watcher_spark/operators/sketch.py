@@ -72,3 +72,45 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est_n"))
         .withColumnRenamed("k", key_col)
     )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 1024, k: int = 3
+) -> DataFrame:
+    """Bloom filter as a DataFrame of set bit positions: each key sets k
+    md5-derived positions in [0, m_bits). Output is AT MOST m_bits rows
+    whatever the input size — the broadcastable membership summary for a
+    set too large to broadcast exactly. Merge = union-distinct."""
+    rows = df.select(F.col(key_col).alias("key")).withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    )
+    return (
+        rows.select(_bucket(F.col("i"), F.col("key"), m_bits).alias("b"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """Membership test: a key is 'maybe present' iff ALL k of its bit
+    positions are set — no false negatives ever, false positives at the
+    classical (1-e^{-kn/m})^k rate. The bit set broadcasts; probing is a
+    narrow pass over ``keys`` (the 100 TB use: pre-filter a fact table
+    before an expensive join against a non-broadcastable dim)."""
+    probes = keys.select(F.col(key_col).alias("key")).withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    )
+    probes = probes.withColumn("b", _bucket(F.col("i"), F.col("key"), m_bits))
+    hit = probes.join(
+        F.broadcast(bits.withColumn("_set", F.lit(True))), "b", "left"
+    )
+    return (
+        hit.groupBy("key")
+        .agg(F.min(F.coalesce(F.col("_set"), F.lit(False))).alias("bloom_maybe"))
+        .withColumnRenamed("key", key_col)
+    )

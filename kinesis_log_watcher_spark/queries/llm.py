@@ -1162,3 +1162,60 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(keys, "user_id").select(
         "user_id", "est_n", F.col("exact_n").cast("long").alias("exact_n")
     )
+
+
+@register(
+    "bloom_prefilter_membership",
+    """
+    WITH ix AS (SELECT unnest(range(3)) AS i),
+    member AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000),
+    bits AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(CAST(ix.i AS VARCHAR) || ':'
+                  || CAST(m.o_custkey AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1024 AS b
+      FROM member m CROSS JOIN ix),
+    probes AS (
+      SELECT c.c_custkey, ix.i,
+             CAST('0x' || substr(md5(CAST(ix.i AS VARCHAR) || ':'
+                  || CAST(c.c_custkey AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1024 AS b
+      FROM customer c CROSS JOIN ix)
+    SELECT p.c_custkey,
+           MIN(b.b IS NOT NULL) AS bloom_maybe,
+           MIN(p.c_custkey IN (SELECT o_custkey FROM member)) AS actually_in
+    FROM probes p LEFT JOIN bits b ON p.b = b.b
+    GROUP BY p.c_custkey
+    """,
+    doc="Bloom-filter pre-filter (operators/sketch.py): the big-spender "
+    "custkey set compresses to ≤1024 set bits (whatever its size), "
+    "broadcasts, and every customer membership-tests against it — the "
+    "scale pattern for pre-filtering a fact before a join against a dim "
+    "too large to broadcast exactly. No false negatives by construction "
+    "(the oracle recomputes the bit set AND the exact membership, so "
+    "the gate verifies the false-positive profile bit-for-bit).",
+)
+def bloom_prefilter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.sketch import bloom_build, bloom_probe
+
+    member = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+        .distinct()
+    )
+    bits = bloom_build(member, "o_custkey", m_bits=1024, k=3)
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    probed = bloom_probe(bits, cust, "c_custkey", m_bits=1024, k=3)
+    exact = member.withColumnRenamed("o_custkey", "c_custkey").withColumn(
+        "_in", F.lit(True)
+    )
+    return (
+        probed.join(F.broadcast(exact), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "bloom_maybe",
+            F.coalesce(F.col("_in"), F.lit(False)).alias("actually_in"),
+        )
+    )

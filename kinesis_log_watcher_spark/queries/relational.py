@@ -1837,3 +1837,47 @@ def orders_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("price").cast("double").alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# recursive CTE (Spark 4 WITH RECURSIVE — iterative SQL)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "user_ancestry_chain",
+    """
+    WITH RECURSIVE anc(user_id, node, depth) AS (
+      SELECT user_id, user_id, 0
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 64)
+      UNION ALL
+      SELECT user_id, node // 2, depth + 1 FROM anc WHERE node > 0)
+    SELECT user_id,
+           MAX(depth) AS depth_to_root,
+           COUNT(*) AS chain_len,
+           SUM(node) AS path_sum
+    FROM anc GROUP BY user_id
+    """,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): walk each user's "
+    "synthetic ancestor chain (parent = node div 2 — a binary-tree "
+    "hierarchy) to the root and aggregate per-path depth/length/sum — "
+    "the iterative-SQL surface (org charts, BOM explosions, graph "
+    "reachability) executed as Catalyst's recursion operator rather "
+    "than a driver-side loop.",
+)
+def user_ancestry_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("rcte_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(user_id, node, depth) AS (
+          SELECT user_id, user_id, 0
+          FROM (SELECT DISTINCT user_id FROM rcte_events WHERE user_id < 64)
+          UNION ALL
+          SELECT user_id, node div 2, depth + 1 FROM anc WHERE node > 0)
+        SELECT user_id,
+               MAX(depth) AS depth_to_root,
+               COUNT(*) AS chain_len,
+               SUM(node) AS path_sum
+        FROM anc GROUP BY user_id
+        """
+    )

@@ -368,3 +368,21 @@ def test_cms_overestimates_and_small_exact(spark):
     assert est_w == exact
     # the grid never exceeds depth*width rows
     assert cms_w.count() <= 4 * 1024
+
+
+def test_bloom_no_false_negatives(spark):
+    """Bloom property: every member key tests maybe=True (no false
+    negatives); the bit set never exceeds m_bits rows."""
+    from kinesis_log_watcher_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([(k,) for k in range(0, 200, 3)], "k long")
+    others = spark.createDataFrame([(k,) for k in range(1, 200, 3)], "k long")
+    bits = bloom_build(members, "k", m_bits=256, k=3)
+    assert bits.count() <= 256
+    got_m = {r["k"]: r["bloom_maybe"]
+             for r in bloom_probe(bits, members, "k", m_bits=256, k=3).collect()}
+    assert all(got_m.values())  # no false negatives, ever
+    got_o = {r["k"]: r["bloom_maybe"]
+             for r in bloom_probe(bits, others, "k", m_bits=256, k=3).collect()}
+    # some non-members must test negative (the filter is not saturated)
+    assert not all(got_o.values())
