@@ -18,8 +18,10 @@ constructs plus the control-flow/pipeline core:
   ``.`` is P's value and ``.x`` resolves under it (supported when P is a
   ``.Log`` path; rebinding dot to a scalar supports ``.`` only)
 - pipelines ``{{P | cmd args | cmd2}}`` with the text/template built-ins
-  ``printf print len not and or eq ne lt le gt ge`` plus ``strftime``;
-  a piped value is appended as the final argument of the next command
+  ``printf print println len index not and or eq ne lt le gt ge`` plus
+  ``strftime``; a piped value is appended as the final argument of the
+  next command (``index`` takes literal int/string indices, compiled
+  into the JSON path)
 - ``{{range P}} … {{else}} … {{end}}`` — iterate a JSON array (dot = each
   element) or object (dot = each value, keys sorted — Go map order); the
   per-element renders concatenate into the SAME output line, so it
@@ -560,8 +562,36 @@ def _compile_compare(op: str, a: _Expr, b: _Expr) -> _Expr:
 
 _FUNCTIONS = {
     "printf", "print", "println", "len", "not", "and", "or",
-    "eq", "ne", "lt", "le", "gt", "ge", "strftime",
+    "eq", "ne", "lt", "le", "gt", "ge", "strftime", "index",
 }
+
+
+def _compile_index(args: list[_Expr], tokens: list[str]) -> _Expr:
+    """Go's ``index`` builtin on a JSON value: ``index .Log.xs 2`` /
+    ``index .Log.m "key"`` / chained ``index .Log.grid 1 0``. Indices
+    must be literals (compiled into the JSON path); a dynamic index
+    would need a per-row path — not expressible as get_json_object."""
+    target = args[0]
+    if target.raw is None:
+        raise TemplateError("index requires a .Log path (or range element) target")
+    suffix = ""
+    for tok in tokens[2:]:
+        if _NUMBER_RE.match(tok) and "." not in tok:
+            suffix += f"[{int(tok)}]"
+        elif tok.startswith('"'):
+            suffix += "." + _unescape(tok[1:-1])
+        else:
+            raise TemplateError(
+                f"index arguments must be literal ints/strings, got {tok!r}"
+            )
+    leaf = F.get_json_object(target.raw, "$" + suffix)
+    # indexing nil errors in Go; out-of-range/missing-key → <no value>
+    return _Expr(
+        col=F.coalesce(leaf, F.lit(NO_VALUE)),
+        truth=_truthy_json(leaf),
+        err=target.err | target.raw.isNull(),
+        raw=leaf,
+    )
 
 
 def _compile_command(tokens: list[str], piped: _Expr | None, ctx: _Ctx,
@@ -598,6 +628,12 @@ def _compile_command(tokens: list[str], piped: _Expr | None, ctx: _Ctx,
         if not args or not tokens[1].startswith('"'):
             raise TemplateError('printf expects a literal format: printf "<fmt>" args…')
         return _compile_printf(_unescape(tokens[1][1:-1]), args[1:])
+    if head == "index":
+        if len(args) < 2:
+            raise TemplateError("index needs a target and at least one index")
+        if piped is not None:
+            raise TemplateError("piping into index is not supported")
+        return _compile_index(args, tokens)
     if head in ("print", "println"):
         if not args:
             raise TemplateError(f"{head} needs at least one argument")

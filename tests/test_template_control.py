@@ -311,3 +311,37 @@ def test_with_inside_range_body(spark):
     ).encode()
     t = "{{range .Log.items}}{{with .name}}<{{.}}>{{else}}anon{{end}}{{end}}"
     assert _render(spark, t, payload) == ["<a>anon<c>"]
+
+
+# --- index builtin -----------------------------------------------------
+
+
+def test_index_array_and_map(spark):
+    payload = json.dumps(
+        {"xs": [10, 20, 30], "m": {"k": "v"}, "grid": [[1, 2], [3, 4]]}
+    ).encode()
+    assert _render(spark, "{{index .Log.xs 1}}", payload) == ["20"]
+    assert _render(spark, '{{index .Log.m "k"}}', payload) == ["v"]
+    assert _render(spark, "{{index .Log.grid 1 0}}", payload) == ["3"]
+
+
+def test_index_missing_renders_no_value(spark):
+    payload = b'{"xs": [1]}'
+    assert _render(spark, "{{index .Log.xs 5}}", payload) == [NO_VALUE]
+    assert _render(spark, '{{index .Log.m "k"}}', b'{"m": {}}') == [NO_VALUE]
+
+
+def test_index_nil_target_drops_row(spark):
+    assert _render(spark, "{{index .Log.xs 0}}", b'{"other": 1}') == []
+    assert _render(spark, "{{index .Log.xs 0}}", b"not json") == []
+
+
+def test_index_in_condition_and_range_elem(spark):
+    payload = json.dumps({"rows": [{"c": [7, 8]}, {"c": [9]}]}).encode()
+    t = "{{range .Log.rows}}({{index .c 0}}){{end}}"
+    assert _render(spark, t, payload) == ["(7)(9)"]
+
+
+def test_index_dynamic_argument_raises(spark):
+    with pytest.raises(TemplateError):
+        compile_template("{{index .Log.xs .Log.i}}")
