@@ -112,3 +112,35 @@ def pack_bins(
         size_col.alias("_sz"),
         start_off,
     ).withColumn("bin_id", F.floor(F.col("_start_off") / budget).cast("bigint"))
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    key: Column,
+    weight: Column,
+    max_weight: DataFrame,
+    scale_down: int = 4,
+    u_bits: int = 20,
+) -> DataFrame:
+    """Weighted Bernoulli sampling with EXACT integer membership: row
+    selected iff ``u * max_w * scale_down < w * 2^u_bits``, i.e. with
+    probability w / (scale_down · max_w) — all integers, no float
+    thresholds, so membership is engine/run/partitioning-stable (same
+    discipline as ``hash_draw``; a float probability compare would be
+    portable too, but integers make ties impossible by construction).
+
+    ``max_weight`` is a 1-row (max_w) aggregate — broadcast, not a
+    second scan per row. Products stay far under 2^63 for any sane
+    u_bits/weight combination (u < 2^u_bits, so u·max_w·scale_down <
+    2^(u_bits + log2(max_w) + 3))."""
+    u = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % (2 ** u_bits)
+    )
+    return (
+        df.withColumn("_w", weight)
+        .join(F.broadcast(max_weight))
+        .filter((u * F.col("max_w") * scale_down) < (F.col("_w") * (2 ** u_bits)))
+        .drop("_w")
+    )

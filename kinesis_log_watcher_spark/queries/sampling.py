@@ -208,3 +208,37 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("c_doc_id").alias("n_contaminated"),
         )
     )
+
+
+@register(
+    "weighted_doc_sample",
+    """
+    WITH w AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS wt FROM documents),
+    mx AS (SELECT MAX(wt) AS max_w FROM w)
+    SELECT doc_id, CAST(wt AS BIGINT) AS wt
+    FROM w, mx
+    WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 1048576) * max_w * 4
+          < wt * 1048576
+    """,
+    doc="Weighted Bernoulli sampling (operators/sampling.py): inclusion "
+    "probability ∝ token count (P = w / (4·max_w)), decided by an EXACT "
+    "integer comparison on an md5-derived 20-bit uniform draw — "
+    "engine/run/partitioning-stable membership with no float "
+    "thresholds, the quality-weighted document selection step of a "
+    "curation pipeline. The max-weight scalar broadcasts.",
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.sampling import (
+        weighted_bernoulli_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    wt = F.size(F.split(F.col("text"), " ")).cast("long")
+    with_w = docs.select("doc_id", wt.alias("wt"))
+    mx = with_w.agg(F.max("wt").alias("max_w"))
+    out = weighted_bernoulli_sample(
+        with_w, F.col("doc_id"), F.col("wt"), mx, scale_down=4, u_bits=20
+    )
+    return out.select("doc_id", "wt")
