@@ -18,10 +18,12 @@ constructs plus the control-flow/pipeline core:
   ``.`` is P's value and ``.x`` resolves under it (supported when P is a
   ``.Log`` path; rebinding dot to a scalar supports ``.`` only)
 - pipelines ``{{P | cmd args | cmd2}}`` with the text/template built-ins
-  ``printf print println len index not and or eq ne lt le gt ge`` plus
-  ``strftime``; a piped value is appended as the final argument of the
-  next command (``index`` takes literal int/string indices, compiled
-  into the JSON path)
+  ``printf print println len index slice html urlquery not and or eq ne
+  lt le gt ge`` plus ``strftime``; a piped value is appended as the
+  final argument of the next command. ``index``/``slice`` take literal
+  indices/bounds (compiled into the JSON path / an ``F.slice`` call);
+  ``js`` and ``call`` are not supported (no JS-escape builtin in Spark;
+  no methods on a JSON payload).
 - ``{{range P}} … {{else}} … {{end}}`` — iterate a JSON array (dot = each
   element) or object (dot = each value, keys sorted — Go map order); the
   per-element renders concatenate into the SAME output line, so it
@@ -562,7 +564,8 @@ def _compile_compare(op: str, a: _Expr, b: _Expr) -> _Expr:
 
 _FUNCTIONS = {
     "printf", "print", "println", "len", "not", "and", "or",
-    "eq", "ne", "lt", "le", "gt", "ge", "strftime", "index",
+    "eq", "ne", "lt", "le", "gt", "ge", "strftime", "index", "slice",
+    "html", "urlquery",
 }
 
 
@@ -634,6 +637,52 @@ def _compile_command(tokens: list[str], piped: _Expr | None, ctx: _Ctx,
         if piped is not None:
             raise TemplateError("piping into index is not supported")
         return _compile_index(args, tokens)
+    if head == "slice":
+        # slice .Log.xs [start [end]] — literal bounds, JSON-array target
+        if piped is not None:
+            raise TemplateError("piping into slice is not supported")
+        target = args[0]
+        if target.raw is None:
+            raise TemplateError("slice requires a .Log path (or range element)")
+        bounds = tokens[2:]
+        if len(bounds) > 2 or not all(
+            _NUMBER_RE.match(b) and "." not in b for b in bounds
+        ):
+            raise TemplateError("slice takes up to two literal int bounds")
+        start = int(bounds[0]) if bounds else 0
+        arr = F.from_json(target.raw, "array<string>")
+        if len(bounds) == 2:
+            length = int(bounds[1]) - start
+            if length < 0:
+                raise TemplateError("slice end must be >= start")
+            sliced = F.slice(arr, start + 1, length)
+        else:
+            sliced = F.slice(arr, start + 1, F.greatest(
+                F.size(arr) - start, F.lit(0)))
+        out = F.to_json(sliced)
+        # slicing a non-array (or out-of-range start) errors in Go
+        err = _any_err(args) | arr.isNull() | (F.size(arr) < start)
+        return _Expr(
+            col=F.coalesce(out, F.lit(NO_VALUE)),
+            truth=F.size(sliced) > 0,
+            err=err,
+            raw=out,
+        )
+    if head in ("html", "urlquery"):
+        if len(args) != 1:
+            raise TemplateError(f"{head} takes exactly one argument")
+        v = args[0].col
+        if head == "urlquery":
+            out = F.url_encode(v)
+        else:
+            # Go html/template escaper set: & < > ' "
+            out = v
+            for ch, rep in (
+                ("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                ("'", "&#39;"), ('"', "&#34;"),
+            ):
+                out = F.replace(out, F.lit(ch), F.lit(rep))
+        return _Expr(col=out, truth=args[0].truth, err=_any_err(args))
     if head in ("print", "println"):
         if not args:
             raise TemplateError(f"{head} needs at least one argument")

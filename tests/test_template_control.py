@@ -345,3 +345,33 @@ def test_index_in_condition_and_range_elem(spark):
 def test_index_dynamic_argument_raises(spark):
     with pytest.raises(TemplateError):
         compile_template("{{index .Log.xs .Log.i}}")
+
+
+# --- slice / html / urlquery builtins ----------------------------------
+
+
+def test_slice_builtin(spark):
+    payload = b'{"xs": [1, 2, 3, 4]}'
+    assert _render(spark, "{{range slice .Log.xs 1 3}}[{{.}}]{{end}}", payload) == [
+        "[2][3]"
+    ]
+    assert _render(spark, "{{range slice .Log.xs 2}}{{.}}{{end}}", payload) == ["34"]
+    # slicing a non-array drops the row (Go errors)
+    assert _render(spark, "{{range slice .Log.xs 0}}x{{end}}", b'{"xs": 5}') == []
+
+
+def test_html_escape_matches_go(spark):
+    payload = json.dumps({"s": '<a href="x">&\'b\'</a>'}).encode()
+    [line] = _render(spark, "{{html .Log.s}}", payload)
+    assert line == "&lt;a href=&#34;x&#34;&gt;&amp;&#39;b&#39;&lt;/a&gt;"
+
+
+def test_urlquery_escape(spark):
+    payload = json.dumps({"s": "a b&c=d"}).encode()
+    [line] = _render(spark, "{{urlquery .Log.s}}", payload)
+    assert line == "a+b%26c%3Dd"
+
+
+def test_html_in_pipeline(spark):
+    [line] = _render(spark, "{{.Log.s | html}}", b'{"s": "<x>"}')
+    assert line == "&lt;x&gt;"
