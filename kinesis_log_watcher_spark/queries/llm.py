@@ -1219,3 +1219,109 @@ def bloom_prefilter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_in"), F.lit(False)).alias("actually_in"),
         )
     )
+
+
+@register(
+    "doc_chunking",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+    c AS (SELECT doc_id, toks, n,
+                 unnest(range(0, (GREATEST(n - 32, 0) + 23) // 24 + 1)) AS ci
+          FROM n)
+    SELECT doc_id,
+           CAST(ci AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(toks, ci * 24 + 1, ci * 24 + 32), ' ')
+             AS chunk,
+           CAST(LEAST(32, n - ci * 24) AS BIGINT) AS chunk_tokens
+    FROM c
+    """,
+    doc="Document chunking (the RAG/training-prep step): 32-token "
+    "windows with stride 24 (8-token overlap) — chunk count computed in "
+    "non-negative integer arithmetic (engine-portable: no negative "
+    "floor-division divergence), then a 1→N sequence explode + "
+    "array slice. Narrow generator over the scan partitioning — no "
+    "shuffle, the chunk fan-out is the output size.",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    size, stride = 32, 24
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    n = F.size("toks")
+    n_chunks = (
+        (F.greatest(n - size, F.lit(0)) + (stride - 1)) / stride
+    ).cast("long") + 1
+    chunks = docs.select(
+        "doc_id",
+        "toks",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(
+            F.slice("toks", F.col("chunk_idx") * stride + 1, size), " "
+        ).alias("chunk"),
+        F.least(F.lit(size), F.col("n") - F.col("chunk_idx") * stride)
+        .cast("long")
+        .alias("chunk_tokens"),
+    )
+
+
+@register(
+    "doc_pii_scrub",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or ' || CAST(doc_id AS VARCHAR)
+                  || '7654321 today' AS text
+      FROM documents)
+    SELECT doc_id,
+           md5(regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '[0-9]{6,}', '<NUM>', 'g')) AS scrubbed_md5,
+           CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]{6,}'))
+                AS BIGINT) AS n_nums
+    FROM seeded
+    """,
+    doc="PII scrubbing (curation-pipeline redaction): email and "
+    "long-digit-run patterns replaced with placeholders, replacement "
+    "counts reported (PII is seeded deterministically into the synthetic "
+    "corpus so the op has real work). Patterns restricted to the "
+    "regex-dialect intersection where Java and RE2 agree; pure narrow "
+    "projection, whole-stage codegen.",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    nums = r"[0-9]{6,}"
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or "),
+            F.col("doc_id").cast("string"),
+            F.lit("7654321 today"),
+        ).alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), nums, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(nums), F.lit(0)))
+        .cast("long").alias("n_nums"),
+    )
