@@ -1325,3 +1325,60 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(nums), F.lit(0)))
         .cast("long").alias("n_nums"),
     )
+
+
+from kinesis_log_watcher_spark.queries.base import _REGISTRY as _REG  # noqa: E402
+
+@register(
+    "ann_ivf_persisted",
+    _REG["ann_ivf_topk"].oracle,  # persistence must not change results
+    doc="IVF index LIFECYCLE: the cell-assignment index is BUILT once, "
+    "written to parquet (the stored index a serving layer reloads), "
+    "read back with an explicit schema, and probed — results must be "
+    "identical to the build-and-probe-in-one-job ann_ivf_topk, so the "
+    "two queries share one oracle. At scale this is the separation that "
+    "matters: index build is the expensive pass, every later query ships "
+    "only the probe.",
+)
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    comp = exploded_components(emb, "vec_id")
+    anchors = comp.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("a_id"), F.col("x").alias("qx"), "dim"
+    )
+    dots = exact_dot(
+        anchors.select("a_id", "qx", "dim"),
+        comp.filter(F.col("vec_id") >= 8),
+        "a_id",
+        "vec_id",
+        exclude_self=False,
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("a_id"))
+    cells = (
+        dots.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("a_id").alias("cell"))
+    )
+    # ---- persist the index, reload it (explicit schema: empty-safe) ----
+    path = tempfile.mkdtemp(prefix="ivf_idx_") + "/cells"
+    cells.write.mode("overwrite").parquet(path)
+    stored = spark.read.schema("vec_id bigint, cell bigint").parquet(path)
+    # ---- probe against the STORED index ----
+    qcomp = comp.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("q_id"), F.col("x").alias("qx"), "dim"
+    )
+    cand_dots = exact_dot(qcomp, comp.filter(F.col("vec_id") >= 8), "q_id", "vec_id")
+    qcells = stored.select(F.col("vec_id").alias("q_id"), F.col("cell").alias("q_cell"))
+    cand = (
+        cand_dots.join(stored, "vec_id")
+        .join(F.broadcast(qcells), "q_id")
+        .filter(F.col("cell") == F.col("q_cell"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "dot", "rank")
+    )
