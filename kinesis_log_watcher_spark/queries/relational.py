@@ -1715,18 +1715,21 @@ def json_corrupt_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n_lines,
-           (n * sxy - sx * sy)
+           CAST(floor((n * sxy - sx * sy)
              / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
-             AS price_qty_corr
+             * 1000000000 + 0.5) AS BIGINT) AS corr_q9
     FROM m
     """,
     doc="Pearson correlation the partitioning-independent way: the five "
     "co-moments accumulate as EXACT decimals (map-side partial sums — "
-    "order never matters), convert to double once, and the closed-form "
-    "formula runs in the same IEEE op order on both engines → "
-    "bit-identical doubles. Spark's built-in corr() streams float "
-    "co-moments and is partitioning-dependent in the last bits — "
-    "unusable under a hash-compare gate.",
+    "order never matters) and convert to double once. The closed form "
+    "is then quantized to int64 at 1e9 (the repo's floor(x·k + 0.5) "
+    "convention): C compilers may fuse a·b − c·d into an FMA where the "
+    "JVM performs two rounded ops, so the raw double can differ in the "
+    "last ulp between engines (observed 3e-18 at sf0.001) — nine "
+    "decimal digits of r is far beyond any statistical meaning anyway. "
+    "Spark's built-in corr() streams float co-moments and is "
+    "partitioning-dependent — unusable under a hash-compare gate.",
 )
 def price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -1748,7 +1751,7 @@ def price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag",
         n.cast("long").alias("n_lines"),
-        corr.alias("price_qty_corr"),
+        F.floor(corr * 1000000000 + F.lit(0.5)).cast("long").alias("corr_q9"),
     )
 
 
