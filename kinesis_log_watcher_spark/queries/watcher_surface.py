@@ -175,9 +175,7 @@ def template_conditional_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("props"))
         .alias("LogEntry"),
     )
-    return env.filter(~compiled.error).select(
-        "event_id", compiled.line.alias("line")
-    )
+    return compiled.apply(env, keep=("event_id",))
 
 
 @register(
@@ -225,9 +223,9 @@ def template_range_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     env = ev.select("event_id", payload.alias("LogEntry"))
-    return env.filter(~compiled.error).select(
-        "event_id", compiled.line.alias("line")
-    )
+    # apply() hoists the two range-collection parses into prep columns
+    # (parsed once per row, not once per HOF reference site).
+    return compiled.apply(env, keep=("event_id",))
 
 
 @register(

@@ -114,21 +114,56 @@ def _canonical(name: str) -> str | None:
 
 @dataclass
 class CompiledTemplate:
-    """A template compiled to (rendered line, render-error condition)."""
+    """A template compiled to (rendered line, render-error condition).
+
+    ``line``/``error`` are self-contained Columns — usable in any
+    projection over an envelope DataFrame. ``prep``/``line_h``/``error_h``
+    are the *hoisted* variants: every ``{{range}}`` collection parse is
+    lifted into a named prep column that ``line_h``/``error_h`` reference
+    as an attribute, so the JSON is parsed ONCE per row instead of once
+    per reference site (higher-order functions are CodegenFallback, so
+    Catalyst never dedupes those subtrees; see _compile_range). ``apply``
+    inserts the prep projection with a non-deterministic barrier column —
+    without it, PushDownPredicates would substitute the aliases right
+    back into the error filter and undo the hoist."""
 
     line: Column
     error: Column
     source: str
+    prep: dict[str, Column] = field(default_factory=dict)
+    line_h: Column | None = None
+    error_h: Column | None = None
 
-    def apply(self, df: DataFrame, out_col: str = "line") -> DataFrame:
+    def _prepped(self, df: DataFrame) -> DataFrame:
+        prep_cols = [c.alias(n) for n, c in self.prep.items()]
+        # monotonically_increasing_id is non-deterministic to Catalyst:
+        # it blocks both filter pushdown through this projection and
+        # CollapseProject above it, pinning evaluate-once semantics.
+        return df.select(
+            "*", *prep_cols, F.monotonically_increasing_id().alias("__tpl_barrier")
+        )
+
+    def apply(
+        self, df: DataFrame, out_col: str = "line", keep: tuple[str, ...] = ()
+    ) -> DataFrame:
         """Render against an envelope DataFrame, dropping error rows
         (reference E1 semantics: bad rows vanish from output,
         main.go:283-287)."""
-        return df.filter(~self.error).select(self.line.alias(out_col))
+        if self.prep:
+            return (
+                self._prepped(df)
+                .filter(~self.error_h)
+                .select(*keep, self.line_h.alias(out_col))
+            )
+        return df.filter(~self.error).select(*keep, self.line.alias(out_col))
 
     def apply_with_errors(self, df: DataFrame, out_col: str = "line") -> DataFrame:
         """Keep all rows; adds a boolean ``_render_error`` column. Used by
         the sink to implement report-first-error-once (main.go:283-286)."""
+        if self.prep:
+            return self._prepped(df).select(
+                self.line_h.alias(out_col), self.error_h.alias("_render_error")
+            )
         return df.select(
             self.line.alias(out_col), self.error.alias("_render_error")
         )
@@ -282,6 +317,12 @@ class _Ctx:
     def is_root(self) -> bool:
         return self.log_base is None and self.scalar is None and self.elem is None
 
+
+# Hoisting context: when not None, _compile_range registers its parsed
+# collection here (name → Column) and references it as an attribute.
+# Single-threaded per compile_template call; reset around each compile.
+_ACTIVE_PREP: dict[str, Column] | None = None
+_HOIST_SEQ = 0  # unique prefix per compile, so two templates can share a df
 
 _FALSE = None  # placeholder; F.lit needs an active session at call time
 
@@ -783,48 +824,76 @@ def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, 
     The per-element bodies land in the SAME rendered line, so this is
     ``transform`` (body per element) + ``array_join`` (concatenate) +
     ``exists`` (any-element render error) — all JVM higher-order
-    functions; zero Python, no row fan-out, no shuffle."""
+    functions; zero Python, no row fan-out, no shuffle.
+
+    Expression-count discipline matters here: higher-order functions are
+    CodegenFallback (interpreted, no codegen subexpression elimination),
+    and a Column subtree referenced N times is *copied* N times into the
+    plan. An earlier version folded (text, err) through one
+    ``F.aggregate`` struct and then read ``res["text"]`` and
+    ``res["err"]`` — two copies of the whole fold, ×2 again under
+    filter(error)+select(line), ×2 again with two ranges in a template:
+    ~8 interpreted fold evaluations per row (~70 µs/row at sf0.1). This
+    shape keeps every subtree single-referenced: the body transform
+    appears only in the text column, the error ``exists`` only in the
+    error column, and the per-element body is compiled once for each."""
+    global _HOIST_SEQ
     target = _compile_pipeline(node.pipe, ctx, variant_log)
     raw = target.raw if target.raw is not None else target.col
-    arr = F.from_json(raw, "array<string>")
-    obj = F.from_json(raw, "map<string,string>")
-    # Normalize both shapes to one element array. Expression-count
-    # discipline matters here: higher-order functions are interpreted
-    # (CodegenFallback — no codegen subexpression elimination), so every
-    # reference to `items`/the fold result re-parses the JSON per row.
-    # coalesce evaluates `arr` ONCE in the common (array) case, and the
-    # fold below is referenced once per output tree via null-encoding.
-    # map branch: sort the (key, value) entry structs (struct ordering is
-    # field-wise → key order) and project values — ONE `obj` reference;
-    # an element_at-per-key lookup would re-parse the map for every key.
-    items = F.coalesce(
-        arr,
-        F.transform(F.array_sort(F.map_entries(obj)), lambda e: e["value"]),
-    )
 
-    def step(acc: Column, el: Column) -> Column:
-        line, err = _compile_nodes(node.body, _Ctx(elem=el), variant_log)
-        return F.struct(
-            # null accumulator fields mark "no elements yet" — after the
-            # fold, a null text/err means the collection was EMPTY (else
-            # branch), with no separate count needed.
-            F.concat(F.coalesce(acc["text"], F.lit("")), line).alias("text"),
-            (F.coalesce(acc["err"], F.lit(False)) | err).alias("err"),
+    # Normalize both shapes to one element array. coalesce evaluates
+    # `arr` ONCE in the common (array) case. Map branch: sort the
+    # (key, value) entry structs (struct ordering is field-wise → key
+    # order, Go's map-range order) and project values — ONE `obj`
+    # reference; an element_at-per-key lookup would re-parse the map for
+    # every key.
+    def items_tree() -> Column:
+        a = F.from_json(raw, "array<string>")
+        o = F.from_json(raw, "map<string,string>")
+        return F.coalesce(
+            a, F.transform(F.array_sort(F.map_entries(o)), lambda e: e["value"])
         )
 
-    zero = F.struct(
-        F.lit(None).cast("string").alias("text"),
-        F.lit(None).cast("boolean").alias("err"),
-    )
-    res = F.aggregate(items, zero, step)
+    # Hoist the parse when dot is row-derived (root / .Log rebind): the
+    # normalized array lands in a named prep column evaluated once per
+    # row; all four reference sites below become attribute reads. Range
+    # over a lambda element (nested range, with-bound element) can't
+    # hoist — the value doesn't exist outside the enclosing HOF.
+    if _ACTIVE_PREP is not None and ctx.elem is None and ctx.scalar is None:
+        name = f"__tpl{_HOIST_SEQ}_items_{len(_ACTIVE_PREP)}"
+        _ACTIVE_PREP[name] = items_tree()
+
+        def items() -> Column:
+            return F.col(name)
+
+    else:
+        items = items_tree
+
+    def body_line(el: Column) -> Column:
+        line, _ = _compile_nodes(node.body, _Ctx(elem=el), variant_log)
+        return line
+
+    def body_err(el: Column) -> Column:
+        _, err = _compile_nodes(node.body, _Ctx(elem=el), variant_log)
+        return err
+
     else_col, else_err = _compile_nodes(node.else_, ctx, variant_log)
-    seg = F.coalesce(res["text"], else_col)
-    # range over nil/missing/scalar: neither parse succeeds → Go reflect
-    # error ("range can't iterate over …")
+    # array_join skips null elements; a null body line only happens on a
+    # body render error, which the error column catches (row dropped).
+    joined = F.array_join(F.transform(items(), body_line), "")
+    seg = F.when(F.size(items()) == 0, else_col).otherwise(joined)
+    # range over nil/missing/scalar: neither parse succeeds → items is
+    # null → size(null)/exists(null) are null → the inner coalesce(…,
+    # True) marks the row errored (Go reflect: "range can't iterate
+    # over …"). No separate null-check term: it would re-parse the JSON.
     err = (
         target.err
-        | (arr.isNull() & obj.isNull())
-        | F.coalesce(res["err"], else_err)
+        | F.coalesce(
+            F.when(F.size(items()) == 0, else_err).otherwise(
+                F.exists(items(), body_err)
+            ),
+            F.lit(True),
+        )
     )
     return seg, F.coalesce(err, F.lit(True))
 
@@ -879,6 +948,25 @@ def compile_template(
     Compile errors raise TemplateError — the analogue of the reference's
     exit-2-on-parse-failure (main.go:110-114).
     """
+    global _ACTIVE_PREP, _HOIST_SEQ
     nodes = _parse(template)
+    # Self-contained columns (usable in any projection).
     line, error = _compile_nodes(nodes, _Ctx(), variant_log)
-    return CompiledTemplate(line=line, error=error, source=template)
+    # Hoisted variant: range collection parses lifted to prep columns
+    # (see CompiledTemplate docstring). Compiled second so the
+    # self-contained pass can't observe the hoist context.
+    _HOIST_SEQ += 1
+    _ACTIVE_PREP = {}
+    try:
+        line_h, error_h = _compile_nodes(nodes, _Ctx(), variant_log)
+        prep = _ACTIVE_PREP
+    finally:
+        _ACTIVE_PREP = None
+    return CompiledTemplate(
+        line=line,
+        error=error,
+        source=template,
+        prep=prep,
+        line_h=line_h,
+        error_h=error_h,
+    )
