@@ -1,6 +1,8 @@
-"""Deep multi-join analytical queries (TPC-H Q3/4/5/7/8/10/14/17/18/19/22
-analogues, adapted to the driver schema — no partsupp/commitdate/shipmode
-columns, so predicates use the columns that exist).
+"""Deep multi-join analytical queries (TPC-H Q2/3/4/5/6/7/8/9/10/11/12/13/
+14/15/16/17/18/19/20/21/22 analogues — all 21 joinful queries of the suite —
+adapted to the driver schema: no partsupp/commitdate/shipmode columns, so
+predicates use the columns that exist, and Q2/Q20's partsupp relation is
+derived from lineitem as the observed part↔supplier supply history).
 
 These go beyond the single-join coverage in queries/relational.py: join
 *chains* (up to 6-way), non-equi semi-join correlation, conditional
@@ -936,4 +938,158 @@ def waiting_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier per part within a region
+# --------------------------------------------------------------------------
+
+
+@register(
+    "min_cost_supplier",
+    """
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'),
+    costed AS (
+      SELECT p_partkey, p_name, s_name, s_acctbal, n_name, supply_cost,
+             MIN(supply_cost) OVER (PARTITION BY p_partkey) AS best_cost
+      FROM supply
+      JOIN eu ON s_suppkey = l_suppkey
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_size <= 15 AND p_type = 'ECONOMY')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+    FROM costed
+    WHERE supply_cost = best_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 analogue (no partsupp table: supply cost = cheapest "
+    "observed sale per part/supplier pair). The correlated "
+    "min-subquery becomes a window MIN over the aggregated supply "
+    "relation — one pass, no re-join against a second aggregate. Plan "
+    "at scale: lineitem aggregates map-side partial on (part, supp); "
+    "supplier⋈nation⋈region and part are broadcast dims; the window "
+    "partitions the ALREADY-aggregated (small) relation, never the "
+    "fact table; top-100 is TakeOrderedAndProject with a total-order "
+    "tiebreak (s_name, p_partkey unique per row).",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supply_cost")
+    )
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey", "p_name")
+    costed = (
+        supply.join(F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        costed.withColumn("best_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("best_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost"
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — suppliers concentrating a part's volume into one year
+# --------------------------------------------------------------------------
+
+
+@register(
+    "part_share_suppliers",
+    """
+    WITH target_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    shares AS (
+      SELECT l_suppkey,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate <  TIMESTAMP '1997-01-01'
+                      THEN l_quantity ELSE 0 END) AS qty_96,
+             SUM(l_quantity) AS qty_total
+      FROM lineitem JOIN target_parts ON p_partkey = l_partkey
+      GROUP BY l_suppkey, l_partkey)
+    SELECT DISTINCT s_name, s_acctbal
+    FROM shares
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'ASIA' AND 2 * qty_96 > qty_total
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 analogue (no partsupp availqty: a supplier qualifies "
+    "when their 1996 shipments of a 'red%' part exceed half their "
+    "all-time volume of that part — same nested-aggregate-threshold "
+    "shape). The EXISTS chain is a semi-join: target parts broadcast "
+    "into the lineitem scan (filter before the shuffle), conditional "
+    "sums are map-side partial on (supp, part), and the comparison is "
+    "exact integer arithmetic (2*SUM(x) > SUM(y), quantities integral) "
+    "— no 0.5 float factor to diverge across engines. Supplier side "
+    "reduces via left-semi against the qualifying pair set.",
+)
+def part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_shipdate", "l_quantity"
+    )
+    in_96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    shares = (
+        li.join(F.broadcast(target), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_96, F.col("l_quantity")).otherwise(F.lit(0.0))).alias(
+                "qty_96"
+            ),
+            F.sum("l_quantity").alias("qty_total"),
+        )
+        .filter(F.lit(2) * F.col("qty_96") > F.col("qty_total"))
+        .select("l_suppkey")
+    )
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    return (
+        supp.join(shares, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )

@@ -154,6 +154,26 @@ def test_new_tpch_family_plan_shapes(spark, reg):
         assert n_smj <= max_smj, f"{name}: {n_smj} SortMergeJoins (max {max_smj})"
 
 
+def test_q2_q20_plan_shapes(spark, reg):
+    """Round-3 TPC-H additions. Q2: dims broadcast, ONE lineitem pass,
+    window over the aggregated supply relation (never the fact table),
+    top-100 as TakeOrderedAndProject. Q20: part prefix filter pushed to
+    the parquet scan, qualifying pairs broadcast into a LeftSemi against
+    supplier, no cartesian anywhere."""
+    plan = plan_of(spark, reg, "min_cost_supplier")
+    assert plan.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") == 0
+
+    plan = plan_of(spark, reg, "part_share_suppliers")
+    assert "StringStartsWith(p_name,red)" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") == 0
+
+
 def test_q6_scan_aggregate_no_shuffle_joins(spark, reg):
     """Q6: pure scan-aggregate — predicates reach the parquet scan
     (PushedFilters) and the plan contains NO join of any kind."""
