@@ -114,3 +114,87 @@ def bloom_probe(
         .agg(F.min(F.coalesce(F.col("_set"), F.lit(False))).alias("bloom_maybe"))
         .withColumnRenamed("key", key_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — mergeable distinct-count sketch
+# ---------------------------------------------------------------------------
+#
+# Flajolet et al. 2007: hash each key to 60 bits (15 md5 hex chars, the
+# family convention), route it to one of m = 2^p registers by its low p
+# bits, and keep per register the MAX of rho(w) = position of the
+# leftmost 1-bit in the remaining 60-p bits (w == 0 → 60-p+1). The
+# registers ARE the sketch: ≤ m rows per group whatever the input size,
+# merge = MAX per register (a groupBy), estimate = alpha_m * m^2 /
+# sum(2^-M_j).
+#
+# Engine-reproducibility: every quantity up to the final division is
+# exact int64 — S = sum over all m registers of 2^(K - M_j) with
+# K = 60-p+1 (absent registers contribute 2^K), so the raw estimate is
+# one IEEE division of a shared double literal by an exact integer:
+# bit-identical on any engine. The only non-portable float op is ln()
+# inside the small-range linear-counting branch; callers that need
+# bit-exact cross-engine results quantize the estimate (the branch
+# condition itself compares exact quantities, so WHICH branch runs
+# never diverges).
+
+_HLL_HASH_BITS = 60
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_build(
+    df: DataFrame, key_col: str, group_cols: tuple[str, ...] = (), p: int = 10
+) -> DataFrame:
+    """One aggregation pass → per-group register table
+    (group_cols..., r, m_rho), at most 2^p rows per group. Shards merge
+    by the same groupBy-MAX, so sketches from different partitions,
+    days, or tables combine without re-reading the raw keys."""
+    m = 1 << p
+    k = _HLL_HASH_BITS - p + 1
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(k)).otherwise(F.lit(k) - F.length(F.bin(w)))
+    return (
+        df.select(*group_cols, (h % m).alias("r"), rho.alias("rho"))
+        .groupBy(*group_cols, "r")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: tuple[str, ...] = (), p: int = 10
+) -> DataFrame:
+    """Registers → per-group cardinality estimate (double column
+    ``est_distinct``). Small-range correction (linear counting over the
+    V empty registers) per the original paper; 60-bit hashes make the
+    large-range correction unreachable in practice."""
+    m = 1 << p
+    k = _HLL_HASH_BITS - p + 1
+    alpha_num = _hll_alpha(m) * m * m * float(1 << k)  # alpha*m^2*2^K
+    stats = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("present"),
+        # shiftleft() in the Python API takes a literal bit count; the
+        # SQL form accepts the per-register column.
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {k} - m_rho)")).alias(
+            "s_present"
+        ),
+    )
+    v = F.lit(m) - F.col("present")
+    s = F.col("s_present") + v * F.lit(1 << k)
+    e_raw = F.lit(alpha_num) / s
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return stats.select(*group_cols, est.alias("est_distinct"))

@@ -1221,6 +1221,70 @@ def bloom_prefilter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_P4_ALPHA = 0.673 * 16 * 16 * float(1 << 57)  # alpha_16 * m^2 * 2^K
+
+
+@register(
+    "hll_user_distinct",
+    f"""
+    WITH hashed AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM events),
+    regs AS (
+      SELECT event_type, h % 16 AS r,
+             MAX(CASE WHEN (h >> 4) = 0 THEN 57
+                      ELSE 57 - length(bin(h >> 4)) END) AS m_rho
+      FROM hashed GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, COUNT(*) AS present,
+             SUM(1::BIGINT << (57 - m_rho)) AS s_present
+      FROM regs GROUP BY 1),
+    est AS (
+      SELECT event_type, 16 - present AS v,
+             {_HLL_P4_ALPHA!r}
+               / (s_present + (16 - present) * (1::BIGINT << 57)) AS e_raw
+      FROM stats)
+    SELECT e.event_type,
+           CAST(floor(CASE WHEN e_raw <= 40.0 AND v > 0
+                           THEN 16.0 * ln(16.0 / v) ELSE e_raw END + 0.5)
+                AS BIGINT) AS est_users,
+           x.exact_users
+    FROM est e
+    JOIN (SELECT event_type,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+          FROM events GROUP BY 1) x USING (event_type)
+    """,
+    doc="HyperLogLog (operators/sketch.py): per-event-type distinct-user "
+    "estimate from a 16-register sketch — ONE aggregation pass builds "
+    "≤16 rows per group at any input size, shards merge by register-MAX, "
+    "and every quantity up to the final division is exact int64 "
+    "(S = sum 2^(K-M_j)), so the raw estimator is one IEEE division — "
+    "SQL-reproducible bit-for-bit. The oracle rebuilds the sketch and "
+    "must match, exact distinct counts included for the error profile. "
+    "This is the mergeable NDV sketch for 100 TB rollups (daily sketches "
+    "→ monthly distinct without re-reading raw keys).",
+)
+def hll_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.sketch import hll_build, hll_estimate
+
+    ev = load(spark, sf_dir, "events")
+    regs = hll_build(ev, "user_id", group_cols=("event_type",), p=4)
+    est = hll_estimate(regs, group_cols=("event_type",), p=4)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        est.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            F.floor(F.col("est_distinct") + 0.5).cast("long").alias("est_users"),
+            "exact_users",
+        )
+    )
+
+
 @register(
     "doc_chunking",
     """

@@ -386,3 +386,40 @@ def test_bloom_no_false_negatives(spark):
              for r in bloom_probe(bits, others, "k", m_bits=256, k=3).collect()}
     # some non-members must test negative (the filter is not saturated)
     assert not all(got_o.values())
+
+
+def test_hll_estimate_merge_and_branches(spark):
+    """HLL properties: (1) sketches MERGE — building on two halves and
+    MAX-combining registers equals building on the union (the whole
+    point of a mergeable NDV sketch); (2) the estimate lands within the
+    standard-error envelope; (3) tiny cardinalities route through the
+    linear-counting branch and stay near-exact."""
+    from pyspark.sql import functions as F
+
+    from kinesis_log_watcher_spark.operators.sketch import hll_build, hll_estimate
+
+    n = 5000
+    whole = spark.range(n).select(F.col("id").alias("k"))
+    half1 = whole.filter(F.col("k") < n // 2)
+    half2 = whole.filter(F.col("k") >= n // 2)
+
+    p = 9  # m=512 -> se ~ 1.04/sqrt(512) ~ 4.6%
+    regs_whole = hll_build(whole, "k", p=p)
+    merged = (
+        hll_build(half1, "k", p=p)
+        .unionAll(hll_build(half2, "k", p=p))
+        .groupBy("r")
+        .agg(F.max("m_rho").alias("m_rho"))
+    )
+    # merge == rebuild, register for register
+    a = {(r["r"]): r["m_rho"] for r in regs_whole.collect()}
+    b = {(r["r"]): r["m_rho"] for r in merged.collect()}
+    assert a == b
+
+    [est] = hll_estimate(regs_whole, p=p).collect()
+    assert abs(est["est_distinct"] - n) / n < 0.2  # ~4 standard errors
+
+    # small-range: 10 keys in 512 registers -> linear counting, near-exact
+    tiny = spark.range(10).select(F.col("id").alias("k"))
+    [est_t] = hll_estimate(hll_build(tiny, "k", p=p), p=p).collect()
+    assert abs(est_t["est_distinct"] - 10) <= 2
