@@ -78,6 +78,7 @@ def registry() -> dict[str, Query]:
     # Import side-effect modules once, on first use.
     from kinesis_log_watcher_spark.queries import (  # noqa: F401
         llm,
+        quality,
         relational,
         sampling,
         streaming,

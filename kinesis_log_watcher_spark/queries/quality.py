@@ -1,0 +1,252 @@
+"""Corpus quality gates — the filter pass of an LLM training-data
+pipeline (Gopher-style document gates, repetition filters, cross-doc
+window dedup).
+
+The driver corpus is single-line word streams, so the line-shaped rules
+from the published filters (bullet lines, terminal punctuation) are
+re-based onto the units that exist here: words, n-grams, and token
+windows. The *shapes* are the published ones:
+
+- Gopher document gates (Rae et al. 2021 §A1.1): word-count bounds,
+  mean-word-length bounds, stopword floor, and a repetition ceiling
+  (most-frequent-word share).
+- Gopher repetition filters (§A1.1 "repetitious text"): top-bigram
+  share and duplicate-trigram share.
+- C4-style cross-document dedup (Raffel et al. 2020 §2.2 dedupes
+  3-sentence windows corpus-wide, keeping first occurrence): here on
+  8-token windows.
+
+Determinism: every emitted ratio is ONE IEEE division of two exact
+int64 counts (numerators/denominators come from integer aggregation),
+so Spark and the SQL oracle produce bit-identical doubles, and every
+pass/fail flag compares those identical doubles to shared literals.
+
+At 100 TB: the word/n-gram stats are explode → two-level hash
+aggregation on (doc_id, gram) then (doc_id) — map-side partial, keys
+well-spread (doc_id is unique; gram adds entropy). The window-dedup
+first-occurrence pass shuffles once on the window hash (high
+cardinality), then once on doc_id for the per-doc rollup. No
+broadcasts needed, no skew keys, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kinesis_log_watcher_spark.operators.text import STOPWORDS
+from kinesis_log_watcher_spark.queries.base import load, register
+
+_STOPS = STOPWORDS["en"]
+_STOPS_SQL = ", ".join(f"'{w}'" for w in _STOPS)
+
+# Gate constants (shared literals between both dialects).
+_MIN_WORDS, _MAX_WORDS = 30, 80
+_MIN_MWL, _MAX_MWL = 3.0, 10.0
+_MIN_STOPS = 2
+_MAX_TOP_WORD_FRAC = 0.09
+_MAX_TOP_BIGRAM_FRAC = 0.05
+_MAX_DUP_TRIGRAM_FRAC = 0.02
+
+
+@register(
+    "gopher_quality_gates",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    wc AS (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS n_words,
+             CAST(MAX(n) AS BIGINT) AS top_n,
+             CAST(SUM(n * length(word)) AS BIGINT) AS char_sum,
+             CAST(SUM(CASE WHEN word IN ({_STOPS_SQL}) THEN n ELSE 0 END)
+                  AS BIGINT) AS stop_hits
+      FROM wc GROUP BY 1)
+    SELECT doc_id, n_words, stop_hits,
+           CAST(char_sum AS DOUBLE) / n_words AS mean_word_len,
+           CAST(top_n AS DOUBLE) / n_words AS top_word_frac,
+           (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS})
+             AND (CAST(char_sum AS DOUBLE) / n_words
+                    BETWEEN {_MIN_MWL} AND {_MAX_MWL})
+             AND stop_hits >= {_MIN_STOPS}
+             AND (CAST(top_n AS DOUBLE) / n_words
+                    <= {_MAX_TOP_WORD_FRAC}) AS gopher_pass
+    FROM agg
+    """,
+    doc="Gopher-style document quality gates (word-count bounds, "
+    "mean-word-length bounds, stopword floor, most-frequent-word "
+    "repetition ceiling) from ONE aggregation chain: explode words → "
+    "count (doc, word) → roll up per doc, every statistic derived from "
+    "the same pass (n_words=SUM n, top share=MAX n, char mass=SUM "
+    "n·len(word), stop hits=conditional SUM). Ratios are single IEEE "
+    "divisions of exact ints — bit-identical across engines.",
+)
+def gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.max("n").cast("long").alias("top_n"),
+        F.sum(F.col("n") * F.length("word")).cast("long").alias("char_sum"),
+        F.sum(
+            F.when(F.col("word").isin(*_STOPS), F.col("n")).otherwise(F.lit(0))
+        ).cast("long").alias("stop_hits"),
+    )
+    mwl = F.col("char_sum").cast("double") / F.col("n_words")
+    twf = F.col("top_n").cast("double") / F.col("n_words")
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "stop_hits",
+        mwl.alias("mean_word_len"),
+        twf.alias("top_word_frac"),
+        (
+            F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+            & mwl.between(_MIN_MWL, _MAX_MWL)
+            & (F.col("stop_hits") >= _MIN_STOPS)
+            & (twf <= _MAX_TOP_WORD_FRAC)
+        ).alias("gopher_pass"),
+    )
+
+
+@register(
+    "doc_repetition_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, len(toks)),
+               i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+      FROM t),
+    bc AS (SELECT doc_id, g, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+    b AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total_bg,
+                 CAST(MAX(n) AS BIGINT) AS top_bg
+          FROM bc GROUP BY 1),
+    tg AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, len(toks) - 1),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+      FROM t),
+    tc AS (SELECT doc_id, g, COUNT(*) AS n FROM tg GROUP BY 1, 2),
+    tt AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total_tg,
+                  CAST(SUM(n) - COUNT(*) AS BIGINT) AS dup_tg
+           FROM tc GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(top_bg AS DOUBLE) / total_bg AS top_bigram_frac,
+           CAST(dup_tg AS DOUBLE) / total_tg AS dup_trigram_frac,
+           (CAST(top_bg AS DOUBLE) / total_bg > {_MAX_TOP_BIGRAM_FRAC})
+             OR (CAST(dup_tg AS DOUBLE) / total_tg
+                   > {_MAX_DUP_TRIGRAM_FRAC}) AS repetitive
+    FROM b JOIN tt ON b.doc_id = tt.doc_id
+    """,
+    doc="Gopher repetition filters: top-bigram share and "
+    "duplicate-trigram share (occurrences minus distinct, over "
+    "occurrences), each from an explode → (doc, gram) count → per-doc "
+    "rollup; a doc is 'repetitive' past either ceiling. Same "
+    "exact-int-division determinism as the quality gates.",
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.filter(F.size(toks) >= 3).select(
+        "doc_id", toks.alias("toks")
+    )
+
+    def gram_stats(width: int, out_total: str, out_top: str, out_dup: str):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (width - 1)),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, width)),
+        )
+        gc = (
+            base.select("doc_id", F.explode(grams).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("n"))
+        )
+        return gc.groupBy("doc_id").agg(
+            F.sum("n").cast("long").alias(out_total),
+            F.max("n").cast("long").alias(out_top),
+            (F.sum("n") - F.count("*")).cast("long").alias(out_dup),
+        )
+
+    b = gram_stats(2, "total_bg", "top_bg", "dup_bg")
+    t = gram_stats(3, "total_tg", "top_tg", "dup_tg")
+    tbf = F.col("top_bg").cast("double") / F.col("total_bg")
+    dtf = F.col("dup_tg").cast("double") / F.col("total_tg")
+    return b.join(t, "doc_id").select(
+        "doc_id",
+        tbf.alias("top_bigram_frac"),
+        dtf.alias("dup_trigram_frac"),
+        ((tbf > _MAX_TOP_BIGRAM_FRAC) | (dtf > _MAX_DUP_TRIGRAM_FRAC)).alias(
+            "repetitive"
+        ),
+    )
+
+
+@register(
+    "cross_doc_window_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 8),
+    win AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS wh
+      FROM t, unnest(range(1, len(toks) - 6)) AS u(i)),
+    ranked AS (
+      SELECT doc_id, wh,
+             ROW_NUMBER() OVER (PARTITION BY wh ORDER BY doc_id, pos)
+               AS rn
+      FROM win)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_first,
+           CAST(COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS dup_window_frac
+    FROM ranked GROUP BY doc_id
+    """,
+    doc="C4-style cross-document window dedup (C4 drops any 3-sentence "
+    "span seen before, corpus-wide, first occurrence wins): 8-token "
+    "windows hashed per position, first corpus occurrence decided by a "
+    "ROW_NUMBER over (window hash) ordered by (doc_id, pos) — a total, "
+    "deterministic order — then rolled up per doc as a duplicated-"
+    "window share. Scale shape: one shuffle on the md5 window hash "
+    "(maximal key entropy, no skew), one on doc_id; window body text "
+    "never leaves the map side (only the 32-char hash shuffles).",
+)
+def cross_doc_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.filter(F.size(toks) >= 8).select("doc_id", toks.alias("toks"))
+    wins = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                # last 8-token window starts at n-7 (sequence is inclusive)
+                F.sequence(F.lit(1), F.size("toks") - 7),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice("toks", i, 8))).alias("wh"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+    rn = F.row_number().over(Window.partitionBy("wh").orderBy("doc_id", "pos"))
+    ranked = wins.select("doc_id", rn.alias("rn"))
+    first = F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        first.cast("long").alias("n_first"),
+        (
+            (F.count("*") - first).cast("double") / F.count("*")
+        ).alias("dup_window_frac"),
+    )

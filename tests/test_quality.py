@@ -1,0 +1,80 @@
+"""Quality-gate queries on handcheckable synthetic corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_log_watcher_spark.queries import quality  # noqa: F401  (registers)
+from kinesis_log_watcher_spark.queries.base import registry
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, t, "en", "synth", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return registry()
+
+
+def test_gopher_gates_handcheck(spark, tmp_path, reg):
+    # 40 words, all distinct except 'the the' (top word n=2, frac 0.05),
+    # stopwords: 'the' x2 + 'a' -> 3 hits; mean word len within [3,10].
+    good = " ".join(f"word{i:02d}" for i in range(37)) + " the the a"
+    # 10 words -> fails the word-count floor
+    short = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # 50 words but one word is 30% of mass -> fails top_word_frac
+    reps = " ".join(["spam"] * 15 + [f"tok{i:02d}" for i in range(33)]) + " the a"
+    sf = _write_docs(spark, tmp_path, [good, short, reps])
+    rows = {r["doc_id"]: r for r in reg["gopher_quality_gates"].fn(spark, sf).collect()}
+    assert rows[0]["n_words"] == 40
+    assert rows[0]["stop_hits"] == 3
+    assert rows[0]["top_word_frac"] == 2 / 40
+    assert rows[0]["gopher_pass"]
+    assert rows[1]["n_words"] == 10 and not rows[1]["gopher_pass"]
+    assert rows[2]["top_word_frac"] == 15 / 50 and not rows[2]["gopher_pass"]
+
+
+def test_repetition_filter_handcheck(spark, tmp_path, reg):
+    # 'x y' bigram appears 10/19 times -> top_bigram_frac way past 0.05
+    loop = " ".join(["x", "y"] * 10)
+    # all-distinct words -> every bigram and trigram unique (long enough
+    # that the 1/total top share stays under the 0.05 ceiling)
+    clean = " ".join(f"w{i:02d}" for i in range(40))
+    sf = _write_docs(spark, tmp_path, [loop, clean])
+    rows = {r["doc_id"]: r for r in reg["doc_repetition_filter"].fn(spark, sf).collect()}
+    assert rows[0]["repetitive"]
+    assert rows[0]["top_bigram_frac"] == 10 / 19
+    assert not rows[1]["repetitive"]
+    assert rows[1]["dup_trigram_frac"] == 0.0
+
+
+def test_window_dedup_first_occurrence_wins(spark, tmp_path, reg):
+    # doc1 repeats doc0's exact text -> every doc1 window is a duplicate;
+    # doc2 is fresh -> zero duplicated windows.
+    base = " ".join(f"t{i:02d}" for i in range(12))  # 12 toks -> 5 windows
+    fresh = " ".join(f"u{i:02d}" for i in range(12))
+    sf = _write_docs(spark, tmp_path, [base, base, fresh])
+    rows = {r["doc_id"]: r for r in reg["cross_doc_window_dedup"].fn(spark, sf).collect()}
+    assert rows[0]["n_windows"] == 5
+    assert rows[0]["n_first"] == 5  # doc 0 owns every first occurrence
+    assert rows[1]["n_first"] == 0 and rows[1]["dup_window_frac"] == 1.0
+    assert rows[2]["dup_window_frac"] == 0.0
+
+
+def test_quality_plans_partial_agg_no_cartesian(spark, reg):
+    for name in (
+        "gopher_quality_gates",
+        "doc_repetition_filter",
+        "cross_doc_window_dedup",
+    ):
+        df = reg[name].fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        # two-level aggregation: partial before the exchange
+        assert plan.count("HashAggregate") >= 2, name
