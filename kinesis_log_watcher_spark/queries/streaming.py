@@ -161,3 +161,28 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.streaming.windows import run_sliding_counts
 
     return run_sliding_counts(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "stream_static_enrich",
+    """
+    SELECT c_mktsegment, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static enrichment join: the replayed event stream joins "
+    "a static customer dim (broadcast into every micro-batch, NO join "
+    "state — static sides need no watermark) and aggregates per "
+    "(segment, type) with exact decimal sums; complete-mode replay "
+    "equals the batch join+GROUP BY the oracle computes "
+    "(streaming/joins.py run_stream_static_enrich).",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.joins import run_stream_static_enrich
+
+    return run_stream_static_enrich(
+        spark, f"{sf_dir}/events.parquet", f"{sf_dir}/customer.parquet"
+    )

@@ -91,3 +91,53 @@ def run_stream_stream_join(
     )
     q.awaitTermination(timeout_s)
     return spark.table(name)
+
+
+def run_stream_static_enrich(
+    spark: SparkSession,
+    events_path: str,
+    customer_path: str,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Stream-STATIC join: enrich a replayed event stream with a static
+    dimension table, then aggregate per (segment, event_type).
+
+    The static side is a plain batch DataFrame — Spark re-plans it into
+    every micro-batch as a broadcast hash join (no state store at all,
+    unlike stream-stream joins: a static dim needs no watermark and
+    holds no join state). This is the 100 TB enrichment shape: the
+    fact stream never shuffles for the join; only the post-join
+    aggregate keeps (tiny, per-group) state."""
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    dim = spark.read.parquet(customer_path).select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+    )
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("value"), 28, 4)).cast("double").alias("sum_value"),
+    )
+
+    name = f"stream_static_enrich_{next(_counter)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)

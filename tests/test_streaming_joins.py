@@ -42,3 +42,42 @@ def test_join_matches_across_micro_batches(spark, tmp_path):
     )
     rows = [(r.user_id, r.click_ts, r.purchase_ts) for r in got.collect()]
     assert rows == [(1, T0, T0 + 30 * M)]
+
+
+def test_stream_static_enrich_equals_batch(spark, tmp_path):
+    """Stream-static join: bounded replay == batch join+aggregate; the
+    static dim is broadcast per micro-batch, no join state needed."""
+    from pyspark.sql import functions as F
+
+    from kinesis_log_watcher_spark.streaming.joins import run_stream_static_enrich
+
+    events = spark.createDataFrame(
+        [
+            (1, T0, 10, "click", 2.5, "{}"),
+            (2, T0 + M, 10, "click", 1.5, "{}"),
+            (3, T0 + 2 * M, 20, "view", 4.0, "{}"),
+            (4, T0 + 3 * M, 99, "view", 9.0, "{}"),  # no matching customer
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    # stage as single FILES (the driver-table layout the glob filter expects)
+    events.coalesce(1).write.parquet(f"{tmp_path}/stage_ev")
+    (part,) = glob.glob(f"{tmp_path}/stage_ev/part-*.parquet")
+    shutil.copy(part, f"{tmp_path}/events.parquet")
+    spark.createDataFrame(
+        [(10, "BUILDING"), (20, "MACHINERY")], "c_custkey long, c_mktsegment string"
+    ).coalesce(1).write.parquet(f"{tmp_path}/stage_cu")
+    (part,) = glob.glob(f"{tmp_path}/stage_cu/part-*.parquet")
+    shutil.copy(part, f"{tmp_path}/customer.parquet")
+
+    got = run_stream_static_enrich(
+        spark, f"{tmp_path}/events.parquet", f"{tmp_path}/customer.parquet"
+    )
+    rows = {
+        (r.c_mktsegment, r.event_type): (r.n, r.sum_value) for r in got.collect()
+    }
+    assert rows == {
+        ("BUILDING", "click"): (2, 4.0),
+        ("MACHINERY", "view"): (1, 4.0),
+    }
