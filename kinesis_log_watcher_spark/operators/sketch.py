@@ -198,3 +198,84 @@ def hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / v),
     ).otherwise(e_raw)
     return stats.select(*group_cols, est.alias("est_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantiles — approximate percentiles at scale
+# ---------------------------------------------------------------------------
+#
+# Fixed-bin equi-width histogram as a DataFrame: nbins counter rows per
+# group whatever the input size; shards/days merge by counter addition
+# (a groupBy-SUM); a p-quantile estimate is the midpoint of the first
+# bin whose cumulative count covers rank ceil(p/100 * n). Accuracy is
+# (hi-lo)/nbins — the engine's answer to "p95 latency over 100 TB"
+# where exact order statistics would need a full sort.
+#
+# Engine-reproducibility: the bin assignment is one IEEE
+# subtract/divide/floor chain on shared literals; the rank comparison
+# is pure int64 (cum*100 >= p*n — percents are integers, so no float
+# rank); the estimate is lo + (bin+0.5)*width, one multiply-add of an
+# exact int by shared literals. Bit-identical across engines.
+
+
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    lo: float = 0.0,
+    hi: float = 1.0,
+    nbins: int = 64,
+) -> DataFrame:
+    """One aggregation pass → (group_cols..., bin, c), ≤ nbins rows per
+    group. Out-of-range values clamp into the edge bins."""
+    width = (hi - lo) / nbins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("long")
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+    return (
+        df.select(*group_cols, bin_.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    percents: tuple[int, ...],
+    group_cols: tuple[str, ...] = (),
+    lo: float = 0.0,
+    hi: float = 1.0,
+    nbins: int = 64,
+) -> DataFrame:
+    """Histogram → per-group estimates at integer percents. Rank test is
+    exact int64 (cum*100 >= p*n); estimate = the covering bin's
+    midpoint."""
+    from pyspark.sql.window import Window
+
+    width = (hi - lo) / nbins
+    gl = list(group_cols)
+    w_cum = (
+        Window.partitionBy(*gl).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*gl)
+    cum = hist.select(
+        *gl,
+        "bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    ps = F.explode(F.array(*[F.lit(p) for p in percents])).alias("p")
+    hit = cum.select(*gl, "bin", "cum", "n", ps).filter(
+        F.col("cum") * 100 >= F.col("p") * F.col("n")
+    )
+    est = F.lit(lo) + (F.col("bin_idx") + 0.5) * F.lit(width)
+    return (
+        hit.groupBy(*gl, "p")
+        .agg(F.min("bin").alias("bin_idx"), F.min("n").alias("n"))
+        .select(
+            *gl,
+            F.col("p").cast("long").alias("p"),
+            est.alias("est_value"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

@@ -250,3 +250,122 @@ def cross_doc_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - first).cast("double") / F.count("*")
         ).alias("dup_window_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("table", "join", "fast")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+# Shared double literals, computed once so both dialects parse the exact
+# same values (1.2+1 and 1-0.75 are not round in binary).
+_K1P1 = repr(_BM25_K1 + 1.0)
+_ONE_MINUS_B = repr(1.0 - _BM25_B)
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN word = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    contribs = "\n           + ".join(
+        f"ln((s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5) + 1.0)"
+        f" * (d.tf_{t} * {_K1P1})"
+        f" / (d.tf_{t} + {_BM25_K1} * ({_ONE_MINUS_B}"
+        f" + ({_BM25_B} * d.dl) / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))"
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    d AS (
+      SELECT doc_id, MIN(dl) AS dl,
+             {tf_cols}
+      FROM w GROUP BY doc_id),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl,
+             {df_cols}
+      FROM d)
+    SELECT d.doc_id, {", ".join(f"d.tf_{t}" for t in _BM25_TERMS)},
+           CAST(floor(({contribs}) * 1e6 + 0.5) AS BIGINT) AS score_micro
+    FROM d CROSS JOIN s
+    """
+
+
+@register(
+    "bm25_doc_scores",
+    _bm25_sql(),
+    doc="BM25 relevance scores for a fixed query term set (Robertson "
+    "k1=1.2, b=0.75, Lucene-style idf): term frequencies and document "
+    "frequencies from one word-explode aggregation, corpus stats as a "
+    "1-row broadcast, and the per-term contributions summed in FIXED "
+    "term order on both engines (float addition is not associative — "
+    "a data-ordered SUM would diverge). Scores are quantized to "
+    "micro-units (floor(x*1e6+0.5) int64) so the oracle compares exact "
+    "integers; ln() is the one libm-bound op (same caveat as the "
+    "correlation query). The retrieval-scoring primitive for "
+    "training-data curation at corpus scale: no shuffle wider than "
+    "(doc_id, word) counting.",
+)
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    w = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("word"),
+    )
+    d = w.groupBy("doc_id").agg(
+        F.min("dl").alias("dl"),
+        *[
+            F.sum(F.when(F.col("word") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    s = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    k1p1 = float(_K1P1)
+    one_minus_b = float(_ONE_MINUS_B)
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+
+    def contrib(t: str) -> F.Column:
+        tf = F.col(f"tf_{t}")
+        dft = F.col(f"df_{t}")
+        idf = F.log(
+            (F.col("n_docs") - dft + 0.5) / (dft + 0.5) + 1.0
+        )
+        return (
+            idf
+            * (tf * F.lit(k1p1))
+            / (tf + F.lit(_BM25_K1) * (F.lit(one_minus_b) + (F.lit(_BM25_B) * F.col("dl")) / avgdl))
+        )
+
+    score = contrib(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + contrib(t)
+    return d.join(F.broadcast(s)).select(
+        "doc_id",
+        *[f"tf_{t}" for t in _BM25_TERMS],
+        F.floor(score * 1e6 + 0.5).cast("long").alias("score_micro"),
+    )

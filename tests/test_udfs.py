@@ -423,3 +423,32 @@ def test_hll_estimate_merge_and_branches(spark):
     tiny = spark.range(10).select(F.col("id").alias("k"))
     [est_t] = hll_estimate(hll_build(tiny, "k", p=p), p=p).collect()
     assert abs(est_t["est_distinct"] - 10) <= 2
+
+
+def test_hist_quantiles_merge_and_accuracy(spark):
+    """Histogram-quantile properties: shard histograms merge by counter
+    addition into exactly the whole-input histogram, and the estimate
+    sits within one bin width of the true order statistic."""
+    from pyspark.sql import functions as F
+
+    from kinesis_log_watcher_spark.operators.sketch import hist_build, hist_quantiles
+
+    n = 2000
+    df = spark.range(n).select((F.col("id") % 1000).cast("double").alias("v"))
+    kw = dict(lo=0.0, hi=1000.0, nbins=100)
+
+    whole = hist_build(df, "v", **kw)
+    merged = (
+        hist_build(df.filter(F.col("v") < 500), "v", **kw)
+        .unionAll(hist_build(df.filter(F.col("v") >= 500), "v", **kw))
+        .groupBy("bin")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert {(r["bin"], r["c"]) for r in whole.collect()} == {
+        (r["bin"], r["c"]) for r in merged.collect()
+    }
+
+    est = {r["p"]: r["est_value"] for r in hist_quantiles(whole, (50, 95), **kw).collect()}
+    # uniform 0..999: true p50=499.5, p95=949.5; bin width 10
+    assert abs(est[50] - 499.5) <= 10
+    assert abs(est[95] - 949.5) <= 10
