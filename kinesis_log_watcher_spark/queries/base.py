@@ -40,17 +40,23 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver table. Parquet → columnar scan with predicate
     pushdown and column pruning for whatever the query selects.
 
-    events.ts is parquet TIMESTAMP(NANOS); with
-    spark.sql.legacy.parquet.nanosAsLong it scans as long — convert to a
-    microsecond TimestampType here (the data is µs-aligned; integer div
-    keeps it exact)."""
-    ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    Timestamp normalization (the driver regenerated testdata between
+    rounds, so both layouts exist in the wild):
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    - legacy layout: events.ts is parquet TIMESTAMP(NANOS); with
+      spark.sql.legacy.parquet.nanosAsLong it scans as long — convert to
+      a microsecond TimestampType (the data is µs-aligned; integer div
+      keeps it exact).
+    - current layout: naive timestamp[us] columns scan as TIMESTAMP_NTZ;
+      cast them to session-zone TimestampType. ensure_session_confs pins
+      the session to UTC first, so the cast preserves the wall-clock
+      value exactly and every query/oracle sees the same dtypes either
+      way."""
+    ensure_session_confs(spark)
+    from kinesis_log_watcher_spark.functions.tscompat import normalize_ts_cols
+
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return normalize_ts_cols(df)
 
 
 @dataclass
@@ -77,6 +83,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 def registry() -> dict[str, Query]:
     # Import side-effect modules once, on first use.
     from kinesis_log_watcher_spark.queries import (  # noqa: F401
+        extensions,
         llm,
         quality,
         relational,

@@ -21,6 +21,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_log_watcher_spark.functions.tscompat import normalize_ts_cols
+
 from kinesis_log_watcher_spark.session import ensure_session_confs
 
 _counter = itertools.count()
@@ -73,8 +75,7 @@ def run_stream_stream_join(
         if max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
         s = reader.parquet(os.path.dirname(events_path))
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        s = normalize_ts_cols(s)
         return s.withWatermark("ts", "1 minute")
 
     clicks = stream().filter(F.col("event_type") == "click")
@@ -117,8 +118,7 @@ def run_stream_static_enrich(
         .option("pathGlobFilter", os.path.basename(events_path))
         .parquet(os.path.dirname(events_path))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_ts_cols(stream)
 
     dim = spark.read.parquet(customer_path).select(
         "c_custkey", "c_mktsegment"

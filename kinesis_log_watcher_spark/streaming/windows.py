@@ -17,6 +17,8 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_log_watcher_spark.functions.tscompat import normalize_ts_cols
+
 from kinesis_log_watcher_spark.session import ensure_session_confs
 
 from kinesis_log_watcher_spark.functions.exact import dec
@@ -41,10 +43,9 @@ def run_windowed_counts(
         .option("pathGlobFilter", os.path.basename(events_path))
         .parquet(os.path.dirname(events_path))
     )
-    # events.ts is parquet TIMESTAMP(NANOS) read as long (see session.py);
-    # windowing needs a real timestamp — µs-aligned data, exact conversion.
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # events.ts layout varies by testdata round (nanos-as-long or NTZ);
+    # windowing needs a session-zone timestamp — see functions/tscompat.
+    stream = normalize_ts_cols(stream)
     agg = (
         stream.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
@@ -93,8 +94,7 @@ def run_session_windows(
         .option("pathGlobFilter", os.path.basename(events_path))
         .parquet(os.path.dirname(events_path))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_ts_cols(stream)
     agg = (
         stream.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
@@ -176,8 +176,7 @@ def run_sliding_counts(
         .option("pathGlobFilter", os.path.basename(events_path))
         .parquet(os.path.dirname(events_path))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_ts_cols(stream)
     agg = (
         stream.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(F.count("*").alias("n"))

@@ -53,6 +53,7 @@ ALLOWED_BNLJ = {
     "important_part_values": "1-row scalar-subquery broadcast",
     "top_supplier_revenue": "1-row scalar-subquery broadcast",
     "weighted_doc_sample": "1-row scalar-subquery broadcast",
+    "bm25_doc_scores": "1-row corpus-stats broadcast",
     # brute-force ANN baseline: small broadcast query set vs the index
     # (the scale path is ann_ivf_topk — cell-pruned equi-join)
     "ann_cosine_topk_fast": "broadcast query set, brute-force baseline",
