@@ -30,9 +30,15 @@ constructs plus the control-flow/pipeline core:
   compiles to ``transform`` + ``array_join`` (higher-order functions, no
   row multiplication, no Python). Empty → else branch; range over
   nil/missing/scalar is a render error (Go reflect semantics). Range
-  *variables* (``{{range $i, $v := …}}``) and ``{{template}}/{{define}}``
-  are the only constructs left to the ``watcher.watch(render_fn=…)``
-  escape hatch.
+  *variables* are supported: ``{{range $v := P}}`` binds the element,
+  ``{{range $i, $v := P}}`` binds array index (or sorted map key) and
+  value; ``$name`` / ``$name.field`` resolve lexically inside the block.
+- ``{{define "n"}}…{{end}}`` + ``{{template "n" [P]}}`` + ``{{block}}``
+  — named sub-templates, inlined at compile time with dot rebound to the
+  argument (nil when absent; caller variables invisible — Go invocation
+  scoping). Recursive invocation and general ``{{$x := …}}`` variable
+  assignment are the only constructs left to the
+  ``watcher.watch(render_fn=…)`` escape hatch.
 
 This compiler turns a template into ONE string Column (the rendered line)
 plus ONE boolean Column (the render-error condition). That reproduces the
@@ -92,6 +98,7 @@ class TemplateError(ValueError):
 _ACTION_RE = re.compile(r"\{\{-?\s*(.*?)\s*-?\}\}", re.DOTALL)
 
 _FIELD_PATH_RE = re.compile(r"^\.(\w+(?:\.\w+)*)?$")
+_VAR_PATH_OPERAND_RE = re.compile(r"^\$(\w+)(\.\w+(?:\.\w+)*)?$")
 _FORMAT_CALL_RE = re.compile(r'^\.(\w+)\.Format\s+"((?:[^"\\]|\\.)*)"$')
 _NUMBER_RE = re.compile(r"^-?\d+(\.\d+)?$")
 _TOKEN_RE = re.compile(r'"(?:[^"\\]|\\.)*"|\||[^\s|]+')
@@ -185,21 +192,35 @@ class _Action:
 
 
 @dataclass
-class _Block:  # if / with / range
-    kind: str  # "if" | "with" | "range"
-    pipe: str
+class _Block:  # if / with / range / define
+    kind: str  # "if" | "with" | "range" | "define"
+    pipe: str  # pipeline text ("define": the template name)
     body: list = field(default_factory=list)
     else_: list = field(default_factory=list)
+    vars: tuple = ()  # range variables: () | ($v,) | ($i, $v)
+
+
+@dataclass
+class _TemplateCall:  # {{template "name" [pipeline]}}
+    name: str
+    pipe: str | None
 
 
 _KEYWORD_RE = re.compile(r"^(if|else if|else|end|with|range|template|block|define)\b\s*")
 
 
-def _parse(template: str) -> list:
-    """Template text → node tree. Handles {{- -}} whitespace trimming and
-    nested if/with/range blocks; template/define (and range variables)
-    raise TemplateError."""
+_DEFINE_NAME_RE = re.compile(r'^"((?:[^"\\]|\\.)*)"\s*')
+_RANGE_VAR_RE = re.compile(r"^\$\w+$")
+
+
+def _parse(template: str) -> tuple[list, dict[str, list]]:
+    """Template text → (node tree, named {{define}} bodies). Handles
+    {{- -}} whitespace trimming, nested if/with/range blocks, range
+    variables ({{range $i, $v := …}}), and {{define}}/{{template}}/
+    {{block}} (bodies are stored by name and inlined at compile time —
+    recursive invocation is rejected)."""
     root: list = []
+    defines: dict[str, list] = {}
     # stack entries: (_Block, which_list_currently_filling)
     stack: list[tuple[_Block, list]] = []
 
@@ -232,19 +253,48 @@ def _parse(template: str) -> list:
         word = kw.group(1)
         rest = body[kw.end() :].strip()
         if word in ("template", "block", "define"):
-            raise TemplateError(
-                f"{{{{{word}}}}} is not compilable to a single-row projection; "
-                "use watcher.watch(render_fn=…) for templates that need it"
-            )
+            nm = _DEFINE_NAME_RE.match(rest)
+            if not nm:
+                raise TemplateError(f'{{{{{word}}}}} needs a quoted name: {rest!r}')
+            name = _unescape(nm.group(1))
+            arg = rest[nm.end() :].strip() or None
+            if word == "template":
+                emit(_TemplateCall(name, arg))
+                continue
+            if stack:
+                raise TemplateError(f"{{{{{word}}}}} must be at top level")
+            if name in defines:
+                raise TemplateError(f"template {name!r} defined twice")
+            blk = _Block(kind="define", pipe=name)
+            defines[name] = blk.body
+            if word == "block":
+                # {{block "n" P}}body{{end}} ≡ {{define "n"}}…{{end}} +
+                # {{template "n" P}} (Go text/template desugaring)
+                emit(_TemplateCall(name, arg))
+            elif arg is not None:
+                raise TemplateError("{{define}} takes only a name")
+            stack.append((blk, blk.body))
+            continue
         if word in ("if", "with", "range"):
             if not rest:
                 raise TemplateError(f"{{{{{word}}}}} needs a pipeline")
-            if word == "range" and (":=" in rest or "$" in rest):
-                raise TemplateError(
-                    "range variables ({{range $i, $v := …}}) are not "
-                    "compilable; use watcher.watch(render_fn=…)"
-                )
-            blk = _Block(kind=word, pipe=rest)
+            range_vars: tuple = ()
+            if word == "range" and ":=" in rest:
+                lhs, rest = rest.split(":=", 1)
+                rest = rest.strip()
+                names = [t.strip() for t in lhs.split(",")]
+                if not (
+                    1 <= len(names) <= 2
+                    and all(_RANGE_VAR_RE.match(n) for n in names)
+                    and len(set(names)) == len(names)
+                    and rest
+                ):
+                    raise TemplateError(
+                        "malformed range declaration: expected "
+                        "{{range $v := P}} or {{range $i, $v := P}}"
+                    )
+                range_vars = tuple(names)
+            blk = _Block(kind=word, pipe=rest, vars=range_vars)
             emit(blk)
             stack.append((blk, blk.body))
         elif word == "else if":
@@ -262,6 +312,8 @@ def _parse(template: str) -> list:
             if not stack:
                 raise TemplateError("{{else}} outside a block")
             blk, cur = stack[-1]
+            if blk.kind == "define":
+                raise TemplateError("{{else}} inside {{define}}")
             if cur is blk.else_:
                 raise TemplateError("duplicate {{else}}")
             stack[-1] = (blk, blk.else_)
@@ -279,7 +331,7 @@ def _parse(template: str) -> list:
     emit_text(tail)
     if stack:
         raise TemplateError(f"unclosed {{{{{stack[-1][0].kind}}}}} block")
-    return root
+    return root, defines
 
 
 # --------------------------------------------------------------------------
@@ -312,6 +364,8 @@ class _Ctx:
     scalar: _Expr | None = None  # dot = a scalar value
     elem: Column | None = None  # dot = a JSON-text value (range element /
     # with-bound subtree) — field access parses INTO this column
+    vars: dict[str, Column] | None = None  # $name → JSON-text value
+    # (range variables; lexically scoped, NOT inherited by {{template}})
 
     @property
     def is_root(self) -> bool:
@@ -529,6 +583,13 @@ def _operand(token: str, ctx: _Ctx, variant_log: bool) -> _Expr:
         return _Expr(col=F.lit("false"), truth=F.lit(False), err=_false())
     if token == "nil":
         return _Expr(col=F.lit(NO_VALUE), truth=F.lit(False), err=_false())
+    m = _VAR_PATH_OPERAND_RE.match(token)
+    if m:
+        name = "$" + m.group(1)
+        if ctx.vars is None or name not in ctx.vars:
+            raise TemplateError(f"undefined variable {name}")
+        parts = m.group(2)[1:].split(".") if m.group(2) else []
+        return _json_elem_access(ctx.vars[name], parts)
     m = _FIELD_PATH_RE.match(token)
     if m:
         return _field_expr(m.group(1) or "", ctx, variant_log)
@@ -847,9 +908,24 @@ def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, 
     # order, Go's map-range order) and project values — ONE `obj`
     # reference; an element_at-per-key lookup would re-parse the map for
     # every key.
+    # Two-var form needs the index/key alongside each value: carry
+    # (k, v) structs — array index (Go int, rendered as its decimal) or
+    # sorted map key — so $i/$k resolves without a second collection pass.
+    two_var = len(node.vars) == 2
+
     def items_tree() -> Column:
         a = F.from_json(raw, "array<string>")
         o = F.from_json(raw, "map<string,string>")
+        if two_var:
+            return F.coalesce(
+                F.transform(
+                    a, lambda x, i: F.struct(i.cast("string").alias("k"), x.alias("v"))
+                ),
+                F.transform(
+                    F.array_sort(F.map_entries(o)),
+                    lambda e: F.struct(e["key"].alias("k"), e["value"].alias("v")),
+                ),
+            )
         return F.coalesce(
             a, F.transform(F.array_sort(F.map_entries(o)), lambda e: e["value"])
         )
@@ -859,7 +935,12 @@ def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, 
     # row; all four reference sites below become attribute reads. Range
     # over a lambda element (nested range, with-bound element) can't
     # hoist — the value doesn't exist outside the enclosing HOF.
-    if _ACTIVE_PREP is not None and ctx.elem is None and ctx.scalar is None:
+    if (
+        _ACTIVE_PREP is not None
+        and ctx.elem is None
+        and ctx.scalar is None
+        and ctx.vars is None
+    ):
         name = f"__tpl{_HOIST_SEQ}_items_{len(_ACTIVE_PREP)}"
         _ACTIVE_PREP[name] = items_tree()
 
@@ -869,12 +950,24 @@ def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, 
     else:
         items = items_tree
 
+    def body_ctx(el: Column) -> _Ctx:
+        if two_var:
+            val, key = el["v"], el["k"]
+            new_vars = dict(ctx.vars or {})
+            new_vars[node.vars[0]] = key
+            new_vars[node.vars[1]] = val
+            return _Ctx(elem=val, vars=new_vars)
+        new_vars = dict(ctx.vars or {})
+        if node.vars:  # {{range $v := P}} — dot AND $v are the element
+            new_vars[node.vars[0]] = el
+        return _Ctx(elem=el, vars=new_vars or None)
+
     def body_line(el: Column) -> Column:
-        line, _ = _compile_nodes(node.body, _Ctx(elem=el), variant_log)
+        line, _ = _compile_nodes(node.body, body_ctx(el), variant_log)
         return line
 
     def body_err(el: Column) -> Column:
-        _, err = _compile_nodes(node.body, _Ctx(elem=el), variant_log)
+        _, err = _compile_nodes(node.body, body_ctx(el), variant_log)
         return err
 
     else_col, else_err = _compile_nodes(node.else_, ctx, variant_log)
@@ -898,6 +991,55 @@ def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, 
     return seg, F.coalesce(err, F.lit(True))
 
 
+# {{define}} bodies of the template being compiled + the names currently
+# being expanded (recursion guard). Single-threaded per compile_template
+# call, like _ACTIVE_PREP.
+_ACTIVE_DEFINES: dict[str, list] = {}
+_EXPANDING: set[str] = set()
+
+
+def _compile_template_call(
+    node: _TemplateCall, ctx: _Ctx, variant_log: bool
+) -> tuple[Column, Column]:
+    """``{{template "name" [P]}}`` → the named {{define}} body inlined at
+    compile time with dot rebound to the argument (Go invocation
+    semantics: dot is ALWAYS rebound — nil when no argument — and the
+    caller's variables are NOT visible inside). Inlining keeps the whole
+    render a single projection — zero runtime dispatch; the price is that
+    recursive templates aren't expressible (they'd need unbounded
+    expansion) and are rejected at compile time toward the render_fn
+    escape hatch."""
+    body = _ACTIVE_DEFINES.get(node.name)
+    if body is None:
+        raise TemplateError(f"template {node.name!r} is not defined")
+    if node.name in _EXPANDING:
+        raise TemplateError(
+            f"recursive {{{{template {node.name!r}}}}} is not compilable; "
+            "use watcher.watch(render_fn=…)"
+        )
+    arg_err = _false()
+    if node.pipe is None:
+        # no argument → dot is nil inside the invoked template
+        inner_ctx = _Ctx(
+            scalar=_Expr(col=F.lit(NO_VALUE), truth=F.lit(False), err=_false())
+        )
+    else:
+        arg = _compile_pipeline(node.pipe, ctx, variant_log)
+        arg_err = arg.err
+        if arg.log_parts is not None and ctx.is_root:
+            inner_ctx = _Ctx(log_base=arg.log_parts)
+        elif arg.raw is not None:
+            inner_ctx = _Ctx(elem=arg.raw)
+        else:
+            inner_ctx = _Ctx(scalar=arg)
+    _EXPANDING.add(node.name)
+    try:
+        body_col, body_err = _compile_nodes(body, inner_ctx, variant_log)
+    finally:
+        _EXPANDING.discard(node.name)
+    return body_col, arg_err | body_err
+
+
 def _compile_nodes(nodes: list, ctx: _Ctx, variant_log: bool) -> tuple[Column, Column]:
     """Node list → (concatenated text Column, error Column)."""
     segments: list[Column] = []
@@ -909,6 +1051,10 @@ def _compile_nodes(nodes: list, ctx: _Ctx, variant_log: bool) -> tuple[Column, C
             e = _compile_pipeline(node.pipe, ctx, variant_log)
             segments.append(e.col)
             err = err | e.err
+        elif isinstance(node, _TemplateCall):
+            seg, terr = _compile_template_call(node, ctx, variant_log)
+            segments.append(seg)
+            err = err | terr
         elif isinstance(node, _Block):
             if node.kind == "range":
                 seg, rerr = _compile_range(node, ctx, variant_log)
@@ -917,12 +1063,13 @@ def _compile_nodes(nodes: list, ctx: _Ctx, variant_log: bool) -> tuple[Column, C
                 continue
             cond = _compile_pipeline(node.pipe, ctx, variant_log)
             if node.kind == "with":
+                # rebind dot; range variables stay lexically visible
                 if cond.log_parts is not None and ctx.is_root:
-                    inner_ctx = _Ctx(log_base=cond.log_parts)
+                    inner_ctx = _Ctx(log_base=cond.log_parts, vars=ctx.vars)
                 elif cond.raw is not None:
-                    inner_ctx = _Ctx(elem=cond.raw)
+                    inner_ctx = _Ctx(elem=cond.raw, vars=ctx.vars)
                 else:
-                    inner_ctx = _Ctx(scalar=cond)
+                    inner_ctx = _Ctx(scalar=cond, vars=ctx.vars)
             else:
                 inner_ctx = ctx
             body_col, body_err = _compile_nodes(node.body, inner_ctx, variant_log)
@@ -948,20 +1095,24 @@ def compile_template(
     Compile errors raise TemplateError — the analogue of the reference's
     exit-2-on-parse-failure (main.go:110-114).
     """
-    global _ACTIVE_PREP, _HOIST_SEQ
-    nodes = _parse(template)
-    # Self-contained columns (usable in any projection).
-    line, error = _compile_nodes(nodes, _Ctx(), variant_log)
-    # Hoisted variant: range collection parses lifted to prep columns
-    # (see CompiledTemplate docstring). Compiled second so the
-    # self-contained pass can't observe the hoist context.
-    _HOIST_SEQ += 1
-    _ACTIVE_PREP = {}
+    global _ACTIVE_PREP, _HOIST_SEQ, _ACTIVE_DEFINES
+    nodes, defines = _parse(template)
+    _ACTIVE_DEFINES = defines
     try:
-        line_h, error_h = _compile_nodes(nodes, _Ctx(), variant_log)
-        prep = _ACTIVE_PREP
+        # Self-contained columns (usable in any projection).
+        line, error = _compile_nodes(nodes, _Ctx(), variant_log)
+        # Hoisted variant: range collection parses lifted to prep columns
+        # (see CompiledTemplate docstring). Compiled second so the
+        # self-contained pass can't observe the hoist context.
+        _HOIST_SEQ += 1
+        _ACTIVE_PREP = {}
+        try:
+            line_h, error_h = _compile_nodes(nodes, _Ctx(), variant_log)
+            prep = _ACTIVE_PREP
+        finally:
+            _ACTIVE_PREP = None
     finally:
-        _ACTIVE_PREP = None
+        _ACTIVE_DEFINES = {}
     return CompiledTemplate(
         line=line,
         error=error,
