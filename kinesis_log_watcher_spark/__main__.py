@@ -85,6 +85,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             poll=args.watch,
             one_shot=args.one_shot,
             checkpoint_dir=args.checkpoint,
+            # reference-faithful: every line streams to stdout
+            # (main.go:288-292) — the CLI is the one opt-in to the
+            # unbounded path; the library default stays bounded.
+            max_lines=None,
         )
     except TemplateError as exc:
         print(exc, file=sys.stderr)

@@ -7,10 +7,10 @@ variables via a handle; the engine manages encoding, TTL, and timers).
 
 The operator: per-user running totals (event count + value sum). Each
 micro-batch folds its rows into a ``ValueState`` and emits the updated
-snapshot, so the update stream is monotone per user and the final
-answer of a bounded replay is::
+snapshot, so ``n_events`` strictly increases across a user's snapshots
+and the final answer of a bounded replay is::
 
-    groupBy(user_id).agg(max(n_events), max(value_sum_q))
+    groupBy(user_id).agg(max(n_events), max_by(value_sum_q, n_events))
 
 which must equal the plain batch aggregate — the same
 oracle-checkable-replay design as the sessionizer (test asserts
@@ -27,11 +27,13 @@ state backend and TTL config apply unchanged on a cluster.
 
 ENVIRONMENT GATE: transformWithState's Python worker requires
 ``protobuf`` at runtime (its state-server protocol is proto-encoded).
-This container doesn't ship protobuf, so tests/test_tws.py skips unless
-``google.protobuf`` imports; ``require_tws_runtime()`` below gives
-callers the same check. The tested-everywhere equivalent of this
-operator's semantics is streaming/stateful.py (applyInPandasWithState),
-which needs no extra deps.
+When ``google.protobuf`` is unavailable, ``running_totals_stream`` falls
+back to an ``applyInPandasWithState`` implementation of the IDENTICAL
+operator semantics (same output schema, same int64 micro-unit
+quantization, same update-stream shape) so the replay≡batch invariant
+always executes; ``require_tws_runtime()`` tells callers which path a
+given environment runs. On a protobuf-equipped cluster the
+StatefulProcessor path is used unchanged.
 """
 
 from __future__ import annotations
@@ -49,6 +51,7 @@ from pyspark.sql import functions as F
 from kinesis_log_watcher_spark.functions.tscompat import normalize_ts_cols
 
 from kinesis_log_watcher_spark.session import ensure_session_confs
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
@@ -60,6 +63,14 @@ def require_tws_runtime() -> None:
     import importlib
 
     importlib.import_module("google.protobuf.descriptor")
+
+
+def tws_runtime_available() -> bool:
+    try:
+        require_tws_runtime()
+    except ImportError:
+        return False
+    return True
 
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, value_sum_q bigint"
@@ -93,21 +104,54 @@ class RunningTotalsProcessor(StatefulProcessor):
         pass
 
 
-def running_totals_stream(events: DataFrame) -> DataFrame:
-    """Stream in → per-user running-totals update stream out."""
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=RunningTotalsProcessor(),
+def _running_totals_fallback(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState twin of RunningTotalsProcessor — identical
+    fold (same quantization, same snapshot-per-batch update stream)."""
+    n, sq = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        sq += int(
+            np.floor(pdf["value"].to_numpy() * 1_000_000 + 0.5).astype("int64").sum()
+        )
+    state.update((n, sq))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_sum_q": [sq]})
+
+
+def running_totals_stream(events: DataFrame, use_tws: bool | None = None) -> DataFrame:
+    """Stream in → per-user running-totals update stream out.
+
+    ``use_tws=None`` auto-detects: the transformWithState path when its
+    protobuf-backed Python worker can run, else the
+    applyInPandasWithState twin (same semantics, no extra deps)."""
+    if use_tws is None:
+        use_tws = tws_runtime_available()
+    if use_tws:
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fallback,
         outputStructType=OUTPUT_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
 def final_totals(updates: DataFrame) -> DataFrame:
-    """Monotone reduction of the update stream to final totals."""
+    """Reduce the update stream to final totals. ``n_events`` strictly
+    increases per emitted snapshot (a group only emits when the batch
+    held rows for it), so the final state is the snapshot with the
+    largest ``n_events``. The value sum itself is NOT monotone (values
+    can be negative) — hence ``max_by``, not ``max``."""
     return updates.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.max("value_sum_q").alias("value_sum_q"),
+        F.max_by("value_sum_q", "n_events").alias("value_sum_q"),
     )
 
 

@@ -35,10 +35,21 @@ constructs plus the control-flow/pipeline core:
   value; ``$name`` / ``$name.field`` resolve lexically inside the block.
 - ``{{define "n"}}…{{end}}`` + ``{{template "n" [P]}}`` + ``{{block}}``
   — named sub-templates, inlined at compile time with dot rebound to the
-  argument (nil when absent; caller variables invisible — Go invocation
-  scoping). Recursive invocation and general ``{{$x := …}}`` variable
-  assignment are the only constructs left to the
-  ``watcher.watch(render_fn=…)`` escape hatch.
+  argument (nil when absent — field access under a nil dot is a runtime
+  render error, Go's error surface; caller variables invisible — Go
+  invocation scoping). ``{{block}}`` is legal at any nesting depth.
+  Recursive invocation is depth-bounded unrolled (MAX_TEMPLATE_DEPTH
+  levels; rows recursing deeper become render errors — the analogue of
+  Go's exec-time depth cap).
+- ``{{$x := P}}`` — general variable declaration, anywhere; lexically
+  scoped to the enclosing block per Go's rule (scope runs to the
+  {{end}}); ``{{if $x := P}}`` / ``{{with $x := P}}`` /
+  ``{{range $v := P}}`` declaration forms all bind. ``{{$x = P}}``
+  reassignment is supported within the block that declared ``$x``;
+  assignment to an enclosing block's variable (a branch-dependent value
+  escaping its block) is the one construct left to the
+  ``watcher.watch(render_fn=…)`` escape hatch, alongside the ``js`` and
+  ``call`` builtins.
 
 This compiler turns a template into ONE string Column (the rendered line)
 plus ONE boolean Column (the render-error condition). That reproduces the
@@ -73,7 +84,7 @@ linear scale-out with input partitions.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -206,11 +217,21 @@ class _TemplateCall:  # {{template "name" [pipeline]}}
     pipe: str | None
 
 
+@dataclass
+class _VarDecl:  # {{$x := P}} (declare=True) / {{$x = P}} (declare=False)
+    name: str  # includes the leading "$"
+    pipe: str
+    declare: bool
+
+
 _KEYWORD_RE = re.compile(r"^(if|else if|else|end|with|range|template|block|define)\b\s*")
 
 
 _DEFINE_NAME_RE = re.compile(r'^"((?:[^"\\]|\\.)*)"\s*')
 _RANGE_VAR_RE = re.compile(r"^\$\w+$")
+# {{$x := P}} / {{$x = P}} — ':=' declares, '=' reassigns ('==' is not a
+# Go pipeline token, so a lone '=' never splits an equality).
+_VAR_DECL_RE = re.compile(r"^(\$\w+)\s*(:=|=(?!=))\s*(.+)$", re.DOTALL)
 
 
 def _parse(template: str) -> tuple[list, dict[str, list]]:
@@ -248,7 +269,11 @@ def _parse(template: str) -> tuple[list, dict[str, list]]:
         body = m.group(1)
         kw = _KEYWORD_RE.match(body)
         if not kw:
-            emit(_Action(body))
+            vd = _VAR_DECL_RE.match(body)
+            if vd:
+                emit(_VarDecl(vd.group(1), vd.group(3).strip(), vd.group(2) == ":="))
+            else:
+                emit(_Action(body))
             continue
         word = kw.group(1)
         rest = body[kw.end() :].strip()
@@ -261,39 +286,48 @@ def _parse(template: str) -> tuple[list, dict[str, list]]:
             if word == "template":
                 emit(_TemplateCall(name, arg))
                 continue
-            if stack:
-                raise TemplateError(f"{{{{{word}}}}} must be at top level")
             if name in defines:
                 raise TemplateError(f"template {name!r} defined twice")
             blk = _Block(kind="define", pipe=name)
             defines[name] = blk.body
             if word == "block":
                 # {{block "n" P}}body{{end}} ≡ {{define "n"}}…{{end}} +
-                # {{template "n" P}} (Go text/template desugaring)
+                # {{template "n" P}} in place (Go text/template
+                # desugaring) — legal at any nesting depth; the body is
+                # hoisted into the defines map while the call stays put.
+                if arg is None:
+                    raise TemplateError("{{block}} requires a pipeline argument")
                 emit(_TemplateCall(name, arg))
-            elif arg is not None:
-                raise TemplateError("{{define}} takes only a name")
+            else:
+                if stack:
+                    raise TemplateError("{{define}} must be at top level")
+                if arg is not None:
+                    raise TemplateError("{{define}} takes only a name")
             stack.append((blk, blk.body))
             continue
         if word in ("if", "with", "range"):
             if not rest:
                 raise TemplateError(f"{{{{{word}}}}} needs a pipeline")
             range_vars: tuple = ()
-            if word == "range" and ":=" in rest:
-                lhs, rest = rest.split(":=", 1)
-                rest = rest.strip()
+            if rest.startswith("$") and ":=" in rest:
+                lhs, rhs = rest.split(":=", 1)
+                rhs = rhs.strip()
                 names = [t.strip() for t in lhs.split(",")]
-                if not (
-                    1 <= len(names) <= 2
-                    and all(_RANGE_VAR_RE.match(n) for n in names)
-                    and len(set(names)) == len(names)
-                    and rest
-                ):
-                    raise TemplateError(
-                        "malformed range declaration: expected "
-                        "{{range $v := P}} or {{range $i, $v := P}}"
-                    )
-                range_vars = tuple(names)
+                if all(_RANGE_VAR_RE.match(n) for n in names):
+                    # a genuine declaration (not a ':=' inside a string
+                    # literal further down the pipeline)
+                    max_vars = 2 if word == "range" else 1
+                    if not (
+                        1 <= len(names) <= max_vars
+                        and len(set(names)) == len(names)
+                        and rhs
+                    ):
+                        raise TemplateError(
+                            f"malformed {{{{{word}}}}} variable "
+                            f"declaration in {rest!r}"
+                        )
+                    range_vars = tuple(names)
+                    rest = rhs
             blk = _Block(kind=word, pipe=rest, vars=range_vars)
             emit(blk)
             stack.append((blk, blk.body))
@@ -364,8 +398,9 @@ class _Ctx:
     scalar: _Expr | None = None  # dot = a scalar value
     elem: Column | None = None  # dot = a JSON-text value (range element /
     # with-bound subtree) — field access parses INTO this column
-    vars: dict[str, Column] | None = None  # $name → JSON-text value
-    # (range variables; lexically scoped, NOT inherited by {{template}})
+    vars: dict[str, "_Expr"] | None = None  # $name → compiled value
+    # (range / {{$x := …}} variables; lexically scoped, NOT inherited by
+    # {{template}} — Go invocation scoping)
 
     @property
     def is_root(self) -> bool:
@@ -588,8 +623,15 @@ def _operand(token: str, ctx: _Ctx, variant_log: bool) -> _Expr:
         name = "$" + m.group(1)
         if ctx.vars is None or name not in ctx.vars:
             raise TemplateError(f"undefined variable {name}")
+        e = ctx.vars[name]
         parts = m.group(2)[1:].split(".") if m.group(2) else []
-        return _json_elem_access(ctx.vars[name], parts)
+        if not parts:
+            return e
+        if e.raw is None:
+            raise TemplateError(
+                f"cannot access {token}: {name} holds a scalar value"
+            )
+        return _json_elem_access(e.raw, parts)
     m = _FIELD_PATH_RE.match(token)
     if m:
         return _field_expr(m.group(1) or "", ctx, variant_log)
@@ -954,12 +996,12 @@ def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, 
         if two_var:
             val, key = el["v"], el["k"]
             new_vars = dict(ctx.vars or {})
-            new_vars[node.vars[0]] = key
-            new_vars[node.vars[1]] = val
+            new_vars[node.vars[0]] = _json_elem_access(key, [])
+            new_vars[node.vars[1]] = _json_elem_access(val, [])
             return _Ctx(elem=val, vars=new_vars)
         new_vars = dict(ctx.vars or {})
         if node.vars:  # {{range $v := P}} — dot AND $v are the element
-            new_vars[node.vars[0]] = el
+            new_vars[node.vars[0]] = _json_elem_access(el, [])
         return _Ctx(elem=el, vars=new_vars or None)
 
     def body_line(el: Column) -> Column:
@@ -970,7 +1012,16 @@ def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, 
         _, err = _compile_nodes(node.body, body_ctx(el), variant_log)
         return err
 
-    else_col, else_err = _compile_nodes(node.else_, ctx, variant_log)
+    # Go scope rule: a range-declared variable extends to the {{end}},
+    # so it is visible in the else branch too — there it holds the
+    # (empty) pipeline value, Go's initial assignment before iteration.
+    if len(node.vars) == 1:
+        else_vars = dict(ctx.vars or {})
+        else_vars[node.vars[0]] = target
+        else_ctx = replace(ctx, vars=else_vars)
+    else:
+        else_ctx = ctx
+    else_col, else_err = _compile_nodes(node.else_, else_ctx, variant_log)
     # array_join skips null elements; a null body line only happens on a
     # body render error, which the error column catches (row dropped).
     joined = F.array_join(F.transform(items(), body_line), "")
@@ -995,7 +1046,14 @@ def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, 
 # being expanded (recursion guard). Single-threaded per compile_template
 # call, like _ACTIVE_PREP.
 _ACTIVE_DEFINES: dict[str, list] = {}
-_EXPANDING: set[str] = set()
+_EXPANDING: dict[str, int] = {}  # name → current inline-expansion depth
+
+# Recursive {{template}} is inlined by bounded unrolling: each
+# self-invocation level is compiled in place, and a row whose data would
+# recurse deeper than this becomes a render error (dropped), the analogue
+# of Go's exec-time "exceeded maximum template depth" (Go caps at 100000;
+# ours is lower because every level lands in the projection).
+MAX_TEMPLATE_DEPTH = 8
 
 
 def _compile_template_call(
@@ -1005,24 +1063,26 @@ def _compile_template_call(
     compile time with dot rebound to the argument (Go invocation
     semantics: dot is ALWAYS rebound — nil when no argument — and the
     caller's variables are NOT visible inside). Inlining keeps the whole
-    render a single projection — zero runtime dispatch; the price is that
-    recursive templates aren't expressible (they'd need unbounded
-    expansion) and are rejected at compile time toward the render_fn
-    escape hatch."""
+    render a single projection — zero runtime dispatch. Recursion is
+    depth-bounded unrolled (MAX_TEMPLATE_DEPTH); beyond the bound the
+    node is a runtime render error, reached only by rows whose data
+    actually recurses that deep."""
     body = _ACTIVE_DEFINES.get(node.name)
     if body is None:
         raise TemplateError(f"template {node.name!r} is not defined")
-    if node.name in _EXPANDING:
-        raise TemplateError(
-            f"recursive {{{{template {node.name!r}}}}} is not compilable; "
-            "use watcher.watch(render_fn=…)"
-        )
+    depth = _EXPANDING.get(node.name, 0)
+    if depth >= MAX_TEMPLATE_DEPTH:
+        return F.lit(""), F.lit(True)
     arg_err = _false()
     if node.pipe is None:
-        # no argument → dot is nil inside the invoked template
-        inner_ctx = _Ctx(
-            scalar=_Expr(col=F.lit(NO_VALUE), truth=F.lit(False), err=_false())
-        )
+        # No argument → dot is nil inside the invoked template. Bind a
+        # null JSON element so field access still compiles and becomes a
+        # render error at execution time — Go's error surface (Go parses
+        # this fine and fails only when the body dereferences nil).
+        inner_ctx = _Ctx(elem=F.lit(None).cast("string"))
+    elif node.pipe.strip() == "." and ctx.is_root:
+        # Pass the whole record: dot inside the body is the root record.
+        inner_ctx = _Ctx()
     else:
         arg = _compile_pipeline(node.pipe, ctx, variant_log)
         arg_err = arg.err
@@ -1032,20 +1092,50 @@ def _compile_template_call(
             inner_ctx = _Ctx(elem=arg.raw)
         else:
             inner_ctx = _Ctx(scalar=arg)
-    _EXPANDING.add(node.name)
+    _EXPANDING[node.name] = depth + 1
     try:
         body_col, body_err = _compile_nodes(body, inner_ctx, variant_log)
     finally:
-        _EXPANDING.discard(node.name)
+        if depth:
+            _EXPANDING[node.name] = depth
+        else:
+            _EXPANDING.pop(node.name, None)
     return body_col, arg_err | body_err
 
 
 def _compile_nodes(nodes: list, ctx: _Ctx, variant_log: bool) -> tuple[Column, Column]:
-    """Node list → (concatenated text Column, error Column)."""
+    """Node list → (concatenated text Column, error Column).
+
+    ``{{$x := P}}`` declarations update the context for the REST of this
+    node list (and everything nested under it) — Go's lexical scope rule:
+    a variable's scope extends to the {{end}} of the structure in which
+    it is declared. The parent's context object is never mutated, so
+    bindings cannot escape the block."""
     segments: list[Column] = []
     err = _false()
+    declared_here: set[str] = set()
     for node in nodes:
-        if isinstance(node, _Text):
+        if isinstance(node, _VarDecl):
+            e = _compile_pipeline(node.pipe, ctx, variant_log)
+            if not node.declare:
+                if ctx.vars is None or node.name not in ctx.vars:
+                    raise TemplateError(f"undefined variable {node.name}")
+                if node.name not in declared_here:
+                    # {{$x = P}} targeting an outer-scope variable would
+                    # need the branch-dependent value to escape this
+                    # block — not expressible as a static projection.
+                    raise TemplateError(
+                        f"{node.name} = … assignment to a variable from an "
+                        "enclosing block is not compilable; use "
+                        "watcher.watch(render_fn=…)"
+                    )
+            new_vars = dict(ctx.vars or {})
+            new_vars[node.name] = e
+            ctx = replace(ctx, vars=new_vars)
+            declared_here.add(node.name)
+            # Go evaluates the declaration pipeline even if $x is unused.
+            err = err | e.err
+        elif isinstance(node, _Text):
             segments.append(F.lit(node.text))
         elif isinstance(node, _Action):
             e = _compile_pipeline(node.pipe, ctx, variant_log)
@@ -1062,18 +1152,25 @@ def _compile_nodes(nodes: list, ctx: _Ctx, variant_log: bool) -> tuple[Column, C
                 err = err | rerr
                 continue
             cond = _compile_pipeline(node.pipe, ctx, variant_log)
+            # {{if $x := P}} / {{with $x := P}} — $x is in scope in both
+            # the body and the else branch (scope runs to the {{end}}).
+            branch_vars = ctx.vars
+            if node.vars:
+                branch_vars = dict(ctx.vars or {})
+                branch_vars[node.vars[0]] = cond
             if node.kind == "with":
-                # rebind dot; range variables stay lexically visible
+                # rebind dot; outer variables stay lexically visible
                 if cond.log_parts is not None and ctx.is_root:
-                    inner_ctx = _Ctx(log_base=cond.log_parts, vars=ctx.vars)
+                    inner_ctx = _Ctx(log_base=cond.log_parts, vars=branch_vars)
                 elif cond.raw is not None:
-                    inner_ctx = _Ctx(elem=cond.raw, vars=ctx.vars)
+                    inner_ctx = _Ctx(elem=cond.raw, vars=branch_vars)
                 else:
-                    inner_ctx = _Ctx(scalar=cond, vars=ctx.vars)
+                    inner_ctx = _Ctx(scalar=cond, vars=branch_vars)
             else:
-                inner_ctx = ctx
+                inner_ctx = replace(ctx, vars=branch_vars)
+            else_ctx = replace(ctx, vars=branch_vars)
             body_col, body_err = _compile_nodes(node.body, inner_ctx, variant_log)
-            else_col, else_err = _compile_nodes(node.else_, ctx, variant_log)
+            else_col, else_err = _compile_nodes(node.else_, else_ctx, variant_log)
             segments.append(F.when(cond.truth, body_col).otherwise(else_col))
             err = err | cond.err | F.when(cond.truth, body_err).otherwise(else_err)
         else:  # pragma: no cover
@@ -1113,6 +1210,7 @@ def compile_template(
             _ACTIVE_PREP = None
     finally:
         _ACTIVE_DEFINES = {}
+        _EXPANDING.clear()
     return CompiledTemplate(
         line=line,
         error=error,

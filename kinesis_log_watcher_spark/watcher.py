@@ -190,6 +190,14 @@ def build_lines(
     return compiled.apply(env)
 
 
+# Library default for watch(max_lines=…): bounded, so the default plan
+# carries a CollectLimit and no call can silently materialize an
+# unbounded result on the driver. Pass max_lines=None to opt into the
+# reference-faithful unbounded stream (the CLI does — it pipes every
+# line to stdout exactly like the reference's single-process tailer).
+DEFAULT_MAX_LINES = 100_000
+
+
 def watch(
     records: DataFrame,
     template: str = DEFAULT_TEMPLATE,
@@ -201,7 +209,7 @@ def watch(
     sink=print,
     reporter: RenderErrorReporter | None = None,
     render_fn=None,
-    max_lines: int | None = None,
+    max_lines: int | None = DEFAULT_MAX_LINES,
     distributed_sink=None,
 ) -> StreamingQuery | list[str] | None:
     """Run the watcher.
@@ -213,12 +221,14 @@ def watch(
     ``render_fn`` routes rendering through the Python escape hatch for
     templates beyond the compiled dialect (slow path).
 
-    Driver-memory bounds (default stays reference-faithful — the
-    reference streams every line to one stdout, main.go:288-292):
+    Driver-memory bounds:
 
-    - ``max_lines=N``: at most N rendered lines ever reach the driver.
-      Batch mode plans a CollectLimit (executors stop early); streaming
-      mode caps each micro-batch's collect.
+    - ``max_lines=N`` (default ``DEFAULT_MAX_LINES``): at most N rendered
+      lines ever reach the driver. Batch mode plans a CollectLimit
+      (executors stop early); streaming mode caps each micro-batch's
+      collect. ``max_lines=None`` opts into the unbounded
+      reference-faithful stream (the CLI's mode — the reference streams
+      every line to one stdout, main.go:288-292).
     - ``distributed_sink=fn``: batch mode emits on the EXECUTORS —
       ``fn(iter_of_lines)`` runs once per partition via
       ``foreachPartition`` and the driver never materializes a single

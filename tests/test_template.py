@@ -130,8 +130,8 @@ def test_whole_log_renders_json_or_no_value(spark):
 
 
 def test_unsupported_action_raises(spark):
-    # {{template}}/{{define}} stay on the render_fn escape hatch
-    # ({{range}} compiles since the control-flow work — see
+    # invoking a template that was never {{define}}d is a parse-time
+    # error (define/template/block themselves compile — see
     # test_template_control.py)
     with pytest.raises(TemplateError):
         compile_template('{{template "sub" .}}')

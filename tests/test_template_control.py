@@ -269,19 +269,105 @@ def test_range_whitespace_trim(spark):
     assert _render(spark, t, b'{"xs": [1, 2]}') == ["12"]
 
 
-def test_range_variables_raise(spark):
+def test_range_variables_render(spark):
+    t = "{{range $i, $v := .Log.xs}}{{$i}}:{{$v}} {{end}}"
+    assert _render(spark, t, b'{"xs": [7, 8]}') == ["0:7 1:8 "]
+    t = "{{range $v := .Log.xs}}[{{$v}}={{.}}]{{end}}"
+    assert _render(spark, t, b'{"xs": ["a", "b"]}') == ["[a=a][b=b]"]
+
+
+# --- general variables -------------------------------------------------
+
+
+def test_variable_declaration_and_use(spark):
+    t = "{{$x := .Log.a}}{{$x}}|{{$x}}"
+    assert _render(spark, t, b'{"a": "hi"}') == ["hi|hi"]
+    t = "{{$o := .Log.o}}{{$o.b}}"
+    assert _render(spark, t, b'{"o": {"b": 3}}') == ["3"]
+
+
+def test_variable_reassignment_same_scope(spark):
+    t = '{{$x := "a"}}{{$x = "b"}}{{$x}}'
+    assert _render(spark, t, b"{}") == ["b"]
+
+
+def test_if_with_variable_declaration(spark):
+    t = "{{if $x := .Log.a}}y{{$x}}{{else}}n{{$x}}{{end}}"
+    assert _render(spark, t, b'{"a": 5}') == ["y5"]
+    assert _render(spark, t, b'{"b": 5}') == [f"n{NO_VALUE}"]
+    t = "{{with $x := .Log.o}}{{.b}}/{{$x.b}}{{end}}"
+    assert _render(spark, t, b'{"o": {"b": 2}}') == ["2/2"]
+
+
+def test_variable_scope_does_not_escape_block(spark):
+    # declared inside {{if}} → out of scope after {{end}} (Go rule)
+    with pytest.raises(TemplateError, match="undefined variable"):
+        compile_template("{{if .Log.a}}{{$x := 1}}{{end}}{{$x}}")
+
+
+def test_cross_scope_assignment_raises(spark):
+    # {{$x = P}} mutating an enclosing block's variable stays on the
+    # render_fn escape hatch (branch-dependent value can't escape)
     with pytest.raises(TemplateError, match="render_fn"):
-        compile_template("{{range $i, $v := .Log.xs}}{{$v}}{{end}}")
+        compile_template("{{$x := 1}}{{if .Log.a}}{{$x = 2}}{{end}}{{$x}}")
+    with pytest.raises(TemplateError, match="undefined variable"):
+        compile_template("{{$y = 1}}")
+
+
+# --- define / template / block -----------------------------------------
+
+
+def test_template_define_render(spark):
+    t = '{{define "t"}}[{{.b}}]{{end}}{{template "t" .Log.o}}'
+    assert _render(spark, t, b'{"o": {"b": 9}}') == ["[9]"]
+    # whole-record argument: dot inside the body is the root record
+    t = '{{define "t"}}{{.ShortHostId}}/{{.Log.a}}{{end}}{{template "t" .}}'
+    assert _render(spark, t, b'{"a": 1}') == ["abc/1"]
+
+
+def test_template_no_arg_nil_dot(spark):
+    # Go: dot is nil inside a no-arg invocation; rendering nil gives
+    # <no value>, dereferencing it is an exec-time error (row dropped)
+    t = '{{define "t"}}x{{.}}{{end}}{{template "t"}}'
+    assert _render(spark, t, b"{}") == [f"x{NO_VALUE}"]
+    t = '{{define "t"}}{{.f}}{{end}}{{template "t"}}'
+    assert _render(spark, t, b"{}") == []
+
+
+def test_block_nested_inside_if(spark):
+    t = '{{if .Log.a}}{{block "b" .Log.o}}<{{.v}}>{{end}}{{end}}'
+    assert _render(spark, t, b'{"a": 1, "o": {"v": 4}}') == ["<4>"]
+
+
+def test_block_requires_pipeline(spark):
+    with pytest.raises(TemplateError, match="pipeline"):
+        compile_template('{{block "b"}}x{{end}}')
+
+
+def test_recursive_template_bounded(spark):
+    t = (
+        '{{define "r"}}{{.v}}{{if .next}}>{{template "r" .next}}{{end}}{{end}}'
+        '{{template "r" .Log}}'
+    )
+    payload = json.dumps({"v": 1, "next": {"v": 2, "next": {"v": 3}}}).encode()
+    assert _render(spark, t, payload) == ["1>2>3"]
+    # deeper than MAX_TEMPLATE_DEPTH → render error → row dropped
+    deep: dict = {"v": 0}
+    cur = deep
+    for i in range(1, 12):
+        cur["next"] = {"v": i}
+        cur = cur["next"]
+    assert _render(spark, t, json.dumps(deep).encode()) == []
 
 
 # --- compile errors ----------------------------------------------------
 
 
-def test_template_define_raise(spark):
-    with pytest.raises(TemplateError, match="render_fn"):
-        compile_template('{{template "x" .}}')
+def test_undefined_template_raises(spark):
+    with pytest.raises(TemplateError, match="not defined"):
+        compile_template('{{template "nope" .}}')
     with pytest.raises(TemplateError):
-        compile_template('{{define "x"}}y{{end}}')
+        compile_template('{{define "x"}}y{{end}}{{define "x"}}z{{end}}')
 
 
 @pytest.mark.parametrize(

@@ -1,6 +1,9 @@
-"""transformWithState (Spark 4 StatefulProcessor API): per-user running
-totals must reproduce the batch aggregate for any micro-batch split of
-a bounded replay — state carries across batch boundaries."""
+"""Per-user running totals must reproduce the batch aggregate for any
+micro-batch split of a bounded replay — state carries across batch
+boundaries. Runs on the transformWithState StatefulProcessor path when
+protobuf is available, else on its applyInPandasWithState twin (same
+semantics — see streaming/tws.py ENVIRONMENT GATE); either way the
+replay≡batch pin executes."""
 
 from __future__ import annotations
 
@@ -11,16 +14,10 @@ from datetime import datetime, timedelta
 
 import pytest
 
-pytest.importorskip(
-    "google.protobuf.descriptor",
-    reason="transformWithState's Python worker needs protobuf (see "
-    "streaming/tws.py ENVIRONMENT GATE); semantics equivalently covered "
-    "by test_streaming_stateful.py on applyInPandasWithState",
-)
-
-from kinesis_log_watcher_spark.streaming.tws import (  # noqa: E402
+from kinesis_log_watcher_spark.streaming.tws import (
     batch_totals,
     run_running_totals,
+    tws_runtime_available,
 )
 
 T0 = datetime(2024, 1, 1)

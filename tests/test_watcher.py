@@ -6,6 +6,8 @@ from datetime import datetime, timedelta
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from kinesis_log_watcher_spark.sources.files import (
     read_raw_records,
     read_raw_records_stream,
@@ -214,6 +216,29 @@ def test_watch_max_lines_bounds_driver(spark):
     got = watch(records, template="{{.Log.msg}}", max_lines=5, reporter=rep2)
     assert len(got) <= 5
     assert rep2.dropped_rows > 0
+
+
+def test_watch_default_is_bounded(spark):
+    """The library DEFAULT plans a CollectLimit (DEFAULT_MAX_LINES):
+    no watch() call can silently materialize unbounded output on the
+    driver. Unbounded is an explicit opt-in (max_lines=None — the
+    CLI's reference-faithful mode)."""
+    from kinesis_log_watcher_spark.watcher import DEFAULT_MAX_LINES, build_lines
+
+    assert DEFAULT_MAX_LINES is not None
+    records = kinesis_records_fixture(spark, n_records=50)
+    # the exact plan watch() collects by default: limit(DEFAULT_MAX_LINES)
+    ok = (
+        build_lines(records, keep_errors=True)
+        .filter(~F.col("_render_error"))
+        .select("line")
+        .limit(DEFAULT_MAX_LINES)
+    )
+    plan = ok._jdf.queryExecution().executedPlan().toString()
+    assert "CollectLimit" in plan or "GlobalLimit" in plan
+    # and the default returns the same lines as explicit-unbounded for
+    # small inputs (the fixture's render-error rows drop on both paths)
+    assert sorted(watch(records)) == sorted(watch(records, max_lines=None))
 
 
 def test_watch_distributed_sink_emits_on_executors(spark, tmp_path):
