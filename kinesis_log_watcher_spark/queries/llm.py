@@ -3,9 +3,10 @@ n-gram Jaccard), similarity search (brute-force + IVF-probed),
 text analysis (lang-ID / quality / tokens / fingerprints), multimodal
 metadata. Every oracle recomputes the same md5-derived hashes / exact
 decimal sums, so results are engine-identical. (One deliberate
-exception: ann_cosine_topk_fast is the double-precision production path
-and registers without an oracle — rows-only driver check, with a
-bit-exact fold-parity unit test instead.)"""
+variation: ann_cosine_topk_fast is the double-precision production path
+and uses a RANK-ONLY oracle — each engine ranks its own double scores
+and the neighbor order must match; a unit test pins the Spark fold
+bit-exactly against a Python left-fold.)"""
 
 from __future__ import annotations
 
@@ -902,12 +903,32 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_cosine_topk_fast",
-    None,  # double-precision fold ≠ decimal oracle → rows-only check;
-           # tests/test_udfs.py pins exact parity with a Python left-fold
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+      FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.q_emb, CAST(e.embedding AS DOUBLE[]))
+               AS cos
+      FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+    ranked AS (
+      SELECT q_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT q_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
     doc="Production brute-force ANN path: broadcast queries × index, "
     "zip_with/aggregate codegen'd dot product in doubles (no exact-"
     "decimal overhead), per-query top-5 ranking window. The index is "
-    "scanned once and never shuffled for the join.",
+    "scanned once and never shuffled for the join. RANK-ONLY oracle "
+    "contract: the raw double cosine is dropped from the output (its "
+    "fold rounding is engine-specific; tests/test_udfs.py pins exact "
+    "parity with a Python left-fold) — both engines rank their own "
+    "double-precision scores and must produce the same neighbor order; "
+    "the exact-decimal twin ann_cosine_topk hash-matches scores too.",
 )
 def ann_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.operators.similarity import cosine_topk_fast
@@ -916,7 +937,7 @@ def ann_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return cosine_topk_fast(q, emb, k=5)
+    return cosine_topk_fast(q, emb, k=5).select("q_id", "neighbor_id", "rank")
 
 
 # ---------------------------------------------------------------------------

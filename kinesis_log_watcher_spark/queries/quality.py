@@ -369,3 +369,101 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"tf_{t}" for t in _BM25_TERMS],
         F.floor(score * 1e6 + 0.5).cast("long").alias("score_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sub-document exact-substring dedup (Lee et al. 2022 restated)
+# ---------------------------------------------------------------------------
+
+_ESD_K = 8  # window length in tokens
+
+
+@register(
+    "exact_substring_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 8),
+    win AS (
+      SELECT doc_id, len(toks) AS n_tokens, i AS pos,
+             md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS wh
+      FROM t, unnest(range(1, len(toks) - 6)) AS u(i)),
+    ranked AS (
+      SELECT doc_id, n_tokens, pos,
+             ROW_NUMBER() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+      FROM win),
+    dups AS (SELECT doc_id, n_tokens, pos FROM ranked WHERE rn > 1),
+    sp AS (
+      SELECT doc_id, n_tokens, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM dups)
+    SELECT doc_id,
+           CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS dup_windows,
+           CAST(SUM(CASE WHEN prev IS NULL THEN 8
+                         ELSE LEAST(8, pos - prev) END) AS BIGINT)
+             AS removed_tokens,
+           CAST(SUM(CASE WHEN prev IS NULL OR pos - prev > 8
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+           CAST(MAX(n_tokens)
+                - SUM(CASE WHEN prev IS NULL THEN 8
+                           ELSE LEAST(8, pos - prev) END) AS DOUBLE)
+             / MAX(n_tokens) AS kept_frac
+    FROM sp GROUP BY doc_id
+    """,
+    doc="Sub-document EXACT-SUBSTRING dedup — the Lee et al. 2022 "
+    "(\"Deduplicating Training Data Makes Language Models Better\") "
+    "suffix-array family, restated at fixed-length window granularity: "
+    "any 8-token window whose text occurred earlier in the corpus "
+    "(first occurrence wins, total order = (doc_id, pos)) marks its "
+    "tokens for removal; overlapping/adjacent duplicated windows merge "
+    "into maximal removed spans. Per doc: duplicated-window count, "
+    "removed-token count (union of window intervals — closed form "
+    "SUM(min(K, gap)) over lag-sorted starts, no interval explosion), "
+    "span count, kept fraction. Composes the cross_doc_window_dedup "
+    "machinery (same tokenization/hashing). Scale shape: one shuffle on "
+    "the window hash (maximal entropy), then lag+agg share one doc_id "
+    "shuffle; only 32-char hashes and int positions ever shuffle.",
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = _ESD_K
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.filter(F.size(toks) >= K).select(
+        "doc_id", F.size(toks).alias("n_tokens"), toks.alias("toks")
+    )
+    wins = base.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (K - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice("toks", i, K))).alias("wh"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", "n_tokens", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+    rn = F.row_number().over(Window.partitionBy("wh").orderBy("doc_id", "pos"))
+    dups = wins.select("doc_id", "n_tokens", "pos", rn.alias("rn")).filter(
+        F.col("rn") > 1
+    )
+    prev = F.lag("pos").over(Window.partitionBy("doc_id").orderBy("pos"))
+    sp = dups.select("doc_id", "n_tokens", "pos", prev.alias("prev"))
+    contrib = F.when(F.col("prev").isNull(), F.lit(K)).otherwise(
+        F.least(F.lit(K), F.col("pos") - F.col("prev"))
+    )
+    new_span = F.when(
+        F.col("prev").isNull() | (F.col("pos") - F.col("prev") > K), 1
+    ).otherwise(0)
+    removed = F.sum(contrib)
+    return sp.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("dup_windows"),
+        removed.cast("long").alias("removed_tokens"),
+        F.sum(new_span).cast("long").alias("n_spans"),
+        (
+            (F.max("n_tokens") - removed).cast("double") / F.max("n_tokens")
+        ).alias("kept_frac"),
+    )

@@ -186,3 +186,27 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_static_enrich(
         spark, f"{sf_dir}/events.parquet", f"{sf_dir}/customer.parquet"
     )
+
+
+@register(
+    "stream_running_totals",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_sum_q
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator on the transformWithState "
+    "StatefulProcessor API (applyInPandasWithState twin when protobuf "
+    "is absent — identical semantics, streaming/tws.py): per-user "
+    "running (count, int64-micro-quantized value sum) held in a "
+    "ValueState; the bounded replay's update stream reduces to the "
+    "batch aggregate the oracle computes directly. Quantization makes "
+    "the sum associative, so the result is partitioning-independent.",
+)
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.tws import run_running_totals
+
+    return run_running_totals(spark, f"{sf_dir}/events.parquet")

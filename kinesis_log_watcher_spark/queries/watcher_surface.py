@@ -179,6 +179,52 @@ def template_conditional_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "template_vars_render",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 7 <> 0
+                THEN 'u=u' || CAST(user_id % 100 AS VARCHAR)
+                ELSE 'anon'
+           END
+           || '[' || CAST(event_id % 9 AS VARCHAR) || ']'
+           || '{' || CAST(event_id % 9 AS VARCHAR) || '}' AS line
+    FROM events
+    """,
+    doc="T1 general variables + named sub-templates (main.go:109 parses "
+    "the FULL text/template dialect): {{$x := P}} declaration used "
+    "across branches, an {{if $x}} test on the variable, and a "
+    "{{define}}/{{template}} pair invoked twice with dot rebound to the "
+    "argument — all inlined at compile time into one CASE WHEN / concat "
+    "projection, zero Python per row. The payload is synthesized from "
+    "event fields so DuckDB restates the render as string concatenation.",
+)
+def template_vars_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.template import compile_template
+
+    tpl = (
+        '{{define "tag"}}[{{.}}]{{end}}'
+        '{{define "brace"}}{{"{"}}{{.}}{{"}"}}{{end}}'
+        "{{$u := .Log.user}}{{$lvl := .Log.lvl}}"
+        "{{if $u}}u={{$u}}{{else}}anon{{end}}"
+        '{{template "tag" $lvl}}{{template "brace" $lvl}}'
+    )
+    compiled = compile_template(tpl)
+    ev = load(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 7 == 0,
+        F.format_string('{"lvl": %d}', F.col("event_id") % 9),
+    ).otherwise(
+        F.format_string(
+            '{"user": "u%d", "lvl": %d}',
+            F.col("user_id") % 100,
+            F.col("event_id") % 9,
+        )
+    )
+    env = ev.select("event_id", payload.alias("LogEntry"))
+    return compiled.apply(env, keep=("event_id",))
+
+
+@register(
     "template_range_render",
     """
     SELECT event_id,

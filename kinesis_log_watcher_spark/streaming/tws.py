@@ -173,11 +173,18 @@ def run_running_totals(
 ) -> DataFrame:
     """Replay a directory of parquet event files through the operator
     and reduce the update stream to final totals."""
+    import os
+
     ensure_session_confs(spark)
     schema = spark.read.parquet(events_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(events_dir):
+        # the file stream source wants a directory; point it at the
+        # parent and glob-filter to this table's file
+        reader = reader.option("pathGlobFilter", os.path.basename(events_dir))
+        events_dir = os.path.dirname(events_dir)
     stream = reader.parquet(events_dir)
     stream = normalize_ts_cols(stream)
 

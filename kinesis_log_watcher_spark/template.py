@@ -136,14 +136,16 @@ class CompiledTemplate:
 
     ``line``/``error`` are self-contained Columns — usable in any
     projection over an envelope DataFrame. ``prep``/``line_h``/``error_h``
-    are the *hoisted* variants: every ``{{range}}`` collection parse is
-    lifted into a named prep column that ``line_h``/``error_h`` reference
-    as an attribute, so the JSON is parsed ONCE per row instead of once
-    per reference site (higher-order functions are CodegenFallback, so
-    Catalyst never dedupes those subtrees; see _compile_range). ``apply``
-    inserts the prep projection with a non-deterministic barrier column —
-    without it, PushDownPredicates would substitute the aliases right
-    back into the error filter and undo the hoist."""
+    are the *hoisted* variants: the whole-payload parse and every
+    ``{{range}}`` collection parse are lifted into named prep columns
+    that ``line_h``/``error_h`` reference as attributes, so the JSON is
+    parsed ONCE per row instead of once per reference site (higher-order
+    functions are CodegenFallback, so Catalyst never dedupes those
+    subtrees; see _compile_range). Each prep column is wrapped in a
+    non-foldable non-deterministic gate (``_gate``) — without it,
+    pruning + CollapseProject + PushDownPredicates substitute the parses
+    right back into the error filter and line projection and undo the
+    hoist."""
 
     line: Column
     error: Column
@@ -152,14 +154,37 @@ class CompiledTemplate:
     line_h: Column | None = None
     error_h: Column | None = None
 
+    @staticmethod
+    def _gate(c: Column) -> Column:
+        """Evaluate-once pin. Each hoisted prep column is wrapped in a
+        condition Catalyst treats as non-deterministic but cannot fold
+        (monotonically_increasing_id() >= 0 is always true, but the id
+        is nondeterministic so no rule simplifies or substitutes through
+        it). Without the wrap the hoist is an illusion: ColumnPruning
+        drops any separate barrier column, the then-deterministic
+        projection collapses, and PushDownPredicates substitutes the
+        parse back into BOTH the error filter and the line projection —
+        every hoisted subtree evaluated twice (measured 5.9s → 1.7s at
+        sf0.1 on template_range_render when pinned properly). A
+        rand()-based gate does NOT work: the optimizer folds rand()
+        comparisons with out-of-range constants."""
+        return F.when(F.monotonically_increasing_id() >= 0, c)
+
     def _prepped(self, df: DataFrame) -> DataFrame:
-        prep_cols = [c.alias(n) for n, c in self.prep.items()]
-        # monotonically_increasing_id is non-deterministic to Catalyst:
-        # it blocks both filter pushdown through this projection and
-        # CollapseProject above it, pinning evaluate-once semantics.
-        return df.select(
-            "*", *prep_cols, F.monotonically_increasing_id().alias("__tpl_barrier")
-        )
+        # Two stages: the shared whole-payload parse first, then the
+        # per-range normalized collections (which reference it). The
+        # stages stay separate projections because the gated columns are
+        # non-deterministic and referenced more than once — CollapseProject
+        # refuses to merge them.
+        payload = {n: c for n, c in self.prep.items() if n.endswith("_payload")}
+        rest = {n: c for n, c in self.prep.items() if not n.endswith("_payload")}
+        out = df
+        for stage in (payload, rest):
+            if stage:
+                out = out.select(
+                    "*", *(self._gate(c).alias(n) for n, c in stage.items())
+                )
+        return out
 
     def apply(
         self, df: DataFrame, out_col: str = "line", keep: tuple[str, ...] = ()
@@ -446,6 +471,49 @@ def _json_path(parts: list[str]) -> str:
     return "$." + ".".join(parts)
 
 
+def _hoisted_payload() -> Column:
+    """The shared whole-payload parse (one ``from_json`` into
+    ``map<string,string>`` per row, hoisted into a prep column). Every
+    ``.Log`` access in the hoisted compile pass reads top-level fields
+    from this map instead of re-parsing ``LogEntry`` per reference site
+    — ``get_json_object``/``json_object_keys`` each re-parse the whole
+    payload, and inside higher-order functions (CodegenFallback,
+    interpreted) Catalyst never dedupes those subtrees.
+
+    Jackson backs both paths, so leaf texts are byte-identical
+    (numbers normalized the same, nested values re-serialized
+    compactly); ``from_json``'s last-duplicate-key-wins matches Go's
+    ``encoding/json`` (the reference's decoder, main.go:276)."""
+    name = f"__tpl{_HOIST_SEQ}_payload"
+    if name not in _ACTIVE_PREP:
+        _ACTIVE_PREP[name] = F.from_json(F.col("LogEntry"), "map<string,string>")
+    return F.col(name)
+
+
+def _compile_log_access_hoisted(parts: list[str]) -> _Expr:
+    """``{{.Log.p…}}`` via the shared payload map — same semantics as
+    ``_compile_log_access`` (null map ≡ payload not a JSON object),
+    zero additional payload parses."""
+    pay = _hoisted_payload()
+
+    def sub(upto: int) -> Column:
+        if upto == 1:
+            return pay[parts[0]]
+        return F.get_json_object(pay[parts[0]], _json_path(parts[1:upto]))
+
+    error = pay.isNull()
+    for i in range(1, len(parts)):
+        error = error | F.json_object_keys(sub(i)).isNull()
+    leaf = sub(len(parts))
+    return _Expr(
+        col=F.coalesce(leaf, F.lit(NO_VALUE)),
+        truth=_truthy_json(leaf),
+        err=error,
+        log_parts=list(parts),
+        raw=leaf,
+    )
+
+
 def _compile_log_access(parts: list[str]) -> _Expr:
     """Access ``{{.Log.p1.p2…}}`` into the dynamic JSON payload.
 
@@ -458,6 +526,8 @@ def _compile_log_access(parts: list[str]) -> _Expr:
     - leaf object/array → its JSON text (divergence: Go prints Go-syntax
       ``map[…]``; we print JSON — documented, not load-bearing)
     """
+    if _ACTIVE_PREP is not None:
+        return _compile_log_access_hoisted(parts)
     entry = F.col("LogEntry")
     # Log itself must be an object or access errors (nil / non-object).
     error = F.json_object_keys(entry).isNull()
@@ -542,7 +612,10 @@ def _whole_log_expr() -> _Expr:
     """``{{.Log}}``: nil payload → <no value> (Go zero value, falsey);
     otherwise the JSON text (divergence noted in the module docstring)."""
     entry = F.col("LogEntry")
-    parsed_ok = F.json_object_keys(entry).isNotNull()
+    if _ACTIVE_PREP is not None:
+        parsed_ok = _hoisted_payload().isNotNull()
+    else:
+        parsed_ok = F.json_object_keys(entry).isNotNull()
     return _Expr(
         col=F.when(parsed_ok, entry).otherwise(F.lit(NO_VALUE)),
         truth=parsed_ok,
