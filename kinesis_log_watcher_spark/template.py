@@ -20,7 +20,9 @@ constructs plus the control-flow/pipeline core:
 - pipelines ``{{P | cmd args | cmd2}}`` with the text/template built-ins
   ``printf print println len index slice html urlquery not and or eq ne
   lt le gt ge`` plus ``strftime``; a piped value is appended as the
-  final argument of the next command. ``index``/``slice`` take literal
+  final argument of the next command. Parenthesized sub-pipelines
+  compile recursively as operands (``{{if (and .Log.a (not .Log.b))}}``,
+  ``{{printf "%s" (len .Log.xs)}}``). ``index``/``slice`` take literal
   indices/bounds (compiled into the JSON path / an ``F.slice`` call);
   ``js`` and ``call`` are not supported (no JS-escape builtin in Spark;
   no methods on a JSON payload).
@@ -112,7 +114,7 @@ _FIELD_PATH_RE = re.compile(r"^\.(\w+(?:\.\w+)*)?$")
 _VAR_PATH_OPERAND_RE = re.compile(r"^\$(\w+)(\.\w+(?:\.\w+)*)?$")
 _FORMAT_CALL_RE = re.compile(r'^\.(\w+)\.Format\s+"((?:[^"\\]|\\.)*)"$')
 _NUMBER_RE = re.compile(r"^-?\d+(\.\d+)?$")
-_TOKEN_RE = re.compile(r'"(?:[^"\\]|\\.)*"|\||[^\s|]+')
+_TOKEN_RE = re.compile(r'"(?:[^"\\]|\\.)*"|\||\(|\)|[^\s|()]+')
 _VERB_RE = re.compile(r"%[-+ 0#]*\d*(?:\.\d+)?[a-zA-Z%]")
 
 
@@ -796,6 +798,10 @@ def _compile_index(args: list[_Expr], tokens: list[str]) -> _Expr:
         raise TemplateError("index requires a .Log path (or range element) target")
     suffix = ""
     for tok in tokens[2:]:
+        if not isinstance(tok, str):
+            raise TemplateError(
+                "index arguments must be literal ints/strings, not sub-pipelines"
+            )
         if _NUMBER_RE.match(tok) and "." not in tok:
             suffix += f"[{int(tok)}]"
         elif tok.startswith('"'):
@@ -814,28 +820,41 @@ def _compile_index(args: list[_Expr], tokens: list[str]) -> _Expr:
     )
 
 
-def _compile_command(tokens: list[str], piped: _Expr | None, ctx: _Ctx,
+def _compile_command(tokens: list, piped: _Expr | None, ctx: _Ctx,
                      variant_log: bool) -> _Expr:
     """One pipeline command: either a bare operand or FUNC args…; a piped
-    value is appended as the last argument (text/template semantics)."""
+    value is appended as the last argument (text/template semantics).
+    A token may be a sublist — a parenthesized sub-pipeline — which
+    compiles recursively into an operand."""
     head = tokens[0]
 
-    if head not in _FUNCTIONS:
+    def arg_expr(t) -> _Expr:
+        if isinstance(t, list):
+            return _compile_items(t, ctx, variant_log)
+        return _operand(t, ctx, variant_log)
+
+    if isinstance(head, list) or head not in _FUNCTIONS:
         if len(tokens) != 1:
             raise TemplateError(
-                f"unsupported command {' '.join(tokens)!r} (not a known function)"
+                f"unsupported command {tokens!r} (head is not a known function)"
             )
-        if piped is not None:
+        if piped is not None and not isinstance(head, list):
             raise TemplateError(f"cannot pipe into non-function operand {head!r}")
-        return _operand(head, ctx, variant_log)
+        if piped is not None:
+            raise TemplateError("cannot pipe into a parenthesized operand")
+        return arg_expr(head)
 
-    args = [_operand(t, ctx, variant_log) for t in tokens[1:]]
+    args = [arg_expr(t) for t in tokens[1:]]
     if piped is not None:
         args.append(piped)
 
     if head == "strftime":
         # reference signature (main.go:106): strftime "<fmt>" <time>
-        if len(args) != 2 or not tokens[1].startswith('"'):
+        if (
+            len(args) != 2
+            or not isinstance(tokens[1], str)
+            or not tokens[1].startswith('"')
+        ):
             raise TemplateError('strftime expects: strftime "<fmt>" .Timestamp')
         fmt = _unescape(tokens[1][1:-1])
         target = args[1]
@@ -845,7 +864,7 @@ def _compile_command(tokens: list[str], piped: _Expr | None, ctx: _Ctx,
         return _Expr(col=out, truth=out.isNotNull() & (out != ""),
                      err=_any_err(args))
     if head == "printf":
-        if not args or not tokens[1].startswith('"'):
+        if not args or not isinstance(tokens[1], str) or not tokens[1].startswith('"'):
             raise TemplateError('printf expects a literal format: printf "<fmt>" args…')
         return _compile_printf(_unescape(tokens[1][1:-1]), args[1:])
     if head == "index":
@@ -863,7 +882,8 @@ def _compile_command(tokens: list[str], piped: _Expr | None, ctx: _Ctx,
             raise TemplateError("slice requires a .Log path (or range element)")
         bounds = tokens[2:]
         if len(bounds) > 2 or not all(
-            _NUMBER_RE.match(b) and "." not in b for b in bounds
+            isinstance(b, str) and _NUMBER_RE.match(b) and "." not in b
+            for b in bounds
         ):
             raise TemplateError("slice takes up to two literal int bounds")
         start = int(bounds[0]) if bounds else 0
@@ -955,9 +975,48 @@ def _compile_command(tokens: list[str], piped: _Expr | None, ctx: _Ctx,
     raise TemplateError(f"unsupported function {head!r}")  # pragma: no cover
 
 
+def _group_parens(tokens: list[str]) -> list:
+    """Token list → items, with ``( … )`` runs nested as sublists
+    (recursively) — Go's parenthesized sub-pipeline operands."""
+    out: list = []
+    stack: list[list] = [out]
+    for tok in tokens:
+        if tok == "(":
+            grp: list = []
+            stack[-1].append(grp)
+            stack.append(grp)
+        elif tok == ")":
+            if len(stack) == 1:
+                raise TemplateError("unbalanced ')' in pipeline")
+            stack.pop()
+        else:
+            stack[-1].append(tok)
+    if len(stack) != 1:
+        raise TemplateError("unbalanced '(' in pipeline")
+    return out
+
+
+def _compile_items(items: list, ctx: _Ctx, variant_log: bool) -> _Expr:
+    """Grouped item list → _Expr: split stages on top-level '|', feed
+    each stage's value to the next as its last argument."""
+    stages: list[list] = [[]]
+    for it in items:
+        if it == "|":
+            stages.append([])
+        else:
+            stages[-1].append(it)
+    result: _Expr | None = None
+    for tokens in stages:
+        if not tokens:
+            raise TemplateError("empty pipeline stage")
+        result = _compile_command(tokens, result, ctx, variant_log)
+    assert result is not None
+    return result
+
+
 def _compile_pipeline(pipe: str, ctx: _Ctx, variant_log: bool) -> _Expr:
     """``cmd | cmd | …`` — each stage's value feeds the next as its last
-    argument."""
+    argument; ``(…)`` sub-pipelines compile recursively as operands."""
     # legacy method-call form: .Timestamp.Format "layout"
     m = _FORMAT_CALL_RE.match(pipe)
     if m:
@@ -967,24 +1026,8 @@ def _compile_pipeline(pipe: str, ctx: _Ctx, variant_log: bool) -> _Expr:
         out = go_layout_col(layout, F.col("Timestamp"))
         return _Expr(col=out, truth=out.isNotNull() & (out != ""), err=_false())
 
-    if "(" in pipe or ")" in pipe:
-        raise TemplateError(
-            f"parenthesized sub-pipelines are not supported: {pipe!r}"
-        )
-    # quote-aware stage split: '|' inside a string literal is data
-    stages: list[list[str]] = [[]]
-    for tok in _TOKEN_RE.findall(pipe):
-        if tok == "|":
-            stages.append([])
-        else:
-            stages[-1].append(tok)
-    result: _Expr | None = None
-    for tokens in stages:
-        if not tokens:
-            raise TemplateError(f"empty pipeline stage in {pipe!r}")
-        result = _compile_command(tokens, result, ctx, variant_log)
-    assert result is not None
-    return result
+    # quote-aware tokens ('|' or parens inside a string literal are data)
+    return _compile_items(_group_parens(_TOKEN_RE.findall(pipe)), ctx, variant_log)
 
 
 def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, Column]:

@@ -360,6 +360,34 @@ def test_recursive_template_bounded(spark):
     assert _render(spark, t, json.dumps(deep).encode()) == []
 
 
+# --- parenthesized sub-pipelines ---------------------------------------
+
+
+def test_paren_subpipeline_operands(spark):
+    t = "{{if (and .Log.a (not .Log.b))}}Y{{else}}N{{end}}"
+    assert _render(spark, t, b'{"a": 1, "b": 0}') == ["Y"]
+    assert _render(spark, t, b'{"a": 1, "b": 2}') == ["N"]
+    t = '{{printf "%d" (len .Log.xs)}}'
+    assert _render(spark, t, b'{"xs": [1, 2, 3]}') == ["3"]
+    t = "{{if (eq (len .Log.xs) 2)}}two{{else}}other{{end}}"
+    assert _render(spark, t, b'{"xs": [1, 2]}') == ["two"]
+
+
+def test_paren_nested_pipeline_and_literals(spark):
+    # a full pipeline may sit inside parens; parens in string literals
+    # are data, not grouping
+    t = '{{(.Log.s | printf "%s?")}}'
+    assert _render(spark, t, b'{"s": "q"}') == ["q?"]
+    t = '{{eq .Log.s "(x)"}}'
+    assert _render(spark, t, b'{"s": "(x)"}') == ["true"]
+
+
+def test_unbalanced_parens_raise(spark):
+    for bad in ["{{(}}", "{{)}}", "{{if (and .Log.a}}x{{end}}"]:
+        with pytest.raises(TemplateError):
+            compile_template(bad)
+
+
 # --- compile errors ----------------------------------------------------
 
 
