@@ -218,14 +218,20 @@ def embedding_near_dup_pairs(
     fa = feat.select(F.col(id_col).alias("vec_a"), F.col("qe").alias("qe_a"))
     fb = feat.select(F.col(id_col).alias("vec_b"), F.col("qe").alias("qe_b"))
     wide = cand.join(fa, "vec_a").join(fb, "vec_b")
+    return verify_cosine_pairs(wide, threshold)
 
-    # Verification: Arrow-batched numpy over the candidate pairs. The
-    # quantized math is int64 (associative → order-independent), so the
-    # vectorized batch sum is BIT-IDENTICAL to a sequential fold and to
-    # the SQL oracle — and ~30% faster than Spark's zip_with/aggregate,
-    # which interprets higher-order functions per row. Per-batch cost is
-    # one (n_pairs × dim) int64 elementwise product; no state, no
-    # shuffle beyond the feature joins.
+
+def verify_cosine_pairs(wide: DataFrame, threshold: float) -> DataFrame:
+    """(vec_a, vec_b, qe_a, qe_b) candidate rows → pairs with exact
+    quantized cosine ≥ threshold, as (vec_a, vec_b, cosine).
+
+    Arrow-batched numpy over the candidate pairs. The quantized math is
+    int64 (associative → order-independent), so the vectorized batch sum
+    is BIT-IDENTICAL to a sequential fold and to the SQL oracle — and
+    ~30% faster than Spark's zip_with/aggregate, which interprets
+    higher-order functions per row. Per-batch cost is one
+    (n_pairs × dim) int64 elementwise product; no state, no shuffle
+    beyond the feature joins that built ``wide``."""
     q2 = QSCALE2
     thr = float(threshold)
 

@@ -334,6 +334,107 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.35)
 
 
+@register(
+    "semdedup_cells",
+    """
+    WITH comp AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings),
+    anchors AS (SELECT vec_id AS a_id, x AS qx, dim FROM comp WHERE vec_id < 8),
+    dots AS (
+      SELECT c.vec_id, a_id,
+             (CAST(SUM(CAST(floor(CAST(a.qx AS DOUBLE) * 10000000 + 0.5) AS BIGINT)
+                     * CAST(floor(CAST(c.x AS DOUBLE) * 10000000 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 100000000000000.0) AS dot
+      FROM comp c JOIN anchors a USING (dim)
+      WHERE c.vec_id >= 8
+      GROUP BY c.vec_id, a_id),
+    cells AS (
+      SELECT vec_id, a_id AS cell FROM (
+        SELECT vec_id, a_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, a_id) AS rn
+        FROM dots)
+      WHERE rn = 1),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5) AS BIGINT)) AS qe
+      FROM embeddings WHERE vec_id >= 8),
+    pairs AS (
+      SELECT ca.vec_id AS vec_a, cb.vec_id AS vec_b
+      FROM cells ca JOIN cells cb
+        ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id),
+    cos AS (
+      SELECT p.vec_a, p.vec_b,
+             ((CAST(list_sum(list_transform(list_zip(qa.qe, qb.qe),
+                     x -> x[1] * x[2])) AS DOUBLE) / 100000000000000.0)
+              / (sqrt(CAST(list_sum(list_transform(qa.qe, x -> x * x))
+                           AS DOUBLE) / 100000000000000.0)
+                 * sqrt(CAST(list_sum(list_transform(qb.qe, x -> x * x))
+                             AS DOUBLE) / 100000000000000.0))) AS cosine
+      FROM pairs p
+      JOIN q qa ON qa.vec_id = p.vec_a
+      JOIN q qb ON qb.vec_id = p.vec_b),
+    dup AS (SELECT DISTINCT vec_b AS vec_id FROM cos WHERE cosine >= 0.35)
+    SELECT c.vec_id, c.cell, (d.vec_id IS NOT NULL) AS is_dup
+    FROM cells c LEFT JOIN dup d ON d.vec_id = c.vec_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic "
+    "dedup by clustering embeddings and comparing pairs ONLY within a "
+    "cluster — the pairwise work is bounded by cell size, never "
+    "corpus². Cells = best anchor by exact quantized inner product "
+    "(anchors = vec_id<8 as deterministic centroid stand-ins, same "
+    "convention as ann_ivf_topk); within-cell pairs verified with the "
+    "exact int64-quantized cosine (Arrow-batched numpy, bit-identical "
+    "to the oracle); of each near-dup pair (cosine ≥ 0.35) the "
+    "higher-id vector is marked duplicate — keep-lowest-id, the "
+    "deterministic restatement of SemDeDup's keep-one-per-group. "
+    "Output: every clustered vector with its cell and verdict.",
+)
+def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.similarity import (
+        quantized_embedding,
+        verify_cosine_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    comp = exploded_components(emb, "vec_id")
+    anchors = comp.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("a_id"), F.col("x").alias("qx"), "dim"
+    )
+    dots = exact_dot(
+        anchors, comp.filter(F.col("vec_id") >= 8), "a_id", "vec_id",
+        exclude_self=False,
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("a_id"))
+    cells = (
+        dots.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("a_id").alias("cell"))
+    )
+    feat = emb.filter(F.col("vec_id") >= 8).select(
+        "vec_id", quantized_embedding(F.col("embedding")).alias("qe")
+    )
+    ca = cells.select(F.col("vec_id").alias("vec_a"), "cell")
+    cb = cells.select(F.col("vec_id").alias("vec_b"), "cell")
+    cand = ca.join(cb, "cell").filter(F.col("vec_a") < F.col("vec_b"))
+    wide = (
+        cand.select("vec_a", "vec_b")
+        .join(feat.select(F.col("vec_id").alias("vec_a"), F.col("qe").alias("qe_a")), "vec_a")
+        .join(feat.select(F.col("vec_id").alias("vec_b"), F.col("qe").alias("qe_b")), "vec_b")
+    )
+    dup_ids = (
+        verify_cosine_pairs(wide, threshold=0.35)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return cells.join(dup_ids, "vec_id", "left").select(
+        "vec_id", "cell", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -1512,4 +1613,56 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "dot", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus admission filter (blocklist + gates)
+# ---------------------------------------------------------------------------
+
+_BLOCKED_SOURCES = ("src3", "src7", "src13")
+_ADMIT_LANGS = ("en", "de", "fr")
+_ADMIT_MIN_CHARS, _ADMIT_MAX_CHARS = 100, 520
+
+
+@register(
+    "source_admission_stats",
+    f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN source IN {_BLOCKED_SOURCES!r}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           CAST(SUM(CASE WHEN source NOT IN {_BLOCKED_SOURCES!r}
+                          AND lang IN {_ADMIT_LANGS!r}
+                          AND n_chars BETWEEN {_ADMIT_MIN_CHARS}
+                                          AND {_ADMIT_MAX_CHARS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Corpus admission filter (C4/RefinedWeb-style): a source/domain "
+    "blocklist plus language and length gates, rolled up per source. "
+    "The blocklist is applied as a BROADCAST left join against a "
+    "blocklist relation — the shape that holds when the blocklist is "
+    "millions of domains (an isin literal would not) — and the gates "
+    "are plain pushdown-able predicates. One groupBy shuffle on source.",
+)
+def source_admission_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    block = F.broadcast(
+        spark.createDataFrame(
+            [(s,) for s in _BLOCKED_SOURCES], "source string"
+        ).withColumn("_blocked", F.lit(True))
+    )
+    flagged = docs.join(block, "source", "left").select(
+        "source",
+        F.coalesce("_blocked", F.lit(False)).alias("blocked"),
+        F.col("lang").isin(*_ADMIT_LANGS).alias("lang_ok"),
+        F.col("n_chars").between(_ADMIT_MIN_CHARS, _ADMIT_MAX_CHARS).alias("len_ok"),
+    )
+    admitted = ~F.col("blocked") & F.col("lang_ok") & F.col("len_ok")
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("blocked"), 1).otherwise(0)).cast("long").alias("n_blocked"),
+        F.sum(F.when(admitted, 1).otherwise(0)).cast("long").alias("n_admitted"),
     )

@@ -43,6 +43,8 @@ constructs plus the control-flow/pipeline core:
   Recursive invocation is depth-bounded unrolled (MAX_TEMPLATE_DEPTH
   levels; rows recursing deeper become render errors — the analogue of
   Go's exec-time depth cap).
+- ``$.Field`` / ``$.Log.path`` — the root data value from anywhere,
+  including inside range/with bodies where dot is rebound (Go's ``$``).
 - ``{{$x := P}}`` — general variable declaration, anywhere; lexically
   scoped to the enclosing block per Go's rule (scope runs to the
   {{end}}); ``{{if $x := P}}`` / ``{{with $x := P}}`` /
@@ -693,6 +695,16 @@ def _operand(token: str, ctx: _Ctx, variant_log: bool) -> _Expr:
         return _Expr(col=F.lit("false"), truth=F.lit(False), err=_false())
     if token == "nil":
         return _Expr(col=F.lit(NO_VALUE), truth=F.lit(False), err=_false())
+    if token == "$" or token.startswith("$."):
+        # $ is the root data value (Go: the value Execute was invoked
+        # with) — $.Log.x / $.HostId resolve at root from anywhere,
+        # incl. inside range/with bodies where dot is rebound.
+        if token == "$":
+            raise TemplateError(
+                "'$' alone is not renderable (the root dot is the whole "
+                "record); use $.Field / $.Log.path"
+            )
+        return _field_expr(token[2:], _Ctx(vars=ctx.vars), variant_log)
     m = _VAR_PATH_OPERAND_RE.match(token)
     if m:
         name = "$" + m.group(1)

@@ -198,3 +198,20 @@ def test_roundtrip_reads_apply_schema_not_inference(spark, reg):
     100 TB. The aggregate itself stays partial (map-side combine)."""
     plan = plan_of(spark, reg, "orders_csv_roundtrip")
     assert "partial" in plan.lower()
+
+
+def test_template_hoist_pinned_evaluate_once(spark, reg):
+    """The hoisted template prep columns must appear in the plan exactly
+    once each. Catalyst's pruning + CollapseProject + PushDownPredicates
+    would otherwise substitute the parses into both the error filter and
+    the line projection (every JSON parse evaluated twice per row — the
+    round-2 6.7s regression on template_range_render); the gated prep
+    columns (template.CompiledTemplate._gate) pin evaluate-once."""
+    plan = plan_of(spark, reg, "template_range_render")
+    # one whole-payload parse + one array-attempt + one map-attempt per
+    # range collection (two ranges) = 5 from_json nodes; a collapsed
+    # plan shows 8+ (each referenced from filter AND project)
+    assert plan.count("from_json") == 5, plan.count("from_json")
+    # the hoisted projections survive as named prep columns
+    assert "_payload" in plan
+    assert "_items_" in plan

@@ -360,6 +360,16 @@ def test_recursive_template_bounded(spark):
     assert _render(spark, t, json.dumps(deep).encode()) == []
 
 
+def test_root_dollar_variable(spark):
+    # $ is the root data value — usable from inside rebound-dot bodies
+    t = "{{range .Log.xs}}{{$.Log.pre}}{{.}};{{end}}"
+    assert _render(spark, t, b'{"pre": "p", "xs": [1, 2]}') == ["p1;p2;"]
+    t = "{{with .Log.o}}{{.v}}/{{$.ShortHostId}}{{end}}"
+    assert _render(spark, t, b'{"o": {"v": 9}}') == ["9/abc"]
+    with pytest.raises(TemplateError, match="not renderable"):
+        compile_template("{{$}}")
+
+
 # --- parenthesized sub-pipelines ---------------------------------------
 
 
