@@ -97,7 +97,9 @@ def min_window_fingerprint(text: Column, window: int = 8) -> Column:
     `window`-token windows — robust to prefix/suffix edits because any
     shared w-token run yields the same candidate hash. Docs shorter than
     the window fall back to the whole-doc hash. Per-row cost is
-    O(tokens·window), still a narrow codegen'd map (no shuffle)."""
+    O(tokens·window), still a narrow map (no shuffle). Column-level
+    convenience — ``fingerprint_frame`` is the fast path (tokens md5'd
+    once instead of once per window)."""
     toks = F.split(text, " ")
     n = F.size(toks)
     window_hashes = F.transform(
@@ -106,6 +108,47 @@ def min_window_fingerprint(text: Column, window: int = 8) -> Column:
     )
     return F.when(n >= window, F.array_min(window_hashes)).otherwise(
         _roll_fold(toks)
+    )
+
+
+def _roll_fold_hashed(hashes: Column) -> Column:
+    """Fold the rolling hash over an array of already-hashed tokens."""
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(ROLL_B) + h) % F.lit(ROLL_M),
+    )
+
+
+def fingerprint_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """(id, roll_fp, min_win_fp) for every document — the efficient
+    shape of ``rolling_fingerprint`` + ``min_window_fingerprint``.
+
+    Tokens are md5-hashed ONCE into an evaluate-once prep column
+    (functions/evalonce.gate — higher-order functions are interpreted,
+    so without the pin every window fold re-hashes its tokens: ~window×
+    redundant md5 work per document). All folds then run over int64
+    arrays. Still a narrow map: no shuffle, linear scale-out."""
+    from kinesis_log_watcher_spark.functions.evalonce import gate
+
+    th = F.transform(F.split(F.col(text_col), " "), _roll_token_hash)
+    prepped = docs.select(F.col(id_col), gate(th).alias("__th"))
+    thc = F.col("__th")
+    win = F.transform(
+        F.sequence(F.lit(1), F.size(thc) - (window - 1)),
+        lambda i: _roll_fold_hashed(F.slice(thc, i, window)),
+    )
+    return prepped.select(
+        F.col(id_col),
+        _roll_fold_hashed(thc).alias("roll_fp"),
+        F.when(F.size(thc) >= window, F.array_min(win))
+        .otherwise(_roll_fold_hashed(thc))
+        .alias("min_win_fp"),
     )
 
 

@@ -704,15 +704,40 @@ def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     "composed in a fixed op order (engine-identical doubles).",
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.evalonce import gate
+
     docs = load(spark, sf_dir, "documents")
-    text = F.col("text")
-    return docs.select(
+    # tokenize and count punctuation ONCE per row (evaluate-once prep
+    # columns) — the naive projection re-splits the text for every
+    # derived metric. Arithmetic order matches operators/text.py
+    # quality_score exactly so the oracle doubles are bit-identical.
+    prepped = docs.select(
         "doc_id",
-        T.ws_token_count(text).alias("n_tokens"),
-        T.punct_count(text).alias("n_punct"),
-        T.stopword_hits(text).alias("stop_hits"),
-        T.mean_token_length(text).alias("mean_token_len"),
-        T.quality_score(text, F.col("n_chars")).alias("quality"),
+        "n_chars",
+        gate(F.split("text", " ")).alias("__toks"),
+        gate(T.punct_count(F.col("text"))).alias("__punct"),
+    )
+    toks, punct = F.col("__toks"), F.col("__punct")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*T.STOPWORDS["en"]))
+    ).cast("long")
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_tokens = F.size(toks).cast("long")
+    mean_tok = total_len.cast("double") / F.size(toks)
+    quality = (
+        stop_hits.cast("double") / n_tokens
+        - punct.cast("double") / F.col("n_chars")
+        + mean_tok / 10
+    )
+    return prepped.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        punct.alias("n_punct"),
+        stop_hits.alias("stop_hits"),
+        mean_tok.alias("mean_token_len"),
+        quality.alias("quality"),
     )
 
 
@@ -768,12 +793,9 @@ def token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    text = F.col("text")
-    return docs.select(
-        "doc_id",
-        T.rolling_fingerprint(text).alias("roll_fp"),
-        T.min_window_fingerprint(text, window=8).alias("min_win_fp"),
-    )
+    # tokens md5-hashed once per doc (evaluate-once prep column), folds
+    # over int64 arrays — not once per window reference
+    return T.fingerprint_frame(docs, "doc_id", "text", window=8)
 
 
 # ---------------------------------------------------------------------------
@@ -1666,3 +1688,77 @@ def source_admission_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("blocked"), 1).otherwise(0)).cast("long").alias("n_blocked"),
         F.sum(F.when(admitted, 1).otherwise(0)).cast("long").alias("n_admitted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# random-projection dimensionality reduction
+# ---------------------------------------------------------------------------
+
+_RP_OUT_DIMS = 8
+_RP_IN_DIMS = 64
+
+
+def _rp_sign(j: int, d: int) -> int:
+    """Deterministic ±1 from md5(j_d) — reproducible by SQL md5."""
+    import hashlib
+
+    h = hashlib.md5(f"{j}_{d}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+@register(
+    "embedding_random_projection",
+    f"""
+    WITH comp AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings),
+    r AS (
+      SELECT j, d,
+             CASE WHEN CAST('0x' || substr(md5(j || '_' || d), 1, 1) AS INTEGER)
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM unnest(range(0, {_RP_OUT_DIMS})) AS tj(j),
+           unnest(range(1, {_RP_IN_DIMS} + 1)) AS td(d))
+    SELECT vec_id, CAST(j AS BIGINT) AS out_dim,
+           CAST(SUM(sgn * CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS proj_q
+    FROM comp JOIN r ON r.d = comp.dim
+    GROUP BY vec_id, j
+    """,
+    doc="Random-projection dimensionality reduction (Achlioptas-style "
+    "±1 matrix): 64-d embeddings → 8-d signatures, out[j] = Σ_d "
+    "sign(md5(j_d)) · q(x_d) over int64-quantized components — exact, "
+    "engine-identical. The projection matrix is a deterministic "
+    "md5-derived constant: the Spark side embeds it as literals in one "
+    "codegen'd fold per output dim (pure NARROW map — no join, no "
+    "shuffle, the shape that holds at 100 TB where R is a broadcast "
+    "constant); the oracle regenerates the same matrix with SQL md5.",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 10000000 + F.lit(0.5)).cast("long"),
+    )
+    from kinesis_log_watcher_spark.functions.evalonce import gate
+
+    prepped = emb.select("vec_id", gate(q).alias("__qe"))
+    outs = []
+    for j in range(_RP_OUT_DIMS):
+        signs = [_rp_sign(j, d) for d in range(1, _RP_IN_DIMS + 1)]
+        # fold Σ sgn·q_d as one aggregate over the shared quantized array
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("__qe"),
+                F.array(*[F.lit(s).cast("long") for s in signs]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        outs.append(F.struct(F.lit(j).cast("long").alias("out_dim"),
+                             proj.alias("proj_q")))
+    return prepped.select(
+        "vec_id", F.explode(F.array(*outs)).alias("o")
+    ).select("vec_id", "o.out_dim", "o.proj_q")

@@ -160,19 +160,16 @@ class CompiledTemplate:
 
     @staticmethod
     def _gate(c: Column) -> Column:
-        """Evaluate-once pin. Each hoisted prep column is wrapped in a
-        condition Catalyst treats as non-deterministic but cannot fold
-        (monotonically_increasing_id() >= 0 is always true, but the id
-        is nondeterministic so no rule simplifies or substitutes through
-        it). Without the wrap the hoist is an illusion: ColumnPruning
-        drops any separate barrier column, the then-deterministic
-        projection collapses, and PushDownPredicates substitutes the
-        parse back into BOTH the error filter and the line projection —
-        every hoisted subtree evaluated twice (measured 5.9s → 1.7s at
-        sf0.1 on template_range_render when pinned properly). A
-        rand()-based gate does NOT work: the optimizer folds rand()
-        comparisons with out-of-range constants."""
-        return F.when(F.monotonically_increasing_id() >= 0, c)
+        """Evaluate-once pin — see functions/evalonce.gate. Without it
+        the hoist is an illusion: ColumnPruning drops any separate
+        barrier column, the then-deterministic projection collapses, and
+        PushDownPredicates substitutes the parse back into BOTH the
+        error filter and the line projection — every hoisted subtree
+        evaluated twice (measured 5.9s → 1.7s at sf0.1 on
+        template_range_render when pinned properly)."""
+        from kinesis_log_watcher_spark.functions.evalonce import gate
+
+        return gate(c)
 
     def _prepped(self, df: DataFrame) -> DataFrame:
         # Two stages: the shared whole-payload parse first, then the
