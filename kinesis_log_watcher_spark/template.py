@@ -70,6 +70,10 @@ reference's execution semantics declaratively:
   reference's row is a ``map[string]interface{}``, main.go:264).
 
 Documented divergences (all on contrived payloads, none load-bearing):
+- ``{{break}}``/``{{continue}}`` (Go 1.18 range control) are compile
+  errors, not supported — the range body compiles to a per-element
+  ``transform``, which has no early exit. Loud failure, never silent
+  wrong output.
 - JSON leaves are accessed as their text (``get_json_object``), so a JSON
   string ``"false"``/``"0"`` is indistinguishable from boolean
   false / number 0 for truthiness and ``eq``.

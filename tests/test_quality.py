@@ -66,6 +66,35 @@ def test_window_dedup_first_occurrence_wins(spark, tmp_path, reg):
     assert rows[2]["dup_window_frac"] == 0.0
 
 
+def test_exact_substring_dedup_span_merge(spark, tmp_path, reg):
+    """The removed-token count is the UNION of duplicated 8-token window
+    intervals (closed form Σ min(K, gap) over lag-sorted starts), and
+    first corpus occurrence wins."""
+    # doc1 duplicates doc0 entirely: 12 tokens → 5 dup windows at
+    # starts 1..5, gaps of 1 → union = 8 + 4·1 = 12 tokens, ONE span.
+    base = " ".join(f"t{i:02d}" for i in range(12))
+    # doc2 embeds doc0's first 8 tokens in the middle of fresh text:
+    # exactly one dup window → 8 removed tokens, one span.
+    embed = (
+        " ".join(f"f{i:02d}" for i in range(5))
+        + " "
+        + " ".join(f"t{i:02d}" for i in range(8))
+        + " "
+        + " ".join(f"g{i:02d}" for i in range(5))
+    )
+    sf = _write_docs(spark, tmp_path, [base, base, embed])
+    rows = {r["doc_id"]: r for r in reg["exact_substring_dedup"].fn(spark, sf).collect()}
+    assert 0 not in rows  # doc 0 owns every first occurrence — nothing removed
+    assert rows[1]["dup_windows"] == 5
+    assert rows[1]["removed_tokens"] == 12  # whole doc, merged into
+    assert rows[1]["n_spans"] == 1  # one maximal span
+    assert rows[1]["kept_frac"] == 0.0
+    assert rows[2]["dup_windows"] == 1
+    assert rows[2]["removed_tokens"] == 8
+    assert rows[2]["n_spans"] == 1
+    assert rows[2]["kept_frac"] == (18 - 8) / 18
+
+
 def test_quality_plans_partial_agg_no_cartesian(spark, reg):
     for name in (
         "gopher_quality_gates",
