@@ -900,6 +900,10 @@ def _compile_command(tokens: list, piped: _Expr | None, ctx: _Ctx,
         ):
             raise TemplateError("slice takes up to two literal int bounds")
         start = int(bounds[0]) if bounds else 0
+        if start < 0 or (len(bounds) == 2 and int(bounds[1]) < 0):
+            # Go: negative slice indices are an execution error; reject
+            # at compile time (literal bounds make it statically known)
+            raise TemplateError("slice bounds must be non-negative")
         arr = F.from_json(target.raw, "array<string>")
         if len(bounds) == 2:
             length = int(bounds[1]) - start
@@ -936,9 +940,23 @@ def _compile_command(tokens: list, piped: _Expr | None, ctx: _Ctx,
     if head in ("print", "println"):
         if not args:
             raise TemplateError(f"{head} needs at least one argument")
-        out = F.concat(*[a.col for a in args])
         if head == "println":
-            out = F.concat(out, F.lit("\n"))
+            # Go fmt.Sprintln: operands ALWAYS space-separated + newline
+            out = F.concat(F.concat_ws(" ", *[a.col for a in args]), F.lit("\n"))
+        else:
+            # Go fmt.Sprint: a space between two operands only when
+            # NEITHER is a string. JSON leaves reach us as text, so
+            # "non-string" is approximated as numeric/bool-shaped text
+            # (same class as the documented leaf-text divergence).
+            def nonstr(c: Column) -> Column:
+                return c.try_cast("double").isNotNull() | c.isin("true", "false")
+
+            out = args[0].col
+            for prev, nxt in zip(args, args[1:]):
+                sep = F.when(
+                    nonstr(prev.col) & nonstr(nxt.col), F.lit(" ")
+                ).otherwise(F.lit(""))
+                out = F.concat(out, sep, nxt.col)
         return _Expr(col=out, truth=out.isNotNull() & (out != ""),
                      err=_any_err(args))
     if head == "len":
@@ -950,7 +968,9 @@ def _compile_command(tokens: list, piped: _Expr | None, ctx: _Ctx,
         n = (
             F.when(arr_len.isNotNull(), arr_len.cast("long"))
             .when(keys.isNotNull(), F.array_size(keys).cast("long"))
-            .otherwise(F.length(v).cast("long"))
+            # Go len(string) counts BYTES (reflect .Len on a string), not
+            # runes — octet_length is the UTF-8 byte count.
+            .otherwise(F.octet_length(v).cast("long"))
         )
         # len of nil errors in Go
         err = _any_err(args) | v.isNull() | ~args[0].truth & v.eqNullSafe(F.lit(NO_VALUE))

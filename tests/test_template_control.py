@@ -139,6 +139,19 @@ def test_len_function(spark):
     t = '{{len .Log.arr}}/{{len .Log.obj}}/{{len .Log.s}}'
     payload = json.dumps({"arr": [1, 2, 3], "obj": {"a": 1, "b": 2}, "s": "abcd"}).encode()
     assert _render(spark, t, payload) == ["3/2/4"]
+    # Go len(string) counts bytes: "é" is 2 UTF-8 bytes
+    payload = json.dumps({"arr": [], "obj": {}, "s": "é"}).encode()
+    assert _render(spark, "{{len .Log.s}}", payload) == ["2"]
+
+
+def test_print_println_spacing(spark):
+    # Go fmt.Sprint: space only between two non-string operands;
+    # fmt.Sprintln: always spaced + newline
+    payload = b'{"a": 1, "b": 2, "s": "x"}'
+    assert _render(spark, "{{print .Log.a .Log.b}}", payload) == ["1 2"]
+    assert _render(spark, "{{print .Log.s .Log.a}}", payload) == ["x1"]
+    assert _render(spark, "{{print .Log.a .Log.s}}", payload) == ["1x"]
+    assert _render(spark, "{{println .Log.s .Log.a}}", payload) == ["x 1\n"]
 
 
 def test_comparisons(spark):
