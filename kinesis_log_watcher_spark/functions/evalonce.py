@@ -31,5 +31,16 @@ from pyspark.sql import functions as F
 
 def gate(c: Column) -> Column:
     """Pin ``c`` to evaluate exactly once per row when aliased in a
-    projection (see module docstring)."""
+    projection (see module docstring). Batch plans only —
+    monotonically_increasing_id is rejected by the streaming analyzer;
+    use ``gate_streaming`` there."""
     return F.when(F.monotonically_increasing_id() >= 0, c)
+
+
+def gate_streaming(c: Column) -> Column:
+    """Streaming-safe evaluate-once pin: ``shuffle`` of a one-element
+    array is non-deterministic to Catalyst (so nothing folds, collapses,
+    or substitutes through it) but semantically the identity, and it is
+    allowed in streaming plans. Slightly more per-row overhead than
+    ``gate`` (one single-element array allocation)."""
+    return F.shuffle(F.array(c))[0]

@@ -210,3 +210,29 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.streaming.tws import run_running_totals
 
     return run_running_totals(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "stream_neardup_lsh",
+    None,  # oracle assigned below — the batch dedup_minhash_lsh SQL verbatim
+    doc="STREAMING MinHash+LSH near-dup detection: banded signatures "
+    "computed as a narrow map (array_min fold per hash — no shuffle "
+    "before the stateful op), per-(band, band_sig) bucket membership in "
+    "the state store, each arriving doc paired against its bucket's "
+    "prior members. A bounded replay reduces to EXACTLY the batch "
+    "candidate relation, which the dedup_minhash_lsh SQL oracle "
+    "computes (streaming/neardup.py).",
+)
+def stream_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.neardup import run_stream_neardup
+
+    return run_stream_neardup(spark, f"{sf_dir}/documents.parquet")
+
+
+# The streaming replay reduces to the batch candidate relation, so its
+# oracle IS the batch query's SQL. Assigned (not duplicated) at import
+# time; llm registers before this module under queries.base.registry().
+from kinesis_log_watcher_spark.queries import llm as _llm  # noqa: E402,F401
+from kinesis_log_watcher_spark.queries.base import _REGISTRY as _R  # noqa: E402
+
+_R["stream_neardup_lsh"].oracle = _R["dedup_minhash_lsh"].oracle

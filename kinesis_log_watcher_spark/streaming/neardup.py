@@ -1,0 +1,172 @@
+"""Streaming near-duplicate detection: MinHash+LSH over a document
+stream with per-bucket state.
+
+The batch LSH dedup (queries/llm.dedup_minhash_lsh) bucket-joins banded
+signatures; the streaming form keeps each (band, band_sig) bucket's
+member list in the state store and pairs every arriving document
+against the bucket's prior members — the standard online-curation
+shape: near-dup candidates surface the moment the second copy arrives,
+without re-scanning the corpus.
+
+Plan shape:
+- the MinHash signature is a pure NARROW map (no pre-shuffle): K
+  min-hashes fold over the document's shingle array via higher-order
+  functions (``MIN(md5(k|shingle))`` — identical values to the batch
+  groupBy form, since duplicates cannot change a MIN);
+- bands explode to (band, band_sig) rows; the ONE stateful operator
+  groups by bucket key. Buckets are md5-keyed → maximal shuffle
+  entropy, no skew;
+- state per bucket is the member id list — bounded by bucket size (at
+  corpus scale a TTL/watermark bounds it in time as well);
+- each colliding pair is emitted exactly once per band regardless of
+  micro-batch split (pairs are normalized doc_a < doc_b), so the
+  bounded replay reduces to EXACTLY the batch candidate relation:
+
+      groupBy(doc_a, doc_b).count() == batch lsh_candidate_pairs
+
+  which is the driver-checked oracle (same SQL as dedup_minhash_lsh).
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kinesis_log_watcher_spark.functions.evalonce import gate_streaming
+from kinesis_log_watcher_spark.operators.dedup import shingles_col, tokens_col
+from kinesis_log_watcher_spark.session import ensure_session_confs
+
+_counter = itertools.count()
+
+NUM_HASHES = 16
+BANDS = 4
+_ROWS = NUM_HASHES // BANDS
+
+_PAIR_SCHEMA = "doc_a bigint, doc_b bigint, band int"
+_STATE_SCHEMA = "ids array<bigint>"
+
+
+def banded_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, band, band_sig) — the narrow-map LSH signature.
+
+    Value-identical to the batch pipeline (exploded_shingles →
+    minhash_signature → lsh_bands): m_k = MIN over shingles of
+    md5('k|' || shingle), folded with array_min over the shingle array
+    instead of a groupBy — no shuffle before the stateful operator."""
+    toks = tokens_col(F.col("text"))
+    prepped = docs.filter(F.size(toks) >= n).select(
+        "doc_id", gate_streaming(shingles_col(F.col("text"), n)).alias("__sh")
+    )
+
+    def min_hash(k: int):
+        # NB: closure, not a defaulted lambda parameter — a two-parameter
+        # lambda would make PySpark pass the element INDEX as the second
+        # argument (transform's (x, i) form), silently overriding k
+        return F.array_min(
+            F.transform(
+                F.col("__sh"), lambda s: F.md5(F.concat(F.lit(f"{k}|"), s))
+            )
+        ).alias(f"m{k}")
+
+    mins = [min_hash(k) for k in range(NUM_HASHES)]
+    sig = prepped.select("doc_id", *mins)
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"m{b * _ROWS + r}") for r in range(_ROWS)]
+                )
+            ).alias("band_sig"),
+        )
+        for b in range(BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "e.band", "e.band_sig")
+
+
+def _bucket_pairs(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Pair each arriving doc against the bucket's prior members."""
+    (members,) = state.get if state.exists else ([],)
+    members = list(members)
+    new: list[int] = []
+    for pdf in pdfs:
+        new.extend(int(d) for d in pdf["doc_id"])
+    new.sort()  # deterministic in-batch order
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for d in new:
+        for m in members:
+            a, b = (m, d) if m < d else (d, m)
+            out_a.append(a)
+            out_b.append(b)
+        members.append(d)
+    state.update((members,))
+    if out_a:
+        yield pd.DataFrame(
+            {"doc_a": out_a, "doc_b": out_b, "band": int(key[0])}
+        )
+
+
+def neardup_pair_stream(docs: DataFrame) -> DataFrame:
+    """Document stream → (doc_a, doc_b, band) collision stream."""
+    return (
+        banded_signatures(docs)
+        .groupBy("band", "band_sig")
+        .applyInPandasWithState(
+            _bucket_pairs,
+            outputStructType=_PAIR_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def candidate_pairs(collisions: DataFrame) -> DataFrame:
+    """Reduce the collision stream to the batch candidate relation."""
+    return collisions.groupBy("doc_a", "doc_b").agg(
+        F.count("*").cast("long").alias("n_bands")
+    )
+
+
+def run_stream_neardup(
+    spark: SparkSession,
+    docs_path: str,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Replay a documents file/directory through the operator and reduce
+    to the candidate-pair relation (== batch lsh_candidate_pairs)."""
+    import os
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(docs_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(docs_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(docs_path))
+        docs_path = os.path.dirname(docs_path)
+    stream = reader.parquet(docs_path)
+
+    name = f"neardup_{next(_counter)}"
+    q = (
+        neardup_pair_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return candidate_pairs(spark.table(name))
