@@ -331,3 +331,45 @@ def test_range_compiled_equals_reference(spark, range_corpus_df, target, body, w
         for i, p in enumerate(_RANGE_CORPUS)
     }
     assert got == exp, tpl
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(actions=st.lists(_ACTION, min_size=1, max_size=5))
+def test_define_template_root_wrap_identity(spark, records_cache, actions):
+    """Wrapping ANY template in {{define}} + {{template "w" .}} (dot =
+    the root record) must be an identity — sub-template inlining cannot
+    change a single rendered byte or error flag."""
+    body = to_template(actions)
+    wrapped = '{{define "w"}}' + body + '{{end}}{{template "w" .}}'
+    a = build_lines(records_cache, template=body, keep_errors=True).collect()
+    b = build_lines(records_cache, template=wrapped, keep_errors=True).collect()
+    assert [(r.line, r._render_error) for r in a] == [
+        (r.line, r._render_error) for r in b
+    ], wrapped
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(paths=st.lists(_LOG_PATHS, min_size=1, max_size=4))
+def test_paren_and_var_identities(spark, records_cache, paths):
+    """{{(.Log.p)}} ≡ {{.Log.p}}, and binding a path to a variable then
+    using the variable N times ≡ accessing the path N times directly."""
+    direct = "|".join("{{.Log." + p + "}}" for p in paths)
+    parens = "|".join("{{(.Log." + p + ")}}" for p in paths)
+    decls = "".join(
+        "{{$v%d := .Log.%s}}" % (i, p) for i, p in enumerate(paths)
+    )
+    via_vars = decls + "|".join("{{$v%d}}" % i for i in range(len(paths)))
+    a = build_lines(records_cache, template=direct, keep_errors=True).collect()
+    for alt in (parens, via_vars):
+        b = build_lines(records_cache, template=alt, keep_errors=True).collect()
+        assert [(r.line, r._render_error) for r in a] == [
+            (r.line, r._render_error) for r in b
+        ], alt
