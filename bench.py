@@ -36,6 +36,9 @@ SKIP = {
     "stream_sessionization_stateful",
     "stream_session_windows",
     "stream_click_purchase_join",
+    # stateful replay over ~20k tiny band buckets: the time is
+    # micro-batch + per-group state machinery, not query-engine cost
+    "stream_neardup_lsh",
 }
 
 
