@@ -1884,3 +1884,33 @@ def user_ancestry_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anc GROUP BY user_id
         """
     )
+
+
+@register(
+    "orders_compaction_roundtrip",
+    _RT_ORACLE,
+    doc="Small-files compaction round-trip: orders written as 64 tiny "
+    "fragments (the accretion pathology of micro-batch sinks), "
+    "compacted to 4 range-partitioned files sorted by o_orderkey "
+    "(sources/files.compact_dataset — non-overlapping file ranges make "
+    "parquet min/max stats prune range scans; in-file sort maximizes "
+    "encoding). The aggregate hash-matches the oracle on the ORIGINAL "
+    "parquet — compaction lost nothing; tests/test_file_formats pins "
+    "the file-count reduction and per-file ranges.",
+)
+def orders_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kinesis_log_watcher_spark.sources.files import compact_dataset
+
+    orders = load(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="compact_")
+    frag, packed = f"{base}/fragmented", f"{base}/compacted"
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    back = compact_dataset(spark, frag, packed, target_files=4,
+                           sort_col="o_orderkey")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("o_totalprice"), 12, 2).alias("revenue"),
+        F.min("o_orderdate").alias("first_order"),
+    )

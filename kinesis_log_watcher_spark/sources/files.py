@@ -43,3 +43,34 @@ def read_raw_records_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.load(path)
+
+
+def compact_dataset(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    target_files: int,
+    sort_col: str,
+) -> DataFrame:
+    """Small-files compaction — the storage-maintenance pass every
+    large table needs (a 100 TB table accreting thousands of tiny
+    micro-batch/task outputs reads orders of magnitude slower than the
+    same bytes in right-sized files).
+
+    Rewrites ``src_dir`` as ``target_files`` range-partitioned files
+    sorted within each file by ``sort_col``: range partitioning gives
+    non-overlapping per-file min/max on the sort column (parquet
+    row-group statistics then prune file scans for range predicates),
+    and the in-file sort maximizes RLE/dictionary compression. One
+    range-exchange shuffle, no driver materialization. Returns the
+    compacted dataset re-read from disk."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_dir)
+    (
+        df.repartitionByRange(target_files, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(dest_dir)
+    )
+    return spark.read.parquet(dest_dir)

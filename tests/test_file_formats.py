@@ -79,3 +79,49 @@ def test_watch_runs_over_any_format(spark, records, tmp_path):
         w.save(path)
         got = sorted(watch(read_raw_records(spark, path, fmt=fmt), one_shot=True))
         assert got == expected, fmt
+
+
+def test_compaction_reduces_files_with_disjoint_ranges(spark, tmp_path):
+    """compact_dataset: 64 fragments → exactly N right-sized files,
+    non-overlapping on the sort column (min/max stats then prune range
+    scans), content-identical."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kinesis_log_watcher_spark.queries.base import load
+    from kinesis_log_watcher_spark.sources.files import compact_dataset
+
+    orders = load(spark, "/root/testdata/sf0.001", "orders")
+    frag, packed = str(tmp_path / "frag"), str(tmp_path / "packed")
+    orders.repartition(64).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/part-*.parquet")) == 64
+
+    back = compact_dataset(spark, frag, packed, target_files=4,
+                           sort_col="o_orderkey")
+    files = sorted(glob.glob(f"{packed}/part-*.parquet"))
+    assert len(files) == 4
+    # content preserved exactly
+    assert back.count() == orders.count()
+    dec = lambda df: df.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    ).collect()[0][0]
+    assert dec(back) == dec(orders)  # exact — partitioning-independent
+    # per-file o_orderkey ranges are disjoint (range partitioning)
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["o_orderkey"])["o_orderkey"]
+        ranges.append((t[0].as_py() if len(t) else None, len(t)))
+        vals = t.to_pylist()
+        assert vals == sorted(vals)  # sorted within file
+    mins = [
+        (min(v), max(v))
+        for v in (
+            pq.read_table(f, columns=["o_orderkey"])["o_orderkey"].to_pylist()
+            for f in files
+        )
+        if v
+    ]
+    mins.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(mins, mins[1:]):
+        assert hi1 <= lo2  # non-overlapping
