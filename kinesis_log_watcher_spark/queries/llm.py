@@ -1762,3 +1762,112 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepped.select(
         "vec_id", F.explode(F.array(*outs)).alias("o")
     ).select("vec_id", "o.out_dim", "o.proj_q")
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd), two exact rounds
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kmeans_two_rounds",
+    """
+    WITH comp AS (
+      SELECT vec_id,
+             CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5) AS BIGINT) AS qx,
+             dim
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   unnest(range(1, len(embedding) + 1)) AS dim
+            FROM embeddings)),
+    c0 AS (SELECT vec_id AS cell, qx AS qc, dim FROM comp WHERE vec_id < 8),
+    d1 AS (
+      SELECT c.vec_id, c0.cell,
+             SUM((c.qx - c0.qc) * (c.qx - c0.qc)) AS dist
+      FROM comp c JOIN c0 USING (dim)
+      WHERE c.vec_id >= 8
+      GROUP BY c.vec_id, c0.cell),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cell ASC) AS rn
+        FROM d1)
+      WHERE rn = 1),
+    c1 AS (
+      SELECT a1.cell, comp.dim,
+             CAST(floor(CAST(SUM(comp.qx) AS DOUBLE) / COUNT(*) + 0.5)
+                  AS BIGINT) AS qc
+      FROM a1 JOIN comp USING (vec_id)
+      GROUP BY a1.cell, comp.dim),
+    d2 AS (
+      SELECT c.vec_id, c1.cell,
+             SUM((c.qx - c1.qc) * (c.qx - c1.qc)) AS dist
+      FROM comp c JOIN c1 USING (dim)
+      WHERE c.vec_id >= 8
+      GROUP BY c.vec_id, c1.cell),
+    a2 AS (
+      SELECT vec_id, cell, dist FROM (
+        SELECT vec_id, cell, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cell ASC) AS rn
+        FROM d2)
+      WHERE rn = 1)
+    SELECT cell,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(dist) AS BIGINT) AS inertia_q
+    FROM a2 GROUP BY cell
+    """,
+    doc="k-means, two Lloyd rounds, EXACT: components quantized to the "
+    "int64 grid; squared-L2 assignment in integer arithmetic; updated "
+    "centroids re-quantized to the grid (floor(S/n + 0.5) — IEEE double "
+    "division is correctly rounded, so both engines land on identical "
+    "integers); second assignment + per-cell inertia, all engine-"
+    "identical. Iterative-algorithm representative: each round is one "
+    "broadcast-dim join + one (vec, cell) aggregation — k·d stays tiny "
+    "and broadcast, the corpus shuffles once per round on vec_id, the "
+    "canonical cluster shape for Lloyd at scale. Init = vec_id<8 "
+    "anchors (deterministic seeds, same convention as ann_ivf_topk).",
+)
+def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    comp = exploded_components(emb, "vec_id").select(
+        "vec_id", quantize(F.col("x")).alias("qx"), "dim"
+    )
+    members = comp.filter(F.col("vec_id") >= 8)
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        """(cell, qc, dim) → per-vector best cell by exact squared L2."""
+        d = (
+            members.join(F.broadcast(centroids), "dim")
+            .groupBy("vec_id", "cell")
+            .agg(
+                F.sum(
+                    (F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cell").asc())
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell", "dist")
+        )
+
+    c0 = comp.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("qx").alias("qc"), "dim"
+    )
+    a1 = assign(c0).select("vec_id", "cell")
+    c1 = (
+        a1.join(comp, "vec_id")
+        .groupBy("cell", "dim")
+        .agg(
+            F.floor(
+                F.sum("qx").cast("double") / F.count("*") + F.lit(0.5)
+            ).cast("long").alias("qc")
+        )
+    )
+    a2 = assign(c1)
+    return a2.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("dist").cast("long").alias("inertia_q"),
+    )
