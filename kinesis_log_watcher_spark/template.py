@@ -927,7 +927,15 @@ def _compile_command(tokens: list, piped: _Expr | None, ctx: _Ctx,
             raise TemplateError(f"{head} takes exactly one argument")
         v = args[0].col
         if head == "urlquery":
-            out = F.url_encode(v)
+            # java.net.URLEncoder vs Go url.QueryEscape differ on two
+            # chars: Java escapes '~' (Go leaves it — RFC 3986
+            # unreserved) and passes '*' (Go escapes it). Patch both so
+            # the output is byte-identical to the reference's escaper.
+            out = F.replace(
+                F.replace(F.url_encode(v), F.lit("%7E"), F.lit("~")),
+                F.lit("*"),
+                F.lit("%2A"),
+            )
         else:
             # Go html/template escaper set: & < > ' "
             out = v

@@ -507,6 +507,11 @@ def test_urlquery_escape(spark):
     payload = json.dumps({"s": "a b&c=d"}).encode()
     [line] = _render(spark, "{{urlquery .Log.s}}", payload)
     assert line == "a+b%26c%3Dd"
+    # Go QueryEscape parity where Java's URLEncoder differs: '~' stays
+    # literal (RFC 3986 unreserved), '*' escapes
+    payload = json.dumps({"s": "a~b*c"}).encode()
+    [line] = _render(spark, "{{urlquery .Log.s}}", payload)
+    assert line == "a~b%2Ac"
 
 
 def test_html_in_pipeline(spark):
