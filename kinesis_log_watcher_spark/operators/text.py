@@ -41,28 +41,85 @@ def punct_count(text: Column) -> Column:
     ).cast("long")
 
 
-def stopword_hits(text: Column, lang: str = "en") -> Column:
+def _stop_hits_arr(toks: Column, lang: str = "en") -> Column:
     words = STOPWORDS[lang]
-    return F.size(
-        F.filter(F.split(text, " "), lambda t: t.isin(*words))
-    ).cast("long")
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
 
 
-def mean_token_length(text: Column) -> Column:
-    toks = F.split(text, " ")
+def _mean_len_arr(toks: Column) -> Column:
     total = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
     )
     return total.cast("double") / F.size(toks)
 
 
-def quality_score(text: Column, n_chars: Column) -> Column:
-    """Composite quality score; the exact op order is mirrored in the SQL
-    oracle so doubles match bit-for-bit:
+def _quality_composition(
+    stop_hits: Column, n_tokens: Column, punct: Column,
+    n_chars: Column, mean_tok: Column,
+) -> Column:
+    """THE quality formula — defined once; the SQL oracle mirrors this
+    exact op order so doubles match bit-for-bit:
     stop_ratio - punct_ratio + mean_token_len/10."""
-    stop_ratio = stopword_hits(text).cast("double") / ws_token_count(text)
-    punct_ratio = punct_count(text).cast("double") / n_chars
-    return stop_ratio - punct_ratio + mean_token_length(text) / 10
+    return (
+        stop_hits.cast("double") / n_tokens
+        - punct.cast("double") / n_chars
+        + mean_tok / 10
+    )
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    return _stop_hits_arr(F.split(text, " "), lang)
+
+
+def mean_token_length(text: Column) -> Column:
+    return _mean_len_arr(F.split(text, " "))
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Composite quality score (see _quality_composition)."""
+    return _quality_composition(
+        stopword_hits(text),
+        ws_token_count(text),
+        punct_count(text),
+        n_chars,
+        mean_token_length(text),
+    )
+
+
+def quality_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_chars_col: str = "n_chars",
+) -> DataFrame:
+    """(id, n_tokens, n_punct, stop_hits, mean_token_len, quality) — the
+    efficient shape of the per-doc quality metrics: the text is
+    tokenized ONCE and the punctuation count computed ONCE into
+    evaluate-once prep columns (functions/evalonce.gate); every metric
+    derives from those, through the same building blocks as the
+    Column-level helpers above — one source of truth for the arithmetic
+    the SQL oracle mirrors."""
+    from kinesis_log_watcher_spark.functions.evalonce import gate
+
+    prepped = docs.select(
+        F.col(id_col),
+        F.col(n_chars_col),
+        gate(F.split(F.col(text_col), " ")).alias("__toks"),
+        gate(punct_count(F.col(text_col))).alias("__punct"),
+    )
+    toks, punct = F.col("__toks"), F.col("__punct")
+    stop_hits = _stop_hits_arr(toks)
+    n_tokens = F.size(toks).cast("long")
+    mean_tok = _mean_len_arr(toks)
+    quality = _quality_composition(
+        stop_hits, n_tokens, punct, F.col(n_chars_col), mean_tok
+    )
+    return prepped.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        punct.alias("n_punct"),
+        stop_hits.alias("stop_hits"),
+        mean_tok.alias("mean_token_len"),
+        quality.alias("quality"),
+    )
 
 
 # Polynomial rolling hash: h ← (h·B + tokhash) mod M, folded left→right

@@ -704,41 +704,11 @@ def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     "composed in a fixed op order (engine-identical doubles).",
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kinesis_log_watcher_spark.functions.evalonce import gate
-
     docs = load(spark, sf_dir, "documents")
-    # tokenize and count punctuation ONCE per row (evaluate-once prep
-    # columns) — the naive projection re-splits the text for every
-    # derived metric. Arithmetic order matches operators/text.py
-    # quality_score exactly so the oracle doubles are bit-identical.
-    prepped = docs.select(
-        "doc_id",
-        "n_chars",
-        gate(F.split("text", " ")).alias("__toks"),
-        gate(T.punct_count(F.col("text"))).alias("__punct"),
-    )
-    toks, punct = F.col("__toks"), F.col("__punct")
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin(*T.STOPWORDS["en"]))
-    ).cast("long")
-    total_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
-    )
-    n_tokens = F.size(toks).cast("long")
-    mean_tok = total_len.cast("double") / F.size(toks)
-    quality = (
-        stop_hits.cast("double") / n_tokens
-        - punct.cast("double") / F.col("n_chars")
-        + mean_tok / 10
-    )
-    return prepped.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        punct.alias("n_punct"),
-        stop_hits.alias("stop_hits"),
-        mean_tok.alias("mean_token_len"),
-        quality.alias("quality"),
-    )
+    # one tokenization + one punct count per row (evaluate-once prep
+    # columns); the metric arithmetic lives ONCE in operators/text.py,
+    # shared with the Column-level helpers the oracle mirrors
+    return T.quality_frame(docs, "doc_id", "text", "n_chars")
 
 
 @register(

@@ -163,17 +163,19 @@ class CompiledTemplate:
     error_h: Column | None = None
 
     @staticmethod
-    def _gate(c: Column) -> Column:
-        """Evaluate-once pin — see functions/evalonce.gate. Without it
-        the hoist is an illusion: ColumnPruning drops any separate
-        barrier column, the then-deterministic projection collapses, and
+    def _gate(c: Column, streaming: bool) -> Column:
+        """Evaluate-once pin — see functions/evalonce. Without it the
+        hoist is an illusion: ColumnPruning drops any separate barrier
+        column, the then-deterministic projection collapses, and
         PushDownPredicates substitutes the parse back into BOTH the
         error filter and the line projection — every hoisted subtree
         evaluated twice (measured 5.9s → 1.7s at sf0.1 on
-        template_range_render when pinned properly)."""
-        from kinesis_log_watcher_spark.functions.evalonce import gate
+        template_range_render when pinned properly). Streaming plans
+        reject monotonically_increasing_id, so they use the
+        shuffle-of-one gate instead."""
+        from kinesis_log_watcher_spark.functions.evalonce import gate, gate_streaming
 
-        return gate(c)
+        return gate_streaming(c) if streaming else gate(c)
 
     def _prepped(self, df: DataFrame) -> DataFrame:
         # Two stages: the shared whole-payload parse first, then the
@@ -187,7 +189,11 @@ class CompiledTemplate:
         for stage in (payload, rest):
             if stage:
                 out = out.select(
-                    "*", *(self._gate(c).alias(n) for n, c in stage.items())
+                    "*",
+                    *(
+                        self._gate(c, df.isStreaming).alias(n)
+                        for n, c in stage.items()
+                    ),
                 )
         return out
 
@@ -877,7 +883,12 @@ def _compile_command(tokens: list, piped: _Expr | None, ctx: _Ctx,
         return _Expr(col=out, truth=out.isNotNull() & (out != ""),
                      err=_any_err(args))
     if head == "printf":
-        if not args or not isinstance(tokens[1], str) or not tokens[1].startswith('"'):
+        if (
+            not args
+            or len(tokens) < 2  # {{P | printf}} — format would be dynamic
+            or not isinstance(tokens[1], str)
+            or not tokens[1].startswith('"')
+        ):
             raise TemplateError('printf expects a literal format: printf "<fmt>" args…')
         return _compile_printf(_unescape(tokens[1][1:-1]), args[1:])
     if head == "index":
@@ -1133,12 +1144,16 @@ def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, 
     # normalized array lands in a named prep column evaluated once per
     # row; all four reference sites below become attribute reads. Range
     # over a lambda element (nested range, with-bound element) can't
-    # hoist — the value doesn't exist outside the enclosing HOF.
+    # hoist — the value doesn't exist outside the enclosing HOF; a
+    # target PIPELINE that references a variable can't either (the
+    # variable may be lambda-bound), but variables merely being in
+    # scope is fine — the '$' scan keeps hoisting on for the common
+    # {{$x := …}}…{{range .Log.xs}} shape.
     if (
         _ACTIVE_PREP is not None
         and ctx.elem is None
         and ctx.scalar is None
-        and ctx.vars is None
+        and "$" not in node.pipe
     ):
         name = f"__tpl{_HOIST_SEQ}_items_{len(_ACTIVE_PREP)}"
         _ACTIVE_PREP[name] = items_tree()
@@ -1171,10 +1186,12 @@ def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, 
 
     # Go scope rule: a range-declared variable extends to the {{end}},
     # so it is visible in the else branch too — there it holds the
-    # (empty) pipeline value, Go's initial assignment before iteration.
-    if len(node.vars) == 1:
+    # (empty) pipeline value, Go's initial assignment before iteration
+    # (both variables in the two-var form).
+    if node.vars:
         else_vars = dict(ctx.vars or {})
-        else_vars[node.vars[0]] = target
+        for var_name in node.vars:
+            else_vars[var_name] = target
         else_ctx = replace(ctx, vars=else_vars)
     else:
         else_ctx = ctx

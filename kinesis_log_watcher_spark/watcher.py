@@ -261,6 +261,12 @@ def watch(
             ok.foreachPartition(lambda it: fn(r["line"] for r in it))
             return None
         if max_lines is not None:
+            # Two jobs by design: the error count is an aggregate over
+            # ALL rows (one full render pass, tiny driver result), while
+            # the limited collect early-exits at max_lines (partial
+            # pass). Total executor work ≈ 1 full + 1 partial render —
+            # the price of bounded driver memory with complete error
+            # reporting.
             observe_errors_via_agg(lines)
             return [r["line"] for r in ok.limit(max_lines).collect()]
         rows = lines.collect()

@@ -282,6 +282,33 @@ def test_range_whitespace_trim(spark):
     assert _render(spark, t, b'{"xs": [1, 2]}') == ["12"]
 
 
+def test_range_two_var_else_branch_binds_both(spark):
+    # Go scope: both declared variables extend to {{end}}, so the else
+    # branch sees them (holding the empty pipeline value)
+    t = "{{range $i, $v := .Log.xs}}x{{else}}{{$i}}/{{$v}}{{end}}"
+    assert _render(spark, t, b'{"xs": []}') == ["[]/[]"]
+
+
+def test_printf_piped_without_format_raises(spark):
+    # Go allows {{P | printf}} (dynamic format) — our printf requires a
+    # literal format, and must reject cleanly, not crash
+    with pytest.raises(TemplateError, match="literal format"):
+        compile_template('{{"x" | printf}}')
+
+
+def test_hoist_survives_variables_in_scope(spark):
+    # a variable declaration must not disable the range-collection hoist
+    # when the range target doesn't reference it
+    c = compile_template("{{$x := .HostId}}{{range .Log.xs}}{{.}}{{end}}{{$x}}")
+    assert any("_items_" in n for n in c.prep), list(c.prep)
+    assert _render_c(spark, c, b'{"xs": [1, 2]}') == ["12uuid:abc"]
+
+
+def _render_c(spark, compiled, payload, **kw):
+    rows = compiled.apply(_env(spark, payload, **kw)).collect()
+    return [r["line"] for r in rows]
+
+
 def test_range_variables_render(spark):
     t = "{{range $i, $v := .Log.xs}}{{$i}}:{{$v}} {{end}}"
     assert _render(spark, t, b'{"xs": [7, 8]}') == ["0:7 1:8 "]

@@ -288,3 +288,24 @@ def test_streaming_max_lines_caps_each_batch(spark, tmp_path):
     q.awaitTermination(120)
     q.stop()
     assert 0 < len(got) <= 7
+
+
+def test_streaming_watch_with_log_template(spark, tmp_path):
+    """A .Log-accessing template must run on STREAMING input: the
+    hoisted payload prep columns switch to the streaming-safe
+    evaluate-once gate (the batch gate's monotonically_increasing_id is
+    rejected by the streaming analyzer). Output must equal batch."""
+    src = tmp_path / "records"
+    write_fixture_parquet(spark, str(src), n_records=30)
+    tpl = "{{.ShortHostId}} {{.Log.level}} {{range .Log.nested}}<{{.}}>{{end}}"
+    batch = watch(read_raw_records(spark, str(src)), template=tpl)
+    got: list[str] = []
+    q = watch(
+        read_raw_records_stream(spark, str(src)),
+        template=tpl,
+        one_shot=True,
+        sink=got.append,
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == sorted(batch)
+    assert batch  # fixture renders at least some non-error rows
