@@ -90,6 +90,14 @@ def exact_dedup_groups(docs: DataFrame, key: Column, id_col: str = "doc_id") -> 
 # ---------------------------------------------------------------------------
 
 
+# Default MinHash/LSH geometry — the batch query (queries/llm.py) and
+# the streaming detector (streaming/neardup.py) must agree on these, or
+# the streaming operator diverges from the SQL oracle it shares with
+# the batch query.
+MINHASH_NUM_HASHES = 16
+MINHASH_BANDS = 4
+
+
 def minhash_signature(sh: DataFrame, num_hashes: int = 16,
                       id_col: str = "doc_id") -> DataFrame:
     """K min-hashes per doc in ONE aggregation (no seed explosion):

@@ -52,12 +52,19 @@ def cosine_topk_fast(
     q_id: str = "q_id",
     vec_id: str = "vec_id",
     emb: str = "embedding",
+    rank_quantize: float | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k, fast path: broadcast queries × index.
 
     Plan shape: BroadcastNestedLoopJoin (queries are small by contract)
     → narrow scoring map → per-query ranking window. The index side is
-    scanned once, never shuffled for the join."""
+    scanned once, never shuffled for the join.
+
+    ``rank_quantize=S`` ranks by ``floor(cos·S + 0.5)`` (ties broken by
+    id) instead of the raw double — scores within 1/S of each other tie
+    deterministically, which makes the neighbor ORDER robust to the
+    engine-specific last-ulp fold rounding (the rank-only oracle
+    contract of ann_cosine_topk_fast)."""
     q = F.broadcast(
         queries.select(F.col(q_id), F.col(emb).alias("q_emb"))
     )
@@ -67,7 +74,13 @@ def cosine_topk_fast(
     cos = dot_fast(F.col("q_emb"), F.col(emb)) / (
         norm_fast(F.col("q_emb")) * norm_fast(F.col(emb))
     )
-    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(vec_id))
+    if rank_quantize is not None:
+        rank_key = F.floor(
+            F.col("cosine") * F.lit(float(rank_quantize)) + F.lit(0.5)
+        ).cast("long")
+    else:
+        rank_key = F.col("cosine")
+    w = Window.partitionBy(q_id).orderBy(rank_key.desc(), F.col(vec_id))
     return (
         scored.withColumn("cosine", cos)
         .withColumn("rank", F.row_number().over(w).cast("long"))

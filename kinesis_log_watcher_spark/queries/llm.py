@@ -135,8 +135,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup: MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_NUM_HASHES = 16
-_BANDS = 4
+from kinesis_log_watcher_spark.operators.dedup import (  # noqa: E402
+    MINHASH_BANDS as _BANDS,
+    MINHASH_NUM_HASHES as _NUM_HASHES,
+)
 _ROWS = _NUM_HASHES // _BANDS
 
 _MINHASH_COLS = ",\n           ".join(
@@ -1002,13 +1004,14 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings WHERE vec_id < 10),
     scored AS (
       SELECT q.q_id, e.vec_id AS neighbor_id,
-             list_cosine_similarity(q.q_emb, CAST(e.embedding AS DOUBLE[]))
-               AS cos
+             CAST(floor(list_cosine_similarity(q.q_emb,
+                    CAST(e.embedding AS DOUBLE[])) * 1000000000 + 0.5)
+                  AS BIGINT) AS cos_q
       FROM embeddings e, q WHERE e.vec_id <> q.q_id),
     ranked AS (
       SELECT q_id, neighbor_id,
              ROW_NUMBER() OVER (PARTITION BY q_id
-                                ORDER BY cos DESC, neighbor_id) AS rank
+                                ORDER BY cos_q DESC, neighbor_id) AS rank
       FROM scored)
     SELECT q_id, neighbor_id, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 5
@@ -1030,7 +1033,12 @@ def ann_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return cosine_topk_fast(q, emb, k=5).select("q_id", "neighbor_id", "rank")
+    # rank on the 1e-9-quantized cosine (both engines): scores closer
+    # than 1e-9 tie and break by id, so engine-specific last-ulp fold
+    # rounding cannot flip the neighbor order the oracle compares
+    return cosine_topk_fast(q, emb, k=5, rank_quantize=1e9).select(
+        "q_id", "neighbor_id", "rank"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -74,3 +74,37 @@ def compact_dataset(
         .parquet(dest_dir)
     )
     return spark.read.parquet(dest_dir)
+
+
+def read_parquet_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming read of an arbitrary parquet dataset (schema inferred
+    from a batch read). Accepts a single FILE as well as a directory —
+    the file stream source wants a directory, so a file path is turned
+    into (parent dir + pathGlobFilter) here, ONCE, for every replay
+    harness (streaming/tws.py, streaming/neardup.py, …)."""
+    import os
+
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
+
+
+def await_or_raise(query, timeout_s: int) -> None:
+    """awaitTermination that REFUSES to return a partial answer: a
+    bounded replay that hasn't terminated within the timeout raises
+    instead of letting the caller read a half-populated memory sink."""
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"streaming replay did not finish within {timeout_s}s; "
+            "partial sink contents would be silently wrong"
+        )

@@ -44,8 +44,14 @@ from kinesis_log_watcher_spark.session import ensure_session_confs
 
 _counter = itertools.count()
 
-NUM_HASHES = 16
-BANDS = 4
+# Geometry SHARED with the batch query (queries/llm.dedup_minhash_lsh)
+# — the streaming operator's oracle is that query's SQL verbatim, so
+# the parameters must be one definition (operators/dedup.py).
+from kinesis_log_watcher_spark.operators.dedup import (  # noqa: E402
+    MINHASH_BANDS as BANDS,
+    MINHASH_NUM_HASHES as NUM_HASHES,
+)
+
 _ROWS = NUM_HASHES // BANDS
 
 _PAIR_SCHEMA = "doc_a bigint, doc_b bigint, band int"
@@ -147,17 +153,13 @@ def run_stream_neardup(
 ) -> DataFrame:
     """Replay a documents file/directory through the operator and reduce
     to the candidate-pair relation (== batch lsh_candidate_pairs)."""
-    import os
+    from kinesis_log_watcher_spark.sources.files import (
+        await_or_raise,
+        read_parquet_stream,
+    )
 
     ensure_session_confs(spark)
-    schema = spark.read.parquet(docs_path).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    if os.path.isfile(docs_path):
-        reader = reader.option("pathGlobFilter", os.path.basename(docs_path))
-        docs_path = os.path.dirname(docs_path)
-    stream = reader.parquet(docs_path)
+    stream = read_parquet_stream(spark, docs_path, max_files_per_trigger)
 
     name = f"neardup_{next(_counter)}"
     q = (
@@ -168,5 +170,5 @@ def run_stream_neardup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_or_raise(q, timeout_s)
     return candidate_pairs(spark.table(name))

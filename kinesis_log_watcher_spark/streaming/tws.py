@@ -173,19 +173,13 @@ def run_running_totals(
 ) -> DataFrame:
     """Replay a directory of parquet event files through the operator
     and reduce the update stream to final totals."""
-    import os
+    from kinesis_log_watcher_spark.sources.files import (
+        await_or_raise,
+        read_parquet_stream,
+    )
 
     ensure_session_confs(spark)
-    schema = spark.read.parquet(events_dir).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    if os.path.isfile(events_dir):
-        # the file stream source wants a directory; point it at the
-        # parent and glob-filter to this table's file
-        reader = reader.option("pathGlobFilter", os.path.basename(events_dir))
-        events_dir = os.path.dirname(events_dir)
-    stream = reader.parquet(events_dir)
+    stream = read_parquet_stream(spark, events_dir, max_files_per_trigger)
     stream = normalize_ts_cols(stream)
 
     name = f"tws_totals_{next(_counter)}"
@@ -197,5 +191,5 @@ def run_running_totals(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_or_raise(q, timeout_s)
     return final_totals(spark.table(name))

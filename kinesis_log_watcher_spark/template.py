@@ -270,6 +270,25 @@ _RANGE_VAR_RE = re.compile(r"^\$\w+$")
 _VAR_DECL_RE = re.compile(r"^(\$\w+)\s*(:=|=(?!=))\s*(.+)$", re.DOTALL)
 
 
+def _split_decl(word: str, rest: str) -> tuple[tuple, str]:
+    """Strip a leading variable declaration ``$v :=`` (``$i, $v :=`` for
+    range) from an if/with/range pipeline. Returns (names, pipeline)."""
+    if not (rest.startswith("$") and ":=" in rest):
+        return (), rest
+    lhs, rhs = rest.split(":=", 1)
+    rhs = rhs.strip()
+    names = [t.strip() for t in lhs.split(",")]
+    if not all(_RANGE_VAR_RE.match(n) for n in names):
+        # a ':=' inside a string literal further down the pipeline
+        return (), rest
+    max_vars = 2 if word == "range" else 1
+    if not (1 <= len(names) <= max_vars and len(set(names)) == len(names) and rhs):
+        raise TemplateError(
+            f"malformed {{{{{word}}}}} variable declaration in {rest!r}"
+        )
+    return tuple(names), rhs
+
+
 def _parse(template: str) -> tuple[list, dict[str, list]]:
     """Template text → (node tree, named {{define}} bodies). Handles
     {{- -}} whitespace trimming, nested if/with/range blocks, range
@@ -344,26 +363,7 @@ def _parse(template: str) -> tuple[list, dict[str, list]]:
         if word in ("if", "with", "range"):
             if not rest:
                 raise TemplateError(f"{{{{{word}}}}} needs a pipeline")
-            range_vars: tuple = ()
-            if rest.startswith("$") and ":=" in rest:
-                lhs, rhs = rest.split(":=", 1)
-                rhs = rhs.strip()
-                names = [t.strip() for t in lhs.split(",")]
-                if all(_RANGE_VAR_RE.match(n) for n in names):
-                    # a genuine declaration (not a ':=' inside a string
-                    # literal further down the pipeline)
-                    max_vars = 2 if word == "range" else 1
-                    if not (
-                        1 <= len(names) <= max_vars
-                        and len(set(names)) == len(names)
-                        and rhs
-                    ):
-                        raise TemplateError(
-                            f"malformed {{{{{word}}}}} variable "
-                            f"declaration in {rest!r}"
-                        )
-                    range_vars = tuple(names)
-                    rest = rhs
+            range_vars, rest = _split_decl(word, rest)
             blk = _Block(kind=word, pipe=rest, vars=range_vars)
             emit(blk)
             stack.append((blk, blk.body))
@@ -371,9 +371,11 @@ def _parse(template: str) -> tuple[list, dict[str, list]]:
             if not stack or stack[-1][0].kind != "if":
                 raise TemplateError("{{else if}} outside {{if}}")
             # desugar: else branch contains a nested if; re-point the stack
-            # entry at the nested block so {{end}} closes both.
+            # entry at the nested block so {{end}} closes both. The
+            # nested if supports {{else if $x := P}} declarations too.
+            decl_vars, rest = _split_decl("if", rest)
             outer, _ = stack.pop()
-            nested = _Block(kind="if", pipe=rest)
+            nested = _Block(kind="if", pipe=rest, vars=decl_vars)
             outer.else_.append(nested)
             stack.append((nested, nested.body))
         elif word == "else":
@@ -437,10 +439,21 @@ class _Ctx:
     vars: dict[str, "_Expr"] | None = None  # $name → compiled value
     # (range / {{$x := …}} variables; lexically scoped, NOT inherited by
     # {{template}} — Go invocation scoping)
+    # What ``$`` means here. None = the root record (top-level execution
+    # data). Inside a {{template}}/{{block}} body, Go rebinds $ to the
+    # invocation ARGUMENT (exec.go walkTemplate) — _compile_template_call
+    # sets this to the argument's dot-context.
+    dollar: "_Ctx | None" = None
 
     @property
     def is_root(self) -> bool:
         return self.log_base is None and self.scalar is None and self.elem is None
+
+    def dollar_ctx(self) -> "_Ctx":
+        """The context ``$``/``$.path`` resolves against (vars stay the
+        caller's — variables and $ are orthogonal scopes in Go)."""
+        base = self.dollar if self.dollar is not None else _Ctx()
+        return replace(base, vars=self.vars, dollar=self.dollar)
 
 
 # Hoisting context: when not None, _compile_range registers its parsed
@@ -493,8 +506,11 @@ def _hoisted_payload() -> Column:
 
     Jackson backs both paths, so leaf texts are byte-identical
     (numbers normalized the same, nested values re-serialized
-    compactly); ``from_json``'s last-duplicate-key-wins matches Go's
-    ``encoding/json`` (the reference's decoder, main.go:276)."""
+    compactly, FIRST duplicate key wins in both — measured). NB: Go's
+    ``encoding/json`` keeps the LAST duplicate key, so duplicate-key
+    payloads diverge from the reference on either engine path — a
+    documented divergence of the contrived-payload class, not a
+    hoist-specific one."""
     name = f"__tpl{_HOIST_SEQ}_payload"
     if name not in _ACTIVE_PREP:
         _ACTIVE_PREP[name] = F.from_json(F.col("LogEntry"), "map<string,string>")
@@ -703,15 +719,18 @@ def _operand(token: str, ctx: _Ctx, variant_log: bool) -> _Expr:
     if token == "nil":
         return _Expr(col=F.lit(NO_VALUE), truth=F.lit(False), err=_false())
     if token == "$" or token.startswith("$."):
-        # $ is the root data value (Go: the value Execute was invoked
-        # with) — $.Log.x / $.HostId resolve at root from anywhere,
-        # incl. inside range/with bodies where dot is rebound.
-        if token == "$":
+        # $ is the execution data value: the root record at top level,
+        # rebound to the invocation argument inside {{template}}/{{block}}
+        # bodies (Go exec.go walkTemplate). $.path resolves under it
+        # from anywhere, incl. range/with bodies where dot is rebound.
+        dctx = ctx.dollar_ctx()
+        if token == "$" and dctx.is_root:
             raise TemplateError(
-                "'$' alone is not renderable (the root dot is the whole "
-                "record); use $.Field / $.Log.path"
+                "'$' alone is not renderable here (it is the whole root "
+                "record); use $.Field / $.Log.path, or pass $ as a "
+                "{{template}}/{{with}} argument"
             )
-        return _field_expr(token[2:], _Ctx(vars=ctx.vars), variant_log)
+        return _field_expr(token[2:] if token != "$" else "", dctx, variant_log)
     m = _VAR_PATH_OPERAND_RE.match(token)
     if m:
         name = "$" + m.group(1)
@@ -1170,11 +1189,11 @@ def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, 
             new_vars = dict(ctx.vars or {})
             new_vars[node.vars[0]] = _json_elem_access(key, [])
             new_vars[node.vars[1]] = _json_elem_access(val, [])
-            return _Ctx(elem=val, vars=new_vars)
+            return _Ctx(elem=val, vars=new_vars, dollar=ctx.dollar)
         new_vars = dict(ctx.vars or {})
         if node.vars:  # {{range $v := P}} — dot AND $v are the element
             new_vars[node.vars[0]] = _json_elem_access(el, [])
-        return _Ctx(elem=el, vars=new_vars or None)
+        return _Ctx(elem=el, vars=new_vars or None, dollar=ctx.dollar)
 
     def body_line(el: Column) -> Column:
         line, _ = _compile_nodes(node.body, body_ctx(el), variant_log)
@@ -1248,15 +1267,21 @@ def _compile_template_call(
     if depth >= MAX_TEMPLATE_DEPTH:
         return F.lit(""), F.lit(True)
     arg_err = _false()
-    if node.pipe is None:
+    pipe = node.pipe.strip() if node.pipe is not None else None
+    if pipe is None:
         # No argument → dot is nil inside the invoked template. Bind a
         # null JSON element so field access still compiles and becomes a
         # render error at execution time — Go's error surface (Go parses
         # this fine and fails only when the body dereferences nil).
         inner_ctx = _Ctx(elem=F.lit(None).cast("string"))
-    elif node.pipe.strip() == "." and ctx.is_root:
+    elif pipe == "." and ctx.is_root:
         # Pass the whole record: dot inside the body is the root record.
         inner_ctx = _Ctx()
+    elif pipe == "$":
+        # Pass the execution data value — the Go idiom for handing a
+        # sub-template the root (or, nested, the enclosing invocation's
+        # argument). Never rendered, so the root form is fine here.
+        inner_ctx = replace(ctx.dollar_ctx(), vars=None)
     else:
         arg = _compile_pipeline(node.pipe, ctx, variant_log)
         arg_err = arg.err
@@ -1266,6 +1291,11 @@ def _compile_template_call(
             inner_ctx = _Ctx(elem=arg.raw)
         else:
             inner_ctx = _Ctx(scalar=arg)
+    # Go rebinds $ to the invocation argument inside the body
+    # (exec.go walkTemplate); caller variables stay invisible.
+    inner_ctx = replace(
+        inner_ctx, dollar=None if inner_ctx.is_root else replace(inner_ctx, vars=None)
+    )
     _EXPANDING[node.name] = depth + 1
     try:
         body_col, body_err = _compile_nodes(body, inner_ctx, variant_log)
@@ -1333,13 +1363,20 @@ def _compile_nodes(nodes: list, ctx: _Ctx, variant_log: bool) -> tuple[Column, C
                 branch_vars = dict(ctx.vars or {})
                 branch_vars[node.vars[0]] = cond
             if node.kind == "with":
-                # rebind dot; outer variables stay lexically visible
+                # rebind dot; outer variables and $ stay lexically visible
                 if cond.log_parts is not None and ctx.is_root:
-                    inner_ctx = _Ctx(log_base=cond.log_parts, vars=branch_vars)
+                    inner_ctx = _Ctx(
+                        log_base=cond.log_parts, vars=branch_vars,
+                        dollar=ctx.dollar,
+                    )
                 elif cond.raw is not None:
-                    inner_ctx = _Ctx(elem=cond.raw, vars=branch_vars)
+                    inner_ctx = _Ctx(
+                        elem=cond.raw, vars=branch_vars, dollar=ctx.dollar
+                    )
                 else:
-                    inner_ctx = _Ctx(scalar=cond, vars=branch_vars)
+                    inner_ctx = _Ctx(
+                        scalar=cond, vars=branch_vars, dollar=ctx.dollar
+                    )
             else:
                 inner_ctx = replace(ctx, vars=branch_vars)
             else_ctx = replace(ctx, vars=branch_vars)

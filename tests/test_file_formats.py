@@ -107,21 +107,14 @@ def test_compaction_reduces_files_with_disjoint_ranges(spark, tmp_path):
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
     ).collect()[0][0]
     assert dec(back) == dec(orders)  # exact — partitioning-independent
-    # per-file o_orderkey ranges are disjoint (range partitioning)
-    ranges = []
+    # sorted within each file; per-file o_orderkey ranges disjoint
+    # (range partitioning → parquet min/max stats prune range scans)
+    bounds = []
     for f in files:
-        t = pq.read_table(f, columns=["o_orderkey"])["o_orderkey"]
-        ranges.append((t[0].as_py() if len(t) else None, len(t)))
-        vals = t.to_pylist()
-        assert vals == sorted(vals)  # sorted within file
-    mins = [
-        (min(v), max(v))
-        for v in (
-            pq.read_table(f, columns=["o_orderkey"])["o_orderkey"].to_pylist()
-            for f in files
-        )
-        if v
-    ]
-    mins.sort()
-    for (lo1, hi1), (lo2, hi2) in zip(mins, mins[1:]):
+        vals = pq.read_table(f, columns=["o_orderkey"])["o_orderkey"].to_pylist()
+        assert vals == sorted(vals), f
+        if vals:
+            bounds.append((vals[0], vals[-1]))
+    bounds.sort()
+    for (_, hi1), (lo2, _) in zip(bounds, bounds[1:]):
         assert hi1 <= lo2  # non-overlapping

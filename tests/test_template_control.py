@@ -400,6 +400,33 @@ def test_recursive_template_bounded(spark):
     assert _render(spark, t, json.dumps(deep).encode()) == []
 
 
+def test_dollar_rebinds_to_template_argument(spark):
+    # Go exec.go walkTemplate: inside an invocation, $ IS the argument
+    t = '{{define "t"}}{{$.v}}{{end}}{{template "t" .Log.o}}'
+    assert _render(spark, t, b'{"o": {"v": 1}}') == ["1"]
+    # and {{template "t" $}} passes the enclosing data value through —
+    # at top level that is the root record
+    t = (
+        '{{define "t"}}{{.ShortHostId}}:{{.Log.a}}{{end}}'
+        '{{range .Log.xs}}{{template "t" $}}{{end}}'
+    )
+    assert _render(spark, t, b'{"a": 7, "xs": [1, 2]}') == ["abc:7abc:7"]
+    # nested invocation: the inner body's $ is the inner argument
+    t = (
+        '{{define "in"}}[{{$.w}}]{{end}}'
+        '{{define "out"}}{{template "in" $.o}}{{end}}'
+        '{{template "out" .Log}}'
+    )
+    assert _render(spark, t, b'{"o": {"w": 3}}') == ["[3]"]
+
+
+def test_else_if_with_declaration(spark):
+    t = "{{if .Log.a}}A{{else if $y := .Log.b}}B{{$y}}{{else}}C{{end}}"
+    assert _render(spark, t, b'{"a": 1}') == ["A"]
+    assert _render(spark, t, b'{"b": 2}') == ["B2"]
+    assert _render(spark, t, b'{"c": 3}') == ["C"]
+
+
 def test_root_dollar_variable(spark):
     # $ is the root data value — usable from inside rebound-dot bodies
     t = "{{range .Log.xs}}{{$.Log.pre}}{{.}};{{end}}"
