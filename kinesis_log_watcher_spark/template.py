@@ -43,8 +43,11 @@ constructs plus the control-flow/pipeline core:
   Recursive invocation is depth-bounded unrolled (MAX_TEMPLATE_DEPTH
   levels; rows recursing deeper become render errors — the analogue of
   Go's exec-time depth cap).
-- ``$.Field`` / ``$.Log.path`` — the root data value from anywhere,
-  including inside range/with bodies where dot is rebound (Go's ``$``).
+- ``$`` — the execution data value (Go semantics): the root record at
+  top level — ``$.Field`` / ``$.Log.path`` resolve under it from inside
+  range/with bodies where dot is rebound — and rebound to the
+  invocation ARGUMENT inside ``{{template}}``/``{{block}}`` bodies;
+  ``{{template "t" $}}`` passes it through.
 - ``{{$x := P}}`` — general variable declaration, anywhere; lexically
   scoped to the enclosing block per Go's rule (scope runs to the
   {{end}}); ``{{if $x := P}}`` / ``{{with $x := P}}`` /
