@@ -98,7 +98,7 @@ MINHASH_NUM_HASHES = 16
 MINHASH_BANDS = 4
 
 
-def minhash_signature(sh: DataFrame, num_hashes: int = 16,
+def minhash_signature(sh: DataFrame, num_hashes: int = MINHASH_NUM_HASHES,
                       id_col: str = "doc_id") -> DataFrame:
     """K min-hashes per doc in ONE aggregation (no seed explosion):
     m_k = MIN(md5('k|' || shingle)). md5 hex compares lexicographically
@@ -110,7 +110,8 @@ def minhash_signature(sh: DataFrame, num_hashes: int = 16,
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_bands(sig: DataFrame, num_hashes: int = 16, bands: int = 4,
+def lsh_bands(sig: DataFrame, num_hashes: int = MINHASH_NUM_HASHES,
+              bands: int = MINHASH_BANDS,
               id_col: str = "doc_id") -> DataFrame:
     """Fold each band's rows into one md5 band key, explode to
     (doc_id, band, band_sig)."""

@@ -62,9 +62,12 @@ def cosine_topk_fast(
 
     ``rank_quantize=S`` ranks by ``floor(cos·S + 0.5)`` (ties broken by
     id) instead of the raw double — scores within 1/S of each other tie
-    deterministically, which makes the neighbor ORDER robust to the
-    engine-specific last-ulp fold rounding (the rank-only oracle
-    contract of ann_cosine_topk_fast)."""
+    deterministically, shrinking the window in which engine-specific
+    last-ulp fold rounding can flip the compared order from "any near
+    tie" to "a bucket boundary landing inside the engines' ulp
+    difference" (~1e-15/1e-9 per pair — vanishingly unlikely, though
+    not strictly impossible; the rank-only oracle contract of
+    ann_cosine_topk_fast)."""
     q = F.broadcast(
         queries.select(F.col(q_id), F.col(emb).alias("q_emb"))
     )

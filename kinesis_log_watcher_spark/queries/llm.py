@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 from kinesis_log_watcher_spark.functions.exact import dsum
 from kinesis_log_watcher_spark.operators import text as T
 from kinesis_log_watcher_spark.operators.dedup import (
+    MINHASH_BANDS as _BANDS,
+    MINHASH_NUM_HASHES as _NUM_HASHES,
     SIMHASH_BITS,
     connected_components,
     exact_dedup_groups,
@@ -135,10 +137,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup: MinHash + LSH
 # ---------------------------------------------------------------------------
 
-from kinesis_log_watcher_spark.operators.dedup import (  # noqa: E402
-    MINHASH_BANDS as _BANDS,
-    MINHASH_NUM_HASHES as _NUM_HASHES,
-)
+# geometry imported with the other dedup operators at the top of the
+# file — one definition shared with the streaming detector and oracle
 _ROWS = _NUM_HASHES // _BANDS
 
 _MINHASH_COLS = ",\n           ".join(

@@ -39,18 +39,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from kinesis_log_watcher_spark.functions.evalonce import gate_streaming
-from kinesis_log_watcher_spark.operators.dedup import shingles_col, tokens_col
+from kinesis_log_watcher_spark.operators.dedup import (
+    # geometry SHARED with the batch query (queries/llm.dedup_minhash_lsh)
+    # — the streaming operator's oracle is that query's SQL verbatim
+    MINHASH_BANDS as BANDS,
+    MINHASH_NUM_HASHES as NUM_HASHES,
+    shingles_col,
+    tokens_col,
+)
 from kinesis_log_watcher_spark.session import ensure_session_confs
 
 _counter = itertools.count()
-
-# Geometry SHARED with the batch query (queries/llm.dedup_minhash_lsh)
-# — the streaming operator's oracle is that query's SQL verbatim, so
-# the parameters must be one definition (operators/dedup.py).
-from kinesis_log_watcher_spark.operators.dedup import (  # noqa: E402
-    MINHASH_BANDS as BANDS,
-    MINHASH_NUM_HASHES as NUM_HASHES,
-)
 
 _ROWS = NUM_HASHES // BANDS
 

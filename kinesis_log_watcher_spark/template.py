@@ -730,8 +730,8 @@ def _operand(token: str, ctx: _Ctx, variant_log: bool) -> _Expr:
         if token == "$" and dctx.is_root:
             raise TemplateError(
                 "'$' alone is not renderable here (it is the whole root "
-                "record); use $.Field / $.Log.path, or pass $ as a "
-                "{{template}}/{{with}} argument"
+                "record); use $.Field / $.Log.path, or pass it to a "
+                'sub-template: {{template "name" $}}'
             )
         return _field_expr(token[2:] if token != "$" else "", dctx, variant_log)
     m = _VAR_PATH_OPERAND_RE.match(token)
