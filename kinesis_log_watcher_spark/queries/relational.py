@@ -1914,3 +1914,46 @@ def orders_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("o_totalprice"), 12, 2).alias("revenue"),
         F.min("o_orderdate").alias("first_order"),
     )
+
+
+_Z_BITS = 16
+_Z_TERMS = " | ".join(
+    f"(((l_partkey >> {i}) & 1) << {2 * i}) | "
+    f"(((l_suppkey >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+
+@register(
+    "lineitem_zorder_buckets",
+    f"""
+    SELECT CAST((z >> 12) AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM (SELECT ({_Z_TERMS}) AS z, l_quantity FROM lineitem)
+    GROUP BY 1
+    """,
+    doc="Z-order (Morton) clustering key over (l_partkey, l_suppkey): "
+    "interleave the low 16 bits of both keys so file-order locality "
+    "holds in BOTH dimensions — the multi-column analogue of the "
+    "range-partitioned compaction (sources/files.morton_code / "
+    "zorder_write; parquet min/max stats then prune scans filtered on "
+    "either column). The code is pure codegen'd bit arithmetic — the "
+    "oracle recomputes the identical interleave with SQL bit ops — and "
+    "the query rolls rows up per Z bucket (code >> 12) with an exact "
+    "decimal sum. tests/test_file_formats.py pins the clustered write "
+    "(file count, per-file Z monotonicity, content preservation).",
+)
+def lineitem_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.sources.files import morton_code
+
+    li = load(spark, sf_dir, "lineitem")
+    z = morton_code(F.col("l_partkey"), F.col("l_suppkey"), _Z_BITS)
+    return (
+        li.select(z.alias("z"), "l_quantity")
+        .groupBy(F.shiftright(F.col("z"), 12).cast("long").alias("z_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum(F.col("l_quantity"), 12, 2).alias("qty"),
+        )
+    )

@@ -108,3 +108,49 @@ def await_or_raise(query, timeout_s: int) -> None:
             f"streaming replay did not finish within {timeout_s}s; "
             "partial sink contents would be silently wrong"
         )
+
+
+def morton_code(a, b, bits: int = 16):
+    """Interleave the low ``bits`` bits of two non-negative int columns
+    into a Z-order (Morton) code — the multi-column clustering key
+    behind Z-ORDER data layout: sorting by it keeps rows close in BOTH
+    dimensions close in the file order, so parquet min/max statistics
+    prune scans filtered on EITHER column (a single-column sort only
+    prunes its own column). Pure codegen'd bit arithmetic, no UDF."""
+    from pyspark.sql import functions as F
+
+    one = F.lit(1).cast("long")
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        code = code.bitwiseOR(
+            F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(one), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b.cast("long"), i).bitwiseAND(one), 2 * i + 1)
+        )
+    return code
+
+
+def zorder_write(
+    df: DataFrame,
+    dest_dir: str,
+    col_a: str,
+    col_b: str,
+    target_files: int,
+    bits: int = 16,
+) -> DataFrame:
+    """Rewrite a dataset clustered by the Morton code of (col_a, col_b):
+    range-partitioned into ``target_files`` files and sorted within each
+    by the code — Z-ORDER compaction. One range-exchange shuffle."""
+    from pyspark.sql import functions as F
+
+    z = morton_code(F.col(col_a), F.col(col_b), bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(target_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(dest_dir)
+    )
+    spark = df.sparkSession
+    return spark.read.parquet(dest_dir)

@@ -118,3 +118,46 @@ def test_compaction_reduces_files_with_disjoint_ranges(spark, tmp_path):
     bounds.sort()
     for (_, hi1), (lo2, _) in zip(bounds, bounds[1:]):
         assert hi1 <= lo2  # non-overlapping
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """zorder_write: files are Morton-ordered (monotone Z within each
+    file, disjoint Z ranges across files) and content-identical — the
+    layout that lets parquet stats prune scans on EITHER key."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kinesis_log_watcher_spark.queries.base import load
+    from kinesis_log_watcher_spark.sources.files import zorder_write
+
+    def morton(a: int, b: int, bits: int = 16) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    li = load(spark, "/root/testdata/sf0.001", "lineitem")
+    dest = str(tmp_path / "zordered")
+    back = zorder_write(li, dest, "l_partkey", "l_suppkey", target_files=4)
+    files = sorted(glob.glob(f"{dest}/part-*.parquet"))
+    assert len(files) == 4
+    assert back.count() == li.count()
+    dec = lambda df: df.agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    ).collect()[0][0]
+    assert dec(back) == dec(li)
+    bounds = []
+    for f in files:
+        t = pq.read_table(f, columns=["l_partkey", "l_suppkey"])
+        zs = [
+            morton(a, b)
+            for a, b in zip(t["l_partkey"].to_pylist(), t["l_suppkey"].to_pylist())
+        ]
+        assert zs == sorted(zs), f  # Morton-monotone within the file
+        if zs:
+            bounds.append((zs[0], zs[-1]))
+    bounds.sort()
+    for (_, hi1), (lo2, _) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2  # disjoint Z ranges across files
