@@ -1613,8 +1613,10 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     islands AS (
       SELECT user_id, ts, event_id, event_type,
-             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS island_id
+             CAST(SUM(is_start) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS island_id
       FROM flagged)
     SELECT user_id, island_id, event_type,
            MIN(ts) AS island_start,
@@ -1856,9 +1858,9 @@ def orders_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT user_id, node // 2, depth + 1 FROM anc WHERE node > 0)
     SELECT user_id,
-           MAX(depth) AS depth_to_root,
-           COUNT(*) AS chain_len,
-           SUM(node) AS path_sum
+           CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+           CAST(COUNT(*) AS BIGINT) AS chain_len,
+           CAST(SUM(node) AS BIGINT) AS path_sum
     FROM anc GROUP BY user_id
     """,
     doc="Recursive CTE (Spark 4 WITH RECURSIVE): walk each user's "
@@ -1878,9 +1880,9 @@ def user_ancestry_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
           UNION ALL
           SELECT user_id, node div 2, depth + 1 FROM anc WHERE node > 0)
         SELECT user_id,
-               MAX(depth) AS depth_to_root,
+               CAST(MAX(depth) AS BIGINT) AS depth_to_root,
                COUNT(*) AS chain_len,
-               SUM(node) AS path_sum
+               CAST(SUM(node) AS BIGINT) AS path_sum
         FROM anc GROUP BY user_id
         """
     )

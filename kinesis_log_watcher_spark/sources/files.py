@@ -8,6 +8,8 @@ micro-batch semantics the connector would (SURVEY.md §1.1).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from kinesis_log_watcher_spark.envelope import RAW_KINESIS_SCHEMA
@@ -93,7 +95,11 @@ def read_parquet_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if os.path.isfile(path):
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        # pathGlobFilter is a GLOB (Hadoop GlobPattern: * ? [..] {..} \),
+        # not a literal — backslash-escape metacharacters so a filename
+        # containing them matches itself only.
+        base = re.sub(r"([\\*?\[\]{}])", r"\\\1", os.path.basename(path))
+        reader = reader.option("pathGlobFilter", base)
         path = os.path.dirname(path)
     return reader.parquet(path)
 

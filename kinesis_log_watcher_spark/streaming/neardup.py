@@ -16,8 +16,17 @@ Plan shape:
 - bands explode to (band, band_sig) rows; the ONE stateful operator
   groups by bucket key. Buckets are md5-keyed → maximal shuffle
   entropy, no skew;
-- state per bucket is the member id list — bounded by bucket size (at
-  corpus scale a TTL/watermark bounds it in time as well);
+- state per bucket is the member id list, and it is BOUNDED two ways
+  (both on by default, both parameterized):
+  * a processing-time TTL (``state_ttl_ms``) — a bucket idle past the
+    horizon is dropped from the state store, so an unbounded stream
+    cannot accumulate state forever;
+  * a per-bucket member cap (``max_bucket_members``) with
+    oldest-first eviction — a pathological hot bucket (boilerplate
+    shingles) cannot grow one key's state or make pairing O(corpus).
+  Inside the TTL/cap horizon the pair stream is exact; beyond it the
+  operator degrades to "near-dup within the retention window", the
+  standard contract for online dedup at corpus scale;
 - each colliding pair is emitted exactly once per band regardless of
   micro-batch split (pairs are normalized doc_a < doc_b), so the
   bounded replay reduces to EXACTLY the batch candidate relation:
@@ -97,42 +106,81 @@ def banded_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     ).select("doc_id", "e.band", "e.band_sig")
 
 
-def _bucket_pairs(
-    key, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Pair each arriving doc against the bucket's prior members."""
-    (members,) = state.get if state.exists else ([],)
-    members = list(members)
-    new: list[int] = []
-    for pdf in pdfs:
-        new.extend(int(d) for d in pdf["doc_id"])
-    new.sort()  # deterministic in-batch order
-    out_a: list[int] = []
-    out_b: list[int] = []
-    for d in new:
-        for m in members:
-            a, b = (m, d) if m < d else (d, m)
-            out_a.append(a)
-            out_b.append(b)
-        members.append(d)
-    state.update((members,))
-    if out_a:
-        yield pd.DataFrame(
-            {"doc_a": out_a, "doc_b": out_b, "band": int(key[0])}
-        )
+# Default state bounds. The TTL drops buckets idle past the horizon
+# (state-store rows are freed, not just ignored); the member cap bounds
+# a single hot bucket's state AND its per-arrival pairing cost. At
+# corpus scale both limits are load-bearing; for a bounded oracle
+# replay neither fires (replays complete in seconds and sf buckets are
+# far below the cap), so replay ≡ batch stays exact.
+DEFAULT_STATE_TTL_MS = 6 * 3_600_000  # 6h idle → bucket evicted
+DEFAULT_MAX_BUCKET_MEMBERS = 8_192
 
 
-def neardup_pair_stream(docs: DataFrame) -> DataFrame:
-    """Document stream → (doc_a, doc_b, band) collision stream."""
+def _make_bucket_pairs(ttl_ms: int | None, max_members: int | None):
+    """Build the stateful pairing fn with the given state bounds."""
+
+    def _bucket_pairs(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Pair each arriving doc against the bucket's prior members."""
+        if state.hasTimedOut:
+            # idle past the TTL horizon: free the bucket's state row
+            state.remove()
+            return
+        (members,) = state.get if state.exists else ([],)
+        members = list(members)
+        new: list[int] = []
+        for pdf in pdfs:
+            new.extend(int(d) for d in pdf["doc_id"])
+        new.sort()  # deterministic in-batch order
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for d in new:
+            for m in members:
+                a, b = (m, d) if m < d else (d, m)
+                out_a.append(a)
+                out_b.append(b)
+            members.append(d)
+        if max_members is not None and len(members) > max_members:
+            # oldest-first eviction: keep the most recent arrivals
+            members = members[-max_members:]
+        state.update((members,))
+        if ttl_ms is not None:
+            # re-arm on every update: the clock measures idleness
+            state.setTimeoutDuration(ttl_ms)
+        if out_a:
+            yield pd.DataFrame(
+                {"doc_a": out_a, "doc_b": out_b, "band": int(key[0])}
+            )
+
+    return _bucket_pairs
+
+
+def neardup_pair_stream(
+    docs: DataFrame,
+    state_ttl_ms: int | None = DEFAULT_STATE_TTL_MS,
+    max_bucket_members: int | None = DEFAULT_MAX_BUCKET_MEMBERS,
+) -> DataFrame:
+    """Document stream → (doc_a, doc_b, band) collision stream.
+
+    ``state_ttl_ms=None`` disables the idle-bucket TTL;
+    ``max_bucket_members=None`` disables the per-bucket cap. Both
+    default ON — unbounded state is opt-in, never the silent default.
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         banded_signatures(docs)
         .groupBy("band", "band_sig")
         .applyInPandasWithState(
-            _bucket_pairs,
+            _make_bucket_pairs(state_ttl_ms, max_bucket_members),
             outputStructType=_PAIR_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 
@@ -149,9 +197,18 @@ def run_stream_neardup(
     docs_path: str,
     max_files_per_trigger: int | None = None,
     timeout_s: int = 300,
+    state_ttl_ms: int | None = None,
+    max_bucket_members: int | None = DEFAULT_MAX_BUCKET_MEMBERS,
 ) -> DataFrame:
     """Replay a documents file/directory through the operator and reduce
-    to the candidate-pair relation (== batch lsh_candidate_pairs)."""
+    to the candidate-pair relation (== batch lsh_candidate_pairs).
+
+    The TTL defaults OFF **here only**: pending processing-time timers
+    make the micro-batch engine keep scheduling batches
+    (``shouldRunAnotherBatch``), so an ``availableNow`` replay with a
+    live TTL never terminates — and a bounded replay has no idle-state
+    problem to solve. The member cap stays on. Long-running deployments
+    use ``neardup_pair_stream`` directly, where the TTL defaults ON."""
     from kinesis_log_watcher_spark.sources.files import (
         await_or_raise,
         read_parquet_stream,
@@ -162,7 +219,7 @@ def run_stream_neardup(
 
     name = f"neardup_{next(_counter)}"
     q = (
-        neardup_pair_stream(stream)
+        neardup_pair_stream(stream, state_ttl_ms, max_bucket_members)
         .writeStream.outputMode("update")
         .format("memory")
         .queryName(name)

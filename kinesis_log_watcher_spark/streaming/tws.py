@@ -94,9 +94,10 @@ class RunningTotalsProcessor(StatefulProcessor):
             # floor(x*1e6+0.5) — same rounding rule as batch_totals and
             # operators/similarity.quantize (pandas .round is half-even,
             # F.round half-up; they disagree on .5 micro-unit ties).
-            sq += int(
-                np.floor(pdf["value"].to_numpy() * 1_000_000 + 0.5).astype("int64").sum()
-            )
+            # NULLs are skipped (SQL SUM semantics); NaN through
+            # astype('int64') would be platform-defined garbage.
+            vals = pdf["value"].dropna().to_numpy()
+            sq += int(np.floor(vals * 1_000_000 + 0.5).astype("int64").sum())
         self._totals.update((n, sq))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_sum_q": [sq]})
 
@@ -112,9 +113,9 @@ def _running_totals_fallback(
     n, sq = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        sq += int(
-            np.floor(pdf["value"].to_numpy() * 1_000_000 + 0.5).astype("int64").sum()
-        )
+        # NULL-skipping sum (SQL semantics) — see RunningTotalsProcessor.
+        vals = pdf["value"].dropna().to_numpy()
+        sq += int(np.floor(vals * 1_000_000 + 0.5).astype("int64").sum())
     state.update((n, sq))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "value_sum_q": [sq]})
 

@@ -198,6 +198,20 @@ def build_lines(
 DEFAULT_MAX_LINES = 100_000
 
 
+def _warn_truncated(max_lines: int) -> None:
+    """Loud, non-silent truncation: the reference streams every line
+    (main.go:288-292); the bounded library default must not hide loss."""
+    import warnings
+
+    warnings.warn(
+        f"watch(): output truncated at max_lines={max_lines}; pass "
+        "max_lines=None for the unbounded reference-faithful stream or "
+        "distributed_sink= to emit on the executors",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 def watch(
     records: DataFrame,
     template: str = DEFAULT_TEMPLATE,
@@ -268,7 +282,14 @@ def watch(
             # the price of bounded driver memory with complete error
             # reporting.
             observe_errors_via_agg(lines)
-            return [r["line"] for r in ok.limit(max_lines).collect()]
+            # Fetch one row past the cap so truncation is detectable:
+            # silently returning a shorter list would hide data loss
+            # from library callers.
+            rows = ok.limit(max_lines + 1).collect()
+            if len(rows) > max_lines:
+                _warn_truncated(max_lines)
+                rows = rows[:max_lines]
+            return [r["line"] for r in rows]
         rows = lines.collect()
         bad = [r for r in rows if r["_render_error"]]
         if bad:
@@ -280,9 +301,12 @@ def watch(
             observe_errors_via_agg(batch_df)
             rows = (
                 batch_df.filter(~F.col("_render_error"))
-                .limit(max_lines)
+                .limit(max_lines + 1)
                 .collect()
             )
+            if len(rows) > max_lines:
+                _warn_truncated(max_lines)
+                rows = rows[:max_lines]
             for r in rows:
                 sink(r["line"])
             if sink is print:

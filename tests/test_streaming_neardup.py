@@ -76,3 +76,114 @@ def test_replay_matches_batch_any_split(spark, doc_files):
     got_single = _as_set(run_stream_neardup(spark, doc_files))
     assert got_split == expected
     assert got_single == expected
+
+
+def test_state_ttl_evicts_idle_buckets(spark, tmp_path):
+    """A bucket left idle past the processing-time TTL is dropped from
+    the state store: docs arriving after the idle gap no longer pair
+    with it (within-gap collisions still do) — proof the state row is
+    freed, not merely ignored.
+
+    Files are added WHILE the query runs: timeouts only fire in a batch
+    where the key has no input, so the eviction needs real idle batches
+    between arrivals (back-to-back replay batches would never evict —
+    which is also why run_stream_neardup disables the TTL for bounded
+    replays: pending timers make the engine keep scheduling batches and
+    an availableNow replay would never terminate)."""
+    import glob as _glob
+    import shutil as _shutil
+    import time
+
+    from kinesis_log_watcher_spark.sources.files import read_parquet_stream
+    from kinesis_log_watcher_spark.streaming.neardup import (
+        candidate_pairs,
+        neardup_pair_stream,
+    )
+
+    base = " ".join(f"t{i:02d}" for i in range(20))
+    variant = base.replace("t07", "x07")
+
+    def _write_file(rows, stage_name, dest):
+        stage = tmp_path / stage_name
+        _mk_docs(spark, rows).coalesce(1).write.parquet(str(stage))
+        (part,) = _glob.glob(str(stage / "part-*.parquet"))
+        _shutil.copy(part, dest)
+
+    d = tmp_path / "ttl_stream"
+    d.mkdir()
+    _write_file([(0, base)], "ttl_stage1", d / "f1.parquet")
+
+    stream = read_parquet_stream(spark, str(d), max_files_per_trigger=1)
+    q = (
+        neardup_pair_stream(stream, state_ttl_ms=1, max_bucket_members=None)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("neardup_ttl_test")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and not (
+            q.lastProgress and q.lastProgress["batchId"] >= 1
+        ):
+            time.sleep(0.2)
+        # idle: empty batches run, doc 0's buckets pass the 1ms TTL and
+        # are invoked with hasTimedOut → state.remove()
+        time.sleep(3)
+        _write_file([(2, base), (3, variant)], "ttl_stage2", d / "f2.parquet")
+        while time.time() < deadline:
+            got = {
+                (r.doc_a, r.doc_b)
+                for r in candidate_pairs(
+                    spark.table("neardup_ttl_test")
+                ).collect()
+            }
+            if (2, 3) in got:
+                break
+            time.sleep(0.5)
+        else:
+            raise TimeoutError("pair (2,3) never surfaced")
+    finally:
+        q.stop()
+    # without a TTL the same two files produce the cross-gap pairs too
+    full = {
+        (a, b)
+        for a, b, _ in _as_set(
+            run_stream_neardup(spark, str(d), max_files_per_trigger=1)
+        )
+    }
+    assert full == {(0, 2), (0, 3), (2, 3)}
+    # under the TTL doc 0's buckets were evicted during the idle gap
+    assert got == {(2, 3)}
+
+
+def test_member_cap_bounds_bucket_state(spark, tmp_path):
+    """max_bucket_members=1 keeps only the most recent member per
+    bucket: with three identical docs over three single-file batches,
+    only consecutive pairs survive — the oldest member was evicted."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    text = " ".join(f"w{i:02d}" for i in range(20))
+    d = tmp_path / "cap_stream"
+    d.mkdir()
+    for i, doc_id in enumerate([10, 20, 30], start=1):
+        stage = tmp_path / f"cap_stage{i}"
+        _mk_docs(spark, [(doc_id, text)]).coalesce(1).write.parquet(str(stage))
+        (part,) = _glob.glob(str(stage / "part-*.parquet"))
+        dest = d / f"f{i}.parquet"
+        _shutil.copy(part, dest)
+        _os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    full = _as_set(run_stream_neardup(spark, str(d), max_files_per_trigger=1))
+    assert {(a, b) for a, b, _ in full} == {(10, 20), (10, 30), (20, 30)}
+
+    capped = _as_set(
+        run_stream_neardup(
+            spark, str(d), max_files_per_trigger=1, max_bucket_members=1
+        )
+    )
+    # (10,30) requires remembering doc 10 after doc 20 arrived — evicted
+    assert {(a, b) for a, b, _ in capped} == {(10, 20), (20, 30)}
