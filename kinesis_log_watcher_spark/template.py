@@ -52,11 +52,14 @@ constructs plus the control-flow/pipeline core:
   scoped to the enclosing block per Go's rule (scope runs to the
   {{end}}); ``{{if $x := P}}`` / ``{{with $x := P}}`` /
   ``{{range $v := P}}`` declaration forms all bind. ``{{$x = P}}``
-  reassignment is supported within the block that declared ``$x``;
-  assignment to an enclosing block's variable (a branch-dependent value
-  escaping its block) is the one construct left to the
-  ``watcher.watch(render_fn=…)`` escape hatch, alongside the ``js`` and
-  ``call`` builtins.
+  reassignment is fully supported, including assignment to an enclosing
+  block's variable: an if/with-branch assignment escapes its block as a
+  CASE-joined value, and a range-body assignment (including the
+  self-referential fold ``{{$s = printf "%s%s" $s .}}``) compiles the
+  whole loop to one ``F.aggregate`` whose accumulator carries the
+  mutated bindings (see ``_compile_range``). Only the ``js`` and
+  ``call`` builtins remain on the ``watcher.watch(render_fn=…)``
+  escape hatch.
 
 This compiler turns a template into ONE string Column (the rendered line)
 plus ONE boolean Column (the render-error condition). That reproduces the
@@ -492,6 +495,75 @@ def _bool_expr(truth: Column, err: Column) -> _Expr:
         truth=truth,
         err=err,
     )
+
+
+# ---- cross-scope {{$x = P}} support -------------------------------------
+# A variable binding that must survive a block boundary (a branch-
+# dependent value, or a loop-carried value) is carried as a 4-field
+# struct: rendered text, Go truthiness, render-error flag, and the raw
+# JSON text (null when the value has no JSON form — later .field access
+# on it then becomes an exec-time error, Go's error surface).
+
+
+def _null_str() -> Column:
+    return F.lit(None).cast("string")
+
+
+def _expr_struct(e: _Expr) -> Column:
+    return F.struct(
+        e.col.alias("col"),
+        e.truth.alias("truth"),
+        e.err.alias("err"),
+        (e.raw if e.raw is not None else _null_str()).alias("raw"),
+    )
+
+
+def _expr_from_struct(s: Column) -> _Expr:
+    return _Expr(col=s["col"], truth=s["truth"], err=s["err"], raw=s["raw"])
+
+
+def _join_expr(cond: Column, a: _Expr, b: _Expr) -> _Expr:
+    """One variable, two bindings, a branch boundary: the escaping value
+    is the CASE-join. (``is_timestamp`` survives only if both sides are
+    the envelope timestamp; ``log_parts`` never survives a join — the
+    rebind fast path requires one statically-known payload path.)"""
+    if a is b:
+        return a
+    return _Expr(
+        col=F.when(cond, a.col).otherwise(b.col),
+        truth=F.when(cond, a.truth).otherwise(b.truth),
+        err=F.when(cond, a.err).otherwise(b.err),
+        raw=F.when(
+            cond, a.raw if a.raw is not None else _null_str()
+        ).otherwise(b.raw if b.raw is not None else _null_str()),
+        is_timestamp=a.is_timestamp and b.is_timestamp,
+    )
+
+
+def _assigned_outer(nodes: list, local: set[str]) -> set[str]:
+    """Names ``{{$x = P}}``-assigned somewhere under ``nodes`` without a
+    covering declaration inside them — the variables whose mutation
+    escapes this scope. ({{template}} bodies never see caller variables,
+    so calls don't contribute.)"""
+    out: set[str] = set()
+    local = set(local)
+    for n in nodes:
+        if isinstance(n, _VarDecl):
+            if n.declare:
+                local.add(n.name)
+            elif n.name not in local:
+                out.add(n.name)
+        elif isinstance(n, _Block):
+            inner = local | set(n.vars or ())
+            out |= {
+                m
+                for m in (
+                    _assigned_outer(n.body, inner)
+                    | _assigned_outer(n.else_, inner)
+                )
+                if m not in local
+            }
+    return out
 
 
 def _json_path(parts: list[str]) -> str:
@@ -1104,7 +1176,9 @@ def _compile_pipeline(pipe: str, ctx: _Ctx, variant_log: bool) -> _Expr:
     return _compile_items(_group_parens(_TOKEN_RE.findall(pipe)), ctx, variant_log)
 
 
-def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, Column]:
+def _compile_range(
+    node: _Block, ctx: _Ctx, variant_log: bool
+) -> tuple[Column, Column, dict[str, _Expr]]:
     """``{{range P}}body{{else}}alt{{end}}`` → higher-order functions.
 
     Go reflect semantics over a JSON-decoded payload (main.go:276 decodes
@@ -1129,7 +1203,16 @@ def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, 
     ~8 interpreted fold evaluations per row (~70 µs/row at sf0.1). This
     shape keeps every subtree single-referenced: the body transform
     appears only in the text column, the error ``exists`` only in the
-    error column, and the per-element body is compiled once for each."""
+    error column, and the per-element body is compiled once for each.
+
+    The one construct that genuinely needs the fold form is a body that
+    ``{{$x = P}}``-assigns a variable of an enclosing scope — Go runs
+    iterations sequentially and the binding carries across them (and out
+    of the loop). Only then does this compile to ``F.aggregate`` with an
+    accumulator struct of (line, err, one struct per mutated variable);
+    the loop-exit binding is read back off the result, joined with the
+    else-branch/pre-loop value on emptiness. Mutation-free ranges — the
+    overwhelmingly common case — keep the cheap transform shape."""
     global _HOIST_SEQ
     target = _compile_pipeline(node.pipe, ctx, variant_log)
     raw = target.raw if target.raw is not None else target.col
@@ -1171,12 +1254,13 @@ def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, 
     # variable may be lambda-bound), but variables merely being in
     # scope is fine — the '$' scan keeps hoisting on for the common
     # {{$x := …}}…{{range .Log.xs}} shape.
-    if (
+    hoistable = (
         _ACTIVE_PREP is not None
         and ctx.elem is None
         and ctx.scalar is None
         and "$" not in node.pipe
-    ):
+    )
+    if hoistable:
         name = f"__tpl{_HOIST_SEQ}_items_{len(_ACTIVE_PREP)}"
         _ACTIVE_PREP[name] = items_tree()
 
@@ -1186,25 +1270,16 @@ def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, 
     else:
         items = items_tree
 
-    def body_ctx(el: Column) -> _Ctx:
+    def body_ctx(el: Column, base: dict | None = None) -> _Ctx:
+        vars0 = dict(base if base is not None else (ctx.vars or {}))
         if two_var:
             val, key = el["v"], el["k"]
-            new_vars = dict(ctx.vars or {})
-            new_vars[node.vars[0]] = _json_elem_access(key, [])
-            new_vars[node.vars[1]] = _json_elem_access(val, [])
-            return _Ctx(elem=val, vars=new_vars, dollar=ctx.dollar)
-        new_vars = dict(ctx.vars or {})
+            vars0[node.vars[0]] = _json_elem_access(key, [])
+            vars0[node.vars[1]] = _json_elem_access(val, [])
+            return _Ctx(elem=val, vars=vars0, dollar=ctx.dollar)
         if node.vars:  # {{range $v := P}} — dot AND $v are the element
-            new_vars[node.vars[0]] = _json_elem_access(el, [])
-        return _Ctx(elem=el, vars=new_vars or None, dollar=ctx.dollar)
-
-    def body_line(el: Column) -> Column:
-        line, _ = _compile_nodes(node.body, body_ctx(el), variant_log)
-        return line
-
-    def body_err(el: Column) -> Column:
-        _, err = _compile_nodes(node.body, body_ctx(el), variant_log)
-        return err
+            vars0[node.vars[0]] = _json_elem_access(el, [])
+        return _Ctx(elem=el, vars=vars0 or None, dollar=ctx.dollar)
 
     # Go scope rule: a range-declared variable extends to the {{end}},
     # so it is visible in the else branch too — there it holds the
@@ -1217,11 +1292,88 @@ def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, 
         else_ctx = replace(ctx, vars=else_vars)
     else:
         else_ctx = ctx
-    else_col, else_err = _compile_nodes(node.else_, else_ctx, variant_log)
+    else_col, else_err, else_up = _compile_nodes(node.else_, else_ctx, variant_log)
+    block_local = set(node.vars or ())
+    empty = F.size(items()) == 0
+
+    def join_on_empty(on_empty: _Expr, on_loop: _Expr) -> _Expr:
+        # items null (range-over-nil error) → row drops; pick either arm
+        return _join_expr(F.coalesce(empty, F.lit(False)), on_empty, on_loop)
+
+    # ---- loop-carried mutation → F.aggregate fold --------------------
+    mutated = sorted(_assigned_outer(node.body, block_local))
+    if mutated:
+        for vname in mutated:
+            if ctx.vars is None or vname not in ctx.vars:
+                raise TemplateError(f"undefined variable {vname}")
+
+        def fold_tree() -> Column:
+            init = F.struct(
+                F.lit("").alias("line"),
+                _false().alias("err"),
+                *[
+                    _expr_struct(ctx.vars[vn]).alias(f"v{i}")
+                    for i, vn in enumerate(mutated)
+                ],
+            )
+
+            def merge(acc: Column, el: Column) -> Column:
+                base = dict(ctx.vars)
+                for i, vn in enumerate(mutated):
+                    base[vn] = _expr_from_struct(acc[f"v{i}"])
+                line, berr, up = _compile_nodes(
+                    node.body, body_ctx(el, base), variant_log
+                )
+                fields = [
+                    F.concat(
+                        acc["line"], F.coalesce(line, F.lit(""))
+                    ).alias("line"),
+                    (acc["err"] | berr).alias("err"),
+                ]
+                for i, vn in enumerate(mutated):
+                    fields.append(_expr_struct(up.get(vn, base[vn])).alias(f"v{i}"))
+                return F.struct(*fields)
+
+            # items_tree(), not items(): a hoisted fold lands in the same
+            # withColumns as the hoisted items column and prep columns
+            # cannot reference each other
+            return F.aggregate(items_tree(), init, merge)
+
+        if hoistable:
+            fname = f"__tpl{_HOIST_SEQ}_fold_{len(_ACTIVE_PREP)}"
+            _ACTIVE_PREP[fname] = fold_tree()
+            res = F.col(fname)
+        else:
+            res = fold_tree()
+
+        seg = F.when(empty, else_col).otherwise(res["line"])
+        err = target.err | F.coalesce(
+            F.when(empty, else_err).otherwise(res["err"]), F.lit(True)
+        )
+        updates: dict[str, _Expr] = {}
+        for i, vn in enumerate(mutated):
+            pre = ctx.vars[vn]
+            updates[vn] = join_on_empty(
+                else_up.get(vn, pre), _expr_from_struct(res[f"v{i}"])
+            )
+        for vn, b in else_up.items():
+            if vn not in updates and vn not in block_local:
+                updates[vn] = join_on_empty(b, (ctx.vars or {})[vn])
+        return seg, F.coalesce(err, F.lit(True)), updates
+
+    # ---- mutation-free body → transform/exists (the fast shape) ------
+    def body_line(el: Column) -> Column:
+        line, _, _ = _compile_nodes(node.body, body_ctx(el), variant_log)
+        return line
+
+    def body_err(el: Column) -> Column:
+        _, err, _ = _compile_nodes(node.body, body_ctx(el), variant_log)
+        return err
+
     # array_join skips null elements; a null body line only happens on a
     # body render error, which the error column catches (row dropped).
     joined = F.array_join(F.transform(items(), body_line), "")
-    seg = F.when(F.size(items()) == 0, else_col).otherwise(joined)
+    seg = F.when(empty, else_col).otherwise(joined)
     # range over nil/missing/scalar: neither parse succeeds → items is
     # null → size(null)/exists(null) are null → the inner coalesce(…,
     # True) marks the row errored (Go reflect: "range can't iterate
@@ -1229,13 +1381,19 @@ def _compile_range(node: _Block, ctx: _Ctx, variant_log: bool) -> tuple[Column, 
     err = (
         target.err
         | F.coalesce(
-            F.when(F.size(items()) == 0, else_err).otherwise(
+            F.when(empty, else_err).otherwise(
                 F.exists(items(), body_err)
             ),
             F.lit(True),
         )
     )
-    return seg, F.coalesce(err, F.lit(True))
+    # {{else}}-branch assignments escape joined on emptiness
+    updates = {
+        vn: join_on_empty(b, (ctx.vars or {})[vn])
+        for vn, b in else_up.items()
+        if vn not in block_local
+    }
+    return seg, F.coalesce(err, F.lit(True)), updates
 
 
 # {{define}} bodies of the template being compiled + the names currently
@@ -1301,7 +1459,7 @@ def _compile_template_call(
     )
     _EXPANDING[node.name] = depth + 1
     try:
-        body_col, body_err = _compile_nodes(body, inner_ctx, variant_log)
+        body_col, body_err, _ = _compile_nodes(body, inner_ctx, variant_log)
     finally:
         if depth:
             _EXPANDING[node.name] = depth
@@ -1310,36 +1468,44 @@ def _compile_template_call(
     return body_col, arg_err | body_err
 
 
-def _compile_nodes(nodes: list, ctx: _Ctx, variant_log: bool) -> tuple[Column, Column]:
-    """Node list → (concatenated text Column, error Column).
+def _compile_nodes(
+    nodes: list, ctx: _Ctx, variant_log: bool
+) -> tuple[Column, Column, dict[str, _Expr]]:
+    """Node list → (concatenated text Column, error Column, and the
+    bindings this list assigned to variables of an ENCLOSING scope).
 
     ``{{$x := P}}`` declarations update the context for the REST of this
     node list (and everything nested under it) — Go's lexical scope rule:
     a variable's scope extends to the {{end}} of the structure in which
     it is declared. The parent's context object is never mutated, so
-    bindings cannot escape the block."""
+    declarations cannot escape the block. ``{{$x = P}}`` ASSIGNMENTS to
+    an enclosing scope's variable do escape (Go mutation semantics):
+    they are returned in the third element; block compilers CASE-join
+    them at the branch boundary, and ``_compile_range`` folds them
+    through the loop."""
     segments: list[Column] = []
     err = _false()
     declared_here: set[str] = set()
+    outer_updates: dict[str, _Expr] = {}
+
+    def rebind(name: str, e: _Expr, declare: bool) -> None:
+        nonlocal ctx
+        new_vars = dict(ctx.vars or {})
+        new_vars[name] = e
+        ctx = replace(ctx, vars=new_vars)
+        if declare:
+            declared_here.add(name)
+        elif name not in declared_here:
+            outer_updates[name] = e
+
     for node in nodes:
         if isinstance(node, _VarDecl):
             e = _compile_pipeline(node.pipe, ctx, variant_log)
-            if not node.declare:
-                if ctx.vars is None or node.name not in ctx.vars:
-                    raise TemplateError(f"undefined variable {node.name}")
-                if node.name not in declared_here:
-                    # {{$x = P}} targeting an outer-scope variable would
-                    # need the branch-dependent value to escape this
-                    # block — not expressible as a static projection.
-                    raise TemplateError(
-                        f"{node.name} = … assignment to a variable from an "
-                        "enclosing block is not compilable; use "
-                        "watcher.watch(render_fn=…)"
-                    )
-            new_vars = dict(ctx.vars or {})
-            new_vars[node.name] = e
-            ctx = replace(ctx, vars=new_vars)
-            declared_here.add(node.name)
+            if not node.declare and (
+                ctx.vars is None or node.name not in ctx.vars
+            ):
+                raise TemplateError(f"undefined variable {node.name}")
+            rebind(node.name, e, node.declare)
             # Go evaluates the declaration pipeline even if $x is unused.
             err = err | e.err
         elif isinstance(node, _Text):
@@ -1349,14 +1515,18 @@ def _compile_nodes(nodes: list, ctx: _Ctx, variant_log: bool) -> tuple[Column, C
             segments.append(e.col)
             err = err | e.err
         elif isinstance(node, _TemplateCall):
+            # caller variables are invisible inside the body (Go
+            # invocation scoping), so no assignment can escape a call
             seg, terr = _compile_template_call(node, ctx, variant_log)
             segments.append(seg)
             err = err | terr
         elif isinstance(node, _Block):
             if node.kind == "range":
-                seg, rerr = _compile_range(node, ctx, variant_log)
+                seg, rerr, updates = _compile_range(node, ctx, variant_log)
                 segments.append(seg)
                 err = err | rerr
+                for name, e in updates.items():
+                    rebind(name, e, False)
                 continue
             cond = _compile_pipeline(node.pipe, ctx, variant_log)
             # {{if $x := P}} / {{with $x := P}} — $x is in scope in both
@@ -1383,14 +1553,34 @@ def _compile_nodes(nodes: list, ctx: _Ctx, variant_log: bool) -> tuple[Column, C
             else:
                 inner_ctx = replace(ctx, vars=branch_vars)
             else_ctx = replace(ctx, vars=branch_vars)
-            body_col, body_err = _compile_nodes(node.body, inner_ctx, variant_log)
-            else_col, else_err = _compile_nodes(node.else_, else_ctx, variant_log)
+            body_col, body_err, body_up = _compile_nodes(
+                node.body, inner_ctx, variant_log
+            )
+            else_col, else_err, else_up = _compile_nodes(
+                node.else_, else_ctx, variant_log
+            )
             segments.append(F.when(cond.truth, body_col).otherwise(else_col))
             err = err | cond.err | F.when(cond.truth, body_err).otherwise(else_err)
+            # cross-scope assignment: a binding either branch rebound
+            # escapes the block as its CASE-join with the other branch's
+            # (or the pre-block) value. Block-declared variables
+            # ({{if $x := P}}) stay block-local.
+            block_local = set(node.vars or ())
+            for name in (set(body_up) | set(else_up)) - block_local:
+                pre = (ctx.vars or {})[name]
+                rebind(
+                    name,
+                    _join_expr(
+                        cond.truth,
+                        body_up.get(name, pre),
+                        else_up.get(name, pre),
+                    ),
+                    False,
+                )
         else:  # pragma: no cover
             raise AssertionError(node)
     line = F.concat(*segments) if segments else F.lit("")
-    return line, err
+    return line, err, outer_updates
 
 
 def compile_template(
@@ -1411,14 +1601,14 @@ def compile_template(
     _ACTIVE_DEFINES = defines
     try:
         # Self-contained columns (usable in any projection).
-        line, error = _compile_nodes(nodes, _Ctx(), variant_log)
+        line, error, _ = _compile_nodes(nodes, _Ctx(), variant_log)
         # Hoisted variant: range collection parses lifted to prep columns
         # (see CompiledTemplate docstring). Compiled second so the
         # self-contained pass can't observe the hoist context.
         _HOIST_SEQ += 1
         _ACTIVE_PREP = {}
         try:
-            line_h, error_h = _compile_nodes(nodes, _Ctx(), variant_log)
+            line_h, error_h, _ = _compile_nodes(nodes, _Ctx(), variant_log)
             prep = _ACTIVE_PREP
         finally:
             _ACTIVE_PREP = None

@@ -345,13 +345,60 @@ def test_variable_scope_does_not_escape_block(spark):
         compile_template("{{if .Log.a}}{{$x := 1}}{{end}}{{$x}}")
 
 
-def test_cross_scope_assignment_raises(spark):
-    # {{$x = P}} mutating an enclosing block's variable stays on the
-    # render_fn escape hatch (branch-dependent value can't escape)
-    with pytest.raises(TemplateError, match="render_fn"):
-        compile_template("{{$x := 1}}{{if .Log.a}}{{$x = 2}}{{end}}{{$x}}")
+def test_cross_scope_assignment_if_branches(spark):
+    # {{$x = P}} mutating an enclosing block's variable escapes the
+    # block as a CASE-joined value (Go mutation semantics)
+    t = "{{$x := 1}}{{if .Log.a}}{{$x = 2}}{{end}}{{$x}}"
+    assert _render(spark, t, b'{"a": 9}') == ["2"]
+    assert _render(spark, t, b"{}") == ["1"]
+    t = '{{$x := "i"}}{{if .Log.a}}{{$x = "t"}}{{else}}{{$x = "e"}}{{end}}{{$x}}'
+    assert _render(spark, t, b'{"a": 1}') == ["t"]
+    assert _render(spark, t, b"{}") == ["e"]
+    # assignment to a variable that was never declared still raises
     with pytest.raises(TemplateError, match="undefined variable"):
         compile_template("{{$y = 1}}")
+
+
+def test_cross_scope_assignment_with_block(spark):
+    # P evaluates under the rebound dot; binding escapes the with
+    t = '{{$x := "i"}}{{with .Log.o}}{{$x = .b}}{{end}}{{$x}}'
+    assert _render(spark, t, b'{"o": {"b": 7}}') == ["7"]
+    assert _render(spark, t, b"{}") == ["i"]
+
+
+def test_cross_scope_assignment_range_fold(spark):
+    # loop-carried mutation compiles to an F.aggregate fold
+    t = '{{$x := "none"}}{{range .Log.xs}}{{$x = .}}{{end}}{{$x}}'
+    assert _render(spark, t, b'{"xs": [1, 2, 3]}') == ["3"]
+    # self-referential accumulation (the classic fold)
+    t = '{{$s := ""}}{{range .Log.xs}}{{$s = printf "%s<%s>" $s .}}{{end}}{{$s}}'
+    assert _render(spark, t, b'{"xs": [1, 2, 3]}') == ["<1><2><3>"]
+    # the body TEXT sees the pre-iteration value (Go sequencing)
+    t = '{{$p := "S"}}{{range .Log.xs}}{{$p}}:{{$p = .}}{{end}}{{$p}}'
+    assert _render(spark, t, b'{"xs": [1, 2, 3]}') == ["S:1:2:3"]
+    # empty collection: else-branch assignment applies; no else → pre
+    t = '{{$x := "i"}}{{range .Log.e}}{{$x = .}}{{else}}{{$x = "y"}}{{end}}{{$x}}'
+    assert _render(spark, t, b'{"e": []}') == ["y"]
+    t = '{{$x := "i"}}{{range .Log.e}}{{$x = .}}{{end}}{{$x}}'
+    assert _render(spark, t, b'{"e": []}') == ["i"]
+
+
+def test_cross_scope_assignment_shadowing(spark):
+    # a local redeclaration shadows without escaping; an assignment
+    # BEFORE the shadow escapes
+    t = '{{$x := "out"}}{{if .Log.a}}{{$x := "in"}}{{$x}}{{end}}|{{$x}}'
+    assert _render(spark, t, b'{"a": 1}') == ["in|out"]
+    t = '{{$x := "0"}}{{if .Log.a}}{{$x = "1"}}{{$x := "2"}}{{$x}}{{end}}|{{$x}}'
+    assert _render(spark, t, b'{"a": 1}') == ["2|1"]
+
+
+def test_cross_scope_assignment_json_subtree(spark):
+    # a mutated variable can carry a JSON subtree; later range/field
+    # access work off the joined raw value
+    t = '{{$o := .Log.o}}{{if .Log.a}}{{$o = .Log.xs}}{{end}}{{range $o}}[{{.}}]{{end}}'
+    assert _render(spark, t, b'{"a": 1, "o": {}, "xs": [4, 5]}') == ["[4][5]"]
+    t = '{{$o := .Log.o}}{{if .Log.missing}}{{$o = .Log.xs}}{{end}}{{$o.b}}'
+    assert _render(spark, t, b'{"o": {"b": 3}, "xs": []}') == ["3"]
 
 
 # --- define / template / block -----------------------------------------
