@@ -18,14 +18,18 @@ constructs plus the control-flow/pipeline core:
   ``.`` is P's value and ``.x`` resolves under it (supported when P is a
   ``.Log`` path; rebinding dot to a scalar supports ``.`` only)
 - pipelines ``{{P | cmd args | cmd2}}`` with the text/template built-ins
-  ``printf print println len index slice html urlquery not and or eq ne
-  lt le gt ge`` plus ``strftime``; a piped value is appended as the
-  final argument of the next command. Parenthesized sub-pipelines
+  ``printf print println len index slice html urlquery js call not and
+  or eq ne lt le gt ge`` plus ``strftime``; a piped value is appended as
+  the final argument of the next command. Parenthesized sub-pipelines
   compile recursively as operands (``{{if (and .Log.a (not .Log.b))}}``,
   ``{{printf "%s" (len .Log.xs)}}``). ``index``/``slice`` take literal
-  indices/bounds (compiled into the JSON path / an ``F.slice`` call);
-  ``js`` and ``call`` are not supported (no JS-escape builtin in Spark;
-  no methods on a JSON payload).
+  indices/bounds (compiled into the JSON path / an ``F.slice`` call).
+  ``js`` is Go's JSEscapeString as chained JVM replaces (divergence:
+  non-printable non-ASCII runes pass through instead of Go's u-escape).
+  ``call`` requires a FUNCTION value, which JSON execution data can
+  never contain, so it compiles to Go's exec-time "call of
+  non-function" error (row dropped) — exact parity over this engine's
+  data model.
 - ``{{range P}} … {{else}} … {{end}}`` — iterate a JSON array (dot = each
   element) or object (dot = each value, keys sorted — Go map order); the
   per-element renders concatenate into the SAME output line, so it
@@ -57,9 +61,9 @@ constructs plus the control-flow/pipeline core:
   CASE-joined value, and a range-body assignment (including the
   self-referential fold ``{{$s = printf "%s%s" $s .}}``) compiles the
   whole loop to one ``F.aggregate`` whose accumulator carries the
-  mutated bindings (see ``_compile_range``). Only the ``js`` and
-  ``call`` builtins remain on the ``watcher.watch(render_fn=…)``
-  escape hatch.
+  mutated bindings (see ``_compile_range``). Nothing in the dialect
+  requires the ``watcher.watch(render_fn=…)`` escape hatch anymore; it
+  remains available for user-defined Python rendering.
 
 This compiler turns a template into ONE string Column (the rendered line)
 plus ONE boolean Column (the render-error condition). That reproduces the
@@ -897,7 +901,7 @@ def _compile_compare(op: str, a: _Expr, b: _Expr) -> _Expr:
 _FUNCTIONS = {
     "printf", "print", "println", "len", "not", "and", "or",
     "eq", "ne", "lt", "le", "gt", "ge", "strftime", "index", "slice",
-    "html", "urlquery",
+    "html", "urlquery", "js", "call",
 }
 
 
@@ -1026,6 +1030,39 @@ def _compile_command(tokens: list, piped: _Expr | None, ctx: _Ctx,
             truth=F.size(sliced) > 0,
             err=err,
             raw=out,
+        )
+    if head == "js":
+        if len(args) != 1:
+            raise TemplateError("js takes exactly one argument")
+        # Go template.JSEscapeString: \ ' " < > & = are quoted, ASCII
+        # control chars become \u00XX (uppercase hex), printable
+        # non-ASCII passes through. (Divergence, documented in the
+        # module docstring: non-printable non-ASCII runes also pass
+        # through here — Go writes \uXXXX — they cannot appear in a
+        # format Spark can't compute per-rune without a UDF.)
+        out = args[0].col
+        for ch, rep in (
+            ("\\", "\\\\"), ("'", "\\'"), ('"', '\\"'),
+            ("<", "\\u003C"), (">", "\\u003E"),
+            ("&", "\\u0026"), ("=", "\\u003D"),
+        ):
+            out = F.replace(out, F.lit(ch), F.lit(rep))
+        for c in range(0x20):
+            out = F.replace(out, F.lit(chr(c)), F.lit(f"\\u{c:04X}"))
+        return _Expr(col=out, truth=args[0].truth, err=_any_err(args))
+    if head == "call":
+        # Go: the first argument must be a FUNCTION value. This engine's
+        # execution data is the record envelope + a JSON payload, and
+        # JSON has no function values — so every {{call …}} the
+        # reference could execute over the same data fails at exec time
+        # ("call of non-function"). Compiling it to an unconditional
+        # render error (arguments still evaluated, row dropped) is
+        # therefore exact parity, not a stub.
+        if not args:
+            raise TemplateError("call needs at least one argument")
+        return _Expr(
+            col=F.lit(NO_VALUE), truth=F.lit(False),
+            err=_any_err(args) | F.lit(True),
         )
     if head in ("html", "urlquery"):
         if len(args) != 1:

@@ -618,3 +618,28 @@ def test_urlquery_escape(spark):
 def test_html_in_pipeline(spark):
     [line] = _render(spark, "{{.Log.s | html}}", b'{"s": "<x>"}')
     assert line == "&lt;x&gt;"
+
+
+def test_js_escape_builtin(spark):
+    # Go template.JSEscapeString: \ ' " < > & = quoted; ASCII control
+    # chars -> \u00XX (uppercase hex); printable non-ASCII passes
+    payload = json.dumps(
+        {"s": 'a"b\'c\\d<e>f&g=h', "n": "x\ny\tz", "u": "héllo"}
+    ).encode()
+    assert _render(spark, "{{js .Log.s}}", payload) == [
+        'a\\"b\\\'c\\\\d\\u003Ce\\u003Ef\\u0026g\\u003Dh'
+    ]
+    assert _render(spark, "{{js .Log.n}}", payload) == ["x\\u000Ay\\u0009z"]
+    assert _render(spark, "{{js .Log.u}}", payload) == ["héllo"]
+    # pipe form appends the piped value as the argument
+    assert _render(spark, "{{.Log.n | js}}", payload) == ["x\\u000Ay\\u0009z"]
+
+
+def test_call_is_exec_error(spark):
+    # Go: call requires a function value; JSON execution data cannot
+    # contain one, so every call errors at exec time and the row drops
+    payload = b'{"f": 1}'
+    assert _render(spark, "{{call .Log.f}}", payload) == []
+    assert _render(spark, "{{call .Log.f 1 2}}", payload) == []
+    with pytest.raises(TemplateError, match="at least one argument"):
+        compile_template("{{call}}")
