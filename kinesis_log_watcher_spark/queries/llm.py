@@ -1849,3 +1849,115 @@ def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_members"),
         F.sum("dist").cast("long").alias("inertia_q"),
     )
+
+
+# --------------------------------------------------------------------------
+# end-to-end curation funnel (integration of the pipeline stages)
+# --------------------------------------------------------------------------
+
+_FUNNEL_ADMIT_SOURCES = tuple(f"src{i}" for i in range(10))
+_FUNNEL_MIN_CHARS = 100
+_FUNNEL_MIN_TOKENS = 20
+_FUNNEL_SAMPLE_RATE = 0.5
+
+_FUNNEL_ORACLE = f"""
+    WITH flags AS (
+      SELECT lang, doc_id,
+             (source IN {_FUNNEL_ADMIT_SOURCES}
+              AND n_chars >= {_FUNNEL_MIN_CHARS}) AS p_admit,
+             (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS n_toks,
+             MD5(text) AS fp
+      FROM documents),
+    staged AS (
+      SELECT lang, doc_id, fp, p_admit,
+             (p_admit AND n_toks >= {_FUNNEL_MIN_TOKENS}
+              AND CAST(n_toks AS DOUBLE) > 0
+              AND (SELECT 1) = 1) AS _dummy_false_guard,
+             (p_admit AND n_toks >= {_FUNNEL_MIN_TOKENS}) AS p_qual
+      FROM flags),
+    ranked AS (
+      SELECT lang, doc_id, p_admit, p_qual,
+             CASE WHEN p_qual THEN
+               ROW_NUMBER() OVER (PARTITION BY fp, p_qual ORDER BY doc_id)
+             END AS rn
+      FROM staged),
+    final AS (
+      SELECT lang, p_admit, p_qual,
+             (p_qual AND rn = 1) AS p_uniq,
+             (p_qual AND rn = 1
+              AND SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '80000000') AS p_samp
+      FROM ranked)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_ingest,
+           CAST(SUM(CASE WHEN p_admit THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+           CAST(SUM(CASE WHEN p_qual THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN p_uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN p_samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM final GROUP BY lang
+"""
+
+
+@register(
+    "corpus_curation_funnel",
+    _FUNNEL_ORACLE,
+    doc="End-to-end curation funnel: source admission → quality gate "
+    "(whitespace token count) → exact dedup (keep-first per md5 "
+    "fingerprint among quality survivors) → deterministic md5-threshold "
+    "sampling, reported as per-language survivor counts at every stage. "
+    "Integration showcase for the pipeline the reference's users would "
+    "run before training: ONE scan of the corpus, per-doc stage flags "
+    "computed inline, one window shuffle (fingerprint ranking) and one "
+    "aggregation shuffle — no stage re-reads the table, so the plan is "
+    "the same at 100 TB: scan → window on fp → partial agg → final agg.",
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.sampling import (
+        hash_draw,
+        rate_threshold,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    n_toks = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + F.lit(1)
+    )
+    flags = docs.select(
+        "lang",
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        (
+            F.col("source").isin(*_FUNNEL_ADMIT_SOURCES)
+            & (F.col("n_chars") >= _FUNNEL_MIN_CHARS)
+        ).alias("p_admit"),
+        n_toks.alias("n_toks"),
+    ).withColumn(
+        "p_qual", F.col("p_admit") & (F.col("n_toks") >= _FUNNEL_MIN_TOKENS)
+    )
+    w = Window.partitionBy("fp", "p_qual").orderBy("doc_id")
+    ranked = flags.withColumn(
+        "rn", F.when(F.col("p_qual"), F.row_number().over(w))
+    )
+    thresh = rate_threshold(_FUNNEL_SAMPLE_RATE)
+    final = ranked.select(
+        "lang",
+        "p_admit",
+        "p_qual",
+        (F.col("p_qual") & (F.col("rn") == 1)).alias("p_uniq"),
+        (
+            F.col("p_qual")
+            & (F.col("rn") == 1)
+            & (hash_draw(F.col("doc_id")) < F.lit(thresh))
+        ).alias("p_samp"),
+    )
+
+    def n(flag: str, alias: str):
+        return F.sum(F.when(F.col(flag), 1).otherwise(0)).cast("long").alias(alias)
+
+    return final.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_ingest"),
+        n("p_admit", "n_admitted"),
+        n("p_qual", "n_quality"),
+        n("p_uniq", "n_unique"),
+        n("p_samp", "n_sampled"),
+    )

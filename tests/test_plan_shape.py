@@ -215,3 +215,15 @@ def test_template_hoist_pinned_evaluate_once(spark, reg):
     # the hoisted projections survive as named prep columns
     assert "_payload" in plan
     assert "_items_" in plan
+
+
+def test_curation_funnel_single_pass(spark, reg):
+    """corpus_curation_funnel: the whole 4-stage funnel is ONE corpus
+    scan, one window exchange (md5 fingerprint — uniform key), one
+    aggregation exchange, zero Python — the stage flags are computed
+    inline, never by re-reading the table per stage."""
+    plan = plan_of(spark, reg, "corpus_curation_funnel")
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2  # AQE may print the scan twice
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("Exchange") <= 2
+    assert "Window" in plan

@@ -144,6 +144,29 @@ def test_state_ttl_evicts_idle_buckets(spark, tmp_path):
             time.sleep(0.5)
         else:
             raise TimeoutError("pair (2,3) never surfaced")
+        # state-scale pin: the store's own metrics must show rows being
+        # REMOVED (doc 0's buckets expiring), not just ignored — the
+        # 100 TB posture is bounded state, asserted from query progress
+        removed = sum(
+            op.get("numRowsRemoved", 0)
+            for p_ in q.recentProgress
+            for op in p_.get("stateOperators", [])
+        )
+        assert removed > 0, "TTL never removed state-store rows"
+        last_total = next(
+            (
+                op["numRowsTotal"]
+                for p_ in reversed(q.recentProgress)
+                for op in p_.get("stateOperators", [])
+                if "numRowsTotal" in op
+            ),
+            None,
+        )
+        # live state is bounded by the CURRENT docs' bucket count (one
+        # row per (band, band_sig)); doc 0's rows are gone
+        from kinesis_log_watcher_spark.streaming.neardup import BANDS
+
+        assert last_total is not None and last_total <= 2 * BANDS
     finally:
         q.stop()
     # without a TTL the same two files produce the cross-gap pairs too
