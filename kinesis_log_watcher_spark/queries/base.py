@@ -98,6 +98,8 @@ _FRONT = (
     "golayout_render",
     "shorthost_derivation",
     "lenient_json_classify",
+    "template_mutation_render",
+    "corpus_curation_funnel",
     # TPC-H analogue tail (queries/tpch_deep.py)
     "returned_items_topk",
     "promo_revenue_ratio",

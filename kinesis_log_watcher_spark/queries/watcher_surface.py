@@ -327,3 +327,46 @@ def golayout_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         go_layout_col("02 Jan 2006", ts).alias("date_layout"),
         go_layout_col("3:04:05 PM", ts).alias("kitchen_s"),
     )
+
+
+@register(
+    "template_mutation_render",
+    r"""
+    SELECT event_id,
+           CASE WHEN event_id % 10 = 0 THEN ''
+                ELSE '<' || CAST(event_id % 5 AS VARCHAR) || '><'
+                     || CAST(event_id % 97 AS VARCHAR) || '>'
+           END
+           || '|' ||
+           CASE WHEN event_id % 7 <> 0 THEN 'q\"x' ELSE 'n' END AS line
+    FROM events
+    """,
+    doc="T1 cross-scope {{$x = P}} mutation (main.go:109 parses the full "
+    "text/template dialect incl. assignment): a range body folds an "
+    "accumulator ({{$s = printf \"%s<%s>\" $s .}} — compiled to ONE "
+    "F.aggregate whose accumulator struct carries the binding), and an "
+    "if-branch reassigns a second variable through the js escaper "
+    "(binding escapes the block as a CASE-joined value). DuckDB "
+    "restates the render as string concatenation; the escaped literal "
+    "pins Go's JSEscapeString byte output.",
+)
+def template_mutation_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.template import compile_template
+
+    tpl = (
+        '{{$s := ""}}{{range .Log.xs}}{{$s = printf "%s<%s>" $s .}}{{end}}'
+        '{{$t := "n"}}{{if .Log.u}}{{$t = js .Log.u}}{{end}}'
+        "{{$s}}|{{$t}}"
+    )
+    compiled = compile_template(tpl)
+    ev = load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    xs_part = F.when(e % 10 == 0, F.lit('"xs": []')).otherwise(
+        F.format_string('"xs": [%d, %d]', e % 5, e % 97)
+    )
+    u_part = F.when(e % 7 == 0, F.lit("")).otherwise(
+        F.lit(', "u": "q\\"x"')
+    )
+    payload = F.concat(F.lit("{"), xs_part, u_part, F.lit("}"))
+    env = ev.select("event_id", payload.alias("LogEntry"))
+    return compiled.apply(env, keep=("event_id",))
