@@ -643,3 +643,18 @@ def test_call_is_exec_error(spark):
     assert _render(spark, "{{call .Log.f 1 2}}", payload) == []
     with pytest.raises(TemplateError, match="at least one argument"):
         compile_template("{{call}}")
+
+
+def test_cross_scope_assignment_nested_folds(spark):
+    # doubly loop-carried: the accumulator survives BOTH loop levels
+    # (outer fold's accumulator feeds the inner fold's init)
+    t = (
+        '{{$s := ""}}{{range .Log.xss}}{{range .}}'
+        '{{$s = printf "%s%s" $s .}}{{end}}'
+        '{{$s = printf "%s|" $s}}{{end}}{{$s}}'
+    )
+    assert _render(spark, t, b'{"xss": [[1, 2], [3]]}') == ["12|3|"]
+    # conditional mutation inside the loop: CASE-join within the fold
+    t = '{{$n := "0"}}{{range .Log.xs}}{{if eq . "2"}}{{$n = .}}{{end}}{{end}}{{$n}}'
+    assert _render(spark, t, b'{"xs": [1, 2, 3]}') == ["2"]
+    assert _render(spark, t, b'{"xs": [1, 3]}') == ["0"]
