@@ -366,3 +366,61 @@ def vocab_coverage_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_micro"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# temperature-scaled mixture weights — multinomial source sampling shares
+# --------------------------------------------------------------------------
+
+
+@register(
+    "temperature_mixture_weights",
+    """
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
+      FROM documents GROUP BY source),
+    q AS (
+      SELECT source, ws_tokens,
+             CAST(floor(sqrt(CAST(ws_tokens AS DOUBLE)
+                             / CAST(SUM(ws_tokens) OVER () AS DOUBLE))
+                        * 1000000000 + 0.5) AS BIGINT) AS q_nano
+      FROM s)
+    SELECT source, ws_tokens,
+           CAST(floor(CAST(q_nano AS DOUBLE) * 1000000
+                      / CAST(SUM(q_nano) OVER () AS DOUBLE) + 0.5)
+                AS BIGINT) AS share_micro
+    FROM q
+    """,
+    doc="Temperature-scaled multinomial source sampling (the XLM-R / mT5 "
+    "mixture rule: sample source i with probability proportional to "
+    "p_i^alpha, flattening head domains and up-weighting the tail). "
+    "alpha = 0.5, computed as sqrt(): IEEE-754 requires sqrt to be "
+    "correctly rounded, so — unlike pow()/ln(), which are only "
+    "libm-close — this op has NO libm dependence at all. Determinism: "
+    "p_i is one exact int64/int64 double division; sqrt(p_i) is "
+    "quantized to int64 nano-units per source BEFORE the normalizing "
+    "window-SUM, so the denominator is an associative integer sum. "
+    "Scale shape identical to source_mixture_weights: one (source) "
+    "hash agg over the corpus, then windows over the source-count-sized "
+    "relation (20 rows; domains at web scale are ~10^5 rows — still one "
+    "tiny post-agg relation, no cross join, no collect).",
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(T.ws_token_count(F.col("text"))).cast("long").alias("ws_tokens")
+    )
+    total = F.sum("ws_tokens").over(Window.partitionBy())
+    q_nano = F.floor(
+        F.sqrt(F.col("ws_tokens").cast("double") / total.cast("double"))
+        * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    q = per_source.select("source", "ws_tokens", q_nano.alias("q_nano"))
+    denom = F.sum("q_nano").over(Window.partitionBy())
+    share = F.floor(
+        F.col("q_nano").cast("double") * F.lit(1000000.0) / denom.cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    return q.select("source", "ws_tokens", share.alias("share_micro"))

@@ -1961,3 +1961,134 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         n("p_uniq", "n_unique"),
         n("p_samp", "n_sampled"),
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank (two power iterations) — link-graph authority for data curation
+# --------------------------------------------------------------------------
+
+_PR_DAMPING = 0.85
+_PR_UNIT = 1_000_000_000_000  # score mass in pico-units
+
+
+@register(
+    "pagerank_two_rounds",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    edges AS (
+      SELECT cnode AS src, snode AS dst FROM pairs
+      UNION ALL
+      SELECT snode AS src, cnode AS dst FROM pairs),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY src),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+    r0 AS (
+      SELECT deg.src AS node, deg.outdeg,
+             CAST(floor(CAST({_PR_UNIT} AS DOUBLE) / st.n_nodes) AS BIGINT)
+               AS q
+      FROM deg CROSS JOIN st),
+    in1 AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(floor(CAST(r.q AS DOUBLE) / r.outdeg) AS BIGINT))
+                  AS BIGINT) AS sum_in
+      FROM edges e JOIN r0 r ON e.src = r.node
+      GROUP BY e.dst),
+    r1 AS (
+      SELECT d.src AS node, d.outdeg,
+             CAST(floor({1.0 - _PR_DAMPING} * {_PR_UNIT} / st.n_nodes + 0.5)
+                  AS BIGINT)
+             + CAST(floor({_PR_DAMPING} * CAST(i.sum_in AS DOUBLE) + 0.5)
+                    AS BIGINT) AS q
+      FROM deg d JOIN in1 i ON d.src = i.node CROSS JOIN st),
+    in2 AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(floor(CAST(r.q AS DOUBLE) / r.outdeg) AS BIGINT))
+                  AS BIGINT) AS sum_in
+      FROM edges e JOIN r1 r ON e.src = r.node
+      GROUP BY e.dst),
+    r2 AS (
+      SELECT i.node,
+             CAST(floor({1.0 - _PR_DAMPING} * {_PR_UNIT} / st.n_nodes + 0.5)
+                  AS BIGINT)
+             + CAST(floor({_PR_DAMPING} * CAST(i.sum_in AS DOUBLE) + 0.5)
+                    AS BIGINT) AS q
+      FROM in2 i CROSS JOIN st)
+    SELECT (node - 1) // 2 AS s_suppkey, q AS rank_pico
+    FROM r2 WHERE node % 2 = 1
+    """,
+    doc="PageRank, two power iterations, EXACT — the web-graph authority "
+    "signal curation pipelines use to prioritize crawl sources (the "
+    "CommonCrawl harmonic/PageRank rankings). Graph: the bipartite "
+    "customer<->supplier trade graph (distinct (custkey, suppkey) pairs "
+    "via orders |><| lineitem; node id = 2k / 2k+1 disambiguation), "
+    "edges in both directions so every node has in- and out-degree >= "
+    "1 (no dangling-mass term needed). All score mass lives on an int64 "
+    "pico-unit grid: each round's per-edge share is floor(q/outdeg) "
+    "(exact double division of ints < 2^53, identically rounded on "
+    "both engines), the incoming SUM is an associative integer sum, "
+    "and the damping mix floor(0.15*U/N + 0.5) + floor(0.85*sum_in + "
+    "0.5) rounds the same everywhere — bit-identical ranks with no "
+    "libm at all. Scale shape (the canonical distributed PageRank): "
+    "per round, scores join edges ON src (hash equi-join; at web scale "
+    "both sides are huge and hash-partition — nothing is broadcast) "
+    "then aggregate ON dst; the degree relation is computed once. Two "
+    "unrolled rounds keep the oracle a finite SQL pipeline, same "
+    "convention as kmeans_two_rounds.",
+)
+def pagerank_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).unionAll(pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
+    # One graph pass feeds both rounds; avoid recomputing the orders|><|
+    # lineitem distinct.
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    st = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    base = F.floor(
+        F.lit(1.0 - _PR_DAMPING) * F.lit(float(_PR_UNIT)) / F.col("n_nodes")
+        + F.lit(0.5)
+    ).cast("long")
+
+    def spread(scores: DataFrame) -> DataFrame:
+        """(node, outdeg, q) -> (node, sum_in): one equi-join + one agg."""
+        share = F.floor(F.col("q").cast("double") / F.col("outdeg")).cast("long")
+        return (
+            edges.join(scores.withColumnRenamed("node", "src"), "src")
+            .select("dst", share.alias("share"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").cast("long").alias("sum_in"))
+        )
+
+    r0 = deg.join(F.broadcast(st)).select(
+        F.col("src").alias("node"),
+        "outdeg",
+        F.floor(F.lit(float(_PR_UNIT)) / F.col("n_nodes")).cast("long").alias("q"),
+    )
+    damp = F.floor(
+        F.lit(_PR_DAMPING) * F.col("sum_in").cast("double") + F.lit(0.5)
+    ).cast("long")
+    r1 = (
+        deg.withColumnRenamed("src", "node")
+        .join(spread(r0), "node")
+        .join(F.broadcast(st))
+        .select("node", "outdeg", (base + damp).alias("q"))
+    )
+    r2 = spread(r1).join(F.broadcast(st)).select(
+        "node", (base + damp).alias("q")
+    )
+    return r2.filter(F.col("node") % 2 == 1).select(
+        ((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
+        F.col("q").alias("rank_pico"),
+    )

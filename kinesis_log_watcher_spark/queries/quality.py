@@ -467,3 +467,206 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("n_tokens") - removed).cast("double") / F.max("n_tokens")
         ).alias("kept_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram LM perplexity filtering (CCNet-style head/middle/tail buckets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unigram_logprob_buckets",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents),
+    v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY word),
+    s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS vocab
+          FROM v),
+    lp AS (
+      SELECT v.word,
+             CAST(floor(-ln((v.cnt + 1.0)
+                            / CAST(s.n_tokens + s.vocab AS DOUBLE))
+                        * 1000000000 + 0.5) AS BIGINT) AS nll_nano
+      FROM v CROSS JOIN s),
+    doc AS (
+      SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(lp.nll_nano) AS BIGINT) AS sum_nano
+      FROM w JOIN lp USING (word) GROUP BY w.doc_id),
+    scored AS (
+      SELECT doc_id, n_toks,
+             CAST(floor(CAST(sum_nano AS DOUBLE) / (n_toks * 1000.0) + 0.5)
+                  AS BIGINT) AS nll_micro
+      FROM doc)
+    SELECT doc_id, n_toks, nll_micro,
+           CAST(NTILE(3) OVER (ORDER BY nll_micro, doc_id) AS BIGINT)
+             AS ppl_bucket
+    FROM scored
+    """,
+    doc="CCNet-style LM perplexity filtering (Wenzek et al. 2020 train a "
+    "KenLM and keep the low-perplexity 'head'; here the LM is the "
+    "corpus's own add-1-smoothed unigram model, which needs no external "
+    "artifact): per-document mean negative log-likelihood per token, "
+    "bucketed into head/middle/tail terciles (NTILE over the total order "
+    "(nll, doc_id)). Determinism: each distinct word's NLL is quantized "
+    "to int64 NANO-nats once, in the vocabulary relation, so the per-doc "
+    "sum is an associative integer sum — no float-accumulation order "
+    "dependence at all (stronger than bm25_doc_scores' fixed-order "
+    "float sum); ln() on identical doubles is the one libm-bound step. "
+    "Scale shape: vocab = one (word) hash agg; scoring = words "
+    "equi-joined to the vocab relation on the word key (both sides "
+    "hash-partition; vocab of a 100 TB corpus is far too big to "
+    "broadcast, and never needs to be) then one doc_id agg. The NTILE "
+    "over doc scores is the only total-order step — at scale the "
+    "bucketing would use the quantile-sketch relation "
+    "(operators/sketch.hist_quantiles) instead; the exact rank keeps "
+    "the oracle bit-checkable here.",
+)
+def unigram_logprob_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    v = w.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+    s = v.agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    nll = -F.log(
+        (F.col("cnt") + F.lit(1.0))
+        / (F.col("n_tokens") + F.col("vocab")).cast("double")
+    )
+    lp = v.join(F.broadcast(s)).select(
+        "word",
+        F.floor(nll * F.lit(1000000000.0) + F.lit(0.5)).cast("long").alias(
+            "nll_nano"
+        ),
+    )
+    doc = (
+        w.join(lp, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum("nll_nano").cast("long").alias("sum_nano"),
+        )
+    )
+    scored = doc.select(
+        "doc_id",
+        "n_toks",
+        F.floor(
+            F.col("sum_nano").cast("double") / (F.col("n_toks") * F.lit(1000.0))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    tercile = F.ntile(3).over(
+        Window.orderBy(F.col("nll_micro").asc(), F.col("doc_id").asc())
+    )
+    return scored.select(
+        "doc_id", "n_toks", "nll_micro", tercile.cast("long").alias("ppl_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed-unigram target-vs-raw log-ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096
+_DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents),
+    w AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(word), 1, 15) AS BIGINT)
+               % {_DSIR_BUCKETS} AS bkt
+      FROM tok),
+    raw AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS r_cnt FROM w GROUP BY bkt),
+    tgt AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS t_cnt
+            FROM w WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY bkt),
+    tot AS (
+      SELECT CAST(SUM(r_cnt) AS BIGINT) AS n_raw,
+             CAST((SELECT COALESCE(SUM(t_cnt), 0) FROM tgt) AS BIGINT) AS n_tgt
+      FROM raw),
+    lr AS (
+      SELECT raw.bkt,
+             CAST(floor((ln((COALESCE(tgt.t_cnt, 0) + 1.0)
+                            / CAST(tot.n_tgt + {_DSIR_BUCKETS} AS DOUBLE))
+                         - ln((raw.r_cnt + 1.0)
+                              / CAST(tot.n_raw + {_DSIR_BUCKETS} AS DOUBLE)))
+                        * 1000000000 + 0.5) AS BIGINT) AS delta_nano
+      FROM raw LEFT JOIN tgt ON raw.bkt = tgt.bkt CROSS JOIN tot)
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(lr.delta_nano) AS BIGINT) AS logw_nano
+    FROM w JOIN lr ON w.bkt = lr.bkt
+    GROUP BY w.doc_id
+    """,
+    doc="DSIR importance weights (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): per-document log "
+    "importance weight log(p_target/p_raw) under hashed-unigram "
+    f"bag-of-words LMs with {_DSIR_BUCKETS} feature buckets (md5-derived "
+    "bucketing — engine-reproducible, same convention as "
+    "training_shard_assign) and add-1 smoothing. Target distribution = "
+    f"the '{_DSIR_TARGET_LANG}' sub-corpus; raw = the whole corpus. The "
+    "per-bucket log-ratio is quantized to int64 nano-nats ONCE in the "
+    "4096-row bucket relation, so each doc's weight is an associative "
+    "integer sum (identical on any partitioning/engine). Scale shape: "
+    "two (bkt) hash aggs over the token stream, a 4096-row log-ratio "
+    "relation BROADCAST to the token stream (bounded by the feature "
+    "space, not the corpus — this is the point of hashed features), one "
+    "doc_id agg. Downstream resampling = weighted_doc_sample on "
+    "logw_nano.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
+        % _DSIR_BUCKETS
+    )
+    w = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).select("doc_id", "lang", bkt.alias("bkt"))
+    raw = w.groupBy("bkt").agg(F.count("*").cast("long").alias("r_cnt"))
+    tgt = (
+        w.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("bkt")
+        .agg(F.count("*").cast("long").alias("t_cnt"))
+    )
+    tot = raw.join(F.broadcast(tgt), "bkt", "left").agg(
+        F.sum("r_cnt").cast("long").alias("n_raw"),
+        F.coalesce(F.sum("t_cnt"), F.lit(0)).cast("long").alias("n_tgt"),
+    )
+    b = F.lit(float(_DSIR_BUCKETS))
+    lp_t = F.log(
+        (F.coalesce(F.col("t_cnt"), F.lit(0)) + F.lit(1.0))
+        / (F.col("n_tgt") + b)
+    )
+    lp_r = F.log((F.col("r_cnt") + F.lit(1.0)) / (F.col("n_raw") + b))
+    lr = (
+        raw.join(F.broadcast(tgt), "bkt", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "bkt",
+            F.floor((lp_t - lp_r) * F.lit(1000000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("delta_nano"),
+        )
+    )
+    return (
+        w.join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum("delta_nano").cast("long").alias("logw_nano"),
+        )
+    )

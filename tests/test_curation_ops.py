@@ -1,0 +1,125 @@
+"""Handchecks for the round-4 curation operators: unigram-LM perplexity
+buckets, DSIR importance weights, temperature mixture shares, PageRank.
+
+Each test builds a corpus/graph small enough to replicate the exact
+integer-grid arithmetic in pure Python (same IEEE double ops -> same
+integers), so the assertions are bit-exact, not approximate."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from kinesis_log_watcher_spark.queries import extensions, llm, quality  # noqa: F401
+from kinesis_log_watcher_spark.queries.base import registry
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return registry()
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: list of (doc_id, text, lang, source)."""
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_unigram_logprob_handcheck(spark, tmp_path, reg):
+    # corpus: "a a a" + "b" -> counts a=3, b=1; N=4, V=2 (add-1: denom 6)
+    sf = _write_docs(
+        spark, tmp_path, [(0, "a a a", "en", "s0"), (1, "b", "en", "s0")]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in reg["unigram_logprob_buckets"].fn(spark, sf).collect()
+    }
+    nano_a = math.floor(-math.log(4.0 / 6.0) * 1e9 + 0.5)
+    nano_b = math.floor(-math.log(2.0 / 6.0) * 1e9 + 0.5)
+    assert rows[0]["n_toks"] == 3
+    assert rows[0]["nll_micro"] == math.floor(3 * nano_a / 3000.0 + 0.5)
+    assert rows[1]["nll_micro"] == math.floor(nano_b / 1000.0 + 0.5)
+    # common-word doc is the low-perplexity head, rare-word doc the tail
+    assert rows[0]["nll_micro"] < rows[1]["nll_micro"]
+    assert rows[0]["ppl_bucket"] < rows[1]["ppl_bucket"]
+
+
+def test_dsir_weights_sign_and_counts(spark, tmp_path, reg):
+    # target (en) doc repeats 'xx'; raw adds a de doc with 'yy' ->
+    # xx is over-represented in target (weight > 0), yy absent (< 0).
+    sf = _write_docs(
+        spark, tmp_path, [(0, "xx xx", "en", "s0"), (1, "yy", "de", "s0")]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in reg["dsir_importance_weights"].fn(spark, sf).collect()
+    }
+    assert rows[0]["n_toks"] == 2 and rows[1]["n_toks"] == 1
+    assert rows[0]["logw_nano"] > 0 > rows[1]["logw_nano"]
+    B = 4096.0
+    delta_x = math.log(3.0 / (2.0 + B)) - math.log(3.0 / (3.0 + B))
+    assert rows[0]["logw_nano"] == 2 * math.floor(delta_x * 1e9 + 0.5)
+
+
+def test_temperature_mixture_handcheck(spark, tmp_path, reg):
+    # source token masses 9 and 1 -> p = 0.9/0.1, alpha=0.5 flattening
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(0, " ".join(["w"] * 9), "en", "big"), (1, "w", "en", "small")],
+    )
+    rows = {
+        r["source"]: r
+        for r in reg["temperature_mixture_weights"].fn(spark, sf).collect()
+    }
+    q_big = math.floor(math.sqrt(9.0 / 10.0) * 1e9 + 0.5)
+    q_small = math.floor(math.sqrt(1.0 / 10.0) * 1e9 + 0.5)
+    denom = float(q_big + q_small)
+    assert rows["big"]["ws_tokens"] == 9
+    assert rows["big"]["share_micro"] == math.floor(q_big * 1e6 / denom + 0.5)
+    assert rows["small"]["share_micro"] == math.floor(q_small * 1e6 / denom + 0.5)
+    # temperature flattens: head share well under its raw 90% mass
+    assert 500_000 < rows["big"]["share_micro"] < 900_000
+
+
+def _pagerank_expected(edge_pairs):
+    """Replicate the integer-grid two-round PageRank in pure Python."""
+    U, d = 1_000_000_000_000, 0.85
+    edges = [(2 * c, 2 * s + 1) for c, s in edge_pairs]
+    edges = edges + [(b, a) for a, b in edges]
+    nodes = sorted({src for src, _ in edges})
+    outdeg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    N = len(nodes)
+    q = {n: math.floor(float(U) / N) for n in nodes}
+    base = math.floor((1.0 - d) * U / N + 0.5)
+    for _ in range(2):
+        sum_in = {n: 0 for n in nodes}
+        for s, t in edges:
+            sum_in[t] += math.floor(q[s] / outdeg[s])
+        q = {n: base + math.floor(d * float(sum_in[n]) + 0.5) for n in nodes}
+    return {(n - 1) // 2: q[n] for n in nodes if n % 2 == 1}
+
+
+def test_pagerank_handcheck(spark, tmp_path, reg):
+    # orders o1,o2 by customers 1,2; lines give edges:
+    # c1-s1, c1-s2, c2-s1  -> s1 has more mass than s2 after 2 rounds
+    orders = spark.createDataFrame(
+        [(10, 1), (20, 2)], "o_orderkey long, o_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(10, 1), (10, 2), (20, 1), (20, 1)], "l_orderkey long, l_suppkey long"
+    )
+    orders.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    lineitem.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        r["s_suppkey"]: r["rank_pico"]
+        for r in reg["pagerank_two_rounds"].fn(spark, str(tmp_path)).collect()
+    }
+    want = _pagerank_expected([(1, 1), (1, 2), (2, 1)])
+    assert got == want
+    assert got[1] > got[2]

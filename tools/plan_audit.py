@@ -54,6 +54,12 @@ ALLOWED_BNLJ = {
     "top_supplier_revenue": "1-row scalar-subquery broadcast",
     "weighted_doc_sample": "1-row scalar-subquery broadcast",
     "bm25_doc_scores": "1-row corpus-stats broadcast",
+    # 1-row corpus/graph-stats broadcasts (build side is exactly one row;
+    # a keyless broadcast join beats a global empty-frame window, which
+    # would single-partition the probe side)
+    "unigram_logprob_buckets": "1-row corpus-stats broadcast",
+    "dsir_importance_weights": "1-row corpus-stats broadcast",
+    "pagerank_two_rounds": "1-row graph-stats broadcast",
     # brute-force ANN baseline: small broadcast query set vs the index
     # (the scale path is ann_ivf_topk — cell-pruned equi-join)
     "ann_cosine_topk_fast": "broadcast query set, brute-force baseline",
