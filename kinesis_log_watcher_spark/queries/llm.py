@@ -2092,3 +2092,75 @@ def pagerank_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("node") - 1) / 2).cast("long").alias("s_suppkey"),
         F.col("q").alias("rank_pico"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-pair counting — one tokenizer-training round at corpus scale
+# --------------------------------------------------------------------------
+
+_BPE_TOP_K = 20
+
+
+@register(
+    "bpe_top_merges",
+    f"""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+    v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM words GROUP BY word),
+    p AS (
+      SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, cnt
+      FROM v, unnest(range(1, len(word))) AS u(i)
+      WHERE len(word) >= 2),
+    agg AS (
+      SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM p GROUP BY a, b)
+    SELECT a, b, pair_count,
+           CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, a, b)
+                AS BIGINT) AS merge_rank
+    FROM (SELECT a, b, pair_count FROM agg
+          ORDER BY pair_count DESC, a, b LIMIT {_BPE_TOP_K})
+    """,
+    doc="One BPE tokenizer-training round (Sennrich et al. 2016) at "
+    "corpus scale: count every adjacent symbol pair over the initial "
+    "character alphabet, weighted by word frequency, and emit the top-"
+    f"{_BPE_TOP_K} merge candidates under the total order (count DESC, "
+    "pair ASC) — the pair a real trainer would merge first, plus the "
+    "runner-up queue. The pair stream is generated from the VOCABULARY "
+    "relation (distinct words x their counts), not the raw token "
+    "stream — the standard trick that makes BPE training corpus-size-"
+    "independent: a 100 TB corpus has a few-hundred-million-row vocab, "
+    "and each training round is one narrow transform+explode over it "
+    "plus one (a, b) hash agg. Top-k = sort+limit -> "
+    "TakeOrderedAndProject (never a global sort of the pair relation); "
+    "the final rank numbers 20 rows.",
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    v = words.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+    seq = F.sequence(F.lit(1), F.length("word") - 1)
+    pairs = v.filter(F.length("word") >= 2).select(
+        "cnt",
+        F.explode(
+            F.transform(
+                seq,
+                lambda i: F.struct(
+                    F.col("word").substr(i, F.lit(1)).alias("a"),
+                    F.col("word").substr(i + 1, F.lit(1)).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    )
+    agg = pairs.groupBy(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    ).agg(F.sum("cnt").cast("long").alias("pair_count"))
+    top = agg.orderBy(
+        F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(_BPE_TOP_K)
+    rank = F.row_number().over(
+        Window.orderBy(F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc())
+    )
+    return top.select("a", "b", "pair_count", rank.cast("long").alias("merge_rank"))

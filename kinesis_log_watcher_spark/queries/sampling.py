@@ -242,3 +242,51 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_w, F.col("doc_id"), F.col("wt"), mx, scale_down=4, u_bits=20
     )
     return out.select("doc_id", "wt")
+
+
+# --------------------------------------------------------------------------
+# per-stratum fixed-size reservoir (deterministic top-k by hash rank)
+# --------------------------------------------------------------------------
+
+_RESERVOIR_K = 10
+
+
+@register(
+    "reservoir_per_source",
+    f"""
+    WITH r AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    SELECT source, doc_id, rk
+    FROM r WHERE rk <= {_RESERVOIR_K}
+    """,
+    doc=f"Deterministic fixed-size 'reservoir' sample: exactly "
+    f"{_RESERVOIR_K} documents per source, chosen as the lowest "
+    "md5(doc_id) hash ranks (tiebreak doc_id). Unlike a rate sample "
+    "(stratified_sample_counts) the output size per stratum is exact, "
+    "and unlike random.sample it is engine/run/cluster-reproducible — "
+    "re-running on a grown corpus keeps every previously-chosen doc "
+    "whose hash rank still clears the bar. Scale shape: one shuffle on "
+    "source for the per-stratum ranking; at 100 TB with huge strata "
+    "the same query runs after a hash-threshold pre-filter "
+    "(hash_draw < k_margin/stratum_size, operators/sampling.py) so "
+    "each window partition sees only ~k_margin candidate rows instead "
+    "of the whole stratum — rank-of-lowest-hashes commutes with the "
+    "pre-filter as long as the margin keeps >= k rows per stratum.",
+)
+def reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        docs.select("source", "doc_id", rk.alias("rk"))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+    )

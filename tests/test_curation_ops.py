@@ -123,3 +123,26 @@ def test_pagerank_handcheck(spark, tmp_path, reg):
     want = _pagerank_expected([(1, 1), (1, 2), (2, 1)])
     assert got == want
     assert got[1] > got[2]
+
+
+def test_reservoir_per_source_handcheck(spark, tmp_path, reg):
+    import hashlib
+
+    # 15 docs in one source -> exactly 10 survive, the lowest md5 ranks
+    sf = _write_docs(
+        spark, tmp_path, [(i, f"doc {i}", "en", "s0") for i in range(15)]
+    )
+    rows = reg["reservoir_per_source"].fn(spark, sf).collect()
+    assert len(rows) == 10
+    assert sorted(r["rk"] for r in rows) == list(range(1, 11))
+    want = sorted(range(15), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:10]
+    assert sorted(r["doc_id"] for r in rows) == sorted(want)
+
+
+def test_bpe_top_merges_handcheck(spark, tmp_path, reg):
+    # vocab: 'ab' x2, 'cd' x1, 'e' (no pair) -> merges (a,b)=2, (c,d)=1
+    sf = _write_docs(spark, tmp_path, [(0, "ab ab cd e", "en", "s0")])
+    rows = {r["merge_rank"]: r for r in reg["bpe_top_merges"].fn(spark, sf).collect()}
+    assert len(rows) == 2
+    assert (rows[1]["a"], rows[1]["b"], rows[1]["pair_count"]) == ("a", "b", 2)
+    assert (rows[2]["a"], rows[2]["b"], rows[2]["pair_count"]) == ("c", "d", 1)
