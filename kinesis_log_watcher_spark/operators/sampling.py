@@ -144,3 +144,41 @@ def weighted_bernoulli_sample(
         .filter((u * F.col("max_w") * scale_down) < (F.col("_w") * (2 ** u_bits)))
         .drop("_w")
     )
+
+
+def reservoir_topk(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    k: int,
+    rank_col: str = "rk",
+    prefilter_rate: float | None = None,
+) -> DataFrame:
+    """Exact-k deterministic 'reservoir' per stratum: rank rows by
+    (md5(key), key) inside each stratum, keep rank <= k. Engine/run/
+    partitioning-stable, and growth-stable in the reservoir sense: a
+    previously chosen row stays chosen until k better-hashed rows exist.
+
+    ``prefilter_rate`` is the huge-stratum scale path: apply the
+    hash-threshold filter (``hash_draw < rate_threshold(r)``) BEFORE
+    the ranking window, so each window partition sees ~r*|stratum|
+    candidate rows instead of the whole stratum. Selection keeps the
+    LOWEST draws, so the pre-filter commutes with the top-k exactly:
+    if >= k rows of a stratum survive the filter, its top-k is
+    unchanged (any row wrongly excluded would need k lower-hashed
+    survivors above it — contradiction). Callers size r so that
+    r*|smallest stratum| >> k; tests/test_curation_ops.py pins the
+    equality on real data."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    base = df
+    if prefilter_rate is not None:
+        base = base.filter(
+            hash_draw(F.col(key_col)) < F.lit(rate_threshold(prefilter_rate))
+        )
+    rk = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(
+            F.md5(F.col(key_col).cast("string")), F.col(key_col)
+        )
+    )
+    return base.withColumn(rank_col, rk).filter(F.col(rank_col) <= k)

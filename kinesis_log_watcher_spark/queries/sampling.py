@@ -278,15 +278,9 @@ _RESERVOIR_K = 10
     "pre-filter as long as the margin keeps >= k rows per stratum.",
 )
 def reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from kinesis_log_watcher_spark.operators.sampling import reservoir_topk
 
     docs = load(spark, sf_dir, "documents")
-    rk = F.row_number().over(
-        Window.partitionBy("source").orderBy(
-            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-        )
-    )
-    return (
-        docs.select("source", "doc_id", rk.alias("rk"))
-        .filter(F.col("rk") <= _RESERVOIR_K)
+    return reservoir_topk(docs, "source", "doc_id", _RESERVOIR_K).select(
+        "source", "doc_id", "rk"
     )

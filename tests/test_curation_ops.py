@@ -146,3 +146,45 @@ def test_bpe_top_merges_handcheck(spark, tmp_path, reg):
     assert len(rows) == 2
     assert (rows[1]["a"], rows[1]["b"], rows[1]["pair_count"]) == ("a", "b", 2)
     assert (rows[2]["a"], rows[2]["b"], rows[2]["pair_count"]) == ("c", "d", 1)
+
+
+def test_reservoir_prefilter_commutes_and_partition_invariant(spark):
+    from kinesis_log_watcher_spark.operators.sampling import reservoir_topk
+    from kinesis_log_watcher_spark.queries.base import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    plain = sorted(
+        (r["source"], r["doc_id"], r["rk"])
+        for r in reservoir_topk(docs, "source", "doc_id", 5).select(
+            "source", "doc_id", "rk"
+        ).collect()
+    )
+    # two-phase: a 50% hash pre-filter leaves every stratum >= 5 rows,
+    # so the exact same reservoir must come out
+    two_phase = sorted(
+        (r["source"], r["doc_id"], r["rk"])
+        for r in reservoir_topk(
+            docs, "source", "doc_id", 5, prefilter_rate=0.5
+        ).select("source", "doc_id", "rk").collect()
+    )
+    assert plain == two_phase
+    # physical layout must not matter
+    shuffled = sorted(
+        (r["source"], r["doc_id"], r["rk"])
+        for r in reservoir_topk(
+            docs.repartition(13, "doc_id"), "source", "doc_id", 5
+        ).select("source", "doc_id", "rk").collect()
+    )
+    assert plain == shuffled
+
+
+def test_temperature_shares_sum_to_unit(spark):
+    from kinesis_log_watcher_spark.queries.base import registry
+
+    reg = registry()
+    rows = reg["temperature_mixture_weights"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total = sum(r["share_micro"] for r in rows)
+    # each source rounds by at most 0.5 micro-units
+    assert abs(total - 1_000_000) <= len(rows)
