@@ -2164,3 +2164,97 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy(F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc())
     )
     return top.select("a", "b", "pair_count", rank.cast("long").alias("merge_rank"))
+
+
+# --------------------------------------------------------------------------
+# audio frame-energy pipeline — decode → feature kernel → Spark aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_audio_energy",
+    """
+    WITH f AS (
+      SELECT d.doc_id, i // 16 AS frame_idx,
+             CAST(SUM(((d.doc_id * 7 + i) % 200 - 100)
+                      * ((d.doc_id * 7 + i) % 200 - 100)) AS BIGINT)
+               AS energy
+      FROM documents d, range(96) t(i)
+      WHERE d.doc_id < 200
+      GROUP BY d.doc_id, i // 16),
+    ranked AS (
+      SELECT doc_id, frame_idx, energy,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY energy DESC, frame_idx ASC) AS rn,
+             CAST(SUM(energy) OVER (PARTITION BY doc_id) AS BIGINT)
+               AS total_energy
+      FROM f)
+    SELECT doc_id, frame_idx AS peak_frame_idx, energy AS peak_energy,
+           total_energy
+    FROM ranked WHERE rn = 1
+    """,
+    doc="REAL audio feature-extraction pipeline: PCM synthesized from "
+    "doc_id (int16 samples ((doc_id*7+i)%200)-100, 96 samples) → "
+    "encode_wav → wav_frame_energies (decode, reinterpret as int16, "
+    "exact int64 sum-of-squares per 16-sample frame, Arrow-batched "
+    "mapInPandas) → SPARK-side aggregation: per-doc peak frame (total "
+    "order energy DESC, frame_idx ASC) and total energy. The "
+    "decode-then-aggregate split is the shape a VAD/loudness gate runs "
+    "at corpus scale: the Python stage is a narrow per-payload kernel, "
+    "every cross-row step (ranking, totals) stays relational. The "
+    "sample formula is arithmetic on doc_id, so the SQL oracle "
+    "recomputes the energies without any codec.",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    import pandas as pd
+
+    from kinesis_log_watcher_spark.functions.imagecodec import encode_wav
+    from kinesis_log_watcher_spark.operators.multimodal import frame_energies
+
+    n_samples = 96
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                encode_wav(
+                    b"".join(
+                        struct.pack("<h", (int(d) * 7 + i) % 200 - 100)
+                        for i in range(n_samples)
+                    ),
+                    channels=1,
+                    sample_width=2,
+                    frame_rate=16000,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+    wavs = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    frames = frame_energies(wavs, samples_per_frame=16)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("energy").desc(), F.col("frame_idx").asc()
+    )
+    ranked = frames.select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        F.row_number().over(w).alias("rn"),
+        F.sum("energy").over(Window.partitionBy("doc_id")).cast("long").alias(
+            "total_energy"
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("frame_idx").alias("peak_frame_idx"),
+        F.col("energy").alias("peak_energy"),
+        "total_energy",
+    )

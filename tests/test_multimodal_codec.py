@@ -188,3 +188,26 @@ def test_real_decoders_through_spark_plumbing(spark):
     got = frames.groupBy("doc_id").count().collect()
     # 256 bytes PCM → 8 frames of 32 → every 2nd sampled → 4 per doc
     assert {r["doc_id"]: r["count"] for r in got} == {i: 4 for i in range(5)}
+
+
+def test_wav_frame_energies_exact():
+    import struct
+
+    from kinesis_log_watcher_spark.functions.imagecodec import encode_wav
+    from kinesis_log_watcher_spark.operators.multimodal import (
+        wav_frame_energies,
+    )
+
+    samples = [0, 3, -4, 100, -100, 1, 2, -2]  # two 4-sample frames
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    wav = encode_wav(pcm, channels=1, sample_width=2, frame_rate=8000)
+    got = wav_frame_energies(wav, samples_per_frame=4)
+    assert got == [
+        (0, 0 + 9 + 16 + 10000),
+        (1, 10000 + 1 + 4 + 4),
+    ]
+    # trailing partial frame is dropped
+    assert wav_frame_energies(wav, samples_per_frame=3) == [
+        (0, 0 + 9 + 16),
+        (1, 10000 + 10000 + 1),
+    ]
