@@ -117,6 +117,14 @@ _FRONT = (
     "waiting_supplier_ranking",
     "min_cost_supplier",
     "part_share_suppliers",
+    # queries added in round 4 (no official row yet)
+    "unigram_logprob_buckets",
+    "dsir_importance_weights",
+    "temperature_mixture_weights",
+    "pagerank_two_rounds",
+    "reservoir_per_source",
+    "bpe_top_merges",
+    "multimodal_audio_energy",
     # queries whose implementations/oracles changed recently
     "ann_cosine_topk_fast",
     "user_running_value",
