@@ -38,10 +38,20 @@ def ensure_session_confs(spark: SparkSession) -> None:
     - ``session.timeZone=UTC``: the DuckDB oracle compares UTC-naive
       timestamps; a session in another zone would skew every
       timestamp-rendering query.
+    - ``canChangeCachedPlanOutputPartitioning=true``: lets AQE coalesce
+      shuffle partitions THROUGH a ``.persist()`` boundary. Off (the
+      default), a cached relation pins its pre-AQE partition count and
+      every downstream stage of an iterative operator (PageRank,
+      connected components) schedules that many tasks regardless of
+      data size — measured 3x wall-clock on pagerank_two_rounds. The
+      documented trade-off (cached output partitioning may change
+      between runs) is irrelevant here: no query depends on a cached
+      plan's physical layout, only on its rows.
     """
     for key, val in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"),
     ):
         try:
             spark.conf.set(key, val)
