@@ -125,6 +125,8 @@ _FRONT = (
     "reservoir_per_source",
     "bpe_top_merges",
     "multimodal_audio_energy",
+    "incremental_dedup_update",
+    "span_corruption_stats",
     # queries whose implementations/oracles changed recently
     "ann_cosine_topk_fast",
     "user_running_value",

@@ -2258,3 +2258,74 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("energy").alias("peak_energy"),
         "total_energy",
     )
+
+
+# --------------------------------------------------------------------------
+# incremental corpus update — dedup a new batch against a stored index
+# --------------------------------------------------------------------------
+
+
+@register(
+    "incremental_dedup_update",
+    """
+    WITH snap AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 300),
+    batch AS (
+      SELECT doc_id, source, md5(text) AS fp
+      FROM documents WHERE doc_id >= 300),
+    ranked AS (
+      SELECT b.doc_id, b.source,
+             (b.fp IN (SELECT fp FROM snap)) AS dup_vs_index,
+             ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+      FROM batch b)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(SUM(CASE WHEN dup_vs_index THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_index,
+           CAST(SUM(CASE WHEN (NOT dup_vs_index) AND rn > 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch,
+           CAST(SUM(CASE WHEN (NOT dup_vs_index) AND rn = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+    FROM ranked GROUP BY source
+    """,
+    doc="Incremental corpus update — the lifecycle a crawl pipeline runs "
+    "every refresh: the EXISTING corpus's exact-dedup fingerprint index "
+    "(distinct md5(text), docs < 300) is built once, written to parquet, "
+    "and RELOADED; the new batch (docs >= 300) is then admitted against "
+    "the stored index (dup-vs-index) plus first-occurrence dedup within "
+    "the batch itself (keep lowest doc_id per fingerprint), reported as "
+    "per-source admission counts. Persistence is result-invariant, so "
+    "the oracle restates the logic without the file round trip (same "
+    "convention as ann_ivf_persisted). Scale shape: the index relation "
+    "is fingerprint-keyed parquet (billions of rows at 100 TB) and the "
+    "membership test is a fp equi-join — AQE broadcasts the batch side "
+    "when it is the small one; the within-batch window shuffles only "
+    "the batch. Nothing rescans or rewrites the historical corpus.",
+)
+def incremental_dedup_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    snap = docs.filter(F.col("doc_id") < 300).select("fp").distinct()
+    path = tempfile.mkdtemp(prefix="dedup_idx_") + "/fingerprints"
+    snap.write.mode("overwrite").parquet(path)
+    stored = spark.read.schema("fp string").parquet(path)
+
+    batch = docs.filter(F.col("doc_id") >= 300)
+    marked = batch.join(
+        stored.withColumn("_hit", F.lit(1)), "fp", "left"
+    ).withColumn("dup_vs_index", F.col("_hit").isNotNull())
+    rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    ranked = marked.select("doc_id", "source", "dup_vs_index", rn.alias("rn"))
+
+    def n(cond, alias):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(alias)
+
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_batch"),
+        n(F.col("dup_vs_index"), "n_dup_index"),
+        n(~F.col("dup_vs_index") & (F.col("rn") > 1), "n_dup_batch"),
+        n(~F.col("dup_vs_index") & (F.col("rn") == 1), "n_admitted"),
+    )

@@ -670,3 +670,107 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("delta_nano").cast("long").alias("logw_nano"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption — deterministic mask-span statistics
+# ---------------------------------------------------------------------------
+
+_SPAN_LEN = 3
+# ~5.5% of positions start a span: 8-hex threshold '0e' / '100' = 14/256
+_SPAN_START_THRESHOLD = "0e000000"
+
+
+@register(
+    "span_corruption_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    starts AS (
+      SELECT t.doc_id, t.n_tokens, i AS pos
+      FROM t, unnest(range(1, t.n_tokens + 1)) AS u(i)
+      WHERE substr(md5(t.doc_id || ':' || i), 1, 8)
+              < '{_SPAN_START_THRESHOLD}'),
+    sp AS (
+      SELECT doc_id, n_tokens, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM starts),
+    agg AS (
+      SELECT doc_id, MAX(n_tokens) AS n_tokens,
+             CAST(SUM(CASE WHEN prev IS NULL THEN {_SPAN_LEN}
+                           ELSE LEAST({_SPAN_LEN}, pos - prev) END)
+                  AS BIGINT) AS n_masked_raw,
+             CAST(SUM(CASE WHEN prev IS NULL OR pos - prev > {_SPAN_LEN}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+             MAX(pos) AS last_start
+      FROM sp GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           n_spans,
+           CAST(n_masked_raw - GREATEST(0, last_start + {_SPAN_LEN} - 1
+                                        - n_tokens) AS BIGINT) AS n_masked,
+           CAST(floor(CAST(n_masked_raw - GREATEST(0, last_start
+                                                   + {_SPAN_LEN} - 1
+                                                   - n_tokens) AS DOUBLE)
+                      / n_tokens * 1000000 + 0.5) AS BIGINT) AS mask_micro
+    FROM agg
+    """,
+    doc="T5-style span-corruption statistics (Raffel et al. 2020 mask "
+    f"~15% of tokens in mean-length-3 spans): span STARTS are chosen "
+    "deterministically — position p starts a span iff "
+    "md5(doc_id:p) hex < threshold (the repo's engine-portable "
+    f"hash-draw), spans run {_SPAN_LEN} tokens, overlapping/adjacent "
+    "spans merge via the same closed-form interval union as "
+    "exact_substring_dedup (SUM(min(K, gap)) over lag-sorted starts), "
+    "and the final span is clipped at the document end. Per doc: "
+    "token count, merged span count, masked-token count, mask ratio in "
+    "micro-units. The shape a masking/packing export runs at 100 TB: "
+    "one narrow position explode, one (doc_id) window+agg shuffle, "
+    "no data-dependent randomness (a re-export masks identical spans).",
+)
+def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = _SPAN_LEN
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.select("doc_id", F.size(toks).alias("n_tokens"))
+    starts = base.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(1), F.col("n_tokens"))).alias("pos"),
+    ).filter(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.col("pos"))), 1, 8
+        )
+        < _SPAN_START_THRESHOLD
+    )
+    prev = F.lag("pos").over(Window.partitionBy("doc_id").orderBy("pos"))
+    sp = starts.select("doc_id", "n_tokens", "pos", prev.alias("prev"))
+    contrib = F.when(F.col("prev").isNull(), F.lit(K)).otherwise(
+        F.least(F.lit(K), F.col("pos") - F.col("prev"))
+    )
+    new_span = F.when(
+        F.col("prev").isNull() | (F.col("pos") - F.col("prev") > K), 1
+    ).otherwise(0)
+    agg = sp.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.sum(contrib).cast("long").alias("n_masked_raw"),
+        F.sum(new_span).cast("long").alias("n_spans"),
+        F.max("pos").alias("last_start"),
+    )
+    clip = F.greatest(
+        F.lit(0), F.col("last_start") + F.lit(K - 1) - F.col("n_tokens")
+    )
+    masked = (F.col("n_masked_raw") - clip).cast("long")
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_spans",
+        masked.alias("n_masked"),
+        F.floor(
+            masked.cast("double") / F.col("n_tokens") * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mask_micro"),
+    )

@@ -188,3 +188,61 @@ def test_temperature_shares_sum_to_unit(spark):
     total = sum(r["share_micro"] for r in rows)
     # each source rounds by at most 0.5 micro-units
     assert abs(total - 1_000_000) <= len(rows)
+
+
+def test_incremental_dedup_handcheck(spark, tmp_path, reg):
+    # snapshot (<300): doc 0 holds "seen text"; batch (>=300):
+    # 300 duplicates the index, 301+302 duplicate each other (301 wins),
+    # 303 is fresh -> per-source counts are fully determined
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "seen text here we go five", "en", "s0"),
+            (300, "seen text here we go five", "en", "sA"),
+            (301, "fresh text one two three four", "en", "sA"),
+            (302, "fresh text one two three four", "en", "sA"),
+            (303, "completely new and unique words", "en", "sB"),
+        ],
+    )
+    rows = {
+        r["source"]: r
+        for r in reg["incremental_dedup_update"].fn(spark, sf).collect()
+    }
+    assert rows["sA"]["n_batch"] == 3
+    assert rows["sA"]["n_dup_index"] == 1
+    assert rows["sA"]["n_dup_batch"] == 1
+    assert rows["sA"]["n_admitted"] == 1
+    assert rows["sB"]["n_batch"] == 1 and rows["sB"]["n_admitted"] == 1
+    assert "s0" not in rows  # snapshot rows are not re-reported
+
+
+def test_span_corruption_python_replica(spark, tmp_path, reg):
+    import hashlib
+
+    text = " ".join(f"w{i:03d}" for i in range(60))
+    sf = _write_docs(spark, tmp_path, [(7, text, "en", "s0")])
+    got = {r["doc_id"]: r for r in reg["span_corruption_stats"].fn(spark, sf).collect()}
+    K, n = 3, 60
+    starts = [
+        p
+        for p in range(1, n + 1)
+        if hashlib.md5(f"7:{p}".encode()).hexdigest()[:8] < "0e000000"
+    ]
+    if not starts:
+        assert 7 not in got
+        return
+    masked = 0
+    spans = 0
+    prev = None
+    for p in starts:
+        masked += K if prev is None else min(K, p - prev)
+        spans += 1 if prev is None or p - prev > K else 0
+        prev = p
+    masked -= max(0, starts[-1] + K - 1 - n)  # clip final span at doc end
+    r = got[7]
+    assert r["n_tokens"] == n
+    assert r["n_spans"] == spans
+    assert r["n_masked"] == masked
+    import math
+    assert r["mask_micro"] == math.floor(masked / n * 1e6 + 0.5)
