@@ -127,6 +127,7 @@ _FRONT = (
     "multimodal_audio_energy",
     "incremental_dedup_update",
     "span_corruption_stats",
+    "multimodal_image_neardup",
     # queries whose implementations/oracles changed recently
     "ann_cosine_topk_fast",
     "user_running_value",

@@ -246,3 +246,24 @@ def test_span_corruption_python_replica(spark, tmp_path, reg):
     assert r["n_masked"] == masked
     import math
     assert r["mask_micro"] == math.floor(masked / n * 1e6 + 0.5)
+
+
+def test_image_neardup_groups(spark, tmp_path, reg):
+    # 120 doc ids -> groups d%50; ids 0..119 give groups 0..49 with
+    # 2-3 members each; every surviving pair must be within-group
+    # (pixel vectors differ only at pixel 0, by |d1//50 - d2//50| <= 2)
+    sf = _write_docs(
+        spark, tmp_path, [(i, f"img {i}", "en", "s0") for i in range(120)]
+    )
+    rows = reg["multimodal_image_neardup"].fn(spark, sf).collect()
+    assert rows, "expected near-dup pairs"
+    for r in rows:
+        assert r["img_a"] % 50 == r["img_b"] % 50
+        delta = r["img_a"] // 50 - r["img_b"] // 50
+        assert r["l2_q"] == delta * delta
+    # groups 0..19 have 3 members (0,50,100): all 3 pairs should survive
+    # unless a sign flipped; group 0's exact-duplicate-distance pair is
+    # (50,100)? no: members 0,50,100 -> l2 in {1,4}; at least the
+    # adjacent pairs (delta=1) must land in the same signature bucket
+    found = {(r["img_a"], r["img_b"]) for r in rows}
+    assert (0, 50) in found and (50, 100) in found
