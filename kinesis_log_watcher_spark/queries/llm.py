@@ -2431,7 +2431,11 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .filter(F.col("doc_id") < 200)
     )
-    px = docs.mapInPandas(synth_decode, "doc_id bigint, i bigint, px bigint")
+    # Three subtrees consume the decoded pixels (signature path + both
+    # sides of the exact verify); persist so the codec kernel runs once.
+    px = docs.mapInPandas(
+        synth_decode, "doc_id bigint, i bigint, px bigint"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     proj = spark.range(P * D).select(
         (F.col("id") / D).cast("long").alias("j"),
