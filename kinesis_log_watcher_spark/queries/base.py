@@ -128,6 +128,7 @@ _FRONT = (
     "incremental_dedup_update",
     "span_corruption_stats",
     "multimodal_image_neardup",
+    "stream_quality_admission",
     # queries whose implementations/oracles changed recently
     "ann_cosine_topk_fast",
     "user_running_value",

@@ -236,3 +236,50 @@ from kinesis_log_watcher_spark.queries import llm as _llm  # noqa: E402,F401
 from kinesis_log_watcher_spark.queries.base import _REGISTRY as _R  # noqa: E402
 
 _R["stream_neardup_lsh"].oracle = _R["dedup_minhash_lsh"].oracle
+
+
+def _admission_oracle() -> str:
+    from kinesis_log_watcher_spark.streaming.windows import (
+        ADMISSION_MIN_CHARS,
+        ADMISSION_SAMPLE_THRESHOLD,
+        ADMISSION_SOURCES,
+    )
+
+    srcs = ", ".join(f"'{s}'" for s in ADMISSION_SOURCES)
+    return f"""
+    WITH flags AS (
+      SELECT lang,
+             (source IN ({srcs})
+              AND n_chars >= {ADMISSION_MIN_CHARS}) AS p_admit,
+             (source IN ({srcs})
+              AND n_chars >= {ADMISSION_MIN_CHARS}
+              AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '{ADMISSION_SAMPLE_THRESHOLD}') AS p_samp
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_seen,
+           CAST(SUM(CASE WHEN p_admit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_admitted,
+           CAST(SUM(CASE WHEN p_samp THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled
+    FROM flags GROUP BY lang
+    """
+
+
+@register(
+    "stream_quality_admission",
+    _admission_oracle(),
+    doc="Ingest-time corpus admission: source allowlist + length floor + "
+    "deterministic md5-threshold sampling evaluated on a DOCUMENT "
+    "stream (AvailableNow replay -> complete-mode per-language "
+    "counters). A bounded replay must equal the batch gate, which the "
+    "oracle computes directly — so the streaming and batch curation "
+    "paths provably admit the same documents "
+    "(streaming/windows.run_streaming_admission).",
+)
+def stream_quality_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.windows import (
+        run_streaming_admission,
+    )
+
+    return run_streaming_admission(spark, f"{sf_dir}/documents.parquet")

@@ -197,3 +197,64 @@ def run_sliding_counts(
     )
     q.awaitTermination(timeout_s)
     return spark.table(name)
+
+
+# Streaming corpus admission (the curation gate applied at ingest time).
+ADMISSION_SOURCES = tuple(f"src{i}" for i in range(0, 20, 2))
+ADMISSION_MIN_CHARS = 120
+ADMISSION_SAMPLE_THRESHOLD = "40000000"  # hash_draw < t ≈ 25%
+
+
+def run_streaming_admission(
+    spark: SparkSession,
+    docs_path: str,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Corpus admission at INGEST time: the same per-document gates a
+    batch curation pass applies (source allowlist, length floor,
+    deterministic md5-threshold sampling) evaluated on a document
+    stream, rolled up per language in complete mode. Stateless row
+    flags + one streaming aggregation — at 100 TB/day of crawl this is
+    the shape that avoids landing rejected documents at all: the gate
+    runs in the ingest job, only admitted docs reach storage, and the
+    per-language counters are the live curation dashboard. The
+    deterministic hash sample means an ingest-time 25% draw admits
+    exactly the docs a later batch re-run would pick (no RNG drift
+    between the streaming and batch paths — the md5 convention from
+    operators/sampling.py)."""
+    from kinesis_log_watcher_spark.sources.files import read_parquet_stream
+
+    ensure_session_confs(spark)
+    stream = read_parquet_stream(
+        spark, docs_path, max_files_per_trigger=max_files_per_trigger
+    )
+    admitted = F.col("source").isin(*ADMISSION_SOURCES) & (
+        F.col("n_chars") >= ADMISSION_MIN_CHARS
+    )
+    sampled = admitted & (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+        < ADMISSION_SAMPLE_THRESHOLD
+    )
+    flags = stream.select(
+        "lang", admitted.alias("p_admit"), sampled.alias("p_samp")
+    )
+    agg = flags.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_seen"),
+        F.sum(F.when(F.col("p_admit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_admitted"),
+        F.sum(F.when(F.col("p_samp"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sampled"),
+    )
+    name = f"stream_admission_{next(_counter)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)

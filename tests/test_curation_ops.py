@@ -267,3 +267,43 @@ def test_image_neardup_groups(spark, tmp_path, reg):
     # adjacent pairs (delta=1) must land in the same signature bucket
     found = {(r["img_a"], r["img_b"]) for r in rows}
     assert (0, 50) in found and (50, 100) in found
+
+
+def test_streaming_admission_multibatch_equals_batch(spark, tmp_path):
+    from kinesis_log_watcher_spark.streaming.windows import (
+        ADMISSION_MIN_CHARS,
+        ADMISSION_SOURCES,
+        run_streaming_admission,
+    )
+
+    # 3 parquet files -> 3 micro-batches with maxFilesPerTrigger=1
+    rows = []
+    for i in range(90):
+        text = "x" * (100 + (i * 7) % 60)  # straddles the length floor
+        rows.append((i, text, ["en", "de"][i % 2], f"src{i % 5}", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = f"{tmp_path}/documents.parquet"
+    df.repartition(3).write.mode("overwrite").parquet(path)
+    got = {
+        r["lang"]: r
+        for r in run_streaming_admission(
+            spark, path, max_files_per_trigger=1
+        ).collect()
+    }
+    import hashlib
+
+    exp = {}
+    for i, text, lang, src, n_chars in rows:
+        e = exp.setdefault(lang, [0, 0, 0])
+        e[0] += 1
+        admit = src in ADMISSION_SOURCES and n_chars >= ADMISSION_MIN_CHARS
+        e[1] += admit
+        e[2] += admit and (
+            hashlib.md5(str(i).encode()).hexdigest()[:8] < "40000000"
+        )
+    for lang, (n_seen, n_admit, n_samp) in exp.items():
+        assert got[lang]["n_seen"] == n_seen
+        assert got[lang]["n_admitted"] == n_admit
+        assert got[lang]["n_sampled"] == n_samp
