@@ -129,6 +129,7 @@ _FRONT = (
     "span_corruption_stats",
     "multimodal_image_neardup",
     "stream_quality_admission",
+    "event_transition_matrix",
     # queries whose implementations/oracles changed recently
     "ann_cosine_topk_fast",
     "user_running_value",

@@ -1959,3 +1959,62 @@ def lineitem_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_quantity"), 12, 2).alias("qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# event-sequence mining: first-order Markov transition matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type)
+    SELECT from_type, to_type, n,
+           CAST(floor(CAST(n AS DOUBLE)
+                      / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS prob_micro
+    FROM c
+    """,
+    doc="Event-sequence mining: the first-order Markov transition matrix "
+    "over per-user event streams — P(next event type | current), the "
+    "user-behavior model sitting under next-action prediction and "
+    "anomaly scoring. One lead() window per user (total order ts, "
+    "event_id — ties broken deterministically), one (from, to) count "
+    "aggregation, and row-normalized probabilities where the per-from "
+    "total comes from a window over the K^2-row matrix (never a second "
+    "scan). Scale shape: the sequence window shuffles once on user_id, "
+    "the count agg once on the (from, to) pair — both partial-agg "
+    "friendly; the matrix itself is event-type-cardinality-sized, tiny "
+    "at any corpus scale. prob_micro = floor(n/total*1e6+0.5): one "
+    "IEEE division of exact int64s, engine-identical.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    nxt = F.lead("event_type").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    seq = ev.select("user_id", "event_type", nxt.alias("next_type"))
+    c = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy("from_type"))
+    prob = F.floor(
+        F.col("n").cast("double") / total.cast("double") * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return c.select("from_type", "to_type", "n", prob.alias("prob_micro"))

@@ -307,3 +307,32 @@ def test_streaming_admission_multibatch_equals_batch(spark, tmp_path):
         assert got[lang]["n_seen"] == n_seen
         assert got[lang]["n_admitted"] == n_admit
         assert got[lang]["n_sampled"] == n_samp
+
+
+def test_event_transition_matrix_handcheck(spark, tmp_path, reg):
+    from datetime import datetime
+
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1, "a"),
+        (2, datetime(2024, 1, 1, 0, 1, 0), 1, "b"),
+        (3, datetime(2024, 1, 1, 0, 2, 0), 1, "a"),
+        (4, datetime(2024, 1, 1, 0, 0, 0), 2, "a"),
+        (5, datetime(2024, 1, 1, 0, 1, 0), 2, "b"),
+    ]
+    df = spark.createDataFrame(
+        [(e, ts, u, t, 1.0, "{}") for e, ts, u, t in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r["from_type"], r["to_type"]): r
+        for r in reg["event_transition_matrix"].fn(spark, str(tmp_path)).collect()
+    }
+    # transitions: a->b x2, b->a x1
+    assert got[("a", "b")]["n"] == 2
+    assert got[("a", "b")]["prob_micro"] == 1_000_000  # a only goes to b
+    assert got[("b", "a")]["n"] == 1
+    assert got[("b", "a")]["prob_micro"] == 1_000_000  # b only goes to a
+    assert len(got) == 2
