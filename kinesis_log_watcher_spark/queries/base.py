@@ -130,6 +130,8 @@ _FRONT = (
     "multimodal_image_neardup",
     "stream_quality_admission",
     "event_transition_matrix",
+    "orders_schema_evolution",
+    "orders_corrupt_file_tolerance",
     # queries whose implementations/oracles changed recently
     "ann_cosine_topk_fast",
     "user_running_value",

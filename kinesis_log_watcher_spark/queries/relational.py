@@ -2018,3 +2018,82 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("long")
     return c.select("from_type", "to_type", "n", prob.alias("prob_micro"))
+
+
+# ---------------------------------------------------------------------------
+# file robustness: schema evolution + corrupt-file tolerance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_schema_evolution",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                         THEN o_custkey ELSE 0 END) AS BIGINT) AS evolved_sum
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Schema-evolution read: the orders table is re-written as TWO "
+    "parquet generations — an old file WITHOUT the o_custkey column "
+    "(odd orderkeys) and a new file with it (even orderkeys) — then "
+    "read back with mergeSchema, where rows from the old generation "
+    "surface o_custkey as NULL. The aggregate coalesces the evolved "
+    "column (SUM over even keys only), and the oracle computes the "
+    "same from the ORIGINAL table — proving merged reads lose nothing "
+    "and misalign nothing. At 100 TB this is routine, not exotic: a "
+    "decade of crawl output never has one schema; readers must handle "
+    "per-file column sets without a rewrite.",
+)
+def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="evo_") + "/orders"
+    old_gen = orders.filter(F.col("o_orderkey") % 2 == 1).drop("o_custkey")
+    new_gen = orders.filter(F.col("o_orderkey") % 2 == 0)
+    old_gen.write.mode("overwrite").parquet(f"{path}/gen=old")
+    new_gen.write.mode("overwrite").parquet(f"{path}/gen=new")
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.coalesce(F.col("o_custkey"), F.lit(0)))
+        .cast("long")
+        .alias("evolved_sum"),
+    )
+
+
+@register(
+    "orders_corrupt_file_tolerance",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    """,
+    doc="File-level corruption tolerance: the orders table is written to "
+    "a directory alongside a garbage file with a .parquet name, then "
+    "read with ignoreCorruptFiles — the scan must return exactly the "
+    "valid rows (oracle = the original table) instead of failing the "
+    "whole job. Complements json_corrupt_tolerance (RECORD-level "
+    "PERMISSIVE parse): at 100 TB a handful of truncated files from "
+    "failed writers are a statistical certainty, and a reader that "
+    "dies on the first one cannot finish a day.",
+)
+def orders_corrupt_file_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="corrupt_") + "/orders"
+    orders.write.mode("overwrite").parquet(path)
+    with open(f"{path}/part-junk.parquet", "wb") as fh:
+        fh.write(b"this is not a parquet file at all \x00\x01\x02")
+    back = (
+        spark.read.schema(orders.schema)
+        .option("ignoreCorruptFiles", True)
+        .parquet(path)
+    )
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
