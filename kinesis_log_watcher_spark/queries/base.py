@@ -132,6 +132,7 @@ _FRONT = (
     "event_transition_matrix",
     "orders_schema_evolution",
     "orders_corrupt_file_tolerance",
+    "stream_rate_limit",
     # queries whose implementations/oracles changed recently
     "ann_cosine_topk_fast",
     "user_running_value",

@@ -283,3 +283,46 @@ def stream_quality_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_admission(spark, f"{sf_dir}/documents.parquet")
+
+
+def _rate_limit_oracle() -> str:
+    from kinesis_log_watcher_spark.streaming.ratelimit import (
+        RATE_LIMIT_K,
+        RATE_WINDOW_S,
+    )
+
+    return f"""
+    WITH a AS (
+      SELECT e1.user_id, e1.event_id,
+             (SELECT COUNT(*) FROM events e2
+              WHERE e2.user_id = e1.user_id
+                AND e2.ts > e1.ts - INTERVAL {RATE_WINDOW_S} SECOND
+                AND (e2.ts < e1.ts
+                     OR (e2.ts = e1.ts AND e2.event_id < e1.event_id))
+             ) < {RATE_LIMIT_K} AS admitted
+      FROM events e1)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_admitted
+    FROM a GROUP BY user_id
+    """
+
+
+@register(
+    "stream_rate_limit",
+    _rate_limit_oracle(),
+    doc="Stateful streaming rate limiter (sliding-window log): admit an "
+    "event iff fewer than K strictly-prior arrivals — total order "
+    "(ts, event_id) — from the same user fall in the preceding hour. "
+    "The record-level analogue of the reference's connector throttle "
+    "(R1): applyInPandasWithState keeps one bounded per-user arrival "
+    "log, each micro-batch sorts its rows into the total order, and "
+    "the replay provably equals the batch definition, which the "
+    "oracle computes as a correlated time-bounded count "
+    "(streaming/ratelimit.py).",
+)
+def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.ratelimit import run_rate_limit
+
+    return run_rate_limit(spark, f"{sf_dir}/events.parquet")

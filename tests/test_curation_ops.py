@@ -336,3 +336,61 @@ def test_event_transition_matrix_handcheck(spark, tmp_path, reg):
     assert got[("b", "a")]["n"] == 1
     assert got[("b", "a")]["prob_micro"] == 1_000_000  # b only goes to a
     assert len(got) == 2
+
+
+def _write_events_files(spark, tmp_path, batches):
+    """Write each batch as one time-ordered parquet file (mirrors the
+    stateful-session test fixtures: file order == event-time order)."""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime, timedelta
+
+    d = tmp_path / "ev"
+    d.mkdir(exist_ok=True)
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    eid = 0
+    for i, batch in enumerate(batches):
+        rows = []
+        for user, offset_s in batch:
+            eid += 1
+            rows.append(
+                (eid, t0 + timedelta(seconds=offset_s), user, "e", 1.0, "{}")
+            )
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        stage = tmp_path / f"stage{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        dest = d / f"f{i}.parquet"
+        shutil.move(part, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    return str(d)
+
+
+def test_rate_limit_boundary_and_multibatch(spark, tmp_path):
+    from kinesis_log_watcher_spark.streaming.ratelimit import run_rate_limit
+
+    # user 1: 8 events inside one hour -> first 5 admitted, 3 throttled;
+    # then one event a full hour after the last -> window slid, admitted.
+    # user 2: 2 sparse events -> all admitted. Split mid-stream into two
+    # files so the limiter's state must carry across micro-batches.
+    b1 = [(1, 0), (1, 60), (1, 120), (1, 180), (2, 0)]
+    b2 = [(1, 240), (1, 300), (1, 360), (1, 420), (1, 420 + 3601 + 3600), (2, 7200)]
+    path = _write_events_files(spark, tmp_path, [b1, b2])
+    single = {
+        r["user_id"]: r for r in run_rate_limit(spark, f"{path}/*.parquet").collect()
+    }
+    multi = {
+        r["user_id"]: r
+        for r in run_rate_limit(
+            spark, f"{path}/*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    for got in (single, multi):
+        assert got[1]["n_events"] == 9
+        assert got[1]["n_admitted"] == 6  # 5 in-window + 1 after the slide
+        assert got[2]["n_events"] == 2 and got[2]["n_admitted"] == 2
