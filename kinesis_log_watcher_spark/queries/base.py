@@ -133,6 +133,7 @@ _FRONT = (
     "orders_schema_evolution",
     "orders_corrupt_file_tolerance",
     "stream_rate_limit",
+    "ts_profile_similarity",
     # queries whose implementations/oracles changed recently
     "ann_cosine_topk_fast",
     "user_running_value",

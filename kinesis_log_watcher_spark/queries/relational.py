@@ -2097,3 +2097,129 @@ def orders_corrupt_file_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").cast("long").alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series similarity search: z-normalized profile matching
+# ---------------------------------------------------------------------------
+
+_TSS_QUERY_USER = 1
+_TSS_TOPK = 10
+
+
+@register(
+    "ts_profile_similarity",
+    f"""
+    WITH hours AS (
+      SELECT DISTINCT e.user_id, h.h
+      FROM events e, (SELECT unnest(range(24)) AS h) h),
+    sums AS (
+      SELECT user_id, CAST(hour(ts) AS BIGINT) AS h,
+             CAST(floor(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                        * 100 + 0.5) AS BIGINT) AS vq
+      FROM events GROUP BY user_id, hour(ts)),
+    series AS (
+      SELECT hours.user_id, hours.h, COALESCE(sums.vq, 0) AS vq
+      FROM hours LEFT JOIN sums
+        ON hours.user_id = sums.user_id AND hours.h = sums.h),
+    stats AS (
+      SELECT user_id,
+             CAST(SUM(vq) AS DOUBLE) / 24 AS mu,
+             CAST(SUM(vq * vq) AS DOUBLE) / 24
+               - (CAST(SUM(vq) AS DOUBLE) / 24)
+                 * (CAST(SUM(vq) AS DOUBLE) / 24) AS var
+      FROM series GROUP BY user_id),
+    z AS (
+      SELECT s.user_id, s.h,
+             CAST(floor(CASE WHEN st.var = 0 THEN 0
+                             ELSE (s.vq - st.mu) / sqrt(st.var) END
+                        * 1000000 + 0.5) AS BIGINT) AS zq
+      FROM series s JOIN stats st ON s.user_id = st.user_id),
+    q AS (SELECT h, zq AS qzq FROM z WHERE user_id = {_TSS_QUERY_USER}),
+    d AS (
+      SELECT z.user_id,
+             CAST(SUM((z.zq - q.qzq) * (z.zq - q.qzq)) AS BIGINT) AS dist_q
+      FROM z JOIN q ON z.h = q.h
+      WHERE z.user_id <> {_TSS_QUERY_USER}
+      GROUP BY z.user_id)
+    SELECT user_id, dist_q,
+           CAST(ROW_NUMBER() OVER (ORDER BY dist_q, user_id) AS BIGINT)
+             AS rank
+    FROM (SELECT * FROM d ORDER BY dist_q, user_id LIMIT {_TSS_TOPK})
+    """,
+    doc="Time-series similarity search (the distributed restatement of "
+    "streaming-subsequence matching, cf. 'Time Series Similarity Search "
+    "for Streaming Data in Distributed Systems', EDBT 2019): each "
+    "user's activity profile is the dense 24-hour vector of exact-"
+    "decimal hourly value sums (missing hours zero-filled), z-"
+    "normalized per user (sqrt is IEEE-correctly-rounded; sigma=0 "
+    "degenerates to z=0), QUANTIZED to int64 micro-units, and matched "
+    "against the query user's profile by exact integer squared "
+    "distance — top-k under the total order (dist, user_id). Scale "
+    "shape: profiles = one (user, hour) agg; stats = one user agg; the "
+    "24-row query vector broadcasts to the z relation; top-k = "
+    "sort+limit (TakeOrdered). The z-normalization makes it match "
+    "SHAPE, not magnitude — the similarity-search semantics profile "
+    "matching needs.",
+)
+def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    hours = users.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("h")
+    )
+    sums = ev.groupBy(
+        "user_id", F.hour("ts").cast("long").alias("h")
+    ).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+            * F.lit(100)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("vq")
+    )
+    series = hours.join(sums, ["user_id", "h"], "left").select(
+        "user_id", "h", F.coalesce("vq", F.lit(0)).alias("vq")
+    )
+    stats = series.groupBy("user_id").agg(
+        (F.sum("vq").cast("double") / 24).alias("mu"),
+        (
+            F.sum(F.col("vq") * F.col("vq")).cast("double") / 24
+            - (F.sum("vq").cast("double") / 24)
+            * (F.sum("vq").cast("double") / 24)
+        ).alias("var"),
+    )
+    z = series.join(stats, "user_id").select(
+        "user_id",
+        "h",
+        F.floor(
+            F.when(F.col("var") == 0, F.lit(0.0)).otherwise(
+                (F.col("vq") - F.col("mu")) / F.sqrt(F.col("var"))
+            )
+            * F.lit(1000000)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("zq"),
+    )
+    q = z.filter(F.col("user_id") == _TSS_QUERY_USER).select(
+        "h", F.col("zq").alias("qzq")
+    )
+    d = (
+        z.filter(F.col("user_id") != _TSS_QUERY_USER)
+        .join(F.broadcast(q), "h")
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("zq") - F.col("qzq")) * (F.col("zq") - F.col("qzq")))
+            .cast("long")
+            .alias("dist_q")
+        )
+    )
+    top = d.orderBy(F.col("dist_q").asc(), F.col("user_id").asc()).limit(
+        _TSS_TOPK
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.col("dist_q").asc(), F.col("user_id").asc())
+    )
+    return top.select("user_id", "dist_q", rank.cast("long").alias("rank"))

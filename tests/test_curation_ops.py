@@ -394,3 +394,37 @@ def test_rate_limit_boundary_and_multibatch(spark, tmp_path):
         assert got[1]["n_events"] == 9
         assert got[1]["n_admitted"] == 6  # 5 in-window + 1 after the slide
         assert got[2]["n_events"] == 2 and got[2]["n_admitted"] == 2
+
+
+def test_ts_profile_similarity_shape_invariance(spark, tmp_path, reg):
+    from datetime import datetime
+
+    # user 1 (query) and user 2 have the SAME shape profile at different
+    # magnitudes (x10) -> z-normalized distance 0; user 3's profile is
+    # the reverse shape -> strictly farther.
+    rows = []
+    eid = 0
+    base = [5.0, 10.0, 20.0, 40.0]  # hours 0..3, ascending
+    for user, scale, pattern in (
+        (1, 1.0, base),
+        (2, 10.0, base),
+        (3, 1.0, list(reversed(base))),
+    ):
+        for h, v in enumerate(pattern):
+            eid += 1
+            rows.append(
+                (eid, datetime(2024, 1, 1, h, 0, 0), user, "e", v * scale, "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["user_id"]: r
+        for r in reg["ts_profile_similarity"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[2]["dist_q"] == 0  # scale-invariant: same shape
+    assert got[3]["dist_q"] > 0
+    assert got[2]["rank"] == 1 and got[3]["rank"] == 2
