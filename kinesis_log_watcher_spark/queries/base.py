@@ -134,6 +134,8 @@ _FRONT = (
     "orders_corrupt_file_tolerance",
     "stream_rate_limit",
     "ts_profile_similarity",
+    "dedup_keep_longest",
+    "targeted_deletion_rewrite",
     # queries whose implementations/oracles changed recently
     "ann_cosine_topk_fast",
     "user_running_value",

@@ -2488,3 +2488,106 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(diff2).cast("long").alias("l2_q"))
         .filter(F.col("l2_q") <= _IMG_ND_THRESHOLD)
     )
+
+
+# --------------------------------------------------------------------------
+# dedup policy variant: keep the LONGEST member of each duplicate group
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_keep_longest",
+    """
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(list_slice(string_split(lower(text), ' '),
+                                            1, 8), ' ')) AS head_fp
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, n_chars, head_fp,
+             ROW_NUMBER() OVER (PARTITION BY head_fp
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY head_fp) AS BIGINT)
+               AS group_size
+      FROM fp)
+    SELECT doc_id, group_size, CAST(n_chars AS BIGINT) AS kept_chars
+    FROM ranked
+    WHERE rn = 1 AND group_size > 1
+    """,
+    doc="Dedup KEEP-LONGEST policy: duplicate groups keyed by the "
+    "first-8-token head fingerprint — the truncation canonicalization: "
+    "near-identical scrapes usually share their opening and differ by "
+    "where they were cut off — keep their longest member (n_chars "
+    "DESC, doc_id tiebreak) instead of the first-seen one, since the "
+    "longest copy carries the most content. Emits one row per "
+    "non-trivial group (its keeper + group size). Same one-shuffle "
+    "shape as keep-first: a window over the fingerprint key; only the "
+    "ORDER BY changes — policy is orthogonal to the grouping "
+    "machinery.",
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    head = F.md5(
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower(F.col("text")), " "), 1, 8)
+        )
+    )
+    fp = docs.select("doc_id", "n_chars", head.alias("head_fp"))
+    w = Window.partitionBy("head_fp")
+    rn = F.row_number().over(
+        w.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    )
+    ranked = fp.select(
+        "doc_id",
+        "n_chars",
+        rn.alias("rn"),
+        F.count("*").over(w).cast("long").alias("group_size"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("group_size") > 1)).select(
+        "doc_id", "group_size", F.col("n_chars").cast("long").alias("kept_chars")
+    )
+
+
+# --------------------------------------------------------------------------
+# targeted deletion — right-to-be-forgotten rewrite lifecycle
+# --------------------------------------------------------------------------
+
+
+@register(
+    "targeted_deletion_rewrite",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tombstoned_remaining
+    FROM documents
+    WHERE doc_id % 37 <> 0
+    GROUP BY source
+    """,
+    doc="Targeted deletion (takedown / right-to-be-forgotten): a "
+    "tombstone relation (doc_id % 37 = 0 here; in production an "
+    "explicit id list) is anti-joined against the corpus, the "
+    "survivors are REWRITTEN to parquet, and the result is computed "
+    "from the re-read output — per-source kept counts plus an "
+    "always-zero audit column proving no tombstoned doc survived the "
+    "rewrite. The tombstone side broadcasts (deletion lists are tiny "
+    "relative to the corpus); the rewrite touches every partition "
+    "once, which is the unavoidable cost of physical deletion in "
+    "immutable storage — the same shape at 100 TB, usually scoped to "
+    "the partitions the tombstones prune to.",
+)
+def targeted_deletion_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    tombstones = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id")
+    survivors = docs.join(F.broadcast(tombstones), "doc_id", "left_anti")
+    path = tempfile.mkdtemp(prefix="del_") + "/documents"
+    survivors.write.mode("overwrite").parquet(path)
+    back = spark.read.schema(docs.schema).parquet(path)
+    return back.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("doc_id") % 37 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_tombstoned_remaining"),
+    )

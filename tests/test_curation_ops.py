@@ -463,3 +463,34 @@ def test_new_op_invariants_on_driver_corpus(spark, reg):
     # (the target IS the en sub-corpus)
     dsir = reg["dsir_importance_weights"].fn(spark, sf).collect()
     assert dsir and all(isinstance(r["logw_nano"], int) for r in dsir)
+
+
+def test_dedup_keep_longest_policy(spark, tmp_path, reg):
+    # three docs share their 8-token head; the longest (least truncated)
+    # copy wins regardless of arrival order.
+    head = "w0 w1 w2 w3 w4 w5 w6 w7"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, head + " short tail", "en", "s0"),
+            (1, head + " a much longer continuation of the text", "en", "s0"),
+            (2, head, "en", "s0"),
+            (3, "something else entirely different here ok yes", "en", "s0"),
+        ],
+    )
+    rows = reg["dedup_keep_longest"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r["doc_id"] == 1 and r["group_size"] == 3
+    assert r["kept_chars"] == len(head + " a much longer continuation of the text")
+
+
+def test_targeted_deletion_removes_all_tombstoned(spark, tmp_path, reg):
+    sf = _write_docs(
+        spark, tmp_path, [(i, f"text {i}", "en", f"s{i % 2}") for i in range(80)]
+    )
+    rows = reg["targeted_deletion_rewrite"].fn(spark, sf).collect()
+    kept = sum(r["n_kept"] for r in rows)
+    assert kept == sum(1 for i in range(80) if i % 37 != 0)
+    assert all(r["n_tombstoned_remaining"] == 0 for r in rows)
