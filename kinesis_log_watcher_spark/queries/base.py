@@ -117,6 +117,17 @@ _FRONT = (
     "waiting_supplier_ranking",
     "min_cost_supplier",
     "part_share_suppliers",
+    # queries whose implementations/oracles changed recently (incl. the
+    # two round-3 hash-fail oracle-cast fixes — they need green rows)
+    "user_event_type_islands",
+    "user_ancestry_chain",
+    "ann_cosine_topk_fast",
+    "user_running_value",
+    "events_json_extract",
+    "asof_latest_order",
+    "user_sessions",
+    "event_type_pivot",
+    "events_grouping_sets",
     # queries added in round 4 (no official row yet)
     "unigram_logprob_buckets",
     "dsir_importance_weights",
@@ -130,22 +141,12 @@ _FRONT = (
     "multimodal_image_neardup",
     "stream_quality_admission",
     "event_transition_matrix",
-    "orders_schema_evolution",
-    "orders_corrupt_file_tolerance",
     "stream_rate_limit",
     "ts_profile_similarity",
     "dedup_keep_longest",
     "targeted_deletion_rewrite",
-    # queries whose implementations/oracles changed recently
-    "ann_cosine_topk_fast",
-    "user_running_value",
-    "events_json_extract",
-    "asof_latest_order",
-    "user_sessions",
-    "event_type_pivot",
-    "events_grouping_sets",
-    "user_event_type_islands",
-    "user_ancestry_chain",
+    "orders_schema_evolution",
+    "orders_corrupt_file_tolerance",
 )
 
 
