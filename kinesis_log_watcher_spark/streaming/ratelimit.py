@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 
 from kinesis_log_watcher_spark.functions.tscompat import normalize_ts_cols
 from kinesis_log_watcher_spark.session import ensure_session_confs
+from kinesis_log_watcher_spark.streaming.tws import tws_runtime_available
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 RATE_LIMIT_K = 5
 RATE_WINDOW_S = 3600
@@ -82,10 +87,71 @@ def _admit_updates(k: int, window_s: int):
     return fn
 
 
+class RateLimitProcessor(StatefulProcessor):
+    """transformWithState twin of the limiter: the arrival log lives in
+    a ListState (one int64 row per in-window arrival) — the Spark-4
+    typed-state API's natural fit for a log-shaped value, alongside
+    tws.py's ValueState running totals. Same total order, same
+    admission rule, same bounded state as the applyInPandasWithState
+    path (which remains the no-protobuf fallback)."""
+
+    def __init__(self, k: int = RATE_LIMIT_K, window_s: int = RATE_WINDOW_S):
+        self._k = k
+        self._window_us = window_s * _US
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._log = handle.getListState("ts_log", "t bigint")
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        log = [int(r[0]) for r in self._log.get()]
+        batch = pd.concat(list(rows), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        ts_us = batch["ts"].astype("datetime64[us]").astype("int64")
+        out_eid: list[int] = []
+        out_adm: list[int] = []
+        for t, eid in zip(ts_us, batch["event_id"]):
+            t = int(t)
+            log = [p for p in log if p > t - self._window_us]
+            out_eid.append(int(eid))
+            out_adm.append(1 if len(log) < self._k else 0)
+            log.append(t)
+        self._log.clear()
+        if log:
+            self._log.appendList([(t,) for t in log])
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_eid),
+                "event_id": out_eid,
+                "admitted": out_adm,
+            }
+        )
+
+    def close(self) -> None:  # pragma: no cover - no resources held
+        pass
+
+
 def admit_stream(
-    events: DataFrame, k: int = RATE_LIMIT_K, window_s: int = RATE_WINDOW_S
+    events: DataFrame,
+    k: int = RATE_LIMIT_K,
+    window_s: int = RATE_WINDOW_S,
+    use_tws: bool | None = None,
 ) -> DataFrame:
-    """Stream in → one (user_id, event_id, admitted) row per event."""
+    """Stream in → one (user_id, event_id, admitted) row per event.
+
+    ``use_tws=None`` auto-detects (same gate as tws.py): the
+    transformWithState ListState processor when its protobuf-backed
+    worker can run, else the applyInPandasWithState twin."""
+    if use_tws is None:
+        use_tws = tws_runtime_available()
+    if use_tws:
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RateLimitProcessor(k, window_s),
+            outputStructType=ADMIT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
     return events.groupBy("user_id").applyInPandasWithState(
         _admit_updates(k, window_s),
         outputStructType=ADMIT_SCHEMA,
