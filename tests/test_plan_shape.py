@@ -227,3 +227,22 @@ def test_curation_funnel_single_pass(spark, reg):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert plan.count("Exchange") <= 2
     assert "Window" in plan
+
+
+def test_join_strategy_hints_take_effect(spark):
+    """The engine exposes Catalyst's join-strategy control surface: the
+    same orders |><| customer equi-join planned three ways via hints.
+    At scale this is how an operator overrides a misestimated side
+    (e.g. force SHUFFLE_HASH when a 'small' dim is actually huge)."""
+    from kinesis_log_watcher_spark.queries.base import load
+
+    orders = load(spark, SF_DIR, "orders")
+    cust = load(spark, SF_DIR, "customer")
+
+    def planned(hint: str) -> str:
+        j = orders.join(cust.hint(hint), orders.o_custkey == cust.c_custkey)
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in planned("broadcast")
+    assert "ShuffledHashJoin" in planned("shuffle_hash")
+    assert "SortMergeJoin" in planned("merge")
