@@ -17,16 +17,25 @@ count), and the streaming processor reproduces it exactly by sorting
 each micro-batch by (ts, event_id) — tie pairs decide by event_id, not
 arrival accident.
 
-State: one timestamp log per key holding only arrivals inside the
-current window — bounded by the per-key arrival rate times the window,
-independent of stream length (old entries evict as time advances; at
-100 TB the same plan adds GroupStateTimeout eviction for keys gone
-idle, as streaming/neardup.py does)."""
+State: one (ts, event_id) arrival log per key holding only arrivals
+inside the current window — bounded by the per-key arrival rate times
+the window, independent of stream length (old entries evict as time
+advances; at 100 TB the same plan adds GroupStateTimeout eviction for
+keys gone idle, as streaming/neardup.py does).
+
+Replay contract (same as the sessionizer, streaming/stateful.py):
+micro-batches may SPLIT the stream anywhere, but cross-batch delivery
+must respect event-time order — an event delivered after one it
+precedes in (ts, event_id) order was decided without it. Within that
+contract the replay equals the batch oracle exactly: each decision
+counts strictly-prior arrivals by the total order (late equal-ts ties
+are never miscounted — the log stores event ids, not just timestamps),
+and eviction never drops an entry still inside a future event's
+window."""
 
 from __future__ import annotations
 
 import itertools
-import os
 from collections.abc import Iterator
 from typing import Any
 
@@ -51,7 +60,34 @@ _US = 1_000_000
 _counter = itertools.count()
 
 ADMIT_SCHEMA = "user_id bigint, event_id bigint, admitted int"
-STATE_SCHEMA = "ts_log array<bigint>"
+STATE_SCHEMA = "ts_log array<bigint>, eid_log array<bigint>"
+
+
+def _decide(
+    log: list[tuple[int, int]],
+    ts_us,
+    eids,
+    k: int,
+    window_us: int,
+) -> tuple[list[int], list[int], list[tuple[int, int]]]:
+    """Shared admission fold: ``log`` holds (t_us, event_id) arrivals.
+    An event counts only STRICTLY PRIOR arrivals in the (ts, event_id)
+    total order — so a late-delivered tie or out-of-order entry is
+    never miscounted as prior — and eviction drops only entries older
+    than t-window (entries 'in the future' of an out-of-order event
+    survive for the events they are prior to)."""
+    out_eid: list[int] = []
+    out_adm: list[int] = []
+    for t, eid in zip(ts_us, eids):
+        t, eid = int(t), int(eid)
+        log = [(p, pe) for (p, pe) in log if p > t - window_us]
+        n_prior = sum(
+            1 for (p, pe) in log if p < t or (p == t and pe < eid)
+        )
+        out_eid.append(eid)
+        out_adm.append(1 if n_prior < k else 0)
+        log.append((t, eid))
+    return out_eid, out_adm, log
 
 
 def _admit_updates(k: int, window_s: int):
@@ -63,19 +99,18 @@ def _admit_updates(k: int, window_s: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        log: list[int] = list(state.get[0]) if state.exists else []
+        if state.exists:
+            ts_log, eid_log = state.get
+            log = list(zip(ts_log, eid_log))
+        else:
+            log = []
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"])
         ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
-        out_eid: list[int] = []
-        out_adm: list[int] = []
-        for t, eid in zip(ts_us, rows["event_id"]):
-            t = int(t)
-            log = [p for p in log if p > t - window_us]
-            out_eid.append(int(eid))
-            out_adm.append(1 if len(log) < k else 0)
-            log.append(t)
-        state.update((log,))
+        out_eid, out_adm, log = _decide(
+            log, ts_us, rows["event_id"], k, window_us
+        )
+        state.update(([p for p, _ in log], [pe for _, pe in log]))
         yield pd.DataFrame(
             {
                 "user_id": [user_id] * len(out_eid),
@@ -100,26 +135,21 @@ class RateLimitProcessor(StatefulProcessor):
         self._window_us = window_s * _US
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._log = handle.getListState("ts_log", "t bigint")
+        self._log = handle.getListState("ts_log", "t bigint, eid bigint")
 
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
-        log = [int(r[0]) for r in self._log.get()]
+        log = [(int(r[0]), int(r[1])) for r in self._log.get()]
         batch = pd.concat(list(rows), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"])
         ts_us = batch["ts"].astype("datetime64[us]").astype("int64")
-        out_eid: list[int] = []
-        out_adm: list[int] = []
-        for t, eid in zip(ts_us, batch["event_id"]):
-            t = int(t)
-            log = [p for p in log if p > t - self._window_us]
-            out_eid.append(int(eid))
-            out_adm.append(1 if len(log) < self._k else 0)
-            log.append(t)
+        out_eid, out_adm, log = _decide(
+            log, ts_us, batch["event_id"], self._k, self._window_us
+        )
         self._log.clear()
         if log:
-            self._log.appendList([(t,) for t in log])
+            self._log.appendList(log)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(out_eid),
@@ -173,14 +203,13 @@ def run_rate_limit(
     the per-event admissions up per user. Each event is emitted exactly
     once (in the batch that carries it), so the update sink is already
     the full decision relation."""
-    ensure_session_confs(spark)
-    schema = spark.read.parquet(events_path).schema
-    reader = spark.readStream.schema(schema).option(
-        "pathGlobFilter", os.path.basename(events_path)
+    from kinesis_log_watcher_spark.sources.files import (
+        await_or_raise,
+        read_parquet_stream,
     )
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(os.path.dirname(events_path))
+
+    ensure_session_confs(spark)
+    stream = read_parquet_stream(spark, events_path, max_files_per_trigger)
     stream = normalize_ts_cols(stream)
     name = f"rate_limit_{next(_counter)}"
     q = (
@@ -191,7 +220,7 @@ def run_rate_limit(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_or_raise(q, timeout_s)
     return (
         spark.table(name)
         .groupBy("user_id")

@@ -223,7 +223,10 @@ def run_streaming_admission(
     exactly the docs a later batch re-run would pick (no RNG drift
     between the streaming and batch paths — the md5 convention from
     operators/sampling.py)."""
-    from kinesis_log_watcher_spark.sources.files import read_parquet_stream
+    from kinesis_log_watcher_spark.sources.files import (
+        await_or_raise,
+        read_parquet_stream,
+    )
 
     ensure_session_confs(spark)
     stream = read_parquet_stream(
@@ -256,5 +259,5 @@ def run_streaming_admission(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_or_raise(q, timeout_s)
     return spark.table(name)
