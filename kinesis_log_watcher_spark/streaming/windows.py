@@ -22,6 +22,10 @@ from kinesis_log_watcher_spark.functions.tscompat import normalize_ts_cols
 from kinesis_log_watcher_spark.session import ensure_session_confs
 
 from kinesis_log_watcher_spark.functions.exact import dec
+from kinesis_log_watcher_spark.sources.files import (
+    await_or_raise,
+    read_parquet_stream,
+)
 
 _counter = itertools.count()
 
@@ -32,17 +36,8 @@ def run_windowed_counts(
     window: str = "1 hour",
     timeout_s: int = 300,
 ) -> DataFrame:
-    import os
-
     ensure_session_confs(spark)
-    schema = spark.read.parquet(events_path).schema
-    # The file stream source wants a directory; point it at the parent and
-    # glob-filter to this table's file(s).
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .parquet(os.path.dirname(events_path))
-    )
+    stream = read_parquet_stream(spark, events_path)
     # events.ts layout varies by testdata round (nanos-as-long or NTZ);
     # windowing needs a session-zone timestamp — see functions/tscompat.
     stream = normalize_ts_cols(stream)
@@ -62,7 +57,7 @@ def run_windowed_counts(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_or_raise(q, timeout_s)
     return spark.table(name)
 
 
@@ -85,16 +80,8 @@ def run_session_windows(
     the store evicts closed sessions (complete-mode memory sink here is
     bounded-replay test plumbing).
     """
-    import os
-
     ensure_session_confs(spark)
-    schema = spark.read.parquet(events_path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .parquet(os.path.dirname(events_path))
-    )
-    stream = normalize_ts_cols(stream)
+    stream = normalize_ts_cols(read_parquet_stream(spark, events_path))
     agg = (
         stream.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
@@ -113,7 +100,7 @@ def run_session_windows(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_or_raise(q, timeout_s)
     return spark.table(name)
 
 
@@ -133,16 +120,9 @@ def run_streaming_dedup(
     ``dropDuplicatesWithinWatermark`` variant bounds the store for
     unbounded keyspaces (pinned in tests/test_streaming_dedup.py).
     """
-    import os
-
     ensure_session_confs(spark)
     keys = keys or ["user_id", "event_type"]
-    schema = spark.read.parquet(events_path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .parquet(os.path.dirname(events_path))
-    )
+    stream = read_parquet_stream(spark, events_path)
     deduped = stream.select(*keys).dropDuplicates(keys)
     name = f"stream_dedup_{next(_counter)}"
     q = (
@@ -152,7 +132,7 @@ def run_streaming_dedup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_or_raise(q, timeout_s)
     return spark.table(name)
 
 
@@ -167,16 +147,8 @@ def run_sliding_counts(
     in window/slide overlapping windows (2 here). Same AvailableNow →
     memory-sink plumbing as run_windowed_counts; at scale the identical
     plan runs with a watermark bounding state to window+lateness."""
-    import os
-
     ensure_session_confs(spark)
-    schema = spark.read.parquet(events_path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .parquet(os.path.dirname(events_path))
-    )
-    stream = normalize_ts_cols(stream)
+    stream = normalize_ts_cols(read_parquet_stream(spark, events_path))
     agg = (
         stream.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
@@ -195,7 +167,7 @@ def run_sliding_counts(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_or_raise(q, timeout_s)
     return spark.table(name)
 
 
