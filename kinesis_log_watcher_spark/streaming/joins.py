@@ -65,16 +65,12 @@ def run_stream_stream_join(
 ) -> DataFrame:
     """Replay the events table as TWO streams (clicks / purchases) and
     stream-stream join them."""
+    from kinesis_log_watcher_spark.sources.files import read_parquet_stream
+
     ensure_session_confs(spark)
-    schema = spark.read.parquet(events_path).schema
 
     def stream():
-        reader = spark.readStream.schema(schema).option(
-            "pathGlobFilter", os.path.basename(events_path)
-        )
-        if max_files_per_trigger is not None:
-            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-        s = reader.parquet(os.path.dirname(events_path))
+        s = read_parquet_stream(spark, events_path, max_files_per_trigger)
         s = normalize_ts_cols(s)
         return s.withWatermark("ts", "1 minute")
 
@@ -90,7 +86,9 @@ def run_stream_stream_join(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    from kinesis_log_watcher_spark.sources.files import await_or_raise
+
+    await_or_raise(q, timeout_s)
     return spark.table(name)
 
 
@@ -111,14 +109,10 @@ def run_stream_static_enrich(
     aggregate keeps (tiny, per-group) state."""
     from kinesis_log_watcher_spark.functions.exact import dec
 
+    from kinesis_log_watcher_spark.sources.files import read_parquet_stream
+
     ensure_session_confs(spark)
-    schema = spark.read.parquet(events_path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .parquet(os.path.dirname(events_path))
-    )
-    stream = normalize_ts_cols(stream)
+    stream = normalize_ts_cols(read_parquet_stream(spark, events_path))
 
     dim = spark.read.parquet(customer_path).select(
         "c_custkey", "c_mktsegment"
@@ -139,5 +133,7 @@ def run_stream_static_enrich(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    from kinesis_log_watcher_spark.sources.files import await_or_raise
+
+    await_or_raise(q, timeout_s)
     return spark.table(name)

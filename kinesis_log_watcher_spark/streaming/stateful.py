@@ -135,14 +135,13 @@ def run_stateful_sessions(
 ) -> DataFrame:
     """Replay a bounded events table through the stateful operator and
     reduce the update stream to final sessions."""
-    ensure_session_confs(spark)
-    schema = spark.read.parquet(events_path).schema
-    reader = spark.readStream.schema(schema).option(
-        "pathGlobFilter", os.path.basename(events_path)
+    from kinesis_log_watcher_spark.sources.files import (
+        await_or_raise,
+        read_parquet_stream,
     )
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(os.path.dirname(events_path))
+
+    ensure_session_confs(spark)
+    stream = read_parquet_stream(spark, events_path, max_files_per_trigger)
     stream = normalize_ts_cols(stream)
 
     name = f"stateful_sessions_{next(_counter)}"
@@ -154,5 +153,5 @@ def run_stateful_sessions(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    await_or_raise(q, timeout_s)
     return final_sessions(spark.table(name))
