@@ -16,7 +16,6 @@ state), which is what the SQL oracle computes.
 from __future__ import annotations
 
 import itertools
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -28,7 +28,6 @@ holds only active sessions.
 from __future__ import annotations
 
 import itertools
-import os
 from collections.abc import Iterator
 from typing import Any
 

@@ -39,7 +39,6 @@ StatefulProcessor path is used unchanged.
 from __future__ import annotations
 
 import itertools
-import os
 from collections.abc import Iterator
 
 import numpy as np
