@@ -572,3 +572,49 @@ def test_rate_limit_tws_twin_matches_fallback_logic():
     assert tws_out == fb_out
     # K=2: events 1,2 admitted; 3,4,5 throttled; 6 is past the window
     assert [a for _, a in tws_out] == [1, 1, 0, 0, 0, 1]
+
+
+def test_pagerank_star_graph_skew(spark, tmp_path, reg):
+    # extreme degree skew: one hub supplier trades with 40 customers,
+    # a leaf supplier with one — exact integer replica must still match
+    pairs = [(c, 1) for c in range(1, 41)] + [(1, 2)]
+    orders = spark.createDataFrame(
+        [(100 + c, c) for c in range(1, 41)] + [(999, 1)],
+        "o_orderkey long, o_custkey long",
+    )
+    lines = [(100 + c, 1) for c in range(1, 41)] + [(999, 2)]
+    lineitem = spark.createDataFrame(lines, "l_orderkey long, l_suppkey long")
+    orders.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    lineitem.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        r["s_suppkey"]: r["rank_pico"]
+        for r in reg["pagerank_two_rounds"].fn(spark, str(tmp_path)).collect()
+    }
+    want = _pagerank_expected(pairs)
+    assert got == want
+    assert got[1] > got[2]  # the hub dominates
+
+
+def test_corrupt_file_tolerance_truncated_parquet(spark, tmp_path):
+    """A TRUNCATED (half-written) parquet part — the realistic failed-
+    writer artifact, unlike the garbage-bytes file the registry query
+    plants — must be skipped by ignoreCorruptFiles, not fail the scan."""
+    import glob
+    import os
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    path = f"{tmp_path}/data"
+    df.repartition(2).write.parquet(path)
+    part = sorted(glob.glob(f"{path}/part-*.parquet"))[0]
+    size = os.path.getsize(part)
+    with open(part, "rb") as fh:
+        head = fh.read(size // 2)
+    with open(part, "wb") as fh:
+        fh.write(head)  # valid magic, truncated body/footer
+    back = (
+        spark.read.schema("id long, v long")
+        .option("ignoreCorruptFiles", True)
+        .parquet(path)
+    )
+    rows = back.count()
+    assert 0 < rows < 1000  # the intact part survives, the stub is skipped
