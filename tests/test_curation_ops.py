@@ -618,3 +618,37 @@ def test_corrupt_file_tolerance_truncated_parquet(spark, tmp_path):
     )
     rows = back.count()
     assert 0 < rows < 1000  # the intact part survives, the stub is skipped
+
+
+def test_reservoir_topk_validates_k(spark):
+    import pytest as _pytest
+
+    from kinesis_log_watcher_spark.operators.sampling import reservoir_topk
+    from kinesis_log_watcher_spark.queries.base import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    with _pytest.raises(ValueError):
+        reservoir_topk(docs, "source", "doc_id", 0)
+
+
+def test_rate_limit_accepts_directory_dataset(spark, tmp_path):
+    """run_rate_limit must accept a spark-written directory-shaped
+    parquet dataset, not just a single file (read_parquet_stream
+    handles both layouts)."""
+    from datetime import datetime, timedelta
+
+    from kinesis_log_watcher_spark.streaming.ratelimit import run_rate_limit
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (i, t0 + timedelta(seconds=30 * i), 1, "e", 1.0, "{}") for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = f"{tmp_path}/events.parquet"
+    df.repartition(2).write.mode("overwrite").parquet(path)
+    (r,) = run_rate_limit(spark, path).collect()
+    assert r["n_events"] == 8 and r["n_admitted"] == 5  # K=5 in one hour
