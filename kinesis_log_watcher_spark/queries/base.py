@@ -147,6 +147,10 @@ _FRONT = (
     "targeted_deletion_rewrite",
     "orders_schema_evolution",
     "orders_corrupt_file_tolerance",
+    "quality_linear_classifier",
+    "topk_words_certified",
+    "bpe_encode_compression",
+    "stream_click_purchase_left_join",
 )
 
 

@@ -2591,3 +2591,227 @@ def targeted_deletion_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tombstoned_remaining"),
     )
+
+
+# --------------------------------------------------------------------------
+# certified distributed top-k — threshold-algorithm (TPUT-style) heavy hitters
+# --------------------------------------------------------------------------
+
+_TOPK_SHARDS = 8   # partition groups the candidate pass runs over
+_TOPK_LOCAL = 20   # per-shard candidate list length (m)
+_TOPK_K = 10       # global answer size
+
+
+@register(
+    "topk_words_certified",
+    f"""
+    WITH w AS (
+      SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % {_TOPK_SHARDS} AS shard,
+             unnest(string_split(lower(text), ' ')) AS word
+      FROM documents),
+    sc AS (SELECT shard, word, CAST(COUNT(*) AS BIGINT) AS n
+           FROM w GROUP BY 1, 2),
+    rk AS (SELECT shard, word, n,
+                  ROW_NUMBER() OVER (PARTITION BY shard
+                                     ORDER BY n DESC, word) AS r
+           FROM sc),
+    loc AS (SELECT shard, word, n FROM rk WHERE r <= {_TOPK_LOCAL}),
+    th AS (SELECT CAST(SUM(t) AS BIGINT) AS bound
+           FROM (SELECT shard, MIN(n) AS t FROM loc GROUP BY shard)),
+    cand AS (SELECT DISTINCT word FROM loc),
+    exact AS (SELECT sc.word, CAST(SUM(sc.n) AS BIGINT) AS total
+              FROM sc JOIN cand USING (word) GROUP BY sc.word)
+    SELECT word, total, bound, total >= bound AS certified
+    FROM exact, th
+    ORDER BY total DESC, word LIMIT {_TOPK_K}
+    """,
+    doc="Certified distributed top-k (the TPUT/three-phase threshold "
+    f"algorithm, Cao & Wang 2004): each of {_TOPK_SHARDS} md5-derived "
+    f"shard groups contributes its local top-{_TOPK_LOCAL} words plus "
+    "its cut-off count; the union is the candidate set, candidates are "
+    "re-counted exactly via an equi-join against the per-shard count "
+    "relation, and SUM(per-shard cut-offs) is a hard upper bound on ANY "
+    "non-candidate word's global count — so every emitted row carries a "
+    "machine-checkable certificate (total >= bound) that no unseen word "
+    "can outrank it. The 100 TB point: a naive exact top-k global-sorts "
+    "the full vocabulary; here the global ordering work is confined to "
+    "shards x m candidate rows, the vocabulary-sized relation is "
+    "touched only by map-side-partial hash aggs and one candidate "
+    "semi-join, and the certificate makes the pruning sound rather "
+    "than heuristic. Top-k itself is sort+limit -> "
+    "TakeOrderedAndProject.",
+)
+def topk_words_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % _TOPK_SHARDS
+    )
+    w = docs.select(
+        shard.alias("shard"),
+        F.explode(F.split(F.lower("text"), " ")).alias("word"),
+    )
+    sc = w.groupBy("shard", "word").agg(F.count("*").cast("long").alias("n"))
+    sc = sc.persist()
+    rk = F.row_number().over(
+        Window.partitionBy("shard").orderBy(F.col("n").desc(), F.col("word"))
+    )
+    loc = sc.select("shard", "word", "n", rk.alias("r")).filter(
+        F.col("r") <= _TOPK_LOCAL
+    )
+    th = (
+        loc.groupBy("shard")
+        .agg(F.min("n").alias("t"))
+        .agg(F.sum("t").cast("long").alias("bound"))
+    )
+    cand = loc.select("word").distinct()
+    exact = (
+        sc.join(F.broadcast(cand), "word")
+        .groupBy("word")
+        .agg(F.sum("n").cast("long").alias("total"))
+    )
+    out = (
+        exact.crossJoin(F.broadcast(th))
+        .select(
+            "word",
+            "total",
+            "bound",
+            (F.col("total") >= F.col("bound")).alias("certified"),
+        )
+        .orderBy(F.col("total").desc(), F.col("word"))
+        .limit(_TOPK_K)
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# BPE encode application — apply a learned merge table to the corpus
+# --------------------------------------------------------------------------
+
+_BPE_APPLY_R = 8  # merges applied, in training-rank order
+
+
+def _bpe_apply_oracle() -> str:
+    """Oracle: the same ranked-merge CTE as bpe_top_merges, the merge
+    table applied as chained leftmost-non-overlapping replaces over the
+    '|'-delimited symbol string (both engines' replace() scans left to
+    right and resumes AFTER each replacement — identical semantics)."""
+    s = "'|' || regexp_replace(word, '(.)', '\\1|', 'g')"
+    for i in range(1, _BPE_APPLY_R + 1):
+        pat = f"(SELECT '|'||a||'|'||b||'|' FROM m WHERE merge_rank={i})"
+        rep = f"(SELECT '|'||a||b||'|' FROM m WHERE merge_rank={i})"
+        s = f"replace({s}, {pat}, {rep})"
+    return f"""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+    v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM words GROUP BY word),
+    p AS (
+      SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, cnt
+      FROM v, unnest(range(1, len(word))) AS u(i)
+      WHERE len(word) >= 2),
+    agg AS (
+      SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM p GROUP BY a, b),
+    m AS (
+      SELECT a, b, ROW_NUMBER() OVER (ORDER BY pair_count DESC, a, b)
+               AS merge_rank
+      FROM (SELECT a, b, pair_count FROM agg
+            ORDER BY pair_count DESC, a, b LIMIT {_BPE_APPLY_R})),
+    enc AS (
+      SELECT word, cnt, {s} AS s FROM v),
+    tok AS (
+      SELECT substr(word, 1, 1) AS initial, cnt,
+             CAST(len(word) AS BIGINT) AS n_chars,
+             CAST(len(s) - len(replace(s, '|', '')) - 1 AS BIGINT) AS n_sym
+      FROM enc)
+    SELECT initial,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(cnt) AS BIGINT) AS occurrences,
+           CAST(SUM(cnt * n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(cnt * n_sym) AS BIGINT) AS tokens_total
+    FROM tok GROUP BY initial
+    """
+
+
+@register(
+    "bpe_encode_compression",
+    _bpe_apply_oracle(),
+    doc="BPE ENCODING at corpus scale: the merge table learned by the "
+    "bpe_top_merges round is applied to every vocabulary word — each "
+    "word becomes a '|'-delimited symbol string and each ranked merge "
+    "is one leftmost-non-overlapping replace of '|a|b|' with '|ab|' "
+    "(delimiters make merges symbol-boundary-safe: a pattern can never "
+    "match across two multi-char symbols). Tokenizer application is "
+    "where the scale shape matters: encoding runs over the VOCABULARY "
+    "relation (corpus-size-independent, the same trick as training) "
+    "and per-doc token counts then need only a (word -> n_sym) "
+    "equi-join; the merge table itself is a 1-row broadcast — at "
+    "100 TB the corpus is never rescanned per merge. Emitted: "
+    "per-initial-letter char->token compression rollup, exact int64.",
+)
+def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    v = words.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+    v = v.persist()
+    seq = F.sequence(F.lit(1), F.length("word") - 1)
+    pairs = v.filter(F.length("word") >= 2).select(
+        "cnt",
+        F.explode(
+            F.transform(
+                seq,
+                lambda i: F.struct(
+                    F.col("word").substr(i, F.lit(1)).alias("a"),
+                    F.col("word").substr(i + 1, F.lit(1)).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    )
+    agg = pairs.groupBy(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    ).agg(F.sum("cnt").cast("long").alias("pair_count"))
+    top = agg.orderBy(
+        F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(_BPE_APPLY_R)
+    rank = F.row_number().over(
+        Window.orderBy(F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc())
+    )
+    ranked = top.select("a", "b", rank.alias("merge_rank"))
+    # The merge table as ONE wide row (broadcast below): rank i -> (a_i, b_i).
+    m = ranked.agg(
+        *[
+            f
+            for i in range(1, _BPE_APPLY_R + 1)
+            for f in (
+                F.max(F.when(F.col("merge_rank") == i, F.col("a"))).alias(f"a{i}"),
+                F.max(F.when(F.col("merge_rank") == i, F.col("b"))).alias(f"b{i}"),
+            )
+        ]
+    )
+    enc = v.crossJoin(F.broadcast(m))
+    s = F.concat(F.lit("|"), F.regexp_replace("word", "(.)", "$1|"))
+    for i in range(1, _BPE_APPLY_R + 1):
+        pat = F.concat(
+            F.lit("|"), F.col(f"a{i}"), F.lit("|"), F.col(f"b{i}"), F.lit("|")
+        )
+        rep = F.concat(F.lit("|"), F.col(f"a{i}"), F.col(f"b{i}"), F.lit("|"))
+        s = F.replace(s, pat, rep)
+    tok = enc.select(
+        F.substring("word", 1, 1).alias("initial"),
+        "cnt",
+        F.length("word").cast("long").alias("n_chars"),
+        (F.length(s) - F.length(F.replace(s, F.lit("|"), F.lit(""))) - 1)
+        .cast("long")
+        .alias("n_sym"),
+    )
+    return tok.groupBy("initial").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("cnt").cast("long").alias("occurrences"),
+        F.sum(F.col("cnt") * F.col("n_chars")).cast("long").alias("chars_total"),
+        F.sum(F.col("cnt") * F.col("n_sym")).cast("long").alias("tokens_total"),
+    )

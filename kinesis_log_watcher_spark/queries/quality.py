@@ -774,3 +774,89 @@ def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mask_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# model-based quality filtering — fixed-weight linear classifier
+# --------------------------------------------------------------------------
+
+# Classifier weights (micro-unit integer space). The features are
+# per-doc ratios quantized to int64 micro-units via integer division, so
+# the score is an exact integer dot product — bit-identical across
+# engines, no IEEE ordering concerns anywhere.
+_QC_W_STOP = 8        # stopword ratio — naturalness signal
+_QC_W_UNIQ = 3        # unique-word ratio — repetition penalty inverse
+_QC_W_MWL = -2        # mean word length — gibberish penalty
+_QC_BIAS = 7_000_000  # decision threshold at score >= 0
+
+
+@register(
+    "quality_linear_classifier",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    wc AS (SELECT doc_id, lang, word, COUNT(*) AS n FROM w GROUP BY 1, 2, 3),
+    agg AS (
+      SELECT doc_id, lang,
+             CAST(SUM(n) AS BIGINT) AS n_words,
+             CAST(SUM(n * length(word)) AS BIGINT) AS char_sum,
+             CAST(COUNT(*) AS BIGINT) AS uniq,
+             CAST(SUM(CASE WHEN word IN ({_STOPS_SQL}) THEN n ELSE 0 END)
+                  AS BIGINT) AS stop_hits
+      FROM wc GROUP BY 1, 2),
+    scored AS (
+      SELECT lang,
+             {_QC_W_STOP} * (stop_hits * 1000000 // n_words)
+             + {_QC_W_UNIQ} * (uniq * 1000000 // n_words)
+             + {_QC_W_MWL} * (char_sum * 1000000 // n_words)
+             + {_QC_BIAS} AS score
+      FROM agg)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(SUM(score) AS BIGINT) AS score_sum
+    FROM scored GROUP BY lang
+    """,
+    doc="Model-based quality filtering (the GPT-3/fasttext-classifier "
+    "shape, Brown et al. 2020 §A): a TRAINED linear classifier applied "
+    "at corpus scale — the learned weight vector is embedded as "
+    "literals, and model application is a narrow projection over "
+    "per-doc count features (one explode -> (doc,word) -> doc rollup, "
+    "the same two-level hash agg every quality gate here uses) plus a "
+    "tiny per-lang rollup. Features are ratios quantized to int64 "
+    "micro-units by integer division, so the dot product and the "
+    "pass/fail decision are exact integers. At 100 TB: scoring runs at "
+    "scan throughput map-side; nothing is broadcast (the model IS the "
+    "plan); the only exchanges are the (doc_id,word) count shuffle and "
+    "a |langs|-row final agg.",
+)
+def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    wc = words.groupBy("doc_id", "lang", "word").agg(F.count("*").alias("n"))
+    stop_hit = F.when(F.col("word").isin(list(_STOPS)), F.col("n")).otherwise(0)
+    agg = wc.groupBy("doc_id", "lang").agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.sum(F.col("n") * F.length("word")).cast("long").alias("char_sum"),
+        F.count("*").cast("long").alias("uniq"),
+        F.sum(stop_hit).cast("long").alias("stop_hits"),
+    )
+    micro = lambda c: F.expr(f"{c} * 1000000 div n_words")  # noqa: E731
+    score = (
+        F.lit(_QC_W_STOP) * micro("stop_hits")
+        + F.lit(_QC_W_UNIQ) * micro("uniq")
+        + F.lit(_QC_W_MWL) * micro("char_sum")
+        + F.lit(_QC_BIAS)
+    )
+    scored = agg.select("lang", score.alias("score"))
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("score") >= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+        F.sum("score").cast("long").alias("score_sum"),
+    )

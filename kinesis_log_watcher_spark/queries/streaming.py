@@ -326,3 +326,38 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.streaming.ratelimit import run_rate_limit
 
     return run_rate_limit(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "stream_click_purchase_left_join",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           p.event_id IS NOT NULL AS matched,
+           COALESCE(p.event_id, -1) AS purchase_id,
+           COALESCE(p.ts, TIMESTAMP '1970-01-01 00:00:00') AS purchase_ts
+    FROM events c
+    LEFT JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+    """,
+    doc="LEFT OUTER stream-stream join: every click emits either its "
+    "purchases within 1h or an explicit no-purchase row. Outer rows "
+    "are emitted only when watermark-driven state eviction proves no "
+    "future match can arrive, so the bounded replay finalizes the "
+    "watermark with sentinel batches (streaming/joins.py "
+    "_sentinel_replay_dir); unmatched columns carry sentinel values "
+    "(-1 / epoch) + a matched flag per the no-NULL-output convention. "
+    "Oracle = the batch LEFT JOIN with the purchase predicates in the "
+    "ON clause.",
+)
+def stream_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.joins import (
+        run_stream_stream_left_join,
+    )
+
+    return run_stream_stream_left_join(spark, f"{sf_dir}/events.parquet")

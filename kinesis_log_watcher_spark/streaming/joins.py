@@ -136,3 +136,153 @@ def run_stream_static_enrich(
 
     await_or_raise(q, timeout_s)
     return spark.table(name)
+
+
+def _sentinel_replay_dir(spark: SparkSession, events_path: str) -> str:
+    """Rewrite ``events_path`` as a replay directory of [real data,
+    sentinel batch 1, sentinel batch 2] with ascending mtimes.
+
+    Each sentinel batch carries one 'click' AND one 'purchase' row
+    (``user_id=-1``, so they can never match a real row) with event
+    times 2h/4h past the real maximum. They must pass BOTH sides'
+    event_type filters: Catalyst pushes a deterministic filter BELOW
+    the EventTimeWatermark node, so a row the filter rejects never
+    reaches the watermark operator and cannot advance it — and under
+    the default multiple-watermark policy the query watermark is the
+    MIN across both (filtered) sides. Callers filter ``user_id >= 0``
+    on the SINK output, post-hoc, never inside the streaming plan
+    (where the pushdown would defeat the sentinels again).
+    Two batches are needed, in SEPARATE micro-batches:
+    the watermark applied while processing batch N is computed from
+    batches < N, so sentinel 1's timestamp becomes the operative
+    watermark exactly when sentinel 2's batch runs — past every real
+    row's emission horizon, which is what lets append-mode outer-join
+    NULL rows (and any other eviction-driven emission) finalize before
+    an availableNow replay terminates. The full rewrite of the real
+    dataset is test-scale harness plumbing only — a production stream
+    just keeps running and needs no finalization.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType
+
+    base = spark.read.parquet(events_path)
+    ts_is_raw_nanos = isinstance(base.schema["ts"].dataType, LongType)
+    mx = base.groupBy().agg(F.max("ts").alias("ts"))
+
+    def sentinel(i: int) -> DataFrame:
+        if ts_is_raw_nanos:
+            ts = F.col("ts") + F.lit(i * 7_200_000_000_000)  # +i*2h in ns
+        else:
+            ts = F.col("ts") + F.expr(f"INTERVAL {2 * i} HOURS")
+
+        def row(etype: str, eid: int) -> DataFrame:
+            cols = []
+            for f in base.schema.fields:
+                if f.name == "ts":
+                    cols.append(ts.cast(f.dataType).alias("ts"))
+                elif f.name == "event_id":
+                    cols.append(F.lit(eid).cast(f.dataType).alias(f.name))
+                elif f.name == "user_id":
+                    cols.append(F.lit(-1).cast(f.dataType).alias(f.name))
+                elif f.name == "event_type":
+                    cols.append(F.lit(etype).cast(f.dataType).alias(f.name))
+                else:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            return mx.select(*cols)
+
+        return row("click", -1000 - 2 * i).unionByName(
+            row("purchase", -1001 - 2 * i)
+        )
+
+    replay = tempfile.mkdtemp(prefix="ss_left_join_")
+    t0 = 1_700_000_000
+    for i, df in enumerate([base, sentinel(1), sentinel(2)]):
+        stage = os.path.join(replay, f"_stage{i}")
+        df.coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dest = os.path.join(replay, f"f{i}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (t0 + 10 * i, t0 + 10 * i))
+        shutil.rmtree(stage)
+    return replay
+
+
+def run_stream_stream_left_join(
+    spark: SparkSession,
+    events_path: str,
+    within: str = "1 hour",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click, with its purchases
+    within the hour OR an explicit no-purchase row.
+
+    Unlike the inner form (which emits eagerly on match), outer rows
+    can only be emitted when the state store EVICTS an unmatched left
+    row — i.e. when both sides' watermarks prove no future purchase can
+    still match it. That makes this the one streaming operator whose
+    bounded replay needs watermark finalization, provided here by the
+    sentinel batches of :func:`_sentinel_replay_dir`. Unmatched columns
+    are emitted as sentinel values (-1 / epoch) with a ``matched`` flag
+    rather than NULLs, per the repo-wide no-NULL-output convention.
+
+    At 100 TB: state is O(events inside the join window) per side —
+    the watermark bound, not corpus size — exactly as the inner join;
+    the outer form adds no state, only eviction-time emission.
+    """
+    from kinesis_log_watcher_spark.sources.files import (
+        await_or_raise,
+        read_parquet_stream,
+    )
+
+    ensure_session_confs(spark)
+    replay = _sentinel_replay_dir(spark, events_path)
+
+    def stream():
+        s = read_parquet_stream(spark, replay, max_files_per_trigger=1)
+        s = normalize_ts_cols(s)
+        return s.withWatermark("ts", "1 minute")
+
+    clicks = stream().filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = stream().filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        F.col("purchase_id").isNotNull().alias("matched"),
+        F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+        F.coalesce(
+            "purchase_ts", F.lit("1970-01-01 00:00:00").cast("timestamp")
+        ).alias("purchase_ts"),
+    )
+
+    name = f"stream_stream_left_join_{next(_counter)}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, timeout_s)
+    # Drop the sentinel rows POST-SINK (a batch filter): inside the
+    # streaming plan this predicate would be pushed below the watermark
+    # node and stop the sentinels from advancing it.
+    return spark.table(name).filter(F.col("user_id") >= 0)

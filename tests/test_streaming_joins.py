@@ -81,3 +81,104 @@ def test_stream_static_enrich_equals_batch(spark, tmp_path):
         ("BUILDING", "click"): (2, 4.0),
         ("MACHINERY", "view"): (1, 4.0),
     }
+
+
+def test_left_outer_join_emits_unmatched_clicks(spark, tmp_path):
+    """LEFT OUTER stream-stream join: the unmatched click gets an
+    explicit sentinel row, emitted via watermark-driven state eviction
+    (finalized by the runner's sentinel batches); matches still emit."""
+    from kinesis_log_watcher_spark.streaming.joins import (
+        run_stream_stream_left_join,
+    )
+
+    d = tmp_path / "louter"
+    d.mkdir()
+    stage = tmp_path / "stage_louter"
+    spark.createDataFrame(
+        [
+            (1, T0, 1, "click", 1.0, "{}"),
+            (2, T0 + 30 * M, 1, "purchase", 1.0, "{}"),
+            (3, T0 + 5 * M, 2, "click", 1.0, "{}"),           # never purchases
+            (4, T0 + 120 * M, 2, "purchase", 1.0, "{}"),      # outside 1h
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(stage))
+    (part,) = glob.glob(str(stage / "part-*.parquet"))
+    shutil.copy(part, d / "events.parquet")
+
+    got = run_stream_stream_left_join(spark, str(d / "events.parquet"))
+    rows = sorted(
+        (r.user_id, r.click_id, r.matched, r.purchase_id) for r in got.collect()
+    )
+    assert rows == [(1, 1, True, 2), (2, 3, False, -1)]
+    # unmatched columns carry the documented sentinels, not NULLs
+    (um,) = [r for r in got.collect() if not r.matched]
+    assert um.purchase_ts == datetime(1970, 1, 1)
+    # no sentinel-harness rows leak into the result
+    assert all(r.user_id >= 0 for r in got.collect())
+
+
+def test_left_outer_equals_batch_left_join(spark, tmp_path):
+    """Bounded replay == the batch LEFT JOIN at any micro-batch split
+    (the runner replays [data, sentinel, sentinel] at one file per
+    trigger already)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_log_watcher_spark.streaming.joins import (
+        run_stream_stream_left_join,
+    )
+
+    d = tmp_path / "louter_eq"
+    d.mkdir()
+    stage = tmp_path / "stage_louter_eq"
+    rows = []
+    eid = 0
+    for uid in range(6):
+        for k in range(4):
+            rows.append((eid, T0 + (uid * 17 + k * 23) * M, uid, "click", 1.0, "{}"))
+            eid += 1
+            if (uid + k) % 3 != 0:
+                rows.append(
+                    (eid, T0 + (uid * 17 + k * 23 + 40) * M, uid, "purchase", 1.0, "{}")
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(stage))
+    (part,) = glob.glob(str(stage / "part-*.parquet"))
+    shutil.copy(part, d / "events.parquet")
+
+    got = {
+        (r.user_id, r.click_id, r.matched, r.purchase_id)
+        for r in run_stream_stream_left_join(
+            spark, str(d / "events.parquet")
+        ).collect()
+    }
+
+    ev = spark.read.parquet(str(d / "events.parquet"))
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+        "left_outer",
+    )
+    want = {
+        (r.c_user, r.click_id, r.purchase_id is not None,
+         r.purchase_id if r.purchase_id is not None else -1)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) >= 24
