@@ -151,6 +151,8 @@ _FRONT = (
     "topk_words_certified",
     "bpe_encode_compression",
     "stream_click_purchase_left_join",
+    "stream_hll_user_distinct",
+    "stream_cdc_upsert",
 )
 
 

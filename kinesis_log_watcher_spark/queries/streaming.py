@@ -361,3 +361,152 @@ def stream_click_purchase_left_join(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     return run_stream_stream_left_join(spark, f"{sf_dir}/events.parquet")
+
+
+def _hll_oracle() -> str:
+    from kinesis_log_watcher_spark.queries.llm import _HLL_P4_ALPHA
+
+    return f"""
+    WITH hashed AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM events),
+    regs AS (
+      SELECT event_type, h % 16 AS r,
+             MAX(CASE WHEN (h >> 4) = 0 THEN 57
+                      ELSE 57 - length(bin(h >> 4)) END) AS m_rho
+      FROM hashed GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, COUNT(*) AS present,
+             SUM(1::BIGINT << (57 - m_rho)) AS s_present
+      FROM regs GROUP BY 1),
+    est AS (
+      SELECT event_type, 16 - present AS v,
+             {_HLL_P4_ALPHA!r}
+               / (s_present + (16 - present) * (1::BIGINT << 57)) AS e_raw
+      FROM stats)
+    SELECT e.event_type,
+           CAST(floor(CASE WHEN e_raw <= 40.0 AND v > 0
+                           THEN 16.0 * ln(16.0 / v) ELSE e_raw END + 0.5)
+                AS BIGINT) AS est_users,
+           x.exact_users
+    FROM est e
+    JOIN (SELECT event_type,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+          FROM events GROUP BY 1) x USING (event_type)
+    """
+
+
+@register(
+    "stream_hll_user_distinct",
+    _hll_oracle(),
+    doc="STREAMING HyperLogLog: the per-event-type register table is "
+    "maintained as streaming aggregation state (groupBy-MAX is "
+    "order-free, so any micro-batch split converges to the batch "
+    "sketch); estimates are finalized on read over the sink registers, "
+    "exactly as a production register store would. Oracle = the batch "
+    "hll_user_distinct SQL, bit-matched est + exact "
+    "(streaming/windows.py run_streaming_hll).",
+)
+def stream_hll_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from kinesis_log_watcher_spark.queries.base import load
+    from kinesis_log_watcher_spark.streaming.windows import run_streaming_hll
+
+    est = run_streaming_hll(spark, f"{sf_dir}/events.parquet")
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        F.floor(F.col("est_distinct") + 0.5).cast("long").alias("est_users"),
+        "exact_users",
+    )
+
+
+@register(
+    "stream_cdc_upsert",
+    """
+    WITH applied AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1.1
+                            AS DECIMAL(14,3))
+                  ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                            AS DECIMAL(14,3))
+             END AS price
+      FROM orders)
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(price) AS DOUBLE) AS revenue
+    FROM applied
+    GROUP BY o_orderpriority
+    """,
+    doc="STREAMING CDC upsert via an idempotent foreachBatch delta sink "
+    "+ merge-on-read resolution (streaming/cdc.py): a change stream "
+    "(base snapshot, then a re-price delta for 10% of keys) lands one "
+    "overwrite-by-batch-id delta dir per micro-batch; latest version "
+    "per key wins on read. The resolved totals must equal the batch "
+    "CASE oracle — the same post-upsert state orders_upsert_totals "
+    "verifies through the anti-join rewrite, reached here through the "
+    "streaming sink path instead.",
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kinesis_log_watcher_spark.functions.exact import dec
+    from kinesis_log_watcher_spark.queries.base import load
+    from kinesis_log_watcher_spark.streaming.cdc import run_cdc_upsert
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        dec(F.col("o_totalprice"), 12, 2).alias("price"),
+    )
+    v0 = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("price").cast("decimal(14,3)").alias("price"),
+        F.lit(0).alias("version"),
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("price") * F.lit(1.1).cast("decimal(2,1)"))
+        .cast("decimal(14,3)")
+        .alias("price"),
+        F.lit(1).alias("version"),
+    )
+
+    root = tempfile.mkdtemp(prefix="cdc_")
+    changes = os.path.join(root, "changes")
+    os.makedirs(changes)
+    for i, df in enumerate([v0, v1]):
+        stage = os.path.join(root, f"_stage{i}")
+        df.coalesce(1).write.parquet(stage)
+        (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        dest = os.path.join(changes, f"c{i}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (1_700_000_000 + 10 * i,) * 2)
+        shutil.rmtree(stage)
+
+    resolved = run_cdc_upsert(
+        spark,
+        changes,
+        os.path.join(root, "target"),
+        key_cols=("o_orderkey",),
+        version_col="version",
+    )
+    return resolved.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("price").cast("double").alias("revenue"),
+    )

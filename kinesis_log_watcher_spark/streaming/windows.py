@@ -233,3 +233,46 @@ def run_streaming_admission(
     )
     await_or_raise(q, timeout_s)
     return spark.table(name)
+
+
+def run_streaming_hll(
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """STREAMING HyperLogLog: maintain the per-group register table of
+    operators/sketch.hll_build as streaming aggregation state, then
+    finalize the cardinality estimate batch-side on the sink contents.
+
+    The register update is groupBy-MAX — associative, commutative, and
+    order-free — so incremental micro-batch folding provably converges
+    to the batch sketch whatever the replay split: state is the
+    ≤ groups x 2^p register rows themselves (the sketch IS the state,
+    never the keys). The estimate step is a second aggregation over the
+    registers; streaming doesn't chain two stateful aggs, and real
+    deployments don't want it to — registers live in the store/sink and
+    estimates are computed on read (here: hll_estimate over the memory
+    sink). At 100 TB/day this is the live-NDV dashboard shape: tiny
+    bounded state, mergeable across streams and days."""
+    from kinesis_log_watcher_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    ensure_session_confs(spark)
+    stream = read_parquet_stream(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    )
+    regs = hll_build(stream, "user_id", group_cols=("event_type",), p=4)
+
+    name = f"stream_hll_{next(_counter)}"
+    q = (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, timeout_s)
+    return hll_estimate(spark.table(name), group_cols=("event_type",), p=4)

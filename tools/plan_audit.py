@@ -63,6 +63,10 @@ ALLOWED_BNLJ = {
     # brute-force ANN baseline: small broadcast query set vs the index
     # (the scale path is ann_ivf_topk — cell-pruned equi-join)
     "ann_cosine_topk_fast": "broadcast query set, brute-force baseline",
+    # 1-row bound/merge-table broadcasts (same shape as the corpus-stats
+    # rows above: build side is exactly one row by construction)
+    "topk_words_certified": "1-row certificate-bound broadcast",
+    "bpe_encode_compression": "1-row merge-table broadcast",
 }
 
 
