@@ -153,6 +153,8 @@ _FRONT = (
     "stream_click_purchase_left_join",
     "stream_hll_user_distinct",
     "stream_cdc_upsert",
+    "ann_ivf_recall",
+    "word_pair_pmi",
 )
 
 

@@ -2815,3 +2815,215 @@ def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cnt") * F.col("n_chars")).cast("long").alias("chars_total"),
         F.sum(F.col("cnt") * F.col("n_sym")).cast("long").alias("tokens_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# ANN quality evaluation — recall@k of the IVF scale path vs exact top-k
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivf_recall",
+    f"""
+    WITH comp AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings),
+    anchors AS (SELECT vec_id AS a_id, x AS qx, dim FROM comp WHERE vec_id < 8),
+    dots AS (
+      SELECT c.vec_id, a_id, {_DOT_DEC.replace('qx', 'a.qx').replace('CAST(x', 'CAST(c.x')} AS dot
+      FROM comp c JOIN anchors a USING (dim)
+      WHERE c.vec_id >= 8
+      GROUP BY c.vec_id, a_id),
+    cells AS (
+      SELECT vec_id, a_id AS cell FROM (
+        SELECT vec_id, a_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, a_id) AS rn
+        FROM dots)
+      WHERE rn = 1),
+    qcomp AS (
+      SELECT vec_id AS q_id, x AS qx, dim FROM comp
+      WHERE vec_id >= 10 AND vec_id < 20),
+    all_dots AS (
+      SELECT q.q_id, c.vec_id, {_DOT_DEC.replace('CAST(x', 'CAST(c.x')} AS dot
+      FROM comp c JOIN qcomp q USING (dim)
+      WHERE c.vec_id != q.q_id AND c.vec_id >= 8
+      GROUP BY q.q_id, c.vec_id),
+    exact_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY dot DESC, vec_id) AS rank
+        FROM all_dots)
+      WHERE rank <= 3),
+    ivf_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT d.q_id, d.vec_id, d.dot,
+               ROW_NUMBER() OVER (PARTITION BY d.q_id
+                    ORDER BY d.dot DESC, d.vec_id) AS rank
+        FROM all_dots d
+        JOIN cells cc ON cc.vec_id = d.vec_id
+        JOIN cells qc ON qc.vec_id = d.q_id AND qc.cell = cc.cell)
+      WHERE rank <= 3),
+    hits AS (
+      SELECT e.q_id,
+             CAST(COUNT(i.vec_id) AS BIGINT) AS n_hit
+      FROM exact_top e
+      LEFT JOIN ivf_top i ON i.q_id = e.q_id AND i.vec_id = e.vec_id
+      GROUP BY e.q_id)
+    SELECT q_id, CAST(3 AS BIGINT) AS k, n_hit,
+           n_hit * 1000000 // 3 AS recall_micro
+    FROM hits
+    """,
+    doc="ANN quality EVALUATION: recall@3 of the IVF cell-probe scale "
+    "path against the exact brute-force top-3 over the identical query "
+    "set, per query — the measurement that justifies shipping an "
+    "approximate index (an IVF whose recall nobody measured is not a "
+    "scale path). Both rankings reuse the exact-decimal dot relation; "
+    "the hit count is a per-query equi-join of the two top-k relations "
+    "(never a cross join). At 100 TB the exact side runs on a sampled "
+    "query set exactly like this fixed 10-query panel — recall "
+    "estimation needs a panel, not the corpus.",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    comp = exploded_components(emb, "vec_id")
+    anchors = comp.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("a_id"), F.col("x").alias("qx"), "dim"
+    )
+    dots = exact_dot(
+        anchors.select("a_id", "qx", "dim"),
+        comp.filter(F.col("vec_id") >= 8),
+        "a_id",
+        "vec_id",
+        exclude_self=False,
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("a_id"))
+    cells = (
+        dots.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("a_id").alias("cell"))
+    )
+    qcomp = comp.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("q_id"), F.col("x").alias("qx"), "dim"
+    )
+    all_dots = exact_dot(
+        qcomp, comp.filter(F.col("vec_id") >= 8), "q_id", "vec_id"
+    ).persist()
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    exact_top = (
+        all_dots.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "vec_id")
+    )
+    qcells = cells.select(F.col("vec_id").alias("q_id"), F.col("cell").alias("q_cell"))
+    ivf_top = (
+        all_dots.join(cells, "vec_id")
+        .join(F.broadcast(qcells), "q_id")
+        .filter(F.col("cell") == F.col("q_cell"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", F.col("vec_id").alias("i_vec"))
+    )
+    hits = (
+        exact_top.join(
+            ivf_top,
+            (exact_top["q_id"] == ivf_top["q_id"])
+            & (exact_top["vec_id"] == ivf_top["i_vec"]),
+            "left",
+        )
+        .groupBy(exact_top["q_id"].alias("q_id"))
+        .agg(F.count("i_vec").cast("long").alias("n_hit"))
+    )
+    return hits.select(
+        "q_id",
+        F.lit(3).cast("long").alias("k"),
+        "n_hit",
+        F.expr("n_hit * 1000000 div 3").alias("recall_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PMI collocation mining — association scores over the bigram relation
+# --------------------------------------------------------------------------
+
+_PMI_MIN_PAIR = 10  # count floor: PMI is unstable on rare pairs
+_PMI_TOP_K = 20
+
+
+@register(
+    "word_pair_pmi",
+    f"""
+    WITH w AS (
+      SELECT string_split(lower(text), ' ') AS words FROM documents),
+    big AS (
+      SELECT words[i] AS a, words[i + 1] AS b
+      FROM w, unnest(range(1, len(words))) t(i)),
+    pc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab
+           FROM big GROUP BY a, b),
+    la AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS ca FROM pc GROUP BY a),
+    rb AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS cb FROM pc GROUP BY b),
+    tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM pc),
+    scored AS (
+      SELECT pc.a, pc.b, pc.n_ab,
+             CAST(floor(ln(CAST(pc.n_ab * tot.n AS DOUBLE)
+                           / CAST(la.ca * rb.cb AS DOUBLE))
+                        * 1000000000 + 0.5) AS BIGINT) AS pmi_nano
+      FROM pc JOIN la USING (a) JOIN rb USING (b), tot
+      WHERE pc.n_ab >= {_PMI_MIN_PAIR})
+    SELECT a, b, n_ab, pmi_nano
+    FROM scored
+    ORDER BY pmi_nano DESC, a, b LIMIT {_PMI_TOP_K}
+    """,
+    doc="PMI collocation mining (Church & Hanks 1990): pointwise mutual "
+    "information of adjacent word pairs, marginals and total taken from "
+    "the SAME bigram relation so every probability shares one "
+    f"denominator; pairs under a {_PMI_MIN_PAIR}-count floor are "
+    "dropped (PMI diverges on rare events). Determinism: counts and "
+    "marginal products are exact int64, the ratio is ONE IEEE division, "
+    "ln() is nano-quantized (the unigram_logprob_buckets convention; "
+    "int64 products hold to ~1e9 bigrams — past that the marginals "
+    "quantize in double). Shape at 100 TB: one narrow explode, two "
+    "map-side-partial hash aggs (pair + marginals), vocab-sized "
+    "equi-joins, 1-row total broadcast, TakeOrdered top-k — the "
+    "bigram relation never sorts globally.",
+)
+def word_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.split(F.lower("text"), " ").alias("words"))
+    seq = F.sequence(F.lit(1), F.size("words") - 1)
+    big = words.filter(F.size("words") >= 2).select(
+        F.explode(
+            F.transform(
+                seq,
+                lambda i: F.struct(
+                    F.element_at("words", i).alias("a"),
+                    F.element_at("words", i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pc = big.groupBy("a", "b").agg(F.count("*").cast("long").alias("n_ab"))
+    pc = pc.persist()
+    la = pc.groupBy("a").agg(F.sum("n_ab").cast("long").alias("ca"))
+    rb = pc.groupBy("b").agg(F.sum("n_ab").cast("long").alias("cb"))
+    tot = pc.agg(F.sum("n_ab").cast("long").alias("n"))
+    scored = (
+        pc.filter(F.col("n_ab") >= _PMI_MIN_PAIR)
+        .join(la, "a")
+        .join(rb, "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.floor(
+        F.log(
+            (F.col("n_ab") * F.col("n")).cast("double")
+            / (F.col("ca") * F.col("cb")).cast("double")
+        )
+        * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        scored.select("a", "b", "n_ab", pmi.alias("pmi_nano"))
+        .orderBy(F.col("pmi_nano").desc(), "a", "b")
+        .limit(_PMI_TOP_K)
+    )
