@@ -155,6 +155,7 @@ _FRONT = (
     "stream_cdc_upsert",
     "ann_ivf_recall",
     "word_pair_pmi",
+    "stream_type_counts_mapstate",
 )
 
 

@@ -510,3 +510,24 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("price").cast("double").alias("revenue"),
     )
+
+
+@register(
+    "stream_type_counts_mapstate",
+    """
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Per-user event-type counters through the Spark-4 "
+    "transformWithState MAPSTATE API (streaming/mapstate.py — "
+    "completing the typed-state triad: ValueState running totals, "
+    "ListState rate-limit log, MapState categorical profile): the "
+    "per-key map event_type -> count updates each micro-batch; "
+    "addition is order-free so any replay split converges to the "
+    "batch GROUP BY the oracle states. applyInPandasWithState twin "
+    "executes where the TWS protobuf worker is absent.",
+)
+def stream_type_counts_mapstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.mapstate import run_type_counts
+
+    return run_type_counts(spark, f"{sf_dir}/events.parquet")
