@@ -39,6 +39,10 @@ SKIP = {
     # stateful replay over ~20k tiny band buckets: the time is
     # micro-batch + per-group state machinery, not query-engine cost
     "stream_neardup_lsh",
+    # outer-join replay: the time is the sentinel-finalization harness
+    # (full dataset rewrite + 3 micro-batches of join state), not
+    # query-engine cost; correctness-gated via the registry
+    "stream_click_purchase_left_join",
 }
 
 
@@ -78,6 +82,10 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(reg[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
+        # Queries persist() intermediates they reuse internally; drop
+        # them between queries so every timing is cold-cache and late
+        # queries don't pay accumulated executor-memory pressure.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     line = json.dumps(

@@ -156,6 +156,8 @@ _FRONT = (
     "ann_ivf_recall",
     "word_pair_pmi",
     "stream_type_counts_mapstate",
+    "doc_entropy_filter",
+    "lsh_neardup_recall",
 )
 
 

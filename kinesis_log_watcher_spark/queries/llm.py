@@ -3027,3 +3027,95 @@ def word_pair_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_nano").desc(), "a", "b")
         .limit(_PMI_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# LSH quality evaluation — candidate recall vs exact Jaccard, by similarity
+# --------------------------------------------------------------------------
+
+_RECALL_PANEL = 200  # doc_id bound of the evaluation panel
+
+
+@register(
+    "lsh_neardup_recall",
+    f"""
+    WITH {_SH_SQL},
+    shp AS (SELECT * FROM sh WHERE doc_id < {_RECALL_PANEL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shp GROUP BY doc_id),
+    rare AS (SELECT shingle FROM shp GROUP BY shingle HAVING COUNT(*) <= 100),
+    pruned AS (SELECT shp.doc_id, shp.shingle FROM shp JOIN rare USING (shingle)),
+    tp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM pruned a JOIN pruned b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT doc_a, doc_b,
+             (common / (sa.sz + sb.sz - common)) AS jaccard
+      FROM tp
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE (common / (sa.sz + sb.sz - common)) >= 0.02),
+    mh AS (SELECT doc_id, {_MINHASH_COLS} FROM shp GROUP BY doc_id),
+    sigs AS (SELECT doc_id, {_BAND_SIGS} FROM mh),
+    bands AS (
+{_BAND_UNION}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id)
+    SELECT CAST(floor(t.jaccard * 10) AS BIGINT) AS sim_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(COUNT(c.doc_a) AS BIGINT) AS n_hit,
+           CAST(COUNT(c.doc_a) AS BIGINT) * 1000000 // COUNT(*) AS recall_micro
+    FROM truth t
+    LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    GROUP BY 1
+    """,
+    doc="LSH quality EVALUATION: recall of the MinHash-LSH candidate "
+    "generator against the exact shingle-Jaccard spectrum (>= 0.02) on "
+    f"a {_RECALL_PANEL}-doc panel, bucketed by similarity — the "
+    "empirical S-curve that justifies the band geometry (recall must "
+    "climb toward 1 as similarity rises; a geometry nobody measured is "
+    "not a scale path). Truth pairs come from the panel-restricted "
+    "inverted-index join (equi-join, DF-capped — never a cross join), "
+    "candidates from the identical banded-signature join the "
+    "production dedup uses; hits are a pair-key equi-join of the two "
+    "relations. The panel is the point at 100 TB: exact truth is "
+    "affordable on a sampled panel, and the measured per-bucket recall "
+    "transfers to the full corpus run.",
+)
+def lsh_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _RECALL_PANEL
+    )
+    shp_h = exploded_shingles(docs, hashed=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    truth = jaccard_pairs(shp_h, threshold=0.02, max_doc_freq=100)
+    sig = minhash_signature(exploded_shingles(docs), _NUM_HASHES).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands = lsh_bands(sig, _NUM_HASHES, _BANDS)
+    cand = lsh_candidate_pairs(bands).select(
+        F.col("doc_a").alias("c_a"), F.col("doc_b").alias("c_b")
+    )
+    hit = truth.join(
+        cand,
+        (truth["doc_a"] == cand["c_a"]) & (truth["doc_b"] == cand["c_b"]),
+        "left",
+    )
+    bucket = F.floor(F.col("jaccard") * 10).cast("long")
+    return (
+        hit.groupBy(bucket.alias("sim_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_truth"),
+            F.count("c_a").cast("long").alias("n_hit"),
+        )
+        .select(
+            "sim_bucket",
+            "n_truth",
+            "n_hit",
+            F.expr("n_hit * 1000000 div n_truth").alias("recall_micro"),
+        )
+    )

@@ -860,3 +860,76 @@ def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_pass"),
         F.sum("score").cast("long").alias("score_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# lexical entropy gate — information-theoretic diversity filter
+# --------------------------------------------------------------------------
+
+_ENTROPY_MIN_NANO = 3_000_000_000  # >= 3.0 nats of unigram entropy
+
+
+@register(
+    "doc_entropy_filter",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    wc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n
+           FROM w GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS uniq
+            FROM wc GROUP BY 1),
+    terms AS (
+      SELECT wc.doc_id,
+             CAST(floor(-(CAST(n AS DOUBLE) / n_words)
+                        * ln(CAST(n AS DOUBLE) / n_words)
+                        * 1000000000 + 0.5) AS BIGINT) AS t
+      FROM wc JOIN tot USING (doc_id))
+    SELECT t.doc_id, tot.n_words, tot.uniq,
+           CAST(SUM(t.t) AS BIGINT) AS entropy_nano,
+           SUM(t.t) >= {_ENTROPY_MIN_NANO} AS entropy_pass
+    FROM terms t JOIN tot USING (doc_id)
+    GROUP BY t.doc_id, tot.n_words, tot.uniq
+    """,
+    doc="Lexical-entropy quality gate: per-doc unigram Shannon entropy "
+    "as the information-theoretic diversity filter (low entropy = "
+    "repetitive/templated text that per-word repetition ceilings can "
+    "miss — a complementary signal to the Gopher gates). Determinism: "
+    "each -p*ln(p) term is computed from one exact count ratio and "
+    "nano-quantized to int64 BEFORE summation, so the per-doc sum is "
+    "associative (order-free) and bit-identical across engines. Shape: "
+    "the same explode -> (doc,word) -> doc two-level hash agg as every "
+    "quality gate — map-side partial, no broadcast, nothing skewed.",
+)
+def doc_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    wc = words.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = wc.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("uniq"),
+    )
+    joined = wc.join(tot, "doc_id")
+    p = F.col("n").cast("double") / F.col("n_words")
+    term = F.floor(-p * F.log(p) * F.lit(1000000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        joined.select("doc_id", "n_words", "uniq", term.alias("t"))
+        .groupBy("doc_id", "n_words", "uniq")
+        .agg(F.sum("t").cast("long").alias("entropy_nano"))
+        .select(
+            "doc_id",
+            "n_words",
+            "uniq",
+            "entropy_nano",
+            (F.col("entropy_nano") >= F.lit(_ENTROPY_MIN_NANO)).alias(
+                "entropy_pass"
+            ),
+        )
+    )
