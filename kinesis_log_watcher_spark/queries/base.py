@@ -158,6 +158,8 @@ _FRONT = (
     "stream_type_counts_mapstate",
     "doc_entropy_filter",
     "lsh_neardup_recall",
+    "doc_bpe_token_counts",
+    "ann_pq_adc_topk",
 )
 
 

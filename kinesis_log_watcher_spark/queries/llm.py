@@ -2736,24 +2736,13 @@ def _bpe_apply_oracle() -> str:
     """
 
 
-@register(
-    "bpe_encode_compression",
-    _bpe_apply_oracle(),
-    doc="BPE ENCODING at corpus scale: the merge table learned by the "
-    "bpe_top_merges round is applied to every vocabulary word — each "
-    "word becomes a '|'-delimited symbol string and each ranked merge "
-    "is one leftmost-non-overlapping replace of '|a|b|' with '|ab|' "
-    "(delimiters make merges symbol-boundary-safe: a pattern can never "
-    "match across two multi-char symbols). Tokenizer application is "
-    "where the scale shape matters: encoding runs over the VOCABULARY "
-    "relation (corpus-size-independent, the same trick as training) "
-    "and per-doc token counts then need only a (word -> n_sym) "
-    "equi-join; the merge table itself is a 1-row broadcast — at "
-    "100 TB the corpus is never rescanned per merge. Emitted: "
-    "per-initial-letter char->token compression rollup, exact int64.",
-)
-def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+def _bpe_encoded_vocab(docs: DataFrame) -> DataFrame:
+    """(word, cnt, n_sym): the vocabulary relation with each word's
+    post-merge symbol count — the whole BPE-encode pipeline (train one
+    round's merge table from pair counts, apply it as boundary-safe
+    chained replaces). Shared by the corpus-compression rollup and the
+    per-doc token counter, which only equi-join this relation back to
+    their word streams."""
     words = docs.select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
     )
@@ -2801,13 +2790,38 @@ def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rep = F.concat(F.lit("|"), F.col(f"a{i}"), F.col(f"b{i}"), F.lit("|"))
         s = F.replace(s, pat, rep)
-    tok = enc.select(
-        F.substring("word", 1, 1).alias("initial"),
+    return enc.select(
+        "word",
         "cnt",
-        F.length("word").cast("long").alias("n_chars"),
         (F.length(s) - F.length(F.replace(s, F.lit("|"), F.lit(""))) - 1)
         .cast("long")
         .alias("n_sym"),
+    )
+
+
+@register(
+    "bpe_encode_compression",
+    _bpe_apply_oracle(),
+    doc="BPE ENCODING at corpus scale: the merge table learned by the "
+    "bpe_top_merges round is applied to every vocabulary word — each "
+    "word becomes a '|'-delimited symbol string and each ranked merge "
+    "is one leftmost-non-overlapping replace of '|a|b|' with '|ab|' "
+    "(delimiters make merges symbol-boundary-safe: a pattern can never "
+    "match across two multi-char symbols). Tokenizer application is "
+    "where the scale shape matters: encoding runs over the VOCABULARY "
+    "relation (corpus-size-independent, the same trick as training) "
+    "and per-doc token counts then need only a (word -> n_sym) "
+    "equi-join; the merge table itself is a 1-row broadcast — at "
+    "100 TB the corpus is never rescanned per merge. Emitted: "
+    "per-initial-letter char->token compression rollup, exact int64.",
+)
+def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = _bpe_encoded_vocab(docs).select(
+        F.substring("word", 1, 1).alias("initial"),
+        "cnt",
+        F.length("word").cast("long").alias("n_chars"),
+        "n_sym",
     )
     return tok.groupBy("initial").agg(
         F.count("*").cast("long").alias("n_words"),
@@ -3118,4 +3132,189 @@ def lsh_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hit",
             F.expr("n_hit * 1000000 div n_truth").alias("recall_micro"),
         )
+    )
+
+
+def _bpe_doc_oracle() -> str:
+    """Per-source token counts through the encoded vocabulary: the same
+    trained-merge CTE chain, joined back to the document word stream."""
+    s = "'|' || regexp_replace(word, '(.)', '\\1|', 'g')"
+    for i in range(1, _BPE_APPLY_R + 1):
+        pat = f"(SELECT '|'||a||'|'||b||'|' FROM m WHERE merge_rank={i})"
+        rep = f"(SELECT '|'||a||b||'|' FROM m WHERE merge_rank={i})"
+        s = f"replace({s}, {pat}, {rep})"
+    return f"""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+    v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM words GROUP BY word),
+    p AS (
+      SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, cnt
+      FROM v, unnest(range(1, len(word))) AS u(i)
+      WHERE len(word) >= 2),
+    agg AS (
+      SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM p GROUP BY a, b),
+    m AS (
+      SELECT a, b, ROW_NUMBER() OVER (ORDER BY pair_count DESC, a, b)
+               AS merge_rank
+      FROM (SELECT a, b, pair_count FROM agg
+            ORDER BY pair_count DESC, a, b LIMIT {_BPE_APPLY_R})),
+    enc AS (
+      SELECT word, {s} AS es FROM v),
+    tok AS (
+      SELECT word,
+             CAST(len(es) - len(replace(es, '|', '')) - 1 AS BIGINT) AS n_sym
+      FROM enc),
+    docw AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS words_total,
+           CAST(SUM(length(d.word)) AS BIGINT) AS chars_total,
+           CAST(SUM(t.n_sym) AS BIGINT) AS tokens_total
+    FROM docw d JOIN tok t USING (word)
+    GROUP BY source
+    """
+
+
+@register(
+    "doc_bpe_token_counts",
+    _bpe_doc_oracle(),
+    doc="Per-source BPE token budgets: the encoded vocabulary relation "
+    "(word -> post-merge symbol count, _bpe_encoded_vocab) equi-joined "
+    "back to the document word stream and rolled up per source — the "
+    "claim bpe_encode_compression's design makes ('per-doc token "
+    "counts need only a (word -> n_sym) equi-join') executed: the "
+    "expensive encode runs once over the corpus-size-independent "
+    "vocabulary, and corpus-wide token accounting (the number that "
+    "prices a training run) is one vocab-sized join + rollup. The "
+    "join key is the word itself — well-spread, map-side-partial "
+    "aggregated on both sides.",
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = _bpe_encoded_vocab(docs).select("word", "n_sym")
+    docw = docs.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    return (
+        docw.join(tok, "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("words_total"),
+            F.sum(F.length("word")).cast("long").alias("chars_total"),
+            F.sum("n_sym").cast("long").alias("tokens_total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# product quantization — PQ codes + asymmetric distance computation (ADC)
+# --------------------------------------------------------------------------
+
+_PQ_M = 8        # subspaces (64 dims -> 8 per subspace)
+_PQ_SUBDIM = 8
+_PQ_K = 3        # answer size per query
+_PQ_Q = "CAST(floor(CAST({0} AS DOUBLE) * 10000000 + 0.5) AS BIGINT)"
+
+
+@register(
+    "ann_pq_adc_topk",
+    f"""
+    WITH comp AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings),
+    qcomp AS (
+      SELECT vec_id, (dim - 1) // {_PQ_SUBDIM} AS sub, dim,
+             {_PQ_Q.format('x')} AS qx
+      FROM comp),
+    cb AS (SELECT vec_id AS a_id, sub, dim, qx FROM qcomp WHERE vec_id < 8),
+    d2 AS (
+      SELECT v.vec_id, v.sub, c.a_id,
+             CAST(SUM((v.qx - c.qx) * (v.qx - c.qx)) AS BIGINT) AS d2
+      FROM qcomp v JOIN cb c ON c.dim = v.dim AND c.sub = v.sub
+      WHERE v.vec_id >= 8
+      GROUP BY 1, 2, 3),
+    codes AS (
+      SELECT vec_id, sub, a_id AS code FROM (
+        SELECT vec_id, sub, a_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, a_id) AS rn
+        FROM d2)
+      WHERE rn = 1),
+    lut AS (
+      SELECT vec_id AS q_id, sub, a_id, d2
+      FROM d2 WHERE vec_id >= 10 AND vec_id < 20),
+    adc AS (
+      SELECT l.q_id, c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS est_d2
+      FROM codes c JOIN lut l ON l.sub = c.sub AND l.a_id = c.code
+      WHERE c.vec_id != l.q_id
+      GROUP BY 1, 2)
+    SELECT q_id, vec_id AS neighbor_id, est_d2, rank FROM (
+      SELECT q_id, vec_id, est_d2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY est_d2, vec_id) AS BIGINT) AS rank
+      FROM adc)
+    WHERE rank <= {_PQ_K}
+    """,
+    doc="Product quantization + ADC (Jégou et al. 2011): 64-dim vectors "
+    f"split into {_PQ_M} subspaces, each subvector coded as its nearest "
+    "codebook entry (deterministic anchor stand-ins, the IVF "
+    "convention; exact int64 squared-L2 on 1e7-quantized components), "
+    "then queries rank candidates by ASYMMETRIC distance — the "
+    "query-to-codeword lookup table replaces any touch of the raw "
+    f"corpus vectors: estimation is {_PQ_M} int adds per candidate "
+    "instead of a 64-dim product. The 100 TB shape: codebooks and the "
+    "per-query LUT (|Q|x{_PQ_M}x8 rows) broadcast; the corpus "
+    "contributes only its code relation (M small ints per vector — the "
+    "~32x memory shrink that makes billion-vector search fit); encode "
+    "is one broadcast-join agg pass. All-int64 arithmetic end to end, "
+    "so both engines rank identically.",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    comp = exploded_components(emb, "vec_id")
+    qcomp = comp.select(
+        "vec_id",
+        ((F.col("dim") - 1) / _PQ_SUBDIM).cast("long").alias("sub"),
+        "dim",
+        quantize(F.col("x")).alias("qx"),
+    )
+    cb = qcomp.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("a_id"), "sub", "dim", F.col("qx").alias("aqx")
+    )
+    d2 = (
+        qcomp.filter(F.col("vec_id") >= 8)
+        .join(F.broadcast(cb), ["sub", "dim"])
+        .groupBy("vec_id", "sub", "a_id")
+        .agg(
+            F.sum((F.col("qx") - F.col("aqx")) * (F.col("qx") - F.col("aqx")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    d2 = d2.persist()
+    w_code = Window.partitionBy("vec_id", "sub").orderBy("d2", "a_id")
+    codes = (
+        d2.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", F.col("a_id").alias("code"))
+    )
+    lut = d2.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("q_id"), "sub", F.col("a_id").alias("code"),
+        F.col("d2").alias("ld2"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("ld2").cast("long").alias("est_d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy("est_d2", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _PQ_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "est_d2", "rank")
     )
