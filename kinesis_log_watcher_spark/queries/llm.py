@@ -2700,8 +2700,10 @@ def _bpe_apply_oracle() -> str:
     right and resumes AFTER each replacement — identical semantics)."""
     s = "'|' || regexp_replace(word, '(.)', '\\1|', 'g')"
     for i in range(1, _BPE_APPLY_R + 1):
-        pat = f"(SELECT '|'||a||'|'||b||'|' FROM m WHERE merge_rank={i})"
-        rep = f"(SELECT '|'||a||b||'|' FROM m WHERE merge_rank={i})"
+        pat = (f"COALESCE((SELECT '|'||a||'|'||b||'|' FROM m "
+               f"WHERE merge_rank={i}), chr(1))")
+        rep = (f"COALESCE((SELECT '|'||a||b||'|' FROM m "
+               f"WHERE merge_rank={i}), chr(1))")
         s = f"replace({s}, {pat}, {rep})"
     return f"""
     WITH words AS (
@@ -2784,11 +2786,20 @@ def _bpe_encoded_vocab(docs: DataFrame) -> DataFrame:
     )
     enc = v.crossJoin(F.broadcast(m))
     s = F.concat(F.lit("|"), F.regexp_replace("word", "(.)", "$1|"))
+    # Fewer than R distinct pairs leaves the tail merge columns NULL;
+    # replace(s, NULL, ...) would null every encoding, so absent merges
+    # fall back to an unmatchable 1-byte pattern (identity replace).
     for i in range(1, _BPE_APPLY_R + 1):
-        pat = F.concat(
-            F.lit("|"), F.col(f"a{i}"), F.lit("|"), F.col(f"b{i}"), F.lit("|")
+        pat = F.coalesce(
+            F.concat(
+                F.lit("|"), F.col(f"a{i}"), F.lit("|"), F.col(f"b{i}"), F.lit("|")
+            ),
+            F.lit("\x01"),
         )
-        rep = F.concat(F.lit("|"), F.col(f"a{i}"), F.col(f"b{i}"), F.lit("|"))
+        rep = F.coalesce(
+            F.concat(F.lit("|"), F.col(f"a{i}"), F.col(f"b{i}"), F.lit("|")),
+            F.lit("\x01"),
+        )
         s = F.replace(s, pat, rep)
     return enc.select(
         "word",
@@ -3140,8 +3151,10 @@ def _bpe_doc_oracle() -> str:
     trained-merge CTE chain, joined back to the document word stream."""
     s = "'|' || regexp_replace(word, '(.)', '\\1|', 'g')"
     for i in range(1, _BPE_APPLY_R + 1):
-        pat = f"(SELECT '|'||a||'|'||b||'|' FROM m WHERE merge_rank={i})"
-        rep = f"(SELECT '|'||a||b||'|' FROM m WHERE merge_rank={i})"
+        pat = (f"COALESCE((SELECT '|'||a||'|'||b||'|' FROM m "
+               f"WHERE merge_rank={i}), chr(1))")
+        rep = (f"COALESCE((SELECT '|'||a||b||'|' FROM m "
+               f"WHERE merge_rank={i}), chr(1))")
         s = f"replace({s}, {pat}, {rep})"
     return f"""
     WITH words AS (
