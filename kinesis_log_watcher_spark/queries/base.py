@@ -160,6 +160,8 @@ _FRONT = (
     "lsh_neardup_recall",
     "doc_bpe_token_counts",
     "ann_pq_adc_topk",
+    "stream_cdc_time_travel",
+    "ann_ivf_multiprobe",
 )
 
 

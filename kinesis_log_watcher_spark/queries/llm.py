@@ -3331,3 +3331,100 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PQ_K)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "est_d2", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF multi-probe — recall knob: each query probes its top-P cells
+# --------------------------------------------------------------------------
+
+_IVF_PROBES = 2
+
+
+@register(
+    "ann_ivf_multiprobe",
+    f"""
+    WITH comp AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings),
+    anchors AS (SELECT vec_id AS a_id, x AS qx, dim FROM comp WHERE vec_id < 8),
+    dots AS (
+      SELECT c.vec_id, a_id, {_DOT_DEC.replace('qx', 'a.qx').replace('CAST(x', 'CAST(c.x')} AS dot
+      FROM comp c JOIN anchors a USING (dim)
+      WHERE c.vec_id >= 8
+      GROUP BY c.vec_id, a_id),
+    ranked AS (
+      SELECT vec_id, a_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY dot DESC, a_id) AS rn
+      FROM dots),
+    cells AS (SELECT vec_id, a_id AS cell FROM ranked WHERE rn = 1),
+    qprobes AS (
+      SELECT vec_id AS q_id, a_id AS cell FROM ranked
+      WHERE rn <= {_IVF_PROBES} AND vec_id >= 10 AND vec_id < 20),
+    qcomp AS (
+      SELECT vec_id AS q_id, x AS qx, dim FROM comp
+      WHERE vec_id >= 10 AND vec_id < 20),
+    cand AS (
+      SELECT q.q_id, c.vec_id, {_DOT_DEC.replace('CAST(x', 'CAST(c.x')} AS dot
+      FROM comp c JOIN qcomp q USING (dim)
+      JOIN cells cc ON cc.vec_id = c.vec_id
+      JOIN qprobes qp ON qp.q_id = q.q_id AND qp.cell = cc.cell
+      WHERE c.vec_id != q.q_id AND c.vec_id >= 8
+      GROUP BY q.q_id, c.vec_id)
+    SELECT q_id, vec_id AS neighbor_id, dot, rank FROM (
+      SELECT q_id, vec_id, dot,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY dot DESC, vec_id) AS BIGINT) AS rank
+      FROM cand)
+    WHERE rank <= 3
+    """,
+    doc=f"IVF MULTI-PROBE: each query scans its top-{_IVF_PROBES} "
+    "anchor cells instead of one — the standard recall knob (cell "
+    "boundaries cut true neighborhoods; probing the runner-up cell "
+    "recovers most of what single-probe loses for ~2x candidates "
+    "scanned, still a small fraction of the corpus). Identical index "
+    "relation as ann_ivf_topk — multi-probe is a QUERY-TIME choice, "
+    "the index never changes; the probe set is a per-query 2-row "
+    "relation joined into the candidate equi-join. Superset property "
+    "vs single-probe is pinned in tests.",
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    comp = exploded_components(emb, "vec_id")
+    anchors = comp.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("a_id"), F.col("x").alias("qx"), "dim"
+    )
+    dots = exact_dot(
+        anchors.select("a_id", "qx", "dim"),
+        comp.filter(F.col("vec_id") >= 8),
+        "a_id",
+        "vec_id",
+        exclude_self=False,
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("a_id"))
+    ranked = dots.withColumn("rn", F.row_number().over(w_cell)).persist()
+    cells = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("a_id").alias("cell")
+    )
+    qprobes = ranked.filter(
+        (F.col("rn") <= _IVF_PROBES)
+        & (F.col("vec_id") >= 10)
+        & (F.col("vec_id") < 20)
+    ).select(F.col("vec_id").alias("q_id"), F.col("a_id").alias("q_cell"))
+    qcomp = comp.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("q_id"), F.col("x").alias("qx"), "dim"
+    )
+    cand_dots = exact_dot(qcomp, comp.filter(F.col("vec_id") >= 8), "q_id", "vec_id")
+    cand = (
+        cand_dots.join(cells, "vec_id")
+        .join(F.broadcast(qprobes), "q_id")
+        .filter(F.col("cell") == F.col("q_cell"))
+        .select("q_id", "vec_id", "dot")
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "dot", "rank")
+    )

@@ -428,34 +428,10 @@ def stream_hll_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "stream_cdc_upsert",
-    """
-    WITH applied AS (
-      SELECT o_orderkey, o_orderpriority,
-             CASE WHEN o_orderkey % 10 = 0
-                  THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1.1
-                            AS DECIMAL(14,3))
-                  ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2))
-                            AS DECIMAL(14,3))
-             END AS price
-      FROM orders)
-    SELECT o_orderpriority,
-           COUNT(*) AS n,
-           CAST(SUM(price) AS DOUBLE) AS revenue
-    FROM applied
-    GROUP BY o_orderpriority
-    """,
-    doc="STREAMING CDC upsert via an idempotent foreachBatch delta sink "
-    "+ merge-on-read resolution (streaming/cdc.py): a change stream "
-    "(base snapshot, then a re-price delta for 10% of keys) lands one "
-    "overwrite-by-batch-id delta dir per micro-batch; latest version "
-    "per key wins on read. The resolved totals must equal the batch "
-    "CASE oracle — the same post-upsert state orders_upsert_totals "
-    "verifies through the anti-join rewrite, reached here through the "
-    "streaming sink path instead.",
-)
-def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cdc_change_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build the two-file order change stream (base snapshot at version
+    0, the 10%%-of-keys re-price delta at version 1) with ascending
+    mtimes, returning (changes_dir, target_root)."""
     import glob as _glob
     import os
     import shutil
@@ -465,7 +441,6 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kinesis_log_watcher_spark.functions.exact import dec
     from kinesis_log_watcher_spark.queries.base import load
-    from kinesis_log_watcher_spark.streaming.cdc import run_cdc_upsert
 
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -498,7 +473,44 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(part, dest)
         os.utime(dest, (1_700_000_000 + 10 * i,) * 2)
         shutil.rmtree(stage)
+    return changes, root
 
+
+@register(
+    "stream_cdc_upsert",
+    """
+    WITH applied AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1.1
+                            AS DECIMAL(14,3))
+                  ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                            AS DECIMAL(14,3))
+             END AS price
+      FROM orders)
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(price) AS DOUBLE) AS revenue
+    FROM applied
+    GROUP BY o_orderpriority
+    """,
+    doc="STREAMING CDC upsert via an idempotent foreachBatch delta sink "
+    "+ merge-on-read resolution (streaming/cdc.py): a change stream "
+    "(base snapshot, then a re-price delta for 10% of keys) lands one "
+    "overwrite-by-batch-id delta dir per micro-batch; latest version "
+    "per key wins on read. The resolved totals must equal the batch "
+    "CASE oracle — the same post-upsert state orders_upsert_totals "
+    "verifies through the anti-join rewrite, reached here through the "
+    "streaming sink path instead.",
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_log_watcher_spark.streaming.cdc import run_cdc_upsert
+
+    changes, root = _cdc_change_dirs(spark, sf_dir)
     resolved = run_cdc_upsert(
         spark,
         changes,
@@ -531,3 +543,74 @@ def stream_type_counts_mapstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.streaming.mapstate import run_type_counts
 
     return run_type_counts(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "stream_cdc_time_travel",
+    """
+    WITH base AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(14,3))
+               AS price
+      FROM orders),
+    final AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1.1
+                            AS DECIMAL(14,3))
+                  ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                            AS DECIMAL(14,3))
+             END AS price
+      FROM orders)
+    SELECT CAST(0 AS BIGINT) AS as_of_batch, o_orderpriority,
+           COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS revenue
+    FROM base GROUP BY o_orderpriority
+    UNION ALL
+    SELECT CAST(1 AS BIGINT) AS as_of_batch, o_orderpriority,
+           COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS revenue
+    FROM final GROUP BY o_orderpriority
+    """,
+    doc="TIME TRAVEL over the CDC delta store (streaming/cdc.py "
+    "resolve_as_of): the same landed delta directories read as of sink "
+    "batch 0 (the pre-upsert base snapshot) and as of batch 1 (the "
+    "post-upsert state) — snapshot reads fall out of the append-only "
+    "batch=<id> layout for free, exactly the property ACID table "
+    "formats build time travel on (the batch id IS the snapshot id). "
+    "The oracle states both snapshots' aggregates directly; landing "
+    "order is deterministic (one file per trigger, ascending mtimes).",
+)
+def stream_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_log_watcher_spark.streaming.cdc import (
+        read_deltas,
+        resolve_as_of,
+        run_cdc_upsert,
+    )
+
+    changes, root = _cdc_change_dirs(spark, sf_dir)
+    target = os.path.join(root, "target")
+    run_cdc_upsert(
+        spark, changes, target, key_cols=("o_orderkey",), version_col="version"
+    )
+    deltas = read_deltas(spark, target).persist()
+    out = None
+    for b in (0, 1):
+        snap = (
+            resolve_as_of(deltas, ("o_orderkey",), "version", b)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("price").cast("double").alias("revenue"),
+            )
+            .select(
+                F.lit(b).cast("long").alias("as_of_batch"),
+                "o_orderpriority",
+                "n",
+                "revenue",
+            )
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out

@@ -90,3 +90,28 @@ def run_cdc_upsert(
         os.path.join(target_dir, "batch=*")
     )
     return resolve_latest(deltas, key_cols, version_col)
+
+
+def read_deltas(spark: SparkSession, target_dir: str) -> DataFrame:
+    """The landed delta store, with its ``batch`` partition column."""
+    import os
+
+    return spark.read.option("basePath", target_dir).parquet(
+        os.path.join(target_dir, "batch=*")
+    )
+
+
+def resolve_as_of(
+    deltas: DataFrame,
+    key_cols: tuple[str, ...],
+    version_col: str,
+    as_of_batch: int,
+) -> DataFrame:
+    """TIME TRAVEL over the delta store: the table state as of sink
+    batch ``as_of_batch`` is merge-on-read resolution over only the
+    deltas landed up to it — snapshot reads fall out of the layout for
+    free (this is the append-only property ACID table formats build
+    their time travel on; here the batch id IS the snapshot id)."""
+    return resolve_latest(
+        deltas.filter(F.col("batch") <= as_of_batch), key_cols, version_col
+    )

@@ -131,3 +131,25 @@ def test_pq_codes_pick_matching_anchor(spark, tmp_path):
             )
         )
         assert d2 == exact
+
+
+def test_ivf_multiprobe_dominates_single_probe(spark):
+    """Multi-probe candidates are a superset of single-probe's, so its
+    top-k dots dominate single-probe's rank-for-rank."""
+    from kinesis_log_watcher_spark.queries.llm import (
+        ann_ivf_multiprobe,
+        ann_ivf_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    single = {
+        (r.q_id, r.rank): r.dot for r in ann_ivf_topk(spark, sf).collect()
+    }
+    multi = {
+        (r.q_id, r.rank): r.dot
+        for r in ann_ivf_multiprobe(spark, sf).collect()
+    }
+    assert single and multi
+    assert len(multi) >= len(single)
+    for key, d in single.items():
+        assert key in multi and multi[key] >= d
