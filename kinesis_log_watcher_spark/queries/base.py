@@ -162,6 +162,7 @@ _FRONT = (
     "ann_pq_adc_topk",
     "stream_cdc_time_travel",
     "ann_ivf_multiprobe",
+    "concurrent_session_pairs",
 )
 
 

@@ -2223,3 +2223,105 @@ def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy(F.col("dist_q").asc(), F.col("user_id").asc())
     )
     return top.select("user_id", "dist_q", rank.cast("long").alias("rank"))
+
+
+# --------------------------------------------------------------------------
+# temporal overlap join — bucketized interval x interval (co-presence)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "concurrent_session_pairs",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM (SELECT user_id, ts, event_id,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_ts
+            FROM events WHERE user_id < 40)),
+    sess AS (
+      SELECT user_id, session_id,
+             MIN(ts) AS s,
+             MAX(ts) + INTERVAL 30 MINUTE AS e
+      FROM marked GROUP BY 1, 2),
+    ovl AS (
+      SELECT a.user_id AS u1, b.user_id AS u2,
+             CAST(epoch_us(LEAST(a.e, b.e))
+                  - epoch_us(GREATEST(a.s, b.s)) AS BIGINT) AS ov_us
+      FROM sess a JOIN sess b
+        ON a.user_id < b.user_id
+       AND a.s <= b.e AND b.s <= a.e)
+    SELECT u1, u2,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(ov_us) AS BIGINT) AS overlap_us
+    FROM ovl
+    GROUP BY u1, u2
+    """,
+    doc="Temporal OVERLAP JOIN (interval x interval) via time-bucketing "
+    "— the scale pattern for fact-to-fact interval joins, which naive "
+    "theta-join plans execute as a nested-loop scan: each presence "
+    "window (gap-sessionized, +30min linger) explodes into its covered "
+    "hour buckets, candidate pairs come from an EQUI-join on the "
+    "bucket, multi-bucket duplicates collapse on the session-pair key, "
+    "and the exact overlap predicate + exact int64 microsecond overlap "
+    "length are evaluated only on candidates. The oracle computes the "
+    "direct theta join (affordable at oracle scale); the engine plan "
+    "must contain no nested-loop join — at 100 TB bucket width trades "
+    "candidate volume vs duplicate factor exactly like every banding "
+    "scheme in this repo. Co-presence/concurrency analytics shape "
+    "(sessions overlapping sessions of OTHER users).",
+)
+def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.relational import sessionize
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    marked = sessionize(ev, "user_id", "ts", 1800, "event_id")
+    sess = marked.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    buckets = sess.select(
+        "user_id",
+        "session_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("s")),
+                F.date_trunc("hour", F.col("e")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    a = buckets.select(
+        F.col("user_id").alias("u1"), F.col("session_id").alias("s1"),
+        F.col("s").alias("a_s"), F.col("e").alias("a_e"), "bucket",
+    )
+    b = buckets.select(
+        F.col("user_id").alias("u2"), F.col("session_id").alias("s2"),
+        F.col("s").alias("b_s"), F.col("e").alias("b_e"), "bucket",
+    )
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("u1") < F.col("u2"))
+        .filter((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
+        .select("u1", "s1", "u2", "s2", "a_s", "a_e", "b_s", "b_e")
+        .distinct()  # collapse multi-bucket duplicates on the pair key
+    )
+    ov = (
+        F.unix_micros(F.least("a_e", "b_e"))
+        - F.unix_micros(F.greatest("a_s", "b_s"))
+    ).cast("long")
+    return (
+        cand.select("u1", "u2", ov.alias("ov_us"))
+        .groupBy("u1", "u2")
+        .agg(
+            F.count("*").cast("long").alias("n_overlaps"),
+            F.sum("ov_us").cast("long").alias("overlap_us"),
+        )
+    )
