@@ -163,6 +163,7 @@ _FRONT = (
     "stream_cdc_time_travel",
     "ann_ivf_multiprobe",
     "concurrent_session_pairs",
+    "bootstrap_mean_ci",
 )
 
 

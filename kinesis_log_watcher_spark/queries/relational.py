@@ -2325,3 +2325,103 @@ def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ov_us").cast("long").alias("overlap_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Poissonized bootstrap — uncertainty quantification in one pass
+# --------------------------------------------------------------------------
+
+_BOOT_B = 16
+# Cumulative Poisson(1) CDF in 2^60 units (shared literals; multiplicity
+# capped at 7 — P(X>7) < 1e-5 at lambda=1).
+import math as _math  # noqa: E402
+
+_BOOT_CDF = []
+_acc = 0.0
+for _k in range(8):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    _BOOT_CDF.append(int(_acc * (1 << 60)))
+
+
+def _boot_oracle() -> str:
+    u = ("CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|{b}'), "
+         "1, 15) AS BIGINT)")
+    mult = "CASE " + " ".join(
+        f"WHEN {{u}} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF[:-1])
+    ) + " ELSE 7 END"
+    cols = []
+    for b in range(_BOOT_B):
+        m = mult.format(u=u.format(b=b))
+        cols.append(f"CAST(SUM({m}) AS BIGINT) AS n_{b}")
+        cols.append(
+            f"CAST(SUM(({m}) * CAST(o_totalprice AS DECIMAL(12,2)))"
+            f" AS DECIMAL(24,2)) AS s_{b}"
+        )
+    sel = ",\n             ".join(cols)
+    arms = "\n      UNION ALL\n".join(
+        f"      SELECT CAST({b} AS BIGINT) AS replicate, n_{b} AS n_eff, "
+        f"CAST(s_{b} AS DOUBLE) / n_{b} AS boot_mean FROM agg"
+        for b in range(_BOOT_B)
+    )
+    return f"""
+    WITH agg AS (
+      SELECT {sel}
+      FROM orders)
+{arms}
+    """
+
+
+@register(
+    "bootstrap_mean_ci",
+    _boot_oracle(),
+    doc=f"Poissonized bootstrap ({_BOOT_B} replicates) of mean order "
+    "price — uncertainty quantification at corpus scale: each row's "
+    "multiplicity in replicate b is a Poisson(1) draw keyed by "
+    "md5(key|b) against shared integer CDF literals, so the resample "
+    "is deterministic, engine-reproducible, and needs NO data "
+    "duplication — all replicates are SUM(CASE) column pairs folded "
+    "in ONE scan (the scale form; an explode-by-B would inflate the "
+    "shuffle B-fold), unpivoted to (replicate, n_eff, boot_mean) "
+    "rows at the end. Sums are exact decimal; each mean is one IEEE "
+    "division. The replicate spread is the standard error every "
+    "corpus metric in a curation report should carry.",
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    orders = load(spark, sf_dir, "orders")
+    price = dec(F.col("o_totalprice"), 12, 2)
+    aggs = []
+    for b in range(_BOOT_B):
+        u = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(f"|{b}"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        mult = F.lit(7)
+        for k in range(len(_BOOT_CDF) - 2, -1, -1):
+            mult = F.when(u < _BOOT_CDF[k], k).otherwise(mult)
+        aggs.append(F.sum(mult).cast("long").alias(f"n_{b}"))
+        aggs.append(
+            F.sum(mult.cast("decimal(4,0)") * price)
+            .cast("decimal(24,2)")
+            .alias(f"s_{b}")
+        )
+    agg = orders.agg(*aggs)
+    # ONE unpivot projection over the single agg row — a union of B
+    # per-replicate selects would re-evaluate the full aggregate B times.
+    stack = ", ".join(
+        f"CAST({b} AS BIGINT), n_{b}, s_{b}" for b in range(_BOOT_B)
+    )
+    wide = agg.select(
+        F.expr(f"stack({_BOOT_B}, {stack}) AS (replicate, n_eff, s)")
+    )
+    return wide.select(
+        "replicate",
+        "n_eff",
+        (F.col("s").cast("double") / F.col("n_eff")).alias("boot_mean"),
+    )
