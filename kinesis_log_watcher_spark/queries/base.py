@@ -164,6 +164,7 @@ _FRONT = (
     "ann_ivf_multiprobe",
     "concurrent_session_pairs",
     "bootstrap_mean_ci",
+    "key_skew_profile",
 )
 
 

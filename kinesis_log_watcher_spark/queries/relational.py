@@ -2425,3 +2425,80 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_eff",
         (F.col("s").cast("double") / F.col("n_eff")).alias("boot_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# key-skew diagnosis — the "should I salt this join?" profile
+# --------------------------------------------------------------------------
+
+
+@register(
+    "key_skew_profile",
+    """
+    WITH kc AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY c, user_id) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_keys,
+             SUM(c) OVER (PARTITION BY event_type) AS total
+      FROM kc)
+    SELECT event_type,
+           CAST(MAX(n_keys) AS BIGINT) AS n_keys,
+           CAST(MAX(total) AS BIGINT) AS total,
+           MAX(c) * 1000000 // MAX(total) AS top1_share_micro,
+           (2 * SUM(CAST(i AS BIGINT) * c)
+            - (MAX(n_keys) + 1) * MAX(total)) * 1000000
+             // (MAX(n_keys) * MAX(total)) AS gini_micro
+    FROM ranked
+    GROUP BY event_type
+    """,
+    doc="Key-skew DIAGNOSIS: the per-join-key frequency profile that "
+    "answers 'does this join need salting / AQE skew handling?' before "
+    "the shuffle burns: per group, distinct-key count, top-1 key share "
+    "and the Gini coefficient of the key-frequency distribution — the "
+    "standard closed form G = (2*SUM(i*c_i) - (n+1)*N) / (n*N) over "
+    "counts ranked ascending, exact int64 to the final micro-quantized "
+    "integer division. Shape: one (group, key) hash agg (map-side "
+    "partial) + windows over the KEY relation (counts, not rows) — at "
+    "100 TB the profile costs one pass over keys, and its output "
+    "decides whether operators/relational.salted_join is worth its "
+    "replication factor.",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    kc = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.partitionBy("event_type")
+    ranked = kc.select(
+        "event_type",
+        "c",
+        F.row_number()
+        .over(w.orderBy("c", "user_id"))
+        .cast("long")
+        .alias("i"),
+        F.count("*").over(w).alias("n_keys"),
+        F.sum("c").over(w).alias("total"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n_keys").cast("long").alias("n_keys"),
+            F.max("total").cast("long").alias("total"),
+            F.max("c").alias("max_c"),
+            F.sum(F.col("i") * F.col("c")).alias("ic_sum"),
+        )
+        .select(
+            "event_type",
+            "n_keys",
+            "total",
+            F.expr("max_c * 1000000 div total").alias("top1_share_micro"),
+            F.expr(
+                "(2 * ic_sum - (n_keys + 1) * total) * 1000000"
+                " div (n_keys * total)"
+            ).alias("gini_micro"),
+        )
+    )
