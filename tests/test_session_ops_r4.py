@@ -153,3 +153,61 @@ def test_ivf_multiprobe_dominates_single_probe(spark):
     assert len(multi) >= len(single)
     for key, d in single.items():
         assert key in multi and multi[key] >= d
+
+
+def test_overlap_join_handchecked(spark, tmp_path):
+    """Two users with one overlapping presence window, one disjoint
+    pair — overlap length exact to the microsecond."""
+    from datetime import datetime
+
+    from kinesis_log_watcher_spark.queries.relational import (
+        concurrent_session_pairs,
+    )
+
+    T = lambda m, s=0: datetime(2024, 1, 1, 12, m, s)  # noqa: E731
+    rows = [
+        # user 1: session 12:00-12:10 (+30min linger -> ends 12:40)
+        (1, T(0), 1, "click", 1.0, "{}"),
+        (2, T(10), 1, "click", 1.0, "{}"),
+        # user 2: session starts 12:20 -> overlaps user 1 by 20 min
+        (3, T(20), 2, "view", 1.0, "{}"),
+        # user 3: session at 14:00 -> overlaps nobody
+        (4, datetime(2024, 1, 1, 14, 0), 3, "view", 1.0, "{}"),
+    ]
+    d = tmp_path / "sfov"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    got = {
+        (r.u1, r.u2): (r.n_overlaps, r.overlap_us)
+        for r in concurrent_session_pairs(spark, str(d)).collect()
+    }
+    # user1 window [12:00, 12:40], user2 window [12:20, 12:50]:
+    # overlap = 20 min = 1_200_000_000 us; user3 pairs with nobody.
+    assert got == {(1, 2): (1, 1_200_000_000)}
+
+
+def test_bootstrap_multiplicities_behave(spark):
+    """Replicate effective sizes hover around N (Poisson(1) mean 1) and
+    replicate means spread around the true mean."""
+    from kinesis_log_watcher_spark.queries.base import load
+    from kinesis_log_watcher_spark.queries.relational import (
+        _BOOT_B,
+        bootstrap_mean_ci,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = bootstrap_mean_ci(spark, sf).collect()
+    assert len(rows) == _BOOT_B
+    n = load(spark, sf, "orders").count()
+    for r in rows:
+        assert abs(r.n_eff - n) < 0.2 * n  # Poisson(1) total ~ N ± sqrt(N)
+    true_mean = (
+        load(spark, sf, "orders").agg({"o_totalprice": "avg"}).collect()[0][0]
+    )
+    boot = sorted(r.boot_mean for r in rows)
+    assert boot[0] < true_mean < boot[-1]
