@@ -165,6 +165,7 @@ _FRONT = (
     "concurrent_session_pairs",
     "bootstrap_mean_ci",
     "key_skew_profile",
+    "ann_ivfpq_topk",
 )
 
 

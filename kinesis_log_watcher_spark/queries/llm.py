@@ -3428,3 +3428,142 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "dot", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ — coarse cell probe + PQ-coded ranking (the billion-scale recipe)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivfpq_topk",
+    f"""
+    WITH comp AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings),
+    qc AS (
+      SELECT vec_id, (dim - 1) // {_PQ_SUBDIM} AS sub, dim,
+             {_PQ_Q.format('x')} AS qx
+      FROM comp),
+    anchors AS (SELECT vec_id AS a_id, sub, dim, qx FROM qc WHERE vec_id < 8),
+    -- coarse quotient: full-vector squared L2 to each anchor
+    coarse AS (
+      SELECT v.vec_id, c.a_id,
+             CAST(SUM((v.qx - c.qx) * (v.qx - c.qx)) AS BIGINT) AS d2
+      FROM qc v JOIN anchors c ON c.dim = v.dim
+      WHERE v.vec_id >= 8
+      GROUP BY 1, 2),
+    cells AS (
+      SELECT vec_id, a_id AS cell FROM (
+        SELECT vec_id, a_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, a_id) AS rn
+        FROM coarse)
+      WHERE rn = 1),
+    -- fine quotient: per-subspace distances (codes + LUT share this)
+    subd2 AS (
+      SELECT v.vec_id, v.sub, c.a_id,
+             CAST(SUM((v.qx - c.qx) * (v.qx - c.qx)) AS BIGINT) AS d2
+      FROM qc v JOIN anchors c ON c.dim = v.dim AND c.sub = v.sub
+      WHERE v.vec_id >= 8
+      GROUP BY 1, 2, 3),
+    codes AS (
+      SELECT vec_id, sub, a_id AS code FROM (
+        SELECT vec_id, sub, a_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, a_id) AS rn
+        FROM subd2)
+      WHERE rn = 1),
+    lut AS (
+      SELECT vec_id AS q_id, sub, a_id, d2
+      FROM subd2 WHERE vec_id >= 10 AND vec_id < 20),
+    qcells AS (
+      SELECT vec_id AS q_id, cell FROM cells
+      WHERE vec_id >= 10 AND vec_id < 20),
+    adc AS (
+      SELECT l.q_id, c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS est_d2
+      FROM codes c
+      JOIN cells cl ON cl.vec_id = c.vec_id
+      JOIN qcells qcl ON qcl.cell = cl.cell
+      JOIN lut l ON l.sub = c.sub AND l.a_id = c.code AND l.q_id = qcl.q_id
+      WHERE c.vec_id != l.q_id
+      GROUP BY 1, 2)
+    SELECT q_id, vec_id AS neighbor_id, est_d2, rank FROM (
+      SELECT q_id, vec_id, est_d2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY est_d2, vec_id) AS BIGINT) AS rank
+      FROM adc)
+    WHERE rank <= {_PQ_K}
+    """,
+    doc="IVF-PQ (the billion-scale serving recipe, Jégou et al. 2011 "
+    "as deployed by every large vector store): a COARSE quantizer "
+    "prunes the corpus to the query's cell, then candidates are ranked "
+    "by PQ asymmetric distance — so query time touches neither the "
+    "raw corpus vectors NOR the full candidate list: cell fan-out cuts "
+    f"candidates, codes cut bytes-per-candidate to {_PQ_M} small ints, "
+    "the per-query LUT is broadcast, and every quantity is exact int64 "
+    "(both engines rank identically). Composes the two independently "
+    "verified stages (ann_ivf_topk's cells, ann_pq_adc_topk's codes); "
+    "candidate flow = codes |><| cells |><| broadcast(query cells) "
+    "|><| broadcast(LUT) — equi-joins only.",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    comp = exploded_components(emb, "vec_id")
+    qc = comp.select(
+        "vec_id",
+        ((F.col("dim") - 1) / _PQ_SUBDIM).cast("long").alias("sub"),
+        "dim",
+        quantize(F.col("x")).alias("qx"),
+    )
+    anchors = qc.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("a_id"), "sub", "dim", F.col("qx").alias("aqx")
+    )
+    corpus = qc.filter(F.col("vec_id") >= 8)
+    sq = (F.col("qx") - F.col("aqx")) * (F.col("qx") - F.col("aqx"))
+    subd2 = (
+        corpus.join(F.broadcast(anchors), ["sub", "dim"])
+        .groupBy("vec_id", "sub", "a_id")
+        .agg(F.sum(sq).cast("long").alias("d2"))
+        .persist()
+    )
+    # coarse = fine distances re-aggregated over subspaces (identical
+    # totals: both are sums of per-dim squared gaps)
+    coarse = subd2.groupBy("vec_id", "a_id").agg(
+        F.sum("d2").cast("long").alias("d2")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("d2", "a_id")
+    cells = (
+        coarse.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("a_id").alias("cell"))
+        .persist()
+    )
+    w_code = Window.partitionBy("vec_id", "sub").orderBy("d2", "a_id")
+    codes = (
+        subd2.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", F.col("a_id").alias("code"))
+    )
+    panel = (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
+    lut = subd2.filter(panel).select(
+        F.col("vec_id").alias("q_id"), "sub", F.col("a_id").alias("code"),
+        F.col("d2").alias("ld2"),
+    )
+    qcells = cells.filter(panel).select(
+        F.col("vec_id").alias("q_id"), F.col("cell").alias("q_cell")
+    )
+    adc = (
+        codes.join(cells, "vec_id")
+        .join(F.broadcast(qcells), F.col("cell") == F.col("q_cell"))
+        .join(F.broadcast(lut), ["q_id", "sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("ld2").cast("long").alias("est_d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy("est_d2", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _PQ_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "est_d2", "rank")
+    )
