@@ -2360,7 +2360,8 @@ def _boot_oracle() -> str:
     sel = ",\n             ".join(cols)
     arms = "\n      UNION ALL\n".join(
         f"      SELECT CAST({b} AS BIGINT) AS replicate, n_{b} AS n_eff, "
-        f"CAST(s_{b} AS DOUBLE) / n_{b} AS boot_mean FROM agg"
+        f"CAST(s_{b} AS DOUBLE) / n_{b} AS boot_mean FROM agg "
+        f"WHERE n_{b} > 0"
         for b in range(_BOOT_B)
     )
     return f"""
@@ -2420,7 +2421,9 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = agg.select(
         F.expr(f"stack({_BOOT_B}, {stack}) AS (replicate, n_eff, s)")
     )
-    return wide.select(
+    # an empty (or degenerate) input yields NULL/zero effective sizes —
+    # such replicates carry no mean and are dropped on both engines
+    return wide.filter(F.col("n_eff") > 0).select(
         "replicate",
         "n_eff",
         (F.col("s").cast("double") / F.col("n_eff")).alias("boot_mean"),
