@@ -166,6 +166,7 @@ _FRONT = (
     "bootstrap_mean_ci",
     "key_skew_profile",
     "ann_ivfpq_topk",
+    "hll_daily_merge",
 )
 
 

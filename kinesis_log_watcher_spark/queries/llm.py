@@ -3567,3 +3567,83 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PQ_K)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "est_d2", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# HLL mergeability as a query — daily sketches → monthly distinct
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hll_daily_merge",
+    f"""
+    WITH hashed AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM events),
+    day_regs AS (
+      SELECT day, h % 16 AS r,
+             MAX(CASE WHEN (h >> 4) = 0 THEN 57
+                      ELSE 57 - length(bin(h >> 4)) END) AS m_rho
+      FROM hashed GROUP BY 1, 2),
+    merged AS (
+      SELECT r, MAX(m_rho) AS m_rho FROM day_regs GROUP BY r),
+    stats AS (
+      SELECT COUNT(*) AS present,
+             SUM(1::BIGINT << (57 - m_rho)) AS s_present
+      FROM merged),
+    est AS (
+      SELECT 16 - present AS v,
+             {_HLL_P4_ALPHA!r}
+               / (s_present + (16 - present) * (1::BIGINT << 57)) AS e_raw
+      FROM stats)
+    SELECT CAST((SELECT COUNT(DISTINCT day) FROM hashed) AS BIGINT)
+             AS n_days,
+           CAST(floor(CASE WHEN e_raw <= 40.0 AND v > 0
+                           THEN 16.0 * ln(16.0 / v) ELSE e_raw END + 0.5)
+                AS BIGINT) AS est_users,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+             AS exact_users
+    FROM est
+    """,
+    doc="HLL MERGEABILITY as a query — the '100 TB rollup' claim the "
+    "sketch was built for, executed: per-DAY register tables (the "
+    "nightly artifact a warehouse stores) merge into the monthly "
+    "distinct-user estimate by register-MAX alone, never re-reading "
+    "raw keys; the merged estimate is compared against the exact "
+    "month-wide distinct in the same row. Shapes: two bounded "
+    "aggregations over (day x 16)-row relations after the one "
+    "(day, register) pass over events.",
+)
+def hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    daily = hll_build(
+        ev.withColumn("day", F.col("ts").cast("date")),
+        "user_id",
+        group_cols=("day",),
+        p=4,
+    )
+    daily = daily.persist()
+    merged = daily.groupBy("r").agg(F.max("m_rho").alias("m_rho"))
+    est = hll_estimate(merged, group_cols=(), p=4)
+    n_days = daily.select("day").distinct().agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        est.crossJoin(F.broadcast(n_days))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_days",
+            F.floor(F.col("est_distinct") + 0.5).cast("long").alias("est_users"),
+            "exact_users",
+        )
+    )

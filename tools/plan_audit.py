@@ -68,6 +68,7 @@ ALLOWED_BNLJ = {
     "topk_words_certified": "1-row certificate-bound broadcast",
     "bpe_encode_compression": "1-row merge-table broadcast",
     "word_pair_pmi": "1-row corpus-stats broadcast",
+    "hll_daily_merge": "1-row sketch-estimate/exact broadcasts",
 }
 
 
