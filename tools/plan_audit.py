@@ -67,6 +67,7 @@ ALLOWED_BNLJ = {
     # rows above: build side is exactly one row by construction)
     "topk_words_certified": "1-row certificate-bound broadcast",
     "bpe_encode_compression": "1-row merge-table broadcast",
+    "doc_bpe_token_counts": "1-row merge-table broadcast",
     "word_pair_pmi": "1-row corpus-stats broadcast",
     "hll_daily_merge": "1-row sketch-estimate/exact broadcasts",
 }
