@@ -167,6 +167,8 @@ _FRONT = (
     "key_skew_profile",
     "ann_ivfpq_topk",
     "hll_daily_merge",
+    "topk_orders_per_segment_twophase",
+    "stream_cdc_snapshot_diff",
 )
 
 

@@ -2505,3 +2505,74 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# two-phase top-k per group — partial top-k before the global ranking
+# --------------------------------------------------------------------------
+
+_TPG_K = 3
+_TPG_SALTS = 8
+
+
+@register(
+    "topk_orders_per_segment_twophase",
+    f"""
+    SELECT c_mktsegment, o_orderkey, price, rnk
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderkey,
+             CAST(o.o_totalprice AS DECIMAL(12,2)) AS price,
+             CAST(ROW_NUMBER() OVER (
+                    PARTITION BY c.c_mktsegment
+                    ORDER BY CAST(o.o_totalprice AS DECIMAL(12,2)) DESC,
+                             o.o_orderkey) AS BIGINT) AS rnk
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+    WHERE rnk <= {_TPG_K}
+    """,
+    doc=f"TWO-PHASE top-{_TPG_K} per group: phase 1 ranks within "
+    f"(group, md5-salt) over {_TPG_SALTS} salts and keeps each salt "
+    f"bucket's top-{_TPG_K}; phase 2 ranks the <= {_TPG_SALTS}x"
+    f"{_TPG_K}-row survivors per group. Result-invariant vs the "
+    "single-pass ranking window (the oracle computes that directly): "
+    "any row outside its salt bucket's top-k is beaten by k rows in "
+    "its OWN group, so it cannot be in the group's global top-k. The "
+    "scale point: a single ranking window sorts EVERY group member "
+    "through one shuffle partition per group (the classic top-k-"
+    "per-group OOM); the salted first phase bounds every partition's "
+    "sort to its salt slice and the second phase touches only "
+    "salts*k rows per group. Both phases are window ranks over "
+    "exact-decimal prices with deterministic (price, key) tie-break.",
+)
+def topk_orders_per_segment_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", dec(F.col("o_totalprice"), 12, 2).alias("price")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select("c_mktsegment", "o_orderkey", "price")
+    salt = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % _TPG_SALTS
+    )
+    w1 = Window.partitionBy("c_mktsegment", "salt").orderBy(
+        F.col("price").desc(), F.col("o_orderkey")
+    )
+    partial = (
+        joined.withColumn("salt", salt)
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _TPG_K)
+        .drop("salt", "r1")
+    )
+    w2 = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("price").desc(), F.col("o_orderkey")
+    )
+    return (
+        partial.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= _TPG_K)
+        .select("c_mktsegment", "o_orderkey", "price", "rnk")
+    )

@@ -614,3 +614,55 @@ def stream_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+@register(
+    "stream_cdc_snapshot_diff",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_changed,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1.1
+                         AS DECIMAL(14,3))
+                    - CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                           AS DECIMAL(14,3))) AS DOUBLE) AS delta_revenue
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    GROUP BY o_orderpriority
+    """,
+    doc="SNAPSHOT DIFF over the CDC delta store: resolve the table as "
+    "of batch 0 and batch 1 (streaming/cdc.py resolve_as_of), full-key "
+    "equi-join the two states, and keep rows whose value changed — "
+    "the audit/incremental-downstream primitive an append-only delta "
+    "layout gives for free (diffing two snapshots never re-reads the "
+    "change stream). The oracle states the changed set directly from "
+    "the generating rule (the 10% re-priced keys and their exact "
+    "decimal price delta).",
+)
+def stream_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_log_watcher_spark.streaming.cdc import (
+        read_deltas,
+        resolve_as_of,
+        run_cdc_upsert,
+    )
+
+    changes, root = _cdc_change_dirs(spark, sf_dir)
+    target = os.path.join(root, "target")
+    run_cdc_upsert(
+        spark, changes, target, key_cols=("o_orderkey",), version_col="version"
+    )
+    deltas = read_deltas(spark, target).persist()
+    s0 = resolve_as_of(deltas, ("o_orderkey",), "version", 0).select(
+        "o_orderkey", "o_orderpriority", F.col("price").alias("p0")
+    )
+    s1 = resolve_as_of(deltas, ("o_orderkey",), "version", 1).select(
+        "o_orderkey", F.col("price").alias("p1")
+    )
+    changed = s0.join(s1, "o_orderkey").filter(F.col("p0") != F.col("p1"))
+    return changed.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_changed"),
+        F.sum(F.col("p1") - F.col("p0")).cast("double").alias("delta_revenue"),
+    )
