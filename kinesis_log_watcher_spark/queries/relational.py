@@ -2332,26 +2332,30 @@ def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _BOOT_B = 16
-# Cumulative Poisson(1) CDF in 2^60 units (shared literals; multiplicity
-# capped at 7 — P(X>7) < 1e-5 at lambda=1).
+# Cumulative Poisson(1) CDF in 2^16 units (shared literals; multiplicity
+# capped at 7 — P(X>7) < 1e-5 at lambda=1). 16-bit resolution biases
+# each threshold by < 1/65536 — noise far below bootstrap noise — and
+# lets all 16 replicate draws come out of TWO md5 digests (4 hex chars
+# per replicate) instead of one digest per replicate: md5 dominates the
+# scan cost of the resample.
 import math as _math  # noqa: E402
 
 _BOOT_CDF = []
 _acc = 0.0
 for _k in range(8):
     _acc += _math.exp(-1.0) / _math.factorial(_k)
-    _BOOT_CDF.append(int(_acc * (1 << 60)))
+    _BOOT_CDF.append(min(int(_acc * (1 << 16)), (1 << 16) - 1))
 
 
 def _boot_oracle() -> str:
-    u = ("CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|{b}'), "
-         "1, 15) AS BIGINT)")
+    u = ("CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|g{g}'), "
+         "{pos}, 4) AS BIGINT)")
     mult = "CASE " + " ".join(
         f"WHEN {{u}} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF[:-1])
     ) + " ELSE 7 END"
     cols = []
     for b in range(_BOOT_B):
-        m = mult.format(u=u.format(b=b))
+        m = mult.format(u=u.format(g=b // 8, pos=1 + 4 * (b % 8)))
         cols.append(f"CAST(SUM({m}) AS BIGINT) AS n_{b}")
         cols.append(
             f"CAST(SUM(({m}) * CAST(o_totalprice AS DECIMAL(12,2)))"
@@ -2396,9 +2400,14 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(_BOOT_B):
         u = F.conv(
             F.substring(
-                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(f"|{b}"))),
-                1,
-                15,
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(f"|g{b // 8}"),
+                    )
+                ),
+                1 + 4 * (b % 8),
+                4,
             ),
             16,
             10,
