@@ -169,6 +169,7 @@ _FRONT = (
     "hll_daily_merge",
     "topk_orders_per_segment_twophase",
     "stream_cdc_snapshot_diff",
+    "stream_late_data_accounting",
 )
 
 

@@ -666,3 +666,32 @@ def stream_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_changed"),
         F.sum(F.col("p1") - F.col("p0")).cast("double").alias("delta_revenue"),
     )
+
+
+@register(
+    "stream_late_data_accounting",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE NOT (day(ts) = 5 AND event_id % 2 = 0)
+    GROUP BY 1, 2
+    """,
+    doc="Watermark LATE-DATA DROP semantics as an oracled result (not "
+    "just a pytest), staged as the case Spark actually guarantees: the "
+    "late slice (day 5's even-event_id half) is delivered only AFTER "
+    "its windows were finalized AND evicted, so every late row is "
+    "dropped and the hourly counts exclude exactly that slice — the "
+    "oracle's WHERE NOT (day=5 AND even). Late rows for windows never "
+    "held in state are NOT dropped (admitted and closed immediately — "
+    "measured, not assumed), which is why the harness finalizes first. "
+    "The reference has no lateness concept at all (SURVEY.md §2.2) "
+    "(streaming/windows.py run_late_data_accounting).",
+)
+def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.windows import (
+        run_late_data_accounting,
+    )
+
+    return run_late_data_accounting(spark, f"{sf_dir}/events.parquet")

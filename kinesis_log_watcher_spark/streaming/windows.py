@@ -276,3 +276,98 @@ def run_streaming_hll(
     )
     await_or_raise(q, timeout_s)
     return hll_estimate(spark.table(name), group_cols=("event_type",), p=4)
+
+
+def run_late_data_accounting(
+    spark: SparkSession,
+    events_path: str,
+    late_day: int = 5,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics, replayed deterministically.
+
+    Spark's actual guarantee (pinned in tests/test_watermark.py and
+    re-confirmed empirically here) is narrower than 'late rows are
+    dropped': a late row is dropped only when its window was already
+    FINALIZED AND EVICTED in an earlier batch — late rows for windows
+    the store never held are admitted and close immediately. The
+    harness therefore stages exactly the guaranteed case:
+
+      f0: everything except the late slice (day ``late_day``'s
+          even-event_id half — the odd half stays on time, giving the
+          late windows on-time state to finalize);
+      f1: a far-future sentinel — its watermark push makes batch 2 run
+          with wm past EVERY real window, so all real windows
+          (day-``late_day`` ones included) finalize and evict first;
+      f2: the late slice — each row's window is now gone from state,
+          so the rows are dropped (numRowsDroppedByWatermark);
+      f3: a second sentinel, so f1's own sentinel window finalizes and
+          can be filtered POST-SINK (in-plan the event_type predicate
+          would be pushed below the watermark node and the sentinels
+          could never advance it — the pushdown trap of
+          streaming/joins.py).
+
+    Final append-mode counts therefore exclude exactly the late slice,
+    which the SQL oracle states directly."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kinesis_log_watcher_spark.sources.files import (
+        await_or_raise,
+        read_parquet_stream,
+    )
+
+    ensure_session_confs(spark)
+    base = normalize_ts_cols(spark.read.parquet(events_path))
+    is_late = (F.dayofmonth("ts") == late_day) & (F.col("event_id") % 2 == 0)
+    mx = base.groupBy().agg(F.max("ts").alias("mxts"))
+
+    def sentinel(i: int) -> DataFrame:
+        cols = []
+        for f in base.schema.fields:
+            if f.name == "ts":
+                cols.append(
+                    (F.col("mxts") + F.expr(f"INTERVAL {2 * i} HOURS"))
+                    .cast(f.dataType)
+                    .alias("ts")
+                )
+            elif f.name == "event_type":
+                cols.append(F.lit("sentinel").cast(f.dataType).alias(f.name))
+            elif f.name == "event_id":
+                cols.append(F.lit(-1000 - i).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return mx.select(*cols)
+
+    replay = tempfile.mkdtemp(prefix="late_replay_")
+    parts = [base.filter(~is_late), sentinel(1), base.filter(is_late), sentinel(2)]
+    for i, part_df in enumerate(parts):
+        stage = os.path.join(replay, f"_s{i}")
+        part_df.coalesce(1).write.parquet(stage)
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        dest = os.path.join(replay, f"f{i}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (1_700_000_000 + 10 * i,) * 2)
+        shutil.rmtree(stage)
+
+    stream = normalize_ts_cols(
+        read_parquet_stream(spark, replay, max_files_per_trigger=1)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    name = f"late_accounting_{next(_counter)}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, timeout_s)
+    return spark.table(name).filter(F.col("event_type") != "sentinel")
