@@ -432,9 +432,6 @@ def _cdc_change_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Build the two-file order change stream (base snapshot at version
     0, the 10%%-of-keys re-price delta at version 1) with ascending
     mtimes, returning (changes_dir, target_root)."""
-    import glob as _glob
-    import os
-    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -462,17 +459,10 @@ def _cdc_change_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         F.lit(1).alias("version"),
     )
 
-    root = tempfile.mkdtemp(prefix="cdc_")
-    changes = os.path.join(root, "changes")
-    os.makedirs(changes)
-    for i, df in enumerate([v0, v1]):
-        stage = os.path.join(root, f"_stage{i}")
-        df.coalesce(1).write.parquet(stage)
-        (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
-        dest = os.path.join(changes, f"c{i}.parquet")
-        shutil.copy(part, dest)
-        os.utime(dest, (1_700_000_000 + 10 * i,) * 2)
-        shutil.rmtree(stage)
+    from kinesis_log_watcher_spark.sources.files import stage_replay_files
+
+    changes = stage_replay_files(spark, [v0, v1], prefix="cdc_changes_")
+    root = tempfile.mkdtemp(prefix="cdc_target_")
     return changes, root
 
 

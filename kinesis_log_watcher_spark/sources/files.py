@@ -160,3 +160,27 @@ def zorder_write(
     )
     spark = df.sparkSession
     return spark.read.parquet(dest_dir)
+
+
+def stage_replay_files(spark, parts, prefix: str = "replay_") -> str:
+    """Write each DataFrame in ``parts`` as ONE parquet file in a fresh
+    replay directory, named and mtime-ordered by position — the shared
+    harness for every bounded-replay runner that needs deterministic
+    micro-batch boundaries (maxFilesPerTrigger=1 then consumes them in
+    exactly this order). Test-scale plumbing: production streams are
+    unbounded and never staged."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    replay = tempfile.mkdtemp(prefix=prefix)
+    for i, part_df in enumerate(parts):
+        stage = os.path.join(replay, f"_s{i}")
+        part_df.coalesce(1).write.parquet(stage)
+        (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        dest = os.path.join(replay, f"f{i}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (1_700_000_000 + 10 * i,) * 2)
+        shutil.rmtree(stage)
+    return replay

@@ -162,11 +162,6 @@ def _sentinel_replay_dir(spark: SparkSession, events_path: str) -> str:
     dataset is test-scale harness plumbing only — a production stream
     just keeps running and needs no finalization.
     """
-    import glob
-    import os
-    import shutil
-    import tempfile
-
     from pyspark.sql.types import LongType
 
     base = spark.read.parquet(events_path)
@@ -198,17 +193,11 @@ def _sentinel_replay_dir(spark: SparkSession, events_path: str) -> str:
             row("purchase", -1001 - 2 * i)
         )
 
-    replay = tempfile.mkdtemp(prefix="ss_left_join_")
-    t0 = 1_700_000_000
-    for i, df in enumerate([base, sentinel(1), sentinel(2)]):
-        stage = os.path.join(replay, f"_stage{i}")
-        df.coalesce(1).write.parquet(stage)
-        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
-        dest = os.path.join(replay, f"f{i}.parquet")
-        shutil.copy(part, dest)
-        os.utime(dest, (t0 + 10 * i, t0 + 10 * i))
-        shutil.rmtree(stage)
-    return replay
+    from kinesis_log_watcher_spark.sources.files import stage_replay_files
+
+    return stage_replay_files(
+        spark, [base, sentinel(1), sentinel(2)], prefix="ss_left_join_"
+    )
 
 
 def run_stream_stream_left_join(

@@ -309,14 +309,10 @@ def run_late_data_accounting(
 
     Final append-mode counts therefore exclude exactly the late slice,
     which the SQL oracle states directly."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-
     from kinesis_log_watcher_spark.sources.files import (
         await_or_raise,
         read_parquet_stream,
+        stage_replay_files,
     )
 
     ensure_session_confs(spark)
@@ -341,16 +337,11 @@ def run_late_data_accounting(
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return mx.select(*cols)
 
-    replay = tempfile.mkdtemp(prefix="late_replay_")
-    parts = [base.filter(~is_late), sentinel(1), base.filter(is_late), sentinel(2)]
-    for i, part_df in enumerate(parts):
-        stage = os.path.join(replay, f"_s{i}")
-        part_df.coalesce(1).write.parquet(stage)
-        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
-        dest = os.path.join(replay, f"f{i}.parquet")
-        shutil.copy(part, dest)
-        os.utime(dest, (1_700_000_000 + 10 * i,) * 2)
-        shutil.rmtree(stage)
+    replay = stage_replay_files(
+        spark,
+        [base.filter(~is_late), sentinel(1), base.filter(is_late), sentinel(2)],
+        prefix="late_replay_",
+    )
 
     stream = normalize_ts_cols(
         read_parquet_stream(spark, replay, max_files_per_trigger=1)
