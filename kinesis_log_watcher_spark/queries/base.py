@@ -170,6 +170,7 @@ _FRONT = (
     "topk_orders_per_segment_twophase",
     "stream_cdc_snapshot_diff",
     "stream_late_data_accounting",
+    "stream_dynamic_session_windows",
 )
 
 

@@ -685,3 +685,56 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_late_data_accounting(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "stream_dynamic_session_windows",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             ts + CASE event_type
+                    WHEN 'click' THEN INTERVAL 30 MINUTE
+                    WHEN 'purchase' THEN INTERVAL 2 HOUR
+                    ELSE INTERVAL 1 HOUR
+                  END AS iv_end
+      FROM events),
+    m AS (
+      SELECT user_id, ts, iv_end,
+             MAX(iv_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS prev_max_end
+      FROM g),
+    marked AS (
+      SELECT user_id, ts, iv_end,
+             CASE WHEN prev_max_end IS NULL OR ts > prev_max_end
+                  THEN 1 ELSE 0 END AS is_start
+      FROM m),
+    islands AS (
+      SELECT user_id, ts, iv_end,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, iv_end
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(iv_end) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands
+    GROUP BY user_id, sid
+    """,
+    doc="DYNAMIC-GAP session windows (per-event gap expression: clicks "
+    "hold the session 30min, purchases 2h, the rest 1h) — the "
+    "session_window API surface beyond the fixed-gap form. A session "
+    "is the union of per-event intervals [ts, ts+gap): order-free, so "
+    "the oracle states it as interval-union islands via a prefix-MAX "
+    "of interval ends (new session iff ts exceeds every previous "
+    "event's hold). The engine's session end is the last surviving "
+    "interval end — MAX(iv_end) — exactly as the fixed-gap oracle "
+    "uses MAX(ts)+gap (streaming/windows.py "
+    "run_dynamic_session_windows).",
+)
+def stream_dynamic_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.windows import (
+        run_dynamic_session_windows,
+    )
+
+    return run_dynamic_session_windows(spark, f"{sf_dir}/events.parquet")

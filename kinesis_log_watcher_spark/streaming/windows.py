@@ -362,3 +362,45 @@ def run_late_data_accounting(
     )
     await_or_raise(q, timeout_s)
     return spark.table(name).filter(F.col("event_type") != "sentinel")
+
+
+def run_dynamic_session_windows(
+    spark: SparkSession,
+    events_path: str,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Session windows with a PER-EVENT gap expression — the dynamic
+    form of ``F.session_window`` (each event holds its session open for
+    its own duration; clicks linger 30 minutes, purchases 2 hours,
+    everything else 1 hour). Sessions are the union of the per-event
+    intervals [ts, ts + gap): order-free, so the batch oracle can state
+    them as interval-union islands (a running prefix-max of interval
+    ends). Same state story as the fixed-gap form — one store entry per
+    open session."""
+    ensure_session_confs(spark)
+    stream = normalize_ts_cols(read_parquet_stream(spark, events_path))
+    gap = (
+        F.when(F.col("event_type") == "click", F.lit("30 minutes"))
+        .when(F.col("event_type") == "purchase", F.lit("2 hours"))
+        .otherwise(F.lit("1 hour"))
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"dyn_session_{next(_counter)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, timeout_s)
+    return spark.table(name)
