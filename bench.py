@@ -43,6 +43,9 @@ SKIP = {
     # (full dataset rewrite + 3 micro-batches of join state), not
     # query-engine cost; correctness-gated via the registry
     "stream_click_purchase_left_join",
+    # same class: the late-data replay rewrites the dataset into the
+    # 4-file staged order before any engine work runs
+    "stream_late_data_accounting",
 }
 
 
