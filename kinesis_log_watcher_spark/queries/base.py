@@ -171,6 +171,8 @@ _FRONT = (
     "stream_cdc_snapshot_diff",
     "stream_late_data_accounting",
     "stream_dynamic_session_windows",
+    "class_balanced_downsample",
+    "stream_index_admission",
 )
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kinesis_log_watcher_spark.operators.sampling import (
     pack_bins,
@@ -283,4 +284,62 @@ def reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return reservoir_topk(docs, "source", "doc_id", _RESERVOIR_K).select(
         "source", "doc_id", "rk"
+    )
+
+
+# --------------------------------------------------------------------------
+# class-balanced downsampling — equalize per-class counts deterministically
+# --------------------------------------------------------------------------
+
+
+@register(
+    "class_balanced_downsample",
+    """
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS r
+      FROM documents),
+    floor_n AS (
+      SELECT MIN(cnt) AS n FROM (
+        SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang))
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+    FROM ranked, floor_n
+    WHERE r <= n
+    GROUP BY lang
+    """,
+    doc="CLASS REBALANCING for training data: downsample every language "
+    "to the smallest class's size, membership chosen by md5 hash-rank "
+    "— deterministic, engine/run-stable, and growth-stable in the "
+    "sampling.py sense (a doc's rank only moves if smaller-hash docs "
+    "enter its class). The kept_id_sum column pins the exact selected "
+    "SET, not just its size. Shape: one (lang) window rank over doc "
+    "ids + a 1-row class-floor broadcast — at 100 TB the rank is the "
+    "same per-class shuffle any stratified op pays, and the selection "
+    "needs no second pass.",
+)
+def class_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    r = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    floor_n = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.min("cnt").alias("n"))
+    )
+    ranked = docs.select("lang", "doc_id", r.alias("r"))
+    return (
+        ranked.crossJoin(F.broadcast(floor_n))
+        .filter(F.col("r") <= F.col("n"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("kept_id_sum"),
+        )
     )

@@ -738,3 +738,45 @@ def stream_dynamic_session_windows(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     return run_dynamic_session_windows(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "stream_index_admission",
+    """
+    WITH snap AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 300),
+    batch AS (
+      SELECT doc_id, source, md5(text) AS fp
+      FROM documents WHERE doc_id >= 300),
+    fresh AS (
+      SELECT b.doc_id, b.source, b.fp
+      FROM batch b WHERE b.fp NOT IN (SELECT fp FROM snap)),
+    ranked AS (
+      SELECT source,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fresh)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_survivors,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_admitted,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_batch
+    FROM ranked GROUP BY source
+    """,
+    doc="STREAMING admission against a persisted dedup index — the "
+    "stream-static LEFT ANTI join surface (the only join flavor the "
+    "streaming family didn't yet exercise): known fingerprints never "
+    "reach the sink and the operator holds zero state; within-batch "
+    "first-occurrence resolution is an exact lowest-doc_id window on "
+    "the sink (arrival order inside a micro-batch is partition-"
+    "nondeterministic, so stream dropDuplicates could not pin WHICH "
+    "duplicate wins — the docstring records why). Oracle = the batch "
+    "restatement of admit-if-unknown + first-occurrence "
+    "(streaming/joins.py run_stream_index_admission).",
+)
+def stream_index_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.joins import (
+        run_stream_index_admission,
+    )
+
+    return run_stream_index_admission(spark, f"{sf_dir}/documents.parquet")

@@ -275,3 +275,67 @@ def run_stream_stream_left_join(
     # streaming plan this predicate would be pushed below the watermark
     # node and stop the sentinels from advancing it.
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+def run_stream_index_admission(
+    spark: SparkSession,
+    docs_path: str,
+    snapshot_max_id: int = 300,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Streaming admission against a STATIC dedup index — the
+    stream-static LEFT ANTI join surface: the historical corpus's
+    fingerprint index (built and persisted batch-side, exactly as
+    incremental_dedup_update stores it) is anti-joined into every
+    micro-batch, so already-known documents never reach the sink and
+    the operator keeps ZERO state (the index is a static relation, not
+    stream state). Within-batch first-occurrence resolution happens on
+    the sink relation with an exact lowest-doc_id window — arrival
+    order inside a micro-batch is partition-nondeterministic, so a
+    state-backed dropDuplicates could not pin WHICH same-fingerprint
+    duplicate wins; the post-sink window can (the downstream
+    batch-compactor shape)."""
+    import tempfile
+
+    from kinesis_log_watcher_spark.sources.files import (
+        await_or_raise,
+        read_parquet_stream,
+    )
+    from pyspark.sql.window import Window
+
+    ensure_session_confs(spark)
+    docs = spark.read.parquet(docs_path).select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    snap = docs.filter(F.col("doc_id") < snapshot_max_id).select("fp").distinct()
+    path = tempfile.mkdtemp(prefix="stream_idx_") + "/fingerprints"
+    snap.write.mode("overwrite").parquet(path)
+    stored = spark.read.schema("fp string").parquet(path)
+
+    stream = read_parquet_stream(spark, docs_path).select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    ).filter(F.col("doc_id") >= snapshot_max_id)
+    fresh = stream.join(stored, "fp", "left_anti")
+
+    name = f"index_admission_{next(_counter)}"
+    q = (
+        fresh.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, timeout_s)
+
+    sink = spark.table(name)
+    rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    resolved = sink.withColumn("rn", rn)
+    return resolved.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_survivors"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_admitted"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_batch"),
+    )
