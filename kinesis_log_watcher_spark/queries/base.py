@@ -173,6 +173,7 @@ _FRONT = (
     "stream_dynamic_session_windows",
     "class_balanced_downsample",
     "stream_index_admission",
+    "price_outlier_profile",
 )
 
 

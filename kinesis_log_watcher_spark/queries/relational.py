@@ -2585,3 +2585,112 @@ def topk_orders_per_segment_twophase(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("rnk") <= _TPG_K)
         .select("c_mktsegment", "o_orderkey", "price", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# robust outlier profiling — exact-IQR fences (data cleaning)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "price_outlier_profile",
+    """
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+             o_orderkey
+      FROM orders),
+    r AS (
+      SELECT o_orderpriority, cents,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY cents, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM c),
+    q AS (
+      SELECT o_orderpriority,
+             MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                      THEN cents END) AS q1,
+             MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                      THEN cents END) AS q3
+      FROM r GROUP BY o_orderpriority),
+    f AS (
+      SELECT o_orderpriority, q1, q3,
+             q1 - (3 * (q3 - q1)) // 2 AS lo,
+             q3 + (3 * (q3 - q1)) // 2 AS hi
+      FROM q)
+    SELECT c.o_orderpriority,
+           CAST(MAX(f.q1) AS BIGINT) AS q1_cents,
+           CAST(MAX(f.q3) AS BIGINT) AS q3_cents,
+           CAST(SUM(CASE WHEN c.cents < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_outliers,
+           CAST(SUM(CASE WHEN c.cents > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM c JOIN f USING (o_orderpriority)
+    GROUP BY c.o_orderpriority
+    """,
+    doc="Robust outlier profiling (data cleaning): exact Tukey fences "
+    "per group — Q1/Q3 as integer-rank order statistics (the "
+    "segment_p95_balance convention: no interpolation, no engine float "
+    "divergence), fences at Q1/Q3 -/+ floor(1.5*IQR) in integer CENTS "
+    "(decimal(12,2)*100 is exact int64; the floor-halves fence is "
+    "deterministic on both engines), and per-group outlier counts via "
+    "one broadcast of the |groups|-row fence relation back onto the "
+    "price scan. Shape: one partitioned sort for the ranks + one "
+    "broadcast-join counting pass — the screening step a curation "
+    "pipeline runs before trusting numeric columns.",
+)
+def price_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    orders = load(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderpriority",
+        (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    r = c.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    q = r.groupBy("o_orderpriority").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.25) * F.col("n")).cast("bigint"),
+                F.col("cents"),
+            )
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.75) * F.col("n")).cast("bigint"),
+                F.col("cents"),
+            )
+        ).alias("q3"),
+    )
+    f = q.select(
+        "o_orderpriority",
+        "q1",
+        "q3",
+        (F.col("q1") - F.expr("(3 * (q3 - q1)) div 2")).alias("lo"),
+        (F.col("q3") + F.expr("(3 * (q3 - q1)) div 2")).alias("hi"),
+    )
+    return (
+        c.join(F.broadcast(f), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("q1").cast("long").alias("q1_cents"),
+            F.max("q3").cast("long").alias("q3_cents"),
+            F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_outliers"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
