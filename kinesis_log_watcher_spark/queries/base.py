@@ -174,6 +174,8 @@ _FRONT = (
     "class_balanced_downsample",
     "stream_index_admission",
     "price_outlier_profile",
+    "hist_daily_merge",
+    "winsorized_price_stats",
 )
 
 

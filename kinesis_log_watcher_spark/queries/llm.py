@@ -3647,3 +3647,67 @@ def hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_users",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# histogram mergeability as a query — daily sketches → monthly quantiles
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hist_daily_merge",
+    """
+    WITH b AS (
+      SELECT CAST(ts AS DATE) AS day,
+             LEAST(GREATEST(CAST(floor((value - 0.0) / 10.0) AS BIGINT), 0),
+                   49) AS bin
+      FROM events),
+    day_h AS (SELECT day, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    merged AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS c FROM day_h GROUP BY bin),
+    cum AS (
+      SELECT bin,
+             SUM(c) OVER (ORDER BY bin) AS cum,
+             SUM(c) OVER () AS n
+      FROM merged),
+    hit AS (
+      SELECT p, MIN(bin) AS bin_idx, MIN(n) AS n
+      FROM cum CROSS JOIN (SELECT unnest([50, 95]) AS p) q
+      WHERE cum * 100 >= p * n
+      GROUP BY p)
+    SELECT CAST((SELECT COUNT(DISTINCT day) FROM b) AS BIGINT) AS n_days,
+           CAST(p AS BIGINT) AS p,
+           0.0 + (bin_idx + 0.5) * 10.0 AS est_value,
+           CAST(n AS BIGINT) AS n
+    FROM hit
+    """,
+    doc="HISTOGRAM MERGEABILITY as a query (the quantile companion to "
+    "hll_daily_merge): per-DAY 50-bin histograms — the nightly sketch a "
+    "warehouse stores — merge into month-wide p50/p95 estimates by "
+    "COUNTER ADDITION alone, never re-reading raw values; the rank "
+    "test stays exact int64. Two bounded aggregations over "
+    "(day x 50)-row relations after the one binning pass.",
+)
+def hist_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.sketch import (
+        hist_build,
+        hist_quantiles,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    daily = hist_build(
+        ev.withColumn("day", F.col("ts").cast("date")),
+        "value",
+        group_cols=("day",),
+        lo=0.0,
+        hi=500.0,
+        nbins=50,
+    ).persist()
+    merged = daily.groupBy("bin").agg(F.sum("c").cast("long").alias("c"))
+    est = hist_quantiles(merged, (50, 95), group_cols=(), lo=0.0, hi=500.0, nbins=50)
+    n_days = daily.select("day").distinct().agg(
+        F.count("*").cast("long").alias("n_days")
+    )
+    return est.crossJoin(F.broadcast(n_days)).select(
+        "n_days", F.col("p").cast("long").alias("p"), "est_value",
+        F.col("n").cast("long").alias("n"),
+    )

@@ -2694,3 +2694,97 @@ def price_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# winsorized statistics — robust means after clamping at exact percentiles
+# --------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_price_stats",
+    """
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+             o_orderkey
+      FROM orders),
+    r AS (
+      SELECT o_orderpriority, cents,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY cents, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM c),
+    q AS (
+      SELECT o_orderpriority,
+             MAX(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                      THEN cents END) AS p05,
+             MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN cents END) AS p95
+      FROM r GROUP BY o_orderpriority)
+    SELECT c.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c.cents) AS DOUBLE) / COUNT(*) AS mean_cents,
+           CAST(SUM(LEAST(GREATEST(c.cents, q.p05), q.p95)) AS DOUBLE)
+             / COUNT(*) AS winsorized_mean_cents,
+           CAST(SUM(CASE WHEN c.cents < q.p05 OR c.cents > q.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM c JOIN q USING (o_orderpriority)
+    GROUP BY c.o_orderpriority
+    """,
+    doc="WINSORIZED statistics (robust data cleaning): per-group means "
+    "recomputed after clamping every value into [p05, p95], where the "
+    "percentile bounds are exact integer-rank order statistics in "
+    "integer cents — so clamping, clamp counts, and both sums are "
+    "exact int64, and each mean is one IEEE division. Complements "
+    "price_outlier_profile: the fences there COUNT the tail, the "
+    "winsorized mean NEUTRALIZES it — the pair a metrics pipeline "
+    "publishes for heavy-tailed columns. Same shape: one partitioned "
+    "rank + one broadcast of the per-group bound relation.",
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    orders = load(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderpriority",
+        (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    r = c.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    q = r.groupBy("o_orderpriority").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.05) * F.col("n")).cast("bigint"),
+                F.col("cents"),
+            )
+        ).alias("p05"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.95) * F.col("n")).cast("bigint"),
+                F.col("cents"),
+            )
+        ).alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("p05")), F.col("p95"))
+    out_of = (F.col("cents") < F.col("p05")) | (F.col("cents") > F.col("p95"))
+    return (
+        c.join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.sum("cents").cast("double") / F.count("*")).alias("mean_cents"),
+            (F.sum(clamped).cast("double") / F.count("*")).alias(
+                "winsorized_mean_cents"
+            ),
+            F.sum(F.when(out_of, 1).otherwise(0)).cast("long").alias("n_clamped"),
+        )
+    )

@@ -70,6 +70,7 @@ ALLOWED_BNLJ = {
     "doc_bpe_token_counts": "1-row merge-table broadcast",
     "word_pair_pmi": "1-row corpus-stats broadcast",
     "hll_daily_merge": "1-row sketch-estimate/exact broadcasts",
+    "hist_daily_merge": "1-row sketch-estimate/exact broadcasts",
     "class_balanced_downsample": "1-row class-floor broadcast",
 }
 
