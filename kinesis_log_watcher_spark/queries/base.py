@@ -176,6 +176,7 @@ _FRONT = (
     "price_outlier_profile",
     "hist_daily_merge",
     "winsorized_price_stats",
+    "cms_daily_merge",
 )
 
 

@@ -3711,3 +3711,69 @@ def hist_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days", F.col("p").cast("long").alias("p"), "est_value",
         F.col("n").cast("long").alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# CMS mergeability as a query — daily grids → monthly frequency estimates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cms_daily_merge",
+    """
+    WITH ix AS (SELECT unnest(range(4)) AS i),
+    hashed AS (
+      SELECT CAST(e.ts AS DATE) AS day, e.user_id, ix.i,
+             CAST('0x' || substr(md5(CAST(ix.i AS VARCHAR) || ':'
+                  || CAST(e.user_id AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS b
+      FROM events e CROSS JOIN ix),
+    day_grids AS (SELECT day, i, b, COUNT(*) AS c FROM hashed GROUP BY 1, 2, 3),
+    merged AS (SELECT i, b, CAST(SUM(c) AS BIGINT) AS c
+               FROM day_grids GROUP BY i, b),
+    keys AS (SELECT user_id, COUNT(*) AS exact_n FROM events
+             WHERE user_id < 30 GROUP BY 1),
+    probes AS (
+      SELECT k.user_id, k.exact_n, ix.i,
+             CAST('0x' || substr(md5(CAST(ix.i AS VARCHAR) || ':'
+                  || CAST(k.user_id AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS b
+      FROM keys k CROSS JOIN ix)
+    SELECT p.user_id,
+           CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est_n,
+           CAST(MIN(p.exact_n) AS BIGINT) AS exact_n
+    FROM probes p LEFT JOIN merged c ON p.i = c.i AND p.b = c.b
+    GROUP BY p.user_id
+    """,
+    doc="CMS MERGEABILITY as a query — completing the mergeable-sketch "
+    "rollup trio (hll_daily_merge: register-MAX; hist_daily_merge: "
+    "counter addition; here: CELL-WISE ADDITION of per-day 4x64 "
+    "Count-Min grids into the monthly frequency sketch, raw events "
+    "never re-read). Estimates from the merged grid stay provably >= "
+    "exact and bit-reproducible (md5 row hashes); the probe set is the "
+    "user_id < 30 panel joined against the 256-row merged grid "
+    "broadcast.",
+)
+def cms_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cms_build has no group column — build the per-day grids directly
+    # with the same bucket convention, then merge by cell addition.
+    from kinesis_log_watcher_spark.operators.sketch import _bucket, cms_estimate
+
+    ev = load(spark, sf_dir, "events")
+
+    rows = ev.select(
+        F.col("ts").cast("date").alias("day"), F.col("user_id").alias("k")
+    ).withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(3))))
+    day_grids = (
+        rows.withColumn("b", _bucket(F.col("i"), F.col("k"), 64))
+        .groupBy("day", "i", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    merged = day_grids.groupBy("i", "b").agg(F.sum("c").alias("c"))
+    keys = (
+        ev.filter(F.col("user_id") < 30)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+    )
+    est = cms_estimate(merged, keys, "user_id", depth=4, width=64)
+    return est.join(keys, "user_id").select(
+        "user_id", "est_n", F.col("exact_n").cast("long").alias("exact_n")
+    )
