@@ -177,6 +177,10 @@ _FRONT = (
     "hist_daily_merge",
     "winsorized_price_stats",
     "cms_daily_merge",
+    "customer_scd2_history",
+    "orders_expectation_audit",
+    "events_seasonality_hotspots",
+    "orders_pointintime_scd2",
 )
 
 
@@ -190,6 +194,7 @@ def registry() -> dict[str, Query]:
         sampling,
         streaming,
         tpch_deep,
+        warehouse,
         watcher_surface,
     )
 

@@ -1,0 +1,125 @@
+"""Behavior pins for the warehouse-governance queries (queries/warehouse.py).
+
+The oracle gate proves value equality with DuckDB; these tests pin the
+semantic invariants that make the operators trustworthy as governance
+tools — invariants a value hash alone wouldn't explain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_log_watcher_spark.queries.base import load, registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    return registry()[name].fn
+
+
+class TestScd2History:
+    def test_one_current_row_per_customer(self, spark):
+        out = _q("customer_scd2_history")(spark, SF).toPandas()
+        seg_counts = (
+            load(spark, SF, "customer")
+            .groupBy("c_mktsegment")
+            .count()
+            .toPandas()
+            .set_index("c_mktsegment")["count"]
+        )
+        got = out.set_index("c_mktsegment")["n_current"]
+        for seg, n in seg_counts.items():
+            assert got[seg] == n, f"segment {seg}: expected one current row per key"
+
+    def test_closed_spans_are_exactly_one_version_period(self, spark):
+        # versions are emitted every 7 days, so every CLOSED history row
+        # spans exactly 7 days — the SCD2 ranges tile with no gap/overlap.
+        out = _q("customer_scd2_history")(spark, SF).toPandas()
+        closed = out["history_rows"] - out["n_current"]
+        assert (out["closed_span_days"] == 7 * closed).all()
+
+
+class TestPointInTimeJoin:
+    def test_at_most_one_version_matches_each_fact(self, spark):
+        # per-key effective ranges tile disjointly, so the temporal join
+        # preserves fact multiplicity: exactly the facts on/after their
+        # key's first version day match, each exactly once. The expected
+        # count comes from the closed form, independent of the join.
+        out = _q("orders_pointintime_scd2")(spark, SF).toPandas()
+        orders = load(spark, SF, "orders")
+        expected = orders.filter(
+            (F.col("o_orderkey") % 21) >= (F.col("o_custkey") % 5)
+        ).count()
+        assert out["n_orders"].sum() == expected
+        assert out["n_orders"].sum() <= orders.count()
+
+    def test_no_broadcast_nested_loop(self, spark):
+        plan = (
+            _q("orders_pointintime_scd2")(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestExpectationAudit:
+    def test_check_suite_shape_and_bounds(self, spark):
+        out = _q("orders_expectation_audit")(spark, SF).toPandas()
+        expected = {
+            "null_custkey",
+            "nonpositive_price",
+            "invalid_status",
+            "invalid_priority",
+            "stale_order_date",
+            "duplicate_orderkey",
+            "orphan_custkey",
+        }
+        assert set(out["check_name"]) == expected
+        n_orders = load(spark, SF, "orders").count()
+        assert (out["n_rows"] == n_orders).all()
+        assert ((out["violations"] >= 0) & (out["violations"] <= n_orders)).all()
+
+    def test_clean_load_passes_integrity_checks(self, spark):
+        # the generated data is referentially intact with unique keys —
+        # those checks must report zero, while the freshness check is
+        # deliberately tight and must fire.
+        out = (
+            _q("orders_expectation_audit")(spark, SF)
+            .toPandas()
+            .set_index("check_name")["violations"]
+        )
+        assert out["duplicate_orderkey"] == 0
+        assert out["orphan_custkey"] == 0
+        assert out["null_custkey"] == 0
+        assert out["stale_order_date"] > 0
+
+    def test_single_fact_scan(self, spark):
+        # the whole suite is one pass over orders: exactly one orders
+        # file scan in the plan (plus one over the customer key dim).
+        plan = (
+            _q("orders_expectation_audit")(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("orders.parquet") == 1
+
+
+class TestSeasonalityHotspots:
+    def test_full_weekly_cycle_and_conservation(self, spark):
+        out = _q("events_seasonality_hotspots")(spark, SF).toPandas()
+        # only slots with at least one non-empty hour bucket appear (the
+        # rollup never fabricates empty groups); sf0.001 is sparse
+        # enough to leave a slot empty, so pin containment + bounds.
+        assert len(out) <= 168
+        assert set(out["slot"]) <= set(range(168))
+        events = load(spark, SF, "events")
+        assert out["slot_total"].sum() == events.count()
+        n_buckets = events.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("b")
+        ).distinct().count()
+        assert out["n_buckets"].sum() == n_buckets
+        assert (out["n_hot_buckets"] <= out["n_buckets"]).all()
