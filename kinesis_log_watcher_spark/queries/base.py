@@ -181,6 +181,8 @@ _FRONT = (
     "orders_expectation_audit",
     "events_seasonality_hotspots",
     "orders_pointintime_scd2",
+    "rolling_active_users",
+    "user_growth_accumulation",
 )
 
 

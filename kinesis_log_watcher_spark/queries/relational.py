@@ -2788,3 +2788,82 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(out_of, 1).otherwise(0)).cast("long").alias("n_clamped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# daily product metrics: rolling distinct actives + first-seen growth
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rolling_active_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events),
+    c AS (
+      SELECT DISTINCT user_id, day + o AS day7
+      FROM ud CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) t(o))
+    SELECT CAST(day7 AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM c GROUP BY day7
+    """,
+    doc="EXACT 7-day rolling active users — sliding-window COUNT "
+    "DISTINCT, the metric sketches can only approximate. Distinct "
+    "counts don't merge across days, so the scale-safe exact shape is "
+    "the CONTRIBUTION EXPLODE: dedup to (user, active-day) grain, "
+    "fan each row out to the <=7 window-end days it contributes to (a "
+    "narrow <=7x map, no join against a day grid), dedup again, and "
+    "count. Two well-distributed (user, day) shuffles + one partial-"
+    "agged count; days after the last observation carry the trailing "
+    "window by construction. The approximate path for wider windows "
+    "is the mergeable-register rollup shown by hll_daily_merge.",
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+    ).distinct()
+    return contrib.groupBy("day").agg(F.count("*").alias("active_users"))
+
+
+@register(
+    "user_growth_accumulation",
+    """
+    WITH f AS (
+      SELECT user_id,
+             MIN(epoch_us(ts) // 86400000000) AS first_day
+      FROM events GROUP BY user_id),
+    d AS (
+      SELECT first_day AS day, COUNT(*) AS new_users
+      FROM f GROUP BY first_day)
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM d
+    """,
+    doc="User-growth accumulation: first-seen day per user (one "
+    "groupBy on the high-cardinality key), daily new-user counts, and "
+    "the running cumulative total. The global-order window runs on the "
+    "ALREADY-AGGREGATED per-day relation — #days rows, bounded by the "
+    "calendar, so the single-partition sort is a constant-size "
+    "epilogue, never a corpus-wide total sort.",
+)
+def user_growth_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    f = events.groupBy("user_id").agg(
+        F.min(F.expr("unix_micros(ts) div 86400000000")).alias("first_day")
+    )
+    d = f.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return d.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )

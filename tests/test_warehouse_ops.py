@@ -108,6 +108,33 @@ class TestExpectationAudit:
         assert plan.count("orders.parquet") == 1
 
 
+class TestDailyMetrics:
+    def test_rolling_actives_match_direct_window_count(self, spark):
+        # cross-check three window-end days against the direct
+        # definition: distinct users with an event in [d-6, d].
+        out = (
+            _q("rolling_active_users")(spark, SF)
+            .toPandas()
+            .set_index("day")["active_users"]
+        )
+        ud = (
+            load(spark, SF, "events")
+            .select("user_id", F.expr("unix_micros(ts) div 86400000000").alias("day"))
+            .distinct()
+            .toPandas()
+        )
+        days = sorted(ud["day"].unique())
+        for d in (days[0], days[len(days) // 2], days[-1]):
+            direct = ud[(ud["day"] >= d - 6) & (ud["day"] <= d)]["user_id"].nunique()
+            assert out[d] == direct, f"day {d}"
+
+    def test_growth_accumulates_to_total_distinct_users(self, spark):
+        out = _q("user_growth_accumulation")(spark, SF).toPandas().sort_values("day")
+        assert (out["cum_users"] == out["new_users"].cumsum()).all()
+        total = load(spark, SF, "events").select("user_id").distinct().count()
+        assert out["cum_users"].iloc[-1] == total
+
+
 class TestSeasonalityHotspots:
     def test_full_weekly_cycle_and_conservation(self, spark):
         out = _q("events_seasonality_hotspots")(spark, SF).toPandas()
