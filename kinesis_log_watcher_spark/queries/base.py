@@ -183,6 +183,8 @@ _FRONT = (
     "orders_pointintime_scd2",
     "rolling_active_users",
     "user_growth_accumulation",
+    "phrase_search_inverted",
+    "groupwise_linear_fit",
 )
 
 

@@ -2867,3 +2867,126 @@ def user_growth_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
     )
+
+
+# --------------------------------------------------------------------------
+# phrase search (positional inverted index) + group-wise linear fit
+# --------------------------------------------------------------------------
+
+_PHRASES = (("table", "hash"), ("merge", "group"), ("slow", "key"))
+_PHRASE_VALUES = ", ".join(f"('{a}','{b}')" for a, b in _PHRASES)
+
+
+@register(
+    "phrase_search_inverted",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(range(len(string_split(text, ' ')))) AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    p AS (SELECT * FROM (VALUES {_PHRASE_VALUES}) t(w1, w2)),
+    hits AS (
+      SELECT p.w1, p.w2, a.doc_id
+      FROM toks a
+      JOIN p ON a.tok = p.w1
+      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                 AND b.tok = p.w2)
+    SELECT w1 || ' ' || w2 AS phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM hits GROUP BY phrase
+    """,
+    doc="Exact phrase search over a positional inverted index — the "
+    "search-engine primitive: token postings carry their ordinal, a "
+    "phrase matches where consecutive terms sit at consecutive "
+    "positions. Scale shape: the query phrases BROADCAST onto the "
+    "posting stream so only query-term postings survive before the "
+    "positional self-join, which is a pure equi-join on "
+    "(doc_id, pos+1) = (doc_id, pos) with the second term as residual "
+    "— hash-joinable, no nested loop, and the joined volume is "
+    "|postings(w1)| not |corpus|. The same plan serves k-term phrases "
+    "by chaining +1 joins.",
+)
+def phrase_search_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    phrases = spark.createDataFrame(list(_PHRASES), "w1 string, w2 string")
+    a = toks.join(F.broadcast(phrases), toks.tok == phrases.w1).select(
+        "doc_id", "pos", "w1", "w2"
+    )
+    b = toks.select(
+        F.col("doc_id").alias("b_doc_id"),
+        F.col("pos").alias("b_pos"),
+        F.col("tok").alias("b_tok"),
+    )
+    hits = a.join(
+        b,
+        (a.doc_id == b.b_doc_id)
+        & (b.b_pos == a.pos + 1)
+        & (b.b_tok == a.w2),
+    )
+    return hits.groupBy(
+        F.concat_ws(" ", "w1", "w2").alias("phrase")
+    ).agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@register(
+    "groupwise_linear_fit",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(4,1))
+                      * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS sqp,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(4,1))
+                      * CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS sqq
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_lines,
+           CAST(floor((n * sqp - sq * sp) / (n * sqq - sq * sq)
+                      * 1000000 + 0.5) AS BIGINT) AS slope_q6,
+           CAST(floor((sp * sqq - sq * sqp) / (n * sqq - sq * sq)
+                      * 1000000 + 0.5) AS BIGINT) AS intercept_q6
+    FROM m
+    """,
+    doc="Group-wise ordinary-least-squares fit (price ~ quantity per "
+    "returnflag) from the SAME exact-decimal co-moment pattern as "
+    "price_quantity_correlation: partial sums are order-independent "
+    "decimals, slope AND intercept are each ONE closed-form rational "
+    "of those doubles (the intercept never reuses the rounded slope), "
+    "quantized at 1e6 by the repo's floor(x*k + 0.5) convention. One "
+    "partial-aggregated scan — regression at 100 TB is the same plan "
+    "as a SUM.",
+)
+def groupwise_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q = dec(F.col("l_quantity"), 4, 1)
+    p = dec(F.col("l_extendedprice"), 9, 2)
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum(q * p).cast("double").alias("sqp"),
+        F.sum(q * q).cast("double").alias("sqq"),
+    )
+    n, sq, sp = F.col("n"), F.col("sq"), F.col("sp")
+    sqp, sqq = F.col("sqp"), F.col("sqq")
+    det = n * sqq - sq * sq
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n_lines"),
+        F.floor((n * sqp - sq * sp) / det * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("slope_q6"),
+        F.floor((sp * sqq - sq * sqp) / det * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("intercept_q6"),
+    )

@@ -135,6 +135,63 @@ class TestDailyMetrics:
         assert out["cum_users"].iloc[-1] == total
 
 
+class TestPhraseSearch:
+    def test_matches_direct_adjacent_pair_count(self, spark):
+        out = (
+            _q("phrase_search_inverted")(spark, SF)
+            .toPandas()
+            .set_index("phrase")
+        )
+        texts = load(spark, SF, "documents").select("doc_id", "text").toPandas()
+        for w1, w2 in (("table", "hash"), ("merge", "group"), ("slow", "key")):
+            occ = docs = 0
+            for t in texts["text"]:
+                toks = t.split(" ")
+                c = sum(
+                    1
+                    for i in range(len(toks) - 1)
+                    if toks[i] == w1 and toks[i + 1] == w2
+                )
+                occ += c
+                docs += 1 if c else 0
+            key = f"{w1} {w2}"
+            if occ == 0:
+                assert key not in out.index
+            else:
+                assert out.loc[key, "n_occurrences"] == occ
+                assert out.loc[key, "n_docs"] == docs
+
+    def test_no_cartesian_in_positional_join(self, spark):
+        plan = (
+            _q("phrase_search_inverted")(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestGroupwiseLinearFit:
+    def test_matches_numpy_least_squares(self, spark):
+        import numpy as np
+
+        out = (
+            _q("groupwise_linear_fit")(spark, SF)
+            .toPandas()
+            .set_index("l_returnflag")
+        )
+        li = load(spark, SF, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice"
+        ).toPandas()
+        for flag, grp in li.groupby("l_returnflag"):
+            slope, intercept = np.polyfit(
+                grp["l_quantity"], grp["l_extendedprice"], 1
+            )
+            assert abs(out.loc[flag, "slope_q6"] / 1e6 - slope) < 1e-3
+            assert abs(out.loc[flag, "intercept_q6"] / 1e6 - intercept) < 1e-2
+
+
 class TestSeasonalityHotspots:
     def test_full_weekly_cycle_and_conservation(self, spark):
         out = _q("events_seasonality_hotspots")(spark, SF).toPandas()
