@@ -185,21 +185,25 @@ def orders_pointintime_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON o.o_custkey = c.c_custkey),
     a AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL
+                                    THEN 1 ELSE 0 END), 0)
                   AS BIGINT) AS null_custkey,
-             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+             CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0
+                                    THEN 1 ELSE 0 END), 0)
                   AS BIGINT) AS nonpositive_price,
-             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
-                           THEN 1 ELSE 0 END) AS BIGINT) AS invalid_status,
-             CAST(SUM(CASE WHEN o_orderpriority NOT IN
+             CAST(COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS invalid_status,
+             CAST(COALESCE(SUM(CASE WHEN o_orderpriority NOT IN
                              ('1-URGENT','2-HIGH','3-MEDIUM',
                               '4-NOT SPECIFIED','5-LOW')
-                           THEN 1 ELSE 0 END) AS BIGINT) AS invalid_priority,
-             CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
-                           THEN 1 ELSE 0 END) AS BIGINT) AS stale_order_date,
+                           THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS invalid_priority,
+             CAST(COALESCE(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                           THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS stale_order_date,
              CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
                AS duplicate_orderkey,
-             CAST(SUM(orphan) AS BIGINT) AS orphan_custkey
+             CAST(COALESCE(SUM(orphan), 0) AS BIGINT) AS orphan_custkey
       FROM j)
     SELECT 'null_custkey' AS check_name, null_custkey AS violations, n_rows
       FROM a
@@ -221,6 +225,12 @@ def orders_pointintime_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "intentionally non-zero so the non-trivial path is exercised.",
 )
 def orders_expectation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # an audit of an EMPTY load reports the full check suite with zero
+    # violations (not NULLs) — the fixed-cardinality contract
+    # test_empty_inputs pins.
+    def csum(c):
+        return F.coalesce(F.sum(c), F.lit(0).cast("long"))
+
     orders = load(spark, sf_dir, "orders")
     cust_keys = (
         load(spark, sf_dir, "customer")
@@ -233,23 +243,23 @@ def orders_expectation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = j.agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_custkey"),
-        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("nonpositive_price"),
-        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")).alias(
+        csum(F.col("o_custkey").isNull().cast("long")).alias("null_custkey"),
+        csum((F.col("o_totalprice") <= 0).cast("long")).alias("nonpositive_price"),
+        csum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")).alias(
             "invalid_status"
         ),
-        F.sum(
+        csum(
             (
                 ~F.col("o_orderpriority").isin(
                     "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
                 )
             ).cast("long")
         ).alias("invalid_priority"),
-        F.sum(
+        csum(
             (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).cast("long")
         ).alias("stale_order_date"),
         (F.count("*") - F.countDistinct("o_orderkey")).alias("duplicate_orderkey"),
-        F.sum(F.col("_hit").isNull().cast("long")).alias("orphan_custkey"),
+        csum(F.col("_hit").isNull().cast("long")).alias("orphan_custkey"),
     )
     return agg.select(
         F.expr(

@@ -17,6 +17,13 @@ STREAMING = {
     "stream_click_purchase_join",
 }
 
+# Queries whose output is a FIXED-cardinality relation independent of the
+# input (an unpivoted check suite reports every check even on an empty
+# load — with zero violations, which the assertion below pins).
+FIXED_CARDINALITY = {
+    "orders_expectation_audit": 7,
+}
+
 
 @pytest.fixture(scope="module")
 def empty_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
@@ -36,6 +43,15 @@ def test_every_batch_query_survives_empty_tables(spark, empty_sf_dir):
             rows = q.fn(spark, empty_sf_dir).collect()
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: {type(exc).__name__}: {exc}")
+            continue
+        if name in FIXED_CARDINALITY:
+            if len(rows) != FIXED_CARDINALITY[name]:
+                failures.append(
+                    f"{name}: {len(rows)} rows, expected the fixed "
+                    f"{FIXED_CARDINALITY[name]}-row relation"
+                )
+            elif any(r.violations != 0 for r in rows):
+                failures.append(f"{name}: nonzero violations from empty input")
             continue
         # global aggregates may return one all-null row; nothing should
         # fabricate more than that from empty inputs
