@@ -39,3 +39,14 @@ def test_bench_emits_single_json_line():
         assert key in d, key
     assert d["unit"] == "sec" and d["value"] > 0
     assert abs(d["sf"] - 0.001) < 1e-9
+
+
+def test_front_order_names_all_registered():
+    # _FRONT is the static verification-priority prefix; a typo'd or
+    # stale name would silently drop a query from first-pass sampling.
+    from kinesis_log_watcher_spark.queries.base import _FRONT, registry
+
+    reg = registry()
+    missing = [n for n in _FRONT if n not in reg]
+    assert not missing, f"_FRONT names not in registry: {missing}"
+    assert len(set(_FRONT)) == len(_FRONT), "duplicate names in _FRONT"
