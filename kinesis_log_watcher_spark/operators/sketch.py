@@ -74,6 +74,26 @@ def cms_estimate(
     )
 
 
+def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two CMS grids built with the
+    SAME (depth, width, hash): for each row i the inner product
+    sum_b cA(i,b)*cB(i,b) upper-bounds the true join size
+    sum_k fA(k)*fB(k) (collisions only add cross terms), so the min
+    over rows is the classical CMS join-size estimator (Cormode &
+    Muthukrishnan 2005, §4.3). Cost: a (depth*width)-row join — the
+    sketches summarize ANY input volume, which is the point: the
+    optimizer-style "how big would this join be" question answered
+    without touching either fact table again."""
+    a = cms_a.select("i", "b", F.col("c").alias("ca"))
+    b = cms_b.select("i", "b", F.col("c").alias("cb"))
+    per_row = (
+        a.join(b, ["i", "b"], "inner")
+        .groupBy("i")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").cast("long").alias("est_join_size"))
+
+
 def bloom_build(
     df: DataFrame, key_col: str, m_bits: int = 1024, k: int = 3
 ) -> DataFrame:

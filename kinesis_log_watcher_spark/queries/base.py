@@ -185,6 +185,7 @@ _FRONT = (
     "user_growth_accumulation",
     "phrase_search_inverted",
     "groupwise_linear_fit",
+    "cms_join_size_estimate",
 )
 
 

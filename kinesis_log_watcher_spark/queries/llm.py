@@ -3777,3 +3777,66 @@ def cms_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(keys, "user_id").select(
         "user_id", "est_n", F.col("exact_n").cast("long").alias("exact_n")
     )
+
+
+@register(
+    "cms_join_size_estimate",
+    """
+    WITH ix AS (SELECT unnest(range(4)) AS i),
+    ha AS (
+      SELECT ix.i,
+             CAST('0x' || substr(md5(CAST(ix.i AS VARCHAR) || ':'
+                  || CAST(e.user_id AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS b
+      FROM events e CROSS JOIN ix WHERE e.event_type = 'click'),
+    hb AS (
+      SELECT ix.i,
+             CAST('0x' || substr(md5(CAST(ix.i AS VARCHAR) || ':'
+                  || CAST(e.user_id AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS b
+      FROM events e CROSS JOIN ix WHERE e.event_type = 'purchase'),
+    ca AS (SELECT i, b, COUNT(*) AS c FROM ha GROUP BY 1, 2),
+    cb AS (SELECT i, b, COUNT(*) AS c FROM hb GROUP BY 1, 2),
+    est AS (
+      SELECT MIN(ip) AS est_join_size
+      FROM (SELECT ca.i, SUM(ca.c * cb.c) AS ip
+            FROM ca JOIN cb ON ca.i = cb.i AND ca.b = cb.b
+            GROUP BY ca.i)),
+    ex AS (
+      SELECT SUM(a.n * b.n) AS exact_join_size
+      FROM (SELECT user_id, COUNT(*) n FROM events
+            WHERE event_type = 'click' GROUP BY 1) a
+      JOIN (SELECT user_id, COUNT(*) n FROM events
+            WHERE event_type = 'purchase' GROUP BY 1) b
+        ON a.user_id = b.user_id)
+    SELECT CAST(est.est_join_size AS BIGINT) AS est_join_size,
+           CAST(ex.exact_join_size AS BIGINT) AS exact_join_size
+    FROM est, ex
+    """,
+    doc="CMS join-size estimation (Cormode & Muthukrishnan 2005 §4.3) — "
+    "the optimizer question 'how big is clicks JOIN purchases on "
+    "user_id?' answered from two 4x64 sketches: per-row inner products "
+    "upper-bound the true size (collisions only add cross terms), min "
+    "over rows is the estimate. Building the grids is one conditional-"
+    "agg pass per side at ANY volume; estimation itself joins 256-row "
+    "relations. Paired with the exact answer (per-key count join) so "
+    "the oracle pins BOTH the estimator's md5-reproducible value and "
+    "the est >= exact guarantee. At 100 TB this is what decides "
+    "broadcast-vs-shuffle-vs-salt BEFORE paying for the join — the "
+    "sketches come from the stored nightly rollups (cms_daily_merge), "
+    "raw keys never re-read.",
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.sketch import cms_build, cms_join_size
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    est = cms_join_size(
+        cms_build(clicks, "user_id", depth=4, width=64),
+        cms_build(purchases, "user_id", depth=4, width=64),
+    )
+    a = clicks.groupBy("user_id").agg(F.count("*").alias("na"))
+    b = purchases.groupBy("user_id").agg(F.count("*").alias("nb"))
+    exact = a.join(b, "user_id").agg(
+        F.sum(F.col("na") * F.col("nb")).cast("long").alias("exact_join_size")
+    )
+    return est.crossJoin(exact)

@@ -192,6 +192,22 @@ class TestGroupwiseLinearFit:
             assert abs(out.loc[flag, "intercept_q6"] / 1e6 - intercept) < 1e-2
 
 
+class TestCmsJoinSize:
+    def test_estimate_upper_bounds_exact_and_grid_is_bounded(self, spark):
+        out = _q("cms_join_size_estimate")(spark, SF).toPandas()
+        assert len(out) == 1
+        # CMS collisions only ADD cross terms: est >= exact, always.
+        assert out["est_join_size"][0] >= out["exact_join_size"][0]
+        # the sketches the estimate reads are bounded-row regardless of
+        # input volume (depth x width), the property that makes the
+        # estimator free at 100 TB.
+        from kinesis_log_watcher_spark.operators.sketch import cms_build
+        from pyspark.sql import functions as SF_
+
+        ev = load(spark, SF, "events").filter(SF_.col("event_type") == "click")
+        assert cms_build(ev.select("user_id"), "user_id").count() <= 4 * 64
+
+
 class TestSeasonalityHotspots:
     def test_full_weekly_cycle_and_conservation(self, spark):
         out = _q("events_seasonality_hotspots")(spark, SF).toPandas()

@@ -71,6 +71,7 @@ ALLOWED_BNLJ = {
     "word_pair_pmi": "1-row corpus-stats broadcast",
     "hll_daily_merge": "1-row sketch-estimate/exact broadcasts",
     "hist_daily_merge": "1-row sketch-estimate/exact broadcasts",
+    "cms_join_size_estimate": "1-row sketch-estimate/exact broadcasts",
     "class_balanced_downsample": "1-row class-floor broadcast",
 }
 
