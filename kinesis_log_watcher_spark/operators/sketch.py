@@ -74,7 +74,7 @@ def cms_estimate(
     )
 
 
-def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+def cms_join_size(cms_a: DataFrame, cms_b: DataFrame, depth: int = 4) -> DataFrame:
     """Equi-join cardinality estimate from two CMS grids built with the
     SAME (depth, width, hash): for each row i the inner product
     sum_b cA(i,b)*cB(i,b) upper-bounds the true join size
@@ -83,15 +83,29 @@ def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
     Muthukrishnan 2005, §4.3). Cost: a (depth*width)-row join — the
     sketches summarize ANY input volume, which is the point: the
     optimizer-style "how big would this join be" question answered
-    without touching either fact table again."""
+    without touching either fact table again.
+
+    Zero-overlap semantics: a grid cell present in A but absent in B
+    contributes ca*0 (left join + coalesce, matching the estimator's
+    definition over the FULL width), and the min ranges over all
+    ``depth`` rows via an explicit row spine — so two sketches whose
+    cells never collide estimate 0, and empty inputs estimate 0, never
+    NULL and never an inflated min over only-colliding rows."""
     a = cms_a.select("i", "b", F.col("c").alias("ca"))
     b = cms_b.select("i", "b", F.col("c").alias("cb"))
     per_row = (
-        a.join(b, ["i", "b"], "inner")
+        a.join(b, ["i", "b"], "left")
         .groupBy("i")
-        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+        .agg(
+            F.sum(F.col("ca") * F.coalesce(F.col("cb"), F.lit(0))).alias("ip")
+        )
     )
-    return per_row.agg(F.min("ip").cast("long").alias("est_join_size"))
+    spine = a.sparkSession.range(depth).select(F.col("id").cast("int").alias("i"))
+    return (
+        spine.join(per_row, "i", "left")
+        .select(F.coalesce(F.col("ip"), F.lit(0)).alias("ip"))
+        .agg(F.min("ip").cast("long").alias("est_join_size"))
+    )
 
 
 def bloom_build(

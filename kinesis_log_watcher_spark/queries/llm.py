@@ -1573,7 +1573,7 @@ from kinesis_log_watcher_spark.queries.base import _REGISTRY as _REG  # noqa: E4
     "only the probe.",
 )
 def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from kinesis_log_watcher_spark.staging import scratch_dir
 
     emb = load(spark, sf_dir, "embeddings")
     comp = exploded_components(emb, "vec_id")
@@ -1594,7 +1594,7 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("a_id").alias("cell"))
     )
     # ---- persist the index, reload it (explicit schema: empty-safe) ----
-    path = tempfile.mkdtemp(prefix="ivf_idx_") + "/cells"
+    path = scratch_dir(prefix="ivf_idx_") + "/cells"
     cells.write.mode("overwrite").parquet(path)
     stored = spark.read.schema("vec_id bigint, cell bigint").parquet(path)
     # ---- probe against the STORED index ----
@@ -2303,13 +2303,13 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the batch. Nothing rescans or rewrites the historical corpus.",
 )
 def incremental_dedup_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from kinesis_log_watcher_spark.staging import scratch_dir
 
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "source", F.md5("text").alias("fp")
     )
     snap = docs.filter(F.col("doc_id") < 300).select("fp").distinct()
-    path = tempfile.mkdtemp(prefix="dedup_idx_") + "/fingerprints"
+    path = scratch_dir(prefix="dedup_idx_") + "/fingerprints"
     snap.write.mode("overwrite").parquet(path)
     stored = spark.read.schema("fp string").parquet(path)
 
@@ -2577,12 +2577,12 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the partitions the tombstones prune to.",
 )
 def targeted_deletion_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from kinesis_log_watcher_spark.staging import scratch_dir
 
     docs = load(spark, sf_dir, "documents")
     tombstones = docs.filter(F.col("doc_id") % 37 == 0).select("doc_id")
     survivors = docs.join(F.broadcast(tombstones), "doc_id", "left_anti")
-    path = tempfile.mkdtemp(prefix="del_") + "/documents"
+    path = scratch_dir(prefix="del_") + "/documents"
     survivors.write.mode("overwrite").parquet(path)
     back = spark.read.schema(docs.schema).parquet(path)
     return back.groupBy("source").agg(
@@ -3796,12 +3796,13 @@ def cms_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca AS (SELECT i, b, COUNT(*) AS c FROM ha GROUP BY 1, 2),
     cb AS (SELECT i, b, COUNT(*) AS c FROM hb GROUP BY 1, 2),
     est AS (
-      SELECT MIN(ip) AS est_join_size
-      FROM (SELECT ca.i, SUM(ca.c * cb.c) AS ip
-            FROM ca JOIN cb ON ca.i = cb.i AND ca.b = cb.b
-            GROUP BY ca.i)),
+      SELECT MIN(COALESCE(p.ip, 0)) AS est_join_size
+      FROM ix LEFT JOIN
+           (SELECT ca.i, SUM(ca.c * COALESCE(cb.c, 0)) AS ip
+            FROM ca LEFT JOIN cb ON ca.i = cb.i AND ca.b = cb.b
+            GROUP BY ca.i) p ON ix.i = p.i),
     ex AS (
-      SELECT SUM(a.n * b.n) AS exact_join_size
+      SELECT COALESCE(SUM(a.n * b.n), 0) AS exact_join_size
       FROM (SELECT user_id, COUNT(*) n FROM events
             WHERE event_type = 'click' GROUP BY 1) a
       JOIN (SELECT user_id, COUNT(*) n FROM events
@@ -3837,6 +3838,8 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = clicks.groupBy("user_id").agg(F.count("*").alias("na"))
     b = purchases.groupBy("user_id").agg(F.count("*").alias("nb"))
     exact = a.join(b, "user_id").agg(
-        F.sum(F.col("na") * F.col("nb")).cast("long").alias("exact_join_size")
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+        .cast("long")
+        .alias("exact_join_size")
     )
     return est.crossJoin(exact)

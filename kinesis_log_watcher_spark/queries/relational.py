@@ -1385,12 +1385,12 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     reads the ORIGINAL parquet) hash-match. Text formats carry the
     explicit µs timestampFormat (sources/files.py): without it Spark
     truncates to millis on write."""
-    import tempfile
+    from kinesis_log_watcher_spark.staging import scratch_dir
 
     from kinesis_log_watcher_spark.sources.files import TEXT_TS_FORMAT
 
     orders = load(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix=f"rt_{fmt}_") + "/orders"
+    path = scratch_dir(prefix=f"rt_{fmt}_") + "/orders"
     writer = orders.write.mode("overwrite")
     reader = spark.read.schema(orders.schema)
     if fmt in ("csv", "json"):
@@ -1467,7 +1467,7 @@ def orders_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_bucketing.py; this row pins the results.",
 )
 def bucketed_order_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from kinesis_log_watcher_spark.staging import scratch_dir
     import uuid
 
     from kinesis_log_watcher_spark.operators.bucketing import (
@@ -1476,7 +1476,7 @@ def bucketed_order_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = uuid.uuid4().hex[:8]
-    base = tempfile.mkdtemp(prefix="bucketed_q_")
+    base = scratch_dir(prefix="bucketed_q_")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     write_bucketed(orders.withColumnRenamed("o_orderkey", "k"),
@@ -1666,14 +1666,14 @@ def user_event_type_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_corrupt_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
+    from kinesis_log_watcher_spark.staging import scratch_dir
 
     orders = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") < 1000)
         .select("o_orderkey", "o_orderpriority")
     )
-    d = tempfile.mkdtemp(prefix="corrupt_json_") + "/data"
+    d = scratch_dir(prefix="corrupt_json_") + "/data"
     orders.write.mode("overwrite").json(d)
     with open(os.path.join(d, "zz_corrupt.json"), "w") as f:
         f.write('this is not json\n{"o_orderkey": 1, "unterminated\n')
@@ -1781,10 +1781,10 @@ def price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against the original-parquet oracle).",
 )
 def orders_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from kinesis_log_watcher_spark.staging import scratch_dir
 
     orders = load(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="part_layout_") + "/orders"
+    path = scratch_dir(prefix="part_layout_") + "/orders"
     orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
     # explicit schema: an EMPTY partitioned write leaves nothing to infer
     # from (and production reads shouldn't pay inference anyway)
@@ -1901,12 +1901,12 @@ def user_ancestry_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the file-count reduction and per-file ranges.",
 )
 def orders_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from kinesis_log_watcher_spark.staging import scratch_dir
 
     from kinesis_log_watcher_spark.sources.files import compact_dataset
 
     orders = load(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="compact_")
+    base = scratch_dir(prefix="compact_")
     frag, packed = f"{base}/fragmented", f"{base}/compacted"
     orders.repartition(64).write.mode("overwrite").parquet(frag)
     back = compact_dataset(spark, frag, packed, target_files=4,
@@ -2047,10 +2047,10 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-file column sets without a rewrite.",
 )
 def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from kinesis_log_watcher_spark.staging import scratch_dir
 
     orders = load(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="evo_") + "/orders"
+    path = scratch_dir(prefix="evo_") + "/orders"
     old_gen = orders.filter(F.col("o_orderkey") % 2 == 1).drop("o_custkey")
     new_gen = orders.filter(F.col("o_orderkey") % 2 == 0)
     old_gen.write.mode("overwrite").parquet(f"{path}/gen=old")
@@ -2081,10 +2081,10 @@ def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dies on the first one cannot finish a day.",
 )
 def orders_corrupt_file_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from kinesis_log_watcher_spark.staging import scratch_dir
 
     orders = load(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="corrupt_") + "/orders"
+    path = scratch_dir(prefix="corrupt_") + "/orders"
     orders.write.mode("overwrite").parquet(path)
     with open(f"{path}/part-junk.parquet", "wb") as fh:
         fh.write(b"this is not a parquet file at all \x00\x01\x02")

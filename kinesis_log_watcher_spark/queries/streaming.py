@@ -432,7 +432,7 @@ def _cdc_change_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Build the two-file order change stream (base snapshot at version
     0, the 10%%-of-keys re-price delta at version 1) with ascending
     mtimes, returning (changes_dir, target_root)."""
-    import tempfile
+    from kinesis_log_watcher_spark.staging import scratch_dir
 
     from pyspark.sql import functions as F
 
@@ -462,7 +462,7 @@ def _cdc_change_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     from kinesis_log_watcher_spark.sources.files import stage_replay_files
 
     changes = stage_replay_files(spark, [v0, v1], prefix="cdc_changes_")
-    root = tempfile.mkdtemp(prefix="cdc_target_")
+    root = scratch_dir(prefix="cdc_target_")
     return changes, root
 
 
@@ -699,19 +699,24 @@ def stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
                   END AS iv_end
       FROM events),
     m AS (
-      SELECT user_id, ts, iv_end,
+      SELECT user_id, ts, event_id, iv_end,
              MAX(iv_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                         AND 1 PRECEDING) AS prev_max_end
       FROM g),
     marked AS (
-      SELECT user_id, ts, iv_end,
+      SELECT user_id, ts, event_id, iv_end,
              CASE WHEN prev_max_end IS NULL OR ts > prev_max_end
                   THEN 1 ELSE 0 END AS is_start
       FROM m),
     islands AS (
+      -- the cumulative sum MUST scan rows in the same (ts, event_id)
+      -- order prev_max_end was computed over: on a same-user same-ts
+      -- tie, ordering by iv_end here could visit rows in a different
+      -- order than the marking pass and attach an event to the wrong
+      -- (already-closed) session.
       SELECT user_id, ts, iv_end,
-             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, iv_end
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked)
     SELECT user_id,

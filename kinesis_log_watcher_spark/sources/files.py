@@ -172,9 +172,9 @@ def stage_replay_files(spark, parts, prefix: str = "replay_") -> str:
     import glob as _glob
     import os
     import shutil
-    import tempfile
+    from kinesis_log_watcher_spark.staging import scratch_dir
 
-    replay = tempfile.mkdtemp(prefix=prefix)
+    replay = scratch_dir(prefix=prefix)
     for i, part_df in enumerate(parts):
         stage = os.path.join(replay, f"_s{i}")
         part_df.coalesce(1).write.parquet(stage)

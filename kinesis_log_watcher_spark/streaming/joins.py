@@ -295,7 +295,7 @@ def run_stream_index_admission(
     state-backed dropDuplicates could not pin WHICH same-fingerprint
     duplicate wins; the post-sink window can (the downstream
     batch-compactor shape)."""
-    import tempfile
+    from kinesis_log_watcher_spark.staging import scratch_dir
 
     from kinesis_log_watcher_spark.sources.files import (
         await_or_raise,
@@ -308,7 +308,7 @@ def run_stream_index_admission(
         "doc_id", "source", F.md5("text").alias("fp")
     )
     snap = docs.filter(F.col("doc_id") < snapshot_max_id).select("fp").distinct()
-    path = tempfile.mkdtemp(prefix="stream_idx_") + "/fingerprints"
+    path = scratch_dir(prefix="stream_idx_") + "/fingerprints"
     snap.write.mode("overwrite").parquet(path)
     stored = spark.read.schema("fp string").parquet(path)
 

@@ -10,12 +10,14 @@ import pytest
 from kinesis_log_watcher_spark.queries import registry
 from kinesis_log_watcher_spark.queries.base import TABLES, load
 
-STREAMING = {
-    "stream_windowed_counts",
-    "stream_sessionization_stateful",
-    "stream_session_windows",
-    "stream_click_purchase_join",
-}
+# Every stream_* query is a replay-backed Structured Streaming run:
+# on (empty, NULL-ts sentinel) input the sweep would pay dataset
+# staging plus multiple micro-batch jobs per query and assert the
+# streaming harness, not the batch operators this sweep exists for.
+# Degenerate-input streaming behavior is covered where it belongs, in
+# the dedicated tests/test_streaming_*.py / test_watermark.py suites.
+def _is_streaming(name: str) -> bool:
+    return name.startswith("stream_")
 
 # Queries whose output is a FIXED-cardinality relation independent of the
 # input (an unpivoted check suite reports every check even on an empty
@@ -37,7 +39,7 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
 def test_every_batch_query_survives_empty_tables(spark, empty_sf_dir):
     failures = []
     for name, q in registry().items():
-        if name in STREAMING:
+        if _is_streaming(name):
             continue
         try:
             rows = q.fn(spark, empty_sf_dir).collect()

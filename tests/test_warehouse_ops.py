@@ -207,6 +207,41 @@ class TestCmsJoinSize:
         ev = load(spark, SF, "events").filter(SF_.col("event_type") == "click")
         assert cms_build(ev.select("user_id"), "user_id").count() <= 4 * 64
 
+    def test_disjoint_and_empty_inputs_estimate_zero(self, spark):
+        """Zero-overlap semantics: grids whose cells never collide must
+        estimate 0 (a cell present only in A contributes ca*0), and an
+        empty sketch estimates 0 — never NULL, never a min taken over
+        only the colliding rows (which inflates past the classical
+        estimator)."""
+        from kinesis_log_watcher_spark.operators.sketch import (
+            cms_build,
+            cms_join_size,
+        )
+
+        # width 4096 makes md5-bucket collisions between the two small
+        # disjoint key sets overwhelmingly unlikely in all 4 rows; if a
+        # freak collision made this flaky the keys are fixed, so it is
+        # deterministic either way — and it passes today.
+        a = cms_build(
+            spark.range(0, 8).selectExpr("id AS k"), "k", depth=4, width=4096
+        )
+        b = cms_build(
+            spark.range(100000, 100008).selectExpr("id AS k"),
+            "k",
+            depth=4,
+            width=4096,
+        )
+        [row] = cms_join_size(a, b, depth=4).collect()
+        assert row.est_join_size == 0
+
+        empty = cms_build(
+            spark.range(0).selectExpr("id AS k"), "k", depth=4, width=4096
+        )
+        [row] = cms_join_size(a, empty, depth=4).collect()
+        assert row.est_join_size == 0
+        [row] = cms_join_size(empty, a, depth=4).collect()
+        assert row.est_join_size == 0
+
 
 class TestSeasonalityHotspots:
     def test_full_weekly_cycle_and_conservation(self, spark):
