@@ -2843,6 +2843,125 @@ def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE iterated training — k merge rounds, pair table refreshed per round
+# --------------------------------------------------------------------------
+
+_BPE_TRAIN_ROUNDS = 6
+
+
+def _bpe_train_oracle() -> str:
+    """Oracle: the same iteration as the Spark side, as chained CTEs —
+    round r recounts adjacent-symbol pairs over the round-(r-1) symbol
+    strings, takes the argmax under (count DESC, pair ASC), and applies
+    it as one leftmost-non-overlapping boundary-delimited replace."""
+    ctes = [
+        """
+    words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+    vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM words GROUP BY word),
+    v0 AS (SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS s, cnt
+           FROM vocab)"""
+    ]
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        ctes.append(f"""
+    p{r} AS (
+      SELECT l[i] AS a, l[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM (SELECT string_split(s, '|') AS l, cnt FROM v{r - 1}) t,
+           unnest(range(2, len(l) - 1)) AS u(i)
+      GROUP BY 1, 2),
+    b{r} AS (SELECT a, b, pair_count FROM p{r}
+             ORDER BY pair_count DESC, a, b LIMIT 1),
+    v{r} AS (SELECT replace(s,
+               (SELECT '|' || a || '|' || b || '|' FROM b{r}),
+               (SELECT '|' || a || b || '|' FROM b{r})) AS s, cnt
+             FROM v{r - 1})""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, a, b, pair_count FROM b{r}"
+        for r in range(1, _BPE_TRAIN_ROUNDS + 1)
+    )
+    return f"WITH {','.join(ctes)}\n    {unions}"
+
+
+@register(
+    "bpe_train_k_rounds",
+    _bpe_train_oracle(),
+    doc=f"BPE TRAINING end-to-end (Sennrich et al. 2016), "
+    f"{_BPE_TRAIN_ROUNDS} iterated merge rounds with the pair table "
+    "REFRESHED each round — unlike bpe_top_merges (one counting pass) "
+    "this reproduces the real training loop: after '|t|h|' merges into "
+    "'|th|', round 2's counts see ('th', 'e') pairs that did not exist "
+    "before, so the merge SEQUENCE (pinned per round: round, a, b, "
+    "pair_count) is the authentic greedy argmax chain, multi-char "
+    "symbols included. Per round on Spark: one explode+hash-agg over "
+    "the VOCABULARY symbol strings (corpus-size-independent — the "
+    "Sennrich trick), a 1-row TakeOrderedAndProject argmax broadcast "
+    "into a boundary-delimited leftmost-non-overlapping replace "
+    "(delimiters make merges symbol-boundary-safe), vocab persisted "
+    "per round so round r+1 reads the round-r cache instead of "
+    "re-deriving the chain. At 100 TB the corpus is scanned ONCE to "
+    "build the vocab; every round after is narrow work on the vocab "
+    "relation.",
+)
+def bpe_train_k_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+    # The iterate relation is vocab-sized (orders of magnitude smaller
+    # than the corpus); collapse it to a few partitions once so the 6
+    # per-round jobs schedule a handful of tasks instead of 32 near-empty
+    # ones. At a 100 TB corpus the vocab is ~1e8 rows — drop the coalesce
+    # (or raise it) there; the round structure is unchanged.
+    v = vocab.select(
+        F.concat(F.lit("|"), F.regexp_replace("word", "(.)", "$1|")).alias("s"),
+        "cnt",
+    ).coalesce(1).persist()
+
+    merges = []
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        syms = F.split("s", "[|]")  # ['', s1, ..., sm, '']
+        n = F.size(syms)
+        pairs = v.filter(n >= 4).select(
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(2), n - 2),
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias("a"),
+                        F.element_at(syms, i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        counts = pairs.groupBy(
+            F.col("p.a").alias("a"), F.col("p.b").alias("b")
+        ).agg(F.sum("cnt").cast("long").alias("pair_count"))
+        best = counts.orderBy(
+            F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(1).persist()
+        merges.append(
+            best.select(
+                F.lit(r).cast("long").alias("round"), "a", "b", "pair_count"
+            )
+        )
+        bm = best.select(F.col("a").alias("_ma"), F.col("b").alias("_mb"))
+        pat = F.concat(F.lit("|"), F.col("_ma"), F.lit("|"), F.col("_mb"), F.lit("|"))
+        rep = F.concat(F.lit("|"), F.col("_ma"), F.col("_mb"), F.lit("|"))
+        v = (
+            v.crossJoin(F.broadcast(bm))
+            .select(F.replace("s", pat, rep).alias("s"), "cnt")
+            .persist()
+        )
+
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+# --------------------------------------------------------------------------
 # ANN quality evaluation — recall@k of the IVF scale path vs exact top-k
 # --------------------------------------------------------------------------
 
@@ -3435,6 +3554,66 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _ivfpq_adc(emb: DataFrame) -> DataFrame:
+    """(q_id, vec_id, est_d2): the IVF-PQ asymmetric-distance candidate
+    relation — coarse cell pruning then PQ-code ADC estimation, every
+    quantity exact int64. Shared by ann_ivfpq_topk (ranks it directly)
+    and ann_two_stage_rerank (uses it as the stage-1 shortlist)."""
+    comp = exploded_components(emb, "vec_id")
+    qc = comp.select(
+        "vec_id",
+        ((F.col("dim") - 1) / _PQ_SUBDIM).cast("long").alias("sub"),
+        "dim",
+        quantize(F.col("x")).alias("qx"),
+    )
+    anchors = qc.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("a_id"), "sub", "dim", F.col("qx").alias("aqx")
+    )
+    corpus = qc.filter(F.col("vec_id") >= 8)
+    sq = (F.col("qx") - F.col("aqx")) * (F.col("qx") - F.col("aqx"))
+    subd2 = (
+        corpus.join(F.broadcast(anchors), ["sub", "dim"])
+        .groupBy("vec_id", "sub", "a_id")
+        .agg(F.sum(sq).cast("long").alias("d2"))
+        .persist()
+    )
+    # coarse = fine distances re-aggregated over subspaces (identical
+    # totals: both are sums of per-dim squared gaps)
+    coarse = subd2.groupBy("vec_id", "a_id").agg(
+        F.sum("d2").cast("long").alias("d2")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy("d2", "a_id")
+    cells = (
+        coarse.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("a_id").alias("cell"))
+        .persist()
+    )
+    w_code = Window.partitionBy("vec_id", "sub").orderBy("d2", "a_id")
+    codes = (
+        subd2.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", F.col("a_id").alias("code"))
+    )
+    panel = (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
+    lut = subd2.filter(panel).select(
+        F.col("vec_id").alias("q_id"), "sub", F.col("a_id").alias("code"),
+        F.col("d2").alias("ld2"),
+    )
+    qcells = cells.filter(panel).select(
+        F.col("vec_id").alias("q_id"), F.col("cell").alias("q_cell")
+    )
+    return (
+        codes.join(cells, "vec_id")
+        .join(F.broadcast(qcells), F.col("cell") == F.col("q_cell"))
+        .join(F.broadcast(lut), ["q_id", "sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("ld2").cast("long").alias("est_d2"))
+    )
+
+
+
 @register(
     "ann_ivfpq_topk",
     f"""
@@ -3509,63 +3688,142 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    comp = exploded_components(emb, "vec_id")
-    qc = comp.select(
-        "vec_id",
-        ((F.col("dim") - 1) / _PQ_SUBDIM).cast("long").alias("sub"),
-        "dim",
-        quantize(F.col("x")).alias("qx"),
-    )
-    anchors = qc.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("a_id"), "sub", "dim", F.col("qx").alias("aqx")
-    )
-    corpus = qc.filter(F.col("vec_id") >= 8)
-    sq = (F.col("qx") - F.col("aqx")) * (F.col("qx") - F.col("aqx"))
-    subd2 = (
-        corpus.join(F.broadcast(anchors), ["sub", "dim"])
-        .groupBy("vec_id", "sub", "a_id")
-        .agg(F.sum(sq).cast("long").alias("d2"))
-        .persist()
-    )
-    # coarse = fine distances re-aggregated over subspaces (identical
-    # totals: both are sums of per-dim squared gaps)
-    coarse = subd2.groupBy("vec_id", "a_id").agg(
-        F.sum("d2").cast("long").alias("d2")
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy("d2", "a_id")
-    cells = (
-        coarse.withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("a_id").alias("cell"))
-        .persist()
-    )
-    w_code = Window.partitionBy("vec_id", "sub").orderBy("d2", "a_id")
-    codes = (
-        subd2.withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub", F.col("a_id").alias("code"))
-    )
-    panel = (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
-    lut = subd2.filter(panel).select(
-        F.col("vec_id").alias("q_id"), "sub", F.col("a_id").alias("code"),
-        F.col("d2").alias("ld2"),
-    )
-    qcells = cells.filter(panel).select(
-        F.col("vec_id").alias("q_id"), F.col("cell").alias("q_cell")
-    )
-    adc = (
-        codes.join(cells, "vec_id")
-        .join(F.broadcast(qcells), F.col("cell") == F.col("q_cell"))
-        .join(F.broadcast(lut), ["q_id", "sub", "code"])
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("ld2").cast("long").alias("est_d2"))
-    )
+    adc = _ivfpq_adc(emb)
     w = Window.partitionBy("q_id").orderBy("est_d2", "vec_id")
     return (
         adc.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _PQ_K)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "est_d2", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# two-stage retrieval — IVF-PQ shortlist, exact-score rerank
+# --------------------------------------------------------------------------
+
+_RERANK_SHORTLIST = 6  # stage-1 candidates kept per query
+
+
+@register(
+    "ann_two_stage_rerank",
+    f"""
+    WITH comp AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings),
+    qc AS (
+      SELECT vec_id, (dim - 1) // {_PQ_SUBDIM} AS sub, dim,
+             {_PQ_Q.format('x')} AS qx
+      FROM comp),
+    anchors AS (SELECT vec_id AS a_id, sub, dim, qx FROM qc WHERE vec_id < 8),
+    coarse AS (
+      SELECT v.vec_id, c.a_id,
+             CAST(SUM((v.qx - c.qx) * (v.qx - c.qx)) AS BIGINT) AS d2
+      FROM qc v JOIN anchors c ON c.dim = v.dim
+      WHERE v.vec_id >= 8
+      GROUP BY 1, 2),
+    cells AS (
+      SELECT vec_id, a_id AS cell FROM (
+        SELECT vec_id, a_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, a_id) AS rn
+        FROM coarse)
+      WHERE rn = 1),
+    subd2 AS (
+      SELECT v.vec_id, v.sub, c.a_id,
+             CAST(SUM((v.qx - c.qx) * (v.qx - c.qx)) AS BIGINT) AS d2
+      FROM qc v JOIN anchors c ON c.dim = v.dim AND c.sub = v.sub
+      WHERE v.vec_id >= 8
+      GROUP BY 1, 2, 3),
+    codes AS (
+      SELECT vec_id, sub, a_id AS code FROM (
+        SELECT vec_id, sub, a_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, a_id) AS rn
+        FROM subd2)
+      WHERE rn = 1),
+    lut AS (
+      SELECT vec_id AS q_id, sub, a_id, d2
+      FROM subd2 WHERE vec_id >= 10 AND vec_id < 20),
+    qcells AS (
+      SELECT vec_id AS q_id, cell FROM cells
+      WHERE vec_id >= 10 AND vec_id < 20),
+    adc AS (
+      SELECT l.q_id, c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS est_d2
+      FROM codes c
+      JOIN cells cl ON cl.vec_id = c.vec_id
+      JOIN qcells qcl ON qcl.cell = cl.cell
+      JOIN lut l ON l.sub = c.sub AND l.a_id = c.code AND l.q_id = qcl.q_id
+      WHERE c.vec_id != l.q_id
+      GROUP BY 1, 2),
+    short AS (
+      SELECT q_id, vec_id, est_d2 FROM (
+        SELECT q_id, vec_id, est_d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY est_d2, vec_id) AS rn
+        FROM adc)
+      WHERE rn <= {_RERANK_SHORTLIST}),
+    ex AS (
+      SELECT s.q_id, s.vec_id, s.est_d2,
+             (CAST(SUM({_PQ_Q.format('q.x')} * {_PQ_Q.format('c.x')})
+                   AS DOUBLE) / 100000000000000.0) AS dot
+      FROM short s
+      JOIN comp c ON c.vec_id = s.vec_id
+      JOIN comp q ON q.vec_id = s.q_id AND q.dim = c.dim
+      GROUP BY 1, 2, 3)
+    SELECT q_id, vec_id AS neighbor_id, est_d2, dot, rank FROM (
+      SELECT q_id, vec_id, est_d2, dot,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY dot DESC, vec_id) AS BIGINT) AS rank
+      FROM ex)
+    WHERE rank <= {_PQ_K}
+    """,
+    doc="TWO-STAGE RETRIEVAL (retrieve-then-rerank — the production "
+    "serving shape behind every large-scale vector search): stage 1 is "
+    f"the IVF-PQ ADC pipeline keeping a top-{_RERANK_SHORTLIST} "
+    "shortlist per query on estimated distances (cheap, compressed, "
+    "approximate); stage 2 rescores ONLY the shortlist with the "
+    "exact-decimal inner product against the raw vectors and re-ranks "
+    f"to the final top-{_PQ_K}. The reranker's join is CANDIDATE-"
+    "BOUNDED: raw components are fetched by equi-joining the "
+    f"(|Q| x {_RERANK_SHORTLIST})-row broadcast shortlist — at 100 TB "
+    "the second stage touches ~60 full vectors per query however big "
+    "the corpus is, which is why the rerank can afford exact math "
+    "while stage 1 cannot. Rank inversions between est_d2 order and "
+    "exact-dot order are precisely what the rerank exists to fix.",
+)
+def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    adc = _ivfpq_adc(emb)
+    w_short = Window.partitionBy("q_id").orderBy("est_d2", "vec_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= _RERANK_SHORTLIST)
+        .select("q_id", "vec_id", "est_d2")
+    )
+    comp = exploded_components(emb, "vec_id")
+    qcomp = comp.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("q_id"), "dim", quantize(F.col("x")).alias("qqx")
+    )
+    # candidate-bounded rerank: corpus components reach the scorer only
+    # through the broadcast shortlist equi-join
+    cand = comp.join(F.broadcast(short), "vec_id").select(
+        "q_id", "vec_id", "est_d2", "dim", quantize(F.col("x")).alias("qcx")
+    )
+    from kinesis_log_watcher_spark.operators.similarity import QSCALE2
+
+    ex = (
+        cand.join(F.broadcast(qcomp), ["q_id", "dim"])
+        .groupBy("q_id", "vec_id", "est_d2")
+        .agg(
+            (F.sum(F.col("qqx") * F.col("qcx")).cast("double") / F.lit(QSCALE2))
+            .alias("dot")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), "vec_id")
+    return (
+        ex.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _PQ_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "est_d2", "dot", "rank")
     )
 
 

@@ -469,6 +469,106 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "exact_substring_dedup_sa",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= {_ESD_K}),
+    win AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(toks, i, i + {_ESD_K - 1}), ' ')
+               AS wtext
+      FROM t, unnest(range(1, len(toks) - {_ESD_K - 2})) AS u(i)),
+    ranked AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY wtext
+                                ORDER BY doc_id, pos) AS rn
+      FROM win),
+    dups AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+    sp AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > {_ESD_K}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM dups WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM sp)
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_ESD_K - 1} AS BIGINT) AS span_end,
+           CAST(MAX(pos) + {_ESD_K} - MIN(pos) AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, sid
+    """,
+    doc="SUFFIX-ARRAY-GRADE exact-substring dedup (Lee et al. 2022, "
+    "\"Deduplicating Training Data Makes Language Models Better\"): "
+    "emits the MAXIMAL duplicated-substring spans themselves — "
+    "(doc_id, span_start, span_end, span_len) with token-position "
+    "extents — not just per-doc counts. A suffix array over the corpus "
+    f"finds exactly the positions covered by some length->={_ESD_K} "
+    "substring that occurs earlier; this query computes the same set "
+    "via the prefix-anchor reduction (any repeat of length >= K "
+    "contains a duplicated K-gram, so token coverage by duplicated "
+    "K-windows IS coverage by >=K repeats), then merges overlapping/"
+    "adjacent duplicated windows into maximal spans (gap > K starts a "
+    "new span; gap <= K keeps coverage contiguous). CRUCIALLY the "
+    "duplicate test groups windows by their EXACT TEXT, never a hash — "
+    "the guarantee a suffix array gives (md5 collisions cannot "
+    "fabricate or merge repeats); first occurrence in (doc_id, pos) "
+    "total order is kept, exactly the paper's keep-one policy. The "
+    "per-doc span UNION therefore covers (>=) everything the "
+    "hash-windowed exact_substring_dedup removes "
+    "(tests/test_quality.py pins the containment). Scale shape: one "
+    "shuffle keyed by window text (at 100 TB you key the Exchange on "
+    "the 16-byte window fingerprint and compare text only within a "
+    "bucket — same plan, narrower shuffle rows), then the lag/island "
+    "pass shares one doc_id shuffle; spans never explode to tokens "
+    "(closed-form interval merge).",
+)
+def exact_substring_dedup_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = _ESD_K
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.filter(F.size(toks) >= K).select(
+        "doc_id", F.size(toks).alias("n_tokens"), toks.alias("toks")
+    )
+    wins = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (K - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice("toks", i, K)).alias("wtext"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.wtext").alias("wtext"))
+    rn = F.row_number().over(Window.partitionBy("wtext").orderBy("doc_id", "pos"))
+    dups = wins.select("doc_id", "pos", rn.alias("rn")).filter(F.col("rn") > 1)
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w_doc)
+    sp = dups.select(
+        "doc_id",
+        "pos",
+        F.when(prev.isNull() | (F.col("pos") - prev > K), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sid = F.sum("is_start").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = sp.select("doc_id", "pos", sid.alias("sid"))
+    return isl.groupBy("doc_id", "sid").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + (K - 1)).cast("long").alias("span_end"),
+        (F.max("pos") + K - F.min("pos")).cast("long").alias("span_len"),
+    ).drop("sid")
+
+
 # ---------------------------------------------------------------------------
 # unigram LM perplexity filtering (CCNet-style head/middle/tail buckets)
 # ---------------------------------------------------------------------------

@@ -785,3 +785,37 @@ def stream_index_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_index_admission(spark, f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# streaming ANN index maintenance
+# ---------------------------------------------------------------------------
+
+# the maintained index must answer EXACTLY like a full rebuild, so the
+# query shares ann_ivf_topk's batch-rebuild oracle verbatim
+from kinesis_log_watcher_spark.queries import llm as _llm  # noqa: E402,F401
+from kinesis_log_watcher_spark.queries.base import _REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "stream_ivf_index_update",
+    _REG["ann_ivf_topk"].oracle,
+    doc="STREAMING IVF INDEX MAINTENANCE: the persisted cell index "
+    "(ann_ivf_persisted's stored layout) is kept current as new "
+    "vectors stream in — each micro-batch assigns arrivals to their "
+    "best-anchor cell against the frozen broadcast anchors and lands "
+    "an idempotent batch=<id> delta dir (the CDC sink recipe); the "
+    "probe reads base UNION deltas (merge-on-read, the base is never "
+    "rewritten on the hot path). Because assignment depends only on "
+    "(vector, anchors), the maintained index answers bit-identically "
+    "to a full rebuild — pinned by sharing ann_ivf_topk's rebuild "
+    "oracle. Per-trigger cost is corpus-size-independent: one narrow "
+    "explode + broadcast-anchor join + per-vector argmax over the "
+    "arrivals only (streaming/annindex.py).",
+)
+def stream_ivf_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.annindex import (
+        run_stream_ivf_index_update,
+    )
+
+    return run_stream_ivf_index_update(spark, f"{sf_dir}/embeddings.parquet")

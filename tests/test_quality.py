@@ -95,6 +95,50 @@ def test_exact_substring_dedup_span_merge(spark, tmp_path, reg):
     assert rows[2]["kept_frac"] == (18 - 8) / 18
 
 
+def test_exact_substring_sa_spans_and_containment(spark, tmp_path, reg):
+    """The SA-grade query emits maximal span EXTENTS, and its removed
+    union covers everything the hash-windowed version removes (the
+    VERDICT-r4 superset guarantee — equality, since md5 collisions do
+    not occur on real corpora)."""
+    base = " ".join(f"t{i:02d}" for i in range(12))
+    embed = (
+        " ".join(f"f{i:02d}" for i in range(5))
+        + " "
+        + " ".join(f"t{i:02d}" for i in range(8))
+        + " "
+        + " ".join(f"g{i:02d}" for i in range(5))
+    )
+    sf = _write_docs(spark, tmp_path, [base, base, embed])
+    spans = reg["exact_substring_dedup_sa"].fn(spark, sf).collect()
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc1 = one maximal span covering the whole 12-token doc
+    assert [
+        (s["span_start"], s["span_end"], s["span_len"]) for s in by_doc[1]
+    ] == [(1, 12, 12)]
+    # doc2 = one 8-token span at the embedded copy (positions 6..13)
+    assert [
+        (s["span_start"], s["span_end"], s["span_len"]) for s in by_doc[2]
+    ] == [(6, 13, 8)]
+    assert 0 not in by_doc  # first occurrence kept
+
+    # containment on the real corpus: per-doc union of SA spans >= the
+    # window version's removed_tokens (spans never overlap, so the
+    # union is SUM(span_len))
+    real_sf = "/root/testdata/sf0.001"
+    sa = {}
+    for r in reg["exact_substring_dedup_sa"].fn(spark, real_sf).collect():
+        sa[r["doc_id"]] = sa.get(r["doc_id"], 0) + r["span_len"]
+    win = {
+        r["doc_id"]: r["removed_tokens"]
+        for r in reg["exact_substring_dedup"].fn(spark, real_sf).collect()
+    }
+    assert set(win) <= set(sa)
+    for doc_id, removed in win.items():
+        assert sa[doc_id] >= removed, doc_id
+
+
 def test_quality_plans_partial_agg_no_cartesian(spark, reg):
     for name in (
         "gopher_quality_gates",
