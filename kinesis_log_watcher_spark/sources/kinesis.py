@@ -29,6 +29,40 @@ KINESIS_FORMAT = "aws-kinesis"  # Spark 4 / Databricks-style connector name
 DEFAULT_MAX_FETCH_RECORDS = 10_000  # reference's GetRecords Limit (main.go:218)
 
 
+def reader_options(
+    stream_name: str,
+    region: str = "us-east-1",
+    start_timestamp: datetime | None = None,
+    endpoint_url: str | None = None,
+    max_fetch_records: int = DEFAULT_MAX_FETCH_RECORDS,
+) -> dict[str, str]:
+    """The full connector option map, as a pure function (unit-testable
+    without a connector jar or network). Contract with the reference:
+
+    - ``streamName``: positional stream arg (main.go:120-131).
+    - ``region``: --region/-r flag (main.go:68,133-138; connector falls
+      back to the SDK default chain when unset, same as the reference).
+    - ``startingPosition``: AT_TIMESTAMP iterator (main.go:300-305);
+      the reference's default start is now-5m (main.go:66 '--start 5m'),
+      which callers express by passing that timestamp; with no
+      timestamp the connector tails from 'latest'.
+    - ``maxFetchRecordsPerShard``: GetRecords Limit=10000 (main.go:218).
+    """
+    opts = {
+        "streamName": stream_name,
+        "region": region,
+        "maxFetchRecordsPerShard": str(max_fetch_records),
+        "startingPosition": (
+            start_timestamp.strftime("%Y-%m-%dT%H:%M:%S.%f+00:00")
+            if start_timestamp is not None
+            else "latest"
+        ),
+    }
+    if endpoint_url:
+        opts["endpointUrl"] = endpoint_url
+    return opts
+
+
 def read_kinesis_stream(
     spark: SparkSession,
     stream_name: str,
@@ -42,21 +76,15 @@ def read_kinesis_stream(
     Raises a clear error if no Kinesis connector is on the classpath —
     offline tests use sources.files / sources.fixture instead.
     """
-    reader = (
-        spark.readStream.format(KINESIS_FORMAT)
-        .option("streamName", stream_name)
-        .option("region", region)
-        .option("maxFetchRecordsPerShard", str(max_fetch_records))
-    )
-    if start_timestamp is not None:
-        reader = reader.option(
-            "startingPosition",
-            start_timestamp.strftime("%Y-%m-%dT%H:%M:%S.%f+00:00"),
-        )
-    else:
-        reader = reader.option("startingPosition", "latest")
-    if endpoint_url:
-        reader = reader.option("endpointUrl", endpoint_url)
+    reader = spark.readStream.format(KINESIS_FORMAT)
+    for k, v in reader_options(
+        stream_name,
+        region=region,
+        start_timestamp=start_timestamp,
+        endpoint_url=endpoint_url,
+        max_fetch_records=max_fetch_records,
+    ).items():
+        reader = reader.option(k, v)
     try:
         return reader.load()
     except Exception as exc:  # connector jar absent in this environment

@@ -197,6 +197,25 @@ def build_lines(
 # line to stdout exactly like the reference's single-process tailer).
 DEFAULT_MAX_LINES = 100_000
 
+# max_lines=None callers opted into unbounded driver materialization;
+# past this row count that choice is probably a mistake at scale, so
+# say so once (the collect is the API contract — the warning is the
+# guard, distributed_sink= is the fix).
+UNBOUNDED_WARN_ROWS = DEFAULT_MAX_LINES
+
+
+def _warn_unbounded(n_rows: int) -> None:
+    import warnings
+
+    warnings.warn(
+        f"watch(max_lines=None) materialized {n_rows} lines on the "
+        f"driver (> {UNBOUNDED_WARN_ROWS}); for large inputs pass "
+        "distributed_sink= to emit on the executors, or keep a finite "
+        "max_lines",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
 
 def _warn_truncated(max_lines: int) -> None:
     """Loud, non-silent truncation: the reference streams every line
@@ -291,6 +310,8 @@ def watch(
                 rows = rows[:max_lines]
             return [r["line"] for r in rows]
         rows = lines.collect()
+        if len(rows) > UNBOUNDED_WARN_ROWS:
+            _warn_unbounded(len(rows))
         bad = [r for r in rows if r["_render_error"]]
         if bad:
             reporter.observe(len(bad), bad[0]["line"])
@@ -313,6 +334,8 @@ def watch(
                 sys.stdout.flush()
             return
         rows = batch_df.collect()
+        if len(rows) > UNBOUNDED_WARN_ROWS:
+            _warn_unbounded(len(rows))
         n_err = sum(1 for r in rows if r["_render_error"])
         if n_err:
             sample = next(r["line"] for r in rows if r["_render_error"])

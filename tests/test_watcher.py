@@ -43,6 +43,27 @@ def test_batch_one_shot_default_template(spark):
     assert any(l.startswith("abc-123 2024-05-01") for l in lines)
 
 
+def test_unbounded_collect_warns_past_threshold(spark, monkeypatch):
+    """max_lines=None is the opt-in unbounded driver materialization;
+    past UNBOUNDED_WARN_ROWS it must say so (the documented footgun
+    guard — distributed_sink= is the scale path)."""
+    import warnings
+
+    from kinesis_log_watcher_spark import watcher as W
+
+    records = kinesis_records_fixture(spark, n_records=40)
+    monkeypatch.setattr(W, "UNBOUNDED_WARN_ROWS", 10)
+    with pytest.warns(RuntimeWarning, match="materialized 40 lines"):
+        lines = watch(records, max_lines=None)
+    assert len(lines) == 40  # a warning, never truncation: opt-in honored
+
+    # under the threshold: silent
+    monkeypatch.setattr(W, "UNBOUNDED_WARN_ROWS", 1000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        assert len(watch(records, max_lines=None)) == 40
+
+
 def test_start_filter(spark):
     """-s lookback: only records with arrival ts >= now - start survive
     (the AT_TIMESTAMP analogue, main.go:174, 300-305)."""
