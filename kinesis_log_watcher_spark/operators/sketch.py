@@ -313,3 +313,88 @@ def hist_quantiles(
             F.col("n").cast("long").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch — mergeable distinct-count sketch with SET OPERATIONS
+# ---------------------------------------------------------------------------
+#
+# Bar-Yossef et al. 2002 / Beyer et al. 2007 (KMV), Dasgupta et al. 2016
+# (theta sketch): hash every key to 60 bits (15 md5 hex chars, the family
+# convention) and keep only the k SMALLEST distinct hash values per
+# group. The k-th minimum h_(k) estimates density: with hashes uniform on
+# [0, H), NDV ~= (k-1) * H / h_(k). Unlike HLL, the retained sample
+# supports SET ALGEBRA across sketches: fix one threshold
+# theta = min over sketches of (h_(k) if full else H); every sketch's
+# values below theta form a uniform coordinated sample of its key set, so
+#   |A INTERSECT B| ~= |{v < theta : v in S_A and v in S_B}| * H / theta
+# and the same for union/difference — the "how many users did BOTH
+# streams see" question answered from two ≤k-row summaries without ever
+# joining the raw key sets. Jaccard falls out as an exact ratio of the
+# two sample counts.
+#
+# Distributed shape: the sketch is ≤k rows per group whatever the input.
+# Build = distinct-hash pass (the standard partial-agg NDV shuffle) then
+# a SALTED two-phase bottom-k — per-(group, salt) bottom-k first, global
+# bottom-k over the ≤salts*k survivors — so no single task ever ranks a
+# whole group's distinct-hash set (the same two-phase top-k shape as
+# topk_orders_per_segment_twophase). Merge across shards/days = bottom-k
+# of a union of sketches: re-run the second phase only.
+#
+# Engine-reproducibility: everything up to the final estimate is exact
+# int64 (md5-derived hashes, integer ranks and counts); each estimate is
+# ONE IEEE multiply of an exact small-int count by a shared power-of-two
+# literal followed by ONE division — bit-identical on any engine.
+
+KMV_HASH_SPACE = 1 << 60  # exclusive upper bound of the 60-bit hash domain
+
+
+def kmv_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 32,
+    salts: int = 8,
+) -> DataFrame:
+    """One distinct pass + salted two-phase bottom-k → per-group sketch
+    (group_cols..., h, r), at most k rows per group, r = 1..k ascending
+    by h. The global bottom-k of a group is always contained in the
+    union of its per-salt bottom-ks, so phase 2 ranks ≤ salts*k rows."""
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashes = df.select(*group_cols, h.alias("h")).distinct()
+    gl = list(group_cols)
+    w1 = Window.partitionBy(*gl, F.col("h") % salts).orderBy("h")
+    survivors = (
+        hashes.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .drop("r1")
+    )
+    w2 = Window.partitionBy(*gl).orderBy("h")
+    return (
+        survivors.withColumn("r", F.row_number().over(w2).cast("long"))
+        .filter(F.col("r") <= k)
+    )
+
+
+def kmv_estimate(
+    sk: DataFrame, group_cols: tuple[str, ...] = (), k: int = 32
+) -> DataFrame:
+    """Sketch → per-group NDV estimate. A non-full sketch holds EVERY
+    distinct hash, so the count is exact; a full one estimates
+    (k-1) * H / h_(k) — one multiply of shared exact literals and one
+    IEEE division."""
+    num = float((k - 1) * KMV_HASH_SPACE)  # exact: (k-1) fits the mantissa
+    stats = sk.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"), F.max("h").alias("hk")
+    )
+    est = F.when(
+        F.col("n") < k, F.col("n").cast("double")
+    ).otherwise(F.lit(num) / F.col("hk").cast("double"))
+    return stats.select(
+        *group_cols,
+        F.floor(est + F.lit(0.5)).cast("long").alias("est_distinct"),
+    )

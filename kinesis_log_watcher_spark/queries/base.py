@@ -143,6 +143,16 @@ _FRONT = (
     "bpe_train_k_rounds",
     "ann_two_stage_rerank",
     "stream_ivf_index_update",
+    # ---- round-5 mining additions (queries/mining.py). The first four
+    # fill the remaining driver-sampled slots (the template family they
+    # displace has been officially green since round 1); the embedding
+    # pair sits just past the sample window for the round-6 rotation.
+    "kmv_theta_set_ops",
+    "kn_bigram_perplexity",
+    "dirichlet_ql_scores",
+    "sorted_neighborhood_neardup",
+    "hard_negative_mining",
+    "matryoshka_recall",
     # ---- officially green in r1-r4; keep a stable order behind the
     # prefix so re-rotation next round is a pure list edit.
     # the reference's own operator family (queries/watcher_surface.py)
@@ -205,6 +215,7 @@ def registry() -> dict[str, Query]:
     from kinesis_log_watcher_spark.queries import (  # noqa: F401
         extensions,
         llm,
+        mining,
         quality,
         relational,
         sampling,

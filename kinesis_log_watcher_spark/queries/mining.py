@@ -1,0 +1,798 @@
+"""Corpus-mining round-5 additions: theta-sketch set algebra, bigram-LM
+perplexity, Dirichlet query-likelihood retrieval, sorted-neighborhood
+blocking dedup, and contrastive-training embedding mining.
+
+Each query follows the house determinism contract (queries/base.py):
+md5-derived hashes, integer quantization before any data-ordered sum,
+single-division estimates, aliased columns identical in both dialects.
+
+Reference scope note: the reference (main.go) has no analytics surface —
+these are part of the beyond-reference LLM-pipeline engine the brief
+specifies (SURVEY.md §2.2), same family as queries/llm.py and
+queries/quality.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_log_watcher_spark.queries.base import load, register
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch set operations
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32
+_KMV_H = 1 << 60  # hash domain bound (15 md5 hex chars)
+_KMV_HF = repr(float(_KMV_H))  # exactly representable: 2^60
+_KMV_NUM = repr(float((_KMV_K - 1) * _KMV_H))  # (k-1)*H, exact (31 * 2^60)
+
+_KMV_SPLIT_CASE = {
+    "a": "split = 'click'",
+    "b": "split = 'purchase'",
+}
+
+
+@register(
+    "kmv_theta_set_ops",
+    f"""
+    WITH sub AS (
+      SELECT event_type AS split,
+             CAST(user_id AS VARCHAR) || ':' || CAST(day(ts) AS VARCHAR) AS k
+      FROM events
+      WHERE event_type IN ('click', 'purchase')),
+    hashes AS (
+      SELECT DISTINCT split,
+             CAST('0x' || substr(md5(k), 1, 15) AS BIGINT) AS h
+      FROM sub),
+    sk AS (
+      SELECT split, h FROM (
+        SELECT split, h,
+               ROW_NUMBER() OVER (PARTITION BY split ORDER BY h) AS r
+        FROM hashes)
+      WHERE r <= {_KMV_K}),
+    st AS (
+      SELECT
+        CAST(COUNT(CASE WHEN {_KMV_SPLIT_CASE['a']} THEN 1 END) AS BIGINT)
+          AS n_a,
+        MAX(CASE WHEN {_KMV_SPLIT_CASE['a']} THEN h END) AS hk_a,
+        CAST(COUNT(CASE WHEN {_KMV_SPLIT_CASE['b']} THEN 1 END) AS BIGINT)
+          AS n_b,
+        MAX(CASE WHEN {_KMV_SPLIT_CASE['b']} THEN h END) AS hk_b
+      FROM sk),
+    th AS (
+      SELECT *,
+        LEAST(CASE WHEN n_a = {_KMV_K} THEN hk_a ELSE {_KMV_H} END,
+              CASE WHEN n_b = {_KMV_K} THEN hk_b ELSE {_KMV_H} END) AS theta
+      FROM st),
+    samp AS (
+      SELECT sk.h,
+             MAX(CASE WHEN {_KMV_SPLIT_CASE['a']} THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN {_KMV_SPLIT_CASE['b']} THEN 1 ELSE 0 END) AS in_b
+      FROM sk CROSS JOIN th WHERE sk.h < th.theta GROUP BY sk.h),
+    cnt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_u,
+             CAST(COALESCE(SUM(in_a * in_b), 0) AS BIGINT) AS n_i
+      FROM samp),
+    pu AS (
+      SELECT k,
+             MAX(CASE WHEN {_KMV_SPLIT_CASE['a']} THEN 1 ELSE 0 END) AS a,
+             MAX(CASE WHEN {_KMV_SPLIT_CASE['b']} THEN 1 ELSE 0 END) AS b
+      FROM sub GROUP BY k),
+    ex AS (
+      SELECT CAST(COALESCE(SUM(a), 0) AS BIGINT) AS exact_click,
+             CAST(COALESCE(SUM(b), 0) AS BIGINT) AS exact_purchase,
+             CAST(COUNT(*) AS BIGINT) AS exact_union,
+             CAST(COALESCE(SUM(a * b), 0) AS BIGINT) AS exact_inter
+      FROM pu)
+    SELECT
+      CASE WHEN n_a < {_KMV_K} THEN n_a
+           ELSE CAST(floor({_KMV_NUM} / CAST(hk_a AS DOUBLE) + 0.5) AS BIGINT)
+      END AS est_click,
+      exact_click,
+      CASE WHEN n_b < {_KMV_K} THEN n_b
+           ELSE CAST(floor({_KMV_NUM} / CAST(hk_b AS DOUBLE) + 0.5) AS BIGINT)
+      END AS est_purchase,
+      exact_purchase,
+      CAST(floor(CAST(n_u AS DOUBLE) * {_KMV_HF} / CAST(theta AS DOUBLE)
+                 + 0.5) AS BIGINT) AS est_union,
+      exact_union,
+      CAST(floor(CAST(n_i AS DOUBLE) * {_KMV_HF} / CAST(theta AS DOUBLE)
+                 + 0.5) AS BIGINT) AS est_inter,
+      exact_inter,
+      CASE WHEN n_u > 0
+           THEN CAST(floor(CAST(n_i AS DOUBLE) / CAST(n_u AS DOUBLE)
+                           * 1000000.0 + 0.5) AS BIGINT)
+           ELSE 0 END AS jaccard_micro
+    FROM th CROSS JOIN cnt CROSS JOIN ex
+    """,
+    doc="KMV/theta sketch SET ALGEBRA (Bar-Yossef 2002 / Dasgupta 2016, "
+    "operators/sketch.kmv_build): the click-side and purchase-side "
+    "(user, day) activity-key sets — partially overlapping by "
+    "construction, NDV >> k so the estimator path, not the exact-count "
+    f"path, is exercised — each compress to their {_KMV_K} smallest "
+    "distinct 60-bit hashes; one "
+    "shared threshold theta = min of the k-th minima turns the retained "
+    "values into COORDINATED uniform samples, so union / intersection / "
+    "Jaccard come from two <=k-row summaries — the cross-stream audience "
+    "overlap question answered WITHOUT joining raw key sets (HLL cannot "
+    "do intersections; this is the sketch that can). Exact counts are "
+    "joined in for the error profile, like hll_user_distinct. "
+    "Determinism: everything up to each estimate is exact int64; each "
+    "estimate is one multiply of an exact small count by a shared 2^60 "
+    "literal and ONE IEEE division. Scale: the build is the standard "
+    "distinct-pass NDV shuffle plus a SALTED two-phase bottom-k (no "
+    "task ever ranks a whole split's hash set); the set algebra touches "
+    "only the <=2k retained rows. Merging daily sketches = phase-2 "
+    "re-rank of unioned sketch rows — the stored-nightly-sketch pattern.",
+)
+def kmv_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.sketch import kmv_build
+
+    k = _KMV_K
+    ev = load(spark, sf_dir, "events")
+    sub = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.col("event_type").alias("split"),
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.dayofmonth("ts").cast("string"),
+        ).alias("k"),
+    )
+    sk = kmv_build(sub, "k", group_cols=("split",), k=k)
+
+    is_a = F.col("split") == "click"
+    is_b = F.col("split") == "purchase"
+    stats = sk.agg(
+        F.count(F.when(is_a, 1)).cast("long").alias("n_a"),
+        F.max(F.when(is_a, F.col("h"))).alias("hk_a"),
+        F.count(F.when(is_b, 1)).cast("long").alias("n_b"),
+        F.max(F.when(is_b, F.col("h"))).alias("hk_b"),
+    ).withColumn(
+        "theta",
+        F.least(
+            F.when(F.col("n_a") == k, F.col("hk_a")).otherwise(F.lit(_KMV_H)),
+            F.when(F.col("n_b") == k, F.col("hk_b")).otherwise(F.lit(_KMV_H)),
+        ),
+    )
+    samp = (
+        sk.crossJoin(F.broadcast(stats.select("theta")))
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("h")
+        .agg(
+            F.max(F.when(is_a, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(is_b, 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    cnt = samp.agg(
+        F.count("*").cast("long").alias("n_u"),
+        F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
+        .cast("long")
+        .alias("n_i"),
+    )
+    pu = sub.groupBy("k").agg(
+        F.max(F.when(is_a, 1).otherwise(0)).alias("a"),
+        F.max(F.when(is_b, 1).otherwise(0)).alias("b"),
+    )
+    ex = pu.agg(
+        F.coalesce(F.sum("a"), F.lit(0)).cast("long").alias("exact_click"),
+        F.coalesce(F.sum("b"), F.lit(0)).cast("long").alias("exact_purchase"),
+        F.count("*").cast("long").alias("exact_union"),
+        F.coalesce(F.sum(F.col("a") * F.col("b")), F.lit(0))
+        .cast("long")
+        .alias("exact_inter"),
+    )
+
+    num = F.lit(float(_KMV_NUM))
+    hf = F.lit(float(_KMV_HF))
+
+    def kmv_est(n, hk):
+        return F.when(F.col(n) < k, F.col(n)).otherwise(
+            F.floor(num / F.col(hk).cast("double") + F.lit(0.5)).cast("long")
+        )
+
+    def theta_est(c):
+        return F.floor(
+            F.col(c).cast("double") * hf / F.col("theta").cast("double")
+            + F.lit(0.5)
+        ).cast("long")
+
+    return (
+        stats.crossJoin(F.broadcast(cnt))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            kmv_est("n_a", "hk_a").cast("long").alias("est_click"),
+            "exact_click",
+            kmv_est("n_b", "hk_b").cast("long").alias("est_purchase"),
+            "exact_purchase",
+            theta_est("n_u").alias("est_union"),
+            "exact_union",
+            theta_est("n_i").alias("est_inter"),
+            "exact_inter",
+            F.when(
+                F.col("n_u") > 0,
+                F.floor(
+                    F.col("n_i").cast("double") / F.col("n_u").cast("double")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# interpolated Kneser-Ney bigram perplexity
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount
+
+
+@register(
+    "kn_bigram_perplexity",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 2),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      FROM t, unnest(range(1, len(toks))) AS u(i)),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+           FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1,
+                  CAST(COUNT(*) AS BIGINT) AS fanout
+           FROM c2 GROUP BY 1),
+    ct AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont_w2
+           FROM c2 GROUP BY 1),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_types FROM c2),
+    lp AS (
+      SELECT c2.w1, c2.w2,
+             CAST(floor(-ln((GREATEST(CAST(n12 AS DOUBLE) - {_KN_D}, 0.0)
+                             + {_KN_D} * fanout * cont_w2 / t_types) / n1)
+                        * 1000000000 + 0.5) AS BIGINT) AS nll_nano
+      FROM c2 JOIN c1 USING (w1) JOIN ct USING (w2) CROSS JOIN tt),
+    doc AS (
+      SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(nll_nano) AS BIGINT) AS sum_nano
+      FROM bg JOIN lp USING (w1, w2) GROUP BY 1),
+    scored AS (
+      SELECT doc_id, n_bigrams,
+             CAST(floor(CAST(sum_nano AS DOUBLE) / (n_bigrams * 1000.0) + 0.5)
+                  AS BIGINT) AS nll_micro
+      FROM doc)
+    SELECT doc_id, n_bigrams, nll_micro,
+           CAST(NTILE(3) OVER (ORDER BY nll_micro, doc_id) AS BIGINT)
+             AS ppl_bucket
+    FROM scored
+    """,
+    doc="Interpolated Kneser-Ney BIGRAM perplexity (Kneser & Ney 1995; "
+    "the LM-quality step up from unigram_logprob_buckets): "
+    "P(w2|w1) = (max(c(w1w2)-D,0) + D*N1+(w1,.)*Pcont(w2)) / c(w1,.) "
+    "with D=0.75 and the continuation distribution Pcont(w2) = "
+    "N1+(.,w2)/|bigram types| — a PROPER probability (the discounted "
+    "mass exactly funds the continuation term), trained and scored on "
+    "the corpus itself, no external artifact. All model inputs are "
+    "integer count relations (bigram counts, left fan-outs, "
+    "continuation counts, one 1-row type total); each distinct bigram's "
+    "NLL is quantized to int64 nano-nats ONCE in the vocab relation, so "
+    "per-doc totals are associative integer sums — no float-order "
+    "dependence (the unigram query's determinism argument, one level "
+    "up). Scale shape: everything is (w1)/(w2)/(w1,w2) hash "
+    "aggregations and equi-joins — the bigram vocab of a 100 TB corpus "
+    "never broadcasts and never needs to; the NTILE total order is the "
+    "oracle-checkable stand-in for the quantile-sketch bucketing used "
+    "at scale (same stance as unigram_logprob_buckets).",
+)
+def kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, "
+                "element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("bgr"),
+    ).select("doc_id", F.col("bgr.w1").alias("w1"), F.col("bgr.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n12"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("n12").cast("long").alias("n1"),
+        F.count("*").cast("long").alias("fanout"),
+    )
+    ct = c2.groupBy("w2").agg(F.count("*").cast("long").alias("cont_w2"))
+    tt = c2.agg(F.count("*").cast("long").alias("t_types"))
+    p = (
+        F.greatest(F.col("n12").cast("double") - F.lit(_KN_D), F.lit(0.0))
+        + F.lit(_KN_D) * F.col("fanout") * F.col("cont_w2") / F.col("t_types")
+    ) / F.col("n1")
+    lp = (
+        c2.join(c1, "w1")
+        .join(ct, "w2")
+        .join(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            F.floor(-F.log(p) * F.lit(1000000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("nll_nano"),
+        )
+    )
+    doc = (
+        bg.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("nll_nano").cast("long").alias("sum_nano"),
+        )
+    )
+    scored = doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.floor(
+            F.col("sum_nano").cast("double")
+            / (F.col("n_bigrams") * F.lit(1000.0))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    tercile = F.ntile(3).over(
+        Window.orderBy(F.col("nll_micro").asc(), F.col("doc_id").asc())
+    )
+    return scored.select(
+        "doc_id", "n_bigrams", "nll_micro", tercile.cast("long").alias("ppl_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet-smoothed query likelihood retrieval
+# ---------------------------------------------------------------------------
+
+_QL_TERMS = ("table", "join", "fast")
+_QL_MU = 2000.0
+
+
+def _ql_sql() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN word = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf_{t}"
+        for t in _QL_TERMS
+    )
+    cf_cols = ",\n             ".join(
+        f"CAST(SUM(tf_{t}) AS BIGINT) AS cf_{t}" for t in _QL_TERMS
+    )
+    contribs = "\n           + ".join(
+        f"ln((CAST(d.tf_{t} AS DOUBLE) + {_QL_MU!r} * s.cf_{t} / s.total_toks)"
+        f" / (d.dl + {_QL_MU!r}))"
+        for t in _QL_TERMS
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    d AS (
+      SELECT doc_id, MIN(dl) AS dl,
+             {tf_cols}
+      FROM w GROUP BY doc_id),
+    s AS (
+      SELECT CAST(SUM(dl) AS BIGINT) AS total_toks,
+             {cf_cols}
+      FROM d)
+    SELECT d.doc_id, {", ".join(f"d.tf_{t}" for t in _QL_TERMS)},
+           CAST(floor(({contribs}) * 1e6 + 0.5) AS BIGINT) AS score_micro
+    FROM d CROSS JOIN s
+    """
+
+
+@register(
+    "dirichlet_ql_scores",
+    _ql_sql(),
+    doc="Query-likelihood retrieval with Dirichlet smoothing (Zhai & "
+    "Lafferty 2001, mu=2000) for the same fixed term set as "
+    "bm25_doc_scores — the second classical retrieval scorer, so the "
+    "engine covers both probabilistic-relevance (BM25) and language-"
+    "model (QL) ranking families: score(d) = sum_t ln((tf_td + "
+    "mu*cf_t/|C|) / (dl_d + mu)). Same plan shape as BM25: per-doc "
+    "term frequencies from ONE word-explode aggregation, corpus "
+    "collection frequencies as a 1-row broadcast, contributions summed "
+    "in FIXED term order (float addition is not associative), scores "
+    "quantized to micro-units for integer comparison; ln() is the one "
+    "libm-bound op. No shuffle wider than (doc_id, word) counting — "
+    "the smoothing statistics of a 100 TB corpus are three numbers.",
+)
+def dirichlet_ql_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    w = docs.select(
+        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("word")
+    )
+    d = w.groupBy("doc_id").agg(
+        F.min("dl").alias("dl"),
+        *[
+            F.sum(F.when(F.col("word") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf_{t}")
+            for t in _QL_TERMS
+        ],
+    )
+    s = d.agg(
+        F.sum("dl").cast("long").alias("total_toks"),
+        *[
+            F.sum(F.col(f"tf_{t}")).cast("long").alias(f"cf_{t}")
+            for t in _QL_TERMS
+        ],
+    )
+
+    def contrib(t: str):
+        return F.log(
+            (
+                F.col(f"tf_{t}").cast("double")
+                + F.lit(_QL_MU) * F.col(f"cf_{t}") / F.col("total_toks")
+            )
+            / (F.col("dl") + F.lit(_QL_MU))
+        )
+
+    score = contrib(_QL_TERMS[0])
+    for t in _QL_TERMS[1:]:
+        score = score + contrib(t)
+    return d.join(F.broadcast(s)).select(
+        "doc_id",
+        *[f"tf_{t}" for t in _QL_TERMS],
+        F.floor(score * F.lit(1e6) + F.lit(0.5)).cast("long").alias("score_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking near-dup
+# ---------------------------------------------------------------------------
+
+_SN_W = 2  # lookahead window
+_SN_JMILLI = 500  # report pairs at Jaccard >= 0.5
+
+
+@register(
+    "sorted_neighborhood_neardup",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE len(string_split(text, ' ')) >= 3) t,
+           unnest(range(1, len(toks) - 1)) AS u(i)),
+    key AS (
+      SELECT doc_id,
+             MIN(CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)) AS minh,
+             CAST(COUNT(*) AS BIGINT) AS sz
+      FROM sh GROUP BY doc_id),
+    nb AS (
+      SELECT doc_id AS doc_a,
+             LEAD(doc_id, 1) OVER wnd AS b1,
+             LEAD(doc_id, 2) OVER wnd AS b2
+      FROM key
+      WINDOW wnd AS (PARTITION BY (minh >> 52) ORDER BY minh, doc_id)),
+    cand AS (
+      SELECT doc_a, b1 AS doc_b FROM nb WHERE b1 IS NOT NULL
+      UNION ALL
+      SELECT doc_a, b2 AS doc_b FROM nb WHERE b2 IS NOT NULL),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    j AS (
+      SELECT i.doc_a, i.doc_b, i.n_inter,
+             CAST(ka.sz + kb.sz - i.n_inter AS BIGINT) AS n_union,
+             CAST(floor(CAST(i.n_inter AS DOUBLE) * 1000.0
+                        / (ka.sz + kb.sz - i.n_inter) + 0.5) AS BIGINT)
+               AS jac_milli
+      FROM inter i
+      JOIN key ka ON ka.doc_id = i.doc_a
+      JOIN key kb ON kb.doc_id = i.doc_b)
+    SELECT doc_a, doc_b, n_inter, n_union, jac_milli
+    FROM j WHERE jac_milli >= {_SN_JMILLI}
+    """,
+    doc="Sorted-neighborhood blocking near-dup (Hernandez & Stolfo 1995, "
+    "the classical entity-resolution alternative to LSH banding): each "
+    "doc's sort key is its MINIMUM 60-bit shingle hash (a 1-permutation "
+    "MinHash — two docs at Jaccard J share their minimum shingle with "
+    "probability J, so near-dups sort adjacent); docs are sorted within "
+    f"hash-prefix blocks and each compares to only its next {_SN_W} "
+    "neighbors (LEAD), then candidate pairs are VERIFIED with the true "
+    "3-gram shingle Jaccard via the shingle relation — candidates are "
+    "O(n*w), never all-pairs. The block partition (top 8 hash bits) "
+    "keeps every ranking window partitionBy-bounded: no single task "
+    "sorts the corpus, the documented blocked-SNM trade (boundary pairs "
+    "straddling a block are the recall loss, exactly as in the "
+    "literature). Complements dedup_minhash_lsh: same verify relation, "
+    "different candidate generator — at 100 TB the sort-based generator "
+    "wins when bucket skew makes banded joins quadratic in the worst "
+    "bucket, the banded join wins on recall; the engine has both.",
+)
+def sorted_neighborhood_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.dedup import exploded_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, n=3)
+    h60 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    key = sh.groupBy("doc_id").agg(
+        F.min(h60).alias("minh"), F.count("*").cast("long").alias("sz")
+    )
+    wnd = Window.partitionBy(F.shiftright(F.col("minh"), 52)).orderBy(
+        "minh", "doc_id"
+    )
+    nb = key.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.lead("doc_id", i).over(wnd).alias(f"b{i}") for i in range(1, _SN_W + 1)],
+    )
+    cand = None
+    for i in range(1, _SN_W + 1):
+        part = nb.filter(F.col(f"b{i}").isNotNull()).select(
+            "doc_a", F.col(f"b{i}").alias("doc_b")
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    ka = key.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    kb = key.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+    j = (
+        inter.join(ka, "doc_a")
+        .join(kb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            union_sz.cast("long").alias("n_union"),
+            F.floor(
+                F.col("n_inter").cast("double") * F.lit(1000.0) / union_sz
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("jac_milli"),
+        )
+    )
+    return j.filter(F.col("jac_milli") >= _SN_JMILLI)
+
+
+# ---------------------------------------------------------------------------
+# contrastive hard-negative mining
+# ---------------------------------------------------------------------------
+
+# Same quantized-component scoring macros as the ANN family
+# (queries/llm.py): int64 at 7 dp, exact sums, one final division.
+_Q = "CAST(floor(CAST({0} AS DOUBLE) * 10000000 + 0.5) AS BIGINT)"
+_DOT_DEC = (f"(CAST(SUM({_Q.format('qx')} * {_Q.format('x')}) AS DOUBLE) "
+            "/ 100000000000000.0)")
+_NORM_DEC = (f"(CAST(SUM({_Q.format('x')} * {_Q.format('x')}) AS DOUBLE) "
+             "/ 100000000000000.0)")
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, unnest(embedding) AS qx,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings),
+    d AS (
+      SELECT q_id, vec_id, {_DOT_DEC} AS dot
+      FROM c JOIN q USING (dim)
+      WHERE vec_id != q_id
+      GROUP BY q_id, vec_id),
+    n AS (
+      SELECT vec_id AS nid, {_NORM_DEC} AS norm2
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id),
+    s AS (
+      SELECT d.q_id, d.vec_id,
+             (d.dot / (sqrt(nq.norm2) * sqrt(nc.norm2))) AS cosine,
+             lc.label AS neg_label
+      FROM d JOIN n nq ON nq.nid = d.q_id
+             JOIN n nc ON nc.nid = d.vec_id
+             JOIN embeddings lq ON lq.vec_id = d.q_id
+             JOIN embeddings lc ON lc.vec_id = d.vec_id
+      WHERE lc.label != lq.label)
+    SELECT q_id, vec_id AS neighbor_id,
+           CAST(neg_label AS BIGINT) AS neg_label, cosine, rank
+    FROM (
+      SELECT q_id, vec_id, neg_label, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+      FROM s)
+    WHERE rank <= 3
+    """,
+    doc="Hard-negative mining for contrastive training (the in-batch-"
+    "negatives upgrade every embedding-model pipeline needs, cf. DPR / "
+    "SimCSE): for each anchor vector, the top-3 OTHER-label vectors by "
+    "cosine — maximally confusing negatives, found with the exact-"
+    "decimal scorer shared with ann_cosine_topk so the oracle matches "
+    "bit-for-bit. Anchors are a small broadcast set by contract (the "
+    "ann_cosine_topk_fast contract); the label filter runs BEFORE "
+    "ranking so positives never crowd out negatives. At corpus scale "
+    "the candidate generator swaps to the IVF/PQ index (ann_ivf_topk) "
+    "with the label filter pushed into the cell probe — identical "
+    "downstream relation, so this query's shape IS the mining stage of "
+    "a contrastive data pipeline.",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.similarity import (
+        exact_dot,
+        exact_norm2,
+        exploded_components,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    q = exploded_components(
+        anchors.select(F.col("vec_id").alias("q_id"), "embedding"),
+        "q_id",
+        out_val="qx",
+    )
+    c = exploded_components(emb, "vec_id")
+    d = exact_dot(q, c, "q_id", "vec_id")
+    n = exact_norm2(emb, "vec_id")
+    nq = n.select(F.col("vec_id").alias("q_id"), F.col("norm2").alias("qn"))
+    nc = n.select("vec_id", F.col("norm2").alias("cn"))
+    lq = emb.select(F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"))
+    lc = emb.select("vec_id", F.col("label").alias("neg_label"))
+    s = (
+        d.join(F.broadcast(nq), "q_id")
+        .join(nc, "vec_id")
+        .join(F.broadcast(lq), "q_id")
+        .join(lc, "vec_id")
+        .filter(F.col("neg_label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("neg_label").cast("long").alias("neg_label"),
+            (F.col("dot") / (F.sqrt(F.col("qn")) * F.sqrt(F.col("cn")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "neg_label",
+                "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# matryoshka truncation recall
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = 16  # truncated prefix length
+_MRL_K = 10
+
+
+def _mrl_topk_sql(comp_filter: str, alias: str) -> str:
+    """One exact-cosine top-k pipeline over a component prefix."""
+    return f"""
+    d_{alias} AS (
+      SELECT q_id, vec_id, {_DOT_DEC} AS dot
+      FROM comp c JOIN qcomp q USING (dim)
+      WHERE vec_id != q_id AND {comp_filter}
+      GROUP BY q_id, vec_id),
+    n_{alias} AS (
+      SELECT vec_id AS nid, {_NORM_DEC} AS norm2
+      FROM comp WHERE {comp_filter} GROUP BY vec_id),
+    top_{alias} AS (
+      SELECT q_id, vec_id FROM (
+        SELECT d.q_id, d.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY d.q_id
+                 ORDER BY (d.dot / (sqrt(nq.norm2) * sqrt(nc.norm2))) DESC,
+                          d.vec_id) AS rnk
+        FROM d_{alias} d JOIN n_{alias} nq ON nq.nid = d.q_id
+                         JOIN n_{alias} nc ON nc.nid = d.vec_id)
+      WHERE rnk <= {_MRL_K})"""
+
+
+@register(
+    "matryoshka_recall",
+    f"""
+    WITH comp AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings),
+    qcomp AS (
+      SELECT vec_id AS q_id, x AS qx, dim FROM comp WHERE vec_id < 10),
+    {_mrl_topk_sql('TRUE', 'full')},
+    {_mrl_topk_sql(f'dim <= {_MRL_DIMS}', 'trunc')}
+    SELECT f.q_id,
+           CAST(COALESCE(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 END), 0)
+                AS BIGINT) AS n_overlap,
+           CAST(COALESCE(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 END), 0)
+                * {100 // _MRL_K} AS BIGINT) AS recall_pct
+    FROM top_full f
+    LEFT JOIN top_trunc t ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+    GROUP BY f.q_id
+    """,
+    doc="Matryoshka truncation ablation (Kusupati et al. 2022, MRL): "
+    f"recall@{_MRL_K} of brute-force retrieval using only the first "
+    f"{_MRL_DIMS} of 64 embedding dimensions, against the full-"
+    "dimension ranking as ground truth — the measurement that decides "
+    "whether a 4x cheaper index is safe, run per anchor so the tail "
+    "(worst-served queries) is visible, not just the mean. Both "
+    "rankings use the exact-decimal scorer, so the oracle reproduces "
+    "both top-k sets and the overlap bit-for-bit. The truncated "
+    "pipeline prunes components BEFORE the dim join (dim <= "
+    f"{_MRL_DIMS} reaches the scan as a pushed filter), so its cost "
+    "is proportionally smaller — exactly the production saving being "
+    "measured. Anchors broadcast by the ann_cosine_topk contract; the "
+    "scale path swaps the generator to IVF over truncated prefixes.",
+)
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.similarity import (
+        exact_dot,
+        exploded_components,
+        quantize,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    comp = exploded_components(emb, "vec_id")
+    qcomp = exploded_components(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        ),
+        "q_id",
+        out_val="qx",
+    )
+
+    def topk(comp_pred) -> DataFrame:
+        cc = comp.filter(comp_pred) if comp_pred is not None else comp
+        qq = qcomp.filter(comp_pred) if comp_pred is not None else qcomp
+        d = exact_dot(qq, cc, "q_id", "vec_id")
+        qz = quantize(F.col("x"))
+        n = cc.groupBy("vec_id").agg(
+            (F.sum(qz * qz).cast("double") / F.lit(1e14)).alias("norm2")
+        )
+        nq = n.select(F.col("vec_id").alias("q_id"), F.col("norm2").alias("qn"))
+        nc = n.select("vec_id", F.col("norm2").alias("cn"))
+        cos = F.col("dot") / (F.sqrt(F.col("qn")) * F.sqrt(F.col("cn")))
+        w = Window.partitionBy("q_id").orderBy(cos.desc(), F.col("vec_id"))
+        return (
+            d.join(F.broadcast(nq), "q_id")
+            .join(nc, "vec_id")
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _MRL_K)
+            .select("q_id", "vec_id")
+        )
+
+    full = topk(None)
+    trunc = topk(F.col("dim") <= _MRL_DIMS).withColumnRenamed("vec_id", "t_id")
+    hit = full.alias("f").join(
+        trunc.alias("t"),
+        (F.col("f.q_id") == F.col("t.q_id")) & (F.col("f.vec_id") == F.col("t.t_id")),
+        "left",
+    )
+    overlap = F.coalesce(
+        F.sum(F.when(F.col("t.t_id").isNotNull(), 1)), F.lit(0)
+    ).cast("long")
+    return hit.groupBy(F.col("f.q_id").alias("q_id")).agg(
+        overlap.alias("n_overlap"),
+        (overlap * (100 // _MRL_K)).cast("long").alias("recall_pct"),
+    )

@@ -1,0 +1,237 @@
+"""Unit tests for the round-5 mining family (queries/mining.py +
+operators/sketch.py KMV additions): semantic invariants the oracle gate
+cannot see (error bounds, set-algebra consistency, blocking guarantees)
+plus plan-shape pins for the scale-sensitive pieces."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_log_watcher_spark.operators.sketch import (
+    KMV_HASH_SPACE,
+    kmv_build,
+    kmv_estimate,
+)
+from kinesis_log_watcher_spark.queries import registry
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return registry()
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch operator
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_sketch_bounded_and_ranked(spark):
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    sk = kmv_build(df, "k", k=64).orderBy("r").collect()
+    assert len(sk) == 64  # full sketch: exactly k rows
+    hs = [r.h for r in sk]
+    assert hs == sorted(hs)  # r follows ascending hash order
+    assert [r.r for r in sk] == list(range(1, 65))
+
+
+def test_kmv_small_set_is_exact(spark):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    est = kmv_estimate(kmv_build(df, "k", k=64), k=64).collect()[0]
+    assert est.est_distinct == 10  # non-full sketch holds every hash
+
+
+def test_kmv_estimate_within_theory_bound(spark):
+    # KMV relative standard error is ~1/sqrt(k-2); allow 4 sigma.
+    n, k = 20000, 256
+    df = spark.range(n).select(F.col("id").alias("k"))
+    est = kmv_estimate(kmv_build(df, "k", k=k), k=k).collect()[0].est_distinct
+    rel = abs(est - n) / n
+    assert rel < 4.0 / (k - 2) ** 0.5, (est, rel)
+
+
+def test_kmv_merge_equals_rebuild(spark):
+    # bottom-k of a union of sketches == sketch of the union: re-ranking
+    # two shards' sketch rows must reproduce the full-data sketch.
+    a = spark.range(0, 3000).select(F.col("id").alias("k"))
+    b = spark.range(2000, 6000).select(F.col("id").alias("k"))
+    merged_rows = kmv_build(a, "k", k=64).select("h").unionByName(
+        kmv_build(b, "k", k=64).select("h")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.orderBy("h")
+    merged = (
+        merged_rows.withColumn("r", F.row_number().over(w).cast("long"))
+        .filter(F.col("r") <= 64)
+        .orderBy("r")
+        .collect()
+    )
+    full = (
+        kmv_build(a.unionByName(b), "k", k=64).orderBy("r").collect()
+    )
+    assert [r.h for r in merged] == [r.h for r in full]
+
+
+def test_kmv_hash_space_constant():
+    assert KMV_HASH_SPACE == 1 << 60
+
+
+# ---------------------------------------------------------------------------
+# theta set ops query
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_theta_set_algebra_consistent(spark, sf_dir, reg):
+    row = reg["kmv_theta_set_ops"].fn(spark, sf_dir).collect()[0]
+    # inclusion-exclusion sanity on the EXACT side
+    assert row.exact_union <= row.exact_click + row.exact_purchase
+    assert row.exact_inter <= min(row.exact_click, row.exact_purchase)
+    # estimates land within the k=32 error envelope (4/sqrt(k-2) ~ 73%)
+    for est, exact in (
+        (row.est_click, row.exact_click),
+        (row.est_purchase, row.exact_purchase),
+        (row.est_union, row.exact_union),
+    ):
+        assert abs(est - exact) / exact < 0.75, (est, exact)
+    # estimated intersection must not exceed estimated union
+    assert row.est_inter <= row.est_union
+    assert 0 <= row.jaccard_micro <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# KN bigram perplexity
+# ---------------------------------------------------------------------------
+
+
+def test_kn_bigram_covers_all_multitoken_docs(spark, sf_dir, reg):
+    from kinesis_log_watcher_spark.queries.base import load
+
+    out = reg["kn_bigram_perplexity"].fn(spark, sf_dir)
+    n_docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.size(F.split(F.lower("text"), " ")) >= 2)
+        .count()
+    )
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert all(r.nll_micro > 0 for r in rows)  # probabilities < 1
+    assert {r.ppl_bucket for r in rows} == {1, 2, 3}
+
+
+def test_kn_bigram_model_is_proper(spark, sf_dir, reg):
+    # For a sampled context w1, sum over observed w2 of P(w2|w1) must be
+    # <= 1 (the remainder is continuation mass reserved for unseen w2).
+    from kinesis_log_watcher_spark.queries.base import load
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(F.split(F.lower("text"), " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, "
+                "element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("n12").alias("n1"), F.count("*").alias("fanout")
+    )
+    ct = c2.groupBy("w2").agg(F.count("*").alias("cont_w2"))
+    tt = c2.count()
+    top_w1 = c1.orderBy(F.col("n1").desc()).first().w1
+    p = (
+        F.greatest(F.col("n12").cast("double") - F.lit(0.75), F.lit(0.0))
+        + F.lit(0.75) * F.col("fanout") * F.col("cont_w2") / F.lit(float(tt))
+    ) / F.col("n1")
+    mass = (
+        c2.filter(F.col("w1") == top_w1)
+        .join(c1, "w1")
+        .join(ct, "w2")
+        .agg(F.sum(p))
+        .collect()[0][0]
+    )
+    assert 0.0 < mass <= 1.0 + 1e-9, mass
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet query likelihood
+# ---------------------------------------------------------------------------
+
+
+def test_dirichlet_ql_scores_shape_and_monotonicity(spark, sf_dir, reg):
+    out = reg["dirichlet_ql_scores"].fn(spark, sf_dir).toPandas()
+    assert len(out) == 500 or len(out) > 0
+    # all scores are log-probabilities of a 3-term query: negative
+    assert (out.score_micro < 0).all()
+    # among equal-length docs, more query-term occurrences => higher
+    # score; check the weaker global invariant: the best-scoring doc
+    # contains at least one query term.
+    best = out.sort_values("score_micro", ascending=False).iloc[0]
+    assert best.tf_table + best.tf_join + best.tf_fast > 0
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking dedup
+# ---------------------------------------------------------------------------
+
+
+def test_sorted_neighborhood_pairs_verified(spark, sf_dir, reg):
+    out = reg["sorted_neighborhood_neardup"].fn(spark, sf_dir).toPandas()
+    assert len(out) > 0  # corpus is ~28% near-dup by construction
+    assert (out.jac_milli >= 500).all()
+    assert (out.doc_a != out.doc_b).all()
+    # Jaccard consistency: inter <= union, milli value recomputes
+    assert (out.n_inter <= out.n_union).all()
+    recompute = (out.n_inter * 1000.0 / out.n_union + 0.5).astype(int)
+    assert (recompute == out.jac_milli).all()
+    # no pair reported twice (one direction only, by sort-order construction)
+    keys = set(map(tuple, out[["doc_a", "doc_b"]].values))
+    assert len(keys) == len(out)
+    assert not any((b, a) in keys for a, b in keys)
+
+
+def test_sorted_neighborhood_no_cartesian(spark, sf_dir, reg):
+    plan = (
+        reg["sorted_neighborhood_neardup"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# embedding mining
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_are_other_label(spark, sf_dir, reg):
+    from kinesis_log_watcher_spark.queries.base import load
+
+    out = reg["hard_negative_mining"].fn(spark, sf_dir).toPandas()
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .toPandas()
+        .set_index("vec_id")
+        .label
+    )
+    assert set(out["rank"]) == {1, 2, 3}
+    for _, r in out.iterrows():
+        assert emb[r.q_id] != r.neg_label  # never the anchor's own label
+        assert emb[r.neighbor_id] == r.neg_label
+    assert (out.cosine <= 1.0 + 1e-9).all() and (out.cosine >= -1.0 - 1e-9).all()
+
+
+def test_matryoshka_recall_bounds(spark, sf_dir, reg):
+    out = reg["matryoshka_recall"].fn(spark, sf_dir).toPandas()
+    assert len(out) == 10
+    assert ((out.n_overlap >= 0) & (out.n_overlap <= 10)).all()
+    assert (out.recall_pct == out.n_overlap * 10).all()

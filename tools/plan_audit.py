@@ -73,6 +73,10 @@ ALLOWED_BNLJ = {
     "hist_daily_merge": "1-row sketch-estimate/exact broadcasts",
     "cms_join_size_estimate": "1-row sketch-estimate/exact broadcasts",
     "class_balanced_downsample": "1-row class-floor broadcast",
+    # round-5 mining family: same 1-row-build-side shape as above
+    "kmv_theta_set_ops": "1-row sketch-stats/exact broadcasts",
+    "kn_bigram_perplexity": "1-row bigram-type-total broadcast",
+    "dirichlet_ql_scores": "1-row corpus-stats broadcast",
 }
 
 
