@@ -153,6 +153,7 @@ _FRONT = (
     "sorted_neighborhood_neardup",
     "hard_negative_mining",
     "matryoshka_recall",
+    "stream_minhash_overlap",
     # ---- officially green in r1-r4; keep a stable order behind the
     # prefix so re-rotation next round is a pure list edit.
     # the reference's own operator family (queries/watcher_surface.py)

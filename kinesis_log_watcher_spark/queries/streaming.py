@@ -819,3 +819,112 @@ def stream_ivf_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_ivf_index_update(spark, f"{sf_dir}/embeddings.parquet")
+
+
+@register(
+    "stream_minhash_overlap",
+    """
+    WITH sub AS (
+      SELECT event_type AS split,
+             CAST(user_id AS VARCHAR) || ':' || CAST(day(ts) AS VARCHAR) AS k
+      FROM events
+      WHERE event_type IN ('click', 'purchase')),
+    hh AS (
+      SELECT split, CAST('0x' || substr(md5(k), 1, 15) AS BIGINT) AS h
+      FROM sub),
+    regs AS (
+      SELECT split, h % 64 AS r, MIN(h) AS vmin FROM hh GROUP BY 1, 2),
+    a AS (SELECT r, vmin AS va FROM regs WHERE split = 'click'),
+    b AS (SELECT r, vmin AS vb FROM regs WHERE split = 'purchase'),
+    j AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_regs_both,
+             CAST(COALESCE(SUM(CASE WHEN va = vb THEN 1 END), 0) AS BIGINT)
+               AS n_regs_equal
+      FROM a JOIN b USING (r)),
+    pu AS (
+      SELECT k,
+             MAX(CASE WHEN split = 'click' THEN 1 ELSE 0 END) AS ca,
+             MAX(CASE WHEN split = 'purchase' THEN 1 ELSE 0 END) AS cb
+      FROM sub GROUP BY k),
+    ex AS (
+      SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS n_inter,
+             CAST(COUNT(*) AS BIGINT) AS n_union
+      FROM pu)
+    SELECT n_regs_both, n_regs_equal,
+           CASE WHEN n_regs_both > 0
+                THEN CAST(floor(CAST(n_regs_equal AS DOUBLE)
+                                / CAST(n_regs_both AS DOUBLE)
+                                * 1000000.0 + 0.5) AS BIGINT)
+                ELSE 0 END AS jaccard_est_micro,
+           CASE WHEN n_union > 0
+                THEN CAST(floor(CAST(n_inter AS DOUBLE)
+                                / CAST(n_union AS DOUBLE)
+                                * 1000000.0 + 0.5) AS BIGINT)
+                ELSE 0 END AS exact_jaccard_micro
+    FROM j CROSS JOIN ex
+    """,
+    doc="STREAMING one-permutation-hashing Jaccard (Li, Owen & Zhang "
+    "2012; streaming/windows.run_streaming_minhash_overlap): per "
+    "(split, register) MIN of the 60-bit activity-key hash is the "
+    "streaming aggregation state — 2x64 rows, order-free AND "
+    "duplicate-insensitive (no streaming distinct needed), so any "
+    "replay split or re-delivery converges to the batch register "
+    "table. Finalized on read: the fraction of both-present registers "
+    "with EQUAL mins estimates the cross-stream key-overlap Jaccard "
+    "(the argmin of a register's union lands in its intersection with "
+    "probability = local Jaccard); the batch-side exact Jaccard is "
+    "joined in for the error profile. The live audience-overlap "
+    "dashboard from O(m) state — the streaming twin of the batch "
+    "kmv_theta_set_ops theta intersection. Oracle rebuilds the "
+    "registers AND the exact overlap from the same relation, "
+    "bit-matched.",
+)
+def stream_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from kinesis_log_watcher_spark.queries.base import load
+    from kinesis_log_watcher_spark.streaming.windows import (
+        run_streaming_minhash_overlap,
+    )
+
+    est = run_streaming_minhash_overlap(spark, f"{sf_dir}/events.parquet")
+    ev = load(spark, sf_dir, "events")
+    sub = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.col("event_type").alias("split"),
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.dayofmonth("ts").cast("string"),
+        ).alias("k"),
+    )
+    pu = sub.groupBy("k").agg(
+        F.max(F.when(F.col("split") == "click", 1).otherwise(0)).alias("ca"),
+        F.max(F.when(F.col("split") == "purchase", 1).otherwise(0)).alias("cb"),
+    )
+    ex = pu.agg(
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+        .cast("long")
+        .alias("n_inter"),
+        F.count("*").cast("long").alias("n_union"),
+    )
+
+    def ratio_micro(num, den):
+        return (
+            F.when(
+                F.col(den) > 0,
+                F.floor(
+                    F.col(num).cast("double") / F.col(den).cast("double")
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    return est.crossJoin(F.broadcast(ex)).select(
+        "n_regs_both",
+        "n_regs_equal",
+        ratio_micro("n_regs_equal", "n_regs_both").alias("jaccard_est_micro"),
+        ratio_micro("n_inter", "n_union").alias("exact_jaccard_micro"),
+    )

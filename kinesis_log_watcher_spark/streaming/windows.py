@@ -404,3 +404,77 @@ def run_dynamic_session_windows(
     )
     await_or_raise(q, timeout_s)
     return spark.table(name)
+
+
+def run_streaming_minhash_overlap(
+    spark: SparkSession,
+    events_path: str,
+    m: int = 64,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """STREAMING cross-stream Jaccard via one-permutation hashing (Li,
+    Owen & Zhang 2012): per (split, register) keep MIN(60-bit md5 hash)
+    of the split's activity keys — 2*m state rows total, and MIN is
+    associative, commutative, order-free AND duplicate-insensitive, so
+    any micro-batch replay split (and any at-least-once re-delivery)
+    converges to the batch register table without a streaming distinct.
+    Finalized on read: a register where both splits are present votes
+    'equal mins' with probability = local Jaccard (the argmin of the
+    union lands in the intersection), so the equal-register fraction
+    estimates cross-stream key overlap from O(m) state — the live
+    'how much does stream A's audience overlap stream B's' dashboard
+    that would otherwise need both raw key sets. Registers where only
+    one split is present are excluded (the densification refinement of
+    OPH; at m << NDV every register is occupied and this is moot)."""
+    ensure_session_confs(spark)
+    stream = read_parquet_stream(
+        spark, events_path, max_files_per_trigger=max_files_per_trigger
+    )
+    stream = normalize_ts_cols(stream)
+    sub = stream.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.col("event_type").alias("split"),
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.dayofmonth("ts").cast("string"),
+        ).alias("k"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("k")), 1, 15), 16, 10).cast("long")
+    regs = (
+        sub.select("split", h.alias("h"))
+        .withColumn("r", F.col("h") % m)
+        .groupBy("split", "r")
+        .agg(F.min("h").alias("vmin"))
+    )
+    name = f"stream_oph_{next(_counter)}"
+    q = (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, timeout_s)
+    # (split, r) is unique in the register table, so the a-vs-b
+    # comparison is a conditional pivot per register — no self-join of
+    # the sink view (which trips conflicting-attribute resolution).
+    per_reg = (
+        spark.table(name)
+        .groupBy("r")
+        .agg(
+            F.min(F.when(F.col("split") == "click", F.col("vmin"))).alias("va"),
+            F.min(F.when(F.col("split") == "purchase", F.col("vmin"))).alias(
+                "vb"
+            ),
+        )
+        .filter(F.col("va").isNotNull() & F.col("vb").isNotNull())
+    )
+    return per_reg.agg(
+        F.count("*").cast("long").alias("n_regs_both"),
+        F.coalesce(
+            F.sum(F.when(F.col("va") == F.col("vb"), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_regs_equal"),
+    )

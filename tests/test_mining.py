@@ -235,3 +235,47 @@ def test_matryoshka_recall_bounds(spark, sf_dir, reg):
     assert len(out) == 10
     assert ((out.n_overlap >= 0) & (out.n_overlap <= 10)).all()
     assert (out.recall_pct == out.n_overlap * 10).all()
+
+
+# ---------------------------------------------------------------------------
+# streaming OPH overlap
+# ---------------------------------------------------------------------------
+
+
+def test_stream_minhash_overlap_state_and_estimate(spark, sf_dir, reg):
+    row = reg["stream_minhash_overlap"].fn(spark, sf_dir).collect()[0]
+    assert 0 < row.n_regs_both <= 64  # bounded register state
+    assert 0 <= row.n_regs_equal <= row.n_regs_both
+    # OPH estimator: |J_est - J| within 5 sigma of sqrt(J(1-J)/m)
+    j = row.exact_jaccard_micro / 1e6
+    sigma = (j * (1 - j) / row.n_regs_both) ** 0.5
+    assert abs(row.jaccard_est_micro / 1e6 - j) < 5 * sigma + 1e-9
+
+
+def test_stream_minhash_overlap_split_invariant(spark, sf_dir):
+    # MIN-register state is order-free and duplicate-insensitive: a
+    # 2-file replay at maxFilesPerTrigger=1 (two micro-batches, with the
+    # overlap keys DUPLICATED across both batches to exercise
+    # at-least-once re-delivery) must match the single-batch result.
+    from kinesis_log_watcher_spark.queries.base import load
+    from kinesis_log_watcher_spark.sources.files import stage_replay_files
+    from kinesis_log_watcher_spark.streaming.windows import (
+        run_streaming_minhash_overlap,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(
+        (F.col("event_id") % 2 == 1) | (F.col("event_id") % 10 == 0)
+    )
+    replay = stage_replay_files(spark, [first, second], prefix="oph_replay_")
+    one = run_streaming_minhash_overlap(
+        spark, f"{sf_dir}/events.parquet"
+    ).collect()[0]
+    split = run_streaming_minhash_overlap(
+        spark, replay, max_files_per_trigger=1
+    ).collect()[0]
+    assert (one.n_regs_both, one.n_regs_equal) == (
+        split.n_regs_both,
+        split.n_regs_equal,
+    )
