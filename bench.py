@@ -81,6 +81,14 @@ def main() -> None:
     reg = registry()
     names = [n for n in reg if n not in SKIP]
 
+    # Contract-test hook: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the
+    # timed set (the stdout/budget logic runs unchanged). The driver
+    # never sets it, so per-round benches are unaffected.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only.strip():
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
+
     # warm-up (JVM, codegen, parquet footer caches): one render-path
     # query and one columnar scan+agg so both codegen families are hot
     # before anything is timed
@@ -101,7 +109,11 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
 
     # Full fidelity: every timed query, committed to the repo each round.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LOCAL.json")
+    # Overridable so harness/test runs don't clobber the committed
+    # per-round record (a pytest contract run at sf0.001 used to).
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL_PATH") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LOCAL.json"
+    )
     with open(full_path, "w") as fh:
         json.dump(
             {

@@ -37,26 +37,44 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
 
 
 def test_every_batch_query_survives_empty_tables(spark, empty_sf_dir):
-    failures = []
-    for name, q in registry().items():
-        if _is_streaming(name):
-            continue
+    # The sweep is driver-bound (each query costs plan/codegen, the data
+    # is empty) — Catalyst and action submission are thread-safe, so an
+    # 8-wide pool turns ~190 sequential executions into parallel ones.
+    # The PYTHON-side builder runs under a lock: the template compiler
+    # (and any other driver-side Python state a builder touches) is
+    # process-global and not re-entrant; only the JVM-side collect()
+    # parallelizes, which is where the time goes.
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    build_lock = threading.Lock()
+
+    def check(item) -> str | None:
+        name, q = item
         try:
-            rows = q.fn(spark, empty_sf_dir).collect()
+            with build_lock:
+                df = q.fn(spark, empty_sf_dir)
+            rows = df.collect()
         except Exception as exc:  # noqa: BLE001
-            failures.append(f"{name}: {type(exc).__name__}: {exc}")
-            continue
+            return f"{name}: {type(exc).__name__}: {exc}"
         if name in FIXED_CARDINALITY:
             if len(rows) != FIXED_CARDINALITY[name]:
-                failures.append(
+                return (
                     f"{name}: {len(rows)} rows, expected the fixed "
                     f"{FIXED_CARDINALITY[name]}-row relation"
                 )
-            elif any(r.violations != 0 for r in rows):
-                failures.append(f"{name}: nonzero violations from empty input")
-            continue
+            if any(r.violations != 0 for r in rows):
+                return f"{name}: nonzero violations from empty input"
+            return None
         # global aggregates may return one all-null row; nothing should
         # fabricate more than that from empty inputs
         if len(rows) > 1:
-            failures.append(f"{name}: {len(rows)} rows from empty input")
+            return f"{name}: {len(rows)} rows from empty input"
+        return None
+
+    items = [
+        (n, q) for n, q in registry().items() if not _is_streaming(n)
+    ]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        failures = [f for f in pool.map(check, items) if f]
     assert not failures, "\n".join(failures)

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -61,7 +61,7 @@ def test_twophase_topk_equals_single_window(spark, rows, k, n_salts):
     assert twophase == direct
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     iv=st.lists(
         st.tuples(
@@ -73,10 +73,19 @@ def test_twophase_topk_equals_single_window(spark, rows, k, n_salts):
         max_size=25,
     ),
 )
+# the layouts the docstring names, pinned so they run on EVERY pass
+# (random examples are reduced to 6 — the edge coverage no longer
+# depends on the draw):
+@example(iv=[(0, 10, 0), (1, 10, 0)])                    # zero-length, same instant
+@example(iv=[(0, 0, 180), (1, 60, 10)])                  # nested
+@example(iv=[(0, 55, 10), (1, 62, 10)])                  # bucket-boundary straddle
+@example(iv=[(0, 0, 0), (1, 300, 0), (2, 0, 180), (3, 59, 2), (4, 60, 0)])
 def test_bucketized_overlap_equals_naive_join(spark, iv):
     """Hour-bucketed equi-join + dedupe + exact predicate == the naive
     quadratic theta join, for arbitrary interval layouts (zero-length,
-    nested, bucket-boundary-straddling)."""
+    nested, bucket-boundary-straddling). The naive side is a pure-Python
+    quadratic scan — an oracle INDEPENDENT of Spark's join machinery
+    (and free of a second per-example Catalyst plan)."""
     t0 = datetime(2024, 1, 1)
     rows = [
         (u, i, t0 + timedelta(minutes=s), t0 + timedelta(minutes=s + d))
@@ -84,20 +93,11 @@ def test_bucketized_overlap_equals_naive_join(spark, iv):
     ]
     df = spark.createDataFrame(rows, "u long, iid long, s timestamp, e timestamp")
 
-    a = df.select(
-        F.col("u").alias("u1"), F.col("iid").alias("i1"),
-        F.col("s").alias("a_s"), F.col("e").alias("a_e"),
-    )
-    b = df.select(
-        F.col("u").alias("u2"), F.col("iid").alias("i2"),
-        F.col("s").alias("b_s"), F.col("e").alias("b_e"),
-    )
     naive = {
-        (r.u1, r.i1, r.u2, r.i2)
-        for r in a.crossJoin(b)
-        .filter(F.col("u1") < F.col("u2"))
-        .filter((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
-        .collect()
+        (u1, i1, u2, i2)
+        for (u1, i1, s1, e1) in rows
+        for (u2, i2, s2, e2) in rows
+        if u1 < u2 and s1 <= e2 and s2 <= e1
     }
 
     buckets = df.select(
