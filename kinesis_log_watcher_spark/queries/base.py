@@ -154,6 +154,9 @@ _FRONT = (
     "hard_negative_mining",
     "matryoshka_recall",
     "stream_minhash_overlap",
+    "weighted_reservoir_per_source",
+    "knn_label_propagation",
+    "source_unigram_kl",
     # ---- officially green in r1-r4; keep a stable order behind the
     # prefix so re-rotation next round is a pure list edit.
     # the reference's own operator family (queries/watcher_surface.py)

@@ -796,3 +796,273 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         overlap.alias("n_overlap"),
         (overlap * (100 // _MRL_K)).cast("long").alias("recall_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-k weighted reservoir (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_WRS_K = 10
+_WRS_HF = repr(float(1 << 60))
+
+
+@register(
+    "weighted_reservoir_per_source",
+    f"""
+    WITH d AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+             (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS DOUBLE) + 1.0) / {_WRS_HF} AS u
+      FROM documents WHERE n_chars > 0),
+    keyed AS (
+      SELECT source, doc_id, weight, ln(u) / weight AS es_key
+      FROM d),
+    ranked AS (
+      SELECT source, doc_id, weight,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY es_key DESC, doc_id) AS BIGINT) AS rank
+      FROM keyed)
+    SELECT source, doc_id, weight, rank
+    FROM ranked WHERE rank <= {_WRS_K}
+    """,
+    doc="EXACT-k weighted sampling without replacement (Efraimidis & "
+    "Spirakis 2006, A-ES): each doc draws u from md5(doc_id) — the "
+    "house deterministic-uniform trick — and the k largest u^(1/w) "
+    "win, which provably selects each doc with probability "
+    "proportional to weight (here n_chars: a token-budget-aware "
+    "corpus sample). Ranked by ln(u)/w (monotone in u^(1/w), no pow), "
+    "tie-broken by doc_id. Complements the family's Bernoulli "
+    "weighted sampler (expected-rate, zero-shuffle) with the "
+    "fixed-BUDGET guarantee pipelines need ('exactly 50 docs per "
+    "source, long docs favored'). Scale shape: per-stratum top-k — "
+    "the same salted two-phase reduction as "
+    "topk_orders_per_segment_twophase applies verbatim when a stratum "
+    "exceeds one task; keys are computed in a narrow map, no "
+    "pre-shuffle. Determinism: one ln() and one division per row on "
+    "md5-derived doubles, then pure integer ranking.",
+)
+def weighted_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(_WRS_HF))
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        (F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("es_key").desc(), F.col("doc_id")
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _WRS_K)
+        .select("source", "doc_id", "weight", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN label propagation (pseudo-labeling eval)
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+
+
+@register(
+    "knn_label_propagation",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, unnest(embedding) AS qx,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings WHERE vec_id % 25 = 0),
+    c AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings),
+    d AS (
+      SELECT q_id, vec_id, {_DOT_DEC} AS dot
+      FROM c JOIN q USING (dim)
+      WHERE vec_id != q_id
+      GROUP BY q_id, vec_id),
+    n AS (
+      SELECT vec_id AS nid, {_NORM_DEC} AS norm2
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id),
+    topk AS (
+      SELECT q_id, vec_id FROM (
+        SELECT d.q_id, d.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY d.q_id
+                 ORDER BY (d.dot / (sqrt(nq.norm2) * sqrt(nc.norm2))) DESC,
+                          d.vec_id) AS rnk
+        FROM d JOIN n nq ON nq.nid = d.q_id
+               JOIN n nc ON nc.nid = d.vec_id)
+      WHERE rnk <= {_KNN_K}),
+    votes AS (
+      SELECT t.q_id, e.label, CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM topk t JOIN embeddings e ON e.vec_id = t.vec_id
+      GROUP BY 1, 2),
+    winner AS (
+      SELECT q_id, label AS pred_label, n_votes FROM (
+        SELECT q_id, label, n_votes,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY n_votes DESC, label) AS vr
+        FROM votes)
+      WHERE vr = 1)
+    SELECT w.q_id,
+           CAST(e.label AS BIGINT) AS true_label,
+           CAST(w.pred_label AS BIGINT) AS pred_label,
+           w.n_votes,
+           CAST(CASE WHEN w.pred_label = e.label THEN 1 ELSE 0 END AS BIGINT)
+             AS correct
+    FROM winner w JOIN embeddings e ON e.vec_id = w.q_id
+    """,
+    doc="kNN label propagation / pseudo-labeling eval (the k-nearest-"
+    f"neighbor classifier every semi-supervised curation loop starts "
+    f"from): each anchor takes the majority label of its {_KNN_K} "
+    "nearest neighbors by exact-decimal cosine (self excluded), ties "
+    "broken toward the smaller label id; predicted vs true label is "
+    "reported per anchor — leave-one-out accuracy of the embedding "
+    "space, the number that decides whether auto-labeling unlabeled "
+    "corpus regions is safe. Shares the scorer AND the broadcast-"
+    "anchor contract with ann_cosine_topk; the scale path swaps the "
+    "candidate generator to the IVF index and the vote becomes a "
+    "grouped count over cell-pruned candidates — identical downstream "
+    "relations.",
+)
+def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.similarity import (
+        exact_dot,
+        exact_norm2,
+        exploded_components,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 25 == 0)
+    q = exploded_components(
+        anchors.select(F.col("vec_id").alias("q_id"), "embedding"),
+        "q_id",
+        out_val="qx",
+    )
+    c = exploded_components(emb, "vec_id")
+    d = exact_dot(q, c, "q_id", "vec_id")
+    n = exact_norm2(emb, "vec_id")
+    nq = n.select(F.col("vec_id").alias("q_id"), F.col("norm2").alias("qn"))
+    nc = n.select("vec_id", F.col("norm2").alias("cn"))
+    cos = F.col("dot") / (F.sqrt(F.col("qn")) * F.sqrt(F.col("cn")))
+    wr = Window.partitionBy("q_id").orderBy(cos.desc(), F.col("vec_id"))
+    topk = (
+        d.join(F.broadcast(nq), "q_id")
+        .join(nc, "vec_id")
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("q_id", "vec_id")
+    )
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(labels, "vec_id")
+        .groupBy("q_id", "label")
+        .agg(F.count("*").cast("long").alias("n_votes"))
+    )
+    wv = Window.partitionBy("q_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    winner = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("q_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+    )
+    return winner.join(F.broadcast(truth), "q_id").select(
+        "q_id",
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("pred_label").cast("long").alias("pred_label"),
+        "n_votes",
+        F.when(F.col("pred_label") == F.col("true_label"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source unigram KL divergence (mixture drift monitor)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_unigram_kl",
+    """
+    WITH w AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents),
+    sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n_sw
+           FROM w GROUP BY 1, 2),
+    s AS (SELECT source, CAST(SUM(n_sw) AS BIGINT) AS n_s
+          FROM sw GROUP BY 1),
+    cw AS (SELECT word, CAST(SUM(n_sw) AS BIGINT) AS n_w
+           FROM sw GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_tot FROM cw),
+    terms AS (
+      SELECT sw.source,
+             CAST(floor(CAST(n_sw AS DOUBLE) / n_s
+                        * ln(CAST(n_sw AS DOUBLE) * n_tot
+                             / (CAST(n_s AS DOUBLE) * n_w))
+                        * 1000000000 + 0.5) AS BIGINT) AS t_nano
+      FROM sw JOIN s USING (source) JOIN cw USING (word) CROSS JOIN tot)
+    SELECT source,
+           CAST(SUM(t_nano) AS BIGINT) AS kl_nano,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM terms GROUP BY source
+    """,
+    doc="Per-source unigram KL divergence KL(p_source || p_corpus) — "
+    "the mixture-drift monitor: a source whose language distribution "
+    "diverges from the corpus (fresh crawl gone wrong, a scraper "
+    "switching sites) shows up as a KL jump long before downstream "
+    "evals move. True KL over the observed support (p_source(w)=0 "
+    "terms contribute exactly 0; the corpus marginal dominates every "
+    "source, so no smoothing is needed for finiteness). Determinism: "
+    "every input is an integer count relation; each word's "
+    "contribution is quantized to int64 nano-nats ONCE in the "
+    "(source, word) relation, so per-source totals are associative "
+    "integer sums — the unigram_logprob_buckets argument applied to a "
+    "two-distribution statistic. Scale shape: (source, word) and "
+    "(word) hash aggregations, a word-key equi-join against the "
+    "corpus marginal (never broadcast), one 1-row total.",
+)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    sw = w.groupBy("source", "word").agg(F.count("*").cast("long").alias("n_sw"))
+    s = sw.groupBy("source").agg(F.sum("n_sw").cast("long").alias("n_s"))
+    cw = sw.groupBy("word").agg(F.sum("n_sw").cast("long").alias("n_w"))
+    tot = cw.agg(F.sum("n_w").cast("long").alias("n_tot"))
+    term = (
+        F.col("n_sw").cast("double")
+        / F.col("n_s")
+        * F.log(
+            F.col("n_sw").cast("double")
+            * F.col("n_tot")
+            / (F.col("n_s").cast("double") * F.col("n_w"))
+        )
+    )
+    terms = (
+        sw.join(s, "source")
+        .join(cw, "word")
+        .join(F.broadcast(tot))
+        .select(
+            "source",
+            F.floor(term * F.lit(1000000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("t_nano"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.sum("t_nano").cast("long").alias("kl_nano"),
+        F.count("*").cast("long").alias("n_words"),
+    )

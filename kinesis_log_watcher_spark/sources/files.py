@@ -172,12 +172,25 @@ def stage_replay_files(spark, parts, prefix: str = "replay_") -> str:
     import glob as _glob
     import os
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
     from kinesis_log_watcher_spark.staging import scratch_dir
 
     replay = scratch_dir(prefix=prefix)
-    for i, part_df in enumerate(parts):
+
+    # The per-part writes are independent jobs into disjoint dirs —
+    # submit them concurrently (Spark job submission is thread-safe);
+    # a replay staging costs ~one write instead of len(parts) writes.
+    # The mtime stamping stays sequential-by-index, so the consumption
+    # order contract is unchanged.
+    def write_part(item) -> None:
+        i, part_df = item
+        part_df.coalesce(1).write.parquet(os.path.join(replay, f"_s{i}"))
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(parts)))) as pool:
+        list(pool.map(write_part, enumerate(parts)))
+    for i in range(len(parts)):
         stage = os.path.join(replay, f"_s{i}")
-        part_df.coalesce(1).write.parquet(stage)
         (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
         dest = os.path.join(replay, f"f{i}.parquet")
         shutil.copy(part, dest)

@@ -279,3 +279,39 @@ def test_stream_minhash_overlap_split_invariant(spark, sf_dir):
         split.n_regs_both,
         split.n_regs_equal,
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted reservoir / kNN label propagation / source KL
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_reservoir_exact_k_and_bias(spark, sf_dir, reg):
+    from kinesis_log_watcher_spark.queries.base import load
+
+    out = reg["weighted_reservoir_per_source"].fn(spark, sf_dir).toPandas()
+    sizes = out.groupby("source")["doc_id"].count()
+    assert (sizes == 10).all()  # exact-k per stratum
+    assert out.groupby("source")["rank"].max().eq(10).all()
+    # A-ES selects proportional to weight: the selected docs' mean
+    # weight must exceed the corpus mean (documents weights vary).
+    docs = load(spark, sf_dir, "documents").toPandas()
+    assert out.weight.mean() > docs.n_chars.mean()
+
+
+def test_knn_label_propagation_votes_consistent(spark, sf_dir, reg):
+    out = reg["knn_label_propagation"].fn(spark, sf_dir).toPandas()
+    assert len(out) == 20  # one prediction per anchor
+    assert ((out.n_votes >= 1) & (out.n_votes <= 5)).all()
+    assert (out.correct == (out.pred_label == out.true_label).astype(int)).all()
+
+
+def test_source_unigram_kl_nonnegative(spark, sf_dir, reg):
+    # Gibbs' inequality: KL >= 0, zero only if the source's word
+    # distribution equals the corpus marginal (impossible here since
+    # every source is a strict subset with its own mix). Quantization
+    # is +-0.5 nano-nat per word, so allow that much slack.
+    out = reg["source_unigram_kl"].fn(spark, sf_dir).toPandas()
+    assert len(out) > 1
+    assert (out.kl_nano >= -out.n_words).all()
+    assert (out.kl_nano > 0).any()
