@@ -77,6 +77,11 @@ ALLOWED_BNLJ = {
     "kmv_theta_set_ops": "1-row sketch-stats/exact broadcasts",
     "kn_bigram_perplexity": "1-row bigram-type-total broadcast",
     "dirichlet_ql_scores": "1-row corpus-stats broadcast",
+    "source_unigram_kl": "1-row corpus-token-total broadcast",
+    "stream_minhash_overlap": "1-row register-count x 1-row exact broadcast",
+    # iterated BPE training: each round joins the 1-row argmax merge
+    # (the Sennrich loop's single selected pair) onto the vocab relation
+    "bpe_train_k_rounds": "1-row per-round argmax-merge broadcast",
 }
 
 
