@@ -32,9 +32,11 @@ def _mk_docs(spark, rows):
     )
 
 
-@pytest.fixture()
-def doc_files(spark, tmp_path):
-    """Three files; near-dup pairs span file boundaries."""
+@pytest.fixture(scope="module")
+def doc_files(spark, tmp_path_factory):
+    """Three files; near-dup pairs span file boundaries. Module-scoped:
+    read-only input staged once for the whole file."""
+    tmp_path = tmp_path_factory.mktemp("doc_files")
     base = " ".join(f"t{i:02d}" for i in range(20))
     variant = base.replace("t07", "x07")  # high-Jaccard neighbor of base
     fresh = " ".join(f"u{i:02d}" for i in range(20))

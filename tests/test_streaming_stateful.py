@@ -29,10 +29,12 @@ def _mk_events(spark, rows):
     )
 
 
-@pytest.fixture()
-def event_files(spark, tmp_path):
+@pytest.fixture(scope="module")
+def event_files(spark, tmp_path_factory):
     """Two parquet files split mid-session: user 1's second session spans
-    the file boundary (state must merge it), user 2 closes in file 1."""
+    the file boundary (state must merge it), user 2 closes in file 1.
+    Module-scoped: read-only input staged once for the whole file."""
+    tmp_path = tmp_path_factory.mktemp("event_files")
     m = timedelta(minutes=1)
     h = timedelta(hours=1)
     batch1 = [

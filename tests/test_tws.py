@@ -34,9 +34,12 @@ def _mk_events(spark, rows):
     )
 
 
-@pytest.fixture()
-def event_files(spark, tmp_path):
-    """Three files; users 1 and 2 span file boundaries."""
+@pytest.fixture(scope="module")
+def event_files(spark, tmp_path_factory):
+    """Three files; users 1 and 2 span file boundaries. Module-scoped:
+    the staged dir is read-only input for every test here, and staging
+    it once saves a multi-second Spark write chain per test."""
+    tmp_path = tmp_path_factory.mktemp("tws_events")
     batches = [
         [(1, 1.5), (1, 2.25), (2, 10.0)],
         [(1, 0.125), (2, -3.5), (3, 7.0)],
