@@ -157,6 +157,8 @@ _FRONT = (
     "weighted_reservoir_per_source",
     "knn_label_propagation",
     "source_unigram_kl",
+    "shingle_containment_pairs",
+    "ngram_novelty_rate",
     # ---- officially green in r1-r4; keep a stable order behind the
     # prefix so re-rotation next round is a pure list edit.
     # the reference's own operator family (queries/watcher_surface.py)

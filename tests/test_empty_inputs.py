@@ -49,10 +49,19 @@ def test_every_batch_query_survives_empty_tables(spark, empty_sf_dir):
 
     build_lock = threading.Lock()
 
+    # Only the watcher-surface family compiles templates (the
+    # process-global, non-reentrant compiler); everything else builds
+    # pure Column expressions and is safe to plan concurrently.
+    TEMPLATE_FAMILY = ("template_", "strftime_", "golayout_", "shorthost_",
+                       "lenient_json_")
+
     def check(item) -> str | None:
         name, q = item
         try:
-            with build_lock:
+            if name.startswith(TEMPLATE_FAMILY):
+                with build_lock:
+                    df = q.fn(spark, empty_sf_dir)
+            else:
                 df = q.fn(spark, empty_sf_dir)
             rows = df.collect()
         except Exception as exc:  # noqa: BLE001

@@ -315,3 +315,43 @@ def test_source_unigram_kl_nonnegative(spark, sf_dir, reg):
     assert len(out) > 1
     assert (out.kl_nano >= -out.n_words).all()
     assert (out.kl_nano > 0).any()
+
+
+# ---------------------------------------------------------------------------
+# containment + novelty
+# ---------------------------------------------------------------------------
+
+
+def test_shingle_containment_consistent(spark, sf_dir, reg):
+    out = reg["shingle_containment_pairs"].fn(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out.doc_a < out.doc_b).all()  # unordered pairs, one direction
+    assert (out.n_inter <= out[["sz_a", "sz_b"]].min(axis=1)).all()
+    assert (out[["cont_a_milli", "cont_b_milli"]].max(axis=1) >= 800).all()
+    # containment recomputes from the exact counts
+    rc = (out.n_inter * 1000.0 / out.sz_a + 0.5).astype(int)
+    assert (rc == out.cont_a_milli).all()
+
+
+def test_ngram_novelty_first_cohort_is_all_novel(spark, sf_dir, reg):
+    out = (
+        reg["ngram_novelty_rate"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("cohort")
+        .reset_index(drop=True)
+    )
+    assert out.cohort.iloc[0] == 0
+    # cohort 0 has no predecessor: everything it contains is novel
+    assert out.novelty_milli.iloc[0] == 1000
+    assert (out.n_novel <= out.n_shingles).all()
+    # novel counts across cohorts partition the global distinct-shingle set
+    from kinesis_log_watcher_spark.operators.dedup import exploded_shingles
+    from kinesis_log_watcher_spark.queries.base import load
+
+    total = (
+        exploded_shingles(load(spark, sf_dir, "documents"), n=3)
+        .select("shingle")
+        .distinct()
+        .count()
+    )
+    assert out.n_novel.sum() == total
