@@ -159,6 +159,7 @@ _FRONT = (
     "source_unigram_kl",
     "shingle_containment_pairs",
     "ngram_novelty_rate",
+    "pca_power_iteration",
     # ---- officially green in r1-r4; keep a stable order behind the
     # prefix so re-rotation next round is a pure list edit.
     # the reference's own operator family (queries/watcher_surface.py)

@@ -355,3 +355,37 @@ def test_ngram_novelty_first_cohort_is_all_novel(spark, sf_dir, reg):
         .count()
     )
     assert out.n_novel.sum() == total
+
+
+# ---------------------------------------------------------------------------
+# PCA power iteration
+# ---------------------------------------------------------------------------
+
+
+def test_pca_power_iteration_matches_numpy(spark, sf_dir, reg):
+    import numpy as np
+
+    from kinesis_log_watcher_spark.queries.base import load
+
+    out = (
+        reg["pca_power_iteration"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("event_type")
+    )
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .count()
+        .toPandas()
+        .pivot_table(index="user_id", columns="event_type", values="count",
+                     fill_value=0)
+    )
+    C = counts[sorted(counts.columns)].to_numpy(float)
+    evals, evecs = np.linalg.eigh(C.T @ C)
+    top = evecs[:, -1]
+    v = out.v_q7.to_numpy() / 1e7
+    cos = abs(v @ top) / np.linalg.norm(v)
+    assert cos > 0.999, cos  # two rounds converge on this spectrum
+    assert abs(out.lambda_est.iloc[0] - evals[-1]) / evals[-1] < 0.01
+    # the iterate is (near-)unit at Q scale
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3

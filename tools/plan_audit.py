@@ -82,6 +82,8 @@ ALLOWED_BNLJ = {
     # iterated BPE training: each round joins the 1-row argmax merge
     # (the Sennrich loop's single selected pair) onto the vocab relation
     "bpe_train_k_rounds": "1-row per-round argmax-merge broadcast",
+    # power iteration: per-round 1-row MAX(|w|) and norm broadcasts
+    "pca_power_iteration": "1-row per-round norm/max broadcasts",
 }
 
 
