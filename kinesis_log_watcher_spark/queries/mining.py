@@ -1,6 +1,9 @@
 """Corpus-mining round-5 additions: theta-sketch set algebra, bigram-LM
 perplexity, Dirichlet query-likelihood retrieval, sorted-neighborhood
-blocking dedup, and contrastive-training embedding mining.
+blocking dedup, contrastive-training embedding mining (hard negatives,
+matryoshka recall, kNN label propagation), exact-k weighted reservoirs,
+per-source KL drift, shingle containment, n-gram novelty, and
+distributed PCA power iteration.
 
 Each query follows the house determinism contract (queries/base.py):
 md5-derived hashes, integer quantization before any data-ordered sum,
