@@ -160,6 +160,9 @@ _FRONT = (
     "shingle_containment_pairs",
     "ngram_novelty_rate",
     "pca_power_iteration",
+    "kmv_daily_merge",
+    "lang_calibrated_ppl_buckets",
+    "user_burstiness_profile",
     # ---- officially green in r1-r4; keep a stable order behind the
     # prefix so re-rotation next round is a pure list edit.
     # the reference's own operator family (queries/watcher_surface.py)

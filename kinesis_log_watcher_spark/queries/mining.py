@@ -1401,3 +1401,268 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(lam + F.lit(0.5)).cast("long").alias("lambda_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV mergeability rollup (daily sketches -> monthly distinct)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kmv_daily_merge",
+    f"""
+    WITH hashed AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM events),
+    day_sk AS (
+      SELECT day, h FROM (
+        SELECT day, h,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS r
+        FROM hashed)
+      WHERE r <= {_KMV_K}),
+    merged AS (
+      SELECT h FROM (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r
+        FROM (SELECT DISTINCT h FROM day_sk))
+      WHERE r <= {_KMV_K}),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS hk FROM merged)
+    SELECT CAST((SELECT COUNT(DISTINCT day) FROM hashed) AS BIGINT)
+             AS n_days,
+           CASE WHEN n < {_KMV_K} THEN n
+                ELSE CAST(floor({_KMV_NUM} / CAST(hk AS DOUBLE) + 0.5)
+                          AS BIGINT) END AS est_users,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+             AS exact_users
+    FROM st
+    """,
+    doc="KMV MERGEABILITY as a query — completing the daily-merge "
+    "family (hll/hist/cms_daily_merge): per-DAY bottom-k sketches "
+    "(the nightly artifact) merge into the monthly distinct-user "
+    "estimate by re-ranking the unioned sketch rows alone — provably "
+    "lossless (any hash in the global bottom-k is in its own day's "
+    "bottom-k), raw keys never re-read. Unlike the HLL rollup this "
+    "merged sketch ALSO retains theta-sketch set algebra over the "
+    "merged period (kmv_theta_set_ops). Exact distinct joined in for "
+    "the error profile. Shapes: one (day, hash) distinct pass, then "
+    "bounded aggregations over <= days*k rows.",
+)
+def kmv_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+    )
+
+    k = _KMV_K
+    ev = load(spark, sf_dir, "events")
+    daily = kmv_build(
+        ev.withColumn("day", F.col("ts").cast("date")),
+        "user_id",
+        group_cols=("day",),
+        k=k,
+    )
+    # phase-2 re-rank of the unioned daily sketch rows (<= days*k of
+    # them — bounded, so one global ranking task is the right plan)
+    w = Window.orderBy("h")
+    merged = (
+        daily.select("h")
+        .distinct()
+        .withColumn("r", F.row_number().over(w).cast("long"))
+        .filter(F.col("r") <= k)
+    )
+    est = kmv_estimate(merged, k=k).select(
+        F.col("est_distinct").alias("est_users")
+    )
+    n_days = ev.select(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("day").cast("long").alias("n_days")
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        n_days.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(exact))
+        .select("n_days", "est_users", "exact_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-language calibrated perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_calibrated_ppl_buckets",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents),
+    v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY word),
+    s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS vocab
+          FROM v),
+    lp AS (
+      SELECT v.word,
+             CAST(floor(-ln((v.cnt + 1.0)
+                            / CAST(s.n_tokens + s.vocab AS DOUBLE))
+                        * 1000000000 + 0.5) AS BIGINT) AS nll_nano
+      FROM v CROSS JOIN s),
+    doc AS (
+      SELECT w.doc_id, MIN(w.lang) AS lang,
+             CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(lp.nll_nano) AS BIGINT) AS sum_nano
+      FROM w JOIN lp USING (word) GROUP BY w.doc_id),
+    scored AS (
+      SELECT doc_id, lang, n_toks,
+             CAST(floor(CAST(sum_nano AS DOUBLE) / (n_toks * 1000.0) + 0.5)
+                  AS BIGINT) AS nll_micro
+      FROM doc)
+    SELECT doc_id, lang, nll_micro,
+           CAST(NTILE(3) OVER (PARTITION BY lang
+                               ORDER BY nll_micro, doc_id) AS BIGINT)
+             AS lang_bucket
+    FROM scored
+    """,
+    doc="CCNet's ACTUAL calibration design (Wenzek et al. 2020 §4.3): "
+    "perplexity head/middle/tail terciles computed WITHIN each "
+    "language, not globally — a global cut (unigram_logprob_buckets) "
+    "systematically discards high-perplexity languages wholesale; "
+    "per-language NTILE keeps the head of EVERY language. Same "
+    "quantized-nano-nat unigram pipeline (associative integer doc "
+    "sums); the only new step is the partitioned rank, which at scale "
+    "is per-language quantile-sketch thresholds "
+    "(operators/sketch.hist_quantiles) rather than a total order — "
+    "the partitionBy(lang) keeps even the exact form "
+    "shuffle-bounded per group here.",
+)
+def lang_calibrated_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    )
+    v = w.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+    s = v.agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    nll = -F.log(
+        (F.col("cnt") + F.lit(1.0))
+        / (F.col("n_tokens") + F.col("vocab")).cast("double")
+    )
+    lp = v.join(F.broadcast(s)).select(
+        "word",
+        F.floor(nll * F.lit(1000000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("nll_nano"),
+    )
+    doc = (
+        w.join(lp, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum("nll_nano").cast("long").alias("sum_nano"),
+        )
+    )
+    scored = doc.select(
+        "doc_id",
+        "lang",
+        F.floor(
+            F.col("sum_nano").cast("double") / (F.col("n_toks") * F.lit(1000.0))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    tercile = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(
+            F.col("nll_micro").asc(), F.col("doc_id").asc()
+        )
+    )
+    return scored.select(
+        "doc_id", "lang", "nll_micro", tercile.cast("long").alias("lang_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# user burstiness profile (Goh-Barabasi inter-arrival statistic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_burstiness_profile",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CAST(date_diff('second',
+                            LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id),
+                            ts) AS BIGINT) AS gap_s
+      FROM events),
+    st AS (
+      SELECT user_id,
+             CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap_s) AS BIGINT) AS sum_g,
+             CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_g2
+      FROM g WHERE gap_s IS NOT NULL GROUP BY user_id),
+    m AS (
+      SELECT user_id, n_gaps, sum_g,
+             CAST(sum_g AS DOUBLE) / n_gaps AS mu,
+             sqrt(CAST(sum_g2 AS DOUBLE) / n_gaps
+                  - (CAST(sum_g AS DOUBLE) / n_gaps)
+                    * (CAST(sum_g AS DOUBLE) / n_gaps)) AS sigma
+      FROM st WHERE n_gaps >= 2)
+    SELECT user_id, n_gaps,
+           CAST(floor(mu + 0.5) AS BIGINT) AS mean_gap_s,
+           CAST(floor((sigma - mu) / (sigma + mu) * 1000.0 + 0.5) AS BIGINT)
+             AS burstiness_milli
+    FROM m
+    """,
+    doc="Per-user BURSTINESS (Goh & Barabasi 2008): "
+    "B = (sigma - mu)/(sigma + mu) of the inter-arrival gap "
+    "distribution, in [-1, 1] — B ~ 0 is Poisson traffic, B -> 1 is "
+    "bursty (bot bursts, scraper storms), B -> -1 is pacemaker-"
+    "regular (cron, heartbeats) — the behavioral fingerprint that "
+    "separates organic users from automation BEFORE content-level "
+    "signals exist. Gaps are exact integer seconds from one LAG pass "
+    "(deterministic (ts, event_id) ordering); moments are exact int64 "
+    "sums, so sigma and B are fixed expression trees over exact "
+    "inputs — engine-identical to the final milli quantization. Scale "
+    "shape: one window pass partitioned by user + one hash "
+    "aggregation; nothing broadcast, nothing global.",
+)
+def user_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wnd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_timestamp(F.col("ts"))
+        - F.unix_timestamp(F.lag("ts").over(wnd))
+    ).cast("long")
+    g = ev.select("user_id", gap.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    st = g.groupBy("user_id").agg(
+        F.count("gap_s").cast("long").alias("n_gaps"),
+        F.sum("gap_s").cast("long").alias("sum_g"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("long").alias("sum_g2"),
+    )
+    mu = F.col("sum_g").cast("double") / F.col("n_gaps")
+    sigma = F.sqrt(
+        F.col("sum_g2").cast("double") / F.col("n_gaps") - mu * mu
+    )
+    return (
+        st.filter(F.col("n_gaps") >= 2)
+        .select(
+            "user_id",
+            "n_gaps",
+            F.floor(mu + F.lit(0.5)).cast("long").alias("mean_gap_s"),
+            F.floor(
+                (sigma - mu) / (sigma + mu) * F.lit(1000.0) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("burstiness_milli"),
+        )
+    )

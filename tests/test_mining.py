@@ -389,3 +389,41 @@ def test_pca_power_iteration_matches_numpy(spark, sf_dir, reg):
     assert abs(out.lambda_est.iloc[0] - evals[-1]) / evals[-1] < 0.01
     # the iterate is (near-)unit at Q scale
     assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# KMV daily merge / lang calibration / burstiness
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_daily_merge_matches_direct_sketch(spark, sf_dir, reg):
+    # mergeability: bottom-k of unioned daily sketches == the direct
+    # month-wide sketch, so the merged estimate equals the direct one.
+    from kinesis_log_watcher_spark.queries.base import load
+
+    row = reg["kmv_daily_merge"].fn(spark, sf_dir).collect()[0]
+    ev = load(spark, sf_dir, "events")
+    direct = kmv_estimate(kmv_build(ev, "user_id", k=32), k=32).collect()[0]
+    assert row.est_users == direct.est_distinct
+    assert row.n_days > 1  # the merge actually spans multiple sketches
+    assert abs(row.est_users - row.exact_users) / row.exact_users < 0.75
+
+
+def test_lang_buckets_calibrated_per_language(spark, sf_dir, reg):
+    out = reg["lang_calibrated_ppl_buckets"].fn(spark, sf_dir).toPandas()
+    # every language gets its own head/middle/tail — no language is
+    # wholesale relegated to the tail (the global-cut failure mode)
+    per_lang = out.groupby("lang").lang_bucket.nunique()
+    assert (per_lang >= 2).all()
+    sizes = out.groupby(["lang", "lang_bucket"]).size()
+    # NTILE balance within each language: max-min <= 1
+    for lang, grp in sizes.groupby(level=0):
+        assert grp.max() - grp.min() <= 1, lang
+
+
+def test_burstiness_bounds_and_regular_user(spark, sf_dir, reg):
+    out = reg["user_burstiness_profile"].fn(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert ((out.burstiness_milli >= -1000) & (out.burstiness_milli <= 1000)).all()
+    assert (out.n_gaps >= 2).all()
+    assert (out.mean_gap_s >= 0).all()

@@ -84,6 +84,8 @@ ALLOWED_BNLJ = {
     "bpe_train_k_rounds": "1-row per-round argmax-merge broadcast",
     # power iteration: per-round 1-row MAX(|w|) and norm broadcasts
     "pca_power_iteration": "1-row per-round norm/max broadcasts",
+    "kmv_daily_merge": "1-row sketch-estimate/exact broadcasts",
+    "lang_calibrated_ppl_buckets": "1-row corpus-stats broadcast",
 }
 
 
