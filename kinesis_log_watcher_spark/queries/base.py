@@ -163,6 +163,8 @@ _FRONT = (
     "kmv_daily_merge",
     "lang_calibrated_ppl_buckets",
     "user_burstiness_profile",
+    "rrf_hybrid_retrieval",
+    "ab_welch_ttest",
     # ---- officially green in r1-r4; keep a stable order behind the
     # prefix so re-rotation next round is a pure list edit.
     # the reference's own operator family (queries/watcher_surface.py)

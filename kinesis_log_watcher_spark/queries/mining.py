@@ -1666,3 +1666,259 @@ def user_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("burstiness_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank-fusion hybrid retrieval (lexical + semantic)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard fusion constant (Cormack et al. 2009)
+_RRF_TOP = 20
+
+
+@register(
+    "rrf_hybrid_retrieval",
+    f"""
+    WITH lex_scores AS ({_ql_sql()}),
+    lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+                  AS BIGINT) AS rank_lex
+      FROM lex_scores),
+    q AS (
+      SELECT unnest(embedding) AS qx,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings WHERE vec_id = 0),
+    c AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings),
+    d AS (
+      SELECT vec_id, {_DOT_DEC} AS dot
+      FROM c JOIN q USING (dim)
+      WHERE vec_id != 0
+      GROUP BY vec_id),
+    n AS (
+      SELECT vec_id AS nid, {_NORM_DEC} AS norm2
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY (d.dot / (sqrt(nq.norm2) * sqrt(nc.norm2))) DESC,
+                        vec_id) AS BIGINT) AS rank_sem
+      FROM d JOIN n nq ON nq.nid = 0
+             JOIN n nc ON nc.nid = d.vec_id),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             l.rank_lex, s.rank_sem,
+             CAST(COALESCE(CAST(floor(1000000000.0 / ({_RRF_K} + l.rank_lex)
+                                      + 0.5) AS BIGINT), 0)
+                  + COALESCE(CAST(floor(1000000000.0 / ({_RRF_K} + s.rank_sem)
+                                        + 0.5) AS BIGINT), 0)
+               AS BIGINT) AS fused_nano
+      FROM lex l FULL JOIN sem s ON s.doc_id = l.doc_id)
+    SELECT doc_id, rank_lex, rank_sem, fused_nano,
+           rank FROM (
+      SELECT doc_id, rank_lex, rank_sem, fused_nano,
+             CAST(ROW_NUMBER() OVER (ORDER BY fused_nano DESC, doc_id)
+                  AS BIGINT) AS rank
+      FROM fused)
+    WHERE rank <= {_RRF_TOP}
+    """,
+    doc="Reciprocal-rank fusion (Cormack et al. 2009, k=60) of the two "
+    "retrieval families the engine already scores — Dirichlet query "
+    "likelihood (lexical) and exact-decimal cosine to a query vector "
+    "(semantic) — the standard hybrid-search recipe, over the "
+    "doc_id ≡ vec_id alignment curation_pipeline established. Ranks "
+    "are deterministic (score DESC, id tie-break); each list's RRF "
+    "contribution 1/(k+rank) is quantized to int64 nano-units BEFORE "
+    "the sum, so fusion is an order-free integer add, and a doc "
+    "missing from one list (the query vector itself) contributes only "
+    "the other list's term via the FULL join + COALESCE — classical "
+    "RRF semantics exactly. Scale: two rankings the engine already "
+    "computes plus one full outer equi-join on doc_id and a top-k; "
+    "fusion adds no scan of anything.",
+)
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.similarity import (
+        exact_dot,
+        exact_norm2,
+        exploded_components,
+    )
+
+    lex_scores = dirichlet_ql_scores(spark, sf_dir)
+    w_lex = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    lex = lex_scores.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("rank_lex")
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = exploded_components(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.lit(0).cast("long").alias("q_id"), "embedding"
+        ),
+        "q_id",
+        out_val="qx",
+    )
+    c = exploded_components(emb, "vec_id")
+    d = exact_dot(q, c, "q_id", "vec_id")
+    n = exact_norm2(emb, "vec_id")
+    nq = n.filter(F.col("vec_id") == 0).select(F.col("norm2").alias("qn"))
+    nc = n.select("vec_id", F.col("norm2").alias("cn"))
+    cos = F.col("dot") / (F.sqrt(F.col("qn")) * F.sqrt(F.col("cn")))
+    w_sem = Window.orderBy(cos.desc(), F.col("vec_id"))
+    sem = (
+        d.crossJoin(F.broadcast(nq))
+        .join(nc, "vec_id")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number().over(w_sem).cast("long").alias("rank_sem"),
+        )
+    )
+
+    def contrib(rank_col):
+        return F.coalesce(
+            F.floor(
+                F.lit(1000000000.0) / (F.lit(_RRF_K) + F.col(rank_col))
+                + F.lit(0.5)
+            ).cast("long"),
+            F.lit(0),
+        )
+
+    fused = (
+        lex.join(sem, "doc_id", "full")
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_sem",
+            (contrib("rank_lex") + contrib("rank_sem"))
+            .cast("long")
+            .alias("fused_nano"),
+        )
+    )
+    w_f = Window.orderBy(F.col("fused_nano").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f).cast("long"))
+        .filter(F.col("rank") <= _RRF_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# group-wise Welch's t-test (A/B significance from exact moments)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_welch_ttest",
+    """
+    WITH q AS (
+      SELECT event_type,
+             user_id % 2 AS arm,
+             CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
+      FROM events),
+    st AS (
+      SELECT event_type,
+             CAST(COUNT(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+             CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN qv END), 0)
+                  AS BIGINT) AS s_a,
+             CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN qv * qv END), 0)
+                  AS BIGINT) AS s2_a,
+             CAST(COUNT(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b,
+             CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN qv END), 0)
+                  AS BIGINT) AS s_b,
+             CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN qv * qv END), 0)
+                  AS BIGINT) AS s2_b
+      FROM q GROUP BY event_type),
+    m AS (
+      SELECT event_type, n_a, n_b,
+             CAST(s_a AS DOUBLE) / n_a AS mu_a,
+             CAST(s_b AS DOUBLE) / n_b AS mu_b,
+             (CAST(s2_a AS DOUBLE)
+              - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1) / n_a AS va_n,
+             (CAST(s2_b AS DOUBLE)
+              - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1) / n_b AS vb_n
+      FROM st WHERE n_a >= 2 AND n_b >= 2)
+    SELECT event_type, n_a, n_b,
+           CAST(floor((mu_a - mu_b) / sqrt(va_n + vb_n) * 1000000.0 + 0.5)
+                AS BIGINT) AS t_micro,
+           CAST(floor((va_n + vb_n) * (va_n + vb_n)
+                      / (va_n * va_n / (n_a - 1) + vb_n * vb_n / (n_b - 1))
+                      * 10.0 + 0.5) AS BIGINT) AS df_deci
+    FROM m
+    """,
+    doc="Welch's unequal-variance t-test per event_type, arms = "
+    "user_id parity (the deterministic A/B assignment an experiment "
+    "platform would hash): t = (mu_A - mu_B)/sqrt(s2_A/n_A + s2_B/n_B) "
+    "with Welch-Satterthwaite degrees of freedom — the significance "
+    "primitive every data-quality A/B comparison needs (did the new "
+    "scraper change the value distribution?). Determinism: values are "
+    "milli-quantized to int64 ONCE, all moments are exact integer "
+    "sums in one conditional-aggregation pass (no per-arm shuffle), "
+    "and t/df are fixed expression trees over the exact moments — "
+    "engine-identical through the micro/deci quantizations. Scale "
+    "shape: ONE hash aggregation keyed by event_type; the t statistic "
+    "of a 100 TB group costs the same six numbers.",
+)
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    qv = F.floor(F.col("value").cast("double") * F.lit(1000) + F.lit(0.5)).cast(
+        "long"
+    )
+    q = ev.select(
+        "event_type", (F.col("user_id") % 2).alias("arm"), qv.alias("qv")
+    )
+
+    def arm_aggs(a):
+        is_arm = F.col("arm") == a
+        tag = "a" if a == 0 else "b"
+        return [
+            F.count(F.when(is_arm, 1)).cast("long").alias(f"n_{tag}"),
+            F.coalesce(F.sum(F.when(is_arm, F.col("qv"))), F.lit(0))
+            .cast("long")
+            .alias(f"s_{tag}"),
+            F.coalesce(
+                F.sum(F.when(is_arm, F.col("qv") * F.col("qv"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"s2_{tag}"),
+        ]
+
+    st = q.groupBy("event_type").agg(*arm_aggs(0), *arm_aggs(1))
+
+    def mu(tag):
+        return F.col(f"s_{tag}").cast("double") / F.col(f"n_{tag}")
+
+    def v_over_n(tag):
+        n = F.col(f"n_{tag}")
+        s = F.col(f"s_{tag}")
+        return (
+            (F.col(f"s2_{tag}").cast("double") - s.cast("double") * s / n)
+            / (n - 1)
+            / n
+        )
+
+    m = st.filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2)).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        mu("a").alias("mu_a"),
+        mu("b").alias("mu_b"),
+        v_over_n("a").alias("va_n"),
+        v_over_n("b").alias("vb_n"),
+    )
+    t = (F.col("mu_a") - F.col("mu_b")) / F.sqrt(F.col("va_n") + F.col("vb_n"))
+    df = (
+        (F.col("va_n") + F.col("vb_n")) * (F.col("va_n") + F.col("vb_n"))
+        / (
+            F.col("va_n") * F.col("va_n") / (F.col("n_a") - 1)
+            + F.col("vb_n") * F.col("vb_n") / (F.col("n_b") - 1)
+        )
+    )
+    return m.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.floor(t * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("t_micro"),
+        F.floor(df * F.lit(10.0) + F.lit(0.5)).cast("long").alias("df_deci"),
+    )

@@ -427,3 +427,49 @@ def test_burstiness_bounds_and_regular_user(spark, sf_dir, reg):
     assert ((out.burstiness_milli >= -1000) & (out.burstiness_milli <= 1000)).all()
     assert (out.n_gaps >= 2).all()
     assert (out.mean_gap_s >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# RRF hybrid retrieval / Welch t-test
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fusion_arithmetic(spark, sf_dir, reg):
+    out = reg["rrf_hybrid_retrieval"].fn(spark, sf_dir).toPandas()
+    assert len(out) == 20
+    assert list(out.sort_values("rank")["rank"]) == list(range(1, 21))
+    # fused score recomputes from the two ranks (0 for a missing list)
+    for _, r in out.iterrows():
+        want = 0
+        if r.rank_lex == r.rank_lex:  # not NaN
+            want += int(1e9 / (60 + r.rank_lex) + 0.5)
+        if r.rank_sem == r.rank_sem:
+            want += int(1e9 / (60 + r.rank_sem) + 0.5)
+        assert want == r.fused_nano
+    # fusion actually mixes: the top-20 isn't either list's top-20 verbatim
+    assert (out.rank_lex > 20).any() or (out.rank_sem > 20).any()
+
+
+def test_welch_ttest_matches_scipy_formula(spark, sf_dir, reg):
+    import numpy as np
+
+    from kinesis_log_watcher_spark.queries.base import load
+
+    out = reg["ab_welch_ttest"].fn(spark, sf_dir).toPandas()
+    assert len(out) == 5  # one row per event_type
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    ).toPandas()
+    ev["qv"] = np.floor(ev.value * 1000 + 0.5)
+    for _, r in out.iterrows():
+        g = ev[ev.event_type == r.event_type]
+        a = g[g.user_id % 2 == 0].qv.to_numpy()
+        b = g[g.user_id % 2 == 1].qv.to_numpy()
+        va_n = a.var(ddof=1) / len(a)
+        vb_n = b.var(ddof=1) / len(b)
+        t = (a.mean() - b.mean()) / np.sqrt(va_n + vb_n)
+        df = (va_n + vb_n) ** 2 / (
+            va_n**2 / (len(a) - 1) + vb_n**2 / (len(b) - 1)
+        )
+        assert abs(r.t_micro / 1e6 - t) < 1e-4, r.event_type
+        assert abs(r.df_deci / 10.0 - df) < 0.2, r.event_type

@@ -86,6 +86,7 @@ ALLOWED_BNLJ = {
     "pca_power_iteration": "1-row per-round norm/max broadcasts",
     "kmv_daily_merge": "1-row sketch-estimate/exact broadcasts",
     "lang_calibrated_ppl_buckets": "1-row corpus-stats broadcast",
+    "rrf_hybrid_retrieval": "1-row query-norm/corpus-stats broadcasts",
 }
 
 
