@@ -342,20 +342,18 @@ def connected_components(
 # ---------------------------------------------------------------------------
 
 
-def jaccard_pairs(
-    sh: DataFrame,
-    threshold: float = 0.5,
-    max_doc_freq: int = 100,
-    id_col: str = "doc_id",
+def common_shingle_pairs(
+    sh: DataFrame, max_doc_freq: int = 100, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Pairs with shingle-set Jaccard ≥ threshold.
+    """Unordered candidate pairs sharing ≥1 shingle, with their exact
+    intersection count: (doc_a, doc_b, common), doc_a < doc_b.
 
     Inverted-index self-join with a document-frequency cap: shingles in
     > max_doc_freq docs are dropped before pairing (each such shingle
-    would emit f² pairs — the classic quadratic skew). The Jaccard is
-    computed on the *uncapped* per-doc set sizes, so the cap only
-    affects recall of pathologically common shingles, not the metric."""
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    would emit f² pairs — the classic quadratic skew). The ONE
+    candidate generator behind every set-overlap measure (Jaccard,
+    containment) — the cap affects only recall of pathologically
+    common shingles, never the metric computed on the survivors."""
     rare = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -365,12 +363,25 @@ def jaccard_pairs(
     pruned = sh.join(rare, "shingle")
     a = pruned.select(F.col(id_col).alias("doc_a"), "shingle")
     b = pruned.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
+    return (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs with shingle-set Jaccard ≥ threshold — candidates from
+    ``common_shingle_pairs``; the Jaccard is computed on the *uncapped*
+    per-doc set sizes."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    common = common_shingle_pairs(sh, max_doc_freq=max_doc_freq, id_col=id_col)
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
     jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))

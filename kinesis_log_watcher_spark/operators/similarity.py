@@ -274,3 +274,44 @@ def verify_cosine_pairs(wide: DataFrame, threshold: float) -> DataFrame:
             )
 
     return wide.mapInPandas(verify, "vec_a long, vec_b long, cosine double")
+
+
+def norm2_from_components(
+    comp: DataFrame, id_col: str, val_col: str = "x"
+) -> DataFrame:
+    """Squared norm per id from an exploded component relation (so the
+    caller controls dim filtering — e.g. matryoshka prefixes)."""
+    q = quantize(F.col(val_col))
+    return comp.groupBy(id_col).agg(
+        (F.sum(q * q).cast("double") / F.lit(QSCALE2)).alias("norm2")
+    )
+
+
+def exact_cosine_scores(
+    qcomp: DataFrame,
+    ccomp: DataFrame,
+    q_id: str = "q_id",
+    vec_id: str = "vec_id",
+) -> DataFrame:
+    """(q_id, vec_id, cosine) via the exact-decimal scorer, from
+    component relations: dot = exact_dot (self-pairs excluded), norms
+    from each side's own components. The ONE implementation of the
+    cosine contract every exact ANN/mining query ranks over — callers
+    add their own filters and the (cosine DESC, vec_id) tie-broken
+    window."""
+    d = exact_dot(qcomp, ccomp, q_id, vec_id)
+    nq = norm2_from_components(
+        qcomp.select(F.col(q_id), F.col("qx").alias("x")), q_id
+    ).withColumnRenamed("norm2", "qn")
+    nc = norm2_from_components(ccomp, vec_id).withColumnRenamed("norm2", "cn")
+    return (
+        d.join(F.broadcast(nq), q_id)
+        .join(nc, vec_id)
+        .select(
+            q_id,
+            vec_id,
+            (F.col("dot") / (F.sqrt(F.col("qn")) * F.sqrt(F.col("cn")))).alias(
+                "cosine"
+            ),
+        )
+    )

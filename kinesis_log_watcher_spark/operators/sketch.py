@@ -74,7 +74,7 @@ def cms_estimate(
     )
 
 
-def cms_join_size(cms_a: DataFrame, cms_b: DataFrame, depth: int = 4) -> DataFrame:
+def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
     """Equi-join cardinality estimate from two CMS grids built with the
     SAME (depth, width, hash): for each row i the inner product
     sum_b cA(i,b)*cB(i,b) upper-bounds the true join size
@@ -87,10 +87,14 @@ def cms_join_size(cms_a: DataFrame, cms_b: DataFrame, depth: int = 4) -> DataFra
 
     Zero-overlap semantics: a grid cell present in A but absent in B
     contributes ca*0 (left join + coalesce, matching the estimator's
-    definition over the FULL width), and the min ranges over all
-    ``depth`` rows via an explicit row spine — so two sketches whose
-    cells never collide estimate 0, and empty inputs estimate 0, never
-    NULL and never an inflated min over only-colliding rows."""
+    definition over the FULL width), and the min ranges over ALL of
+    A's grid rows via a spine DERIVED from the grid itself (any
+    nonempty input populates every row 0..depth-1, so the derived
+    spine always equals the build depth — a caller-supplied depth
+    could silently disagree with the build and min over phantom
+    zero rows). Two sketches whose cells never collide estimate 0,
+    and empty inputs estimate 0, never NULL and never an inflated
+    min over only-colliding rows."""
     a = cms_a.select("i", "b", F.col("c").alias("ca"))
     b = cms_b.select("i", "b", F.col("c").alias("cb"))
     per_row = (
@@ -100,11 +104,15 @@ def cms_join_size(cms_a: DataFrame, cms_b: DataFrame, depth: int = 4) -> DataFra
             F.sum(F.col("ca") * F.coalesce(F.col("cb"), F.lit(0))).alias("ip")
         )
     )
-    spine = a.sparkSession.range(depth).select(F.col("id").cast("int").alias("i"))
+    spine = a.select("i").distinct()
     return (
         spine.join(per_row, "i", "left")
         .select(F.coalesce(F.col("ip"), F.lit(0)).alias("ip"))
-        .agg(F.min("ip").cast("long").alias("est_join_size"))
+        .agg(
+            F.coalesce(F.min("ip"), F.lit(0))
+            .cast("long")
+            .alias("est_join_size")
+        )
     )
 
 
@@ -397,4 +405,17 @@ def kmv_estimate(
     return stats.select(
         *group_cols,
         F.floor(est + F.lit(0.5)).cast("long").alias("est_distinct"),
+    )
+
+
+def user_day_key(user_col: str = "user_id", ts_col: str = "ts"):
+    """The (user, day) composite activity key the KMV/OPH overlap
+    demos sketch over — defined ONCE so the batch theta query and its
+    streaming OPH twin can never silently diverge on key semantics
+    (oracle form: CAST(user_id AS VARCHAR) || ':' || CAST(day(ts) AS
+    VARCHAR))."""
+    return F.concat(
+        F.col(user_col).cast("string"),
+        F.lit(":"),
+        F.dayofmonth(ts_col).cast("string"),
     )

@@ -4054,11 +4054,11 @@ def cms_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca AS (SELECT i, b, COUNT(*) AS c FROM ha GROUP BY 1, 2),
     cb AS (SELECT i, b, COUNT(*) AS c FROM hb GROUP BY 1, 2),
     est AS (
-      SELECT MIN(COALESCE(p.ip, 0)) AS est_join_size
-      FROM ix LEFT JOIN
+      SELECT COALESCE(MIN(COALESCE(p.ip, 0)), 0) AS est_join_size
+      FROM (SELECT DISTINCT i FROM ca) gx LEFT JOIN
            (SELECT ca.i, SUM(ca.c * COALESCE(cb.c, 0)) AS ip
             FROM ca LEFT JOIN cb ON ca.i = cb.i AND ca.b = cb.b
-            GROUP BY ca.i) p ON ix.i = p.i),
+            GROUP BY ca.i) p ON gx.i = p.i),
     ex AS (
       SELECT COALESCE(SUM(a.n * b.n), 0) AS exact_join_size
       FROM (SELECT user_id, COUNT(*) n FROM events

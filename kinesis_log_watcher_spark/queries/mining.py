@@ -131,17 +131,15 @@ _KMV_SPLIT_CASE = {
     "re-rank of unioned sketch rows — the stored-nightly-sketch pattern.",
 )
 def kmv_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kinesis_log_watcher_spark.operators.sketch import kmv_build
+    from kinesis_log_watcher_spark.operators.sketch import (
+        kmv_build,
+        user_day_key,
+    )
 
     k = _KMV_K
     ev = load(spark, sf_dir, "events")
     sub = ev.filter(F.col("event_type").isin("click", "purchase")).select(
-        F.col("event_type").alias("split"),
-        F.concat(
-            F.col("user_id").cast("string"),
-            F.lit(":"),
-            F.dayofmonth("ts").cast("string"),
-        ).alias("k"),
+        F.col("event_type").alias("split"), user_day_key().alias("k")
     )
     sk = kmv_build(sub, "k", group_cols=("split",), k=k)
 
@@ -641,8 +639,7 @@ _NORM_DEC = (f"(CAST(SUM({_Q.format('x')} * {_Q.format('x')}) AS DOUBLE) "
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.operators.similarity import (
-        exact_dot,
-        exact_norm2,
+        exact_cosine_scores,
         exploded_components,
     )
 
@@ -654,15 +651,10 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_val="qx",
     )
     c = exploded_components(emb, "vec_id")
-    d = exact_dot(q, c, "q_id", "vec_id")
-    n = exact_norm2(emb, "vec_id")
-    nq = n.select(F.col("vec_id").alias("q_id"), F.col("norm2").alias("qn"))
-    nc = n.select("vec_id", F.col("norm2").alias("cn"))
     lq = emb.select(F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"))
     lc = emb.select("vec_id", F.col("label").alias("neg_label"))
     s = (
-        d.join(F.broadcast(nq), "q_id")
-        .join(nc, "vec_id")
+        exact_cosine_scores(q, c)
         .join(F.broadcast(lq), "q_id")
         .join(lc, "vec_id")
         .filter(F.col("neg_label") != F.col("q_label"))
@@ -670,9 +662,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "vec_id",
             F.col("neg_label").cast("long").alias("neg_label"),
-            (F.col("dot") / (F.sqrt(F.col("qn")) * F.sqrt(F.col("cn")))).alias(
-                "cosine"
-            ),
+            "cosine",
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -750,9 +740,8 @@ def _mrl_topk_sql(comp_filter: str, alias: str) -> str:
 )
 def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.operators.similarity import (
-        exact_dot,
+        exact_cosine_scores,
         exploded_components,
-        quantize,
     )
 
     emb = load(spark, sf_dir, "embeddings")
@@ -768,18 +757,11 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     def topk(comp_pred) -> DataFrame:
         cc = comp.filter(comp_pred) if comp_pred is not None else comp
         qq = qcomp.filter(comp_pred) if comp_pred is not None else qcomp
-        d = exact_dot(qq, cc, "q_id", "vec_id")
-        qz = quantize(F.col("x"))
-        n = cc.groupBy("vec_id").agg(
-            (F.sum(qz * qz).cast("double") / F.lit(1e14)).alias("norm2")
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
         )
-        nq = n.select(F.col("vec_id").alias("q_id"), F.col("norm2").alias("qn"))
-        nc = n.select("vec_id", F.col("norm2").alias("cn"))
-        cos = F.col("dot") / (F.sqrt(F.col("qn")) * F.sqrt(F.col("cn")))
-        w = Window.partitionBy("q_id").orderBy(cos.desc(), F.col("vec_id"))
         return (
-            d.join(F.broadcast(nq), "q_id")
-            .join(nc, "vec_id")
+            exact_cosine_scores(qq, cc)
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= _MRL_K)
             .select("q_id", "vec_id")
@@ -936,8 +918,7 @@ _KNN_K = 5
 )
 def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.operators.similarity import (
-        exact_dot,
-        exact_norm2,
+        exact_cosine_scores,
         exploded_components,
     )
 
@@ -949,15 +930,11 @@ def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_val="qx",
     )
     c = exploded_components(emb, "vec_id")
-    d = exact_dot(q, c, "q_id", "vec_id")
-    n = exact_norm2(emb, "vec_id")
-    nq = n.select(F.col("vec_id").alias("q_id"), F.col("norm2").alias("qn"))
-    nc = n.select("vec_id", F.col("norm2").alias("cn"))
-    cos = F.col("dot") / (F.sqrt(F.col("qn")) * F.sqrt(F.col("cn")))
-    wr = Window.partitionBy("q_id").orderBy(cos.desc(), F.col("vec_id"))
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
     topk = (
-        d.join(F.broadcast(nq), "q_id")
-        .join(nc, "vec_id")
+        exact_cosine_scores(q, c)
         .withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= _KNN_K)
         .select("q_id", "vec_id")
@@ -1126,25 +1103,16 @@ _CONT_DF_CAP = 100
     "counts, milli-quantized ratios, one division per direction.",
 )
 def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kinesis_log_watcher_spark.operators.dedup import exploded_shingles
+    from kinesis_log_watcher_spark.operators.dedup import (
+        common_shingle_pairs,
+        exploded_shingles,
+    )
 
     docs = load(spark, sf_dir, "documents")
     sh = exploded_shingles(docs, n=3)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= _CONT_DF_CAP)
-        .select("shingle")
-    )
-    pruned = sh.join(rare, "shingle")
-    a = pruned.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = pruned.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("n_inter"))
+    common = common_shingle_pairs(sh, max_doc_freq=_CONT_DF_CAP).select(
+        "doc_a", "doc_b", F.col("common").cast("long").alias("n_inter")
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
@@ -1617,8 +1585,10 @@ def lang_calibrated_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM st WHERE n_gaps >= 2)
     SELECT user_id, n_gaps,
            CAST(floor(mu + 0.5) AS BIGINT) AS mean_gap_s,
-           CAST(floor((sigma - mu) / (sigma + mu) * 1000.0 + 0.5) AS BIGINT)
-             AS burstiness_milli
+           CASE WHEN sigma + mu > 0
+                THEN CAST(floor((sigma - mu) / (sigma + mu) * 1000.0 + 0.5)
+                          AS BIGINT)
+                ELSE -1000 END AS burstiness_milli
     FROM m
     """,
     doc="Per-user BURSTINESS (Goh & Barabasi 2008): "
@@ -1627,10 +1597,13 @@ def lang_calibrated_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bursty (bot bursts, scraper storms), B -> -1 is pacemaker-"
     "regular (cron, heartbeats) — the behavioral fingerprint that "
     "separates organic users from automation BEFORE content-level "
-    "signals exist. Gaps are exact integer seconds from one LAG pass "
-    "(deterministic (ts, event_id) ordering); moments are exact int64 "
-    "sums, so sigma and B are fixed expression trees over exact "
-    "inputs — engine-identical to the final milli quantization. Scale "
+    "signals exist (an all-zero-gap user — the perfectly synchronized "
+    "burst — pins to B=-1000, the all-equal-gap limit, rather than "
+    "tripping ANSI division). Gaps are exact integer seconds from one "
+    "LAG pass (deterministic (ts, event_id) ordering); moments are "
+    "exact int64 sums, so sigma and B are fixed expression trees over "
+    "exact inputs — engine-identical to the final milli quantization. "
+    "Scale "
     "shape: one window pass partitioned by user + one hash "
     "aggregation; nothing broadcast, nothing global.",
 )
@@ -1653,17 +1626,23 @@ def user_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigma = F.sqrt(
         F.col("sum_g2").cast("double") / F.col("n_gaps") - mu * mu
     )
+    # sigma + mu == 0 iff every gap is zero (a perfectly synchronized
+    # burst): the all-equal-gap limit of B is -1 (maximally regular),
+    # and ANSI division would otherwise throw — pin B = -1000 there,
+    # identically in the oracle.
+    b = F.when(
+        (sigma + mu) > 0,
+        F.floor(
+            (sigma - mu) / (sigma + mu) * F.lit(1000.0) + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(-1000))
     return (
         st.filter(F.col("n_gaps") >= 2)
         .select(
             "user_id",
             "n_gaps",
             F.floor(mu + F.lit(0.5)).cast("long").alias("mean_gap_s"),
-            F.floor(
-                (sigma - mu) / (sigma + mu) * F.lit(1000.0) + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("burstiness_milli"),
+            b.cast("long").alias("burstiness_milli"),
         )
     )
 
@@ -1742,8 +1721,7 @@ _RRF_TOP = 20
 )
 def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.operators.similarity import (
-        exact_dot,
-        exact_norm2,
+        exact_cosine_scores,
         exploded_components,
     )
 
@@ -1762,19 +1740,10 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_val="qx",
     )
     c = exploded_components(emb, "vec_id")
-    d = exact_dot(q, c, "q_id", "vec_id")
-    n = exact_norm2(emb, "vec_id")
-    nq = n.filter(F.col("vec_id") == 0).select(F.col("norm2").alias("qn"))
-    nc = n.select("vec_id", F.col("norm2").alias("cn"))
-    cos = F.col("dot") / (F.sqrt(F.col("qn")) * F.sqrt(F.col("cn")))
-    w_sem = Window.orderBy(cos.desc(), F.col("vec_id"))
-    sem = (
-        d.crossJoin(F.broadcast(nq))
-        .join(nc, "vec_id")
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.row_number().over(w_sem).cast("long").alias("rank_sem"),
-        )
+    w_sem = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    sem = exact_cosine_scores(q, c).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_sem).cast("long").alias("rank_sem"),
     )
 
     def contrib(rank_col):
@@ -1846,6 +1815,7 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / (va_n * va_n / (n_a - 1) + vb_n * vb_n / (n_b - 1))
                       * 10.0 + 0.5) AS BIGINT) AS df_deci
     FROM m
+    WHERE va_n + vb_n > 0
     """,
     doc="Welch's unequal-variance t-test per event_type, arms = "
     "user_id parity (the deterministic A/B assignment an experiment "
@@ -1915,6 +1885,10 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("vb_n") * F.col("vb_n") / (F.col("n_b") - 1)
         )
     )
+    # a group whose value is constant in BOTH arms has zero pooled
+    # variance: t is undefined and ANSI division would throw — such
+    # groups are excluded, identically in the oracle
+    m = m.filter((F.col("va_n") + F.col("vb_n")) > 0)
     return m.select(
         "event_type",
         "n_a",

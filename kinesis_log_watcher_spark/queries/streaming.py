@@ -888,14 +888,11 @@ def stream_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     est = run_streaming_minhash_overlap(spark, f"{sf_dir}/events.parquet")
+    from kinesis_log_watcher_spark.operators.sketch import user_day_key
+
     ev = load(spark, sf_dir, "events")
     sub = ev.filter(F.col("event_type").isin("click", "purchase")).select(
-        F.col("event_type").alias("split"),
-        F.concat(
-            F.col("user_id").cast("string"),
-            F.lit(":"),
-            F.dayofmonth("ts").cast("string"),
-        ).alias("k"),
+        F.col("event_type").alias("split"), user_day_key().alias("k")
     )
     pu = sub.groupBy("k").agg(
         F.max(F.when(F.col("split") == "click", 1).otherwise(0)).alias("ca"),

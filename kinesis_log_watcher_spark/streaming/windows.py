@@ -432,13 +432,10 @@ def run_streaming_minhash_overlap(
         spark, events_path, max_files_per_trigger=max_files_per_trigger
     )
     stream = normalize_ts_cols(stream)
+    from kinesis_log_watcher_spark.operators.sketch import user_day_key
+
     sub = stream.filter(F.col("event_type").isin("click", "purchase")).select(
-        F.col("event_type").alias("split"),
-        F.concat(
-            F.col("user_id").cast("string"),
-            F.lit(":"),
-            F.dayofmonth("ts").cast("string"),
-        ).alias("k"),
+        F.col("event_type").alias("split"), user_day_key().alias("k")
     )
     h = F.conv(F.substring(F.md5(F.col("k")), 1, 15), 16, 10).cast("long")
     regs = (

@@ -473,3 +473,77 @@ def test_welch_ttest_matches_scipy_formula(spark, sf_dir, reg):
         )
         assert abs(r.t_micro / 1e6 - t) < 1e-4, r.event_type
         assert abs(r.df_deci / 10.0 - df) < 0.2, r.event_type
+
+
+def test_welch_and_burstiness_survive_degenerate_inputs(spark, tmp_path, reg):
+    """Zero-variance arms and all-zero gaps previously hit ANSI
+    DIVIDE_BY_ZERO on the Spark side while the oracle returned NULL —
+    both engines must now agree on the degenerate populations too."""
+    import datetime as dt
+
+    import duckdb
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # 'signup': constant value in both parity arms -> zero pooled variance
+    for i in range(8):
+        rows.append((i, t0 + dt.timedelta(hours=i), i % 4, "signup", 7.0, "{}"))
+    # user 90: three events in the SAME second -> all gaps zero
+    for i in range(3):
+        rows.append((100 + i, t0, 90, "click", float(i), "{}"))
+    # a normal population so 'click' has variance
+    for i in range(10):
+        rows.append(
+            (200 + i, t0 + dt.timedelta(minutes=3 * i + i * i), 91 + (i % 2),
+             "click", float(i * 2 + 1), "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = tmp_path / "deg_events"
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    for name in ("ab_welch_ttest", "user_burstiness_profile"):
+        got = (
+            reg[name].fn(spark, str(d))
+            .toPandas()
+            .sort_values(["event_type" if name == "ab_welch_ttest" else "user_id"])
+            .reset_index(drop=True)
+        )
+        want = (
+            con.sql(reg[name].oracle).df()
+            .sort_values(["event_type" if name == "ab_welch_ttest" else "user_id"])
+            .reset_index(drop=True)
+        )
+        cols = sorted(got.columns)
+        assert got[cols].astype("int64", errors="ignore").equals(
+            want[cols].astype(got[cols].dtypes.to_dict())
+        ), name
+    # the degenerate populations are handled, not dropped silently:
+    burst = reg["user_burstiness_profile"].fn(spark, str(d)).toPandas()
+    assert burst.set_index("user_id").loc[90, "burstiness_milli"] == -1000
+    welch = reg["ab_welch_ttest"].fn(spark, str(d)).toPandas()
+    assert "signup" not in set(welch.event_type)  # undefined t excluded
+    assert "click" in set(welch.event_type)
+
+
+def test_cms_join_size_spine_follows_build_depth(spark):
+    # grids built at depth=2: the estimate must min over the grid's own
+    # 2 rows, not a caller-assumed 4 (which would min over phantom
+    # zero rows and report 0 for any overlap).
+    from kinesis_log_watcher_spark.operators.sketch import (
+        cms_build,
+        cms_join_size,
+    )
+
+    a = cms_build(spark.range(0, 50).selectExpr("id AS k"), "k",
+                  depth=2, width=64)
+    b = cms_build(spark.range(0, 50).selectExpr("id AS k"), "k",
+                  depth=2, width=64)
+    [row] = cms_join_size(a, b).collect()
+    assert row.est_join_size >= 50  # upper bound of the true join size 50

@@ -231,15 +231,15 @@ class TestCmsJoinSize:
             depth=4,
             width=4096,
         )
-        [row] = cms_join_size(a, b, depth=4).collect()
+        [row] = cms_join_size(a, b).collect()
         assert row.est_join_size == 0
 
         empty = cms_build(
             spark.range(0).selectExpr("id AS k"), "k", depth=4, width=4096
         )
-        [row] = cms_join_size(a, empty, depth=4).collect()
+        [row] = cms_join_size(a, empty).collect()
         assert row.est_join_size == 0
-        [row] = cms_join_size(empty, a, depth=4).collect()
+        [row] = cms_join_size(empty, a).collect()
         assert row.est_join_size == 0
 
 
