@@ -38,8 +38,8 @@ from kinesis_log_watcher_spark.operators.multimodal import (
 )
 from kinesis_log_watcher_spark.operators.similarity import (
     embedding_near_dup_pairs,
+    exact_cosine_scores,
     exact_dot,
-    exact_norm2,
     exploded_components,
     quantize,
 )
@@ -497,19 +497,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_val="qx",
     )
     c = exploded_components(emb, "vec_id")
-    d = exact_dot(q, c, "q_id", "vec_id")
-    n = exact_norm2(emb, "vec_id")
-    nq = n.select(F.col("vec_id").alias("q_id"), F.col("norm2").alias("qn"))
-    nc = n.select(F.col("vec_id"), F.col("norm2").alias("cn"))
-    s = (
-        d.join(F.broadcast(nq), "q_id")
-        .join(nc, "vec_id")
-        .select(
-            "q_id",
-            "vec_id",
-            (F.col("dot") / (F.sqrt(F.col("qn")) * F.sqrt(F.col("cn")))).alias("cosine"),
-        )
-    )
+    s = exact_cosine_scores(q, c, "q_id", "vec_id")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         s.withColumn("rank", F.row_number().over(w).cast("long"))
