@@ -165,6 +165,9 @@ _FRONT = (
     "user_burstiness_profile",
     "rrf_hybrid_retrieval",
     "ab_welch_ttest",
+    "customer_k_anonymity",
+    "orders_column_profile",
+    "passk_estimate",
     # ---- officially green in r1-r4; keep a stable order behind the
     # prefix so re-rotation next round is a pure list edit.
     # the reference's own operator family (queries/watcher_surface.py)

@@ -1896,3 +1896,63 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(t * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("t_micro"),
         F.floor(df * F.lit(10.0) + F.lit(0.5)).cast("long").alias("df_deci"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pass@k estimation (Chen et al. 2021, arXiv:2107.03374 §2.1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "passk_estimate",
+    """
+    WITH t AS (
+      SELECT l_partkey AS task_id,
+             CAST(COUNT(*) AS BIGINT) AS n_trials,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct
+      FROM lineitem
+      GROUP BY l_partkey)
+    SELECT task_id, n_trials, n_correct,
+           (1.0 - (CAST((n_trials - n_correct)
+                        * (n_trials - n_correct - 1)
+                        * (n_trials - n_correct - 2)
+                        * (n_trials - n_correct - 3)
+                        * (n_trials - n_correct - 4) AS DOUBLE)
+                   / CAST(n_trials * (n_trials - 1) * (n_trials - 2)
+                          * (n_trials - 3) * (n_trials - 4) AS DOUBLE)))
+             AS pass_at_5
+    FROM t
+    WHERE n_trials >= 5
+    """,
+    doc="Unbiased pass@k estimator (Chen et al. 2021, Codex paper "
+    "eq. 1): per task with n trials and c successes, "
+    "pass@k = 1 - C(n-c,k)/C(n,k), computed as falling-factorial int64 "
+    "products with ONE final double division so both engines emit the "
+    "identical bit pattern (n<=trial-count keeps the products far below "
+    "2^63; when n-c<k a zero factor lands in the numerator and the "
+    "estimator is exactly 1, the same guard the reference numpy "
+    "implementation special-cases). Tasks = parts, trials = lineitems, "
+    "success = returnflag 'R' on the driver tables. Scale shape: one "
+    "map-side-combined groupBy then a fixed per-row closed form - the "
+    "canonical eval-aggregation job over billions of sampled "
+    "completions is exactly this plan, and the counts relation merges "
+    "across eval shards by addition.",
+)
+def passk_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    t = li.groupBy(F.col("l_partkey").alias("task_id")).agg(
+        F.count("*").alias("n_trials"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_correct"),
+    )
+    n, c = F.col("n_trials"), F.col("n_correct")
+    num = (
+        (n - c) * (n - c - 1) * (n - c - 2) * (n - c - 3) * (n - c - 4)
+    ).cast("double")
+    den = (n * (n - 1) * (n - 2) * (n - 3) * (n - 4)).cast("double")
+    return t.filter(n >= 5).select(
+        "task_id",
+        "n_trials",
+        "n_correct",
+        (F.lit(1.0) - num / den).alias("pass_at_5"),
+    )

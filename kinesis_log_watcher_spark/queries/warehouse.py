@@ -337,3 +337,186 @@ def events_seasonality_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hot_buckets"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit (privacy governance over quasi-identifiers)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "customer_k_anonymity",
+    """
+    WITH qid AS (
+      SELECT c_custkey,
+             c_nationkey,
+             c_mktsegment,
+             CAST(floor(CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                                  AS BIGINT) AS DOUBLE) / 100000.0)
+                  AS BIGINT) AS bal_band
+      FROM customer),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM qid
+      GROUP BY c_nationkey, c_mktsegment, bal_band)
+    SELECT class_size,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(class_size * COUNT(*) AS BIGINT) AS n_rows,
+           (class_size < 5) AS violates_k5
+    FROM classes
+    GROUP BY class_size
+    """,
+    doc="k-anonymity audit (Sweeney 2002): every released row must be "
+    "indistinguishable from at least k-1 others on its quasi-identifiers "
+    "(here nation, market segment, $1000 balance band — cents are exact "
+    "int64 before the band floor, so both engines bucket identically). "
+    "Output is the equivalence-class-size histogram with the k=5 "
+    "violation flag: the release gate reads min(class_size) and the "
+    "suppression set is the violates_k5 rows. Scale shape: two chained "
+    "partial-aggregated groupBys (QID classes, then the size histogram) "
+    "- the histogram exchange carries at most one row per distinct "
+    "class size, and the QID rollup is map-side combined; no per-row "
+    "state leaves the executors. At 100 TB the audit is one scan.",
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    qid = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(
+            (dec(F.col("c_acctbal"), 12, 2) * 100).cast("long").cast("double")
+            / 100000.0
+        )
+        .cast("long")
+        .alias("bal_band"),
+    )
+    classes = qid.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").alias("class_size")
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count("*").alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).cast("long").alias("n_rows"),
+            (F.col("class_size") < 5).alias("violates_k5"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# single-scan column profiling (ANALYZE-style data quality snapshot)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_column_profile",
+    """
+    WITH p AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_total,
+        CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT)  AS nn_orderkey,
+        CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)    AS nd_orderkey,
+        CAST(MIN(o_orderkey) AS VARCHAR)              AS mn_orderkey,
+        CAST(MAX(o_orderkey) AS VARCHAR)              AS mx_orderkey,
+        CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT)   AS nn_custkey,
+        CAST(COUNT(DISTINCT o_custkey) AS BIGINT)     AS nd_custkey,
+        CAST(MIN(o_custkey) AS VARCHAR)               AS mn_custkey,
+        CAST(MAX(o_custkey) AS VARCHAR)               AS mx_custkey,
+        CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS nn_status,
+        CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+        CAST(MIN(o_orderstatus) AS VARCHAR)           AS mn_status,
+        CAST(MAX(o_orderstatus) AS VARCHAR)           AS mx_status,
+        CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS nn_price,
+        CAST(COUNT(DISTINCT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS nd_price,
+        CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+             AS VARCHAR) AS mn_price,
+        CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+             AS VARCHAR) AS mx_price,
+        CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT) AS nn_date,
+        CAST(COUNT(DISTINCT o_orderdate) AS BIGINT)   AS nd_date,
+        CAST(MIN(o_orderdate) AS VARCHAR)             AS mn_date,
+        CAST(MAX(o_orderdate) AS VARCHAR)             AS mx_date,
+        CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT) AS nn_prio,
+        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_prio,
+        CAST(MIN(o_orderpriority) AS VARCHAR)         AS mn_prio,
+        CAST(MAX(o_orderpriority) AS VARCHAR)         AS mx_prio
+      FROM orders)
+    SELECT 'o_orderkey' AS col_name, n_total, nn_orderkey AS n_nulls,
+           nd_orderkey AS n_distinct, mn_orderkey AS min_repr,
+           mx_orderkey AS max_repr FROM p
+    UNION ALL SELECT 'o_custkey', n_total, nn_custkey, nd_custkey,
+           mn_custkey, mx_custkey FROM p
+    UNION ALL SELECT 'o_orderstatus', n_total, nn_status, nd_status,
+           mn_status, mx_status FROM p
+    UNION ALL SELECT 'o_totalprice', n_total, nn_price, nd_price,
+           mn_price, mx_price FROM p
+    UNION ALL SELECT 'o_orderdate', n_total, nn_date, nd_date,
+           mn_date, mx_date FROM p
+    UNION ALL SELECT 'o_orderpriority', n_total, nn_prio, nd_prio,
+           mn_prio, mx_prio FROM p
+    """,
+    doc="Single-scan column profile (the ANALYZE/data-quality snapshot a "
+    "warehouse runs after every load): per column null count, exact "
+    "distinct count, and min/max rendered to strings (numerics via exact "
+    "int64 cents so both engines print identical representations; dates "
+    "via the ISO cast both dialects share). One wide aggregate computes "
+    "all 25 stats in a single pass, then a 6-row unpivot reshapes the "
+    "1-row result - the data is scanned once and the unpivot touches "
+    "one row. Scale note: the exact COUNT(DISTINCT)s plan as Expand "
+    "(one stream per distinct column); at 100 TB swap them for "
+    "approx_count_distinct/HLL (operators/sketch.py) - the rest of the "
+    "profile is a plain partial-agg. Profiling is append-mergeable: "
+    "nulls/min/max combine across loads, distinct via the HLL variant.",
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cents = (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long")
+    p = orders.agg(
+        F.count("*").alias("n_total"),
+        (F.count("*") - F.count("o_orderkey")).alias("nn_orderkey"),
+        F.countDistinct("o_orderkey").alias("nd_orderkey"),
+        F.min("o_orderkey").cast("string").alias("mn_orderkey"),
+        F.max("o_orderkey").cast("string").alias("mx_orderkey"),
+        (F.count("*") - F.count("o_custkey")).alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").cast("string").alias("mn_custkey"),
+        F.max("o_custkey").cast("string").alias("mx_custkey"),
+        (F.count("*") - F.count("o_orderstatus")).alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").cast("string").alias("mn_status"),
+        F.max("o_orderstatus").cast("string").alias("mx_status"),
+        (F.count("*") - F.count("o_totalprice")).alias("nn_price"),
+        F.countDistinct(cents).alias("nd_price"),
+        F.min(cents).cast("string").alias("mn_price"),
+        F.max(cents).cast("string").alias("mx_price"),
+        (F.count("*") - F.count("o_orderdate")).alias("nn_date"),
+        F.countDistinct("o_orderdate").alias("nd_date"),
+        F.min("o_orderdate").cast("string").alias("mn_date"),
+        F.max("o_orderdate").cast("string").alias("mx_date"),
+        (F.count("*") - F.count("o_orderpriority")).alias("nn_prio"),
+        F.countDistinct("o_orderpriority").alias("nd_prio"),
+        F.min("o_orderpriority").cast("string").alias("mn_prio"),
+        F.max("o_orderpriority").cast("string").alias("mx_prio"),
+    )
+    cells = ", ".join(
+        f"'{col}', nn_{sfx}, nd_{sfx}, mn_{sfx}, mx_{sfx}"
+        for col, sfx in [
+            ("o_orderkey", "orderkey"),
+            ("o_custkey", "custkey"),
+            ("o_orderstatus", "status"),
+            ("o_totalprice", "price"),
+            ("o_orderdate", "date"),
+            ("o_orderpriority", "prio"),
+        ]
+    )
+    return p.selectExpr(
+        "n_total",
+        f"stack(6, {cells}) AS (col_name, n_nulls, n_distinct, min_repr,"
+        " max_repr)",
+    ).select(
+        "col_name", "n_total", "n_nulls", "n_distinct", "min_repr", "max_repr"
+    )

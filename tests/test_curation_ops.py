@@ -652,3 +652,42 @@ def test_rate_limit_accepts_directory_dataset(spark, tmp_path):
     df.repartition(2).write.mode("overwrite").parquet(path)
     (r,) = run_rate_limit(spark, path).collect()
     assert r["n_events"] == 8 and r["n_admitted"] == 5  # K=5 in one hour
+
+
+def test_k_anonymity_histogram_accounts_every_row(spark, sf_dir):
+    from kinesis_log_watcher_spark.queries import registry
+    from kinesis_log_watcher_spark.queries.base import load
+
+    reg = registry()
+    out = reg["customer_k_anonymity"].fn(spark, sf_dir).collect()
+    total = load(spark, sf_dir, "customer").count()
+    # the histogram partitions the table: sizes * classes sums to rowcount
+    assert sum(r.n_rows for r in out) == total
+    for r in out:
+        assert r.n_rows == r.class_size * r.n_classes
+        assert r.violates_k5 == (r.class_size < 5)
+
+
+def test_column_profile_is_single_scan_and_exact(spark, sf_dir):
+    from kinesis_log_watcher_spark.queries import registry
+    from kinesis_log_watcher_spark.queries.base import load
+
+    reg = registry()
+    q = reg["orders_column_profile"].fn(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    out = {r.col_name: r for r in q.collect()}
+    orders = load(spark, sf_dir, "orders")
+    n = orders.count()
+    assert set(out) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    }
+    assert all(r.n_total == n for r in out.values())
+    assert out["o_orderkey"].n_distinct == n  # primary key
+    assert out["o_orderkey"].n_nulls == 0
+    ns = orders.select(F.countDistinct("o_orderstatus")).collect()[0][0]
+    assert out["o_orderstatus"].n_distinct == ns
+    # exactly one scan of the orders parquet in the optimized plan
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation [") == 1, plan

@@ -547,3 +547,17 @@ def test_cms_join_size_spine_follows_build_depth(spark):
                   depth=2, width=64)
     [row] = cms_join_size(a, b).collect()
     assert row.est_join_size >= 50  # upper bound of the true join size 50
+
+
+def test_passk_matches_comb_formula(spark, sf_dir, reg):
+    # Chen et al. eq.1 recomputed with exact math.comb on every task.
+    from math import comb
+
+    rows = reg["passk_estimate"].fn(spark, sf_dir).collect()
+    assert rows  # sf0.001 still has parts with >=5 lineitems
+    for r in rows:
+        n, c = r.n_trials, r.n_correct
+        assert n >= 5 and 0 <= c <= n
+        expect = 1.0 - comb(n - c, 5) / comb(n, 5) if n - c >= 5 else 1.0
+        assert abs(r.pass_at_5 - expect) < 1e-12, (n, c, r.pass_at_5, expect)
+        assert 0.0 <= r.pass_at_5 <= 1.0
