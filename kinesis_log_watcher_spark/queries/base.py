@@ -168,6 +168,8 @@ _FRONT = (
     "customer_k_anonymity",
     "orders_column_profile",
     "passk_estimate",
+    "part_trigram_fuzzy_match",
+    "neardup_graph_triangles",
     # ---- officially green in r1-r4; keep a stable order behind the
     # prefix so re-rotation next round is a pure list edit.
     # the reference's own operator family (queries/watcher_surface.py)

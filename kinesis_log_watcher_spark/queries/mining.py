@@ -1956,3 +1956,251 @@ def passk_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_correct",
         (F.lit(1.0) - num / den).alias("pass_at_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# trigram-indexed fuzzy string matching (pg_trgm-style similarity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_trigram_fuzzy_match",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    queries AS (
+      SELECT p_name AS q_src,
+             substr(p_name, 1, 1) || substr(p_name, 3) AS q_text
+      FROM names
+      WHERE substr(md5(p_name), 1, 1) IN ('0', '1')),
+    ntg AS (
+      SELECT DISTINCT p_name, substr(p_name, CAST(i AS INT), 3) AS tg
+      FROM names, UNNEST(range(1, CAST(len(p_name) AS BIGINT) - 1)) AS t(i)),
+    qtg AS (
+      SELECT DISTINCT q_src, substr(q_text, CAST(i AS INT), 3) AS tg
+      FROM queries, UNNEST(range(1, CAST(len(q_text) AS BIGINT) - 1)) AS t(i)),
+    nsz AS (SELECT p_name, CAST(COUNT(*) AS BIGINT) AS nb FROM ntg GROUP BY p_name),
+    qsz AS (SELECT q_src, CAST(COUNT(*) AS BIGINT) AS na FROM qtg GROUP BY q_src),
+    shared AS (
+      SELECT q.q_src, n.p_name, CAST(COUNT(*) AS BIGINT) AS tg_shared
+      FROM qtg q JOIN ntg n USING (tg)
+      GROUP BY q.q_src, n.p_name),
+    scored AS (
+      SELECT s.q_src, s.p_name AS match_name, s.tg_shared, qsz.na, nsz.nb,
+             (CAST(s.tg_shared AS DOUBLE)
+              / CAST(qsz.na + nsz.nb - s.tg_shared AS DOUBLE)) AS sim
+      FROM shared s
+      JOIN qsz ON qsz.q_src = s.q_src
+      JOIN nsz ON nsz.p_name = s.p_name)
+    SELECT q_src, match_name, tg_shared, na, nb, sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_src
+                     ORDER BY sim DESC, match_name) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+    doc="Trigram-indexed fuzzy string matching (the pg_trgm recipe): "
+    "queries are deterministically corrupted part names (2nd char "
+    "deleted, md5-selected subset), candidates come from an inverted "
+    "trigram index equi-join - a query only ever meets names it shares "
+    "a trigram with, never the full catalog - and Jaccard similarity "
+    "over DISTINCT trigram sets ranks the top-3 per query (one double "
+    "division, engine-identical). Scale shape: the index is "
+    "explode->distinct->equi-join on the 3-char key; document-frequency "
+    "capping (as in dedup_ngram_jaccard) bounds hot trigrams, and the "
+    "per-pair agg is map-side combined. This is the fuzzy-join primitive "
+    "for entity resolution over catalog-scale string columns.",
+)
+def part_trigram_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    queries = names.filter(
+        F.substring(F.md5(F.col("p_name")), 1, 1).isin("0", "1")
+    ).select(
+        F.col("p_name").alias("q_src"),
+        F.concat(
+            F.substring(F.col("p_name"), 1, 1), F.expr("substr(p_name, 3)")
+        ).alias("q_text"),
+    )
+
+    def trigrams(df: DataFrame, key: str, text: str) -> DataFrame:
+        return (
+            df.select(
+                key,
+                F.explode(
+                    F.sequence(F.lit(1), F.length(F.col(text)) - 2)
+                ).alias("i"),
+                F.col(text),
+            )
+            .select(key, F.expr(f"substring({text}, i, 3)").alias("tg"))
+            .distinct()
+        )
+
+    ntg = trigrams(names, "p_name", "p_name")
+    qtg = trigrams(queries, "q_src", "q_text")
+    nsz = ntg.groupBy("p_name").agg(F.count("*").alias("nb"))
+    qsz = qtg.groupBy("q_src").agg(F.count("*").alias("na"))
+    shared = (
+        qtg.join(ntg, "tg")
+        .groupBy("q_src", "p_name")
+        .agg(F.count("*").alias("tg_shared"))
+    )
+    scored = (
+        shared.join(qsz, "q_src")
+        .join(nsz, "p_name")
+        .select(
+            "q_src",
+            F.col("p_name").alias("match_name"),
+            "tg_shared",
+            "na",
+            "nb",
+            (
+                F.col("tg_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("tg_shared")).cast("double")
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_src").orderBy(F.col("sim").desc(), "match_name")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("q_src", "match_name", "tg_shared", "na", "nb", "sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting on the near-dup graph (transitivity audit)
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of operators/similarity.embedding_near_dup_pairs at
+# threshold 0.35 — the same edge relation dedup_embedding_cosine's
+# oracle verifies (queries/llm.py), reduced to its (vec_a, vec_b) pairs.
+_NEARDUP_EDGE_CTE = """
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5) AS BIGINT)) AS qe
+      FROM embeddings),
+    n AS (
+      SELECT vec_id,
+             (CAST(list_sum(list_transform(qe, x -> x * x)) AS DOUBLE)
+              / 100000000000000.0) AS norm2
+      FROM q),
+    bands AS (
+      SELECT vec_id, t.bd,
+             (CASE WHEN embedding[4 * t.bd + 1] > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[4 * t.bd + 2] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[4 * t.bd + 3] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4 * t.bd + 4] > 0 THEN 8 ELSE 0 END) AS bv
+      FROM embeddings CROSS JOIN (VALUES (0), (1), (2), (3)) t(bd)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b ON a.bd = b.bd AND a.bv = b.bv
+      WHERE a.vec_id < b.vec_id),
+    edges AS (
+      SELECT vec_a, vec_b
+      FROM (SELECT c.vec_a, c.vec_b,
+                   ((CAST(list_sum(list_transform(list_zip(qa.qe, qb.qe),
+                          p -> p[1] * p[2])) AS DOUBLE) / 100000000000000.0)
+                    / (sqrt(na.norm2) * sqrt(nb.norm2))) AS cosine
+            FROM cand c
+            JOIN q qa ON qa.vec_id = c.vec_a
+            JOIN q qb ON qb.vec_id = c.vec_b
+            JOIN n na ON na.vec_id = c.vec_a
+            JOIN n nb ON nb.vec_id = c.vec_b)
+      WHERE cosine >= 0.35)
+"""
+
+
+@register(
+    "neardup_graph_triangles",
+    f"""
+    WITH {_NEARDUP_EDGE_CTE},
+    deg AS (
+      SELECT v AS vec_id, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT vec_a AS v FROM edges
+            UNION ALL SELECT vec_b AS v FROM edges)
+      GROUP BY v),
+    tri AS (
+      SELECT e1.vec_a AS a, e1.vec_b AS b, e2.vec_b AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.vec_a = e1.vec_b
+      JOIN edges e3 ON e3.vec_a = e1.vec_a AND e3.vec_b = e2.vec_b),
+    tcnt AS (
+      SELECT v AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (SELECT a AS v FROM tri
+            UNION ALL SELECT b AS v FROM tri
+            UNION ALL SELECT c AS v FROM tri)
+      GROUP BY v)
+    SELECT d.vec_id, d.degree, COALESCE(t.n_triangles, CAST(0 AS BIGINT))
+             AS n_triangles
+    FROM deg d LEFT JOIN tcnt t ON t.vec_id = d.vec_id
+    """,
+    doc="Exact triangle counting on the embedding near-dup graph "
+    "(edges = verified cosine>=0.35 pairs from the LSH-banded "
+    "candidate generator - never all-pairs). Per node: degree and the "
+    "number of near-dup triangles through it - the transitivity audit "
+    "that justifies (or refutes) collapsing near-dup CLUSTERS instead "
+    "of pairs: high triangle density means the >=tau relation is close "
+    "to transitive and cluster-level dedup (dedup_clusters) loses "
+    "little. Spark enumeration is DEGREE-ORIENTED (Schank-Wagner / "
+    "Suri-Vassilvitskii MapReduce form): each edge points from its "
+    "lower-(degree,id) endpoint, wedges fan out only from a triangle's "
+    "minimum node, and the closing edge is an equi-join back to the "
+    "canonical edge list - O(m^1.5) wedge volume regardless of skew, "
+    "the bound a hub node would otherwise destroy. Each triangle is "
+    "counted exactly once; the oracle's naive a<b<c 3-way join agrees "
+    "on bounded inputs.",
+)
+def neardup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = (
+        embedding_near_dup_pairs(emb, threshold=0.35)
+        .select("vec_a", "vec_b")
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("vec_a").alias("v"))
+        .unionAll(edges.select(F.col("vec_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    # Orient each edge from its lower-(degree, id) endpoint.
+    da = deg.select(F.col("v").alias("vec_a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("v").alias("vec_b"), F.col("degree").alias("degb"))
+    ed = edges.join(da, "vec_a").join(db, "vec_b")
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("vec_a") < F.col("vec_b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("vec_a")).otherwise(F.col("vec_b")).alias("src"),
+        F.when(a_first, F.col("vec_b")).otherwise(F.col("vec_a")).alias("dst"),
+    )
+    # Wedges from each minimum node: unordered out-neighbor pairs.
+    o1 = oriented.select(F.col("src"), F.col("dst").alias("x"))
+    o2 = oriented.select(F.col("src"), F.col("dst").alias("y"))
+    wedges = o1.join(o2, "src").filter(F.col("x") < F.col("y"))
+    # Close the wedge against the canonical (vec_a < vec_b) edge list.
+    tri = wedges.join(
+        edges,
+        (F.col("x") == F.col("vec_a")) & (F.col("y") == F.col("vec_b")),
+    ).select("src", "x", "y")
+    tcnt = (
+        tri.select(F.col("src").alias("v"))
+        .unionAll(tri.select(F.col("x").alias("v")))
+        .unionAll(tri.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.join(tcnt, "v", "left")
+        .select(
+            F.col("v").alias("vec_id"),
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+        )
+    )

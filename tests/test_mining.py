@@ -561,3 +561,74 @@ def test_passk_matches_comb_formula(spark, sf_dir, reg):
         expect = 1.0 - comb(n - c, 5) / comb(n, 5) if n - c >= 5 else 1.0
         assert abs(r.pass_at_5 - expect) < 1e-12, (n, c, r.pass_at_5, expect)
         assert 0.0 <= r.pass_at_5 <= 1.0
+
+
+def test_trigram_fuzzy_top_match_is_source_name(spark, sf_dir, reg):
+    import hashlib
+
+    from kinesis_log_watcher_spark.queries.base import load
+
+    out = reg["part_trigram_fuzzy_match"].fn(spark, sf_dir).collect()
+    assert out
+    names = sorted(
+        r.p_name
+        for r in load(spark, sf_dir, "part").select("p_name").distinct().collect()
+    )
+
+    def tgs(s: str) -> set[str]:
+        return {s[i : i + 3] for i in range(len(s) - 2)}
+
+    # brute-force recomputation of the whole top-3 per corrupted query
+    expect = {}
+    for src in names:
+        if hashlib.md5(src.encode()).hexdigest()[0] not in "01":
+            continue
+        q = src[0] + src[2:]
+        scored = []
+        for m in names:
+            inter = len(tgs(q) & tgs(m))
+            if inter:
+                sim = inter / (len(tgs(q)) + len(tgs(m)) - inter)
+                scored.append((-sim, m, inter))
+        scored.sort()
+        expect[src] = [(m, i) for _, m, i in scored[:3]]
+    got = {}
+    for r in sorted(out, key=lambda r: (r.q_src, r.rank)):
+        inter, union = r.tg_shared, r.na + r.nb - r.tg_shared
+        assert 0 < inter <= min(r.na, r.nb)
+        assert abs(r.sim - inter / union) < 1e-15
+        got.setdefault(r.q_src, []).append((r.match_name, r.tg_shared))
+    assert got == expect
+    # the corrupted query still lands its source in the top-3 every time
+    assert all(src in [m for m, _ in v] for src, v in got.items())
+
+
+def test_triangle_counts_match_brute_force(spark, sf_dir, reg):
+    from collections import Counter
+    from itertools import combinations
+
+    from kinesis_log_watcher_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from kinesis_log_watcher_spark.queries.base import load
+
+    out = {r.vec_id: r for r in
+           reg["neardup_graph_triangles"].fn(spark, sf_dir).collect()}
+    emb = load(spark, sf_dir, "embeddings")
+    edges = {(r.vec_a, r.vec_b) for r in
+             embedding_near_dup_pairs(emb, 0.35).select("vec_a", "vec_b").collect()}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = Counter()
+    for v, nbrs in adj.items():
+        for x, y in combinations(sorted(nbrs), 2):
+            if (x, y) in edges or (y, x) in edges:
+                tri[v] += 1
+    assert set(out) == set(adj)
+    for v in adj:
+        assert out[v].degree == len(adj[v]), v
+        assert out[v].n_triangles == tri.get(v, 0), v
+    # the near-dup corpus genuinely has triangles to audit
+    assert sum(tri.values()) > 0
