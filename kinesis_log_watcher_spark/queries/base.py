@@ -170,6 +170,7 @@ _FRONT = (
     "passk_estimate",
     "part_trigram_fuzzy_match",
     "neardup_graph_triangles",
+    "stream_topk_leaderboard",
     # ---- officially green in r1-r4; keep a stable order behind the
     # prefix so re-rotation next round is a pure list edit.
     # the reference's own operator family (queries/watcher_surface.py)

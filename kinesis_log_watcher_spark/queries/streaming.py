@@ -925,3 +925,34 @@ def stream_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio_micro("n_regs_equal", "n_regs_both").alias("jaccard_est_micro"),
         ratio_micro("n_inter", "n_union").alias("exact_jaccard_micro"),
     )
+
+
+@register(
+    "stream_topk_leaderboard",
+    """
+    WITH q AS (
+      SELECT event_type, event_id, user_id,
+             CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+               AS value_milli
+      FROM events)
+    SELECT event_type, event_id, user_id, value_milli, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY value_milli DESC, event_id) AS BIGINT) AS rank
+      FROM q)
+    WHERE rank <= 3
+    """,
+    doc="Bounded-state streaming top-k leaderboard "
+    "(streaming/topk.py): per event_type, transformWithState ListState "
+    "holds ONLY the current top-3 (value_milli, event_id, user_id) "
+    "rows — k rows of state per key, never the events — and each "
+    "micro-batch folds its candidates into the board with exact "
+    "integer ordering. Every emission is a running top-k, so the "
+    "distinct union of emissions contains the global board and one "
+    "re-rank resolves the update sink order-free in the replay split. "
+    "Oracle: the batch per-type top-3 by (value DESC, event_id). "
+    "applyInPandasWithState twin runs where TWS is unavailable.",
+)
+def stream_topk_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.topk import run_stream_topk
+
+    return run_stream_topk(spark, f"{sf_dir}/events.parquet")
