@@ -171,6 +171,8 @@ _FRONT = (
     "part_trigram_fuzzy_match",
     "neardup_graph_triangles",
     "stream_topk_leaderboard",
+    "ivm_incremental_agg",
+    "orders_daily_content_digest",
     # ---- officially green in r1-r4; keep a stable order behind the
     # prefix so re-rotation next round is a pure list edit.
     # the reference's own operator family (queries/watcher_surface.py)

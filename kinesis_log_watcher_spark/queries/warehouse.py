@@ -520,3 +520,130 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "col_name", "n_total", "n_nulls", "n_distinct", "min_repr", "max_repr"
     )
+
+
+# --------------------------------------------------------------------------
+# incremental view maintenance (delta-merge an aggregate, no base rescan)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ivm_incremental_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Incremental view maintenance (the self-maintainable-aggregate "
+    "case of Gupta & Mumick's IVM taxonomy): a revenue-by-priority "
+    "materialized view is STORED (staged parquet - the simulated MV "
+    "store), a delta batch (orderkey % 10 == 0, the rows the view has "
+    "not seen) arrives, and maintenance is mv FULL OUTER JOIN "
+    "delta_agg with coalesce-add merge - COUNT and SUM are "
+    "self-maintainable under inserts, so the base table is NEVER "
+    "rescanned: the plan reads the k-row stored view plus only the "
+    "delta. The oracle states the invariant that makes IVM correct: "
+    "maintained view == full recompute over base+delta. Exact int64 "
+    "cents make the merge associative and bit-identical. Scale shape: "
+    "at 100 TB the full groupBy rescan is the thing you cannot afford; "
+    "this plan's cost is |delta| + |view| regardless of base size, and "
+    "the same merge expression maintains the view under any insert "
+    "split (the streaming twin is stream_running_totals).",
+)
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.staging import scratch_dir
+
+    orders = load(spark, sf_dir, "orders")
+    cents = (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"), F.sum(cents).alias("revenue_cents")
+        )
+
+    # Materialize the view over the base partition into the MV store.
+    mv_dir = scratch_dir("ivm_mv_")
+    agg(orders.filter(F.col("o_orderkey") % 10 != 0)).write.mode(
+        "overwrite"
+    ).parquet(mv_dir)
+
+    # Maintenance: stored view ⊕ delta aggregate (no base scan).
+    mv = spark.read.parquet(mv_dir)
+    delta = agg(orders.filter(F.col("o_orderkey") % 10 == 0)).select(
+        "o_orderpriority",
+        F.col("n").alias("d_n"),
+        F.col("revenue_cents").alias("d_revenue_cents"),
+    )
+    return mv.join(delta, "o_orderpriority", "full_outer").select(
+        "o_orderpriority",
+        (
+            F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("d_n"), F.lit(0))
+        ).cast("long").alias("n"),
+        (
+            F.coalesce(F.col("revenue_cents"), F.lit(0))
+            + F.coalesce(F.col("d_revenue_cents"), F.lit(0))
+        ).cast("long").alias("revenue_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# order-free content digests (cross-store reconciliation)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_daily_content_digest",
+    """
+    WITH h AS (
+      SELECT o_orderdate,
+             CAST('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT) AS VARCHAR) || '|' ||
+               o_orderpriority), 1, 15) AS BIGINT) AS row_fp
+      FROM orders)
+    SELECT o_orderdate,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(row_fp) AS BIGINT) AS content_digest
+    FROM h
+    GROUP BY o_orderdate
+    """,
+    doc="Order-free per-day content digests for cross-store "
+    "reconciliation: each row's fingerprint is an md5 of its canonical "
+    "serialization (exact-cents for the price so every engine "
+    "serializes identically), and the day digest is count + BIT_XOR of "
+    "fingerprints - XOR is associative/commutative, so ANY store "
+    "computing the digest over any partitioning/replica order gets the "
+    "same 8 bytes, and two stores diff whole days by comparing one "
+    "row per day instead of row-by-row. (XOR cancels only if a "
+    "duplicated row pairs with a missing one in the same day - pair "
+    "the digest with n_rows to close that gap.) Scale shape: narrow "
+    "map + one partial-aggregated groupBy per day; digests of shards "
+    "merge by XOR, the same stored-sketch pattern as the daily-merge "
+    "family.",
+)
+def orders_daily_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cents = (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        cents.cast("string"),
+        F.col("o_orderpriority"),
+    )
+    fp = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (
+        orders.select("o_orderdate", fp.alias("row_fp"))
+        .groupBy("o_orderdate")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(row_fp)").cast("long").alias("content_digest"),
+        )
+    )

@@ -691,3 +691,68 @@ def test_column_profile_is_single_scan_and_exact(spark, sf_dir):
     # exactly one scan of the orders parquet in the optimized plan
     plan = q._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Relation [") == 1, plan
+
+
+def test_ivm_merge_equals_full_recompute_without_base_rescan(spark, sf_dir):
+    from kinesis_log_watcher_spark.queries import registry
+    from kinesis_log_watcher_spark.queries.base import load
+
+    reg = registry()
+    q = reg["ivm_incremental_agg"].fn(spark, sf_dir)
+    got = {r.o_orderpriority: (r.n, r.revenue_cents) for r in q.collect()}
+    from pyspark.sql import functions as F
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    orders = load(spark, sf_dir, "orders")
+    cents = (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long")
+    want = {
+        r.o_orderpriority: (r.n, r.revenue_cents)
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("revenue_cents"))
+        .collect()
+    }
+    assert got == want
+    # maintenance reads the stored view + the delta: exactly two scans,
+    # neither of which is a full-base re-aggregation
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation [") == 2, plan
+
+
+def test_content_digest_is_order_free_and_recomputable(spark, sf_dir):
+    import hashlib
+
+    from kinesis_log_watcher_spark.queries import registry
+    from kinesis_log_watcher_spark.queries.base import load
+
+    reg = registry()
+    out = {
+        r.o_orderdate: (r.n_rows, r.content_digest)
+        for r in reg["orders_daily_content_digest"].fn(spark, sf_dir).collect()
+    }
+    orders = load(spark, sf_dir, "orders").collect()
+    # python recompute: same canonical serialization, same 60-bit fp
+    from collections import defaultdict
+    from decimal import Decimal, ROUND_HALF_UP
+
+    agg = defaultdict(lambda: [0, 0])
+    for r in orders:
+        cents = int(
+            Decimal(repr(r.o_totalprice)).quantize(
+                Decimal("0.01"), rounding=ROUND_HALF_UP
+            )
+            * 100
+        )
+        canon = "|".join(
+            [
+                str(r.o_orderkey),
+                str(r.o_custkey),
+                r.o_orderstatus,
+                str(cents),
+                r.o_orderpriority,
+            ]
+        )
+        fp = int(hashlib.md5(canon.encode()).hexdigest()[:15], 16)
+        a = agg[r.o_orderdate]
+        a[0] += 1
+        a[1] ^= fp
+    assert out == {d: (n, x) for d, (n, x) in agg.items()}
