@@ -173,6 +173,8 @@ _FRONT = (
     "stream_topk_leaderboard",
     "ivm_incremental_agg",
     "orders_daily_content_digest",
+    "mg_shard_merge",
+    "ann_label_ndcg",
     # ---- officially green in r1-r4; keep a stable order behind the
     # prefix so re-rotation next round is a pure list edit.
     # the reference's own operator family (queries/watcher_surface.py)

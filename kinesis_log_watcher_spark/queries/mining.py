@@ -2204,3 +2204,296 @@ def neardup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries mergeable heavy-hitter summaries (Agarwal et al. 2012)
+# ---------------------------------------------------------------------------
+
+_MG_K = 8
+
+
+@register(
+    "mg_shard_merge",
+    f"""
+    WITH w AS (
+      SELECT doc_id % 8 AS shard, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    f AS (SELECT shard, word, CAST(COUNT(*) AS BIGINT) AS c
+          FROM w GROUP BY 1, 2),
+    rk AS (
+      SELECT shard, word, c,
+             ROW_NUMBER() OVER (PARTITION BY shard
+                                ORDER BY c DESC, word) AS rn
+      FROM f),
+    td AS (
+      SELECT shard,
+             COALESCE(MAX(CASE WHEN rn = {_MG_K} + 1 THEN c END), 0) AS t
+      FROM rk GROUP BY shard),
+    s AS (
+      SELECT rk.shard, word, GREATEST(c - t, 0) AS cd
+      FROM rk JOIN td USING (shard)),
+    m AS (SELECT word, CAST(SUM(cd) AS BIGINT) AS ch
+          FROM s WHERE cd > 0 GROUP BY word),
+    mrk AS (
+      SELECT word, ch,
+             ROW_NUMBER() OVER (ORDER BY ch DESC, word) AS rn
+      FROM m),
+    tm AS (
+      SELECT COALESCE(MAX(CASE WHEN rn = {_MG_K} + 1 THEN ch END), 0) AS t
+      FROM mrk),
+    exact AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_count
+              FROM w GROUP BY word),
+    bound AS (
+      SELECT CAST((SELECT SUM(t) FROM td) + (SELECT t FROM tm) AS BIGINT)
+               AS err_bound)
+    SELECT g.word, CAST(g.est AS BIGINT) AS est_count, e.exact_count,
+           b.err_bound
+    FROM (SELECT word, ch - (SELECT t FROM tm) AS est
+          FROM mrk WHERE ch - (SELECT t FROM tm) > 0) g
+    JOIN exact e ON e.word = g.word
+    CROSS JOIN bound b
+    """,
+    doc="Misra-Gries MERGEABLE heavy-hitter summaries (Agarwal et al. "
+    "2012, 'Mergeable Summaries' - the deterministic counter-based "
+    "sibling of the hll/hist/cms/kmv daily-merge family): each shard "
+    "(doc_id % 8, the stored per-partition artifact) keeps at most k=8 "
+    "counters c_s(x) = max(f_s(x) - t_s, 0) where t_s is the shard's "
+    "(k+1)-th largest count - the order-free batch form of an MG "
+    "sweep; summaries merge by counter ADDITION and one re-trim by "
+    "the merged (k+1)-th largest. Every output row carries its own "
+    "certificate: exact_count - err_bound <= est_count <= exact_count "
+    "with err_bound = sum(t_s) + t_merge (the pytest-pinned "
+    "guarantee). Scale shape: shard summaries are <=k rows each - the "
+    "merge aggregates (shards x k) rows no matter the corpus size; "
+    "the exact_count join exists only for the certificate and is "
+    "dropped in production, where the summary IS the stored state.",
+)
+def mg_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    )
+    f = w.groupBy("shard", "word").agg(F.count("*").alias("c"))
+    rk = f.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("shard").orderBy(F.col("c").desc(), "word")
+        ),
+    )
+    td = rk.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == _MG_K + 1, F.col("c"))), F.lit(0)
+        ).alias("t")
+    )
+    s = rk.join(td, "shard").select(
+        "word", F.greatest(F.col("c") - F.col("t"), F.lit(0)).alias("cd")
+    )
+    m = s.filter(F.col("cd") > 0).groupBy("word").agg(
+        F.sum("cd").alias("ch")
+    )
+    mrk = m.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("ch").desc(), "word")),
+    )
+    tm = mrk.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == _MG_K + 1, F.col("ch"))), F.lit(0)
+        ).alias("t")
+    )
+    exact = w.groupBy("word").agg(F.count("*").alias("exact_count"))
+    tsum = td.agg(F.sum("t").alias("ts"))
+    g = (
+        mrk.crossJoin(F.broadcast(tm))
+        .select("word", (F.col("ch") - F.col("t")).alias("est"))
+        .filter(F.col("est") > 0)
+    )
+    bound = tsum.crossJoin(tm).select(
+        (F.col("ts") + F.col("t")).cast("long").alias("err_bound")
+    )
+    return (
+        g.join(exact, "word")
+        .crossJoin(F.broadcast(bound))
+        .select(
+            "word",
+            F.col("est").cast("long").alias("est_count"),
+            F.col("exact_count").cast("long"),
+            "err_bound",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# retrieval-quality evaluation: nDCG@10 with label relevance
+# ---------------------------------------------------------------------------
+
+# 1e9/log2(rank+1) and its prefix sums, precomputed as integer literals
+# so neither engine's libm rounding can perturb the nano-unit weights.
+_NDCG_W = [
+    1000000000, 630929754, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464877, 301029996, 289064826,
+]
+_NDCG_C = [0]
+for _w in _NDCG_W:
+    _NDCG_C.append(_NDCG_C[-1] + _w)
+del _w
+_NDCG_W_SQL = "[" + ", ".join(str(x) for x in _NDCG_W) + "]"
+_NDCG_C_SQL = "[" + ", ".join(str(x) for x in _NDCG_C[1:]) + "]"
+_DOT_Q = (
+    "(CAST(SUM(CAST(floor(CAST(qx AS DOUBLE) * 10000000 + 0.5) AS BIGINT)"
+    " * CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5) AS BIGINT))"
+    " AS DOUBLE) / 100000000000000.0)"
+)
+
+
+@register(
+    "ann_label_ndcg",
+    f"""
+    WITH comp AS (
+      SELECT vec_id, label, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings),
+    qc AS (SELECT vec_id AS q_id, label AS q_label, x AS qx, dim
+           FROM comp WHERE vec_id < 10),
+    cc AS (SELECT vec_id, label, x, dim FROM comp WHERE vec_id >= 10),
+    n AS (
+      SELECT vec_id AS nid,
+             (CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5)
+                            AS BIGINT)
+                      * CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5)
+                             AS BIGINT)) AS DOUBLE)
+              / 100000000000000.0) AS norm2
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id),
+    d AS (
+      SELECT q_id, vec_id, {_DOT_Q} AS dot
+      FROM cc JOIN qc USING (dim)
+      GROUP BY q_id, vec_id),
+    s AS (
+      SELECT q_id, vec_id,
+             (dot / (sqrt(nq.norm2) * sqrt(nc.norm2))) AS cosine
+      FROM d JOIN n nq ON nq.nid = q_id JOIN n nc ON nc.nid = vec_id),
+    ranked AS (
+      SELECT q_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM s),
+    labels AS (SELECT vec_id, label FROM embeddings),
+    qlab AS (SELECT vec_id AS q_id, label AS q_label FROM embeddings
+             WHERE vec_id < 10),
+    rel AS (
+      SELECT r.q_id, r.rank,
+             CASE WHEN l.label = ql.q_label THEN 1 ELSE 0 END AS rel
+      FROM ranked r
+      JOIN labels l ON l.vec_id = r.vec_id
+      JOIN qlab ql ON ql.q_id = r.q_id
+      WHERE r.rank <= 10),
+    dcg AS (
+      SELECT q_id,
+             CAST(SUM(rel * ({_NDCG_W_SQL})[CAST(rank AS INT)]) AS BIGINT)
+               AS dcg_nano
+      FROM rel GROUP BY q_id),
+    navail AS (
+      SELECT ql.q_id,
+             CAST(COUNT(CASE WHEN l.label = ql.q_label THEN 1 END) AS BIGINT)
+               AS n_relevant
+      FROM qlab ql
+      CROSS JOIN (SELECT vec_id, label FROM embeddings WHERE vec_id >= 10) l
+      GROUP BY ql.q_id)
+    SELECT d.q_id, v.n_relevant, d.dcg_nano,
+           CAST(({_NDCG_C_SQL})[CAST(GREATEST(LEAST(v.n_relevant, 10), 1) AS INT)]
+                AS BIGINT) AS idcg_nano,
+           CASE WHEN v.n_relevant = 0 THEN 0.0
+                ELSE CAST(d.dcg_nano AS DOUBLE)
+                     / CAST(({_NDCG_C_SQL})[CAST(LEAST(v.n_relevant, 10)
+                                                 AS INT)] AS DOUBLE)
+           END AS ndcg
+    FROM dcg d JOIN navail v ON v.q_id = d.q_id
+    """,
+    doc="Retrieval-quality evaluation: nDCG@10 per query over the "
+    "exact-cosine ranking (queries = vec_id<10, the ann_cosine_topk "
+    "convention), with binary relevance = same embedding label. "
+    "Discount weights 1e9/log2(rank+1) and their prefix sums are "
+    "INTEGER LITERALS precomputed once - DCG and IDCG are exact int64 "
+    "nano sums (order-free), and nDCG is one final double division, so "
+    "neither engine's libm or summation order can perturb the metric. "
+    "IDCG uses the achievable ideal: min(n_relevant, 10) weights. "
+    "Scale shape: the ranking reuses the shared cosine contract "
+    "(operators/similarity.py), relevance and DCG are narrow "
+    "equi-joins + one partial agg per query; at 100 TB the eval "
+    "runs over the candidate lists the ANN stage already produced "
+    "(ann_ivf_* / ann_two_stage_rerank), never the full corpus.",
+)
+def ann_label_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.similarity import (
+        exact_cosine_scores,
+        exploded_components,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = exploded_components(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        ),
+        "q_id",
+        out_val="qx",
+    )
+    c = exploded_components(
+        emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding"),
+        "vec_id",
+    )
+    s = exact_cosine_scores(q, c, "q_id", "vec_id")
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+    ranked = (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    labels = emb.select("vec_id", "label")
+    qlab = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    warr = F.array(*[F.lit(x) for x in _NDCG_W])
+    rel = (
+        ranked.join(labels, "vec_id")
+        .join(F.broadcast(qlab), "q_id")
+        .select(
+            "q_id",
+            (
+                F.when(F.col("label") == F.col("q_label"), 1).otherwise(0)
+                * F.element_at(warr, F.col("rank"))
+            ).alias("term"),
+        )
+    )
+    dcg = rel.groupBy("q_id").agg(
+        F.sum("term").cast("long").alias("dcg_nano")
+    )
+    cand_labels = emb.filter(F.col("vec_id") >= 10).select("label")
+    navail = (
+        F.broadcast(qlab)
+        .crossJoin(cand_labels)
+        .groupBy("q_id")
+        .agg(
+            F.sum(
+                F.when(F.col("label") == F.col("q_label"), 1).otherwise(0)
+            ).cast("long").alias("n_relevant")
+        )
+    )
+    carr = F.array(*[F.lit(x) for x in _NDCG_C[1:]])
+    idcg = F.element_at(
+        carr,
+        F.greatest(
+            F.least(F.col("n_relevant"), F.lit(10)), F.lit(1)
+        ).cast("int"),
+    )
+    return dcg.join(navail, "q_id").select(
+        "q_id",
+        "n_relevant",
+        "dcg_nano",
+        idcg.cast("long").alias("idcg_nano"),
+        F.when(F.col("n_relevant") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("dcg_nano").cast("double") / idcg.cast("double")
+        )
+        .alias("ndcg"),
+    )

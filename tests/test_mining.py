@@ -632,3 +632,39 @@ def test_triangle_counts_match_brute_force(spark, sf_dir, reg):
         assert out[v].n_triangles == tri.get(v, 0), v
     # the near-dup corpus genuinely has triangles to audit
     assert sum(tri.values()) > 0
+
+
+def test_mg_summary_certificate_holds(spark, sf_dir, reg):
+    from kinesis_log_watcher_spark.queries.mining import _MG_K
+
+    rows = reg["mg_shard_merge"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _MG_K  # the merged summary is itself size-k
+    bound = rows[0].err_bound
+    assert bound > 0 and all(r.err_bound == bound for r in rows)
+    for r in rows:
+        # the Misra-Gries certificate: est underestimates, by at most
+        # the summed trim offsets
+        assert 0 < r.est_count <= r.exact_count
+        assert r.exact_count - r.est_count <= bound
+
+
+def test_ndcg_weights_and_bounds(spark, sf_dir, reg):
+    import math
+
+    from kinesis_log_watcher_spark.queries.mining import _NDCG_C, _NDCG_W
+
+    # the integer literals really are 1e9/log2(rank+1) and prefix sums
+    for i, w in enumerate(_NDCG_W, start=1):
+        assert w == round(1e9 / math.log2(i + 1))
+    assert _NDCG_C[0] == 0
+    for i in range(1, len(_NDCG_C)):
+        assert _NDCG_C[i] == _NDCG_C[i - 1] + _NDCG_W[i - 1]
+
+    rows = reg["ann_label_ndcg"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10  # one row per query vector
+    for r in rows:
+        assert r.n_relevant >= 1
+        assert 0 <= r.dcg_nano <= r.idcg_nano
+        assert r.idcg_nano == _NDCG_C[min(r.n_relevant, 10)]
+        assert abs(r.ndcg - r.dcg_nano / r.idcg_nano) < 1e-15
+        assert 0.0 <= r.ndcg <= 1.0
