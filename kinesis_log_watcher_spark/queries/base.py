@@ -175,6 +175,8 @@ _FRONT = (
     "orders_daily_content_digest",
     "mg_shard_merge",
     "ann_label_ndcg",
+    "source_quantile_normalize",
+    "audience_overlap_matrix",
     # ---- officially green in r1-r4; keep a stable order behind the
     # prefix so re-rotation next round is a pure list edit.
     # the reference's own operator family (queries/watcher_surface.py)

@@ -2497,3 +2497,154 @@ def ann_label_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source quantile normalization (rank → reference-distribution map)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_quantile_normalize",
+    """
+    WITH src AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS src_rank,
+             COUNT(*) OVER (PARTITION BY source) AS src_n
+      FROM documents),
+    gref AS (
+      SELECT n_chars AS ref_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gidx
+      FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    mapped AS (
+      SELECT s.doc_id, s.source, s.n_chars,
+             CAST(s.src_rank AS BIGINT) AS src_rank,
+             CAST(s.src_n AS BIGINT) AS src_n,
+             CASE WHEN s.src_n = 1 THEN 1
+                  ELSE (2 * (s.src_rank - 1) * (t.n - 1) + (s.src_n - 1))
+                       // (2 * (s.src_n - 1)) + 1
+             END AS gidx
+      FROM src s CROSS JOIN tot t)
+    SELECT m.doc_id, m.source, m.n_chars, m.src_rank, m.src_n,
+           CAST(g.ref_chars AS BIGINT) AS norm_chars
+    FROM mapped m JOIN gref g ON g.gidx = m.gidx
+    """,
+    doc="Cross-source quantile normalization (the microarray/genomics "
+    "classic, applied to curation scores): each document's "
+    "within-source rank maps onto the GLOBAL reference distribution - "
+    "the value at round((rank-1)*(N-1)/(n_src-1)) in the globally "
+    "sorted order - so per-source score distributions become directly "
+    "comparable before cross-source thresholding (the failure mode: a "
+    "verbose source's raw lengths dominate a terse source's at any "
+    "global cutoff). The index arithmetic is round-half-up done "
+    "entirely in int64 ((2a(N-1)+(n-1)) div (2(n-1))) - no doubles "
+    "anywhere, bit-identical by construction. Scale shape: two ranking "
+    "exchanges (per-source, global) + one equi-join on the integer "
+    "index; at 100 TB the global ranking becomes the stored "
+    "equi-depth-histogram lookup (value_quantile_hist), turning the "
+    "join into a broadcast against quantile boundaries.",
+)
+def source_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sw = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    src = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(sw).cast("long").alias("src_rank"),
+        F.count("*")
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("src_n"),
+    )
+    gw = Window.orderBy("n_chars", "doc_id")
+    glob = docs.select(
+        F.col("n_chars").alias("ref_chars"),
+        F.row_number().over(gw).cast("long").alias("gidx"),
+    )
+    tot = docs.agg(F.count("*").cast("long").alias("n"))
+    gidx = F.expr(
+        "CASE WHEN src_n = 1 THEN CAST(1 AS BIGINT) "
+        "ELSE ((2 * (src_rank - 1) * (n - 1) + (src_n - 1)) "
+        "div (2 * (src_n - 1))) + 1 END"
+    )
+    mapped = src.crossJoin(F.broadcast(tot)).select(
+        "doc_id", "source", "n_chars", "src_rank", "src_n",
+        gidx.alias("gidx"),
+    )
+    return mapped.join(glob, "gidx").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "src_rank",
+        "src_n",
+        F.col("ref_chars").cast("long").alias("norm_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# audience overlap matrix (pairwise cohort Jaccard)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "audience_overlap_matrix",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM ut GROUP BY event_type),
+    ov AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_both,
+           (CAST(p.n_both AS DOUBLE)
+            / CAST(sa.n + sb.n - p.n_both AS DOUBLE)) AS jaccard
+    FROM ov p
+    JOIN sz sa ON sa.event_type = p.type_a
+    JOIN sz sb ON sb.event_type = p.type_b
+    """,
+    doc="Pairwise audience-overlap matrix: for every pair of event "
+    "types, the exact Jaccard of their user cohorts - the "
+    "cohort-composition audit behind mixture decisions (and the exact "
+    "twin of the KMV theta set-algebra estimate, kmv_theta_set_ops, "
+    "which replaces this at 100 TB: per-cohort bottom-k sketches make "
+    "the pairwise matrix a (cohorts x k)-row problem instead of a "
+    "user-level self-join). Here the self-join is on the DISTINCT "
+    "(user, type) relation - one dedup exchange, then an equi-join "
+    "keyed on user whose fan-out is bounded by types-per-user, never "
+    "users^2.",
+)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sz = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        both.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            F.col("n_both").cast("long"),
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -668,3 +668,53 @@ def test_ndcg_weights_and_bounds(spark, sf_dir, reg):
         assert r.idcg_nano == _NDCG_C[min(r.n_relevant, 10)]
         assert abs(r.ndcg - r.dcg_nano / r.idcg_nano) < 1e-15
         assert 0.0 <= r.ndcg <= 1.0
+
+
+def test_quantile_normalize_maps_ranks_onto_global_distribution(
+    spark, sf_dir, reg
+):
+    out = reg["source_quantile_normalize"].fn(spark, sf_dir).collect()
+    from kinesis_log_watcher_spark.queries.base import load
+
+    docs = load(spark, sf_dir, "documents").collect()
+    assert len(out) == len(docs)
+    gsorted = [r.n_chars for r in sorted(docs, key=lambda r: (r.n_chars, r.doc_id))]
+    n = len(gsorted)
+    by_src = {}
+    for r in sorted(docs, key=lambda r: (r.n_chars, r.doc_id)):
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    want = {}
+    for src, ids in by_src.items():
+        m = len(ids)
+        for i, doc_id in enumerate(ids, start=1):
+            gidx = 0 if m == 1 else (2 * (i - 1) * (n - 1) + (m - 1)) // (2 * (m - 1))
+            want[doc_id] = (i, m, gsorted[gidx])
+    got = {r.doc_id: (r.src_rank, r.src_n, r.norm_chars) for r in out}
+    assert got == want
+    # normalization pins every source's extremes onto the global ones
+    for src, ids in by_src.items():
+        assert got[ids[0]][2] == gsorted[0]
+        assert got[ids[-1]][2] == gsorted[-1]
+
+
+def test_audience_overlap_matrix_exact(spark, sf_dir, reg):
+    from kinesis_log_watcher_spark.queries.base import load
+
+    out = {
+        (r.type_a, r.type_b): (r.n_a, r.n_b, r.n_both, r.jaccard)
+        for r in reg["audience_overlap_matrix"].fn(spark, sf_dir).collect()
+    }
+    rows = load(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    cohorts = {}
+    for r in rows:
+        cohorts.setdefault(r.event_type, set()).add(r.user_id)
+    types = sorted(cohorts)
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            inter = len(cohorts[a] & cohorts[b])
+            if inter == 0:
+                assert (a, b) not in out
+                continue
+            na, nb = len(cohorts[a]), len(cohorts[b])
+            assert out[(a, b)][:3] == (na, nb, inter)
+            assert abs(out[(a, b)][3] - inter / (na + nb - inter)) < 1e-15
