@@ -177,6 +177,8 @@ _FRONT = (
     "ann_label_ndcg",
     "source_quantile_normalize",
     "audience_overlap_matrix",
+    "part_cooccurrence_topk",
+    "segment_type_chi2",
     # ---- officially green in r1-r4; keep a stable order behind the
     # prefix so re-rotation next round is a pure list edit.
     # the reference's own operator family (queries/watcher_surface.py)

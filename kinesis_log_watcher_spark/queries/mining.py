@@ -2468,15 +2468,25 @@ def ann_label_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     dcg = rel.groupBy("q_id").agg(
         F.sum("term").cast("long").alias("dcg_nano")
     )
-    cand_labels = emb.filter(F.col("vec_id") >= 10).select("label")
+    # n_relevant(q) depends only on q's label: aggregate the candidate
+    # labels once, then equi-join the 10 queries onto the counts — no
+    # cross product anywhere.
+    label_counts = (
+        emb.filter(F.col("vec_id") >= 10)
+        .groupBy("label")
+        .agg(F.count("*").alias("n_relevant"))
+    )
     navail = (
-        F.broadcast(qlab)
-        .crossJoin(cand_labels)
-        .groupBy("q_id")
-        .agg(
-            F.sum(
-                F.when(F.col("label") == F.col("q_label"), 1).otherwise(0)
-            ).cast("long").alias("n_relevant")
+        qlab.join(
+            F.broadcast(label_counts),
+            qlab.q_label == label_counts.label,
+            "left",
+        )
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_relevant"), F.lit(0))
+            .cast("long")
+            .alias("n_relevant"),
         )
     )
     carr = F.array(*[F.lit(x) for x in _NDCG_C[1:]])
@@ -2646,5 +2656,207 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_both").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
             ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# market-basket co-occurrence (item-item lift, per-item top-k)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_cooccurrence_topk",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    freq AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_orders_with
+             FROM items GROUP BY l_partkey),
+    tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM items),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    sym AS (
+      SELECT part_a AS part, part_b AS other, n_ab FROM pairs
+      UNION ALL
+      SELECT part_b AS part, part_a AS other, n_ab FROM pairs),
+    scored AS (
+      SELECT s.part, s.other, s.n_ab,
+             (CAST(s.n_ab * t.n_orders AS DOUBLE)
+              / CAST(fa.n_orders_with * fb.n_orders_with AS DOUBLE)) AS lift
+      FROM sym s
+      JOIN freq fa ON fa.l_partkey = s.part
+      JOIN freq fb ON fb.l_partkey = s.other
+      CROSS JOIN tot t)
+    SELECT part, other, n_ab, lift, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY part
+                     ORDER BY n_ab DESC, other) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+    doc="Market-basket co-occurrence: per part, the top-5 co-ordered "
+    "parts by support with exact lift "
+    "(n_ab * n_orders / (n_a * n_b), int64 products, ONE double "
+    "division - engine-identical). The pair generator is an equi-join "
+    "on the basket key over the DISTINCT (order, part) relation, so "
+    "pair volume is sum(basket_size^2), never items^2; at 100 TB the "
+    "two standard guards apply verbatim: cap basket fan-out (drop or "
+    "sample mega-baskets) and document-frequency-cap promiscuous "
+    "items, exactly as dedup_ngram_jaccard does for hot shingles. "
+    "This is the co-click/co-purchase prep feeding item-item "
+    "recommenders and negative-sampling tables.",
+)
+def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    freq = items.groupBy("l_partkey").agg(
+        F.count("*").alias("n_orders_with")
+    )
+    tot = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    a = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    sym = pairs.select(
+        F.col("part_a").alias("part"), F.col("part_b").alias("other"), "n_ab"
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("part"), F.col("part_a").alias("other"), "n_ab"
+        )
+    )
+    fa = freq.select(F.col("l_partkey").alias("part"), F.col("n_orders_with").alias("na"))
+    fb = freq.select(F.col("l_partkey").alias("other"), F.col("n_orders_with").alias("nb"))
+    scored = (
+        sym.join(fa, "part")
+        .join(fb, "other")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part",
+            "other",
+            F.col("n_ab").cast("long"),
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(F.col("n_ab").desc(), "other")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("part", "other", "n_ab", "lift", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-squared independence audit (segment x event-type contingency)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "segment_type_chi2",
+    """
+    WITH joined AS (
+      SELECT c.c_mktsegment AS segment, e.event_type
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey),
+    cells AS (
+      SELECT segment, event_type, CAST(COUNT(*) AS BIGINT) AS o
+      FROM joined GROUP BY 1, 2),
+    rows_m AS (SELECT segment, CAST(SUM(o) AS BIGINT) AS nr
+               FROM cells GROUP BY segment),
+    cols_m AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS nc
+               FROM cells GROUP BY event_type),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    contrib AS (
+      SELECT c.segment, c.event_type,
+             CAST(floor(
+               (CAST(c.o AS DOUBLE)
+                - CAST(r.nr * l.nc AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * (CAST(c.o AS DOUBLE)
+                  - CAST(r.nr * l.nc AS DOUBLE) / CAST(t.n AS DOUBLE))
+               / (CAST(r.nr * l.nc AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * 1000000000.0 + 0.5) AS BIGINT) AS chi_nano
+      FROM cells c
+      JOIN rows_m r ON r.segment = c.segment
+      JOIN cols_m l ON l.event_type = c.event_type
+      CROSS JOIN tot t),
+    dims AS (
+      SELECT CAST((SELECT COUNT(*) FROM rows_m) AS BIGINT) AS n_rows,
+             CAST((SELECT COUNT(*) FROM cols_m) AS BIGINT) AS n_cols)
+    SELECT d.n_rows, d.n_cols,
+           CAST((d.n_rows - 1) * (d.n_cols - 1) AS BIGINT) AS dof,
+           CAST(SUM(c.chi_nano) AS BIGINT) AS chi2_nano,
+           CAST(SUM(c.chi_nano) AS DOUBLE) / 1000000000.0 AS chi2
+    FROM contrib c CROSS JOIN dims d
+    GROUP BY d.n_rows, d.n_cols
+    """,
+    doc="Chi-squared independence audit over the segment x event-type "
+    "contingency table (is behavior independent of segment? - the "
+    "cohort-bias check run before attributing mixture differences to "
+    "a source): observed counts from one join+groupBy pass, expected "
+    "counts as the rank-1 margin product, and each cell's "
+    "(O-E)^2/E contribution quantized to nano BEFORE the sum - the "
+    "house rule that keeps a 25-term float sum order-free and "
+    "engine-identical (same fixed expression tree per cell in both "
+    "dialects). Scale shape: margins and cells are partial-agg "
+    "rollups of the same fact join; the statistic aggregates "
+    "|segments| x |types| cells no matter the fact volume. Degrees "
+    "of freedom reported alongside for the caller's threshold table.",
+)
+def segment_type_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    joined = ev.join(
+        F.broadcast(cust.select(F.col("c_custkey"), F.col("c_mktsegment"))),
+        ev.user_id == F.col("c_custkey"),
+    ).select(F.col("c_mktsegment").alias("segment"), "event_type")
+    cells = joined.groupBy("segment", "event_type").agg(
+        F.count("*").alias("o")
+    )
+    rows_m = cells.groupBy("segment").agg(F.sum("o").alias("nr"))
+    cols_m = cells.groupBy("event_type").agg(F.sum("o").alias("nc"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    e = (F.col("nr") * F.col("nc")).cast("double") / F.col("n").cast("double")
+    chi_nano = F.floor(
+        (F.col("o").cast("double") - e)
+        * (F.col("o").cast("double") - e)
+        / e
+        * 1000000000.0
+        + 0.5
+    ).cast("long")
+    contrib = (
+        cells.join(F.broadcast(rows_m), "segment")
+        .join(F.broadcast(cols_m), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(chi_nano.alias("chi_nano"))
+    )
+    dims = rows_m.agg(F.count("*").cast("long").alias("n_rows")).crossJoin(
+        cols_m.agg(F.count("*").cast("long").alias("n_cols"))
+    )
+    return (
+        contrib.agg(F.sum("chi_nano").cast("long").alias("chi2_nano"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "n_rows",
+            "n_cols",
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+            .cast("long")
+            .alias("dof"),
+            "chi2_nano",
+            (F.col("chi2_nano").cast("double") / 1e9).alias("chi2"),
         )
     )

@@ -718,3 +718,70 @@ def test_audience_overlap_matrix_exact(spark, sf_dir, reg):
             na, nb = len(cohorts[a]), len(cohorts[b])
             assert out[(a, b)][:3] == (na, nb, inter)
             assert abs(out[(a, b)][3] - inter / (na + nb - inter)) < 1e-15
+
+
+def test_cooccurrence_lift_recompute(spark, sf_dir, reg):
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    from kinesis_log_watcher_spark.queries.base import load
+
+    out = reg["part_cooccurrence_topk"].fn(spark, sf_dir).collect()
+    rows = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    freq = Counter()
+    pair_n = Counter()
+    for parts in baskets.values():
+        for p in parts:
+            freq[p] += 1
+        for x, y in combinations(sorted(parts), 2):
+            pair_n[(x, y)] += 1
+    n_orders = len(baskets)
+    by_part = defaultdict(list)
+    for (x, y), n in pair_n.items():
+        by_part[x].append((y, n))
+        by_part[y].append((x, n))
+    for r in out:
+        assert 1 <= r.rank <= 5
+        key = (min(r.part, r.other), max(r.part, r.other))
+        assert pair_n[key] == r.n_ab
+        want_lift = r.n_ab * n_orders / (freq[r.part] * freq[r.other])
+        assert abs(r.lift - want_lift) < 1e-12
+    # every rank-1 row is that part's true argmax by (n_ab, other)
+    top1 = {r.part: (r.n_ab, r.other) for r in out if r.rank == 1}
+    for part, (n_ab, other) in top1.items():
+        best = min(
+            ((-n, o) for o, n in by_part[part]),
+        )
+        assert (-best[0], best[1]) == (n_ab, other)
+
+
+def test_chi2_matches_scipy_formula(spark, sf_dir, reg):
+    from kinesis_log_watcher_spark.queries.base import load
+
+    (row,) = reg["segment_type_chi2"].fn(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = [
+        (r.c_mktsegment, r.event_type)
+        for r in ev.join(cust, ev.user_id == cust.c_custkey).collect()
+    ]
+    from collections import Counter
+
+    cells = Counter(joined)
+    nr = Counter(s for s, _ in joined)
+    nc = Counter(t for _, t in joined)
+    n = len(joined)
+    chi_nano = 0
+    for (s, t), o in cells.items():
+        e = nr[s] * nc[t] / n
+        chi_nano += int((o - e) ** 2 / e * 1e9 + 0.5)
+    assert row.dof == (len(nr) - 1) * (len(nc) - 1)
+    assert row.chi2_nano == chi_nano
+    assert abs(row.chi2 - chi_nano / 1e9) < 1e-15

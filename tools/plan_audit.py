@@ -73,6 +73,11 @@ ALLOWED_BNLJ = {
     "hist_daily_merge": "1-row sketch-estimate/exact broadcasts",
     "cms_join_size_estimate": "1-row sketch-estimate/exact broadcasts",
     "class_balanced_downsample": "1-row class-floor broadcast",
+    # round-5 additions, same 1-row-build-side shape
+    "mg_shard_merge": "1-row trim-offset/err-bound broadcasts",
+    "source_quantile_normalize": "1-row corpus-size broadcast",
+    "part_cooccurrence_topk": "1-row basket-count broadcast",
+    "segment_type_chi2": "1-row total/dims broadcasts",
     # round-5 mining family: same 1-row-build-side shape as above
     "kmv_theta_set_ops": "1-row sketch-stats/exact broadcasts",
     "kn_bigram_perplexity": "1-row bigram-type-total broadcast",
