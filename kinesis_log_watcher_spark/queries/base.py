@@ -179,6 +179,8 @@ _FRONT = (
     "audience_overlap_matrix",
     "part_cooccurrence_topk",
     "segment_type_chi2",
+    "click_to_purchase_survival",
+    "benford_price_audit",
     # ---- officially green in r1-r4; keep a stable order behind the
     # prefix so re-rotation next round is a pure list edit.
     # the reference's own operator family (queries/watcher_surface.py)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_log_watcher_spark.functions.exact import dec
 from kinesis_log_watcher_spark.queries.base import load, register
 
 # ---------------------------------------------------------------------------
@@ -2858,5 +2859,241 @@ def segment_type_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dof"),
             "chi2_nano",
             (F.col("chi2_nano").cast("double") / 1e9).alias("chi2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (click -> purchase, right-censored)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "click_to_purchase_survival",
+    """
+    WITH t0 AS (
+      SELECT user_id, MIN(ts) AS first_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id),
+    t1 AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN t0 ON t0.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= t0.first_click
+      GROUP BY e.user_id),
+    lastev AS (
+      SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id),
+    dur AS (
+      SELECT t0.user_id,
+             (t1.first_purchase IS NOT NULL) AS observed,
+             CAST((epoch_us(COALESCE(t1.first_purchase, l.last_ts))
+                   - epoch_us(t0.first_click)) // 86400000000 AS BIGINT)
+               AS d_days
+      FROM t0
+      LEFT JOIN t1 ON t1.user_id = t0.user_id
+      JOIN lastev l ON l.user_id = t0.user_id),
+    day_tbl AS (
+      SELECT d_days,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_events
+      FROM dur GROUP BY d_days),
+    risk AS (
+      SELECT d_days, n_total, n_events,
+             CAST((SELECT COUNT(*) FROM dur) AS BIGINT)
+               - CAST(COALESCE(SUM(n_total) OVER (ORDER BY d_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS n_risk
+      FROM day_tbl),
+    terms AS (
+      SELECT d_days, n_risk, n_events,
+             CASE WHEN n_events = n_risk THEN NULL
+                  ELSE CAST(floor(-ln(CAST(n_risk - n_events AS DOUBLE)
+                                      / CAST(n_risk AS DOUBLE))
+                                  * 1000000000 + 0.5) AS BIGINT)
+             END AS term_nano
+      FROM risk WHERE n_events > 0),
+    km AS (
+      SELECT d_days, n_risk, n_events,
+             MAX(CASE WHEN term_nano IS NULL THEN 1 ELSE 0 END)
+               OVER (ORDER BY d_days) AS absorbed,
+             SUM(COALESCE(term_nano, 0)) OVER (ORDER BY d_days)
+               AS cum_nano
+      FROM terms)
+    SELECT d_days, n_risk, n_events,
+           CASE WHEN absorbed = 1 THEN 0.0
+                ELSE CAST(floor(exp(-CAST(cum_nano AS DOUBLE)
+                                    / 1000000000.0)
+                                * 1000000000 + 0.5) AS BIGINT)
+                     / 1000000000.0
+           END AS surv
+    FROM km
+    """,
+    doc="Kaplan-Meier survival estimator over click->purchase latency "
+    "with RIGHT CENSORING (users who never purchase after their first "
+    "click are censored at their last observed event - dropping them "
+    "would bias conversion-speed estimates optimistic, the classic "
+    "survival-analysis mistake). S(t) = prod(1 - d_i/n_i) over event "
+    "days, computed as a cumulative int64 sum of nano-quantized "
+    "-ln(1 - d/n) terms (ordered by day - a deterministic prefix sum, "
+    "never a float product) with one exp at the end; the d = n "
+    "absorbing state (everyone at risk converts) pins surv to exactly "
+    "0.0 via a cumulative flag rather than ln(0); the final exp is "
+    "nano-quantized (libm's last ulp differs across engines). "
+    "Scale shape: "
+    "per-user firsts are one partial-agg pass; the curve lives on the "
+    "per-DAY relation (bounded by the horizon, not by users), and its "
+    "prefix sums exchange at most #days rows.",
+)
+def click_to_purchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    t0 = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    t1 = (
+        ev.join(t0, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("first_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lastev = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    dur = (
+        t0.join(t1, "user_id", "left")
+        .join(lastev, "user_id")
+        .select(
+            "user_id",
+            F.col("first_purchase").isNotNull().alias("observed"),
+            F.expr(
+                "CAST((unix_micros(COALESCE(first_purchase, last_ts)) "
+                "- unix_micros(first_click)) div 86400000000 AS BIGINT)"
+            ).alias("d_days"),
+        )
+    )
+    day_tbl = dur.groupBy("d_days").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("observed").cast("long")).alias("n_events"),
+    )
+    n_users = dur.agg(F.count("*").cast("long").alias("n_users"))
+    wprev = (
+        Window.orderBy("d_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        day_tbl.crossJoin(F.broadcast(n_users))
+        .withColumn(
+            "n_risk",
+            (
+                F.col("n_users")
+                - F.coalesce(F.sum("n_total").over(wprev), F.lit(0))
+            ).cast("long"),
+        )
+        .filter(F.col("n_events") > 0)
+    )
+    term = F.when(F.col("n_events") == F.col("n_risk"), F.lit(None)).otherwise(
+        F.floor(
+            -F.log(
+                (F.col("n_risk") - F.col("n_events")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * 1000000000
+            + 0.5
+        ).cast("long")
+    )
+    wcum = Window.orderBy("d_days")
+    km = risk.select(
+        "d_days", "n_risk", "n_events", term.alias("term_nano")
+    ).select(
+        "d_days",
+        "n_risk",
+        F.col("n_events").cast("long"),
+        F.max(
+            F.when(F.col("term_nano").isNull(), 1).otherwise(0)
+        ).over(wcum).alias("absorbed"),
+        F.sum(F.coalesce(F.col("term_nano"), F.lit(0)))
+        .over(wcum)
+        .alias("cum_nano"),
+    )
+    return km.select(
+        "d_days",
+        "n_risk",
+        "n_events",
+        F.when(F.col("absorbed") == 1, F.lit(0.0))
+        .otherwise(
+            F.floor(
+                F.exp(-F.col("cum_nano").cast("double") / 1e9) * 1000000000
+                + 0.5
+            ).cast("long")
+            / F.lit(1000000000.0)
+        )
+        .alias("surv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (forensic distribution check)
+# ---------------------------------------------------------------------------
+
+# round(log10(1 + 1/d) * 1e9) for d = 1..9, precomputed so no libm call
+# participates in the comparison.
+_BENFORD_NANO = [
+    301029996, 176091259, 124938737, 96910013, 79181246,
+    66946790, 57991947, 51152522, 45757491,
+]
+_BENFORD_SQL = "[" + ", ".join(str(x) for x in _BENFORD_NANO) + "]"
+
+
+@register(
+    "benford_price_audit",
+    f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                               AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit
+      FROM orders),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_d FROM d
+          GROUP BY digit),
+    t AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM c)
+    SELECT c.digit, c.n_d,
+           CAST((c.n_d * 1000000000) // t.n AS BIGINT) AS p_obs_nano,
+           CAST(({_BENFORD_SQL})[CAST(c.digit AS INT)] AS BIGINT)
+             AS p_benford_nano,
+           CAST(abs((c.n_d * 1000000000) // t.n
+                    - ({_BENFORD_SQL})[CAST(c.digit AS INT)]) AS BIGINT)
+             AS dev_nano
+    FROM c CROSS JOIN t
+    """,
+    doc="Benford's-law first-digit audit (the forensic screen for "
+    "fabricated or truncated numeric columns): observed first-digit "
+    "shares of the exact-cents price against log10(1+1/d), with the "
+    "expectations precomputed as integer nano literals and the "
+    "observed share as one int64 floor-division - no float anywhere, "
+    "so the deviation column is bit-exact. A uniform synthetic price "
+    "column FAILS Benford loudly (large dev on digits 1-2), which is "
+    "itself the audit's finding here - the test pins that. Scale "
+    "shape: one narrow map + a 9-key partial-agg groupBy; the digit "
+    "histogram merges across loads by addition.",
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cents = (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long")
+    d = orders.select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n_d"))
+    t = c.agg(F.sum("n_d").cast("long").alias("n"))
+    barr = F.array(*[F.lit(x) for x in _BENFORD_NANO])
+    p_obs = F.expr("(n_d * 1000000000) div n").cast("long")
+    p_ben = F.element_at(barr, F.col("digit").cast("int")).cast("long")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n_d").cast("long"),
+            p_obs.alias("p_obs_nano"),
+            p_ben.alias("p_benford_nano"),
+            F.abs(p_obs - p_ben).cast("long").alias("dev_nano"),
         )
     )

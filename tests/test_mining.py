@@ -785,3 +785,74 @@ def test_chi2_matches_scipy_formula(spark, sf_dir, reg):
     assert row.dof == (len(nr) - 1) * (len(nc) - 1)
     assert row.chi2_nano == chi_nano
     assert abs(row.chi2 - chi_nano / 1e9) < 1e-15
+
+
+def test_km_survival_matches_lifelines_formula(spark, sf_dir, reg):
+    from kinesis_log_watcher_spark.queries.base import load
+
+    rows = sorted(
+        reg["click_to_purchase_survival"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.d_days,
+    )
+    assert rows
+    ev = load(spark, sf_dir, "events").collect()
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append(e)
+    durs = []
+    for u, es in by_user.items():
+        clicks = [e.ts for e in es if e.event_type == "click"]
+        if not clicks:
+            continue
+        t0 = min(clicks)
+        purch = [e.ts for e in es if e.event_type == "purchase" and e.ts >= t0]
+        if purch:
+            end, obs = min(purch), True
+        else:
+            end, obs = max(e.ts for e in es), False
+        us = int((end - t0).total_seconds() * 1_000_000)
+        durs.append((us // 86_400_000_000, obs))
+    # exact KM recompute in floats (loose tolerance: the query's
+    # nano-quantized ln/exp pipeline differs from naive float products
+    # by <1e-6)
+    s = 1.0
+    at_risk = len(durs)
+    want = {}
+    for day in sorted({d for d, _ in durs}):
+        d_i = sum(1 for d, o in durs if d == day and o)
+        n_i = sum(1 for d, _ in durs if d >= day)
+        if d_i > 0:
+            s *= 1 - d_i / n_i
+            want[day] = (n_i, d_i, s)
+        at_risk -= sum(1 for d, _ in durs if d == day)
+    got = {r.d_days: (r.n_risk, r.n_events, r.surv) for r in rows}
+    assert set(got) == set(want)
+    for day, (n_i, d_i, s) in want.items():
+        gn, gd, gs = got[day]
+        assert (gn, gd) == (n_i, d_i), day
+        assert abs(gs - s) < 1e-6, (day, gs, s)
+    # survival is monotone nonincreasing and ends at/below the KM floor
+    survs = [r.surv for r in rows]
+    assert all(a >= b for a, b in zip(survs, survs[1:]))
+
+
+def test_benford_audit_flags_uniform_prices(spark, sf_dir, reg):
+    import math
+
+    from kinesis_log_watcher_spark.queries.mining import _BENFORD_NANO
+
+    for d, nano in enumerate(_BENFORD_NANO, start=1):
+        assert nano == round(math.log10(1 + 1 / d) * 1e9)
+    rows = {r.digit: r for r in
+            reg["benford_price_audit"].fn(spark, sf_dir).collect()}
+    assert set(rows) <= set(range(1, 10))
+    n = sum(r.n_d for r in rows.values())
+    for d, r in rows.items():
+        assert r.p_obs_nano == r.n_d * 1_000_000_000 // n
+        assert r.p_benford_nano == _BENFORD_NANO[d - 1]
+        assert r.dev_nano == abs(r.p_obs_nano - r.p_benford_nano)
+    # synthetic uniform prices are NOT Benford: digit 1 must deviate
+    # far beyond any sampling noise (>5% absolute)
+    assert rows[1].dev_nano > 50_000_000
