@@ -181,6 +181,8 @@ _FRONT = (
     "segment_type_chi2",
     "click_to_purchase_survival",
     "benford_price_audit",
+    "ppjoin_prefix_filter",
+    "value_emd_drift",
     # ---- officially green in r1-r4; keep a stable order behind the
     # prefix so re-rotation next round is a pure list edit.
     # the reference's own operator family (queries/watcher_surface.py)

@@ -3097,3 +3097,216 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(p_obs - p_ben).cast("long").alias("dev_nano"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered set-similarity join (PPJoin-style, certified lossless)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ppjoin_prefix_filter",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(range(1, len(w) - 1)) AS t(i)),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+    shared AS (
+      SELECT c.da, c.db, CAST(COUNT(*) AS BIGINT) AS tok_shared
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.da
+      JOIN sh y ON y.doc_id = c.db AND y.tok = x.tok
+      GROUP BY c.da, c.db)
+    SELECT s.da, s.db, s.tok_shared, sa.n AS n_a, sb.n AS n_b,
+           (CAST(s.tok_shared AS DOUBLE)
+            / CAST(sa.n + sb.n - s.tok_shared AS DOUBLE)) AS jaccard
+    FROM shared s
+    JOIN sz sa ON sa.doc_id = s.da
+    JOIN sz sb ON sb.doc_id = s.db
+    WHERE 2 * s.tok_shared >= sa.n + sb.n - s.tok_shared
+    """,
+    doc="Set-similarity self-join at Jaccard >= 0.5 over word-trigram "
+    "shingle sets, with PPJoin prefix filtering (Xiao et al. 2008) as "
+    "the candidate generator: tokens are globally ordered by "
+    "(document frequency ASC, token), and a pair can reach J >= t "
+    "ONLY by sharing a token among each side's first "
+    "n - ceil(t*n) + 1 tokens in that order - so the index is built "
+    "over PREFIXES, cutting candidate volume while remaining "
+    "provably complete (the prefix-filter lemma). The ORACLE "
+    "deliberately uses the naive any-shared-token candidate set: the "
+    "hash-equality of both results IS the losslessness certificate, "
+    "round after round. Verification counts shared tokens only for "
+    "surviving candidates, and the J >= 0.5 gate is the integer "
+    "cross-multiplication 2*shared >= union - no float threshold. "
+    "Scale: rarest-first prefixes concentrate the index on "
+    "low-df tokens, the same reason df-capping works for "
+    "dedup_ngram_jaccard but without its approximation.",
+)
+def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("w")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2), i -> "
+                    "concat(element_at(w, i), ' ', element_at(w, i + 1),"
+                    " ' ', element_at(w, i + 2)))"
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    df_tok = sh.groupBy("tok").agg(F.count("*").alias("df"))
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ordered = (
+        sh.join(df_tok, "tok")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "tok")
+            ),
+        )
+        .join(sz, "doc_id")
+    )
+    # t = 0.5: prefix length = n - ceil(n/2) + 1 = n div 2 + 1
+    prefix = ordered.filter(
+        F.col("rn") <= F.expr("n div 2 + 1")
+    ).select("doc_id", "tok")
+    a = prefix.select(F.col("doc_id").alias("da"), "tok")
+    b = prefix.select(F.col("doc_id").alias("db"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    xa = sh.select(F.col("doc_id").alias("da"), "tok")
+    xb = sh.select(F.col("doc_id").alias("db"), "tok")
+    shared = (
+        cand.join(xa, "da")
+        .join(xb, ["db", "tok"])
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("tok_shared"))
+    )
+    sa = sz.select(F.col("doc_id").alias("da"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("db"), F.col("n").alias("n_b"))
+    return (
+        shared.join(sa, "da")
+        .join(sb, "db")
+        .filter(
+            2 * F.col("tok_shared")
+            >= F.col("n_a") + F.col("n_b") - F.col("tok_shared")
+        )
+        .select(
+            "da",
+            "db",
+            F.col("tok_shared").cast("long"),
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            (
+                F.col("tok_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("tok_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact 1-Wasserstein (EMD) distribution drift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_emd_drift",
+    """
+    WITH b AS (
+      SELECT event_type,
+             LEAST(GREATEST(CAST(floor(CAST(value AS DOUBLE) / 10.0)
+                                 AS BIGINT), 0), 49) AS bin
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    cells AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM b GROUP BY bin),
+    cum AS (
+      SELECT bin,
+             SUM(ca) OVER (ORDER BY bin) AS cum_a,
+             SUM(cb) OVER (ORDER BY bin) AS cum_b,
+             SUM(ca) OVER () AS n_a,
+             SUM(cb) OVER () AS n_b
+      FROM cells)
+    SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CAST(SUM(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT)
+             AS emd_units,
+           (CAST(SUM(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE) * 10.0
+            / CAST(MAX(n_a) * MAX(n_b) AS DOUBLE)) AS emd
+    FROM cum
+    """,
+    doc="Exact 1-Wasserstein (earth-mover) distance between the click "
+    "and purchase value distributions on the 50-bin milli grid: "
+    "W1 = sum(|CDF_a - CDF_b|) * bin_width, computed ENTIRELY in "
+    "int64 by cross-multiplying the unnormalized cumulative counts "
+    "(|cum_a*n_b - cum_b*n_a|) and dividing once at the end - the "
+    "drift metric that, unlike KL (source_unigram_kl), is finite on "
+    "disjoint supports and respects the value metric (a 1-bin shift "
+    "costs 1 bin-width, not infinity). Scale shape: one conditional "
+    "partial-agg pass to 50 cells, prefix sums over the bounded bin "
+    "relation; per-day EMD series against a reference histogram "
+    "reuses the stored hist_daily_merge sketches unchanged.",
+)
+def value_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    b = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type",
+        F.least(
+            F.greatest(
+                F.floor(F.col("value").cast("double") / 10.0).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(49),
+        ).alias("bin"),
+    )
+    cells = b.groupBy("bin").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("ca"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("cb"),
+    )
+    wc = Window.orderBy("bin")
+    wall = Window.partitionBy()
+    cum = cells.select(
+        "bin",
+        F.sum("ca").over(wc).alias("cum_a"),
+        F.sum("cb").over(wc).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    diff = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    return cum.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.sum(diff).cast("long").alias("emd_units"),
+        (
+            F.sum(diff).cast("double")
+            * 10.0
+            / (F.max("n_a") * F.max("n_b")).cast("double")
+        ).alias("emd"),
+    )

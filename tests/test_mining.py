@@ -856,3 +856,76 @@ def test_benford_audit_flags_uniform_prices(spark, sf_dir, reg):
     # synthetic uniform prices are NOT Benford: digit 1 must deviate
     # far beyond any sampling noise (>5% absolute)
     assert rows[1].dev_nano > 50_000_000
+
+
+def test_ppjoin_prefix_filter_is_lossless_and_prunes(spark, sf_dir, reg):
+    from collections import Counter
+    from itertools import combinations
+
+    from kinesis_log_watcher_spark.queries.base import load
+
+    out = {
+        (r.da, r.db): (r.tok_shared, r.n_a, r.n_b)
+        for r in reg["ppjoin_prefix_filter"].fn(spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toksets = {}
+    for r in docs:
+        w = r.text.split(" ")
+        toksets[r.doc_id] = {
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        }
+    # brute-force truth
+    want = {}
+    for a, b in combinations(sorted(toksets), 2):
+        inter = len(toksets[a] & toksets[b])
+        union = len(toksets[a]) + len(toksets[b]) - inter
+        if inter and 2 * inter >= union:
+            want[(a, b)] = (inter, len(toksets[a]), len(toksets[b]))
+    assert out == want
+    assert want  # the near-dup corpus has genuine J>=0.5 pairs
+    # the prefix index really prunes: its candidate pairs are a strict
+    # subset of the any-shared-token candidates
+    df = Counter(t for s in toksets.values() for t in s)
+    def prefix(s):
+        ordered = sorted(s, key=lambda t: (df[t], t))
+        return set(ordered[: len(s) // 2 + 1])
+    pre_cand = sum(
+        1
+        for a, b in combinations(sorted(toksets), 2)
+        if prefix(toksets[a]) & prefix(toksets[b])
+    )
+    all_cand = sum(
+        1
+        for a, b in combinations(sorted(toksets), 2)
+        if toksets[a] & toksets[b]
+    )
+    assert set(want) <= set(out)
+    assert pre_cand < all_cand, (pre_cand, all_cand)
+
+
+def test_emd_matches_scipy_wasserstein_on_bins(spark, sf_dir, reg):
+    from collections import Counter
+
+    from kinesis_log_watcher_spark.queries.base import load
+
+    (row,) = reg["value_emd_drift"].fn(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events").select("event_type", "value").collect()
+    bins_a = Counter()
+    bins_b = Counter()
+    for r in ev:
+        bin_ = min(max(int(r.value // 10), 0), 49)
+        if r.event_type == "click":
+            bins_a[bin_] += 1
+        elif r.event_type == "purchase":
+            bins_b[bin_] += 1
+    na, nb = sum(bins_a.values()), sum(bins_b.values())
+    assert (row.n_a, row.n_b) == (na, nb)
+    cum_a = cum_b = 0
+    units = 0
+    for bin_ in sorted(set(bins_a) | set(bins_b)):
+        cum_a += bins_a.get(bin_, 0)
+        cum_b += bins_b.get(bin_, 0)
+        units += abs(cum_a * nb - cum_b * na)
+    assert row.emd_units == units
+    assert abs(row.emd - units * 10.0 / (na * nb)) < 1e-15

@@ -78,6 +78,8 @@ ALLOWED_BNLJ = {
     "source_quantile_normalize": "1-row corpus-size broadcast",
     "part_cooccurrence_topk": "1-row basket-count broadcast",
     "segment_type_chi2": "1-row total/dims broadcasts",
+    "click_to_purchase_survival": "1-row cohort-size broadcast",
+    "benford_price_audit": "1-row digit-total broadcast",
     # round-5 mining family: same 1-row-build-side shape as above
     "kmv_theta_set_ops": "1-row sketch-stats/exact broadcasts",
     "kn_bigram_perplexity": "1-row bigram-type-total broadcast",
