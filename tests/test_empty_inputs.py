@@ -24,6 +24,8 @@ def _is_streaming(name: str) -> bool:
 # load — with zero violations, which the assertion below pins).
 FIXED_CARDINALITY = {
     "orders_expectation_audit": 7,
+    # the profile reports every column even of an empty load (n_total=0)
+    "orders_column_profile": 6,
 }
 
 
@@ -72,8 +74,15 @@ def test_every_batch_query_survives_empty_tables(spark, empty_sf_dir):
                     f"{name}: {len(rows)} rows, expected the fixed "
                     f"{FIXED_CARDINALITY[name]}-row relation"
                 )
-            if any(r.violations != 0 for r in rows):
+            if name == "orders_expectation_audit" and any(
+                r.violations != 0 for r in rows
+            ):
                 return f"{name}: nonzero violations from empty input"
+            if name == "orders_column_profile" and any(
+                r.n_total != 0 or r.n_nulls != 0 or r.n_distinct != 0
+                for r in rows
+            ):
+                return f"{name}: nonzero counts from empty input"
             return None
         # global aggregates may return one all-null row; nothing should
         # fabricate more than that from empty inputs
