@@ -183,6 +183,8 @@ _FRONT = (
     "benford_price_audit",
     "ppjoin_prefix_filter",
     "value_emd_drift",
+    "quality_score_auc",
+    "quality_score_calibration",
     # ---- officially green in r1-r4; keep a stable order behind the
     # prefix so re-rotation next round is a pure list edit.
     # the reference's own operator family (queries/watcher_surface.py)

@@ -1033,3 +1033,195 @@ def doc_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# classifier evaluation: exact AUC + calibration against the Gopher gate
+# --------------------------------------------------------------------------
+
+# Shared doc relation: the linear classifier's integer micro-unit score
+# and the Gopher gate verdict, both from ONE word-count aggregation.
+_SCORE_LABEL_CTE = f"""
+    w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    wc AS (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS n_words,
+             CAST(MAX(n) AS BIGINT) AS top_n,
+             CAST(SUM(n * length(word)) AS BIGINT) AS char_sum,
+             CAST(COUNT(*) AS BIGINT) AS uniq,
+             CAST(SUM(CASE WHEN word IN ({{stops}}) THEN n ELSE 0 END)
+                  AS BIGINT) AS stop_hits
+      FROM wc GROUP BY 1),
+    sl AS (
+      SELECT doc_id,
+             {_QC_W_STOP} * (stop_hits * 1000000 // n_words)
+             + {_QC_W_UNIQ} * (uniq * 1000000 // n_words)
+             + {_QC_W_MWL} * (char_sum * 1000000 // n_words)
+             + {_QC_BIAS} AS score,
+             CASE WHEN (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS})
+                   AND (CAST(char_sum AS DOUBLE) / n_words
+                          BETWEEN {_MIN_MWL} AND {_MAX_MWL})
+                   AND stop_hits >= {_MIN_STOPS}
+                   AND (CAST(top_n AS DOUBLE) / n_words
+                          <= {_MAX_TOP_WORD_FRAC})
+                  THEN 1 ELSE 0 END AS y
+      FROM agg)
+"""
+
+
+def _score_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, y): classifier score + Gopher verdict, one pass."""
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    stop_hit = F.when(F.col("word").isin(list(_STOPS)), F.col("n")).otherwise(0)
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.max("n").cast("long").alias("top_n"),
+        F.sum(F.col("n") * F.length("word")).cast("long").alias("char_sum"),
+        F.count("*").cast("long").alias("uniq"),
+        F.sum(stop_hit).cast("long").alias("stop_hits"),
+    )
+    micro = lambda c: F.expr(f"{c} * 1000000 div n_words")  # noqa: E731
+    score = (
+        F.lit(_QC_W_STOP) * micro("stop_hits")
+        + F.lit(_QC_W_UNIQ) * micro("uniq")
+        + F.lit(_QC_W_MWL) * micro("char_sum")
+        + F.lit(_QC_BIAS)
+    )
+    y = (
+        F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+        & (F.col("char_sum").cast("double") / F.col("n_words")).between(
+            _MIN_MWL, _MAX_MWL
+        )
+        & (F.col("stop_hits") >= _MIN_STOPS)
+        & (
+            F.col("top_n").cast("double") / F.col("n_words")
+            <= _MAX_TOP_WORD_FRAC
+        )
+    ).cast("int")
+    return agg.select("doc_id", score.alias("score"), y.alias("y"))
+
+
+@register(
+    "quality_score_auc",
+    f"""
+    WITH {_SCORE_LABEL_CTE.format(stops=_STOPS_SQL)},
+    vals AS (
+      SELECT score,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM sl GROUP BY score),
+    cum AS (
+      SELECT score, cnt, pos,
+             CAST(COALESCE(SUM(cnt) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_prev
+      FROM vals),
+    tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
+             CAST(SUM(pos * (2 * cum_prev + cnt + 1)) AS BIGINT) AS r2
+      FROM cum)
+    SELECT n_pos, n_neg,
+           CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+           (CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+            / CAST(2 * n_pos * n_neg AS DOUBLE)) AS auc
+    FROM tot
+    """,
+    doc="Exact AUC (Mann-Whitney U) of the linear quality score "
+    "predicting the Gopher gate verdict - 'does the cheap classifier "
+    "reproduce the expensive rule suite?', the standard distillation "
+    "check before replacing gates with a scorer at corpus scale. "
+    "Tie-correct by construction: per distinct score, positives "
+    "contribute pos*(2*cum_prev + cnt + 1) - DOUBLED midranks kept in "
+    "int64 (never a .5 anywhere) - so U2 = 2*U is exact and AUC is "
+    "one final division, bit-identical across engines. Scale shape: "
+    "score+label come from the single word-count aggregation both "
+    "queries already share; the U statistic aggregates the DISTINCT "
+    "SCORE relation (bounded by score arity, not docs), and its "
+    "prefix sums exchange that bounded relation once.",
+)
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = _score_label(spark, sf_dir)
+    vals = sl.groupBy("score").agg(
+        F.count("*").alias("cnt"), F.sum("y").cast("long").alias("pos")
+    )
+    wprev = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = vals.withColumn(
+        "cum_prev",
+        F.coalesce(F.sum("cnt").over(wprev), F.lit(0)).cast("long"),
+    )
+    tot = cum.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos") * (2 * F.col("cum_prev") + F.col("cnt") + 1)
+        ).cast("long").alias("r2"),
+    )
+    u2 = F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        u2.cast("long").alias("u2"),
+        (
+            u2.cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
+@register(
+    "quality_score_calibration",
+    f"""
+    WITH {_SCORE_LABEL_CTE.format(stops=_STOPS_SQL)},
+    binned AS (
+      SELECT score, y,
+             CAST(NTILE(10) OVER (ORDER BY score, doc_id) AS BIGINT)
+               AS bin
+      FROM sl)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(score) // COUNT(*) AS BIGINT) AS mean_score_micro,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST((SUM(y) * 1000000000) // COUNT(*) AS BIGINT)
+             AS pos_frac_nano
+    FROM binned
+    GROUP BY bin
+    """,
+    doc="Reliability diagram for the quality scorer: score-ordered "
+    "deciles (NTILE with doc_id tie-break - deterministic bin "
+    "membership) with per-bin mean score and Gopher-pass fraction, "
+    "both as int64 floor-divisions. A skilled scorer shows pos_frac "
+    "rising monotonically with the score deciles; the driver corpus "
+    "pins the FLAT curve of the no-skill scorer quality_score_auc "
+    "measures. The pair (quality_score_auc, this) is the standard "
+    "discrimination+calibration evaluation; both read the same "
+    "single-pass score+label relation. Scale note: decile membership "
+    "at 100 TB comes from the stored quantile boundaries "
+    "(value_quantile_hist) instead of a global NTILE sort.",
+)
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = _score_label(spark, sf_dir)
+    binned = sl.withColumn(
+        "bin",
+        F.ntile(10).over(Window.orderBy("score", "doc_id")).cast("long"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(SUM(score) div COUNT(*) AS BIGINT)").alias(
+            "mean_score_micro"
+        ),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.expr("CAST((SUM(y) * 1000000000) div COUNT(*) AS BIGINT)").alias(
+            "pos_frac_nano"
+        ),
+    )

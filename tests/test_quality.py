@@ -151,3 +151,47 @@ def test_quality_plans_partial_agg_no_cartesian(spark, reg):
         assert "BroadcastNestedLoopJoin" not in plan, name
         # two-level aggregation: partial before the exchange
         assert plan.count("HashAggregate") >= 2, name
+
+
+def test_auc_matches_sklearn_style_recompute(spark, sf_dir):
+    from kinesis_log_watcher_spark.queries import registry
+    from kinesis_log_watcher_spark.queries.quality import _score_label
+
+    reg = registry()
+    (row,) = reg["quality_score_auc"].fn(spark, sf_dir).collect()
+    sl = [(r.score, r.y) for r in _score_label(spark, sf_dir).collect()]
+    pos = [s for s, y in sl if y == 1]
+    neg = [s for s, y in sl if y == 0]
+    assert (row.n_pos, row.n_neg) == (len(pos), len(neg))
+    # O(n_pos * n_neg) literal Mann-Whitney: wins + half-ties
+    u2 = sum(2 for p in pos for n in neg if p > n) + sum(
+        1 for p in pos for n in neg if p == n
+    )
+    assert row.u2 == u2
+    assert abs(row.auc - u2 / (2 * len(pos) * len(neg))) < 1e-15
+    assert 0.0 < row.auc < 1.0
+    # the pinned FINDING on this corpus: the cheap scorer has no skill
+    # at reproducing the Gopher gate (AUC ~= chance) — which is exactly
+    # what this eval exists to catch before swapping gates for a scorer
+    assert abs(row.auc - 0.5) < 0.15
+
+
+def test_calibration_bins_partition_and_trend(spark, sf_dir):
+    from kinesis_log_watcher_spark.queries import registry
+    from kinesis_log_watcher_spark.queries.quality import _score_label
+
+    reg = registry()
+    rows = sorted(
+        reg["quality_score_calibration"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.bin,
+    )
+    assert [r.bin for r in rows] == list(range(1, 11))
+    n_docs = _score_label(spark, sf_dir).count()
+    assert sum(r.n for r in rows) == n_docs
+    for r in rows:
+        assert r.pos_frac_nano == r.n_pos * 1_000_000_000 // r.n
+    # with a no-skill scorer (see test_auc_...), the reliability curve
+    # must be FLAT: no decile's pass rate strays far from the base rate
+    base = sum(r.n_pos for r in rows) / n_docs
+    for r in rows:
+        assert abs(r.n_pos / r.n - base) < 0.35
