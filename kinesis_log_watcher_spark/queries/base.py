@@ -185,6 +185,8 @@ _FRONT = (
     "value_emd_drift",
     "quality_score_auc",
     "quality_score_calibration",
+    "source_quota_apportion",
+    "rendezvous_shard_rebalance",
     # ---- officially green in r1-r4; keep a stable order behind the
     # prefix so re-rotation next round is a pure list edit.
     # the reference's own operator family (queries/watcher_surface.py)

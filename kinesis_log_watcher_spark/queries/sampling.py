@@ -343,3 +343,178 @@ def class_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("kept_id_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# largest-remainder budget apportionment (Hare quota)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "source_quota_apportion",
+    """
+    WITH sz AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM sz),
+    q AS (
+      SELECT s.source, s.n,
+             CAST((s.n * 1000) // t.total AS BIGINT) AS floor_quota,
+             CAST((s.n * 1000) % t.total AS BIGINT) AS remainder
+      FROM sz s CROSS JOIN tot t),
+    short AS (
+      SELECT CAST(1000 - SUM(floor_quota) AS BIGINT) AS short
+      FROM q),
+    ranked AS (
+      SELECT source, n, floor_quota, remainder,
+             CAST(ROW_NUMBER() OVER (ORDER BY remainder DESC, source)
+                  AS BIGINT) AS rr
+      FROM q)
+    SELECT r.source, r.n, r.floor_quota, r.remainder,
+           CAST(r.floor_quota
+                + CASE WHEN r.rr <= s.short THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked r CROSS JOIN short s
+    """,
+    doc="Largest-remainder (Hare) apportionment of a fixed sample "
+    "budget (1000) across sources proportional to size: integer floor "
+    "quotas via one int64 floor-division, then the leftover seats go "
+    "to the largest remainders (source-name tie-break - fully "
+    "deterministic, sum(quota) == budget EXACTLY, which naive "
+    "per-source rounding cannot guarantee). This is the budgeted "
+    "form of stratified sampling: stratified_sample_counts draws "
+    "per-stratum RATES; this allocates an absolute budget - the "
+    "knob an annotation pipeline or eval-set builder actually has. "
+    "Scale shape: the apportionment runs on the per-source size "
+    "relation (|sources| rows) after one partial-agg pass; the "
+    "chosen quotas then feed the exact-k reservoir "
+    "(reservoir_per_source) unchanged.",
+)
+def source_quota_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sz = docs.groupBy("source").agg(F.count("*").alias("n"))
+    tot = sz.agg(F.sum("n").cast("long").alias("total"))
+    q = sz.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n").cast("long"),
+        F.expr("CAST((n * 1000) div total AS BIGINT)").alias("floor_quota"),
+        F.expr("CAST((n * 1000) % total AS BIGINT)").alias("remainder"),
+    )
+    short = q.agg(
+        (F.lit(1000) - F.sum("floor_quota")).cast("long").alias("short")
+    )
+    ranked = q.withColumn(
+        "rr",
+        F.row_number()
+        .over(Window.orderBy(F.col("remainder").desc(), "source"))
+        .cast("long"),
+    )
+    return ranked.crossJoin(F.broadcast(short)).select(
+        "source",
+        "n",
+        "floor_quota",
+        "remainder",
+        (
+            F.col("floor_quota")
+            + F.when(F.col("rr") <= F.col("short"), 1).otherwise(0)
+        ).cast("long").alias("quota"),
+    )
+
+
+# --------------------------------------------------------------------------
+# rendezvous (HRW) shard assignment + minimal-disruption audit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rendezvous_shard_rebalance",
+    """
+    WITH shards AS (SELECT unnest(range(0, 9)) AS shard),
+    w AS (
+      SELECT d.doc_id, s.shard,
+             CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                     || CAST(s.shard AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS wt
+      FROM documents d CROSS JOIN shards s),
+    a8 AS (
+      SELECT doc_id, shard AS shard8 FROM (
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY wt DESC, shard) AS rn
+        FROM w WHERE shard < 8) WHERE rn = 1),
+    a9 AS (
+      SELECT doc_id, shard AS shard9 FROM (
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY wt DESC, shard) AS rn
+        FROM w) WHERE rn = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN shard8 != shard9 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           CAST(SUM(CASE WHEN shard8 != shard9 AND shard9 = 8
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_to_new,
+           (CAST(SUM(CASE WHEN shard8 != shard9 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS moved_frac
+    FROM a8 JOIN a9 USING (doc_id)
+    """,
+    doc="Rendezvous (highest-random-weight) shard assignment with the "
+    "minimal-disruption audit: every doc's shard is "
+    "argmax_s md5(doc:s), computed for the 8-shard and 9-shard "
+    "layouts side by side. The HRW theorem says growing the pool "
+    "moves a key IFF the new shard wins its argmax - so every moved "
+    "doc must land on shard 8 (n_moved == n_moved_to_new, "
+    "pytest-pinned) and the moved fraction concentrates around 1/9, "
+    "unlike modulo sharding which reshuffles ~8/9 of all keys. This "
+    "is the assignment discipline that lets a 100 TB store add "
+    "capacity without a full rewrite (and the audit a migration "
+    "runs to verify it). Scale shape: the weight relation is "
+    "|docs| x |shards| narrow rows from one scan; both argmaxes "
+    "share it, and the audit is one equi-join on doc_id.",
+)
+def rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    shards = spark.range(9).select(F.col("id").cast("int").alias("shard"))
+    w = docs.crossJoin(F.broadcast(shards)).select(
+        "doc_id",
+        "shard",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("shard").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long").alias("wt"),
+    )
+
+    def argmax(rel, out):
+        wn = Window.partitionBy("doc_id").orderBy(
+            F.col("wt").desc(), "shard"
+        )
+        return (
+            rel.withColumn("rn", F.row_number().over(wn))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("shard").alias(out))
+        )
+
+    a8 = argmax(w.filter(F.col("shard") < 8), "shard8")
+    a9 = argmax(w, "shard9")
+    j = a8.join(a9, "doc_id")
+    moved = (F.col("shard8") != F.col("shard9")).cast("long")
+    return j.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(moved).cast("long").alias("n_moved"),
+        F.sum(
+            moved * (F.col("shard9") == 8).cast("long")
+        ).cast("long").alias("n_moved_to_new"),
+        (
+            F.sum(moved).cast("double") / F.count("*").cast("double")
+        ).alias("moved_frac"),
+    )

@@ -105,3 +105,32 @@ def test_hash_draw_matches_duckdb(spark):
         ).fetchall()
     )
     assert spark_vals == duck_vals
+
+
+def test_quota_apportionment_sums_to_budget_exactly(spark, sf_dir):
+    from kinesis_log_watcher_spark.queries import registry
+
+    reg = registry()
+    rows = reg["source_quota_apportion"].fn(spark, sf_dir).collect()
+    assert rows
+    total_n = sum(r.n for r in rows)
+    assert sum(r.quota for r in rows) == 1000  # the LR guarantee
+    for r in rows:
+        assert r.floor_quota == r.n * 1000 // total_n
+        assert r.remainder == r.n * 1000 % total_n
+        # a source never gains more than one seat over its floor
+        assert r.quota in (r.floor_quota, r.floor_quota + 1)
+        # and stays within one seat of exact proportionality
+        assert abs(r.quota - r.n * 1000 / total_n) < 1.0
+
+
+def test_rendezvous_rebalance_moves_only_to_new_shard(spark, sf_dir):
+    from kinesis_log_watcher_spark.queries import registry
+
+    reg = registry()
+    (row,) = reg["rendezvous_shard_rebalance"].fn(spark, sf_dir).collect()
+    assert row.n_docs > 0
+    # the HRW minimal-disruption theorem, exactly
+    assert row.n_moved == row.n_moved_to_new
+    # moved fraction concentrates near 1/9 (binomial, allow wide noise)
+    assert 0.03 < row.moved_frac < 0.25, row.moved_frac
