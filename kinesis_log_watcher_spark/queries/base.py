@@ -145,8 +145,14 @@ _FRONT = (
     "stream_ivf_index_update",
     # ---- round-5 mining additions (queries/mining.py). The first four
     # fill the remaining driver-sampled slots (the template family they
-    # displace has been officially green since round 1); the embedding
-    # pair sits just past the sample window for the round-6 rotation.
+    # displace has been officially green since round 1). Everything
+    # from "hard_negative_mining" onward sits PAST the ~50-entry sample
+    # window: the round-6 rotation should move the r5 CORRECTNESS-green
+    # prefix to the back and promote these (through the extension-
+    # session additions ending at "rendezvous_shard_rebalance") into
+    # the front so they get official driver rows. All are green under
+    # tools/check_correctness.py --bare at sf0.01 (see BASELINE.md
+    # round-5 final close).
     "kmv_theta_set_ops",
     "kn_bigram_perplexity",
     "dirichlet_ql_scores",
