@@ -193,6 +193,7 @@ _FRONT = (
     "quality_score_calibration",
     "source_quota_apportion",
     "rendezvous_shard_rebalance",
+    "stump_1r_training",
     # ---- officially green in r1-r4; keep a stable order behind the
     # prefix so re-rotation next round is a pure list edit.
     # the reference's own operator family (queries/watcher_surface.py)

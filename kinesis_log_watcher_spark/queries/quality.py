@@ -1225,3 +1225,207 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos_frac_nano"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# in-engine model training: 1R decision stump by exact argmax
+# --------------------------------------------------------------------------
+
+_STUMP_FEATURES = ["n_words", "stop_micro", "mwl_micro"]
+
+
+def _stump_feature_cte(feat: str) -> str:
+    """Per-feature threshold sweep: accuracy of 'predict pass iff
+    feature >= v' for EVERY distinct value v, from cumulative counts
+    — O(distinct values), never O(n * thresholds)."""
+    return f"""
+    v_{feat} AS (
+      SELECT {feat} AS thr,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM feats GROUP BY {feat}),
+    c_{feat} AS (
+      SELECT thr, cnt, pos,
+             CAST(COALESCE(SUM(pos) OVER (ORDER BY thr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS pos_below,
+             CAST(COALESCE(SUM(cnt - pos) OVER (ORDER BY thr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS neg_below
+      FROM v_{feat}),
+    s_{feat} AS (
+      SELECT '{feat}' AS feature, thr,
+             CAST(t.n_pos - pos_below + neg_below AS BIGINT) AS ge_correct
+      FROM c_{feat} CROSS JOIN stump_tot t)
+    """
+
+
+@register(
+    "stump_1r_training",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    wc AS (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS n_words,
+             CAST(MAX(n) AS BIGINT) AS top_n,
+             CAST(SUM(n * length(word)) AS BIGINT) AS char_sum,
+             CAST(SUM(CASE WHEN word IN ({{stops}}) THEN n ELSE 0 END)
+                  AS BIGINT) AS stop_hits
+      FROM wc GROUP BY 1),
+    feats AS (
+      SELECT doc_id,
+             n_words,
+             CAST(stop_hits * 1000000 // n_words AS BIGINT) AS stop_micro,
+             CAST(char_sum * 1000000 // n_words AS BIGINT) AS mwl_micro,
+             CASE WHEN (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS})
+                   AND (CAST(char_sum AS DOUBLE) / n_words
+                          BETWEEN {_MIN_MWL} AND {_MAX_MWL})
+                   AND stop_hits >= {_MIN_STOPS}
+                   AND (CAST(top_n AS DOUBLE) / n_words
+                          <= {_MAX_TOP_WORD_FRAC})
+                  THEN 1 ELSE 0 END AS y
+      FROM agg),
+    stump_tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM feats),
+    {{f_ctes}}
+    all_s AS (SELECT * FROM s_n_words
+              UNION ALL SELECT * FROM s_stop_micro
+              UNION ALL SELECT * FROM s_mwl_micro),
+    scored AS (
+      SELECT a.feature, a.thr,
+             CASE WHEN a.ge_correct >= t.n - a.ge_correct
+                  THEN 'ge' ELSE 'lt' END AS direction,
+             CASE WHEN a.ge_correct >= t.n - a.ge_correct
+                  THEN a.ge_correct ELSE t.n - a.ge_correct END
+               AS n_correct,
+             t.n
+      FROM all_s a CROSS JOIN stump_tot t)
+    SELECT feature, CAST(thr AS BIGINT) AS thr, direction,
+           n_correct,
+           CAST(n_correct * 1000000000 // n AS BIGINT) AS acc_nano,
+           rank
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n_correct DESC,
+                     feature, thr) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """.format(
+        stops=_STOPS_SQL,
+        f_ctes=",".join(_stump_feature_cte(f) for f in _STUMP_FEATURES)
+        + ",",
+    ),
+    doc="In-engine model training: a 1R decision stump (Holte 1993) "
+    "fit by EXACT argmax over every (feature, threshold, direction) "
+    "candidate - the accuracy of 'predict Gopher-pass iff "
+    "feature >= v' for every distinct v comes from the same "
+    "cumulative-count scaffolding as quality_score_auc (correct = "
+    "n_pos - pos_below + neg_below), so the sweep is O(distinct "
+    "values) per feature with all-integer counts and a total-order "
+    "tie-break - the same answer on any cluster, every run. The "
+    "'lt' direction falls out as n - ge_correct for free. Top-3 "
+    "stumps reported with integer-nano accuracies. Scale shape: one "
+    "word-aggregation pass builds the feature relation; each "
+    "feature's sweep aggregates its DISTINCT-value relation "
+    "(bounded by value arity); training is three bounded prefix-sum "
+    "exchanges - the baseline-model fit a curation pipeline runs "
+    "in-warehouse before reaching for external trainers.",
+)
+def stump_1r_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    stop_hit = F.when(F.col("word").isin(list(_STOPS)), F.col("n")).otherwise(0)
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.max("n").cast("long").alias("top_n"),
+        F.sum(F.col("n") * F.length("word")).cast("long").alias("char_sum"),
+        F.sum(stop_hit).cast("long").alias("stop_hits"),
+    )
+    y = (
+        F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+        & (F.col("char_sum").cast("double") / F.col("n_words")).between(
+            _MIN_MWL, _MAX_MWL
+        )
+        & (F.col("stop_hits") >= _MIN_STOPS)
+        & (
+            F.col("top_n").cast("double") / F.col("n_words")
+            <= _MAX_TOP_WORD_FRAC
+        )
+    ).cast("int")
+    feats = agg.select(
+        "doc_id",
+        "n_words",
+        F.expr("CAST(stop_hits * 1000000 div n_words AS BIGINT)").alias(
+            "stop_micro"
+        ),
+        F.expr("CAST(char_sum * 1000000 div n_words AS BIGINT)").alias(
+            "mwl_micro"
+        ),
+        y.alias("y"),
+    ).persist()
+    tot = feats.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    sweeps = []
+    wprev = Window.orderBy("thr").rowsBetween(Window.unboundedPreceding, -1)
+    for feat in _STUMP_FEATURES:
+        v = feats.groupBy(F.col(feat).alias("thr")).agg(
+            F.count("*").alias("cnt"), F.sum("y").cast("long").alias("pos")
+        )
+        c = v.select(
+            "thr",
+            F.coalesce(F.sum("pos").over(wprev), F.lit(0))
+            .cast("long")
+            .alias("pos_below"),
+            F.coalesce(
+                F.sum(F.col("cnt") - F.col("pos")).over(wprev), F.lit(0)
+            )
+            .cast("long")
+            .alias("neg_below"),
+        )
+        sweeps.append(
+            c.crossJoin(F.broadcast(tot)).select(
+                F.lit(feat).alias("feature"),
+                "thr",
+                (
+                    F.col("n_pos") - F.col("pos_below") + F.col("neg_below")
+                ).cast("long").alias("ge_correct"),
+                "n",
+            )
+        )
+    all_s = sweeps[0].unionAll(sweeps[1]).unionAll(sweeps[2])
+    ge_wins = F.col("ge_correct") >= F.col("n") - F.col("ge_correct")
+    scored = all_s.select(
+        "feature",
+        "thr",
+        F.when(ge_wins, "ge").otherwise("lt").alias("direction"),
+        F.when(ge_wins, F.col("ge_correct"))
+        .otherwise(F.col("n") - F.col("ge_correct"))
+        .cast("long")
+        .alias("n_correct"),
+        "n",
+    )
+    wr = Window.orderBy(F.col("n_correct").desc(), "feature", "thr")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "feature",
+            F.col("thr").cast("long"),
+            "direction",
+            "n_correct",
+            F.expr("CAST(n_correct * 1000000000 div n AS BIGINT)").alias(
+                "acc_nano"
+            ),
+            "rank",
+        )
+    )

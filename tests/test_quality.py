@@ -195,3 +195,73 @@ def test_calibration_bins_partition_and_trend(spark, sf_dir):
     base = sum(r.n_pos for r in rows) / n_docs
     for r in rows:
         assert abs(r.n_pos / r.n - base) < 0.35
+
+
+def test_stump_training_is_the_true_argmax(spark, sf_dir):
+    from kinesis_log_watcher_spark.queries import registry
+    from kinesis_log_watcher_spark.queries.quality import (
+        _STUMP_FEATURES,
+        _score_label,  # noqa: F401  (same feature pipeline family)
+    )
+
+    reg = registry()
+    rows = sorted(
+        reg["stump_1r_training"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in rows] == [1, 2, 3]
+    # brute-force the sweep in python over the same features
+    from kinesis_log_watcher_spark.queries.base import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    from kinesis_log_watcher_spark.operators.text import STOPWORDS
+
+    stops = set(STOPWORDS["en"])
+    feats = []
+    for d in docs:
+        words = d.text.split(" ")
+        n_words = len(words)
+        counts = {}
+        for w in words:
+            counts[w] = counts.get(w, 0) + 1
+        char_sum = sum(len(w) for w in words)
+        stop_hits = sum(n for w, n in counts.items() if w in stops)
+        top_n = max(counts.values())
+        y = int(
+            30 <= n_words <= 80
+            and 3.0 <= char_sum / n_words <= 10.0
+            and stop_hits >= 2
+            and top_n / n_words <= 0.09
+        )
+        feats.append(
+            {
+                "n_words": n_words,
+                "stop_micro": stop_hits * 1_000_000 // n_words,
+                "mwl_micro": char_sum * 1_000_000 // n_words,
+                "y": y,
+            }
+        )
+    n = len(feats)
+    cands = []
+    for f in _STUMP_FEATURES:
+        for thr in sorted({x[f] for x in feats}):
+            ge_correct = sum(
+                1
+                for x in feats
+                if (x[f] >= thr) == bool(x["y"])
+            )
+            best = max(ge_correct, n - ge_correct)
+            direction = "ge" if ge_correct >= n - ge_correct else "lt"
+            cands.append((-best, f, thr, direction))
+    cands.sort()
+    want = [
+        (f, thr, d, -neg) for neg, f, thr, d in cands[:3]
+    ]
+    got = [(r.feature, r.thr, r.direction, r.n_correct) for r in rows]
+    assert got == want
+    for r in rows:
+        assert r.acc_nano == r.n_correct * 1_000_000_000 // n
+    # the best stump must beat the majority-class baseline
+    base = max(sum(x["y"] for x in feats), n - sum(x["y"] for x in feats))
+    assert rows[0].n_correct >= base

@@ -81,6 +81,7 @@ ALLOWED_BNLJ = {
     "click_to_purchase_survival": "1-row cohort-size broadcast",
     "benford_price_audit": "1-row digit-total broadcast",
     "source_quota_apportion": "1-row budget/shortfall broadcasts",
+    "stump_1r_training": "1-row class-total broadcast per feature sweep",
     "rendezvous_shard_rebalance": "9-row shard-enumeration broadcast (HRW weights are key x shard by definition)",
     # round-5 mining family: same 1-row-build-side shape as above
     "kmv_theta_set_ops": "1-row sketch-stats/exact broadcasts",
