@@ -149,7 +149,7 @@ _FRONT = (
     # from "hard_negative_mining" onward sits PAST the ~50-entry sample
     # window: the round-6 rotation should move the r5 CORRECTNESS-green
     # prefix to the back and promote these (through the extension-
-    # session additions ending at "rendezvous_shard_rebalance") into
+    # session additions ending at "stump_1r_training") into
     # the front so they get official driver rows. All are green under
     # tools/check_correctness.py --bare at sf0.01 (see BASELINE.md
     # round-5 final close).

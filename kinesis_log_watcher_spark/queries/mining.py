@@ -2023,8 +2023,12 @@ def part_trigram_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def trigrams(df: DataFrame, key: str, text: str) -> DataFrame:
+        # length guard: sequence(1, len-2) DESCENDS for len < 3 and
+        # substring would then fabricate phantom trigrams from
+        # positions 0/negative; the oracle's range() is simply empty
         return (
-            df.select(
+            df.filter(F.length(F.col(text)) >= 3)
+            .select(
                 key,
                 F.explode(
                     F.sequence(F.lit(1), F.length(F.col(text)) - 2)
@@ -3149,23 +3153,13 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard but without its approximation.",
 )
 def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.dedup import exploded_shingles
+
     docs = load(spark, sf_dir, "documents")
-    sh = (
-        docs.select(
-            "doc_id", F.split(F.col("text"), " ").alias("w")
-        )
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w) - 2), i -> "
-                    "concat(element_at(w, i), ' ', element_at(w, i + 1),"
-                    " ' ', element_at(w, i + 2)))"
-                )
-            ).alias("tok"),
-        )
-        .distinct()
-    )
+    # distinct word trigrams with the >=3-token guard (a 2-word doc has
+    # no shingles; the inline sequence() it replaces DESCENDED through
+    # index 0 on short docs and threw)
+    sh = exploded_shingles(docs, n=3).withColumnRenamed("shingle", "tok")
     df_tok = sh.groupBy("tok").agg(F.count("*").alias("df"))
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     ordered = (
@@ -3236,13 +3230,17 @@ def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
              LEAST(GREATEST(CAST(floor(CAST(value AS DOUBLE) / 10.0)
                                  AS BIGINT), 0), 49) AS bin
       FROM events WHERE event_type IN ('click', 'purchase')),
-    cells AS (
+    counted AS (
       SELECT bin,
              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
                   AS BIGINT) AS ca,
              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                   AS BIGINT) AS cb
       FROM b GROUP BY bin),
+    spine AS (SELECT CAST(unnest(range(0, 50)) AS BIGINT) AS bin),
+    cells AS (
+      SELECT s.bin, COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+      FROM spine s LEFT JOIN counted c ON c.bin = s.bin),
     cum AS (
       SELECT bin,
              SUM(ca) OVER (ORDER BY bin) AS cum_a,
@@ -3254,8 +3252,11 @@ def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(n_b) AS BIGINT) AS n_b,
            CAST(SUM(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT)
              AS emd_units,
-           (CAST(SUM(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE) * 10.0
-            / CAST(MAX(n_a) * MAX(n_b) AS DOUBLE)) AS emd
+           CASE WHEN MAX(n_a) > 0 AND MAX(n_b) > 0
+                THEN CAST(SUM(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+                     * 10.0 / CAST(MAX(n_a) * MAX(n_b) AS DOUBLE)
+                ELSE 0.0
+           END AS emd
     FROM cum
     """,
     doc="Exact 1-Wasserstein (earth-mover) distance between the click "
@@ -3282,13 +3283,23 @@ def value_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(49),
         ).alias("bin"),
     )
-    cells = b.groupBy("bin").agg(
+    counted = b.groupBy("bin").agg(
         F.sum(
             F.when(F.col("event_type") == "click", 1).otherwise(0)
         ).alias("ca"),
         F.sum(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("cb"),
+    )
+    # full 0..49 spine: an EMPTY interior bin still separates the two
+    # CDFs and must contribute its |cum_a*n_b - cum_b*n_a| term — the
+    # present-bins-only sum undercounts W1 whenever mass sits across a
+    # gap (same spine rule as the CMS join-size grid).
+    spine = spark.range(50).select(F.col("id").cast("long").alias("bin"))
+    cells = spine.join(counted, "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
     )
     wc = Window.orderBy("bin")
     wall = Window.partitionBy()
@@ -3304,9 +3315,12 @@ def value_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_a").cast("long").alias("n_a"),
         F.max("n_b").cast("long").alias("n_b"),
         F.sum(diff).cast("long").alias("emd_units"),
-        (
+        F.when(
+            (F.max("n_a") > 0) & (F.max("n_b") > 0),
             F.sum(diff).cast("double")
             * 10.0
-            / (F.max("n_a") * F.max("n_b")).cast("double")
-        ).alias("emd"),
+            / (F.max("n_a") * F.max("n_b")).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("emd"),
     )

@@ -1039,9 +1039,18 @@ def doc_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # classifier evaluation: exact AUC + calibration against the Gopher gate
 # --------------------------------------------------------------------------
 
-# Shared doc relation: the linear classifier's integer micro-unit score
-# and the Gopher gate verdict, both from ONE word-count aggregation.
-_SCORE_LABEL_CTE = f"""
+# Shared doc relation: ONE word-count aggregation feeding the Gopher
+# verdict (y), the linear score, and the stump-training features — the
+# gate predicate exists exactly once per dialect.
+_GATE_Y_SQL = f"""CASE WHEN (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS})
+                   AND (CAST(char_sum AS DOUBLE) / n_words
+                          BETWEEN {_MIN_MWL} AND {_MAX_MWL})
+                   AND stop_hits >= {_MIN_STOPS}
+                   AND (CAST(top_n AS DOUBLE) / n_words
+                          <= {_MAX_TOP_WORD_FRAC})
+                  THEN 1 ELSE 0 END"""
+
+_DOC_STATS_CTE = """
     w AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word
       FROM documents),
@@ -1052,28 +1061,30 @@ _SCORE_LABEL_CTE = f"""
              CAST(MAX(n) AS BIGINT) AS top_n,
              CAST(SUM(n * length(word)) AS BIGINT) AS char_sum,
              CAST(COUNT(*) AS BIGINT) AS uniq,
-             CAST(SUM(CASE WHEN word IN ({{stops}}) THEN n ELSE 0 END)
+             CAST(SUM(CASE WHEN word IN ({stops}) THEN n ELSE 0 END)
                   AS BIGINT) AS stop_hits
-      FROM wc GROUP BY 1),
+      FROM wc GROUP BY 1)
+"""
+
+_SCORE_LABEL_CTE = (
+    _DOC_STATS_CTE
+    + f""",
     sl AS (
       SELECT doc_id,
              {_QC_W_STOP} * (stop_hits * 1000000 // n_words)
              + {_QC_W_UNIQ} * (uniq * 1000000 // n_words)
              + {_QC_W_MWL} * (char_sum * 1000000 // n_words)
              + {_QC_BIAS} AS score,
-             CASE WHEN (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS})
-                   AND (CAST(char_sum AS DOUBLE) / n_words
-                          BETWEEN {_MIN_MWL} AND {_MAX_MWL})
-                   AND stop_hits >= {_MIN_STOPS}
-                   AND (CAST(top_n AS DOUBLE) / n_words
-                          <= {_MAX_TOP_WORD_FRAC})
-                  THEN 1 ELSE 0 END AS y
+             {_GATE_Y_SQL} AS y
       FROM agg)
 """
+)
 
 
-def _score_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, score, y): classifier score + Gopher verdict, one pass."""
+def _doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, top_n, char_sum, uniq, stop_hits): the ONE
+    word-count aggregation behind the gate, the score, and the stump
+    features — the Python twin of _DOC_STATS_CTE."""
     docs = load(spark, sf_dir, "documents")
     wc = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
@@ -1081,21 +1092,19 @@ def _score_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     stop_hit = F.when(F.col("word").isin(list(_STOPS)), F.col("n")).otherwise(0)
-    agg = wc.groupBy("doc_id").agg(
+    return wc.groupBy("doc_id").agg(
         F.sum("n").cast("long").alias("n_words"),
         F.max("n").cast("long").alias("top_n"),
         F.sum(F.col("n") * F.length("word")).cast("long").alias("char_sum"),
         F.count("*").cast("long").alias("uniq"),
         F.sum(stop_hit).cast("long").alias("stop_hits"),
     )
-    micro = lambda c: F.expr(f"{c} * 1000000 div n_words")  # noqa: E731
-    score = (
-        F.lit(_QC_W_STOP) * micro("stop_hits")
-        + F.lit(_QC_W_UNIQ) * micro("uniq")
-        + F.lit(_QC_W_MWL) * micro("char_sum")
-        + F.lit(_QC_BIAS)
-    )
-    y = (
+
+
+def _gate_y() -> F.Column:
+    """The Gopher verdict as a Column over _doc_stats — the single
+    Python statement of the gate predicate (twin of _GATE_Y_SQL)."""
+    return (
         F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
         & (F.col("char_sum").cast("double") / F.col("n_words")).between(
             _MIN_MWL, _MAX_MWL
@@ -1106,7 +1115,19 @@ def _score_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= _MAX_TOP_WORD_FRAC
         )
     ).cast("int")
-    return agg.select("doc_id", score.alias("score"), y.alias("y"))
+
+
+def _score_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, y): classifier score + Gopher verdict, one pass."""
+    agg = _doc_stats(spark, sf_dir)
+    micro = lambda c: F.expr(f"{c} * 1000000 div n_words")  # noqa: E731
+    score = (
+        F.lit(_QC_W_STOP) * micro("stop_hits")
+        + F.lit(_QC_W_UNIQ) * micro("uniq")
+        + F.lit(_QC_W_MWL) * micro("char_sum")
+        + F.lit(_QC_BIAS)
+    )
+    return agg.select("doc_id", score.alias("score"), _gate_y().alias("y"))
 
 
 @register(
@@ -1131,8 +1152,11 @@ def _score_label(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum)
     SELECT n_pos, n_neg,
            CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
-           (CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
-            / CAST(2 * n_pos * n_neg AS DOUBLE)) AS auc
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                     / CAST(2 * n_pos * n_neg AS DOUBLE)
+                ELSE 0.5
+           END AS auc
     FROM tot
     """,
     doc="Exact AUC (Mann-Whitney U) of the linear quality score "
@@ -1168,14 +1192,19 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("r2"),
     )
     u2 = F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    # one-class loads (all pass / all fail) have no ranking to score:
+    # report the chance value instead of an engine-divergent 0/0
     return tot.select(
         "n_pos",
         "n_neg",
         u2.cast("long").alias("u2"),
-        (
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
             u2.cast("double")
-            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
-        ).alias("auc"),
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+        )
+        .otherwise(F.lit(0.5))
+        .alias("auc"),
     )
 
 
@@ -1263,30 +1292,13 @@ def _stump_feature_cte(feat: str) -> str:
 @register(
     "stump_1r_training",
     f"""
-    WITH w AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS word
-      FROM documents),
-    wc AS (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY 1, 2),
-    agg AS (
-      SELECT doc_id,
-             CAST(SUM(n) AS BIGINT) AS n_words,
-             CAST(MAX(n) AS BIGINT) AS top_n,
-             CAST(SUM(n * length(word)) AS BIGINT) AS char_sum,
-             CAST(SUM(CASE WHEN word IN ({{stops}}) THEN n ELSE 0 END)
-                  AS BIGINT) AS stop_hits
-      FROM wc GROUP BY 1),
+    WITH {{doc_stats}},
     feats AS (
       SELECT doc_id,
              n_words,
              CAST(stop_hits * 1000000 // n_words AS BIGINT) AS stop_micro,
              CAST(char_sum * 1000000 // n_words AS BIGINT) AS mwl_micro,
-             CASE WHEN (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS})
-                   AND (CAST(char_sum AS DOUBLE) / n_words
-                          BETWEEN {_MIN_MWL} AND {_MAX_MWL})
-                   AND stop_hits >= {_MIN_STOPS}
-                   AND (CAST(top_n AS DOUBLE) / n_words
-                          <= {_MAX_TOP_WORD_FRAC})
-                  THEN 1 ELSE 0 END AS y
+             {_GATE_Y_SQL} AS y
       FROM agg),
     stump_tot AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -1315,7 +1327,7 @@ def _stump_feature_cte(feat: str) -> str:
       FROM scored)
     WHERE rank <= 3
     """.format(
-        stops=_STOPS_SQL,
+        doc_stats=_DOC_STATS_CTE.format(stops=_STOPS_SQL).strip(),
         f_ctes=",".join(_stump_feature_cte(f) for f in _STUMP_FEATURES)
         + ",",
     ),
@@ -1336,31 +1348,7 @@ def _stump_feature_cte(feat: str) -> str:
     "in-warehouse before reaching for external trainers.",
 )
 def stump_1r_training(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    wc = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("n"))
-    )
-    stop_hit = F.when(F.col("word").isin(list(_STOPS)), F.col("n")).otherwise(0)
-    agg = wc.groupBy("doc_id").agg(
-        F.sum("n").cast("long").alias("n_words"),
-        F.max("n").cast("long").alias("top_n"),
-        F.sum(F.col("n") * F.length("word")).cast("long").alias("char_sum"),
-        F.sum(stop_hit).cast("long").alias("stop_hits"),
-    )
-    y = (
-        F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
-        & (F.col("char_sum").cast("double") / F.col("n_words")).between(
-            _MIN_MWL, _MAX_MWL
-        )
-        & (F.col("stop_hits") >= _MIN_STOPS)
-        & (
-            F.col("top_n").cast("double") / F.col("n_words")
-            <= _MAX_TOP_WORD_FRAC
-        )
-    ).cast("int")
-    feats = agg.select(
+    feats = _doc_stats(spark, sf_dir).select(
         "doc_id",
         "n_words",
         F.expr("CAST(stop_hits * 1000000 div n_words AS BIGINT)").alias(
@@ -1369,7 +1357,7 @@ def stump_1r_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(char_sum * 1000000 div n_words AS BIGINT)").alias(
             "mwl_micro"
         ),
-        y.alias("y"),
+        _gate_y().alias("y"),
     ).persist()
     tot = feats.agg(
         F.count("*").cast("long").alias("n"),

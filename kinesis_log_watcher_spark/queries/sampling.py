@@ -492,7 +492,7 @@ def rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             16,
             10,
         ).cast("long").alias("wt"),
-    )
+    ).persist()
 
     def argmax(rel, out):
         wn = Window.partitionBy("doc_id").orderBy(

@@ -600,12 +600,13 @@ def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT o_orderdate,
              CAST('0x' || substr(md5(
-               CAST(o_orderkey AS VARCHAR) || '|' ||
-               CAST(o_custkey AS VARCHAR) || '|' ||
-               o_orderstatus || '|' ||
-               CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
-                         AS BIGINT) AS VARCHAR) || '|' ||
-               o_orderpriority), 1, 15) AS BIGINT) AS row_fp
+               COALESCE(CAST(o_orderkey AS VARCHAR), '<null>') || '|' ||
+               COALESCE(CAST(o_custkey AS VARCHAR), '<null>') || '|' ||
+               COALESCE(o_orderstatus, '<null>') || '|' ||
+               COALESCE(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT) AS VARCHAR), '<null>') || '|' ||
+               COALESCE(o_orderpriority, '<null>')), 1, 15) AS BIGINT)
+               AS row_fp
       FROM orders)
     SELECT o_orderdate,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -630,13 +631,18 @@ def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_daily_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cents = (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long")
+    # explicit NULL sentinel per field: concat_ws silently SKIPS nulls
+    # (shifting every later field left), while the oracle's || chain
+    # nullifies the row — both would break digest equality on any
+    # nullable column, so canonicalize nulls identically on both sides
+    sent = lambda c: F.coalesce(c.cast("string"), F.lit("<null>"))  # noqa: E731
     canon = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        cents.cast("string"),
-        F.col("o_orderpriority"),
+        sent(F.col("o_orderkey")),
+        sent(F.col("o_custkey")),
+        sent(F.col("o_orderstatus")),
+        sent(cents),
+        sent(F.col("o_orderpriority")),
     )
     fp = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
     return (

@@ -923,7 +923,8 @@ def test_emd_matches_scipy_wasserstein_on_bins(spark, sf_dir, reg):
     assert (row.n_a, row.n_b) == (na, nb)
     cum_a = cum_b = 0
     units = 0
-    for bin_ in sorted(set(bins_a) | set(bins_b)):
+    # full 0..49 spine: an empty interior bin still separates the CDFs
+    for bin_ in range(50):
         cum_a += bins_a.get(bin_, 0)
         cum_b += bins_b.get(bin_, 0)
         units += abs(cum_a * nb - cum_b * na)
