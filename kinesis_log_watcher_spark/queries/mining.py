@@ -3158,8 +3158,14 @@ def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # distinct word trigrams with the >=3-token guard (a 2-word doc has
     # no shingles; the inline sequence() it replaces DESCENDED through
-    # index 0 on short docs and threw)
-    sh = exploded_shingles(docs, n=3).withColumnRenamed("shingle", "tok")
+    # index 0 on short docs and threw). hashed=True: 8-byte join keys
+    # through the index/verify shuffles (~30% faster; collision odds
+    # and their bounded effect documented at the helper). The prefix
+    # lemma needs only a CONSISTENT global order, which (df, hash)
+    # provides just as well as (df, string).
+    sh = exploded_shingles(docs, n=3, hashed=True).withColumnRenamed(
+        "shingle", "tok"
+    )
     df_tok = sh.groupBy("tok").agg(F.count("*").alias("df"))
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     ordered = (
