@@ -2460,10 +2460,11 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(MAX(n_keys) AS BIGINT) AS n_keys,
            CAST(MAX(total) AS BIGINT) AS total,
-           MAX(c) * 1000000 // MAX(total) AS top1_share_micro,
-           (2 * SUM(CAST(i AS BIGINT) * c)
+           CAST(MAX(c) * 1000000 // MAX(total) AS BIGINT)
+             AS top1_share_micro,
+           CAST((2 * SUM(CAST(i AS BIGINT) * c)
             - (MAX(n_keys) + 1) * MAX(total)) * 1000000
-             // (MAX(n_keys) * MAX(total)) AS gini_micro
+             // (MAX(n_keys) * MAX(total)) AS BIGINT) AS gini_micro
     FROM ranked
     GROUP BY event_type
     """,
