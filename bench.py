@@ -78,6 +78,14 @@ def main() -> None:
     spark = get_spark(app_name="klw-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Host-load telemetry: 1/5/15-min load averages before and after the
+    # timed section plus wall timestamps, so a slow run can be machine-
+    # attributed to concurrent host load instead of argued from ps
+    # forensics after the fact (rounds 4-5 saw ±40% swings on identical
+    # binaries).
+    load_before = os.getloadavg()
+    t_start = time.time()
+
     reg = registry()
     names = [n for n in reg if n not in SKIP]
 
@@ -107,6 +115,14 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
+    load_after = os.getloadavg()
+    telemetry = {
+        "load_before": [round(x, 2) for x in load_before],
+        "load_after": [round(x, 2) for x in load_after],
+        "t_start": round(t_start, 1),
+        "t_end": round(time.time(), 1),
+        "cpus": os.cpu_count(),
+    }
 
     # Full fidelity: every timed query, committed to the repo each round.
     # Overridable so harness/test runs don't clobber the committed
@@ -123,6 +139,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "host": telemetry,
             },
             fh,
             indent=1,
@@ -144,6 +161,7 @@ def main() -> None:
                 "queries_file": "BENCH_FULL_LOCAL.json",
                 "n_queries": len(timings),
                 "sf": sf,
+                "host": telemetry,
             },
             separators=(",", ":"),
         )

@@ -412,10 +412,12 @@ def user_day_key(user_col: str = "user_id", ts_col: str = "ts"):
     """The (user, day) composite activity key the KMV/OPH overlap
     demos sketch over — defined ONCE so the batch theta query and its
     streaming OPH twin can never silently diverge on key semantics
-    (oracle form: CAST(user_id AS VARCHAR) || ':' || CAST(day(ts) AS
-    VARCHAR))."""
+    (oracle form: CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS
+    DATE) AS VARCHAR)). Keyed on the FULL calendar date — a
+    day-of-month key would conflate June 3 with July 3 once the events
+    table spans more than one month."""
     return F.concat(
         F.col(user_col).cast("string"),
         F.lit(":"),
-        F.dayofmonth(ts_col).cast("string"),
+        F.to_date(ts_col).cast("string"),
     )

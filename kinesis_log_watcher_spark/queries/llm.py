@@ -2883,11 +2883,13 @@ def _bpe_train_oracle() -> str:
     "pair_count) is the authentic greedy argmax chain, multi-char "
     "symbols included. Per round on Spark: one explode+hash-agg over "
     "the VOCABULARY symbol strings (corpus-size-independent — the "
-    "Sennrich trick), a 1-row TakeOrderedAndProject argmax broadcast "
-    "into a boundary-delimited leftmost-non-overlapping replace "
-    "(delimiters make merges symbol-boundary-safe), vocab persisted "
-    "per round so round r+1 reads the round-r cache instead of "
-    "re-deriving the chain. At 100 TB the corpus is scanned ONCE to "
+    "Sennrich trick), a 1-row TakeOrderedAndProject argmax collected "
+    "as driver state (the fitted-model pattern) and re-broadcast as "
+    "literals into a boundary-delimited non-overlapping replace "
+    "(delimiters make merges symbol-boundary-safe); the round r−1 "
+    "vocab cache is unpersisted the moment round r materializes, so "
+    "storage holds ONE vocab copy regardless of round count and the "
+    "lineage stays linear. At 100 TB the corpus is scanned ONCE to "
     "build the vocab; every round after is narrow work on the vocab "
     "relation.",
 )
@@ -2907,7 +2909,19 @@ def bpe_train_k_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
     ).coalesce(1).persist()
 
-    merges = []
+    # Per round, the learned state is ONE row (the argmax pair) — exactly
+    # the fitted-centroids shape of Spark's own iterative trainers, so it
+    # lives on the driver and is re-broadcast as string literals. This
+    # keeps the vocab lineage LINEAR (one replace per round over the
+    # round r−1 cache); the earlier crossJoin(broadcast(argmax)) variant
+    # embedded the previous round's plan twice per round, i.e. a 2^k
+    # logical-plan blowup that made driver-side re-analysis the
+    # bottleneck. The superseded vocab cache is unpersisted as soon as
+    # round r materializes, so executor storage holds exactly one vocab
+    # copy no matter how many merge rounds run (at k=32k real-tokenizer
+    # scale, swap the persist chain for localCheckpoint so analysis cost
+    # stays O(1) per round too).
+    merges: list[tuple[int, str, str, int]] = []
     for r in range(1, _BPE_TRAIN_ROUNDS + 1):
         syms = F.split("s", "[|]")  # ['', s1, ..., sm, '']
         n = F.size(syms)
@@ -2928,25 +2942,27 @@ def bpe_train_k_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).agg(F.sum("cnt").cast("long").alias("pair_count"))
         best = counts.orderBy(
             F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc()
-        ).limit(1).persist()
-        merges.append(
-            best.select(
-                F.lit(r).cast("long").alias("round"), "a", "b", "pair_count"
-            )
-        )
-        bm = best.select(F.col("a").alias("_ma"), F.col("b").alias("_mb"))
-        pat = F.concat(F.lit("|"), F.col("_ma"), F.lit("|"), F.col("_mb"), F.lit("|"))
-        rep = F.concat(F.lit("|"), F.col("_ma"), F.col("_mb"), F.lit("|"))
-        v = (
-            v.crossJoin(F.broadcast(bm))
-            .select(F.replace("s", pat, rep).alias("s"), "cnt")
-            .persist()
-        )
+        ).limit(1).collect()
+        if not best:
+            break
+        a, b, pc = best[0]["a"], best[0]["b"], int(best[0]["pair_count"])
+        merges.append((r, a, b, pc))
+        if r == _BPE_TRAIN_ROUNDS:
+            break  # final round contributes only its argmax
+        prev = v
+        v = prev.select(
+            F.replace(
+                "s", F.lit(f"|{a}|{b}|"), F.lit(f"|{a}{b}|")
+            ).alias("s"),
+            "cnt",
+        ).persist()
+        v.count()
+        prev.unpersist()
+    v.unpersist()
 
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out
+    return spark.createDataFrame(
+        merges, "round BIGINT, a STRING, b STRING, pair_count BIGINT"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -43,7 +43,7 @@ _KMV_SPLIT_CASE = {
     f"""
     WITH sub AS (
       SELECT event_type AS split,
-             CAST(user_id AS VARCHAR) || ':' || CAST(day(ts) AS VARCHAR) AS k
+             CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS k
       FROM events
       WHERE event_type IN ('click', 'purchase')),
     hashes AS (
@@ -1183,7 +1183,7 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sh = (
         exploded_shingles(docs, n=3)
-        .select((F.col("doc_id") / 100).cast("long").alias("cohort"), "shingle")
+        .select(F.expr("doc_id div 100").alias("cohort"), "shingle")
         .distinct()
     )
     first = sh.groupBy("shingle").agg(F.min("cohort").alias("first_c"))

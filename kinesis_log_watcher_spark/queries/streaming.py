@@ -826,7 +826,7 @@ def stream_ivf_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH sub AS (
       SELECT event_type AS split,
-             CAST(user_id AS VARCHAR) || ':' || CAST(day(ts) AS VARCHAR) AS k
+             CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS k
       FROM events
       WHERE event_type IN ('click', 'purchase')),
     hh AS (

@@ -31,7 +31,7 @@ DEFAULT_MAX_FETCH_RECORDS = 10_000  # reference's GetRecords Limit (main.go:218)
 
 def reader_options(
     stream_name: str,
-    region: str = "us-east-1",
+    region: str | None = None,
     start_timestamp: datetime | None = None,
     endpoint_url: str | None = None,
     max_fetch_records: int = DEFAULT_MAX_FETCH_RECORDS,
@@ -40,8 +40,10 @@ def reader_options(
     without a connector jar or network). Contract with the reference:
 
     - ``streamName``: positional stream arg (main.go:120-131).
-    - ``region``: --region/-r flag (main.go:68,133-138; connector falls
-      back to the SDK default chain when unset, same as the reference).
+    - ``region``: --region/-r flag (main.go:68,133-138 — the reference
+      only sets a region when the flag is given). Mirrored exactly: the
+      option is OMITTED when region is None so the connector falls back
+      to the SDK default chain, same as the reference.
     - ``startingPosition``: AT_TIMESTAMP iterator (main.go:300-305);
       the reference's default start is now-5m (main.go:66 '--start 5m'),
       which callers express by passing that timestamp; with no
@@ -50,7 +52,6 @@ def reader_options(
     """
     opts = {
         "streamName": stream_name,
-        "region": region,
         "maxFetchRecordsPerShard": str(max_fetch_records),
         "startingPosition": (
             start_timestamp.strftime("%Y-%m-%dT%H:%M:%S.%f+00:00")
@@ -58,6 +59,8 @@ def reader_options(
             else "latest"
         ),
     }
+    if region is not None:
+        opts["region"] = region
     if endpoint_url:
         opts["endpointUrl"] = endpoint_url
     return opts
@@ -66,7 +69,7 @@ def reader_options(
 def read_kinesis_stream(
     spark: SparkSession,
     stream_name: str,
-    region: str = "us-east-1",
+    region: str | None = None,
     start_timestamp: datetime | None = None,
     endpoint_url: str | None = None,
     max_fetch_records: int = DEFAULT_MAX_FETCH_RECORDS,

@@ -18,10 +18,12 @@ from kinesis_log_watcher_spark.sources.kinesis import (
 
 
 def test_option_map_defaults():
+    # no --region flag → no region option: the connector falls back to
+    # the SDK default chain, exactly the reference's flag-only behavior
+    # (main.go:133-138 only sets a region when -r is given)
     opts = reader_options("my-logs")
     assert opts == {
         "streamName": "my-logs",
-        "region": "us-east-1",
         # GetRecords Limit=10000 (main.go:218)
         "maxFetchRecordsPerShard": "10000",
         "startingPosition": "latest",
