@@ -273,6 +273,7 @@ def registry() -> dict[str, Query]:
         mining,
         quality,
         relational,
+        round6,
         sampling,
         streaming,
         tpch_deep,

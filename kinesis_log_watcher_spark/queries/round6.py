@@ -1,0 +1,1210 @@
+"""Round-6 query family: approximate profiling, sketch-vs-exact error
+panels, SQL-front-end parity, suffix-automaton text analysis, CDF quota
+joins, TF-IDF retrieval, saturation curves, watermarked streaming dedup,
+closure-table rollups, ridge regression, robust outliers, and URL domain
+analytics.
+
+Every query keeps the repo-wide determinism contract (queries/base.py
+module docstring): integer-exact arithmetic end to end, or doubles
+derived from exact integers through an op sequence written identically
+in both dialects. Every SUM in oracle SQL is CAST to BIGINT at the
+aggregation site — DuckDB promotes SUM(BIGINT) to HUGEINT, which
+fetchdf() renders as float64 and breaks the driver's dtype-sensitive
+hash on otherwise-equal values (the round-5 key_skew_profile lesson).
+
+Reference parity note: the reference (/root/reference/main.go) is a
+416-line Kinesis tailer with no analytics surface — these operators are
+the SURVEY.md §2.2 "beyond-reference" engine surface, same family as
+queries/llm.py and queries/mining.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from kinesis_log_watcher_spark.functions.exact import dec
+from kinesis_log_watcher_spark.queries.base import load, register
+
+# ---------------------------------------------------------------------------
+# 1. orders_column_profile_approx — the 100 TB twin of orders_column_profile
+# ---------------------------------------------------------------------------
+#
+# The exact profile's six COUNT(DISTINCT)s plan as one Expand (6 streams
+# over the scan). This twin replaces them with one HyperLogLog register
+# table per column: unpivot each row into 6 (col_name, canonical-string)
+# cells, then ONE groupBy(col_name, register) MAX — no Expand, state is
+# 6 x 2^p registers regardless of input size, and per-load register
+# tables merge by the same MAX for incremental profiling.
+
+_PROF_P = 10
+_PROF_M = 1 << _PROF_P
+_PROF_K = 60 - _PROF_P + 1  # 51: rho field width of the 60-bit hash
+_PROF_ALPHA = 0.7213 / (1 + 1.079 / _PROF_M)
+_PROF_ALPHA_NUM = _PROF_ALPHA * _PROF_M * _PROF_M * float(1 << _PROF_K)
+
+# Canonical per-column string representations, shared by both dialects
+# (same reprs the exact profile's min/max columns already bit-match on):
+# ints/dates via their SQL string cast, price via exact int64 cents.
+_PROF_CELLS_SQL = """
+      SELECT 'o_orderkey' AS col_name,
+             CAST(o_orderkey AS VARCHAR) AS repr FROM orders
+      UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL SELECT 'o_totalprice',
+             CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS VARCHAR) FROM orders
+      UNION ALL SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+      UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+"""
+
+
+@register(
+    "orders_column_profile_approx",
+    f"""
+    WITH cells AS (
+{_PROF_CELLS_SQL}
+    ),
+    hashed AS (
+      SELECT col_name,
+             CAST('0x' || substr(md5(repr), 1, 15) AS BIGINT) AS h
+      FROM cells WHERE repr IS NOT NULL),
+    regs AS (
+      SELECT col_name, h % {_PROF_M} AS r,
+             MAX(CASE WHEN (h >> {_PROF_P}) = 0 THEN {_PROF_K}
+                      ELSE {_PROF_K} - length(bin(h >> {_PROF_P})) END)
+               AS m_rho
+      FROM hashed GROUP BY 1, 2),
+    stats AS (
+      SELECT col_name, COUNT(*) AS present,
+             CAST(SUM(1::BIGINT << ({_PROF_K} - m_rho)) AS BIGINT)
+               AS s_present
+      FROM regs GROUP BY 1),
+    est AS (
+      SELECT col_name, {_PROF_M} - present AS v,
+             {_PROF_ALPHA_NUM!r}
+               / (s_present + ({_PROF_M} - present)
+                  * (1::BIGINT << {_PROF_K})) AS e_raw
+      FROM stats),
+    nulls AS (
+      SELECT col_name,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(COUNT(*) - COUNT(repr) AS BIGINT) AS n_nulls
+      FROM cells GROUP BY 1)
+    SELECT n.col_name, n.n_total, n.n_nulls,
+           CAST(floor(CASE WHEN e_raw <= {2.5 * _PROF_M!r} AND v > 0
+                           THEN {float(_PROF_M)!r}
+                                * ln({float(_PROF_M)!r} / v)
+                           ELSE e_raw END + 0.5)
+                AS BIGINT) AS n_distinct_approx
+    FROM nulls n JOIN est e ON n.col_name = e.col_name
+    """,
+    doc="HLL column profile — the 100 TB swap orders_column_profile "
+    "documents: per-column approximate distinct counts from one "
+    f"register aggregation (p={_PROF_P}, {_PROF_M} registers/column) "
+    "instead of six exact COUNT(DISTINCT)s through an Expand. Plan: "
+    "scan -> 6-way stack (rows, not streams) -> groupBy(col, register) "
+    "MAX -> 6-row estimate; register tables from separate loads merge "
+    "by the same MAX, so the profile is append-incremental. Estimates "
+    "are bit-matched against the same HLL math in SQL "
+    "(operators/sketch.py hll_build/hll_estimate, 60-bit md5 hash, "
+    "small-range linear counting).",
+)
+def orders_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.sketch import hll_build, hll_estimate
+
+    orders = load(spark, sf_dir, "orders")
+    cents = (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long")
+    reprs = [
+        ("o_orderkey", F.col("o_orderkey").cast("string")),
+        ("o_custkey", F.col("o_custkey").cast("string")),
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_totalprice", cents.cast("string")),
+        ("o_orderdate", F.col("o_orderdate").cast("string")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+    ]
+    cells = orders.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("col_name"), r.alias("repr"))
+                    for c, r in reprs
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.col_name", "cell.repr")
+    # Cells feed the null-count aggregate and the register table; one
+    # narrow relation, two partial aggs (at scale: persist or compute
+    # nulls in the same pass via a register-row sidecar).
+    cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+    nulls = cells.groupBy("col_name").agg(
+        F.count("*").cast("long").alias("n_total"),
+        (F.count("*") - F.count("repr")).cast("long").alias("n_nulls"),
+    )
+    regs = hll_build(
+        cells.filter(F.col("repr").isNotNull()), "repr", ("col_name",), p=_PROF_P
+    )
+    est = hll_estimate(regs, ("col_name",), p=_PROF_P)
+    return nulls.join(est, "col_name").select(
+        "col_name",
+        "n_total",
+        "n_nulls",
+        F.floor(F.col("est_distinct") + 0.5).cast("long").alias("n_distinct_approx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. minhash_prob_vs_exact_jaccard — sketch error panel
+# ---------------------------------------------------------------------------
+#
+# For every LSH candidate pair, compare the MinHash Jaccard estimate
+# (matching signature components / k) against the exact shingle-set
+# Jaccard, computed candidate-bounded: the pair list drives two posting
+# joins, so cost is |candidates| x shingles-per-doc — never the
+# inverted-index all-co-occurring-pairs blowup. This is the estimator
+# calibration a production dedup pipeline runs on a sample panel before
+# trusting the sketch at full scale.
+
+from kinesis_log_watcher_spark.operators.dedup import (  # noqa: E402
+    MINHASH_BANDS as _R6_BANDS,
+    MINHASH_NUM_HASHES as _R6_K,
+    exploded_shingles,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signature,
+)
+
+_R6_SH_SQL = """
+  sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(string_split(text, ' ')) - 1),
+             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+           ))) AS shingle
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3)
+"""
+_R6_ROWS = _R6_K // _R6_BANDS
+_R6_MH_COLS = ",\n           ".join(
+    f"MIN(md5('{k}|' || shingle)) AS m{k}" for k in range(_R6_K)
+)
+_R6_BAND_SIGS = ",\n           ".join(
+    "md5(" + " || '|' || ".join(f"m{b * _R6_ROWS + r}" for r in range(_R6_ROWS)) + f") AS b{b}"
+    for b in range(_R6_BANDS)
+)
+_R6_BAND_UNION = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {b} AS band, b{b} AS band_sig FROM sigs"
+    for b in range(_R6_BANDS)
+)
+_R6_MATCH_SUM = "\n             + ".join(
+    f"CASE WHEN sa.m{k} = sb.m{k} THEN 1 ELSE 0 END" for k in range(_R6_K)
+)
+
+
+@register(
+    "minhash_prob_vs_exact_jaccard",
+    f"""
+    WITH {_R6_SH_SQL},
+    mh AS (
+      SELECT doc_id,
+           {_R6_MH_COLS}
+      FROM sh GROUP BY doc_id),
+    sigs AS (
+      SELECT doc_id,
+           {_R6_BAND_SIGS}
+      FROM mh),
+    bands AS (
+{_R6_BAND_UNION}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    matches AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({_R6_MATCH_SUM} AS BIGINT) AS match_k
+      FROM cand c
+      JOIN mh sa ON sa.doc_id = c.doc_a
+      JOIN mh sb ON sb.doc_id = c.doc_b)
+    SELECT m.doc_a, m.doc_b, m.match_k,
+           CAST(m.match_k * 1000000 // {_R6_K} AS BIGINT) AS est_micro,
+           CAST(co.inter * 1000000
+                // (za.sz + zb.sz - co.inter) AS BIGINT) AS exact_micro,
+           CAST(abs(m.match_k * 1000000 // {_R6_K}
+                    - co.inter * 1000000 // (za.sz + zb.sz - co.inter))
+                AS BIGINT) AS err_micro
+    FROM matches m
+    JOIN common co ON co.doc_a = m.doc_a AND co.doc_b = m.doc_b
+    JOIN sizes za ON za.doc_id = m.doc_a
+    JOIN sizes zb ON zb.doc_id = m.doc_b
+    """,
+    doc=f"Sketch-accuracy panel: for every MinHash({_R6_K})+LSH"
+    f"({_R6_BANDS} bands) candidate pair, the signature-match Jaccard "
+    "estimate (matching components / k, in exact integer micro units) "
+    "next to the true shingle-set Jaccard and the absolute error. The "
+    "exact side is candidate-bounded — the pair list drives two "
+    "posting equi-joins (pair -> doc_a's shingles -> matching doc_b "
+    "postings), so cost is |candidates| x doc size, never all "
+    "co-occurring pairs; at 100 TB this runs on an LSH-sampled panel "
+    "exactly as written. Integer floor division on both sides "
+    "(micro units), no float Jaccard anywhere.",
+)
+def minhash_prob_vs_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signature(sh, _R6_K).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidate_pairs(lsh_bands(sig, _R6_K, _R6_BANDS)).select(
+        "doc_a", "doc_b"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    common = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    match_k = sum(
+        F.when(F.col(f"a.m{k}") == F.col(f"b.m{k}"), 1).otherwise(0)
+        for k in range(_R6_K)
+    ).cast("long")
+    matches = (
+        cand.join(sig.alias("a"), cand.doc_a == F.col("a.doc_id"))
+        .join(sig.alias("b"), cand.doc_b == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", match_k.alias("match_k"))
+    )
+    # Integer floor division on BOTH sides — float `/` then cast
+    # diverges between engines (DuckDB CAST(double) rounds to nearest,
+    # Spark truncates).
+    est = F.expr(f"match_k * 1000000 div {_R6_K}")
+    exact = F.expr("inter * 1000000 div (sz_a + sz_b - inter)")
+    return (
+        matches.join(common, ["doc_a", "doc_b"])
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "match_k",
+            est.alias("est_micro"),
+            exact.alias("exact_micro"),
+            F.abs(est - exact).alias("err_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. doc_length_histogram_sql — SQL front-end parity
+# ---------------------------------------------------------------------------
+#
+# One SQL text, executed VERBATIM by both engines: Spark runs it through
+# spark.sql() over a temp view, DuckDB runs it as the oracle. This pins
+# the engine's ANSI-SQL front end (Catalyst parses the same string the
+# oracle does) — the strongest possible dialect-parity check.
+
+_LEN_HIST_SHARED_SQL = """
+    SELECT LEAST(CAST(FLOOR(n_chars / 100.0) AS BIGINT), 20) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY LEAST(CAST(FLOOR(n_chars / 100.0) AS BIGINT), 20)
+"""
+
+
+@register(
+    "doc_length_histogram_sql",
+    _LEN_HIST_SHARED_SQL,
+    doc="SQL-front-end parity: the histogram SQL string is shared — "
+    "Spark executes it verbatim via spark.sql() over a temp view and "
+    "the oracle IS the same text. Catalyst plans the GROUP BY exactly "
+    "like the DataFrame twin (doc_length_histogram): scan with "
+    "n_chars-only ReadSchema -> partial agg -> final agg, one shuffle "
+    "on the 21-value bucket key (tiny, AQE coalesces).",
+)
+def doc_length_histogram_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_LEN_HIST_SHARED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# 4. suffix_automaton_repeat_mass — linear-time distinct-substring kernel
+# ---------------------------------------------------------------------------
+#
+# Per-document distinct-substring counting is the one text statistic in
+# the family that no relational plan expresses: the suffix automaton
+# computes it in O(L) per document (sum over states of len[v] -
+# len[link[v]]), where SQL needs O(L^2) substring enumeration. The
+# kernel runs as an Arrow-batched mapInPandas (the engine's designated
+# slow path: JVM cannot express it, so a vectorized Python kernel with
+# zero shuffle — each doc is independent), and the relational layer
+# aggregates the per-doc stats. The oracle brute-forces the same counts
+# by enumerating all O(L^2) substrings in SQL — feasible because both
+# sides cap the analysis window at the first _SAM_CAP characters
+# (sf0.01's 500-doc oracle enumerates ~1M substrings).
+
+_SAM_CAP = 64
+
+
+def _sam_distinct_substrings(s: str) -> int:
+    """Suffix-automaton distinct substring count, O(len(s)).
+
+    Standard online SAM construction (Blumer et al. 1985); the number
+    of distinct substrings is the sum over non-initial states of
+    len[v] - len[link[v]].
+    """
+    sa_len = [0]
+    sa_link = [-1]
+    trans: list[dict[str, int]] = [{}]
+    last = 0
+    for ch in s:
+        cur = len(sa_len)
+        sa_len.append(sa_len[last] + 1)
+        sa_link.append(-1)
+        trans.append({})
+        p = last
+        while p != -1 and ch not in trans[p]:
+            trans[p][ch] = cur
+            p = sa_link[p]
+        if p == -1:
+            sa_link[cur] = 0
+        else:
+            q = trans[p][ch]
+            if sa_len[p] + 1 == sa_len[q]:
+                sa_link[cur] = q
+            else:
+                clone = len(sa_len)
+                sa_len.append(sa_len[p] + 1)
+                sa_link.append(sa_link[q])
+                trans.append(dict(trans[q]))
+                while p != -1 and trans[p].get(ch) == q:
+                    trans[p][ch] = clone
+                    p = sa_link[p]
+                sa_link[q] = clone
+                sa_link[cur] = clone
+        last = cur
+    return sum(sa_len[v] - sa_len[sa_link[v]] for v in range(1, len(sa_len)))
+
+
+@register(
+    "suffix_automaton_repeat_mass",
+    f"""
+    WITH pref AS (
+      SELECT doc_id, lang, substr(text, 1, {_SAM_CAP}) AS s,
+             length(substr(text, 1, {_SAM_CAP})) AS L
+      FROM documents
+      WHERE length(substr(text, 1, {_SAM_CAP})) >= 1),
+    subs AS (
+      SELECT doc_id, substr(s, CAST(i AS INTEGER), CAST(j AS INTEGER)) AS sub
+      FROM pref,
+           LATERAL unnest(range(1, L + 1)) AS t1(i),
+           LATERAL unnest(range(1, L + 1)) AS t2(j)
+      WHERE i + j <= L + 1),
+    per_doc AS (
+      SELECT p.doc_id, p.lang, p.L,
+             (SELECT COUNT(DISTINCT sub) FROM subs
+              WHERE subs.doc_id = p.doc_id) AS nd
+      FROM pref p)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(L * (L + 1) // 2) AS BIGINT) AS total_substrings,
+           CAST(SUM(nd) AS BIGINT) AS distinct_substrings,
+           CAST(SUM(L * (L + 1) // 2 - nd) AS BIGINT) AS repeat_mass
+    FROM per_doc GROUP BY lang
+    """,
+    doc="Suffix-automaton text analysis: per-language repeated-substring "
+    f"mass over each document's first {_SAM_CAP} chars — "
+    "total_substrings L(L+1)/2 minus the distinct-substring count, the "
+    "classic SAM statistic (sum of len[v]-len[link[v]]; Blumer et al. "
+    "1985). The O(L) kernel runs as an Arrow-batched mapInPandas (no "
+    "relational plan expresses it; each doc independent -> zero "
+    "shuffle before the final tiny groupBy), the oracle brute-forces "
+    "the same counts by O(L^2) SQL substring enumeration. High repeat "
+    "mass flags machine-generated/template text for quality filtering.",
+)
+def suffix_automaton_repeat_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+
+    def kernel(batches):
+        for pdf in batches:
+            prefixes = pdf["text"].astype(str).str.slice(0, _SAM_CAP)
+            mask = prefixes.str.len() >= 1
+            prefixes = prefixes[mask]
+            langs = pdf["lang"][mask]
+            ls = prefixes.str.len().astype("int64")
+            nd = prefixes.map(_sam_distinct_substrings).astype("int64")
+            yield pd.DataFrame(
+                {"lang": langs, "L": ls, "nd": nd}
+            )
+
+    per_doc = docs.mapInPandas(kernel, schema="lang string, L long, nd long")
+    total = (F.col("L") * (F.col("L") + 1) / 2).cast("long")
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(total).cast("long").alias("total_substrings"),
+        F.sum("nd").cast("long").alias("distinct_substrings"),
+        F.sum(total - F.col("nd")).cast("long").alias("repeat_mass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. cdf_stratified_quota_join — per-stratum exact quantile thresholds
+# ---------------------------------------------------------------------------
+
+_CDF_PCTS = (25, 50, 75)
+
+
+@register(
+    "cdf_stratified_quota_join",
+    f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents),
+    pcts AS (SELECT unnest(ARRAY{list(_CDF_PCTS)}) AS p),
+    thresholds AS (
+      SELECT r.source, p.p, r.n_chars AS thresh_chars,
+             CAST(r.n AS BIGINT) AS n_total
+      FROM ranked r JOIN pcts p
+        ON r.rn = (p.p * r.n + 99) // 100)
+    SELECT t.source, CAST(t.p AS BIGINT) AS p, t.thresh_chars, t.n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_le
+    FROM thresholds t
+    JOIN documents d ON d.source = t.source AND d.n_chars <= t.thresh_chars
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="CDF quota join: per-stratum exact type-1 quantile thresholds "
+    f"(p in {_CDF_PCTS}) picked by ordered rank (rn == ceil(p*n/100), "
+    "deterministic tie-break on doc_id), then the tiny threshold "
+    "relation joins BACK to the corpus to evaluate the empirical CDF "
+    "at each threshold — the quantile-capped admission pattern a "
+    "curation pipeline uses to cap per-source length outliers. One "
+    "window sort per stratum + one broadcast-able threshold join; at "
+    "100 TB swap the exact rank for the mergeable histogram sketch "
+    "(operators/sketch.py) and keep the identical join shape. n_le is "
+    "threshold-value based (count of n_chars <= thresh), so the "
+    "result is independent of tie-break choices.",
+)
+def cdf_stratified_quota_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    pcts = F.explode(F.array(*[F.lit(p) for p in _CDF_PCTS])).alias("p")
+    thresholds = (
+        ranked.select("source", "n_chars", "rn", "n", pcts)
+        .filter(F.col("rn") == F.expr("(p * n + 99) div 100"))
+        .select(
+            "source",
+            F.col("p").cast("long").alias("p"),
+            F.col("n_chars").alias("thresh_chars"),
+            F.col("n").cast("long").alias("n_total"),
+        )
+    )
+    corpus = docs.select(
+        F.col("source").alias("d_source"), F.col("n_chars").alias("d_chars")
+    )
+    return (
+        corpus.join(
+            F.broadcast(thresholds),
+            on=[
+                F.col("d_source") == F.col("source"),
+                F.col("d_chars") <= F.col("thresh_chars"),
+            ],
+        )
+        .groupBy("source", "p", "thresh_chars", "n_total")
+        .agg(F.count("*").cast("long").alias("n_le"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. tfidf_cosine_pairs — sparse TF-IDF cosine via rare-term blocking
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOP = 20
+_TFIDF_BLOCK_DF_MIN = 2
+_TFIDF_BLOCK_DF_MAX = 20
+# Shared double expression: cosine from exact int64 dot/norms, written
+# once so both engines execute the identical IEEE op sequence.
+_COS_EXPR = (
+    "CAST(floor(CAST(dot AS DOUBLE)"
+    " / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "tfidf_cosine_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, len(string_split(text, ' ')) - 1),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+             )) AS term
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2),
+    n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * CAST(floor(ln((n.n + 1.0) / (df.df + 1.0)) * 1000.0
+                                + 0.5) AS BIGINT) AS w
+      FROM tf JOIN df USING (term) CROSS JOIN n_docs n),
+    norms AS (
+      SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS norm2
+      FROM w GROUP BY doc_id),
+    blockers AS (
+      SELECT term FROM df
+      WHERE df BETWEEN {_TFIDF_BLOCK_DF_MIN} AND {_TFIDF_BLOCK_DF_MAX}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM tf a JOIN tf b USING (term) JOIN blockers USING (term)
+      WHERE a.doc_id < b.doc_id),
+    dots AS (
+      SELECT c.doc_a, c.doc_b, CAST(SUM(wa.w * wb.w) AS BIGINT) AS dot
+      FROM cand c
+      JOIN w wa ON wa.doc_id = c.doc_a
+      JOIN w wb ON wb.doc_id = c.doc_b AND wb.term = wa.term
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT d.doc_a, d.doc_b,
+             {_COS_EXPR} AS cos_micro
+      FROM (SELECT doc_a, doc_b, dot FROM dots) d
+      JOIN (SELECT doc_id, norm2 AS na FROM norms) x ON x.doc_id = d.doc_a
+      JOIN (SELECT doc_id, norm2 AS nb FROM norms) y ON y.doc_id = d.doc_b)
+    SELECT doc_a, doc_b, cos_micro FROM scored
+    ORDER BY cos_micro DESC, doc_a, doc_b LIMIT {_TFIDF_TOP}
+    """,
+    doc="Sparse TF-IDF cosine similarity between documents over 3-gram "
+    "terms: weights are exact int64 (tf x milli-quantized idf), so "
+    "dots and norms are order-free integer sums; the cosine is one "
+    "shared IEEE expression over those exact ints. Candidates come "
+    f"from rare-term blocking (df in [{_TFIDF_BLOCK_DF_MIN}, "
+    f"{_TFIDF_BLOCK_DF_MAX}] posting join — the inverted-index "
+    "discipline every near-dup operator in this repo follows), then "
+    "the FULL dot product is computed candidate-bounded (pair -> "
+    "doc_a postings -> matching doc_b postings), so hot terms still "
+    "contribute weight without ever joining their postings. Top-"
+    f"{_TFIDF_TOP} pairs, total order (cos DESC, doc_a, doc_b).",
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    # Term occurrences WITH multiplicity (TF needs counts, so no
+    # array_distinct — exploded_shingles dedups per doc and would lose tf).
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+    )
+    tf = (
+        docs.filter(F.size(words) >= 3)
+        .select("doc_id", F.explode(grams).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = docs.count()
+    df_rel = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf_milli = F.floor(
+        F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) * 1000.0 + 0.5
+    ).cast("long")
+    w = (
+        tf.join(df_rel, "term")
+        .select("doc_id", "term", (F.col("tf") * idf_milli).alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).cast("long").alias("norm2"))
+    blockers = df_rel.filter(
+        (F.col("df") >= _TFIDF_BLOCK_DF_MIN) & (F.col("df") <= _TFIDF_BLOCK_DF_MAX)
+    ).select("term")
+    posting = tf.join(blockers, "term").select("term", "doc_id")
+    cand = (
+        posting.select("term", F.col("doc_id").alias("doc_a"))
+        .join(posting.select("term", F.col("doc_id").alias("doc_b")), "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    dots = (
+        cand.join(
+            w.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")),
+            "doc_a",
+        )
+        .join(
+            w.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")),
+            ["doc_b", "term"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"))
+    )
+    scored = (
+        dots.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("na")), "doc_a")
+        .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", F.expr(_COS_EXPR).alias("cos_micro"))
+    )
+    return scored.orderBy(
+        F.col("cos_micro").desc(), "doc_a", "doc_b"
+    ).limit(_TFIDF_TOP)
+
+
+# ---------------------------------------------------------------------------
+# 7. saturating_union_curve — vocabulary saturation (Heaps curve)
+# ---------------------------------------------------------------------------
+
+_SAT_BUCKETS = 20
+
+
+@register(
+    "saturating_union_curve",
+    f"""
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS span FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, len(string_split(text, ' ')) - 1),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+             )) AS tok
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    first_seen AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+    bucketed AS (
+      SELECT CAST((first_doc * {_SAT_BUCKETS}) // span AS BIGINT) AS bucket
+      FROM first_seen CROSS JOIN mx),
+    counts AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM bucketed GROUP BY bucket)
+    SELECT bucket, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_vocab
+    FROM counts
+    """,
+    doc="Data-scaling saturation curve (Heaps' law): split the corpus "
+    f"into {_SAT_BUCKETS} ingest buckets by doc_id and count how many "
+    "NEW 3-gram vocabulary entries each bucket contributes (each gram "
+    "attributed to the bucket of its first-seen doc via MIN(doc_id) — "
+    "one aggregation, no per-prefix rescans), plus the cumulative "
+    "distinct curve. Answers 'is more data still adding vocabulary?' "
+    "with one gram shuffle and a 20-row window — at 100 TB the same "
+    "plan, with MIN as the order-free merge (or HLL per bucket for "
+    "estimate-only curves).",
+)
+def saturating_union_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    span = docs.agg((F.max("doc_id") + 1).alias("span"))
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+    )
+    first_seen = (
+        docs.filter(F.size(words) >= 3)
+        .select("doc_id", F.explode(grams).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    counts = (
+        first_seen.crossJoin(F.broadcast(span))
+        .select(
+            F.expr(f"(first_doc * {_SAT_BUCKETS}) div span").cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_new"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return counts.select(
+        "bucket", "n_new", F.sum("n_new").over(w).cast("long").alias("cum_vocab")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. stream_watermark_dedup_ids — dropDuplicatesWithinWatermark
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_watermark_dedup_ids",
+    """
+    SELECT DISTINCT user_id, event_type,
+           date_trunc('minute', ts) AS minute_ts
+    FROM events
+    """,
+    doc="Watermark-bounded streaming dedup: dropDuplicatesWithinWatermark "
+    "on (user_id, event_type, minute(ts)) — unlike dropDuplicates, the "
+    "state store evicts keys once the watermark passes them, so the "
+    "dedup state is bounded by the lateness window instead of growing "
+    "with the keyspace forever (THE requirement for dedup over an "
+    "unbounded 100 TB/day stream). The replay sets the delay past the "
+    "bounded input's time span, so the output is exactly the batch "
+    "DISTINCT the oracle computes; production trades the delay down "
+    "to its real out-of-orderness bound with the identical plan "
+    "(streaming/windows.py run_watermark_dedup).",
+)
+def stream_watermark_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.windows import run_watermark_dedup
+
+    return run_watermark_dedup(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 9. taxonomy_rollup_closure — closure-table rollup over a node hierarchy
+# ---------------------------------------------------------------------------
+#
+# Hierarchy from the part catalog: ROOT -> p_type -> p_type|p_brand ->
+# part. The ancestor closure is materialized by iterated self-joins
+# (depth-doubling would be log2(depth); the catalog depth is 3 so two
+# chained joins suffice), then lineitem revenue rolls up to EVERY
+# ancestor with one fact-to-closure join — the standard way to answer
+# subtree aggregates over arbitrary-depth taxonomies without per-level
+# reshuffles. Oracle: recursive CTE computing the identical closure.
+
+
+@register(
+    "taxonomy_rollup_closure",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT 'P' || CAST(p_partkey AS VARCHAR) AS child,
+             'B|' || p_type || '|' || p_brand AS parent
+      FROM part
+      UNION ALL
+      SELECT DISTINCT 'B|' || p_type || '|' || p_brand, 'T|' || p_type
+      FROM part
+      UNION ALL
+      SELECT DISTINCT 'T|' || p_type, 'ROOT' FROM part),
+    closure AS (
+      SELECT child AS node, parent AS anc FROM edges
+      UNION ALL
+      SELECT c.node, e.parent
+      FROM closure c JOIN edges e ON c.anc = e.child),
+    leaf_rev AS (
+      SELECT 'P' || CAST(p.p_partkey AS VARCHAR) AS node,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+      GROUP BY 1),
+    rollup AS (
+      SELECT cl.anc AS node,
+             CAST(SUM(r.cents) AS BIGINT) AS revenue_cents,
+             CAST(SUM(r.n_lines) AS BIGINT) AS n_lines,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM closure cl JOIN leaf_rev r ON r.node = cl.node
+      GROUP BY 1)
+    SELECT node,
+           CAST(CASE WHEN node = 'ROOT' THEN 0
+                     WHEN node LIKE 'T|%' THEN 1
+                     ELSE 2 END AS BIGINT) AS level,
+           n_parts, n_lines, revenue_cents
+    FROM rollup
+    """,
+    doc="Closure-table taxonomy rollup: materialize the ancestor "
+    "closure of the ROOT -> p_type -> p_type|p_brand -> part hierarchy "
+    "by iterated equi-joins (2 chained joins for depth 3; the general "
+    "pattern is the large-star iteration dedup_clusters already uses "
+    "for unbounded depth), then roll lineitem revenue up to EVERY "
+    "ancestor with ONE fact-to-closure join — subtree aggregates over "
+    "an arbitrary-depth taxonomy without per-level reshuffles. Oracle "
+    "= recursive CTE computing the identical closure. Revenue in "
+    "exact int64 cents; internal nodes only (leaves repeat leaf_rev).",
+)
+def taxonomy_rollup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    lineitem = load(spark, sf_dir, "lineitem")
+    leaf = F.concat(F.lit("P"), F.col("p_partkey").cast("string"))
+    brand_node = F.concat(F.lit("B|"), F.col("p_type"), F.lit("|"), F.col("p_brand"))
+    type_node = F.concat(F.lit("T|"), F.col("p_type"))
+    edges = (
+        part.select(leaf.alias("child"), brand_node.alias("parent"))
+        .distinct()
+        .unionAll(part.select(brand_node.alias("child"), type_node.alias("parent")).distinct())
+        .unionAll(part.select(type_node.alias("child"), F.lit("ROOT").alias("parent")).distinct())
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Ancestor closure by iterated self-join: depth-1 edges, then chain
+    # through the parent pointer twice (catalog depth 3). For unbounded
+    # DAGs the loop runs to fixpoint with doubling — O(log depth) rounds.
+    closure = edges.select(F.col("child").alias("node"), F.col("parent").alias("anc"))
+    frontier = closure
+    up = edges.select(F.col("child").alias("anc"), F.col("parent").alias("next_anc"))
+    for _ in range(2):
+        frontier = frontier.join(up, "anc").select(
+            "node", F.col("next_anc").alias("anc")
+        )
+        closure = closure.unionAll(frontier)
+    leaf_rev = (
+        part.join(lineitem, part.p_partkey == lineitem.l_partkey)
+        .groupBy(leaf.alias("node"))
+        .agg(
+            F.sum((dec(F.col("l_extendedprice"), 12, 2) * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+    level = (
+        F.when(F.col("node") == "ROOT", 0)
+        .when(F.col("node").startswith("T|"), 1)
+        .otherwise(2)
+        .cast("long")
+    )
+    return (
+        closure.withColumnRenamed("node", "leaf_node")
+        .join(leaf_rev.withColumnRenamed("node", "leaf_node"), "leaf_node")
+        .groupBy(F.col("anc").alias("node"))
+        .agg(
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.count("*").cast("long").alias("n_parts"),
+        )
+        .select("node", level.alias("level"), "n_parts", "n_lines", "revenue_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 10. ols_ridge_normal_eq — ridge regression via exact normal equations
+# ---------------------------------------------------------------------------
+#
+# y = l_extendedprice (cents), x1 = l_quantity, x2 = l_discount (pct
+# points): solve (X'X + lambda*I) beta = X'y for [intercept, b1, b2] by
+# Cramer's rule on the 3x3 system. Every moment is an exact int64
+# (decimal sums of integer-valued columns), so both engines feed the
+# IDENTICAL doubles into the IDENTICAL shared expression text — the
+# closed form is bit-reproducible. One scan, one 1-row aggregate: the
+# normal-equations trick that trains linear models on 100 TB with a
+# single reduce (d^2 moments), no gradient iterations.
+
+_RIDGE_LAMBDA = 1000
+
+# Shared Cramer expressions over the moment columns (m_* are exact
+# int64 -> CAST to DOUBLE once, in the moment list below).
+_RIDGE_DET = (
+    "(a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)"
+    " + a13*(a12*a23 - a22*a13))"
+)
+_RIDGE_EXPRS = [
+    # det(A with column i replaced by b) / det(A), quantized to micro
+    f"CAST(floor((b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)"
+    f" + a13*(b2*a23 - a22*b3)) / {_RIDGE_DET} * 1000000.0 + 0.5)"
+    " AS BIGINT) AS beta0_micro",
+    f"CAST(floor((a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13)"
+    f" + a13*(a12*b3 - b2*a13)) / {_RIDGE_DET} * 1000000.0 + 0.5)"
+    " AS BIGINT) AS beta1_micro",
+    f"CAST(floor((a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13)"
+    f" + b1*(a12*a23 - a22*a13)) / {_RIDGE_DET} * 1000000.0 + 0.5)"
+    " AS BIGINT) AS beta2_micro",
+    "CAST(n AS BIGINT) AS n",
+]
+
+
+@register(
+    "ols_ridge_normal_eq",
+    f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx1,
+             CAST(SUM(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS sx2,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx1x1,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(CAST(l_discount AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS sx1x2,
+             CAST(SUM(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      * CAST(CAST(l_discount AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS sx2x2,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS sx1y,
+             CAST(SUM(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)
+                      * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS sx2y
+      FROM lineitem),
+    d AS (
+      SELECT n,
+             CAST(n AS DOUBLE) + {float(_RIDGE_LAMBDA)!r} AS a11,
+             CAST(sx1 AS DOUBLE) AS a12,
+             CAST(sx2 AS DOUBLE) AS a13,
+             CAST(sx1x1 AS DOUBLE) + {float(_RIDGE_LAMBDA)!r} AS a22,
+             CAST(sx1x2 AS DOUBLE) AS a23,
+             CAST(sx2x2 AS DOUBLE) + {float(_RIDGE_LAMBDA)!r} AS a33,
+             CAST(sy AS DOUBLE) AS b1,
+             CAST(sx1y AS DOUBLE) AS b2,
+             CAST(sx2y AS DOUBLE) AS b3
+      FROM m)
+    SELECT {", ".join(_RIDGE_EXPRS)} FROM d
+    """,
+    doc="Ridge regression by normal equations: price_cents ~ quantity + "
+    "discount_pct, solved in closed form by Cramer's rule on "
+    f"(X'X + {_RIDGE_LAMBDA}*I). All nine moments are exact int64 "
+    "decimal sums computed in ONE scan / ONE 1-row reduce (the d^2-"
+    "moment trick that fits linear models on 100 TB without gradient "
+    "iterations), and the 3x3 solve is a SHARED expression string both "
+    "engines execute over identical doubles — bit-reproducible betas, "
+    "micro-quantized.",
+)
+def ols_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    disc = (dec(F.col("l_discount"), 12, 2) * 100).cast("long")
+    price = (dec(F.col("l_extendedprice"), 12, 2) * 100).cast("long")
+    m = li.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(q).cast("long").alias("sx1"),
+        F.sum(disc).cast("long").alias("sx2"),
+        F.sum(price).cast("long").alias("sy"),
+        F.sum(q * q).cast("long").alias("sx1x1"),
+        F.sum(q * disc).cast("long").alias("sx1x2"),
+        F.sum(disc * disc).cast("long").alias("sx2x2"),
+        F.sum(q * price).cast("long").alias("sx1y"),
+        F.sum(disc * price).cast("long").alias("sx2y"),
+    )
+    lam = repr(float(_RIDGE_LAMBDA))
+    d = m.selectExpr(
+        "n",
+        f"CAST(n AS DOUBLE) + {lam} AS a11",
+        "CAST(sx1 AS DOUBLE) AS a12",
+        "CAST(sx2 AS DOUBLE) AS a13",
+        f"CAST(sx1x1 AS DOUBLE) + {lam} AS a22",
+        "CAST(sx1x2 AS DOUBLE) AS a23",
+        f"CAST(sx2x2 AS DOUBLE) + {lam} AS a33",
+        "CAST(sy AS DOUBLE) AS b1",
+        "CAST(sx1y AS DOUBLE) AS b2",
+        "CAST(sx2y AS DOUBLE) AS b3",
+    )
+    return d.selectExpr(*_RIDGE_EXPRS)
+
+
+# ---------------------------------------------------------------------------
+# 11. robust_zscore_outliers — median/MAD outlier profile per group
+# ---------------------------------------------------------------------------
+#
+# Robust statistics for data quality: per order priority, the exact
+# lower median of the price distribution, the median absolute
+# deviation, and how many orders sit beyond the standard 3.5-MAD fence.
+# Unlike mean/stddev profiles (price_outlier_profile), the breakdown
+# point is 50% — a corrupted feed cannot drag the fence. All integer:
+# medians by ordered rank, the fence test cross-multiplied
+# (1000*|x-med| > 3500*mad) so no division happens at all.
+
+
+@register(
+    "robust_zscore_outliers",
+    """
+    WITH cents AS (
+      SELECT o_orderpriority AS prio, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM orders),
+    med AS (
+      SELECT prio, c AS med_cents FROM (
+        SELECT prio, c,
+               ROW_NUMBER() OVER (PARTITION BY prio
+                                  ORDER BY c, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY prio) AS n
+        FROM cents)
+      WHERE rn = (n + 1) // 2),
+    dev AS (
+      SELECT c.prio, c.c, abs(c.c - m.med_cents) AS ad, m.med_cents
+      FROM cents c JOIN med m ON m.prio = c.prio),
+    mad AS (
+      SELECT prio, ad AS mad_cents FROM (
+        SELECT prio, ad,
+               ROW_NUMBER() OVER (PARTITION BY prio ORDER BY ad) AS rn,
+               COUNT(*) OVER (PARTITION BY prio) AS n
+        FROM dev)
+      WHERE rn = (n + 1) // 2)
+    SELECT d.prio,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(d.med_cents) AS med_cents,
+           MIN(GREATEST(md.mad_cents, 1)) AS mad_cents,
+           CAST(SUM(CASE WHEN 1000 * d.ad
+                              > 3500 * GREATEST(md.mad_cents, 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad md ON md.prio = d.prio
+    GROUP BY d.prio
+    """,
+    doc="Robust outlier profile: per order priority, exact lower median "
+    "(rank (n+1)/2, doc-key tie-break) and median absolute deviation "
+    "by two ordered windows, then the 3.5-MAD fence evaluated by "
+    "integer cross-multiplication (1000*|x-med| > 3500*mad) — no "
+    "division, no floats, 50% breakdown point vs the mean/std profile. "
+    "Scale: two window sorts per group (5 groups) + one broadcast "
+    "median join; at 100 TB swap exact ranks for the mergeable "
+    "histogram sketch and keep the fence arithmetic.",
+)
+def robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        "o_orderkey",
+        (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long").alias("c"),
+    )
+    wp = Window.partitionBy("prio")
+    med = (
+        cents.select(
+            "prio",
+            "c",
+            F.row_number().over(wp.orderBy("c", "o_orderkey")).alias("rn"),
+            F.count("*").over(wp).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("prio", F.col("c").alias("med_cents"))
+    )
+    dev = cents.join(F.broadcast(med), "prio").select(
+        "prio", "c", F.abs(F.col("c") - F.col("med_cents")).alias("ad"), "med_cents"
+    )
+    mad = (
+        dev.select(
+            "prio",
+            "ad",
+            F.row_number().over(wp.orderBy("ad")).alias("rn"),
+            F.count("*").over(wp).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("prio", F.greatest(F.col("ad"), F.lit(1)).alias("mad_cents"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "prio")
+        .groupBy("prio")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("med_cents").alias("med_cents"),
+            F.min("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.lit(1000) * F.col("ad") > F.lit(3500) * F.col("mad_cents"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 12. url_domain_aggregate — URL parsing + registrable-domain rollup
+# ---------------------------------------------------------------------------
+#
+# The per-domain rollup every web-corpus curation run starts with. The
+# documents table carries no URL column, so both dialects construct the
+# SAME deterministic URL per doc (documented synthetic input — the same
+# convention pagerank_two_rounds uses to build its graph); the OPERATOR
+# under test is the parsing: Spark uses the built-in parse_url
+# (HOST/PATH/QUERY — JVM-side, codegen'd), the oracle re-derives the
+# parts independently with string algebra, so a parse divergence fails
+# the hash.
+
+_URL_SQL = """
+      SELECT doc_id, lang, source,
+             'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+             || source || CAST(doc_id % 7 AS VARCHAR) || '.example.com/'
+             || lang || '/page-' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 5 = 0 THEN '?ref=rss' ELSE '' END AS url
+      FROM documents
+"""
+
+
+@register(
+    "url_domain_aggregate",
+    f"""
+    WITH urls AS (
+{_URL_SQL}
+    ),
+    parsed AS (
+      SELECT doc_id, lang,
+             string_split(string_split(url, '://')[2], '/')[1] AS host,
+             string_split(string_split(url, '://')[2], '/')[2] AS path_seg1,
+             CASE WHEN url LIKE '%?%'
+                  THEN string_split(url, '?')[2] END AS query
+      FROM urls),
+    reg AS (
+      SELECT doc_id, lang, host, path_seg1, query,
+             array_to_string(list_slice(string_split(host, '.'),
+                 len(string_split(host, '.')) - 1,
+                 len(string_split(host, '.'))), '.') AS reg_domain
+      FROM parsed)
+    SELECT reg_domain, path_seg1 AS path_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(SUM(CASE WHEN query = 'ref=rss' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tracked
+    FROM reg
+    GROUP BY 1, 2
+    """,
+    doc="URL/domain analytics: parse host, first path segment, and query "
+    "string with Spark's built-in parse_url (JVM, codegen), reduce the "
+    "host to its registrable domain (last two labels — strips www. and "
+    "shard prefixes), and roll up doc counts, distinct hosts, and "
+    "tracking-tagged fetches per (domain, path-language). The oracle "
+    "re-derives every part with independent string algebra over the "
+    "same deterministically constructed URLs (the documents table has "
+    "no URL column; construction is the documented synthetic input, "
+    "parsing is the operator under test). Scale: pure narrow maps + "
+    "one aggregation — the standard first pass over a crawl manifest.",
+)
+def url_domain_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/page-"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?ref=rss")).otherwise(F.lit("")),
+    )
+    parsed = docs.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+    )
+    labels = F.split(F.col("host"), "\\.")
+    reg_domain = F.concat_ws(
+        ".", F.slice(labels, F.size(labels) - 1, 2)
+    )
+    path_lang = F.split(F.col("path"), "/")[1]
+    return (
+        parsed.select(
+            reg_domain.alias("reg_domain"),
+            path_lang.alias("path_lang"),
+            "host",
+            "query",
+        )
+        .groupBy("reg_domain", "path_lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.sum(F.when(F.col("query") == "ref=rss", 1).otherwise(0))
+            .cast("long")
+            .alias("n_tracked"),
+        )
+    )

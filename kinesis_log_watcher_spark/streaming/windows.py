@@ -136,6 +136,49 @@ def run_streaming_dedup(
     return spark.table(name)
 
 
+def run_watermark_dedup(
+    spark: SparkSession,
+    events_path: str,
+    delay: str = "400 days",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Watermark-bounded streaming dedup: ``dropDuplicatesWithinWatermark``
+    on (user_id, event_type, minute(ts)). Unlike ``dropDuplicates``, the
+    state store EVICTS keys once the watermark passes them — state is
+    bounded by the lateness window, not the keyspace, which is the only
+    viable dedup shape over an unbounded stream.
+
+    The default delay exceeds the bounded replay's whole time span, so
+    every duplicate is in-watermark and the output equals the batch
+    DISTINCT (the oracle). Production uses its real out-of-orderness
+    bound (minutes) with the identical plan; correctness then holds for
+    duplicates within the bound — the documented semantics.
+    """
+    ensure_session_confs(spark)
+    stream = normalize_ts_cols(read_parquet_stream(spark, events_path))
+    deduped = (
+        stream.withWatermark("ts", delay)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("minute_ts"),
+            F.col("ts"),
+        )
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute_ts"])
+        .select("user_id", "event_type", "minute_ts")
+    )
+    name = f"stream_wm_dedup_{next(_counter)}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, timeout_s)
+    return spark.table(name)
+
+
 def run_sliding_counts(
     spark: SparkSession,
     events_path: str,

@@ -31,11 +31,12 @@ def test_bench_emits_single_json_line(tmp_path):
     # noop-materialize timing, budget fill, sidecar write) without the
     # ~3-minute full-registry run; SPARK_GRAFT_BENCH_FULL_PATH keeps
     # the committed per-round BENCH_FULL_LOCAL.json untouched.
+    # 5 queries keep the contract exercise (warm-up, timing, budget
+    # fill, sidecar) while shaving ~20s off the subprocess JVM run; the
+    # mix still spans a join, a groupBy, a dedup, and a sketch.
     subset = (
-        "pricing_summary,events_time_filter,top_orders,dedup_exact,"
-        "lang_id_stopwords,doc_quality_scores,nation_set_ops,"
-        "orders_multisort,hll_user_distinct,value_quantile_hist,"
-        "customers_per_region,kmv_theta_set_ops"
+        "pricing_summary,top_orders,dedup_exact,"
+        "hll_user_distinct,customers_per_region"
     )
     full_out = tmp_path / "bench_full.json"
     env = dict(
@@ -58,7 +59,7 @@ def test_bench_emits_single_json_line(tmp_path):
         assert key in d, key
     assert d["unit"] == "sec" and d["value"] > 0
     assert abs(d["sf"] - 0.001) < 1e-9
-    assert d["n_queries"] == 12
+    assert d["n_queries"] == 5
     full = json.loads(full_out.read_text())
     assert set(full["queries"]) == set(subset.split(","))
 

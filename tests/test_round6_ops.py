@@ -1,0 +1,206 @@
+"""Round-6 operator tests: suffix-automaton kernel, closure rollup,
+sketch-error panel, ridge closed form, watermarked streaming dedup, URL
+parsing, CDF quota thresholds, and the HLL column profile."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_log_watcher_spark.queries import registry
+from kinesis_log_watcher_spark.queries.base import load
+
+
+def _q(name):
+    return registry()[name].fn
+
+
+# ---------------------------------------------------------------------------
+# suffix automaton kernel
+# ---------------------------------------------------------------------------
+
+
+def _brute_distinct_substrings(s: str) -> int:
+    return len({s[i:j] for i in range(len(s)) for j in range(i + 1, len(s) + 1)})
+
+
+def test_sam_kernel_matches_brute_force():
+    from kinesis_log_watcher_spark.queries.round6 import _sam_distinct_substrings
+
+    rng = random.Random(42)
+    cases = ["", "a", "aa", "ab", "abab", "aaaa", "banana"]
+    cases += [
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 40)))
+        for _ in range(30)
+    ]
+    cases += [
+        "".join(rng.choice("abcde ") for _ in range(rng.randint(1, 60)))
+        for _ in range(20)
+    ]
+    for s in cases:
+        assert _sam_distinct_substrings(s) == _brute_distinct_substrings(s), s
+
+
+def test_repeat_mass_accounting(spark, sf_dir):
+    rows = _q("suffix_automaton_repeat_mass")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # mass identity and bounds: 0 <= repeat <= total, distinct >= L
+        assert r.repeat_mass == r.total_substrings - r.distinct_substrings
+        assert 0 <= r.repeat_mass <= r.total_substrings
+        assert r.n_docs > 0
+
+
+# ---------------------------------------------------------------------------
+# taxonomy closure rollup
+# ---------------------------------------------------------------------------
+
+
+def test_taxonomy_root_equals_total_and_levels(spark, sf_dir):
+    rows = {r.node: r for r in _q("taxonomy_rollup_closure")(spark, sf_dir).collect()}
+    root = rows["ROOT"]
+    assert root.level == 0
+    # ROOT aggregates every lineitem that has a catalog part
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    expect_lines = joined.count()
+    assert root.n_lines == expect_lines
+    # level-1 (types) partition the lines: their sums equal ROOT's
+    lvl1 = [r for r in rows.values() if r.level == 1]
+    assert sum(r.n_lines for r in lvl1) == root.n_lines
+    assert sum(r.revenue_cents for r in lvl1) == root.revenue_cents
+    # level-2 (brands within type) partition level-1 the same way
+    lvl2 = [r for r in rows.values() if r.level == 2]
+    assert sum(r.n_lines for r in lvl2) == root.n_lines
+
+
+# ---------------------------------------------------------------------------
+# minhash estimate-vs-exact panel
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_panel_bounds(spark, sf_dir):
+    rows = _q("minhash_prob_vs_exact_jaccard")(spark, sf_dir).collect()
+    assert rows, "LSH should produce candidates on the near-dup corpus"
+    for r in rows:
+        assert 0 <= r.match_k <= 16
+        assert 0 <= r.est_micro <= 1_000_000
+        assert 0 < r.exact_micro <= 1_000_000  # candidates share >=1 shingle
+        assert r.err_micro == abs(r.est_micro - r.exact_micro)
+
+
+# ---------------------------------------------------------------------------
+# ridge normal equations vs numpy
+# ---------------------------------------------------------------------------
+
+
+def test_ridge_matches_numpy_solve(spark, sf_dir):
+    import numpy as np
+
+    row = _q("ols_ridge_normal_eq")(spark, sf_dir).collect()[0]
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        (F.col("l_discount").cast("decimal(12,2)") * 100).cast("long").alias("x2"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    ).toPandas()
+    X = np.column_stack(
+        [np.ones(len(li)), li.x1.to_numpy(float), li.x2.to_numpy(float)]
+    )
+    y = li.y.to_numpy(float)
+    lam = 1000.0
+    beta = np.linalg.solve(X.T @ X + lam * np.eye(3), X.T @ y)
+    got = np.array([row.beta0_micro, row.beta1_micro, row.beta2_micro]) / 1e6
+    # Cramer vs LAPACK agree to float noise; micro quantization adds 1e-6
+    assert np.allclose(got, beta, rtol=1e-9, atol=2e-6), (got, beta)
+    assert row.n == len(li)
+
+
+# ---------------------------------------------------------------------------
+# watermarked streaming dedup
+# ---------------------------------------------------------------------------
+
+
+def test_watermark_dedup_equals_batch_distinct(spark, sf_dir):
+    got = _q("stream_watermark_dedup_ids")(spark, sf_dir)
+    expect = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("minute_ts"),
+        )
+        .distinct()
+    )
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# URL parsing
+# ---------------------------------------------------------------------------
+
+
+def test_url_domains_collapse_www_and_shards(spark, sf_dir):
+    rows = _q("url_domain_aggregate")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # registrable domain strips the www./shard host prefixes
+        assert r.reg_domain == "example.com"
+        # the first path segment is the language code
+        assert r.path_lang and "/" not in r.path_lang
+        assert 0 <= r.n_tracked <= r.n_docs
+        # hosts vary by www-prefix and shard digit while the domain is one
+        assert r.n_hosts >= 1
+
+
+# ---------------------------------------------------------------------------
+# CDF quota thresholds
+# ---------------------------------------------------------------------------
+
+
+def test_cdf_thresholds_are_type1_quantiles(spark, sf_dir):
+    import math
+
+    rows = _q("cdf_stratified_quota_join")(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents").select("source", "n_chars").toPandas()
+    assert rows
+    for r in rows:
+        vals = sorted(docs[docs.source == r.source].n_chars)
+        k = math.ceil(r.p * len(vals) / 100)
+        assert r.n_total == len(vals)
+        assert r.thresh_chars == vals[k - 1]
+        assert r.n_le == sum(1 for v in vals if v <= r.thresh_chars)
+        assert r.n_le >= k  # CDF at the threshold covers the quota
+
+
+# ---------------------------------------------------------------------------
+# HLL column profile
+# ---------------------------------------------------------------------------
+
+
+def test_hll_profile_tracks_exact_distincts(spark, sf_dir):
+    approx = {
+        r.col_name: r
+        for r in _q("orders_column_profile_approx")(spark, sf_dir).collect()
+    }
+    exact = {
+        r.col_name: r.n_distinct
+        for r in _q("orders_column_profile")(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for col, r in approx.items():
+        assert r.n_nulls == 0
+        # p=10 -> ~3.25% standard error; 15% is a 4.5-sigma bound
+        rel = abs(r.n_distinct_approx - exact[col]) / max(exact[col], 1)
+        assert rel < 0.15, (col, r.n_distinct_approx, exact[col])
+
+
+def test_hll_profile_plans_without_expand(spark, sf_dir):
+    plan = _q("orders_column_profile_approx")(spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Expand" not in plan, plan[:2000]

@@ -97,6 +97,9 @@ ALLOWED_BNLJ = {
     "kmv_daily_merge": "1-row sketch-estimate/exact broadcasts",
     "lang_calibrated_ppl_buckets": "1-row corpus-stats broadcast",
     "rrf_hybrid_retrieval": "1-row query-norm/corpus-stats broadcasts",
+    # round-6: the Heaps-curve bucketizer joins the 1-row MAX(doc_id)
+    # span onto the first-seen relation
+    "saturating_union_curve": "1-row corpus-span broadcast",
 }
 
 
