@@ -1106,7 +1106,17 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Corpus n-gram statistics: bigram explode → (lang, bigram) count "
     "→ deterministic top-5 per language (count desc, bigram asc). The "
     "count shuffle keys on (lang, bigram) — high cardinality, well "
-    "spread; the ranking window only sees the counted aggregate.",
+    "spread. The ranking is TWO-PHASE (the "
+    "topk_orders_per_segment_twophase pattern): a single window "
+    "partitioned by lang would sort every language's ENTIRE counted "
+    "vocabulary through one shuffle partition per language (a handful "
+    "of partitions carrying the whole vocab at 100 TB); instead phase "
+    "1 ranks within (lang, md5(bigram)%8) salt buckets and keeps each "
+    "bucket's top-5, phase 2 ranks the <=40 survivors per lang. "
+    "Result-invariant: a bigram outside its salt bucket's top-5 is "
+    "beaten by 5 bigrams of its own language, so it cannot be in the "
+    "language's global top-5 — the oracle computes the single-window "
+    "form directly.",
 )
 def top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.operators.dedup import tokens_col
@@ -1123,9 +1133,21 @@ def top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(bigrams).alias("bigram")
     )
     counts = bg.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    salt = (
+        F.conv(F.substring(F.md5(F.col("bigram")), 1, 15), 16, 10).cast("long") % 8
+    )
+    w1 = Window.partitionBy("lang", "salt").orderBy(
+        F.col("n").desc(), F.col("bigram")
+    )
+    partial = (
+        counts.withColumn("salt", salt)
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= 5)
+        .drop("salt", "r1")
+    )
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
         .select("lang", "bigram", "n", "rank")
     )

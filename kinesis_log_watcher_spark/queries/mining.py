@@ -2713,7 +2713,14 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample mega-baskets) and document-frequency-cap promiscuous "
     "items, exactly as dedup_ngram_jaccard does for hot shingles. "
     "This is the co-click/co-purchase prep feeding item-item "
-    "recommenders and negative-sampling tables.",
+    "recommenders and negative-sampling tables. Ranking-window audit "
+    "(r6): the window partitions by PART — a key whose cardinality "
+    "grows with the catalog, so groups spread across all shuffle "
+    "partitions and each group's sort is bounded by that part's "
+    "co-occurrence degree, which the same df-cap that guards the pair "
+    "generator bounds; the salted two-phase rewrite "
+    "(topk_orders_per_segment_twophase) is only needed for LOW-"
+    "cardinality partition keys like top_ngrams_per_lang's lang.",
 )
 def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
