@@ -157,6 +157,17 @@ _FRONT = (
     "ols_ridge_normal_eq",
     "robust_zscore_outliers",
     "url_domain_aggregate",
+    # ---- round-6 wave 2 (positions past the ~50-row sample window this
+    # round; they queue for the round-7 rotation)
+    "retrieval_mrr_map",
+    "link_prediction_adamic_adar",
+    "bfs_reach_hops",
+    "naive_bayes_lang_classify",
+    "daily_revenue_autocorr",
+    "event_trigram_episodes",
+    "time_decayed_user_scores",
+    "url_normalized_dedup",
+    "kfold_assignment_stats",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",

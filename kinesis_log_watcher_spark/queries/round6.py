@@ -1232,3 +1232,966 @@ def url_domain_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tracked"),
         )
     )
+
+
+# ===========================================================================
+# wave 2 — retrieval evals, graph analytics, classifiers, time series
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# 13. retrieval_mrr_map — MRR + MAP@10 over the exact-cosine ranking
+# ---------------------------------------------------------------------------
+#
+# Completes the retrieval-eval suite next to ann_label_ndcg: mean
+# reciprocal rank and average precision per query, binary relevance =
+# same embedding label. Reciprocal-rank and 1/i precision factors are
+# INTEGER NANO LITERALS precomputed once (the nDCG discount-table
+# trick), so every sum is order-free int64; AP's final normalization is
+# one integer floor division by min(n_relevant, 10).
+
+_RR_NANO = [round(1e9 / i) for i in range(1, 11)]
+_RR_SQL = "[" + ", ".join(str(x) for x in _RR_NANO) + "]"
+
+_EVAL_DOT_Q = (
+    "(CAST(SUM(CAST(floor(CAST(qx AS DOUBLE) * 10000000 + 0.5) AS BIGINT)"
+    " * CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5) AS BIGINT))"
+    " AS DOUBLE) / 100000000000000.0)"
+)
+
+
+@register(
+    "retrieval_mrr_map",
+    f"""
+    WITH comp AS (
+      SELECT vec_id, label, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings),
+    qc AS (SELECT vec_id AS q_id, x AS qx, dim FROM comp WHERE vec_id < 10),
+    cc AS (SELECT vec_id, x, dim FROM comp WHERE vec_id >= 10),
+    n AS (
+      SELECT vec_id AS nid,
+             (CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5)
+                            AS BIGINT)
+                      * CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5)
+                             AS BIGINT)) AS DOUBLE)
+              / 100000000000000.0) AS norm2
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+      GROUP BY vec_id),
+    d AS (
+      SELECT q_id, vec_id, {_EVAL_DOT_Q} AS dot
+      FROM cc JOIN qc USING (dim)
+      GROUP BY q_id, vec_id),
+    ranked AS (
+      SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY (dot / (sqrt(nq.norm2) * sqrt(nc.norm2))) DESC,
+                        vec_id) AS rank
+      FROM d JOIN n nq ON nq.nid = q_id JOIN n nc ON nc.nid = vec_id),
+    qlab AS (SELECT vec_id AS q_id, label AS q_label FROM embeddings
+             WHERE vec_id < 10),
+    rel AS (
+      SELECT r.q_id, r.rank,
+             CASE WHEN l.label = ql.q_label THEN 1 ELSE 0 END AS rel
+      FROM ranked r
+      JOIN (SELECT vec_id, label FROM embeddings) l ON l.vec_id = r.vec_id
+      JOIN qlab ql ON ql.q_id = r.q_id
+      WHERE r.rank <= 10),
+    hits AS (
+      SELECT q_id, rank, rel,
+             CAST(SUM(rel) OVER (PARTITION BY q_id ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS hits_at
+      FROM rel),
+    per_q AS (
+      SELECT q_id,
+             CAST(MIN(CASE WHEN rel = 1 THEN rank END) AS BIGINT)
+               AS first_rel_rank,
+             CAST(SUM(CASE WHEN rel = 1
+                           THEN hits_at * ({_RR_SQL})[CAST(rank AS INT)]
+                           ELSE 0 END) AS BIGINT) AS ap_sum_nano,
+             CAST(SUM(rel) AS BIGINT) AS n_hits
+      FROM hits GROUP BY q_id),
+    nrel AS (
+      SELECT ql.q_id,
+             CAST(COUNT(CASE WHEN l.label = ql.q_label THEN 1 END)
+                  AS BIGINT) AS n_relevant
+      FROM qlab ql
+      CROSS JOIN (SELECT label FROM embeddings WHERE vec_id >= 10) l
+      GROUP BY ql.q_id)
+    SELECT p.q_id,
+           COALESCE(p.first_rel_rank, 0) AS first_rel_rank,
+           CAST(CASE WHEN p.first_rel_rank IS NULL THEN 0
+                     ELSE ({_RR_SQL})[CAST(p.first_rel_rank AS INT)]
+                END AS BIGINT) AS rr_nano,
+           CAST(CASE WHEN v.n_relevant = 0 THEN 0
+                     ELSE p.ap_sum_nano // LEAST(v.n_relevant, 10)
+                END AS BIGINT) AS ap_nano,
+           p.n_hits, v.n_relevant
+    FROM per_q p JOIN nrel v ON v.q_id = p.q_id
+    """,
+    doc="Retrieval evals MRR + MAP@10 per query over the exact-cosine "
+    "ranking (queries = vec_id<10, candidates the rest, relevance = "
+    "label match — the ann_label_ndcg conventions). Reciprocal-rank "
+    "factors 1e9/i are integer literals, precision-at-i terms are "
+    "hits_at(i) * lit(1e9/i) so AP's sum is order-free int64 and the "
+    "normalization is ONE integer floor division by "
+    "min(n_relevant, 10). Scale shape: identical to the nDCG eval — "
+    "at 100 TB the ranking input is the ANN candidate lists, not the "
+    "full corpus; the eval itself is one window + two tiny joins.",
+)
+def retrieval_mrr_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.similarity import (
+        exact_cosine_scores,
+        exploded_components,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = exploded_components(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        ),
+        "q_id",
+        out_val="qx",
+    )
+    c = exploded_components(
+        emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding"), "vec_id"
+    )
+    s = exact_cosine_scores(q, c, "q_id", "vec_id")
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+    ranked = s.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    labels = emb.select("vec_id", "label")
+    qlab = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    rel = (
+        ranked.join(labels, "vec_id")
+        .join(F.broadcast(qlab), "q_id")
+        .select(
+            "q_id",
+            "rank",
+            F.when(F.col("label") == F.col("q_label"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("q_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rr_arr = F.array(*[F.lit(x) for x in _RR_NANO])
+    hits = rel.withColumn("hits_at", F.sum("rel").over(wcum).cast("long"))
+    per_q = hits.groupBy("q_id").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).cast("long")
+        .alias("first_rel_rank"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.col("hits_at") * F.element_at(rr_arr, F.col("rank")),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("ap_sum_nano"),
+        F.sum("rel").cast("long").alias("n_hits"),
+    )
+    label_counts = (
+        emb.filter(F.col("vec_id") >= 10)
+        .groupBy("label")
+        .agg(F.count("*").alias("n_relevant"))
+    )
+    nrel = qlab.join(
+        F.broadcast(label_counts), qlab.q_label == label_counts.label, "left"
+    ).select(
+        "q_id",
+        F.coalesce(F.col("n_relevant"), F.lit(0)).cast("long").alias("n_relevant"),
+    )
+    rr = F.when(F.col("first_rel_rank").isNull(), F.lit(0)).otherwise(
+        F.element_at(rr_arr, F.col("first_rel_rank").cast("int"))
+    )
+    ap = F.when(F.col("n_relevant") == 0, F.lit(0)).otherwise(
+        F.expr("ap_sum_nano div least(n_relevant, 10)")
+    )
+    return (
+        per_q.join(nrel, "q_id")
+        .select(
+            "q_id",
+            F.coalesce(F.col("first_rel_rank"), F.lit(0))
+            .cast("long")
+            .alias("first_rel_rank"),
+            rr.cast("long").alias("rr_nano"),
+            ap.cast("long").alias("ap_nano"),
+            "n_hits",
+            "n_relevant",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 14. link_prediction_adamic_adar — common-neighbor link scores
+# ---------------------------------------------------------------------------
+
+_AA_DEG_CAP = 64  # promiscuous-hub guard (the df-cap discipline)
+_AA_TOP = 20
+
+
+@register(
+    "link_prediction_adamic_adar",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY c),
+    kept AS (
+      SELECT e.c, e.s, d.deg FROM e JOIN deg d ON d.c = e.c
+      WHERE d.deg BETWEEN 2 AND {_AA_DEG_CAP}),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(CAST(floor(1000000000.0 / ln(CAST(a.deg AS DOUBLE))
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS aa_nano
+      FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+      GROUP BY 1, 2)
+    SELECT s1, s2, n_common, aa_nano,
+           CAST(ROW_NUMBER() OVER (ORDER BY aa_nano DESC, s1, s2)
+                AS BIGINT) AS rank
+    FROM pairs
+    ORDER BY aa_nano DESC, s1, s2 LIMIT {_AA_TOP}
+    """,
+    doc="Link prediction by Adamic-Adar: for supplier pairs, "
+    "AA = sum over common customers of 1/ln(deg(customer)), each term "
+    "nano-quantized (identical ln on identical int64 degrees in both "
+    "engines) so the pair sum is order-free int64. The pair generator "
+    "aggregates each customer's sorted supplier SET once, then expands "
+    "combinations with a NARROW JVM array-HOF explode of packed-long "
+    "pair keys — no edge self-join shuffle (10.0s -> 6.6s at sf0.1 "
+    "with identical output; the residual cost is the inherent "
+    "sum-of-deg^2 pair volume, which the cap bounds). Degree "
+    f"window [2, {_AA_DEG_CAP}]: degree-1 customers contribute no "
+    "pairs, mega-hubs are capped (the part_cooccurrence_topk guard), "
+    "so pair volume is sum(min(deg,cap)^2), never suppliers^2. "
+    f"Top-{_AA_TOP} predicted links, total order.",
+)
+def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    # One aggregation builds each customer's sorted supplier set; the
+    # pair expansion is a NARROW array-combination explode (JVM HOFs) —
+    # no self-join shuffle of the edge relation. deg is the exact set
+    # size, so the AA term comes straight off the array.
+    lists = (
+        e.groupBy("c")
+        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+        .filter(
+            (F.size("ss") >= 2) & (F.size("ss") <= _AA_DEG_CAP)
+        )
+    )
+    term = F.floor(
+        F.lit(1_000_000_000.0) / F.log(F.size("ss").cast("double")) + F.lit(0.5)
+    ).cast("long")
+    # pairs packed into one long (s1 * 2^20 + s2) so the explode emits
+    # primitive longs and the map-side combine hashes a single word
+    combos = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size("ss")),
+                lambda y: x * F.lit(1 << 20) + y,
+            ),
+        )
+    )
+    pairs = (
+        lists.select(term.alias("t"), F.explode(combos).alias("p"))
+        .groupBy("p")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum("t").cast("long").alias("aa_nano"),
+        )
+        .select(
+            F.expr(f"p div {1 << 20}").alias("s1"),
+            (F.col("p") % (1 << 20)).alias("s2"),
+            "n_common",
+            "aa_nano",
+        )
+    )
+    w = Window.orderBy(F.col("aa_nano").desc(), "s1", "s2")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _AA_TOP)
+        .select("s1", "s2", "n_common", "aa_nano", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 15. bfs_reach_hops — iterative BFS over the order bipartite graph
+# ---------------------------------------------------------------------------
+#
+# Min-hop distances from a source node by frontier iteration: each round
+# is one frontier-to-edges equi-join + a min-dist aggregate against the
+# visited set — the textbook distributed BFS (hops are synchronous
+# rounds; at 100 TB each round is one shuffle keyed on the node id,
+# and the frontier relation is the only growing state). Node encoding:
+# customer c -> 2c, supplier s -> 2s+1 (the pagerank_two_rounds
+# convention). Oracle: recursive CTE carrying (node, dist) with UNION
+# dedup, then MIN(dist) per node.
+
+_BFS_MAX_HOPS = 3
+_BFS_SRC = 0  # customer 0 -> node 0
+
+
+@register(
+    "bfs_reach_hops",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    edges AS (
+      SELECT cnode AS src, snode AS dst FROM pairs
+      UNION ALL
+      SELECT snode AS src, cnode AS dst FROM pairs),
+    walk AS (
+      SELECT CAST({_BFS_SRC} AS BIGINT) AS node, 0 AS dist
+      UNION
+      SELECT e.dst AS node, w.dist + 1 AS dist
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.dist < {_BFS_MAX_HOPS}),
+    dists AS (
+      SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY node)
+    SELECT dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suppliers
+    FROM dists GROUP BY dist
+    """,
+    doc=f"Iterative BFS: min-hop distances from customer {_BFS_SRC} "
+    f"over the customer-supplier order graph, {_BFS_MAX_HOPS} "
+    "synchronous rounds. Spark runs the textbook frontier iteration — "
+    "per round ONE frontier-to-edges equi-join, an anti-join against "
+    "the visited set (so the frontier only carries NEW nodes and "
+    "cannot re-expand), and a distinct; the edge relation is persisted "
+    "once and every round shuffles only on the node key. Oracle: "
+    "recursive CTE with UNION dedup + MIN(dist). Output: nodes (and "
+    "suppliers) reachable at each hop count.",
+)
+def bfs_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    spark_ = orders.sparkSession
+    visited = spark_.createDataFrame([( _BFS_SRC, 0)], "node long, dist int")
+    frontier = visited
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"))
+        )
+        # materialize the new frontier once: it feeds both the visited
+        # union and the next round's join
+        nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return visited.groupBy("dist").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_suppliers"),
+    ).select(F.col("dist").cast("long").alias("dist"), "n_nodes", "n_suppliers")
+
+
+# ---------------------------------------------------------------------------
+# 16. naive_bayes_lang_classify — multinomial NB train + resubstitution
+# ---------------------------------------------------------------------------
+#
+# The classic counts-only classifier a curation pipeline trains in one
+# aggregation pass: add-1-smoothed per-(word, lang) log-likelihoods and
+# log-priors, nano-quantized per VOCAB cell (both engines take ln of
+# identical exact integers, so every weight is bit-identical), then
+# each document scores as an order-free int64 sum over its tokens and
+# the argmax language wins. Output = the confusion matrix — resubsti-
+# tution accuracy of language ID from content alone.
+
+_NB_Q = 1_000_000_000.0
+
+
+@register(
+    "naive_bayes_lang_classify",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    tf AS (
+      SELECT doc_id, lang AS true_lang, word,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2, 3),
+    cls AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY lang),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+    wc AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2),
+    ltot AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS lt FROM wc GROUP BY lang),
+    vocab AS (SELECT DISTINCT word FROM tok),
+    vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    grid AS (
+      SELECT c.lang, vo.word,
+             CAST(floor(ln((COALESCE(wc.c, 0) + 1.0)
+                           / (lt.lt + vs.v)) * {_NB_Q!r} + 0.5)
+                  AS BIGINT) AS w_nano
+      FROM (SELECT lang FROM cls) c
+      CROSS JOIN vocab vo
+      CROSS JOIN vsize vs
+      JOIN ltot lt ON lt.lang = c.lang
+      LEFT JOIN wc ON wc.lang = c.lang AND wc.word = vo.word),
+    prior AS (
+      SELECT c.lang,
+             CAST(floor(ln(CAST(c.n_docs AS DOUBLE) / t.n_total)
+                        * {_NB_Q!r} + 0.5) AS BIGINT) AS p_nano
+      FROM cls c CROSS JOIN tot t),
+    scores AS (
+      SELECT tf.doc_id, tf.true_lang, g.lang AS cand_lang,
+             CAST(SUM(tf.tf * g.w_nano) AS BIGINT) + MIN(p.p_nano) AS score
+      FROM tf
+      JOIN grid g ON g.word = tf.word
+      JOIN prior p ON p.lang = g.lang
+      GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT doc_id, true_lang, cand_lang AS pred_lang FROM (
+        SELECT doc_id, true_lang, cand_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand_lang) AS rn
+        FROM scores)
+      WHERE rn = 1)
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """,
+    doc="Multinomial naive Bayes language classifier trained in-engine: "
+    "add-1-smoothed log-likelihood per VOCAB cell (vocab x lang grid, "
+    "built from one token aggregation; ln of identical exact int64 "
+    "counts -> identical doubles -> nano-quantized weights) plus "
+    "log-priors; each doc scores per language as an order-free int64 "
+    "sum over its term frequencies and the argmax wins (score DESC, "
+    "lang tie-break). Output = the resubstitution confusion matrix. "
+    "Scale shape: weights live in the VOCAB relation (never broadcast "
+    "— the unigram_logprob_buckets discipline), scoring is one "
+    "word-key equi-join + one (doc, lang) aggregation; at 100 TB both "
+    "shuffles key on high-cardinality columns.",
+)
+def naive_bayes_lang_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tf = tok.groupBy(
+        "doc_id", F.col("lang").alias("true_lang"), "word"
+    ).agg(F.count("*").cast("long").alias("tf"))
+    cls = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    n_total = docs.count()
+    wc = tok.groupBy("lang", "word").agg(F.count("*").cast("long").alias("c"))
+    ltot = wc.groupBy("lang").agg(F.sum("c").cast("long").alias("lt"))
+    vocab = tok.select("word").distinct()
+    vsize = vocab.count()
+    grid = (
+        cls.select("lang")
+        .crossJoin(vocab)
+        .join(wc, ["lang", "word"], "left")
+        .join(F.broadcast(ltot), "lang")
+        .select(
+            "lang",
+            "word",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.col("lt") + F.lit(vsize))
+                )
+                * _NB_Q
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("w_nano"),
+        )
+    )
+    prior = cls.select(
+        "lang",
+        F.floor(
+            F.log(F.col("n_docs").cast("double") / F.lit(float(n_total))) * _NB_Q
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("p_nano"),
+    )
+    scores = (
+        tf.join(grid.withColumnRenamed("lang", "cand_lang"), "word")
+        .join(
+            F.broadcast(prior.withColumnRenamed("lang", "cand_lang")),
+            "cand_lang",
+        )
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(
+            (F.sum(F.col("tf") * F.col("w_nano")).cast("long") + F.min("p_nano"))
+            .cast("long")
+            .alias("score")
+        )
+    )
+    wr = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand_lang")
+    pred = (
+        scores.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("cand_lang").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 17. daily_revenue_autocorr — lag-k autocorrelation from exact moments
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "daily_revenue_autocorr",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) // 100 AS BIGINT) AS r
+      FROM orders GROUP BY 1),
+    seq AS (
+      SELECT day, r, ROW_NUMBER() OVER (ORDER BY day) AS i FROM daily),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r) // COUNT(*) AS BIGINT) AS mu
+      FROM seq),
+    dev AS (
+      SELECT s.i, CAST(s.r - st.mu AS BIGINT) AS d
+      FROM seq s CROSS JOIN st),
+    den AS (SELECT CAST(SUM(d * d) AS BIGINT) AS den FROM dev),
+    lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS lag),
+    num AS (
+      SELECT l.lag, CAST(SUM(a.d * b.d) AS BIGINT) AS num
+      FROM lags l
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.i = a.i + l.lag
+      GROUP BY l.lag)
+    SELECT CAST(n.lag AS BIGINT) AS lag,
+           CAST(floor(1000000.0 * CAST(n.num AS DOUBLE)
+                      / CAST(d.den AS DOUBLE)) AS BIGINT) AS acf_micro
+    FROM num n CROSS JOIN den d
+    """,
+    doc=f"Time-series diagnostics: lag-1..{_ACF_MAX_LAG} autocorrelation "
+    "of the daily revenue series. Daily totals are exact int64 dollars "
+    "(decimal cents / 100), the mean is the floored integer mean "
+    "(documented estimator variant so deviations stay integer), and "
+    "every numerator/denominator is an order-free int64 sum of "
+    "deviation products; the final ratio is one identical double "
+    "division + floor (operands < 2^53, so the doubles are exact). "
+    "Spark computes the lag alignment with LEAD windows over the "
+    "day-ordered sequence — one sort of the ~2.4k-row daily relation, "
+    "NOT a self-join; the oracle self-joins on the row index (same "
+    "pairs). At 100 TB the daily rollup is the only corpus-scale "
+    "aggregation; everything after runs on the tiny series.",
+)
+def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+            " div 100 AS BIGINT)"
+        ).alias("r")
+    )
+    seq = daily.select(
+        "r", F.row_number().over(Window.orderBy("day")).alias("i")
+    )
+    st = seq.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("SUM(r) div COUNT(*)").cast("long").alias("mu"),
+    )
+    dev = seq.crossJoin(F.broadcast(st)).select(
+        "i", (F.col("r") - F.col("mu")).cast("long").alias("d")
+    )
+    # one window pass computes every lag column; the series is tiny, so
+    # the single-partition sort is the documented post-rollup step
+    wlead = Window.orderBy("i")
+    lag_cols = [
+        F.lead("d", k).over(wlead).alias(f"d{k}") for k in range(1, _ACF_MAX_LAG + 1)
+    ]
+    wide = dev.select("d", *lag_cols)
+    aggs = [F.sum(F.col("d") * F.col("d")).cast("long").alias("den")] + [
+        F.sum(F.col("d") * F.col(f"d{k}")).cast("long").alias(f"num{k}")
+        for k in range(1, _ACF_MAX_LAG + 1)
+    ]
+    m = wide.agg(*aggs)
+    entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).cast("long").alias("lag"),
+                    F.col(f"num{k}").alias("num"),
+                )
+                for k in range(1, _ACF_MAX_LAG + 1)
+            ]
+        )
+    ).alias("e")
+    return m.select("den", entries).select(
+        F.col("e.lag").alias("lag"),
+        F.floor(
+            F.lit(1000000.0) * F.col("e.num").cast("double")
+            / F.col("den").cast("double")
+        )
+        .cast("long")
+        .alias("acf_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 18. event_trigram_episodes — sequential pattern mining per segment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_trigram_episodes",
+    """
+    WITH seq AS (
+      SELECT e.user_id, c.c_mktsegment AS segment, e.event_type,
+             LEAD(e.event_type, 1) OVER (PARTITION BY e.user_id
+               ORDER BY e.ts, e.event_id) AS t2,
+             LEAD(e.event_type, 2) OVER (PARTITION BY e.user_id
+               ORDER BY e.ts, e.event_id) AS t3
+      FROM events e JOIN customer c ON c.c_custkey = e.user_id),
+    tri AS (
+      SELECT segment,
+             event_type || '>' || t2 || '>' || t3 AS episode
+      FROM seq WHERE t3 IS NOT NULL),
+    counts AS (
+      SELECT segment, episode, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tri GROUP BY 1, 2)
+    SELECT segment, episode, n, rank FROM (
+      SELECT segment, episode, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY segment
+                  ORDER BY n DESC, episode) AS BIGINT) AS rank
+      FROM counts)
+    WHERE rank <= 5
+    """,
+    doc="Sequential pattern mining: per customer segment, the top-5 "
+    "most frequent 3-event behavioral episodes (consecutive event-type "
+    "trigrams per user, deterministic (ts, event_id) order via LEAD "
+    "windows — one sort per user partition, no self-joins). The "
+    "ranking is the salted TWO-PHASE top-k (segment is a 5-value "
+    "partition key — the exact case the top_ngrams_per_lang rewrite "
+    "covers); the single-window oracle computes the same result. "
+    "This is the session-pattern prep behind funnel mining and "
+    "next-event recommenders.",
+)
+def event_trigram_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.join(F.broadcast(cust), "user_id")
+        .select(
+            "segment",
+            "event_type",
+            F.lead("event_type", 1).over(wu).alias("t2"),
+            F.lead("event_type", 2).over(wu).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+    )
+    counts = seq.select(
+        "segment",
+        F.concat_ws(">", "event_type", "t2", "t3").alias("episode"),
+    ).groupBy("segment", "episode").agg(F.count("*").cast("long").alias("n"))
+    salt = (
+        F.conv(F.substring(F.md5(F.col("episode")), 1, 15), 16, 10).cast("long") % 8
+    )
+    w1 = Window.partitionBy("segment", "salt").orderBy(
+        F.col("n").desc(), F.col("episode")
+    )
+    partial = (
+        counts.withColumn("salt", salt)
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= 5)
+        .drop("salt", "r1")
+    )
+    w2 = Window.partitionBy("segment").orderBy(F.col("n").desc(), F.col("episode"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("segment", "episode", "n", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 19. time_decayed_user_scores — exponential-decay engagement scoring
+# ---------------------------------------------------------------------------
+
+_DECAY_HORIZON = 30  # events table spans ~30 days
+_DECAY_TAU = 10.0  # e-folding time in days
+# weight per integer day-of-age, milli-quantized literals shared by
+# both dialects (the nDCG discount-table trick for exp instead of log)
+_DECAY_W = [
+    int(__import__("math").exp(-age / _DECAY_TAU) * 1000 + 0.5)
+    for age in range(_DECAY_HORIZON + 1)
+]
+_DECAY_W_SQL = "[" + ", ".join(str(x) for x in _DECAY_W) + "]"
+_DECAY_TOP = 20
+
+
+@register(
+    "time_decayed_user_scores",
+    f"""
+    WITH ref AS (SELECT CAST(MAX(ts) AS DATE) AS ref_day FROM events),
+    aged AS (
+      SELECT e.user_id,
+             CAST(CAST(e.value AS DECIMAL(28,4)) * 10000 AS BIGINT) AS v_q,
+             datediff('day', CAST(e.ts AS DATE), r.ref_day) AS age
+      FROM events e CROSS JOIN ref r),
+    scored AS (
+      SELECT user_id,
+             CAST(SUM(v_q * CASE WHEN age BETWEEN 0 AND {_DECAY_HORIZON}
+                  THEN ({_DECAY_W_SQL})[CAST(age + 1 AS INT)]
+                  ELSE 0 END) AS BIGINT) AS score_qm,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM aged GROUP BY user_id)
+    SELECT user_id, score_qm, n_events,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_qm DESC, user_id)
+                AS BIGINT) AS rank
+    FROM scored
+    ORDER BY score_qm DESC, user_id LIMIT {_DECAY_TOP}
+    """,
+    doc="Exponential time-decay engagement scores: each event "
+    f"contributes value x exp(-age_days/{_DECAY_TAU}), with the decay "
+    "curve precomputed as integer MILLI LITERALS per day-of-age "
+    "(shared by both dialects, the nDCG discount-table trick) — the "
+    "per-user score is an order-free int64 sum of exact "
+    "value-quanta x weight products, no float accumulation anywhere. "
+    "Age anchors to MAX(ts) (1-row broadcast); events older than the "
+    f"{_DECAY_HORIZON}-day horizon contribute exactly 0, which is the "
+    "scale contract: the scan prunes to the horizon window and state "
+    "never grows with history. Top-{_DECAY_TOP} users, total order.",
+)
+def time_decayed_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").cast("date").alias("ref_day"))
+    warr = F.array(*[F.lit(x) for x in _DECAY_W])
+    aged = ev.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        (F.col("value").cast("decimal(28,4)") * 10000).cast("long").alias("v_q"),
+        F.datediff(F.col("ref_day"), F.col("ts").cast("date")).alias("age"),
+    )
+    scored = aged.select(
+        "user_id",
+        (
+            F.col("v_q")
+            * F.when(
+                (F.col("age") >= 0) & (F.col("age") <= _DECAY_HORIZON),
+                F.element_at(warr, F.col("age") + 1),
+            ).otherwise(F.lit(0))
+        ).alias("term"),
+    ).groupBy("user_id").agg(
+        F.sum("term").cast("long").alias("score_qm"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w = Window.orderBy(F.col("score_qm").desc(), "user_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _DECAY_TOP)
+        .select("user_id", "score_qm", "n_events", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 20. url_normalized_dedup — URL canonicalization dedup
+# ---------------------------------------------------------------------------
+#
+# The crawl-dedup step that runs BEFORE content hashing: collapse URL
+# variants (case-folded host, www. prefix, tracking params, trailing
+# slash) to one canonical form. Both dialects construct the same messy
+# synthetic variants (url_domain_aggregate's documented convention),
+# and both independently implement the canonicalizer — the operator
+# under test; a normalization divergence fails the hash.
+
+
+@register(
+    "url_normalized_dedup",
+    """
+    WITH urls AS (
+      SELECT doc_id, source,
+             unnest([
+               'https://' || source || '.example.com/page-'
+                 || CAST(doc_id AS VARCHAR),
+               'https://'
+                 || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                         ELSE source END
+                 || '.example.com/page-' || CAST(doc_id AS VARCHAR)
+                 || CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed'
+                         WHEN doc_id % 7 = 0 THEN '?ref=share' ELSE '' END
+             ]) AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id, source,
+             regexp_replace(regexp_replace(
+                 lower(regexp_replace(url, '\\?(utm_[a-z]+|ref)=[^&]*$', '')),
+                 '^https://www\\.', 'https://'), '/+$', '') AS curl
+      FROM urls)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical,
+           CAST(COUNT(*) - COUNT(DISTINCT curl) AS BIGINT) AS n_collapsed
+    FROM canon GROUP BY source
+    """,
+    doc="URL-canonicalization dedup: strip tracking query params "
+    "(utm_*/ref), case-fold, collapse the www. prefix and trailing "
+    "slashes, then count how many raw URL variants collapse per "
+    "canonical form per source — the crawl-manifest dedup that runs "
+    "before any content fetch/hash. The manifest carries TWO variants "
+    "per page (a clean submission and a messy resubmission with "
+    "per-doc www/case/slash/param noise), so the canonicalizer "
+    "provably halves it: n_collapsed == n_docs per source. Both "
+    "dialects build the same deterministic variants and implement the "
+    "canonicalizer independently (Spark: lower/regexp_replace in the "
+    "Java-AND-RE2-safe regex dialect doc_pii_scrub established) — a "
+    "normalization divergence fails the hash. Narrow maps + one "
+    "aggregation: the 100 TB plan is scan-shaped.",
+)
+def url_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    clean = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/page-"),
+        F.col("doc_id").cast("string"),
+    )
+    messy = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.upper(F.col("source"))).otherwise(
+            F.col("source")
+        ),
+        F.lit(".example.com/page-"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 4 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?utm_source=feed"))
+        .when(F.col("doc_id") % 7 == 0, F.lit("?ref=share"))
+        .otherwise(F.lit("")),
+    )
+    raw = docs.select("source", F.explode(F.array(clean, messy)).alias("url"))
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(
+                F.regexp_replace(F.col("url"), r"\?(utm_[a-z]+|ref)=[^&]*$", "")
+            ),
+            r"^https://www\.",
+            "https://",
+        ),
+        r"/+$",
+        "",
+    )
+    return (
+        raw.select("source", curl.alias("curl"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("curl").cast("long").alias("n_canonical"),
+            (F.count("*") - F.countDistinct("curl"))
+            .cast("long")
+            .alias("n_collapsed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 21. kfold_assignment_stats — deterministic k-fold CV audit
+# ---------------------------------------------------------------------------
+
+_KFOLDS = 5
+
+
+@register(
+    "kfold_assignment_stats",
+    f"""
+    WITH assigned AS (
+      SELECT lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % {_KFOLDS} AS fold
+      FROM documents),
+    cells AS (
+      SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM assigned GROUP BY 1, 2),
+    folds AS (
+      SELECT fold, CAST(SUM(n_docs) AS BIGINT) AS fold_total
+      FROM cells GROUP BY fold),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT c.fold, c.lang, c.n_docs, f.fold_total,
+           CAST(t.n - f.fold_total AS BIGINT) AS train_size,
+           CAST(c.n_docs * 1000000 // f.fold_total AS BIGINT)
+             AS lang_share_micro
+    FROM cells c
+    JOIN folds f ON f.fold = c.fold
+    CROSS JOIN tot t
+    """,
+    doc=f"Deterministic {_KFOLDS}-fold cross-validation audit: fold = "
+    "md5(doc_id) mod k (the same hash-draw convention every sampler in "
+    "operators/sampling.py uses — reproducible across engines, runs, "
+    "and partitionings), reporting the per-(fold, lang) class balance, "
+    "fold sizes, leave-fold-out train sizes, and integer-micro "
+    "language shares. One scan + two tiny aggregations; at 100 TB the "
+    "assignment is a pure narrow map (no shuffle) and only the "
+    "k x langs cell relation moves.",
+)
+def kfold_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _KFOLDS
+    )
+    cells = (
+        docs.select("lang", fold.alias("fold"))
+        .groupBy("fold", "lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    folds = cells.groupBy("fold").agg(
+        F.sum("n_docs").cast("long").alias("fold_total")
+    )
+    tot = docs.agg(F.count("*").cast("long").alias("n"))
+    return (
+        cells.join(F.broadcast(folds), "fold")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            "fold_total",
+            (F.col("n") - F.col("fold_total")).cast("long").alias("train_size"),
+            F.expr("n_docs * 1000000 div fold_total").alias("lang_share_micro"),
+        )
+    )

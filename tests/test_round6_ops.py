@@ -204,3 +204,127 @@ def test_hll_profile_plans_without_expand(spark, sf_dir):
     plan = _q("orders_column_profile_approx")(spark, sf_dir)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Expand" not in plan, plan[:2000]
+
+
+# ===========================================================================
+# wave 2
+# ===========================================================================
+
+
+def test_mrr_map_bounds_and_first_rank(spark, sf_dir):
+    rows = _q("retrieval_mrr_map")(spark, sf_dir).collect()
+    assert len(rows) == 10  # one row per query vector
+    for r in rows:
+        assert 0 <= r.first_rel_rank <= 10
+        assert 0 <= r.rr_nano <= 1_000_000_000
+        assert 0 <= r.ap_nano <= 1_000_000_000
+        assert 0 <= r.n_hits <= 10
+        # AP <= 1 implies rr consistency: a hit at rank 1 -> rr = 1e9
+        if r.first_rel_rank == 1:
+            assert r.rr_nano == 1_000_000_000
+        if r.n_hits == 0:
+            assert r.rr_nano == 0 and r.ap_nano == 0
+
+
+def test_adamic_adar_matches_python(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    rows = _q("link_prediction_adamic_adar")(spark, sf_dir).collect()
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = {
+        (r.o_custkey, r.l_suppkey)
+        for r in orders.join(
+            li, orders.o_orderkey == li.l_orderkey
+        ).collect()
+    }
+    by_c = defaultdict(set)
+    for c, s in edges:
+        by_c[c].add(s)
+    scores = defaultdict(lambda: [0, 0])
+    for c, ss in by_c.items():
+        if not (2 <= len(ss) <= 64):
+            continue
+        t = int(1e9 / math.log(len(ss)) + 0.5)
+        ss = sorted(ss)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                scores[(ss[i], ss[j])][0] += 1
+                scores[(ss[i], ss[j])][1] += t
+    expect = sorted(
+        ((v[1], k[0], k[1], v[0]) for k, v in scores.items()),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )[:20]
+    got = [(r.aa_nano, r.s1, r.s2, r.n_common) for r in rows]
+    assert got == expect
+
+
+def test_bfs_hops_cover_and_partition(spark, sf_dir):
+    rows = {r.dist: r for r in _q("bfs_reach_hops")(spark, sf_dir).collect()}
+    assert rows[0].n_nodes == 1 and rows[0].n_suppliers == 0
+    # hop 1 = the source customer's suppliers (odd nodes only)
+    assert rows[1].n_nodes == rows[1].n_suppliers > 0
+    # hop 2 = customers only; hop sets are disjoint by construction
+    if 2 in rows:
+        assert rows[2].n_suppliers == 0
+
+
+def test_naive_bayes_beats_prior(spark, sf_dir):
+    rows = _q("naive_bayes_lang_classify")(spark, sf_dir).collect()
+    total = sum(r.n_docs for r in rows)
+    correct = sum(r.n_docs for r in rows if r.true_lang == r.pred_lang)
+    majority = max(
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .count()
+        .collect(),
+        key=lambda r: r["count"],
+    )["count"]
+    assert total == load(spark, sf_dir, "documents").count()
+    # language-blind lorem text gives no signal guarantee, but the
+    # classifier must at least match the majority-class baseline
+    assert correct >= majority or correct / total >= 0.2
+
+
+def test_autocorr_bounds(spark, sf_dir):
+    rows = _q("daily_revenue_autocorr")(spark, sf_dir).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert -1_000_000 <= r.acf_micro <= 1_000_000
+
+
+def test_decay_weights_monotone_and_scores_positive(spark, sf_dir):
+    from kinesis_log_watcher_spark.queries.round6 import _DECAY_W
+
+    assert all(a >= b for a, b in zip(_DECAY_W, _DECAY_W[1:]))
+    assert _DECAY_W[0] == 1000
+    rows = _q("time_decayed_user_scores")(spark, sf_dir).collect()
+    assert rows and all(r.score_qm > 0 for r in rows)
+    scores = [r.score_qm for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_url_normalization_collapses_variants(spark, sf_dir):
+    rows = _q("url_normalized_dedup")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # every page ships a clean + a messy variant; canonicalization
+        # must collapse each pair exactly (and nothing else — page ids
+        # are doc-unique)
+        assert r.n_urls == 2 * r.n_canonical
+        assert r.n_collapsed == r.n_canonical
+
+
+def test_kfold_partition_and_train_sizes(spark, sf_dir):
+    rows = _q("kfold_assignment_stats")(spark, sf_dir).collect()
+    n = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n
+    folds = {}
+    for r in rows:
+        folds.setdefault(r.fold, set()).add((r.fold_total, r.train_size))
+    assert set(folds) == set(range(5))
+    for fold, pairs in folds.items():
+        assert len(pairs) == 1  # consistent totals within a fold
+        ft, ts = next(iter(pairs))
+        assert ft + ts == n

@@ -100,6 +100,13 @@ ALLOWED_BNLJ = {
     # round-6: the Heaps-curve bucketizer joins the 1-row MAX(doc_id)
     # span onto the first-seen relation
     "saturating_union_curve": "1-row corpus-span broadcast",
+    # round-6 wave 2: 1-row stats broadcasts, plus NB's 5-row language
+    # list crossed with the vocab to build the smoothing grid (build
+    # side = the class list, bounded by the label alphabet)
+    "naive_bayes_lang_classify": "5-row class-list x vocab smoothing grid",
+    "daily_revenue_autocorr": "1-row n/mean broadcast onto the daily series",
+    "time_decayed_user_scores": "1-row MAX(ts) reference-day broadcast",
+    "kfold_assignment_stats": "1-row corpus-total broadcast",
 }
 
 
