@@ -1857,14 +1857,21 @@ def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     ).alias("e")
-    return m.select("den", entries).select(
-        F.col("e.lag").alias("lag"),
-        F.floor(
-            F.lit(1000000.0) * F.col("e.num").cast("double")
-            / F.col("den").cast("double")
+    return (
+        m.select("den", entries)
+        # the oracle's lag self-join emits NO row for lags with no
+        # aligned pairs (empty/short series); the always-1-row global
+        # agg must match that, not fabricate null lags
+        .filter(F.col("e.num").isNotNull() & (F.col("den") > 0))
+        .select(
+            F.col("e.lag").alias("lag"),
+            F.floor(
+                F.lit(1000000.0) * F.col("e.num").cast("double")
+                / F.col("den").cast("double")
+            )
+            .cast("long")
+            .alias("acf_micro"),
         )
-        .cast("long")
-        .alias("acf_micro"),
     )
 
 
