@@ -168,6 +168,7 @@ _FRONT = (
     "time_decayed_user_scores",
     "url_normalized_dedup",
     "kfold_assignment_stats",
+    "stream_timer_sessions",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",

@@ -2202,3 +2202,48 @@ def kfold_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_docs * 1000000 div fold_total").alias("lang_share_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 22. stream_timer_sessions — event-time TIMER finalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_timer_sessions",
+    """
+    WITH lagd AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM lagd)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    doc="TIMER-driven stateful streaming: sessions finalize EXACTLY ONCE "
+    "via GroupStateTimeout.EventTimeTimeout — either a later event "
+    "proves the 30-min gap inline, or the watermark passing "
+    "session_end + gap fires the key's event-time timer "
+    "(state.hasTimedOut) and EVICTS its state. That eviction is the "
+    "100 TB contract the NoTimeout sessionizer "
+    "(stream_sessionization_stateful) lacks: state is bounded by the "
+    "lateness window, not the all-time user set, and the finalized "
+    "stream is append-like (no downstream reduction needed — the "
+    "oracle's batch gap-session SQL is matched row for row). Replay "
+    "mechanics (time-split parts, watermark-pushing sentinel, the "
+    "always-emit quirk guard) documented in streaming/timers.py.",
+)
+def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.timers import run_timer_sessions
+
+    return run_timer_sessions(spark, f"{sf_dir}/events.parquet")

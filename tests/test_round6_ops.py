@@ -328,3 +328,44 @@ def test_kfold_partition_and_train_sizes(spark, sf_dir):
         assert len(pairs) == 1  # consistent totals within a fold
         ft, ts = next(iter(pairs))
         assert ft + ts == n
+
+
+# ---------------------------------------------------------------------------
+# timer-finalized sessionization
+# ---------------------------------------------------------------------------
+
+
+def test_timer_sessions_equal_batch_and_emit_once(spark, sf_dir):
+    from pyspark.sql import Window
+
+    got = _q("stream_timer_sessions")(spark, sf_dir)
+    rows = got.collect()
+    # exactly-once: no session (user, start) appears twice
+    keys = [(r.user_id, r.session_start) for r in rows]
+    assert len(keys) == len(set(keys))
+    # equals the batch gap-session answer
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagd = ev.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts")
+    )
+    sess = lagd.withColumn(
+        "new_s",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    expect = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").cast("long").alias("n_events"),
+    ).drop("sid")
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0
