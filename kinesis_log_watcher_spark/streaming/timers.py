@@ -68,14 +68,16 @@ def _timer_session_fn(gap_s: int):
     gap_us = gap_s * _US
     gap_ms = gap_s * 1000
 
-    def emit(uid: int, s_us: int, e_us: int, n: int, finalized: bool) -> pd.DataFrame:
+    def emit_all(rows: list[tuple[int, int, int, int, bool]]) -> pd.DataFrame:
+        # ONE DataFrame per invocation — with ~|users| invocations per
+        # micro-batch, per-row frame construction dominates wall time
         return pd.DataFrame(
             {
-                "user_id": [uid],
-                "session_start": pd.to_datetime([s_us], unit="us"),
-                "session_end": pd.to_datetime([e_us], unit="us"),
-                "n_events": [n],
-                "finalized": [finalized],
+                "user_id": [r[0] for r in rows],
+                "session_start": pd.to_datetime([r[1] for r in rows], unit="us"),
+                "session_end": pd.to_datetime([r[2] for r in rows], unit="us"),
+                "n_events": [r[3] for r in rows],
+                "finalized": [r[4] for r in rows],
             }
         )
 
@@ -88,12 +90,13 @@ def _timer_session_fn(gap_s: int):
         if state.hasTimedOut:
             start_us, last_us, n_events = state.get
             state.remove()
-            yield emit(user_id, start_us, last_us, n_events, True)
+            yield emit_all([(user_id, start_us, last_us, n_events, True)])
             return
         if state.exists:
             start_us, last_us, n_events = state.get
         else:
             start_us = last_us = n_events = None
+        out: list[tuple[int, int, int, int, bool]] = []
         for pdf in pdfs:
             ts_us = (
                 pdf.sort_values(["ts", "event_id"])["ts"]
@@ -106,7 +109,7 @@ def _timer_session_fn(gap_s: int):
                     start_us, last_us, n_events = t, t, 1
                 elif t - last_us > gap_us:
                     # next-event proof: the open session is complete
-                    yield emit(user_id, start_us, last_us, n_events, True)
+                    out.append((user_id, start_us, last_us, n_events, True))
                     start_us, last_us, n_events = t, t, 1
                 else:
                     last_us, n_events = t, n_events + 1
@@ -115,12 +118,13 @@ def _timer_session_fn(gap_s: int):
         if timeout_ms <= wm_ms:
             # watermark proof already holds — a timer could not be armed
             # (Spark requires timeout > watermark); finalize now
-            yield emit(user_id, start_us, last_us, n_events, True)
+            out.append((user_id, start_us, last_us, n_events, True))
             state.remove()
-            return
-        state.update((start_us, last_us, n_events))
-        state.setTimeoutTimestamp(timeout_ms)
-        yield emit(user_id, start_us, last_us, n_events, False)
+        else:
+            state.update((start_us, last_us, n_events))
+            state.setTimeoutTimestamp(timeout_ms)
+            out.append((user_id, start_us, last_us, n_events, False))
+        yield emit_all(out)
 
     return fn
 
@@ -164,7 +168,6 @@ def run_timer_sessions(
         F.max("ts").alias("mx"),
     ).collect()[0]
     p1 = ev.filter(F.col("ts") <= bounds.mid)
-    p2 = ev.filter(F.col("ts") > bounds.mid)
     sentinel = spark.createDataFrame(
         [(int(-1), int(_SENTINEL_USER))], "event_id long, user_id long"
     ).select(
@@ -172,7 +175,13 @@ def run_timer_sessions(
         "user_id",
         (F.lit(bounds.mx) + F.expr("INTERVAL 40 DAYS")).alias("ts"),
     )
-    replay = stage_replay_files(spark, [p1, p2, sentinel], prefix="timer_sess_")
+    # sentinel rides in the LAST data part: the watermark advances after
+    # the batch, so it still pushes the trailing no-data batch past every
+    # real session's end+gap — one fewer micro-batch than a separate
+    # sentinel file, with the cross-batch state continuation preserved
+    # by the p1/p2 time split
+    p2 = ev.filter(F.col("ts") > bounds.mid).unionAll(sentinel)
+    replay = stage_replay_files(spark, [p1, p2], prefix="timer_sess_")
     stream = normalize_ts_cols(
         read_parquet_stream(spark, replay, max_files_per_trigger=1)
     )
