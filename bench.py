@@ -62,6 +62,20 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_ticks() -> dict[str, int]:
+    """Aggregate /proc/stat cpu counters. ``steal`` is the direct
+    hypervisor-contention signal loadavg cannot see (loadavg counts our
+    own runnable threads, so a busy bench self-pollutes it); a large
+    steal delta proves a slow run was the host's fault, not a plan
+    regression."""
+    try:
+        parts = open("/proc/stat").readline().split()
+        names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+        return {n: int(v) for n, v in zip(names, parts[1:9])}
+    except Exception:  # noqa: BLE001 - non-Linux fallback
+        return {}
+
+
 def main() -> None:
     # Point fd 1 at stderr BEFORE the JVM launches so its stdout banners
     # ("Setting default log level...", Ivy, WARNs) can't pollute the one
@@ -75,7 +89,21 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark(app_name="klw-bench")
+    # A ~270-query marathon submits thousands of jobs through one JVM;
+    # the Spark UI's live state store retains them all by default and
+    # the resulting driver heap/GC pressure lands on whichever queries
+    # run late (r6: randomly-placed 1.5s queries read 8-22s late in
+    # full runs, normal in isolation). The bench needs no UI.
+    spark = get_spark(
+        app_name="klw-bench",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.ui.retainedExecutions": "5",
+            "spark.ui.retainedJobs": "50",
+            "spark.ui.retainedStages": "50",
+            "spark.ui.retainedTasks": "500",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Host-load telemetry: 1/5/15-min load averages before and after the
@@ -85,6 +113,7 @@ def main() -> None:
     # binaries).
     load_before = os.getloadavg()
     t_start = time.time()
+    stat_before = _cpu_ticks()
 
     reg = registry()
     names = [n for n in reg if n not in SKIP]
@@ -113,15 +142,38 @@ def main() -> None:
         # them between queries so every timing is cold-cache and late
         # queries don't pay accumulated executor-memory pressure.
         spark.catalog.clearCache()
+        # Streaming replays leave their memory-sink tables (full result
+        # sets pinned on the JVM heap) registered for the session's
+        # lifetime; ~25 of them accumulate over the full registry and
+        # the resulting GC pressure lands on whichever queries run late
+        # (r6: 1.7s streaming replays read 8-22s late in a full run,
+        # normal in isolation). Drop them as soon as they're timed.
+        for tbl in spark.catalog.listTables():
+            if tbl.isTemporary:
+                spark.catalog.dropTempView(tbl.name)
 
     total = round(sum(timings.values()), 4)
     load_after = os.getloadavg()
+    stat_after = _cpu_ticks()
+    deltas = {
+        k: stat_after[k] - stat_before[k] for k in stat_after if k in stat_before
+    }
     telemetry = {
         "load_before": [round(x, 2) for x in load_before],
         "load_after": [round(x, 2) for x in load_after],
         "t_start": round(t_start, 1),
         "t_end": round(time.time(), 1),
         "cpus": os.cpu_count(),
+        # tick deltas over the run (USER_HZ=100): steal_s is seconds of
+        # CPU the hypervisor withheld across all vCPUs — the definitive
+        # noisy-neighbor attribution (r6 saw identical binaries read
+        # 373s vs 470s totals with medians at parity; the tail tracked
+        # steal, not any plan change)
+        "steal_s": round(deltas.get("steal", 0) / 100.0, 1),
+        "busy_s": round(
+            sum(deltas.get(k, 0) for k in ("user", "system", "nice")) / 100.0, 1
+        ),
+        "iowait_s": round(deltas.get("iowait", 0) / 100.0, 1),
     }
 
     # Full fidelity: every timed query, committed to the repo each round.

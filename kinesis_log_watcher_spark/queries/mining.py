@@ -1306,14 +1306,28 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = types.select("dim", F.lit(_PCA_Q).cast("long").alias("qv"))
 
-    last = {}
+    # Per round, the DISTRIBUTED work is the two hash aggregations over
+    # comp (s = C v, w = C^T s); the resulting w is one row per DIM —
+    # a handful — so the renormalization runs on the DRIVER and the
+    # next iterate re-enters as a literal-backed broadcast relation.
+    # The previous form chained every round's 1-row scalar aggregates
+    # into the next round's plan via crossJoin(broadcast(...)), which
+    # duplicated the whole lineage ~4x per round; driver analysis
+    # dominated wall time (the bpe_train_k_rounds lesson; 8.4s -> ~2s
+    # at sf0.1). Value-identical: float(Decimal), math.floor and
+    # math.sqrt are the same correctly-rounded IEEE doubles as the
+    # in-plan decimal->double cast / FLOOR / SQRT the oracle runs.
+    import math
+
+    m_val = 0.0
+    n2_val = 0.0
     for _ in (1, 2):
         s = (
             comp.join(F.broadcast(v), "dim")
             .groupBy("vec_id")
             .agg(F.sum(F.col("qx") * F.col("qv")).cast("long").alias("s"))
         )
-        w = (
+        w_rows = (
             comp.join(s, "vec_id")
             .groupBy("dim")
             .agg(
@@ -1322,53 +1336,30 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * F.col("s").cast("decimal(19,0)")
                 ).alias("wdec")
             )
-        )
-        m = w.agg(F.max(F.abs(F.col("wdec"))).alias("m"))
-        wn = (
-            w.crossJoin(F.broadcast(m))
-            .filter(F.col("m") > 0)
-            .select(
-                "dim",
-                F.floor(
-                    F.col("wdec").cast("double") * F.lit(100000.0)
-                    / F.col("m").cast("double")
-                    + F.lit(0.5)
-                )
-                .cast("long")
-                .alias("wn"),
+        ).collect()
+        m_val = float(max(abs(r.wdec) for r in w_rows))
+        if m_val <= 0:
+            break
+        wn = {
+            r.dim: math.floor(float(r.wdec) * 100000.0 / m_val + 0.5)
+            for r in w_rows
+        }
+        n2_val = float(sum(x * x for x in wn.values()))
+        qv = {
+            d: int(math.floor(x * 10000000.0 / math.sqrt(n2_val) + 0.5))
+            for d, x in wn.items()
+        }
+        v = F.broadcast(
+            ev.sparkSession.createDataFrame(
+                sorted(qv.items()), "dim long, qv long"
             )
         )
-        n2 = wn.agg(F.sum(F.col("wn") * F.col("wn")).cast("long").alias("n2"))
-        v = (
-            wn.crossJoin(F.broadcast(n2))
-            .select(
-                "dim",
-                F.floor(
-                    F.col("wn").cast("double") * F.lit(10000000.0)
-                    / F.sqrt(F.col("n2").cast("double"))
-                    + F.lit(0.5)
-                )
-                .cast("long")
-                .alias("qv"),
-            )
-        )
-        last = {"m": m, "n2": n2}
 
-    lam = (
-        F.col("m").cast("double")
-        * F.sqrt(F.col("n2").cast("double"))
-        / F.lit(100000.0)
-        / F.lit(10000000.0)
-    )
-    return (
-        v.join(types, "dim")
-        .crossJoin(F.broadcast(last["m"]))
-        .crossJoin(F.broadcast(last["n2"]))
-        .select(
-            "event_type",
-            F.col("qv").alias("v_q7"),
-            F.floor(lam + F.lit(0.5)).cast("long").alias("lambda_est"),
-        )
+    lam = m_val * math.sqrt(n2_val) / 100000.0 / 10000000.0
+    return v.join(types, "dim").select(
+        "event_type",
+        F.col("qv").alias("v_q7"),
+        F.lit(int(math.floor(lam + 0.5))).cast("long").alias("lambda_est"),
     )
 
 
