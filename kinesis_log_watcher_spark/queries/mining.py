@@ -1337,6 +1337,8 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("wdec")
             )
         ).collect()
+        if not w_rows:
+            break  # empty input: v stays the init relation (also empty)
         m_val = float(max(abs(r.wdec) for r in w_rows))
         if m_val <= 0:
             break
