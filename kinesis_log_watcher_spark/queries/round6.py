@@ -265,9 +265,11 @@ def minhash_prob_vs_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     sh = exploded_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sh_h = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     sig = minhash_signature(sh, _R6_K).persist(StorageLevel.MEMORY_AND_DISK)
+    # cand feeds both the exact-intersection join and the signature
+    # comparison — persist it or the band self-join runs twice
     cand = lsh_candidate_pairs(lsh_bands(sig, _R6_K, _R6_BANDS)).select(
         "doc_a", "doc_b"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh_h.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
     common = (
         cand.join(sh_h.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -450,10 +452,13 @@ def suffix_automaton_repeat_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def kernel(batches):
         for pdf in batches:
-            prefixes = pdf["text"].astype(str).str.slice(0, _SAM_CAP)
+            # NULL text drops (the oracle's length()>=1 predicate is NULL
+            # on NULL); astype(str) would render None as the string 'None'
+            notnull = pdf["text"].notna()
+            prefixes = pdf["text"][notnull].astype(str).str.slice(0, _SAM_CAP)
             mask = prefixes.str.len() >= 1
             prefixes = prefixes[mask]
-            langs = pdf["lang"][mask]
+            langs = pdf["lang"][notnull][mask]
             ls = prefixes.str.len().astype("int64")
             nd = prefixes.map(_sam_distinct_substrings).astype("int64")
             yield pd.DataFrame(
@@ -652,16 +657,17 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf_milli = F.floor(
         F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) * 1000.0 + 0.5
     ).cast("long")
-    w = (
-        tf.join(df_rel, "term")
-        .select("doc_id", "term", (F.col("tf") * idf_milli).alias("w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # ONE tf-vs-df join feeds both the weight relation and the anchor
+    # ranking — re-joining the corpus-scale tf relation twice was the
+    # query's only repeated shuffle (r6 review finding)
+    joined = tf.join(df_rel, "term").select(
+        "doc_id", "term", "df", (F.col("tf") * idf_milli).alias("w")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    w = joined.select("doc_id", "term", "w")
     norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).cast("long").alias("norm2"))
     wa = Window.partitionBy("doc_id").orderBy("df", "term")
     anchors = (
-        tf.join(df_rel, "term")
-        .filter(
+        joined.filter(
             (F.col("df") >= _TFIDF_BLOCK_DF_MIN)
             & (F.col("df") <= _TFIDF_BLOCK_DF_MAX)
         )
@@ -1491,14 +1497,16 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = F.floor(
         F.lit(1_000_000_000.0) / F.log(F.size("ss").cast("double")) + F.lit(0.5)
     ).cast("long")
-    # pairs packed into one long (s1 * 2^20 + s2) so the explode emits
+    # pairs packed into one long (s1 * 2^31 + s2 — supplier keys stay
+    # < 2^31 through TPC-H SF ~200k and the product fits int64) so the
+    # explode emits
     # primitive longs and the map-side combine hashes a single word
     combos = F.flatten(
         F.transform(
             F.col("ss"),
             lambda x, i: F.transform(
                 F.slice(F.col("ss"), i + 2, F.size("ss")),
-                lambda y: x * F.lit(1 << 20) + y,
+                lambda y: x * F.lit(1 << 31) + y,
             ),
         )
     )
@@ -1510,8 +1518,8 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("t").cast("long").alias("aa_nano"),
         )
         .select(
-            F.expr(f"p div {1 << 20}").alias("s1"),
-            (F.col("p") % (1 << 20)).alias("s2"),
+            F.expr(f"p div {1 << 31}").alias("s1"),
+            (F.col("p") % (1 << 31)).alias("s2"),
             "n_common",
             "aa_nano",
         )
@@ -1799,7 +1807,7 @@ _ACF_MAX_LAG = 7
     SELECT CAST(n.lag AS BIGINT) AS lag,
            CAST(floor(1000000.0 * CAST(n.num AS DOUBLE)
                       / CAST(d.den AS DOUBLE)) AS BIGINT) AS acf_micro
-    FROM num n CROSS JOIN den d
+    FROM num n CROSS JOIN den d WHERE d.den > 0
     """,
     doc=f"Time-series diagnostics: lag-1..{_ACF_MAX_LAG} autocorrelation "
     "of the daily revenue series. Daily totals are exact int64 dollars "

@@ -73,10 +73,17 @@ def _session_updates(gap_s: int):
             start_us = last_us = n_events = None
 
         out: list[tuple[int, int, int, int]] = []
-        for pdf in pdfs:
+        # Accumulate ALL Arrow chunks before sorting: the state protocol
+        # splits a key's rows at arrow.maxRecordsPerBatch and the
+        # partition is sorted only by the grouping key, so per-chunk
+        # sorts would fold a >10k-event user in non-time order
+        # (streaming/timers.py documents the same hazard).
+        chunks = [pdf[["ts", "event_id"]] for pdf in pdfs]
+        if chunks:
+            allrows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
             # micro-batch rows for this user, in event-time order
             ts_us = (
-                pdf.sort_values(["ts", "event_id"])["ts"]
+                allrows.sort_values(["ts", "event_id"])["ts"]
                 .astype("datetime64[us]")
                 .astype("int64")
             )

@@ -97,9 +97,16 @@ def _timer_session_fn(gap_s: int):
         else:
             start_us = last_us = n_events = None
         out: list[tuple[int, int, int, int, bool]] = []
-        for pdf in pdfs:
+        # Accumulate ALL Arrow chunks before sorting: the state protocol
+        # splits a key's batch rows at arrow.maxRecordsPerBatch, and the
+        # partition is sorted only by the grouping key — per-chunk sorts
+        # would fold a >10k-event user in non-time order and rewind the
+        # session fold backward.
+        chunks = [pdf[["ts", "event_id"]] for pdf in pdfs]
+        if chunks:
+            allrows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
             ts_us = (
-                pdf.sort_values(["ts", "event_id"])["ts"]
+                allrows.sort_values(["ts", "event_id"])["ts"]
                 .astype("datetime64[us]")
                 .astype("int64")
             )

@@ -369,3 +369,60 @@ def test_timer_sessions_equal_batch_and_emit_once(spark, sf_dir):
     ).drop("sid")
     assert got.count() == expect.count()
     assert got.exceptAll(expect).count() == 0
+
+
+def test_sessionizers_fold_across_arrow_chunks(spark, tmp_path):
+    """A key's micro-batch rows split into multiple Arrow chunks at
+    arrow.maxRecordsPerBatch, and Spark sorts the partition only by the
+    grouping key — the fold must sort ALL chunks together, or a
+    >chunk-size user processed in non-time file order rewinds the
+    session fold (r6 review finding)."""
+    from datetime import datetime, timezone
+
+    from kinesis_log_watcher_spark.streaming.stateful import (
+        final_sessions,
+        session_update_stream,
+    )
+
+    # one user, TWO true sessions (10 events at 10-min spacing, a 2-hour
+    # gap, 10 more), written in DESCENDING ts order so Arrow chunks mix
+    # late-session and early-session rows — per-chunk sorting folds them
+    # out of order and merges/splits sessions wrongly
+    base = 1_700_000_000
+    times = [base + i * 600 for i in range(10)]
+    times += [times[-1] + 7200 + i * 600 for i in range(10)]
+    rows = [
+        (
+            1,
+            i,
+            datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None),
+        )
+        for i, t in enumerate(reversed(times))
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    src = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, event_id long, ts timestamp")
+            .parquet(src)
+        )
+        name = "chunk_fold_sessions"
+        q = (
+            session_update_stream(stream, gap_s=1800)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = final_sessions(spark.table(name)).collect()
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # exactly TWO sessions of 10 events each
+    assert sorted(r.n_events for r in got) == [10, 10], got
