@@ -169,6 +169,7 @@ _FRONT = (
     "url_normalized_dedup",
     "kfold_assignment_stats",
     "stream_timer_sessions",
+    "stream_click_purchase_full_outer",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",

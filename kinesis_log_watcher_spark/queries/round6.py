@@ -2255,3 +2255,44 @@ def stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.streaming.timers import run_timer_sessions
 
     return run_timer_sessions(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 23. stream_click_purchase_full_outer — symmetric outer stream-stream join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_click_purchase_full_outer",
+    """
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           (c.event_id IS NOT NULL AND p.event_id IS NOT NULL) AS matched,
+           COALESCE(c.event_id, -1) AS click_id,
+           COALESCE(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS click_ts,
+           COALESCE(p.event_id, -1) AS purchase_id,
+           COALESCE(p.ts, TIMESTAMP '1970-01-01 00:00:00') AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    doc="FULL OUTER stream-stream join — the symmetric completion of "
+    "the inner/left attribution family: matched click-purchase pairs, "
+    "clicks with no purchase within 1h, AND purchases attributable to "
+    "no click, each unmatched row emitted exactly when its own side's "
+    "state eviction (other side's watermark + time bound) proves no "
+    "future match can arrive. State is O(events inside the join "
+    "window) PER SIDE — the outer form adds eviction-time emission, "
+    "not state. Bounded-replay finalization via the shared sentinel "
+    "batches (streaming/joins.py); unmatched columns carry sentinel "
+    "values (-1 / epoch) + a matched flag per the no-NULL-output "
+    "convention. Oracle = the batch FULL JOIN with the time-bound "
+    "predicates in the ON clause.",
+)
+def stream_click_purchase_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.joins import (
+        run_stream_stream_full_outer,
+    )
+
+    return run_stream_stream_full_outer(spark, f"{sf_dir}/events.parquet")

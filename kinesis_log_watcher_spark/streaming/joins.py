@@ -339,3 +339,72 @@ def run_stream_index_admission(
         .cast("long")
         .alias("n_dup_batch"),
     )
+
+
+def run_stream_stream_full_outer(
+    spark: SparkSession,
+    events_path: str,
+    within: str = "1 hour",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """FULL OUTER stream-stream join: every click emits its purchases or
+    an explicit no-purchase row, AND every purchase not attributable to
+    any click emits a no-click row — both finalized by watermark-driven
+    state eviction on their own side. The most state-complete join
+    Spark offers: each side's state evicts off the other side's
+    watermark plus the time bound, so unmatched-row emission is
+    symmetric and append-mode exact. Same sentinel-replay finalization
+    and no-NULL-output conventions as run_stream_stream_left_join.
+    """
+    from kinesis_log_watcher_spark.sources.files import (
+        await_or_raise,
+        read_parquet_stream,
+    )
+
+    ensure_session_confs(spark)
+    replay = _sentinel_replay_dir(spark, events_path)
+
+    def stream():
+        s = read_parquet_stream(spark, replay, max_files_per_trigger=1)
+        s = normalize_ts_cols(s)
+        return s.withWatermark("ts", "1 minute")
+
+    clicks = stream().filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = stream().filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "full_outer",
+    ).select(
+        F.coalesce("c_user", "p_user").alias("user_id"),
+        (F.col("click_id").isNotNull() & F.col("purchase_id").isNotNull()).alias(
+            "matched"
+        ),
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce("click_ts", epoch).alias("click_ts"),
+        F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+        F.coalesce("purchase_ts", epoch).alias("purchase_ts"),
+    )
+
+    name = f"stream_stream_full_outer_{next(_counter)}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, timeout_s)
+    # sentinel rows dropped POST-SINK (see run_stream_stream_left_join)
+    return spark.table(name).filter(F.col("user_id") >= 0)
