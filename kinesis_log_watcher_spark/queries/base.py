@@ -170,6 +170,18 @@ _FRONT = (
     "kfold_assignment_stats",
     "stream_timer_sessions",
     "stream_click_purchase_full_outer",
+    # ---- round-6 wave 3 (queries/round6b.py; queue behind wave 2 for
+    # the round-7 rotation)
+    "revenue_trend_mann_kendall",
+    "spearman_quantity_discount",
+    "community_label_propagation",
+    "doc_lexical_diversity",
+    "zipf_law_fit",
+    "blocklist_phrase_filter",
+    "pareto_frontier_orders",
+    "weighted_median_price",
+    "kcenter_coreset_greedy",
+    "stream_two_level_agg",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",
@@ -287,6 +299,7 @@ def registry() -> dict[str, Query]:
         quality,
         relational,
         round6,
+        round6b,
         sampling,
         streaming,
         tpch_deep,

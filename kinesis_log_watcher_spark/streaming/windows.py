@@ -518,3 +518,95 @@ def run_streaming_minhash_overlap(
         .cast("long")
         .alias("n_regs_equal"),
     )
+
+
+def run_two_level_agg(
+    spark: SparkSession,
+    events_path: str,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """CHAINED stateful aggregation in one streaming query (Spark 3.4+
+    multiple-stateful-operator support): 10-minute tumbling counts per
+    event_type, re-aggregated into per-hour rollups (bucket count, max
+    bucket, total) downstream IN THE SAME QUERY — the pre-aggregation
+    cascade a 100 TB metrics pipeline runs to keep the wide shuffle at
+    the fine granularity and the hourly state tiny.
+
+    Chained aggregation REQUIRES append mode + a watermark (complete
+    mode forbids it), and append only emits a window once the watermark
+    passes its end — so the bounded replay stages two far-future
+    sentinel batches (the run_late_data_accounting trick): sentinel 1's
+    batch advances the watermark past every real hour, sentinel 2's
+    batch runs with that watermark and flushes the real windows through
+    BOTH stateful operators. Sentinel rows are filtered post-sink (an
+    in-plan filter would be pushed below the watermark node and defeat
+    them); their own never-flushed windows simply never reach the sink.
+
+    At scale: level 1 state is one row per (10-min window, type); level
+    2 receives |types| rows per closed 10-min window — the second
+    shuffle is negligible by construction. Same append-mode memory-sink
+    caveat as every replay harness: test-scale plumbing only.
+    """
+    from kinesis_log_watcher_spark.sources.files import stage_replay_files
+
+    ensure_session_confs(spark)
+    base = normalize_ts_cols(spark.read.parquet(events_path))
+    mx = base.groupBy().agg(F.max("ts").alias("mxts"))
+
+    def sentinel(i: int) -> DataFrame:
+        cols = []
+        for f in base.schema.fields:
+            if f.name == "ts":
+                cols.append(
+                    (F.col("mxts") + F.expr(f"INTERVAL {2 * i} HOURS"))
+                    .cast(f.dataType)
+                    .alias("ts")
+                )
+            elif f.name == "event_type":
+                cols.append(F.lit("sentinel").cast(f.dataType).alias(f.name))
+            elif f.name == "event_id":
+                cols.append(F.lit(-2000 - i).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return mx.select(*cols)
+
+    replay = stage_replay_files(
+        spark,
+        [base, sentinel(1), sentinel(2)],
+        prefix="two_level_",
+    )
+    stream = normalize_ts_cols(
+        read_parquet_stream(spark, replay, max_files_per_trigger=1)
+    )
+    lvl1 = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    lvl2 = (
+        lvl1.groupBy(
+            F.window(F.window_time("w"), "1 hour").alias("h"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("n").cast("long").alias("total_n"),
+            F.max("n").cast("long").alias("max_bucket_n"),
+        )
+        .select(
+            F.col("h.start").alias("hour_start"),
+            "event_type",
+            "n_buckets",
+            "total_n",
+            "max_bucket_n",
+        )
+    )
+    name = f"two_level_{next(_counter)}"
+    q = (
+        lvl2.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, timeout_s)
+    return spark.table(name).filter(F.col("event_type") != "sentinel")

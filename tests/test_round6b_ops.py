@@ -1,0 +1,401 @@
+"""Round-6 wave-3 operator tests: Mann-Kendall/Theil-Sen, Spearman,
+label propagation, lexical diversity, Zipf fit, blocklist filter,
+skyline, weighted median, k-center coreset, chained streaming agg.
+
+Each test re-derives the operator's answer independently (pure Python /
+pandas / brute force) rather than re-running the oracle SQL — the
+oracle equivalence is the driver gate's job; these pin the semantics."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from kinesis_log_watcher_spark.queries import registry
+from kinesis_log_watcher_spark.queries.base import load
+
+
+def _q(name):
+    return registry()[name].fn
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall + Theil-Sen
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_matches_pure_python(spark, sf_dir):
+    rows = {
+        r.o_orderpriority: r
+        for r in _q("revenue_trend_mann_kendall")(spark, sf_dir).collect()
+    }
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        )
+        .count()
+        .collect()
+    )
+    series: dict[str, list[tuple[int, int]]] = {}
+    for r in monthly:
+        series.setdefault(r.o_orderpriority, []).append((r.m, r["count"]))
+    assert set(series) == set(rows)
+    for pri, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        s = 0
+        slopes = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = pts[j][1] - pts[i][1]
+                s += (d > 0) - (d < 0)
+                slopes.append(
+                    (
+                        math.floor(d * 1000.0 / (pts[j][0] - pts[i][0]) + 0.5),
+                        pts[i][0],
+                        pts[j][0],
+                    )
+                )
+        ties = Counter(v for _, v in pts)
+        tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie_term
+        slopes.sort()
+        med = slopes[(len(slopes) + 1) // 2 - 1][0]
+        r = rows[pri]
+        assert r.n_months == n
+        assert r.s_stat == s
+        assert r.var_s_x18 == var18
+        assert r.theil_sen_slope_milli == med
+        assert r.trend == (
+            "increasing" if s > 0 else "decreasing" if s < 0 else "flat"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Spearman via joint histogram == pandas average-rank Spearman
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_matches_pandas_ranks(spark, sf_dir):
+    out = {
+        r.l_returnflag: r
+        for r in _q("spearman_quantity_discount")(spark, sf_dir).collect()
+    }
+    pdf = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_discount")
+        .toPandas()
+    )
+    pdf["qv"] = (pdf.l_quantity + 0.5).apply(math.floor)
+    pdf["dv"] = (pdf.l_discount * 10000 + 0.5).apply(math.floor)
+    for flag, g in pdf.groupby("l_returnflag"):
+        rx = g.qv.rank(method="average")
+        ry = g.dv.rank(method="average")
+        n = len(g)
+        # identical integer rank2 encoding (2x average rank)
+        r2x, r2y = (2 * rx).astype("int64"), (2 * ry).astype("int64")
+        sx, sy = int(r2x.sum()), int(r2y.sum())
+        sxx = int((r2x * r2x).sum())
+        syy = int((r2y * r2y).sum())
+        sxy = int((r2x * r2y).sum())
+        num = float(n) * float(sxy) - float(sx) * float(sy)
+        den = (float(n) * float(sxx) - float(sx) * float(sx)) * (
+            float(n) * float(syy) - float(sy) * float(sy)
+        )
+        expect = math.floor(num / math.sqrt(den) * 1000000 + 0.5)
+        assert out[flag].n_rows == n
+        assert out[flag].rho_micro == expect
+        # a rank correlation lives in [-1, 1]
+        assert -1000000 <= out[flag].rho_micro <= 1000000
+
+
+# ---------------------------------------------------------------------------
+# Label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_lpa_matches_python_sync_rounds(spark, sf_dir):
+    from kinesis_log_watcher_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = [
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.35)
+        .select("vec_a", "vec_b")
+        .collect()
+    ]
+    nbrs: dict[int, list[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    labels = {v: v for v in nbrs}
+    for _ in (1, 2):
+        new = {}
+        for v, ns in nbrs.items():
+            votes = Counter(labels[u] for u in ns)
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+    sizes = Counter(labels.values())
+    out = _q("community_label_propagation")(spark, sf_dir).collect()
+    assert len(out) == len(labels)
+    for r in out:
+        assert labels[r.vec_id] == r.community
+        assert sizes[r.community] == r.community_size
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity
+# ---------------------------------------------------------------------------
+
+
+def test_lexical_diversity_matches_python(spark, sf_dir):
+    out = {
+        r.doc_id: r for r in _q("doc_lexical_diversity")(spark, sf_dir).collect()
+    }
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert len(out) == len(docs)
+    for d in docs:
+        f = Counter(d.text.split(" "))
+        n = sum(f.values())
+        r = out[d.doc_id]
+        assert r.n_tokens == n
+        assert r.n_distinct == len(f)
+        assert r.ttr_micro == len(f) * 1000000 // n
+        rep = sum(c * (c - 1) for c in f.values())
+        assert r.simpson_micro == (
+            0 if n < 2 else rep * 1000000 // (n * (n - 1))
+        )
+        assert r.hapax_micro == (
+            sum(1 for c in f.values() if c == 1) * 1000000 // n
+        )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_slope_negative_and_matches_python(spark, sf_dir):
+    out = {r.lang: r for r in _q("zipf_law_fit")(spark, sf_dir).collect()}
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select("lang", "text")
+        .collect()
+    )
+    freq: dict[str, Counter] = {}
+    for d in docs:
+        freq.setdefault(d.lang, Counter()).update(d.text.split(" "))
+    assert set(out) == set(freq)
+    for lang, f in freq.items():
+        ranked = sorted(f.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+        pts = [
+            (
+                math.floor(math.log(i + 1) * 1000000 + 0.5),
+                math.floor(math.log(c) * 1000000 + 0.5),
+            )
+            for i, (_, c) in enumerate(ranked)
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        den = float(n) * float(sxx) - float(sx) * float(sx)
+        num = float(n) * float(sxy) - float(sx) * float(sy)
+        r = out[lang]
+        assert r.n_points == n
+        assert r.slope_micro == math.floor(num / den * 1000000 + 0.5)
+        # Zipfian frequency spectra decay: the exponent is negative
+        assert r.slope_micro < 0
+
+
+# ---------------------------------------------------------------------------
+# Blocklist filter
+# ---------------------------------------------------------------------------
+
+
+def test_blocklist_matches_python_containment(spark, sf_dir):
+    from kinesis_log_watcher_spark.queries.round6b import _BLOCKLIST
+
+    out = {
+        r.category: r for r in _q("blocklist_phrase_filter")(spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    agg: dict[str, dict] = {}
+    for d in docs:
+        if d.text is None:
+            continue
+        for phrase, cat in _BLOCKLIST:
+            if phrase in d.text:
+                a = agg.setdefault(
+                    cat, {"docs": set(), "hits": 0, "phrases": set()}
+                )
+                a["docs"].add(d.doc_id)
+                a["hits"] += 1
+                a["phrases"].add(phrase)
+    assert set(out) == set(agg)
+    for cat, a in agg.items():
+        assert out[cat].n_docs == len(a["docs"])
+        assert out[cat].n_hits == a["hits"]
+        assert out[cat].n_phrases_hit == len(a["phrases"])
+
+
+# ---------------------------------------------------------------------------
+# Skyline
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_frontier_nondominated_and_complete(spark, sf_dir):
+    out = _q("pareto_frontier_orders")(spark, sf_dir).collect()
+    pts = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("dd"),
+        )
+        .collect()
+    )
+    best: dict[int, int] = {}
+    cnt: Counter = Counter()
+    for p in pts:
+        best[p.cents] = max(best.get(p.cents, -(10**9)), p.dd)
+        cnt[(p.cents, p.dd)] += 1
+    expect = {
+        (c, d)
+        for c, d in best.items()
+        if all(hd < d for hc, hd in best.items() if hc > c)
+    }
+    got = {(r.price_cents, r.last_day) for r in out}
+    assert got == expect
+    for r in out:
+        assert r.n_orders == cnt[(r.price_cents, r.last_day)]
+    # the staircase is strictly monotone: higher price -> strictly
+    # earlier last day
+    srt = sorted(got)
+    for (c1, d1), (c2, d2) in zip(srt, srt[1:]):
+        assert c1 < c2 and d1 > d2
+
+
+# ---------------------------------------------------------------------------
+# Weighted median
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_median_matches_python(spark, sf_dir):
+    out = {
+        r.l_returnflag: r
+        for r in _q("weighted_median_price")(spark, sf_dir).collect()
+    }
+    rows = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    hist: dict[str, Counter] = {}
+    for r in rows:
+        cents = math.floor(r.l_extendedprice * 100 + 0.5)
+        hist.setdefault(r.l_returnflag, Counter())[cents] += math.floor(
+            r.l_quantity + 0.5
+        )
+    for flag, h in hist.items():
+        tot = sum(h.values())
+        cum = 0
+        for cents in sorted(h):
+            cum += h[cents]
+            if 2 * cum >= tot:
+                break
+        r = out[flag]
+        assert r.wmedian_cents == cents
+        assert r.total_qty_units == tot
+        assert r.n_prices == len(h)
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_matches_python_greedy(spark, sf_dir):
+    out = sorted(
+        _q("kcenter_coreset_greedy")(spark, sf_dir).collect(),
+        key=lambda r: r.round,
+    )
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    q = {
+        r.vec_id: [math.floor(float(x) * 10000000 + 0.5) for x in r.embedding]
+        for r in emb
+    }
+    n2 = {v: sum(x * x for x in qe) for v, qe in q.items()}
+
+    def d2(a, b):
+        return n2[a] + n2[b] - 2 * sum(x * y for x, y in zip(q[a], q[b]))
+
+    # seed: max norm2, tie-break min id
+    c = max(n2, key=lambda v: (n2[v], -v))
+    dist = {v: d2(v, c) for v in q}
+    expect = []
+    for rnd in (1, 2, 3):
+        far = max(dist, key=lambda v: (dist[v], -v))
+        expect.append((rnd, c, dist[far]))
+        c = far
+        for v in q:
+            dist[v] = min(dist[v], d2(v, c))
+    assert [(r.round, r.center_id, r.radius_d2) for r in out] == expect
+    # radii are non-increasing as centers are added
+    assert out[0].radius_d2 >= out[1].radius_d2 >= out[2].radius_d2
+
+
+def test_kcenter_empty_input(spark, sf_dir, tmp_path):
+    load(spark, sf_dir, "embeddings").limit(0).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = _q("kcenter_coreset_greedy")(spark, str(tmp_path)).collect()
+    assert out == []
+
+
+# ---------------------------------------------------------------------------
+# Chained streaming aggregation
+# ---------------------------------------------------------------------------
+
+
+def test_two_level_stream_equals_batch(spark, sf_dir):
+    out = _q("stream_two_level_agg")(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.window("ts", "10 minutes").alias("w"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    expect = (
+        b.groupBy(F.window(F.col("w.start"), "1 hour").alias("h"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("n").cast("long").alias("total_n"),
+            F.max("n").cast("long").alias("max_bucket_n"),
+        )
+        .select(
+            F.col("h.start").alias("hour_start"),
+            "event_type",
+            "n_buckets",
+            "total_n",
+            "max_bucket_n",
+        )
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in expect.collect()}
+    assert got == want and len(got) > 0

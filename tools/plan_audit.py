@@ -107,6 +107,11 @@ ALLOWED_BNLJ = {
     "daily_revenue_autocorr": "1-row n/mean broadcast onto the daily series",
     "time_decayed_user_scores": "1-row MAX(ts) reference-day broadcast",
     "kfold_assignment_stats": "1-row corpus-total broadcast",
+    # round-6 wave 3: substring containment is not equi-joinable; the
+    # build side is the bounded, human-curated blocklist by contract
+    # (at thousands of phrases the documented swap is an Aho-Corasick
+    # mapInPandas kernel, same broadcast shape)
+    "blocklist_phrase_filter": "10-row curated-blocklist broadcast",
 }
 
 
