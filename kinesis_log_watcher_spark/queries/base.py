@@ -182,6 +182,11 @@ _FRONT = (
     "weighted_median_price",
     "kcenter_coreset_greedy",
     "stream_two_level_agg",
+    "ks_two_sample_price",
+    "neardup_graph_assortativity",
+    "community_modularity",
+    "event_markov_entropy_rate",
+    "part_status_bitmap",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",

@@ -330,8 +330,9 @@ def spearman_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3. community_label_propagation — 2 synchronous LPA rounds
 # ---------------------------------------------------------------------------
 
-_LPA_SQL = f"""
-    WITH {_NEARDUP_EDGE_CTE},
+# Shared CTE chain: near-dup edges -> 2 synchronous LPA rounds (l2).
+# Used by community_label_propagation and community_modularity.
+_LPA_CTES = f"""{_NEARDUP_EDGE_CTE},
     nbrs AS (
       SELECT vec_a AS node, vec_b AS nbr FROM edges
       UNION ALL SELECT vec_b, vec_a FROM edges),
@@ -353,7 +354,10 @@ _LPA_SQL = f"""
         SELECT node, lbl,
                ROW_NUMBER() OVER (PARTITION BY node
                                   ORDER BY c DESC, lbl) AS rn
-        FROM v2) WHERE rn = 1),
+        FROM v2) WHERE rn = 1)"""
+
+_LPA_SQL = f"""
+    WITH {_LPA_CTES},
     sizes AS (
       SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz FROM l2 GROUP BY 1)
     SELECT l2.node AS vec_id, l2.lbl AS community, s.sz AS community_size
@@ -1048,3 +1052,474 @@ def stream_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.streaming.windows import run_two_level_agg
 
     return run_two_level_agg(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 11. ks_two_sample_price — exact two-sample Kolmogorov-Smirnov statistic
+# ---------------------------------------------------------------------------
+#
+# D = max_v |F_A(v) - F_R(v)| computed EXACTLY: the deviation at each
+# merged support value is the integer |cum_A*n_R - cum_R*n_A|, so the
+# argmax and the micro-quantized D are integer-exact (the EMD-drift
+# convention, but for the sup-norm instead of the transport distance).
+
+_KS_SQL = """
+    WITH cells AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cr
+      FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cr) AS BIGINT) AS n_r
+      FROM cells),
+    cum AS (
+      SELECT cents,
+             SUM(ca) OVER (ORDER BY cents
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_a,
+             SUM(cr) OVER (ORDER BY cents
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_r
+      FROM cells),
+    dev AS (
+      SELECT c.cents,
+             abs(c.cum_a * t.n_r - c.cum_r * t.n_a) AS num
+      FROM cum c CROSS JOIN tot t),
+    best AS (
+      SELECT num, cents FROM dev ORDER BY num DESC, cents LIMIT 1)
+    SELECT t.n_a, t.n_r,
+           CAST(b.num * 1000000 // (t.n_a * t.n_r) AS BIGINT)
+             AS d_stat_micro,
+           b.cents AS d_at_cents
+    FROM tot t CROSS JOIN best b
+    """
+
+
+@register(
+    "ks_two_sample_price",
+    _KS_SQL,
+    doc="Exact two-sample Kolmogorov-Smirnov statistic between the "
+    "returned ('A') and refused ('R') price distributions: D = sup-norm "
+    "gap between the two empirical CDFs, with the per-value deviation "
+    "kept as the exact integer |cum_A*n_R - cum_R*n_A| — argmax, "
+    "location, and micro-quantized D all integer-exact (the "
+    "distribution-shift test complementing value_emd_drift's transport "
+    "distance). Scale shape: one fact pass to per-price counts, then "
+    "the CDF prefix sums run bucket-two-phase (per-bucket partial sums "
+    "+ a prefix over the tiny bucket relation + per-bucket windows — "
+    "the pareto_frontier_orders pattern), so no single-partition "
+    "global window; the deviation argmax is one max(struct) aggregate. "
+    "int64 bound: cum*n < n_a*n_r, fine to ~3e9 rows/side (DECIMAL "
+    "swap documented past that).",
+)
+def ks_two_sample_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    cells = li.groupBy(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    ).agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("cr"),
+    )
+    tot = cells.groupBy().agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cr").cast("long").alias("n_r"),
+    )
+    # Bucket-two-phase prefix sums (no single-partition global window).
+    g = cells.withColumn("bucket", F.expr("cents div 1000000"))
+    bsum = g.groupBy("bucket").agg(
+        F.sum("ca").alias("ba"), F.sum("cr").alias("br")
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = bsum.select(
+        "bucket",
+        F.coalesce(F.sum("ba").over(wb), F.lit(0)).alias("pa"),
+        F.coalesce(F.sum("br").over(wb), F.lit(0)).alias("pr"),
+    )
+    wi = (
+        Window.partitionBy("bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.join(bpre, "bucket").select(
+        "cents",
+        (F.col("pa") + F.sum("ca").over(wi)).alias("cum_a"),
+        (F.col("pr") + F.sum("cr").over(wi)).alias("cum_r"),
+    )
+    dev = cum.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_r",
+        "cents",
+        F.abs(
+            F.col("cum_a") * F.col("n_r") - F.col("cum_r") * F.col("n_a")
+        ).alias("num"),
+    )
+    best = dev.groupBy().agg(
+        F.max(
+            F.struct(F.col("num"), (-F.col("cents")).alias("nc"))
+        ).alias("m"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_r").alias("n_r"),
+    )
+    return best.select(
+        "n_a",
+        "n_r",
+        F.expr("m.num * 1000000 div (n_a * n_r)").alias("d_stat_micro"),
+        (-F.col("m.nc")).cast("long").alias("d_at_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 12. neardup_graph_assortativity — degree-degree Pearson over edges
+# ---------------------------------------------------------------------------
+
+_ASSORT_SQL = f"""
+    WITH {_NEARDUP_EDGE_CTE},
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT vec_a AS v FROM edges
+            UNION ALL SELECT vec_b FROM edges)
+      GROUP BY 1),
+    pts AS (
+      SELECT da.d AS x, db.d AS y
+      FROM edges e JOIN deg da ON da.v = e.vec_a
+                   JOIN deg db ON db.v = e.vec_b
+      UNION ALL
+      SELECT db.d, da.d
+      FROM edges e JOIN deg da ON da.v = e.vec_a
+                   JOIN deg db ON db.v = e.vec_b),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pts)
+    SELECT n // 2 AS n_edges,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0
+                  OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <= 0
+                THEN 0
+                ELSE CAST(floor(
+                  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  * 1000000 + 0.5) AS BIGINT) END AS r_micro
+    FROM m
+    """
+
+
+@register(
+    "neardup_graph_assortativity",
+    _ASSORT_SQL,
+    doc="Degree assortativity of the verified near-dup graph: Pearson "
+    "correlation of endpoint degrees over both edge orientations "
+    "(Newman's r — positive means hubs link to hubs, the signature of "
+    "template-burst duplicate clusters vs scattered pairs). Exact "
+    "int64 co-moments over the 2m orientation points, one shared "
+    "double closed form quantized to micro once. Scale shape: degrees "
+    "are one count aggregation; the orientation points are two "
+    "equi-joins of edges x degrees; the final moments are a single "
+    "1-row reduce — nothing wider than the edge list shuffles.",
+)
+def neardup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = (
+        embedding_near_dup_pairs(emb, threshold=0.35)
+        .select("vec_a", "vec_b")
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("vec_a").alias("v"))
+        .unionAll(edges.select(F.col("vec_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("vec_a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("v").alias("vec_b"), F.col("d").alias("dy"))
+    ed = edges.join(da, "vec_a").join(db, "vec_b")
+    pts = ed.select(F.col("dx").alias("x"), F.col("dy").alias("y")).unionAll(
+        ed.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
+    )
+    m = pts.groupBy().agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    denx = nd * F.col("sxx").cast("double") - sxd * sxd
+    deny = nd * F.col("syy").cast("double") - syd * syd
+    r = F.floor(
+        (nd * F.col("sxy").cast("double") - sxd * syd)
+        / F.sqrt(denx * deny)
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return m.select(
+        F.expr("n div 2").alias("n_edges"),
+        F.when((denx <= 0) | (deny <= 0), F.lit(0).cast("long"))
+        .otherwise(r)
+        .alias("r_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 13. community_modularity — Newman Q of the LPA partition
+# ---------------------------------------------------------------------------
+
+_MODQ_SQL = f"""
+    WITH {_LPA_CTES},
+    lab AS (
+      SELECT e.vec_a, e.vec_b, la.lbl AS ca, lb.lbl AS cb
+      FROM edges e JOIN l2 la ON la.node = e.vec_a
+                   JOIN l2 lb ON lb.node = e.vec_b),
+    mm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
+               AS e_in
+      FROM lab),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT vec_a AS v FROM edges
+            UNION ALL SELECT vec_b FROM edges)
+      GROUP BY 1),
+    dc AS (
+      SELECT CAST(SUM(s * s) AS BIGINT) AS sum_dc2,
+             CAST(COUNT(*) AS BIGINT) AS n_communities
+      FROM (SELECT l.lbl, CAST(SUM(g.d) AS BIGINT) AS s
+            FROM l2 l JOIN deg g ON g.v = l.node GROUP BY 1))
+    SELECT mm.m AS n_edges, dc.n_communities,
+           CAST(floor((4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.e_in AS DOUBLE)
+                       - CAST(dc.sum_dc2 AS DOUBLE))
+                      / (4.0 * CAST(mm.m AS DOUBLE) * CAST(mm.m AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS q_micro
+    FROM mm CROSS JOIN dc
+    """
+
+
+@register(
+    "community_modularity",
+    _MODQ_SQL,
+    doc="Newman modularity Q of the 2-round LPA partition "
+    "(community_label_propagation's labels): Q = (4m*E_in - sum_c "
+    "d_c^2) / (4m^2) — internal-edge mass vs the degree-preserving "
+    "null model; the standard quality certificate for a community "
+    "assignment. The numerator/denominator are exact integers (edge "
+    "and degree counts), combined in one shared double expression "
+    "quantized to micro. Scale shape: on top of the LPA rounds, one "
+    "edges-x-labels equi-join (E_in), one degree aggregation, one "
+    "per-community degree fold — all hash joins; the Q itself is a "
+    "3-scalar combine.",
+)
+def community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, labels = _lpa_labels(spark, sf_dir)
+    edges = edges.persist()
+    la = labels.select(F.col("node").alias("vec_a"), F.col("lbl").alias("ca"))
+    lb = labels.select(F.col("node").alias("vec_b"), F.col("lbl").alias("cb"))
+    mm = (
+        edges.join(la, "vec_a")
+        .join(lb, "vec_b")
+        .groupBy()
+        .agg(
+            F.count("*").cast("long").alias("m"),
+            F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0))
+            .cast("long")
+            .alias("e_in"),
+        )
+    )
+    deg = (
+        edges.select(F.col("vec_a").alias("v"))
+        .unionAll(edges.select(F.col("vec_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    dc = (
+        labels.join(deg, labels["node"] == deg["v"])
+        .groupBy("lbl")
+        .agg(F.sum("d").cast("long").alias("s"))
+        .groupBy()
+        .agg(
+            F.sum(F.col("s") * F.col("s")).cast("long").alias("sum_dc2"),
+            F.count("*").cast("long").alias("n_communities"),
+        )
+    )
+    md = F.col("m").cast("double")
+    q = F.floor(
+        (4.0 * md * F.col("e_in").cast("double")
+         - F.col("sum_dc2").cast("double"))
+        / (4.0 * md * md)
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return mm.crossJoin(F.broadcast(dc)).select(
+        F.col("m").alias("n_edges"), "n_communities", q.alias("q_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 14. event_markov_entropy_rate — per-state conditional transition entropy
+# ---------------------------------------------------------------------------
+
+_ENT_SQL = """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    tc AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS nij
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    tot AS (
+      SELECT cur, CAST(SUM(nij) AS BIGINT) AS ni,
+             CAST(COUNT(*) AS BIGINT) AS n_successors
+      FROM tc GROUP BY 1),
+    q AS (
+      SELECT t.cur, t.nij, o.ni, o.n_successors,
+             CAST(floor(ln(CAST(o.ni AS DOUBLE) / CAST(t.nij AS DOUBLE))
+                        * 1000000000 + 0.5) AS BIGINT) AS qij
+      FROM tc t JOIN tot o ON o.cur = t.cur)
+    SELECT cur AS event_type,
+           CAST(MIN(ni) AS BIGINT) AS n_from,
+           MIN(n_successors) AS n_successors,
+           CAST(SUM(nij * qij) // MIN(ni) AS BIGINT) AS h_cond_nano
+    FROM q GROUP BY 1
+    """
+
+
+@register(
+    "event_markov_entropy_rate",
+    _ENT_SQL,
+    doc="Per-state conditional entropy of the first-order event-type "
+    "Markov chain: H(next | cur) = sum_j p(j|cur) ln(1/p(j|cur)) over "
+    "each user's consecutive event pairs — the information-theoretic "
+    "view of the chain event_transition_matrix tabulates (low entropy "
+    "= deterministic flows, high = noise; the standard sequence-"
+    "predictability diagnostic). Each cell's ln(ni/nij) is nano-"
+    "quantized ONCE (libm-ulp rule), then the entropy is an exact "
+    "integer fold: sum(nij*qij) // ni. Scale shape: the LEAD window "
+    "shuffles by user once (bounded per-user sequences); everything "
+    "after lives on the |types|^2 transition relation.",
+)
+def event_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    tc = seq.groupBy("cur", "nxt").agg(F.count("*").cast("long").alias("nij"))
+    tot = tc.groupBy("cur").agg(
+        F.sum("nij").cast("long").alias("ni"),
+        F.count("*").cast("long").alias("n_successors"),
+    )
+    q = tc.join(tot, "cur").select(
+        "cur",
+        "nij",
+        "ni",
+        "n_successors",
+        F.floor(
+            F.log(F.col("ni").cast("double") / F.col("nij").cast("double"))
+            * 1000000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("qij"),
+    )
+    return q.groupBy(F.col("cur").alias("event_type")).agg(
+        F.min("ni").cast("long").alias("n_from"),
+        F.min("n_successors").alias("n_successors"),
+        (
+            F.sum(F.col("nij") * F.col("qij"))
+        ).alias("_s"),
+    ).select(
+        "event_type",
+        "n_from",
+        "n_successors",
+        F.expr("_s div n_from").cast("long").alias("h_cond_nano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 15. part_status_bitmap — bitmask aggregation rollup
+# ---------------------------------------------------------------------------
+#
+# Low-cardinality set-valued aggregation as an int64 BITMASK: each
+# (returnflag, linestatus) combination is one bit; per brand the mask is
+# a BIT_OR fold — the bitmap-index rollup that replaces a
+# COUNT(DISTINCT combo) + collect_set at scale (masks merge by OR, the
+# order-free associative combine; popcount reads the cardinality).
+
+_BITS_SQL = """
+    WITH tagged AS (
+      SELECT p.p_brand,
+             (CASE l.l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1
+                                  ELSE 2 END) * 2
+             + (CASE l.l_linestatus WHEN 'F' THEN 0 ELSE 1 END) AS bit
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+    SELECT p_brand,
+           CAST(bit_or(1::BIGINT << bit) AS BIGINT) AS status_mask,
+           CAST(bit_count(bit_or(1::BIGINT << bit)) AS BIGINT)
+             AS n_statuses,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM tagged GROUP BY 1
+    """
+
+
+@register(
+    "part_status_bitmap",
+    _BITS_SQL,
+    doc="Bitmap-index rollup: the set of (returnflag, linestatus) "
+    "combinations per brand as an int64 bitmask (one bit per combo, "
+    "BIT_OR fold) with popcount cardinality — the bitmap aggregation "
+    "that replaces COUNT(DISTINCT)/collect_set for low-cardinality "
+    "set rollups at scale: masks are 8 bytes of state per group, merge "
+    "by OR (order-free, associative, map-side combinable), and "
+    "set-algebra across groups is bitwise AND/OR on the tiny result. "
+    "Plan: broadcast part dimension join + one hash aggregation.",
+)
+def part_status_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    bit = (
+        F.when(F.col("l_returnflag") == "A", 0)
+        .when(F.col("l_returnflag") == "N", 1)
+        .otherwise(2)
+        * 2
+        + F.when(F.col("l_linestatus") == "F", 0).otherwise(1)
+    )
+    tagged = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select("p_brand", bit.alias("bit"))
+    return tagged.groupBy("p_brand").agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))")
+        .cast("long")
+        .alias("status_mask"),
+        F.expr("bit_count(bit_or(shiftleft(CAST(1 AS BIGINT), bit)))")
+        .cast("long")
+        .alias("n_statuses"),
+        F.count("*").cast("long").alias("n_lines"),
+    )

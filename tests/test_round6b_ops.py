@@ -399,3 +399,188 @@ def test_two_level_stream_equals_batch(spark, sf_dir):
     got = {tuple(r) for r in out.collect()}
     want = {tuple(r) for r in expect.collect()}
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Two-sample KS
+# ---------------------------------------------------------------------------
+
+
+def test_ks_matches_python_exact(spark, sf_dir):
+    r = _q("ks_two_sample_price")(spark, sf_dir).collect()[0]
+    rows = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    )
+    ha, hr = Counter(), Counter()
+    for x in rows:
+        cents = math.floor(x.l_extendedprice * 100 + 0.5)
+        (ha if x.l_returnflag == "A" else hr)[cents] += 1
+    na, nr = sum(ha.values()), sum(hr.values())
+    cum_a = cum_r = 0
+    best = (-1, None)
+    for cents in sorted(set(ha) | set(hr)):
+        cum_a += ha.get(cents, 0)
+        cum_r += hr.get(cents, 0)
+        num = abs(cum_a * nr - cum_r * na)
+        if num > best[0]:
+            best = (num, cents)
+    assert (r.n_a, r.n_r) == (na, nr)
+    assert r.d_stat_micro == best[0] * 1000000 // (na * nr)
+    assert r.d_at_cents == best[1]
+    assert 0 <= r.d_stat_micro <= 1000000
+
+
+# ---------------------------------------------------------------------------
+# Assortativity + modularity on the shared near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def _near_dup_edges(spark, sf_dir):
+    from kinesis_log_watcher_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return [
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.35)
+        .select("vec_a", "vec_b")
+        .collect()
+    ]
+
+
+def test_assortativity_matches_python(spark, sf_dir):
+    r = _q("neardup_graph_assortativity")(spark, sf_dir).collect()[0]
+    edges = _near_dup_edges(spark, sf_dir)
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    pts = [(deg[a], deg[b]) for a, b in edges] + [
+        (deg[b], deg[a]) for a, b in edges
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    denx = float(n) * float(sxx) - float(sx) * float(sx)
+    deny = float(n) * float(syy) - float(sy) * float(sy)
+    expect = (
+        0
+        if denx <= 0 or deny <= 0
+        else math.floor(
+            (float(n) * float(sxy) - float(sx) * float(sy))
+            / math.sqrt(denx * deny)
+            * 1000000
+            + 0.5
+        )
+    )
+    assert r.n_edges == len(edges)
+    assert r.r_micro == expect
+    assert -1000000 <= r.r_micro <= 1000000
+
+
+def test_modularity_matches_python(spark, sf_dir):
+    r = _q("community_modularity")(spark, sf_dir).collect()[0]
+    edges = _near_dup_edges(spark, sf_dir)
+    nbrs: dict[int, list[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    labels = {v: v for v in nbrs}
+    for _ in (1, 2):
+        labels = {
+            v: max(
+                Counter(labels[u] for u in ns).items(),
+                key=lambda kv: (kv[1], -kv[0]),
+            )[0]
+            for v, ns in nbrs.items()
+        }
+    m = len(edges)
+    e_in = sum(1 for a, b in edges if labels[a] == labels[b])
+    dc = Counter()
+    for v, ns in nbrs.items():
+        dc[labels[v]] += len(ns)
+    sum_dc2 = sum(d * d for d in dc.values())
+    q = math.floor(
+        (4.0 * m * e_in - float(sum_dc2)) / (4.0 * m * m) * 1000000 + 0.5
+    )
+    assert r.n_edges == m
+    assert r.n_communities == len(dc)
+    assert r.q_micro == q
+    # Q is bounded in [-1/2, 1)
+    assert -500000 <= r.q_micro < 1000000
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_rate_matches_python(spark, sf_dir):
+    out = {
+        r.event_type: r
+        for r in _q("event_markov_entropy_rate")(spark, sf_dir).collect()
+    }
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    tc: Counter = Counter()
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        for a, b in zip(rows, rows[1:]):
+            tc[(a.event_type, b.event_type)] += 1
+    ni = Counter()
+    for (cur, _), n in tc.items():
+        ni[cur] += n
+    for cur, n in ni.items():
+        s = sum(
+            nij * math.floor(math.log(n / nij) * 1000000000 + 0.5)
+            for (c, _), nij in tc.items()
+            if c == cur
+        )
+        r = out[cur]
+        assert r.n_from == n
+        assert r.n_successors == sum(1 for (c, _) in tc if c == cur)
+        assert r.h_cond_nano == s // n
+        # conditional entropy of a k-way split is <= ln(k)
+        assert 0 <= r.h_cond_nano <= math.log(max(r.n_successors, 1)) * 1e9 + 1
+
+
+# ---------------------------------------------------------------------------
+# Bitmap rollup
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_matches_python(spark, sf_dir):
+    out = {
+        r.p_brand: r for r in _q("part_status_bitmap")(spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_linestatus"
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rows = li.join(part, li.l_partkey == part.p_partkey).collect()
+    masks: dict[str, int] = {}
+    lines: Counter = Counter()
+    for r in rows:
+        bit = {"A": 0, "N": 1, "R": 2}[r.l_returnflag] * 2 + (
+            0 if r.l_linestatus == "F" else 1
+        )
+        masks[r.p_brand] = masks.get(r.p_brand, 0) | (1 << bit)
+        lines[r.p_brand] += 1
+    assert set(out) == set(masks)
+    for brand, mask in masks.items():
+        assert out[brand].status_mask == mask
+        assert out[brand].n_statuses == bin(mask).count("1")
+        assert out[brand].n_lines == lines[brand]

@@ -112,6 +112,8 @@ ALLOWED_BNLJ = {
     # (at thousands of phrases the documented swap is an Aho-Corasick
     # mapInPandas kernel, same broadcast shape)
     "blocklist_phrase_filter": "10-row curated-blocklist broadcast",
+    "ks_two_sample_price": "1-row group-sizes broadcast onto the CDF cells",
+    "community_modularity": "1-row edge/degree-stats broadcast combine",
 }
 
 
