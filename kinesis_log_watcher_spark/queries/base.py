@@ -187,6 +187,10 @@ _FRONT = (
     "community_modularity",
     "event_markov_entropy_rate",
     "part_status_bitmap",
+    "orders_fd_discovery",
+    "revenue_cusum_changepoint",
+    "bigram_greedy_generation",
+    "cogroup_order_event_reconcile",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",

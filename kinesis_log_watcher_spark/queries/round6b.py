@@ -1523,3 +1523,387 @@ def part_status_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_statuses"),
         F.count("*").cast("long").alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 16. orders_fd_discovery — functional-dependency profiling
+# ---------------------------------------------------------------------------
+
+# Candidate FDs are part of the operator definition (a profiler sweeps a
+# curated pair list, not the quadratic column square).
+_FD_PAIRS = (
+    ("o_orderkey", "o_custkey"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderstatus", "o_orderpriority"),
+    ("o_orderpriority", "o_orderstatus"),
+    ("o_custkey", "o_orderpriority"),
+)
+
+_FD_STACK = "\n      UNION ALL ".join(
+    f"SELECT '{l}->{r}' AS fd, CAST({l} AS VARCHAR) AS lhs,"
+    f" CAST({r} AS VARCHAR) AS rhs FROM orders"
+    for l, r in _FD_PAIRS
+)
+
+_FD_SQL = f"""
+    WITH stacked AS (
+      {_FD_STACK}),
+    per_lhs AS (
+      SELECT fd, lhs, CAST(COUNT(DISTINCT rhs) AS BIGINT) AS k
+      FROM stacked GROUP BY 1, 2)
+    SELECT fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(MAX(k) AS BIGINT) AS max_rhs_card,
+           CAST(CASE WHEN SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS holds
+    FROM per_lhs GROUP BY 1
+    """
+
+
+@register(
+    "orders_fd_discovery",
+    _FD_SQL,
+    doc="Functional-dependency discovery/profiling: for each candidate "
+    "FD in a curated pair list, count determinant values, violating "
+    "determinants (more than one dependent value), and the max "
+    "dependent cardinality — the data-quality primitive behind key "
+    "inference and normalization audits (o_orderkey->o_custkey must "
+    "hold; o_custkey->o_orderstatus must not). Scale shape: one "
+    "column-pruned pass per candidate pair into a (fd, lhs) distinct-"
+    "count aggregation — each branch reads exactly two columns, and "
+    "the violation rollup runs on the determinant relation. At a "
+    "thousand candidates the same stack runs off a column-pair "
+    "manifest; nothing is quadratic in columns by construction.",
+)
+def orders_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    parts = [
+        orders.select(
+            F.lit(f"{l}->{r}").alias("fd"),
+            F.col(l).cast("string").alias("lhs"),
+            F.col(r).cast("string").alias("rhs"),
+        )
+        for l, r in _FD_PAIRS
+    ]
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionAll(p)
+    per_lhs = stacked.groupBy("fd", "lhs").agg(
+        F.countDistinct("rhs").cast("long").alias("k")
+    )
+    return per_lhs.groupBy("fd").agg(
+        F.count("*").cast("long").alias("n_lhs"),
+        F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating"),
+        F.max("k").cast("long").alias("max_rhs_card"),
+        F.when(
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0)) == 0, 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("holds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 17. revenue_cusum_changepoint — CUSUM via prefix-sum/prefix-extrema
+# ---------------------------------------------------------------------------
+#
+# The CUSUM recurrence S_t = max(0, S_{t-1} + x_t - mu) is sequential,
+# but it has the closed form S_t = P_t - min_{s<=t} P_s over the prefix
+# sums P of the centered series — two windows, no recursion, EXACT
+# integers. (Same trick the dynamic-session oracle uses for interval
+# unions: turn a fold into prefix extrema.)
+
+_CUSUM_SQL = """
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    mu AS (
+      SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mu FROM daily),
+    pre AS (
+      SELECT d.day, d.cents,
+             SUM(d.cents - m.mu) OVER (ORDER BY d.day
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS p
+      FROM daily d CROSS JOIN mu m),
+    ext AS (
+      SELECT day, cents, p,
+             least(0, MIN(p) OVER (ORDER BY day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)) AS pmin,
+             greatest(0, MAX(p) OVER (ORDER BY day
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)) AS pmax
+      FROM pre)
+    SELECT e.day, e.cents,
+           CAST(e.p - e.pmin AS BIGINT) AS cusum_pos,
+           CAST(e.pmax - e.p AS BIGINT) AS cusum_neg,
+           CAST(CASE WHEN e.p - e.pmin > m.mu
+                       OR e.pmax - e.p > m.mu THEN 1 ELSE 0 END
+                AS BIGINT) AS breach
+    FROM ext e CROSS JOIN mu m
+    """
+
+
+@register(
+    "revenue_cusum_changepoint",
+    _CUSUM_SQL,
+    doc="CUSUM changepoint monitoring over daily revenue: one-sided "
+    "positive/negative cumulative sums of the mean-centered series, "
+    "with a breach flag when either side exceeds one average day's "
+    "revenue. The sequential recurrence max(0, S+x-mu) is rewritten as "
+    "its closed form P_t - min_prefix(P) / max_prefix(P) - P_t — two "
+    "prefix-extrema windows, EXACT int64 cents end to end, no "
+    "recursion and no float. Scale shape: the fact pass is one daily "
+    "rollup; every window runs on the per-DAY relation (bounded by "
+    "the horizon), and the integer mean is a 1-row broadcast.",
+)
+def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").cast("string").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    mu = daily.groupBy().agg(
+        F.expr("sum(cents) div count(*)").cast("long").alias("mu")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = daily.crossJoin(F.broadcast(mu)).select(
+        "day",
+        "cents",
+        "mu",
+        F.sum(F.col("cents") - F.col("mu")).over(w).alias("p"),
+    )
+    # The recurrence's prefix extrema include the EMPTY prefix P_0 = 0
+    # (S starts at 0), so clamp the window extrema through 0.
+    ext = pre.select(
+        "day",
+        "cents",
+        "mu",
+        "p",
+        F.least(F.lit(0), F.min("p").over(w)).alias("pmin"),
+        F.greatest(F.lit(0), F.max("p").over(w)).alias("pmax"),
+    )
+    return ext.select(
+        "day",
+        "cents",
+        (F.col("p") - F.col("pmin")).cast("long").alias("cusum_pos"),
+        (F.col("pmax") - F.col("p")).cast("long").alias("cusum_neg"),
+        F.when(
+            (F.col("p") - F.col("pmin") > F.col("mu"))
+            | (F.col("pmax") - F.col("p") > F.col("mu")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("breach"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 18. bigram_greedy_generation — deterministic greedy LM decoding
+# ---------------------------------------------------------------------------
+
+_GEN_STEPS = 8
+
+_GEN_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts
+      FROM documents WHERE text IS NOT NULL),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY 1),
+    bi AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_slice(ts, 1, len(ts) - 1)) AS w1,
+                   unnest(list_slice(ts, 2, len(ts))) AS w2
+            FROM toks WHERE len(ts) >= 2)
+      GROUP BY 1, 2),
+    gen AS (
+      SELECT 1 AS step,
+             (SELECT tok FROM uni ORDER BY f DESC, tok LIMIT 1) AS tok
+      UNION ALL
+      SELECT g.step + 1,
+             (SELECT b.w2 FROM bi b WHERE b.w1 = g.tok
+              ORDER BY b.c DESC, b.w2 LIMIT 1)
+      FROM gen g
+      WHERE g.step < {_GEN_STEPS} AND g.tok IS NOT NULL)
+    SELECT CAST(step AS BIGINT) AS step, tok
+    FROM gen WHERE tok IS NOT NULL
+    """
+
+
+@register(
+    "bigram_greedy_generation",
+    "WITH RECURSIVE " + _GEN_SQL.lstrip().removeprefix("WITH "),
+    doc="Deterministic greedy decoding from the corpus bigram language "
+    f"model: start at the most frequent unigram, take {_GEN_STEPS - 1} "
+    "argmax-successor steps (ties broken by token order) — the "
+    "inference-side complement to the BPE/KN training operators, and "
+    "the exactness pattern for iterative decode loops: the MODEL (the "
+    "bigram relation) is built in one distributed pass and persisted; "
+    "each step is a 1-row filtered argmax over it (max(struct(c, "
+    "tok)) — no sort), so k steps cost k tiny jobs, not k corpus "
+    "scans. The oracle states the same walk as a recursive CTE with "
+    "correlated argmax subqueries.",
+)
+def bigram_greedy_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(F.split("text", " ").alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    pairs = toks.select(
+        F.expr(
+            "transform(sequence(1, size(ts) - 1),"
+            " i -> struct(ts[i - 1] AS w1, ts[i] AS w2))"
+        ).alias("ps")
+    ).select(F.explode("ps").alias("p"))
+    bi = (
+        pairs.select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Greedy walk: the struct-max trick gives argmax with the MIN-token
+    # tie-break (invert the token bytes? no — order by (c, tok) would
+    # tie-break MAX token; instead two-field compare: max count, then
+    # lexicographically SMALLEST successor wins via a subtractive rank
+    # is not expressible on strings, so use min() over the max-count
+    # slice: two tiny jobs per step).
+    start = uni.agg(F.max(F.struct(F.col("f"))).alias("_")).collect()
+    rows: list[tuple[int, str]] = []
+    if start and start[0]._ is not None:
+        fmax = start[0]._.f
+        tok = (
+            uni.filter(F.col("f") == fmax)
+            .agg(F.min("tok").alias("t"))
+            .collect()[0]
+            .t
+        )
+        rows.append((1, tok))
+        for step in range(2, _GEN_STEPS + 1):
+            succ = bi.filter(F.col("w1") == tok)
+            m = succ.agg(F.max("c").alias("cmax")).collect()
+            if not m or m[0].cmax is None:
+                break
+            tok = (
+                succ.filter(F.col("c") == m[0].cmax)
+                .agg(F.min("w2").alias("t"))
+                .collect()[0]
+                .t
+            )
+            rows.append((step, tok))
+    bi.unpersist()
+    return docs.sparkSession.createDataFrame(rows, "step long, tok string")
+
+
+# ---------------------------------------------------------------------------
+# 19. cogroup_order_event_reconcile — cogrouped applyInPandas
+# ---------------------------------------------------------------------------
+
+_COGROUP_SQL = """
+    WITH o AS (
+      SELECT o_custkey AS id,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS order_cents
+      FROM orders GROUP BY 1),
+    e AS (
+      SELECT user_id AS id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_milli
+      FROM events GROUP BY 1)
+    SELECT COALESCE(o.id, e.id) AS id,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.order_cents, 0) AS order_cents,
+           COALESCE(e.n_events, 0) AS n_events,
+           COALESCE(e.value_milli, 0) AS value_milli,
+           CASE WHEN o.id IS NULL THEN 'events_only'
+                WHEN e.id IS NULL THEN 'orders_only'
+                ELSE 'both' END AS presence
+    FROM o FULL OUTER JOIN e ON e.id = o.id
+    """
+
+
+@register(
+    "cogroup_order_event_reconcile",
+    _COGROUP_SQL,
+    doc="COGROUPED applyInPandas (the two-sided Arrow-batched kernel — "
+    "the one pandas-API surface the engine had not yet exercised): "
+    "orders and events are co-partitioned by entity id and each "
+    "(left-group, right-group) pandas pair is reconciled in one kernel "
+    "call — per-entity counts, exact integer cents/milli totals, and a "
+    "presence verdict covering one-sided entities on BOTH sides. The "
+    "batch oracle states the same reconcile as FULL OUTER JOIN of two "
+    "aggregates. Scale shape: cogroup shuffles each side once by id "
+    "(exactly like the join it replaces) and streams Arrow batches "
+    "per key group; the kernel is the escape hatch for reconcile "
+    "logic joins can't express (per-pair sequence alignment, custom "
+    "matching) — here it computes integer folds so the oracle can "
+    "hash-match it.",
+)
+def cogroup_order_event_reconcile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math as _math
+
+    import pandas as pd
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("id"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    events = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("id"),
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias(
+            "milli"
+        ),
+    )
+
+    def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id": [int(key[0])],
+                "n_orders": [int(len(left))],
+                "order_cents": [int(left["cents"].sum()) if len(left) else 0],
+                "n_events": [int(len(right))],
+                "value_milli": [int(right["milli"].sum()) if len(right) else 0],
+                "presence": [
+                    "both"
+                    if len(left) and len(right)
+                    else ("orders_only" if len(left) else "events_only")
+                ],
+            }
+        )
+
+    _ = _math  # reconcile kernels keep stdlib imports local by contract
+    return (
+        orders.groupBy("id")
+        .cogroup(events.groupBy("id"))
+        .applyInPandas(
+            reconcile,
+            "id long, n_orders long, order_cents long, n_events long,"
+            " value_milli long, presence string",
+        )
+    )

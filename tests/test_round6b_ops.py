@@ -584,3 +584,130 @@ def test_bitmap_matches_python(spark, sf_dir):
         assert out[brand].status_mask == mask
         assert out[brand].n_statuses == bin(mask).count("1")
         assert out[brand].n_lines == lines[brand]
+
+
+# ---------------------------------------------------------------------------
+# FD discovery
+# ---------------------------------------------------------------------------
+
+
+def test_fd_discovery_matches_python(spark, sf_dir):
+    from kinesis_log_watcher_spark.queries.round6b import _FD_PAIRS
+
+    out = {r.fd: r for r in _q("orders_fd_discovery")(spark, sf_dir).collect()}
+    rows = load(spark, sf_dir, "orders").collect()
+    for l, rr in _FD_PAIRS:
+        groups: dict[str, set] = {}
+        for row in rows:
+            groups.setdefault(str(row[l]), set()).add(str(row[rr]))
+        r = out[f"{l}->{rr}"]
+        assert r.n_lhs == len(groups)
+        assert r.n_violating == sum(1 for s in groups.values() if len(s) > 1)
+        assert r.max_rhs_card == max(len(s) for s in groups.values())
+        assert r.holds == (1 if r.n_violating == 0 else 0)
+    # the primary key FD must hold; a many-to-many pair must not
+    assert out["o_orderkey->o_custkey"].holds == 1
+    assert out["o_custkey->o_orderstatus"].holds == 0
+
+
+# ---------------------------------------------------------------------------
+# CUSUM
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_matches_python_fold(spark, sf_dir):
+    out = sorted(
+        _q("revenue_cusum_changepoint")(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    daily: Counter = Counter()
+    for r in load(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect():
+        daily[str(r.o_orderdate.date())] += math.floor(
+            r.o_totalprice * 100 + 0.5
+        )
+    days = sorted(daily)
+    mu = sum(daily.values()) // len(days)
+    # the classic sequential recurrence the closed form must equal
+    s_pos = s_neg = 0
+    expect = []
+    for d in days:
+        x = daily[d] - mu
+        s_pos = max(0, s_pos + x)
+        s_neg = max(0, s_neg - x)
+        expect.append((d, daily[d], s_pos, s_neg))
+    assert len(out) == len(expect)
+    for r, (d, cents, sp, sn) in zip(out, expect):
+        assert (r.day, r.cents, r.cusum_pos, r.cusum_neg) == (d, cents, sp, sn)
+        assert r.breach == (1 if sp > mu or sn > mu else 0)
+
+
+# ---------------------------------------------------------------------------
+# Greedy bigram generation
+# ---------------------------------------------------------------------------
+
+
+def test_generation_matches_python_walk(spark, sf_dir):
+    out = sorted(
+        _q("bigram_greedy_generation")(spark, sf_dir).collect(),
+        key=lambda r: r.step,
+    )
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("text")
+        .collect()
+    )
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for d in docs:
+        ts = d.text.split(" ")
+        uni.update(ts)
+        bi.update(zip(ts, ts[1:]))
+    tok = min(t for t, f in uni.items() if f == max(uni.values()))
+    expect = [(1, tok)]
+    for step in range(2, 9):
+        succ = {w2: c for (w1, w2), c in bi.items() if w1 == tok}
+        if not succ:
+            break
+        cmax = max(succ.values())
+        tok = min(w for w, c in succ.items() if c == cmax)
+        expect.append((step, tok))
+    assert [(r.step, r.tok) for r in out] == expect
+    # every emitted token is a real corpus token
+    assert all(t in uni for _, t in expect)
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped reconcile
+# ---------------------------------------------------------------------------
+
+
+def test_cogroup_reconcile_matches_join(spark, sf_dir):
+    out = {r.id: r for r in _q("cogroup_order_event_reconcile")(spark, sf_dir).collect()}
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    events = load(spark, sf_dir, "events").select("user_id", "value").collect()
+    oc, ocents = Counter(), Counter()
+    for r in orders:
+        oc[r.o_custkey] += 1
+        ocents[r.o_custkey] += math.floor(r.o_totalprice * 100 + 0.5)
+    ec, emilli = Counter(), Counter()
+    for r in events:
+        ec[r.user_id] += 1
+        emilli[r.user_id] += math.floor(r.value * 1000 + 0.5)
+    ids = set(oc) | set(ec)
+    assert set(out) == ids
+    for i in ids:
+        r = out[i]
+        assert r.n_orders == oc.get(i, 0)
+        assert r.order_cents == ocents.get(i, 0)
+        assert r.n_events == ec.get(i, 0)
+        assert r.value_milli == emilli.get(i, 0)
+        assert r.presence == (
+            "both"
+            if i in oc and i in ec
+            else ("orders_only" if i in oc else "events_only")
+        )

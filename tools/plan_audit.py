@@ -114,6 +114,7 @@ ALLOWED_BNLJ = {
     "blocklist_phrase_filter": "10-row curated-blocklist broadcast",
     "ks_two_sample_price": "1-row group-sizes broadcast onto the CDF cells",
     "community_modularity": "1-row edge/degree-stats broadcast combine",
+    "revenue_cusum_changepoint": "1-row integer-mean broadcast onto the daily series",
 }
 
 
