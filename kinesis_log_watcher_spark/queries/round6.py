@@ -1594,11 +1594,17 @@ def bfs_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Pre-partition the adjacency by src ONCE: every round's expansion
+    # joins on src, and a cached HashPartitioning(src) relation
+    # satisfies the join's distribution requirement, so rounds shuffle
+    # only the (small) frontier — not the edge list, which previously
+    # re-exchanged per hop (the dominant cost: 3 full edge shuffles).
     edges = (
         pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
         .unionAll(
             pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
         )
+        .repartition("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     spark_ = orders.sparkSession
@@ -1612,9 +1618,11 @@ def bfs_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(hop).alias("dist"))
         )
-        # materialize the new frontier once: it feeds both the visited
-        # union and the next round's join
-        nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+        # Frontiers are node-bounded: eagerly materialize and TRUNCATE
+        # lineage each round (the PCA linearization lesson — without
+        # this, round k's plan nests every earlier round and driver
+        # analysis dominates wall time).
+        nxt = nxt.localCheckpoint(eager=True)
         visited = visited.unionAll(nxt)
         frontier = nxt
     return visited.groupBy("dist").agg(

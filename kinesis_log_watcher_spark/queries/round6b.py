@@ -378,6 +378,10 @@ def _lpa_labels(
     edges = embedding_near_dup_pairs(emb, threshold=0.35).select(
         "vec_a", "vec_b"
     )
+    # Pre-partition the adjacency by the vote key ONCE (the
+    # bfs_reach_hops lesson): each round joins labels on nbr, and a
+    # cached HashPartitioning(nbr) relation keeps the per-round
+    # exchange on the (small) label side only.
     nbrs = (
         edges.select(F.col("vec_a").alias("node"), F.col("vec_b").alias("nbr"))
         .unionAll(
@@ -385,6 +389,7 @@ def _lpa_labels(
                 F.col("vec_b").alias("node"), F.col("vec_a").alias("nbr")
             )
         )
+        .repartition("nbr")
         .persist()
     )
     labels = nbrs.select("node").distinct().select(
