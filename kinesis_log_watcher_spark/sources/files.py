@@ -8,6 +8,7 @@ micro-batch semantics the connector would (SURVEY.md §1.1).
 
 from __future__ import annotations
 
+import contextlib
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -102,6 +103,31 @@ def read_parquet_stream(
         reader = reader.option("pathGlobFilter", base)
         path = os.path.dirname(path)
     return reader.parquet(path)
+
+
+@contextlib.contextmanager
+def replay_partitions(spark, n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` down for a BOUNDED replay.
+
+    Stateful streaming fixes its state-store partition count from this
+    conf at the first micro-batch; at the default 32, a tiny 3-batch
+    replay pays 32 state-store instances per stateful operator per
+    batch — pure fixed overhead (measured 14.5s -> 3.5s on the chained
+    two-level aggregation at sf0.001). Replay results are partitioning-
+    independent by the repo's determinism contract (order-free state
+    merges, exact arithmetic), so the replay harnesses wrap their
+    start+await in this scope. Production streams keep the session
+    default — this is bounded-replay plumbing only, like the memory
+    sink. (Structured Streaming clones the session conf at query
+    start, so restoring after the replay cannot affect the running
+    query.)"""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def await_or_raise(query, timeout_s: int) -> None:

@@ -30,6 +30,8 @@ rebuild by design, as in every production IVF serving stack.
 
 from __future__ import annotations
 
+from kinesis_log_watcher_spark.sources.files import replay_partitions
+
 import itertools
 import os
 
@@ -117,14 +119,15 @@ def run_stream_ivf_index_update(
         )
 
     name = f"ivf_index_update_{next(_counter)}"
-    q = (
-        stream.writeStream.foreachBatch(land)
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(root, "_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(root, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
 
     # ---- merge-on-read probe over the maintained index ----
     base_cells = spark.read.schema(_CELL_SCHEMA).parquet(base_dir)

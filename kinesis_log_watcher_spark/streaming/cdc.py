@@ -19,6 +19,8 @@ format, which is this exact layout plus a transaction log.
 
 from __future__ import annotations
 
+from kinesis_log_watcher_spark.sources.files import replay_partitions
+
 import itertools
 import os
 
@@ -77,14 +79,15 @@ def run_cdc_upsert(
         )
 
     name = f"cdc_upsert_{next(_counter)}"
-    q = (
-        stream.writeStream.foreachBatch(land)
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(target_dir, "_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(target_dir, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
 
     deltas = spark.read.option("basePath", target_dir).parquet(
         os.path.join(target_dir, "batch=*")

@@ -15,6 +15,8 @@ state), which is what the SQL oracle computes.
 
 from __future__ import annotations
 
+from kinesis_log_watcher_spark.sources.files import replay_partitions
+
 import itertools
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,16 +80,17 @@ def run_stream_stream_join(
     joined = clicks_to_purchases(clicks, purchases, within)
 
     name = f"stream_stream_join_{next(_counter)}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    from kinesis_log_watcher_spark.sources.files import await_or_raise
+    with replay_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        from kinesis_log_watcher_spark.sources.files import await_or_raise
 
-    await_or_raise(q, timeout_s)
+        await_or_raise(q, timeout_s)
     return spark.table(name)
 
 
@@ -125,16 +128,17 @@ def run_stream_static_enrich(
     )
 
     name = f"stream_static_enrich_{next(_counter)}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    from kinesis_log_watcher_spark.sources.files import await_or_raise
+    with replay_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        from kinesis_log_watcher_spark.sources.files import await_or_raise
 
-    await_or_raise(q, timeout_s)
+        await_or_raise(q, timeout_s)
     return spark.table(name)
 
 
@@ -263,14 +267,15 @@ def run_stream_stream_left_join(
     )
 
     name = f"stream_stream_left_join_{next(_counter)}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     # Drop the sentinel rows POST-SINK (a batch filter): inside the
     # streaming plan this predicate would be pushed below the watermark
     # node and stop the sentinels from advancing it.
@@ -318,14 +323,15 @@ def run_stream_index_admission(
     fresh = stream.join(stored, "fp", "left_anti")
 
     name = f"index_admission_{next(_counter)}"
-    q = (
-        fresh.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            fresh.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
 
     sink = spark.table(name)
     rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
@@ -398,13 +404,14 @@ def run_stream_stream_full_outer(
     )
 
     name = f"stream_stream_full_outer_{next(_counter)}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     # sentinel rows dropped POST-SINK (see run_stream_stream_left_join)
     return spark.table(name).filter(F.col("user_id") >= 0)

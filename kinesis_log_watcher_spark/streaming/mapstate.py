@@ -24,6 +24,8 @@ fold, same emissions, pinned against the processor in tests.
 
 from __future__ import annotations
 
+from kinesis_log_watcher_spark.sources.files import replay_partitions
+
 import itertools
 from collections.abc import Iterator
 from typing import Any
@@ -155,15 +157,16 @@ def run_type_counts(
     ensure_session_confs(spark)
     stream = read_parquet_stream(spark, events_path, max_files_per_trigger)
     name = f"type_counts_{next(_counter)}"
-    q = (
-        count_stream(stream.select("user_id", "event_type"))
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            count_stream(stream.select("user_id", "event_type"))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     return (
         spark.table(name)
         .groupBy("user_id", "event_type")

@@ -38,6 +38,8 @@ Plan shape:
 
 from __future__ import annotations
 
+from kinesis_log_watcher_spark.sources.files import replay_partitions
+
 import itertools
 from collections.abc import Iterator
 
@@ -218,13 +220,14 @@ def run_stream_neardup(
     stream = read_parquet_stream(spark, docs_path, max_files_per_trigger)
 
     name = f"neardup_{next(_counter)}"
-    q = (
-        neardup_pair_stream(stream, state_ttl_ms, max_bucket_members)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            neardup_pair_stream(stream, state_ttl_ms, max_bucket_members)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     return candidate_pairs(spark.table(name))

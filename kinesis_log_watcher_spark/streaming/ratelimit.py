@@ -35,6 +35,8 @@ window."""
 
 from __future__ import annotations
 
+from kinesis_log_watcher_spark.sources.files import replay_partitions
+
 import itertools
 from collections.abc import Iterator
 from typing import Any
@@ -212,15 +214,16 @@ def run_rate_limit(
     stream = read_parquet_stream(spark, events_path, max_files_per_trigger)
     stream = normalize_ts_cols(stream)
     name = f"rate_limit_{next(_counter)}"
-    q = (
-        admit_stream(stream, k, window_s)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            admit_stream(stream, k, window_s)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     return (
         spark.table(name)
         .groupBy("user_id")

@@ -27,6 +27,8 @@ holds only active sessions.
 
 from __future__ import annotations
 
+from kinesis_log_watcher_spark.sources.files import replay_partitions
+
 import itertools
 from collections.abc import Iterator
 from typing import Any
@@ -151,13 +153,14 @@ def run_stateful_sessions(
     stream = normalize_ts_cols(stream)
 
     name = f"stateful_sessions_{next(_counter)}"
-    q = (
-        session_update_stream(stream, gap_s)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            session_update_stream(stream, gap_s)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     return final_sessions(spark.table(name))

@@ -41,6 +41,8 @@ Replay determinism notes (bounded-replay ≡ batch, SURVEY.md §5.2):
 
 from __future__ import annotations
 
+from kinesis_log_watcher_spark.sources.files import replay_partitions
+
 import itertools
 from collections.abc import Iterator
 from typing import Any
@@ -193,15 +195,16 @@ def run_timer_sessions(
         read_parquet_stream(spark, replay, max_files_per_trigger=1)
     )
     name = f"timer_sessions_{next(_counter)}"
-    q = (
-        timer_session_stream(stream, gap_s)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            timer_session_stream(stream, gap_s)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     return (
         spark.table(name)
         .filter(F.col("finalized") & (F.col("user_id") != _SENTINEL_USER))

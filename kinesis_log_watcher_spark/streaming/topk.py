@@ -33,6 +33,8 @@ this belongs to the SURVEY.md §2.2 streaming-stateful family.
 
 from __future__ import annotations
 
+from kinesis_log_watcher_spark.sources.files import replay_partitions
+
 import itertools
 from collections.abc import Iterator
 from typing import Any
@@ -191,15 +193,16 @@ def run_stream_topk(
         ).alias("value_milli"),
     )
     name = f"stream_topk_{next(_counter)}"
-    q = (
-        topk_stream(feed, k)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            topk_stream(feed, k)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     w = Window.partitionBy("event_type").orderBy(
         F.col("value_milli").desc(), F.col("event_id")
     )

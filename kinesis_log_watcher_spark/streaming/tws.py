@@ -38,6 +38,8 @@ StatefulProcessor path is used unchanged.
 
 from __future__ import annotations
 
+from kinesis_log_watcher_spark.sources.files import replay_partitions
+
 import itertools
 from collections.abc import Iterator
 
@@ -183,13 +185,14 @@ def run_running_totals(
     stream = normalize_ts_cols(stream)
 
     name = f"tws_totals_{next(_counter)}"
-    q = (
-        running_totals_stream(stream)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            running_totals_stream(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     return final_totals(spark.table(name))

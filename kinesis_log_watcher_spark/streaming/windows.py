@@ -23,6 +23,7 @@ from kinesis_log_watcher_spark.session import ensure_session_confs
 
 from kinesis_log_watcher_spark.functions.exact import dec
 from kinesis_log_watcher_spark.sources.files import (
+    replay_partitions,
     await_or_raise,
     read_parquet_stream,
 )
@@ -50,14 +51,15 @@ def run_windowed_counts(
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
     name = f"windowed_counts_{next(_counter)}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     return spark.table(name)
 
 
@@ -93,14 +95,15 @@ def run_session_windows(
         )
     )
     name = f"session_windows_{next(_counter)}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     return spark.table(name)
 
 
@@ -125,14 +128,15 @@ def run_streaming_dedup(
     stream = read_parquet_stream(spark, events_path)
     deduped = stream.select(*keys).dropDuplicates(keys)
     name = f"stream_dedup_{next(_counter)}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     return spark.table(name)
 
 
@@ -168,14 +172,15 @@ def run_watermark_dedup(
         .select("user_id", "event_type", "minute_ts")
     )
     name = f"stream_wm_dedup_{next(_counter)}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     return spark.table(name)
 
 
@@ -203,14 +208,15 @@ def run_sliding_counts(
         )
     )
     name = f"sliding_counts_{next(_counter)}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     return spark.table(name)
 
 
@@ -267,14 +273,15 @@ def run_streaming_admission(
         .alias("n_sampled"),
     )
     name = f"stream_admission_{next(_counter)}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     return spark.table(name)
 
 
@@ -310,14 +317,15 @@ def run_streaming_hll(
     regs = hll_build(stream, "user_id", group_cols=("event_type",), p=4)
 
     name = f"stream_hll_{next(_counter)}"
-    q = (
-        regs.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            regs.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     return hll_estimate(spark.table(name), group_cols=("event_type",), p=4)
 
 
@@ -396,14 +404,15 @@ def run_late_data_accounting(
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
     name = f"late_accounting_{next(_counter)}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     return spark.table(name).filter(F.col("event_type") != "sentinel")
 
 
@@ -438,14 +447,15 @@ def run_dynamic_session_windows(
         )
     )
     name = f"dyn_session_{next(_counter)}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     return spark.table(name)
 
 
@@ -488,14 +498,15 @@ def run_streaming_minhash_overlap(
         .agg(F.min("h").alias("vmin"))
     )
     name = f"stream_oph_{next(_counter)}"
-    q = (
-        regs.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            regs.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     # (split, r) is unique in the register table, so the a-vs-b
     # comparison is a conditional pivot per register — no self-join of
     # the sink view (which trips conflicting-attribute resolution).
@@ -601,12 +612,13 @@ def run_two_level_agg(
         )
     )
     name = f"two_level_{next(_counter)}"
-    q = (
-        lvl2.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, timeout_s)
+    with replay_partitions(spark):
+        q = (
+            lvl2.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, timeout_s)
     return spark.table(name).filter(F.col("event_type") != "sentinel")
