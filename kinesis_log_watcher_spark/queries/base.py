@@ -191,6 +191,9 @@ _FRONT = (
     "revenue_cusum_changepoint",
     "bigram_greedy_generation",
     "cogroup_order_event_reconcile",
+    "priority_anova_f",
+    "customer_rfm_segmentation",
+    "conformal_interval_calibration",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",

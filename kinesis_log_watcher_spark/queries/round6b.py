@@ -1912,3 +1912,300 @@ def cogroup_order_event_reconcile(
             " value_milli long, presence string",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 20. priority_anova_f — one-way ANOVA with a fixed-order float fold
+# ---------------------------------------------------------------------------
+#
+# Between/within variance decomposition from exact per-group decimal
+# moments. The cross-GROUP reduction of double terms is the one float
+# sum a partitioning could reorder — so it runs as an ORDERED prefix
+# sum over the (tiny, sorted) group relation: both engines fold
+# left-to-right in priority order, the relational form of the
+# "contributions summed in FIXED term order" rule the retrieval
+# scorers use.
+
+_ANOVA_SQL = """
+    WITH g AS (
+      SELECT o_orderpriority AS pri,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))
+                      * CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+               AS ss
+      FROM orders GROUP BY 1),
+    terms AS (
+      SELECT pri, n, s, ss, s * s / CAST(n AS DOUBLE) AS t
+      FROM g),
+    folded AS (
+      SELECT SUM(CAST(n AS DOUBLE)) OVER w AS nn,
+             SUM(s) OVER w AS ssum,
+             SUM(ss) OVER w AS sssum,
+             SUM(t) OVER w AS tsum,
+             CAST(COUNT(*) OVER w AS BIGINT) AS k,
+             ROW_NUMBER() OVER (ORDER BY pri DESC) AS rev
+      FROM terms
+      WINDOW w AS (ORDER BY pri ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW))
+    SELECT k AS k_groups, CAST(nn AS BIGINT) AS n_total,
+           CASE WHEN k < 2 OR nn <= k
+                  OR (sssum - tsum) <= 0 THEN 0
+                ELSE CAST(floor(
+                  ((tsum - ssum * ssum / nn) / (k - 1))
+                  / ((sssum - tsum) / (nn - k))
+                  * 1000000 + 0.5) AS BIGINT) END AS f_stat_micro
+    FROM folded WHERE rev = 1
+    """
+
+
+@register(
+    "priority_anova_f",
+    _ANOVA_SQL,
+    doc="One-way ANOVA F statistic across order priorities: "
+    "between-group vs within-group variance from exact per-group "
+    "decimal moments (n, sum, sum-of-squares — map-side partial "
+    "aggregation, order never matters), converted to double once. The "
+    "cross-group combine is the one float reduction partitioning could "
+    "reorder, so it folds as an ORDERED prefix sum over the sorted "
+    "5-row group relation — deterministic left-to-right IEEE adds in "
+    "both dialects. Complements ab_welch_ttest (pairwise, unequal "
+    "variance) with the k-group omnibus test. Scale: one fact pass; "
+    "everything after lives on k rows.",
+)
+def priority_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    orders = load(spark, sf_dir, "orders")
+    x = dec(F.col("o_totalprice"), 28, 2)
+    g = orders.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("double").alias("s"),
+        F.sum(x * x).cast("double").alias("ss"),
+    )
+    terms = g.select(
+        "pri",
+        "n",
+        "s",
+        "ss",
+        (F.col("s") * F.col("s") / F.col("n").cast("double")).alias("t"),
+    )
+    w = Window.orderBy("pri").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    folded = terms.select(
+        F.sum(F.col("n").cast("double")).over(w).alias("nn"),
+        F.sum("s").over(w).alias("ssum"),
+        F.sum("ss").over(w).alias("sssum"),
+        F.sum("t").over(w).alias("tsum"),
+        F.count("*").over(w).cast("long").alias("k"),
+        F.row_number()
+        .over(Window.orderBy(F.col("pri").desc()))
+        .alias("rev"),
+    ).filter(F.col("rev") == 1)
+    kd = F.col("k").cast("double")
+    ssb = F.col("tsum") - F.col("ssum") * F.col("ssum") / F.col("nn")
+    ssw = F.col("sssum") - F.col("tsum")
+    fstat = F.floor(
+        (ssb / (kd - 1)) / (ssw / (F.col("nn") - kd)) * 1000000 + F.lit(0.5)
+    ).cast("long")
+    return folded.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_total"),
+        F.when(
+            (F.col("k") < 2) | (F.col("nn") <= kd) | (ssw <= 0),
+            F.lit(0).cast("long"),
+        )
+        .otherwise(fstat)
+        .alias("f_stat_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 21. customer_rfm_segmentation — quintile-scored RFM rollup
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = """
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT o_custkey, monetary_cents,
+             NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+               AS m_score
+      FROM cust)
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS total_cents
+    FROM scored GROUP BY 1, 2, 3
+    """
+
+
+@register(
+    "customer_rfm_segmentation",
+    _RFM_SQL,
+    doc="RFM (recency / frequency / monetary) customer segmentation: "
+    "per-customer metrics from one orders pass, quintile scores via "
+    "NTILE with a deterministic (metric, custkey) total order (score "
+    "1 = most recent / most frequent / highest spend), rolled up to "
+    "the 125-cell segment grid with exact cent totals. Scale shape: "
+    "the fact pass is one partial-agg shuffle to per-customer rows; "
+    "the NTILE ranks run over the CUSTOMER relation — at 100 TB swap "
+    "them for quantile-threshold joins (the source_quantile_normalize "
+    "pattern) against a 4-value boundary broadcast, same output.",
+)
+def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    mx = orders.groupBy().agg(F.max(F.to_date("o_orderdate")).alias("mxd"))
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("mxd"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = cust.select(
+        "o_custkey",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(
+            Window.orderBy(F.col("monetary_cents").desc(), "o_custkey")
+        )
+        .cast("long")
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("monetary_cents").cast("long").alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 22. conformal_interval_calibration — split-conformal quantile per type
+# ---------------------------------------------------------------------------
+
+_CONF_SQL = """
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS milli
+      FROM events WHERE value IS NOT NULL),
+    mu AS (
+      SELECT event_type, CAST(SUM(milli) // COUNT(*) AS BIGINT) AS mean_milli,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY 1),
+    nc AS (
+      SELECT v.event_type, v.event_id, m.n,
+             abs(v.milli - m.mean_milli) AS score
+      FROM v JOIN mu m ON m.event_type = v.event_type),
+    ranked AS (
+      SELECT event_type, n, score,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY score, event_id) AS rn
+      FROM nc),
+    qh AS (
+      SELECT event_type, n, CAST(score AS BIGINT) AS qhat_milli
+      FROM ranked
+      WHERE rn = least(n, CAST(ceil(0.9 * (n + 1)) AS BIGINT)))
+    SELECT q.event_type, q.n, q.qhat_milli,
+           CAST(SUM(CASE WHEN c.score <= q.qhat_milli THEN 1 ELSE 0 END)
+                * 1000000 // q.n AS BIGINT) AS coverage_micro
+    FROM qh q JOIN nc c ON c.event_type = q.event_type
+    GROUP BY 1, 2, 3
+    """
+
+
+@register(
+    "conformal_interval_calibration",
+    _CONF_SQL,
+    doc="Split-conformal calibration per event type: nonconformity = "
+    "|value - integer group mean| in exact milli units; q-hat = the "
+    "ceil(0.9(n+1))-th order statistic (the finite-sample conformal "
+    "quantile, capped at n) selected by rank with a deterministic "
+    "(score, event_id) tie-break; empirical coverage re-checked "
+    "against q-hat as an exact integer share (>= 900000 micro by the "
+    "conformal guarantee). The eval primitive for distribution-free "
+    "prediction intervals over model scores. Scale shape: one fact "
+    "pass to milli scores, integer mean as a per-group join, the rank "
+    "runs per type (two-phase top-k swap documented for hot types), "
+    "coverage is one counting join back.",
+)
+def conformal_interval_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias(
+            "milli"
+        ),
+    )
+    mu = v.groupBy("event_type").agg(
+        F.expr("sum(milli) div count(*)").cast("long").alias("mean_milli"),
+        F.count("*").cast("long").alias("n"),
+    )
+    nc = v.join(mu, "event_type").select(
+        "event_type",
+        "event_id",
+        "n",
+        F.abs(F.col("milli") - F.col("mean_milli")).alias("score"),
+    ).persist()
+    w = Window.partitionBy("event_type").orderBy("score", "event_id")
+    qh = (
+        nc.select(
+            "event_type", "n", "score", F.row_number().over(w).alias("rn")
+        )
+        .filter(
+            F.col("rn")
+            == F.least(
+                F.col("n"),
+                F.ceil(0.9 * (F.col("n") + 1)).cast("long"),
+            )
+        )
+        .select("event_type", "n", F.col("score").cast("long").alias("qhat_milli"))
+    )
+    return (
+        nc.select("event_type", "score")
+        .join(qh, "event_type")
+        .groupBy("event_type", "n", "qhat_milli")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN score <= qhat_milli THEN 1 ELSE 0 END)"
+                " * 1000000 div min(n) AS BIGINT)"
+            ).alias("coverage_micro")
+        )
+    )

@@ -711,3 +711,100 @@ def test_cogroup_reconcile_matches_join(spark, sf_dir):
             if i in oc and i in ec
             else ("orders_only" if i in oc else "events_only")
         )
+
+
+# ---------------------------------------------------------------------------
+# ANOVA F
+# ---------------------------------------------------------------------------
+
+
+def test_anova_matches_python(spark, sf_dir):
+    r = _q("priority_anova_f")(spark, sf_dir).collect()[0]
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    groups: dict[str, list[float]] = {}
+    for x in rows:
+        groups.setdefault(x.o_orderpriority, []).append(x.o_totalprice)
+    # replicate the ordered fold: per-group exact decimal moments ->
+    # double, combined left-to-right in priority order
+    from decimal import Decimal
+
+    nn = ssum = sssum = tsum = 0.0
+    for pri in sorted(groups):
+        vals = [Decimal(str(round(v, 2))) for v in groups[pri]]
+        n = len(vals)
+        s = float(sum(vals))
+        ss = float(sum(v * v for v in vals))
+        nn += float(n)
+        ssum += s
+        sssum += ss
+        tsum += s * s / float(n)
+    k = len(groups)
+    ssb = tsum - ssum * ssum / nn
+    ssw = sssum - tsum
+    expect = math.floor((ssb / (k - 1)) / (ssw / (nn - k)) * 1000000 + 0.5)
+    assert r.k_groups == k
+    assert r.n_total == int(nn)
+    assert r.f_stat_micro == expect
+    assert r.f_stat_micro >= 0
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_partitions_customers_into_balanced_quintiles(spark, sf_dir):
+    out = _q("customer_rfm_segmentation")(spark, sf_dir).collect()
+    n_cust = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in out) == n_cust
+    # each axis's quintiles are NTILE-balanced (sizes differ by <= 1)
+    for axis in ("r_score", "f_score", "m_score"):
+        per = Counter()
+        for r in out:
+            per[r[axis]] += r.n_customers
+        assert set(per) == {1, 2, 3, 4, 5}
+        assert max(per.values()) - min(per.values()) <= 1
+    # monetary quintile 1 outearns quintile 5 in total
+    m1 = sum(r.total_cents for r in out if r.m_score == 1)
+    m5 = sum(r.total_cents for r in out if r.m_score == 5)
+    assert m1 > m5
+
+
+# ---------------------------------------------------------------------------
+# Conformal calibration
+# ---------------------------------------------------------------------------
+
+
+def test_conformal_quantile_and_coverage(spark, sf_dir):
+    out = {
+        r.event_type: r
+        for r in _q("conformal_interval_calibration")(spark, sf_dir).collect()
+    }
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for r in ev:
+        groups.setdefault(r.event_type, []).append(
+            (math.floor(r.value * 1000 + 0.5), r.event_id)
+        )
+    for t, vals in groups.items():
+        n = len(vals)
+        mean = sum(v for v, _ in vals) // n
+        scores = sorted((abs(v - mean), eid) for v, eid in vals)
+        k = min(n, math.ceil(0.9 * (n + 1)))
+        qhat = scores[k - 1][0]
+        cov = sum(1 for s, _ in scores if s <= qhat) * 1000000 // n
+        r = out[t]
+        assert r.n == n
+        assert r.qhat_milli == qhat
+        assert r.coverage_micro == cov
+        # finite-sample conformal guarantee: coverage >= 90%
+        assert r.coverage_micro >= 900000

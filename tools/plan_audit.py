@@ -115,6 +115,7 @@ ALLOWED_BNLJ = {
     "ks_two_sample_price": "1-row group-sizes broadcast onto the CDF cells",
     "community_modularity": "1-row edge/degree-stats broadcast combine",
     "revenue_cusum_changepoint": "1-row integer-mean broadcast onto the daily series",
+    "customer_rfm_segmentation": "1-row max-order-date broadcast",
 }
 
 
