@@ -194,6 +194,7 @@ _FRONT = (
     "priority_anova_f",
     "customer_rfm_segmentation",
     "conformal_interval_calibration",
+    "stream_cusum_alerts",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",

@@ -2209,3 +2209,64 @@ def conformal_interval_calibration(
             ).alias("coverage_micro")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 23. stream_cusum_alerts — stateful streaming SPC monitor
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_cusum_alerts",
+    f"""
+    WITH v AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS milli
+      FROM events WHERE value IS NOT NULL),
+    pre AS (
+      SELECT event_type, ts, event_id,
+             SUM(milli - {50_000}) OVER w AS p
+      FROM v
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    ext AS (
+      SELECT event_type, p,
+             least(0, MIN(p) OVER w) AS pmin,
+             greatest(0, MAX(p) OVER w) AS pmax,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) AS rev
+      FROM pre
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    agg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN p - pmin > {100_000}
+                             OR pmax - p > {100_000}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_breaches
+      FROM ext GROUP BY 1),
+    fin AS (
+      SELECT event_type, CAST(p - pmin AS BIGINT) AS cusum_pos,
+             CAST(pmax - p AS BIGINT) AS cusum_neg
+      FROM ext WHERE rev = 1)
+    SELECT a.event_type, a.n, f.cusum_pos, f.cusum_neg, a.n_breaches
+    FROM agg a JOIN fin f ON f.event_type = a.event_type
+    """,
+    doc="Stateful streaming CUSUM control chart (statistical process "
+    "control): per event_type, the cumulative deviation from a fixed "
+    "control target (50.0) with running extrema and breach counting "
+    "(either CUSUM side exceeding 100.0), maintained incrementally in "
+    "5 int64s of state per key by an applyInPandasWithState kernel "
+    "(streaming/cusum.py). Rows fold in exact (ts, event_id) order — "
+    "Arrow chunks concatenated before sorting, replay staged as "
+    "TIME-SPLIT batches so the cross-batch continuation preserves the "
+    "order — and each batch emits a monotone per-key snapshot whose "
+    "bounded-replay reduction is one max(struct). The oracle states "
+    "the same fold as the batch prefix-extrema closed form "
+    "(revenue_cusum_changepoint's trick, per key, plus breach rows). "
+    "A data-derived mean would not be incrementally maintainable; the "
+    "fixed target is the SPC semantics.",
+)
+def stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.cusum import run_stream_cusum
+
+    return run_stream_cusum(spark, f"{sf_dir}/events.parquet")

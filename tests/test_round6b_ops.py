@@ -808,3 +808,43 @@ def test_conformal_quantile_and_coverage(spark, sf_dir):
         assert r.coverage_micro == cov
         # finite-sample conformal guarantee: coverage >= 90%
         assert r.coverage_micro >= 900000
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM
+# ---------------------------------------------------------------------------
+
+
+def test_stream_cusum_equals_batch_fold(spark, sf_dir):
+    from kinesis_log_watcher_spark.streaming.cusum import (
+        TARGET_MILLI,
+        THRESHOLD_MILLI,
+    )
+
+    out = {
+        r.event_type: r
+        for r in _q("stream_cusum_alerts")(spark, sf_dir).collect()
+    }
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in ev:
+        groups.setdefault(r.event_type, []).append(r)
+    for t, rows in groups.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        p = pmin = pmax = breaches = 0
+        for r in rows:
+            p += math.floor(r.value * 1000 + 0.5) - TARGET_MILLI
+            pmin = min(pmin, p)
+            pmax = max(pmax, p)
+            if p - pmin > THRESHOLD_MILLI or pmax - p > THRESHOLD_MILLI:
+                breaches += 1
+        o = out[t]
+        assert o.n == len(rows)
+        assert o.cusum_pos == p - pmin
+        assert o.cusum_neg == pmax - p
+        assert o.n_breaches == breaches
