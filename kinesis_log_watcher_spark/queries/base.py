@@ -195,6 +195,8 @@ _FRONT = (
     "customer_rfm_segmentation",
     "conformal_interval_calibration",
     "stream_cusum_alerts",
+    "kinesis_sim_batch_scan",
+    "kinesis_sim_stream_scan",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",

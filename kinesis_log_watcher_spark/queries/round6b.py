@@ -18,6 +18,8 @@ queries/round6.py and queries/mining.py.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2270,3 +2272,139 @@ def stream_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.streaming.cusum import run_stream_cusum
 
     return run_stream_cusum(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 24-25. kinesis_sim_* — the custom Python DataSource, oracle-verified
+# ---------------------------------------------------------------------------
+#
+# The simulator emits records as a PURE FUNCTION of (shard, seq)
+# (sources/kinesis_sim.py sim_record), so DuckDB can regenerate the
+# identical stream with generate_series and the whole source → envelope
+# → JSON-access pipeline is hash-checked end to end. Both queries run
+# the same rollup; one reads the BATCH reader, one replays the STREAM
+# reader (per-shard offset map, bounded per-trigger batches) — the
+# bounded stream must reduce to the batch answer.
+
+_SIM_COUNTER = itertools.count()
+_SIM_SHARDS = 4
+_SIM_PER_SHARD = 250
+
+_SIM_ORACLE = f"""
+    WITH seqs AS (
+      SELECT s.s AS shard, q.q AS seq
+      FROM generate_series(0, {_SIM_SHARDS - 1}) s(s),
+           generate_series(0, {_SIM_PER_SHARD - 1}) q(q)),
+    rec AS (
+      SELECT 'i-' || lpad(CAST(shard AS VARCHAR), 4, '0') AS short_host,
+             CASE seq % 3 WHEN 0 THEN 'info' WHEN 1 THEN 'warn'
+                          ELSE 'error' END AS level,
+             CAST((seq * 7 + shard * 3) % 500 AS BIGINT) AS latency,
+             seq
+      FROM seqs)
+    SELECT short_host, level,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(latency) AS BIGINT) AS sum_latency_ms,
+           CAST(MIN(seq) AS BIGINT) AS min_seq,
+           CAST(MAX(seq) AS BIGINT) AS max_seq
+    FROM rec GROUP BY 1, 2
+    """
+
+
+def _sim_rollup(raw: DataFrame) -> DataFrame:
+    from kinesis_log_watcher_spark.envelope import short_host_id
+
+    entry = F.col("data").cast("string")
+    return (
+        raw.select(
+            short_host_id(F.col("partitionKey")).alias("short_host"),
+            F.get_json_object(entry, "$.level").alias("level"),
+            F.get_json_object(entry, "$.latency_ms")
+            .cast("long")
+            .alias("latency"),
+            F.substring("sequenceNumber", 5, 16).cast("long").alias("seq"),
+        )
+        .groupBy("short_host", "level")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("latency").cast("long").alias("sum_latency_ms"),
+            F.min("seq").cast("long").alias("min_seq"),
+            F.max("seq").cast("long").alias("max_seq"),
+        )
+    )
+
+
+@register(
+    "kinesis_sim_batch_scan",
+    _SIM_ORACLE,
+    doc="Custom Python DataSource (Spark 4 DataSource API), BATCH path: "
+    "the offline Kinesis simulator (sources/kinesis_sim.py) exposes "
+    "the reference's stream semantics as a real Spark source — one "
+    "InputPartition per shard (main.go:176-178's goroutine-per-shard), "
+    "zero-padded per-shard sequence numbers (main.go:320,362) — and "
+    "this query drives source → envelope (ShortHostId derivation, "
+    "envelope.py) → lenient JSON access → rollup. Every record is a "
+    "pure function of (shard, seq), so the DuckDB oracle regenerates "
+    "the stream with generate_series and hash-verifies the ENTIRE "
+    "source implementation, not just the query.",
+)
+def kinesis_sim_batch_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.queries.base import ensure_session_confs
+    from kinesis_log_watcher_spark.sources.kinesis_sim import (
+        register_sim_source,
+    )
+
+    ensure_session_confs(spark)
+    register_sim_source(spark)
+    raw = (
+        spark.read.format("kinesis_sim")
+        .option("shards", str(_SIM_SHARDS))
+        .option("recordsPerShard", str(_SIM_PER_SHARD))
+        .load()
+    )
+    return _sim_rollup(raw)
+
+
+@register(
+    "kinesis_sim_stream_scan",
+    _SIM_ORACLE,
+    doc="Custom Python DataSource, STREAMING path: the same simulator "
+    "consumed through DataSourceStreamReader — per-shard sequence-"
+    "number offset maps (initialOffset/latestOffset/partitions), "
+    "checkpoint-resumable exactly like the reference's "
+    "latestSequenceNumber tracking (W4), with maxRecordsPerTrigger "
+    "bounding each pull (S3, the GetRecords <=10k limit). The bounded "
+    "replay's rollup must equal the batch reader's — and both must "
+    "equal the generate_series oracle.",
+)
+def kinesis_sim_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.queries.base import ensure_session_confs
+    from kinesis_log_watcher_spark.sources.files import (
+        await_or_raise,
+        replay_partitions,
+    )
+    from kinesis_log_watcher_spark.sources.kinesis_sim import (
+        register_sim_source,
+    )
+
+    ensure_session_confs(spark)
+    register_sim_source(spark)
+    raw = (
+        spark.readStream.format("kinesis_sim")
+        .option("shards", str(_SIM_SHARDS))
+        .option("recordsPerShard", str(_SIM_PER_SHARD))
+        .option("maxRecordsPerTrigger", "100")
+        .load()
+    )
+    agg = _sim_rollup(raw)
+    name = f"sim_stream_{next(_SIM_COUNTER)}"
+    with replay_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 300)
+    return spark.table(name)
