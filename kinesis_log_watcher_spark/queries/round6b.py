@@ -2408,3 +2408,66 @@ def kinesis_sim_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         await_or_raise(q, 300)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# 26. customer_l_diversity — the sensitive-attribute privacy audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_l_diversity",
+    """
+    WITH qid AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                                  AS BIGINT) AS DOUBLE) / 100000.0)
+                  AS BIGINT) AS bal_band
+      FROM customer),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS l_distinct
+      FROM qid GROUP BY 1, 2)
+    SELECT l_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           (l_distinct < 3) AS violates_l3
+    FROM classes GROUP BY 1
+    """,
+    doc="l-diversity audit (Machanavajjhala 2007) — the privacy gate "
+    "k-anonymity alone cannot provide: a class can be k-large yet leak "
+    "its SENSITIVE attribute if every member shares one value "
+    "(homogeneity attack). QID = (nation, segment); sensitive = the "
+    "$1000 balance band (exact-cents bucketing, identical in both "
+    "dialects); output = the histogram of per-class distinct-sensitive "
+    "counts with the l=3 violation flag. Together with "
+    "customer_k_anonymity this completes the release-gate pair. Scale "
+    "shape: one QID-grouped distinct-count aggregation, then a "
+    "one-row-per-distinct-l histogram exchange.",
+)
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    cust = load(spark, sf_dir, "customer")
+    qid = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(
+            (dec(F.col("c_acctbal"), 12, 2) * 100)
+            .cast("long")
+            .cast("double")
+            / 100000.0
+        )
+        .cast("long")
+        .alias("bal_band"),
+    )
+    classes = qid.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("class_size"),
+        F.countDistinct("bal_band").cast("long").alias("l_distinct"),
+    )
+    return classes.groupBy("l_distinct").agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.min(F.col("l_distinct") < 3).alias("violates_l3"),
+    )
