@@ -2471,3 +2471,131 @@ def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("class_size").cast("long").alias("n_rows"),
         F.min(F.col("l_distinct") < 3).alias("violates_l3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 27. zone_map_skip_audit — layout-quality audit via min/max pruning
+# ---------------------------------------------------------------------------
+#
+# Zone maps (parquet row-group min/max stats) only prune if the LAYOUT
+# clusters the filtered column. This audit quantifies that: bucket the
+# fact table two ways — natural arrival order (orderkey ranges) vs a
+# Z-order interleave of (ship-day, partkey) — compute each bucket's
+# ship-day min/max "zone map", and measure, for a panel of date-range
+# predicates, how many buckets (and rows) each layout can skip.
+
+_ZM_BITS = 12
+_ZM_DAY0 = 9000  # days since epoch ~1994-08: keeps d_rel in [0, 2^12)
+_ZM_TERMS = " | ".join(
+    f"(((d_rel >> {i}) & 1) << {2 * i}) | "
+    f"(((l_partkey >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_ZM_BITS)
+)
+# (pred_id, lo, hi) in epoch days — absolute literals shared verbatim
+_ZM_PREDS = ((1, 9255, 9285), (2, 9590, 9680), (3, 9950, 10130))
+_ZM_PRED_VALUES = ", ".join(f"({p}, {lo}, {hi})" for p, lo, hi in _ZM_PREDS)
+
+_ZM_SQL = f"""
+    WITH base AS (
+      SELECT l_orderkey, l_partkey,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               AS day
+      FROM lineitem),
+    tagged AS (
+      SELECT 'natural' AS layout, l_orderkey // 256 AS bucket, day
+      FROM base
+      UNION ALL
+      SELECT 'zorder',
+             (({_ZM_TERMS}) >> 16) AS bucket, day
+      FROM (SELECT l_partkey, day, day - {_ZM_DAY0} AS d_rel FROM base)),
+    zones AS (
+      SELECT layout, bucket,
+             MIN(day) AS lo_d, MAX(day) AS hi_d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM tagged GROUP BY 1, 2),
+    preds(pred_id, lo, hi) AS (VALUES {_ZM_PRED_VALUES})
+    SELECT z.layout, CAST(p.pred_id AS BIGINT) AS pred_id,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN z.hi_d < p.lo OR z.lo_d > p.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+           CAST(SUM(CASE WHEN z.hi_d < p.lo OR z.lo_d > p.hi
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS skip_micro,
+           CAST(SUM(CASE WHEN z.hi_d < p.lo OR z.lo_d > p.hi
+                         THEN z.n ELSE 0 END) AS BIGINT) AS rows_skipped
+    FROM zones z CROSS JOIN preds p
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "zone_map_skip_audit",
+    _ZM_SQL,
+    doc="Zone-map (min/max statistics) skipping audit: quantifies how "
+    "much scan pruning each physical LAYOUT buys before anything is "
+    "written — natural arrival order (orderkey range buckets) vs a "
+    "Z-order interleave of (ship-day, partkey) — by building each "
+    "bucket's ship-day zone map and counting, for a panel of "
+    "date-range predicates, the buckets and rows whose [min,max] is "
+    "disjoint from the range (exactly the row-group pruning parquet "
+    "stats would perform). The Z-ordered layout must dominate on the "
+    "date predicates — the measured justification for "
+    "lineitem_zorder_buckets' clustered write. Exact integers end to "
+    "end; the predicate panel is a bounded literal broadcast.",
+)
+def zone_map_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.sources.files import morton_code
+
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
+    )
+    natural = base.select(
+        F.lit("natural").alias("layout"),
+        F.expr("l_orderkey div 256").alias("bucket"),
+        "day",
+    )
+    z = morton_code(
+        F.col("day") - F.lit(_ZM_DAY0), F.col("l_partkey"), _ZM_BITS
+    )
+    zorder = base.select(
+        F.lit("zorder").alias("layout"),
+        F.shiftright(z, 16).cast("long").alias("bucket"),
+        "day",
+    )
+    zones = (
+        natural.unionAll(zorder)
+        .groupBy("layout", "bucket")
+        .agg(
+            F.min("day").alias("lo_d"),
+            F.max("day").alias("hi_d"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    preds = F.broadcast(
+        li.sparkSession.createDataFrame(
+            list(_ZM_PREDS), "pred_id long, lo long, hi long"
+        )
+    )
+    skippable = (F.col("hi_d") < F.col("lo")) | (F.col("lo_d") > F.col("hi"))
+    return (
+        zones.crossJoin(preds)
+        .groupBy("layout", "pred_id")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum(F.when(skippable, 1).otherwise(0))
+            .cast("long")
+            .alias("n_skippable"),
+            F.expr(
+                "CAST(sum(CASE WHEN hi_d < lo OR lo_d > hi THEN 1 ELSE 0 END)"
+                " * 1000000 div count(*) AS BIGINT)"
+            ).alias("skip_micro"),
+            F.sum(F.when(skippable, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("rows_skipped"),
+        )
+    )

@@ -934,3 +934,46 @@ def test_sim_source_checkpoint_resume(spark, tmp_path):
     rows = spark.read.parquet(out).select("shardId", "sequenceNumber").collect()
     assert len(rows) == 500  # 2 shards x 250, no duplicates from rerun
     assert len({(r.shardId, r.sequenceNumber) for r in rows}) == 500
+
+
+# ---------------------------------------------------------------------------
+# Zone-map skipping audit
+# ---------------------------------------------------------------------------
+
+
+def test_zone_map_zorder_dominates_natural(spark, sf_dir):
+    out = _q("zone_map_skip_audit")(spark, sf_dir).collect()
+    by = {(r.layout, r.pred_id): r for r in out}
+    preds = {p for _, p in by if True}
+    assert {l for l, _ in by} == {"natural", "zorder"}
+    total_rows = (
+        load(spark, sf_dir, "lineitem").count()
+    )
+    for p in {pid for _, pid in by}:
+        nat, zo = by[("natural", p)], by[("zorder", p)]
+        # the Z-ordered layout prunes at least as much as arrival order
+        # on a ship-date predicate (that is the point of Z-ordering)
+        assert zo.skip_micro >= nat.skip_micro
+        for r in (nat, zo):
+            assert 0 <= r.n_skippable <= r.n_buckets
+            assert 0 <= r.rows_skipped <= total_rows
+    # and materially more on at least one predicate
+    assert any(
+        by[("zorder", p)].skip_micro > by[("natural", p)].skip_micro
+        for p in {pid for _, pid in by}
+    )
+
+
+def test_customer_l_diversity_partitions_classes(spark, sf_dir):
+    out = _q("customer_l_diversity")(spark, sf_dir).collect()
+    n_classes = (
+        load(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .count()
+    )
+    n_rows = load(spark, sf_dir, "customer").count()
+    assert sum(r.n_classes for r in out) == n_classes
+    assert sum(r.n_rows for r in out) == n_rows
+    for r in out:
+        assert r.violates_l3 == (r.l_distinct < 3)

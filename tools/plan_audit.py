@@ -116,6 +116,7 @@ ALLOWED_BNLJ = {
     "community_modularity": "1-row edge/degree-stats broadcast combine",
     "revenue_cusum_changepoint": "1-row integer-mean broadcast onto the daily series",
     "customer_rfm_segmentation": "1-row max-order-date broadcast",
+    "zone_map_skip_audit": "3-row literal predicate-panel broadcast",
 }
 
 
