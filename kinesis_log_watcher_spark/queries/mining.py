@@ -3190,20 +3190,48 @@ def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("da", "db")
         .distinct()
     )
-    xa = sh.select(F.col("doc_id").alias("da"), "tok")
-    xb = sh.select(F.col("doc_id").alias("db"), "tok")
-    shared = (
-        cand.join(xa, "da")
-        .join(xb, ["db", "tok"])
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("tok_shared"))
+    # Verify WITHOUT re-exploding: each doc's (distinct) shingle set is
+    # one sorted array row, candidates fetch both arrays by two
+    # equi-joins, and the overlap is a JVM-side array_intersect — the
+    # old explode-join shuffled |cand| x avg(n_a) rows through the
+    # verify; this ships |cand| rows and does the intersection in
+    # whole-stage codegen. A length filter (J >= t needs
+    # (1+t)·min >= t·(n_a+n_b), i.e. 3·min >= n_a+n_b at t=0.5, since
+    # the overlap can't exceed the smaller set) kills size-mismatched
+    # candidates before their arrays are even fetched.
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("toks"),
+        F.count("*").alias("n"),
     )
-    sa = sz.select(F.col("doc_id").alias("da"), F.col("n").alias("n_a"))
-    sb = sz.select(F.col("doc_id").alias("db"), F.col("n").alias("n_b"))
-    return (
-        shared.join(sa, "da")
-        .join(sb, "db")
+    aa = arrs.select(
+        F.col("doc_id").alias("da"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("n_a"),
+    )
+    ab = arrs.select(
+        F.col("doc_id").alias("db"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("n_b"),
+    )
+    shared = (
+        cand.join(aa, "da")
+        .join(ab, "db")
         .filter(
+            3 * F.least(F.col("n_a"), F.col("n_b"))
+            >= F.col("n_a") + F.col("n_b")
+        )
+        .select(
+            "da",
+            "db",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("toks_a", "toks_b"))
+            .cast("long")
+            .alias("tok_shared"),
+        )
+    )
+    return (
+        shared.filter(
             2 * F.col("tok_shared")
             >= F.col("n_a") + F.col("n_b") - F.col("tok_shared")
         )

@@ -123,7 +123,11 @@ def replay_partitions(spark, n: int = 8):
     query.)"""
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
-    spark.conf.set(key, str(n))
+    try:
+        target = min(n, int(prev))  # only ever scope DOWN
+    except ValueError:  # e.g. "auto" under AQE-managed settings
+        target = n
+    spark.conf.set(key, str(target))
     try:
         yield
     finally:

@@ -7,7 +7,7 @@ from kinesis_log_watcher_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="klw-tests", shuffle_partitions=8)
+    spark = get_spark(app_name="klw-tests", shuffle_partitions=4)
     yield spark
 
 
