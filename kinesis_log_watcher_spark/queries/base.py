@@ -199,6 +199,7 @@ _FRONT = (
     "kinesis_sim_stream_scan",
     "customer_l_diversity",
     "zone_map_skip_audit",
+    "revenue_runs_test",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",

@@ -2599,3 +2599,135 @@ def zone_map_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rows_skipped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 28. revenue_runs_test — Wald-Wolfowitz randomness test
+# ---------------------------------------------------------------------------
+
+_RUNS_SQL = """
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    med AS (
+      SELECT cents AS m FROM (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, day) AS rn,
+               COUNT(*) OVER () AS nn
+        FROM daily) WHERE rn = (nn + 1) // 2),
+    signs AS (
+      SELECT d.day, CASE WHEN d.cents > m.m THEN 1 ELSE 0 END AS s
+      FROM daily d CROSS JOIN med m),
+    runs AS (
+      SELECT s,
+             CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+                    OR LAG(s) OVER (ORDER BY day) <> s
+                  THEN 1 ELSE 0 END AS brk
+      FROM signs),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS n_above,
+             CAST(COUNT(*) - SUM(s) AS BIGINT) AS n_below,
+             CAST(SUM(brk) AS BIGINT) AS n_runs
+      FROM runs)
+    SELECT n AS n_days, n_above, n_below, n_runs,
+           CASE WHEN n_above = 0 OR n_below = 0 OR n < 2 THEN 0
+                ELSE CAST(floor(
+                  (CAST(n_runs AS DOUBLE)
+                   - (1.0 + 2.0 * CAST(n_above AS DOUBLE)
+                            * CAST(n_below AS DOUBLE) / CAST(n AS DOUBLE)))
+                  / sqrt(2.0 * CAST(n_above AS DOUBLE)
+                             * CAST(n_below AS DOUBLE)
+                         * (2.0 * CAST(n_above AS DOUBLE)
+                                * CAST(n_below AS DOUBLE)
+                            - CAST(n AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1.0)))
+                  * 1000000 + 0.5) AS BIGINT) END AS z_micro
+    FROM agg
+    """
+
+
+@register(
+    "revenue_runs_test",
+    _RUNS_SQL,
+    doc="Wald-Wolfowitz runs test for randomness of the daily-revenue "
+    "series around its (lower) median: the run count R over the "
+    "above/below-median sign sequence is an exact integer (LAG "
+    "transitions + 1, with ties deterministically 'below'), and the "
+    "normal-approximation z-score comes from the closed form E[R] = "
+    "1 + 2·n1·n2/n, Var[R] = 2n1n2(2n1n2−n)/(n²(n−1)) — identical "
+    "double sequences in both dialects, micro-quantized once. "
+    "Complements Mann-Kendall (monotone trend) and CUSUM (level "
+    "shifts) with the serial-dependence alarm. Scale: one fact pass "
+    "to the daily relation; the sign/run windows live on the "
+    "calendar-bounded series.",
+)
+def revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").cast("string").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    wall = Window.orderBy("cents", "day")
+    med = (
+        daily.select(
+            "cents",
+            F.row_number().over(wall).alias("rn"),
+            F.count("*").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("nn"),
+        )
+        .filter(F.col("rn") == F.expr("(nn + 1) div 2"))
+        .select(F.col("cents").alias("m"))
+    )
+    signs = daily.crossJoin(F.broadcast(med)).select(
+        "day", F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("s")
+    )
+    wd = Window.orderBy("day")
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(wd).isNull() | (F.lag("s").over(wd) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    agg = runs.groupBy().agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("n_above"),
+        (F.count("*") - F.sum("s")).cast("long").alias("n_below"),
+        F.sum("brk").cast("long").alias("n_runs"),
+    )
+    nd = F.col("n").cast("double")
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    er = 1.0 + 2.0 * n1 * n2 / nd
+    vr = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - nd) / (nd * nd * (nd - 1.0))
+    )
+    z = F.floor(
+        (F.col("n_runs").cast("double") - er) / F.sqrt(vr) * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return agg.select(
+        F.col("n").alias("n_days"),
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.when(
+            (F.col("n_above") == 0) | (F.col("n_below") == 0) | (F.col("n") < 2),
+            F.lit(0).cast("long"),
+        )
+        .otherwise(z)
+        .alias("z_micro"),
+    )

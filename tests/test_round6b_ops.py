@@ -977,3 +977,32 @@ def test_customer_l_diversity_partitions_classes(spark, sf_dir):
     assert sum(r.n_rows for r in out) == n_rows
     for r in out:
         assert r.violates_l3 == (r.l_distinct < 3)
+
+
+# ---------------------------------------------------------------------------
+# Runs test
+# ---------------------------------------------------------------------------
+
+
+def test_runs_test_matches_python(spark, sf_dir):
+    r = _q("revenue_runs_test")(spark, sf_dir).collect()[0]
+    daily: Counter = Counter()
+    for x in load(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect():
+        daily[str(x.o_orderdate.date())] += math.floor(
+            x.o_totalprice * 100 + 0.5
+        )
+    days = sorted(daily)
+    n = len(days)
+    m = sorted(
+        (daily[d], d) for d in days
+    )[(n + 1) // 2 - 1][0]
+    signs = [1 if daily[d] > m else 0 for d in days]
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n1, n2 = sum(signs), n - sum(signs)
+    er = 1.0 + 2.0 * n1 * n2 / n
+    vr = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    expect = math.floor((runs - er) / math.sqrt(vr) * 1000000 + 0.5)
+    assert (r.n_days, r.n_above, r.n_below, r.n_runs) == (n, n1, n2, runs)
+    assert r.z_micro == expect

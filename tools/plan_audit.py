@@ -117,6 +117,7 @@ ALLOWED_BNLJ = {
     "revenue_cusum_changepoint": "1-row integer-mean broadcast onto the daily series",
     "customer_rfm_segmentation": "1-row max-order-date broadcast",
     "zone_map_skip_audit": "3-row literal predicate-panel broadcast",
+    "revenue_runs_test": "1-row median broadcast onto the daily series",
 }
 
 
