@@ -196,10 +196,11 @@ _FRONT = (
     "conformal_interval_calibration",
     "stream_cusum_alerts",
     "kinesis_sim_batch_scan",
-    "kinesis_sim_stream_scan",
+    "stream_kinesis_sim_scan",
     "customer_l_diversity",
     "zone_map_skip_audit",
     "revenue_runs_test",
+    "kinesis_sim_render_e2e",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",

@@ -2366,7 +2366,7 @@ def kinesis_sim_batch_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "kinesis_sim_stream_scan",
+    "stream_kinesis_sim_scan",
     _SIM_ORACLE,
     doc="Custom Python DataSource, STREAMING path: the same simulator "
     "consumed through DataSourceStreamReader — per-shard sequence-"
@@ -2730,4 +2730,84 @@ def revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(z)
         .alias("z_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 29. kinesis_sim_render_e2e — the reference's ENTIRE pipeline, verified
+# ---------------------------------------------------------------------------
+#
+# Source → envelope → template render → line, with the DuckDB oracle
+# reconstructing the RENDERED LINES themselves from generate_series and
+# hash-summing them — so one hash match certifies the Python
+# DataSource, the envelope derivations (ShortHostId), the strftime
+# translation, the lenient {{.Log.x}} JSON access, AND the template
+# compiler's output byte-for-byte.
+
+_E2E_TEMPLATE = (
+    '{{.ShortHostId}} {{strftime "%H:%M:%S" .Timestamp}} '
+    "{{.Log.level}} {{.Log.latency_ms}}"
+)
+
+_E2E_SQL = f"""
+    WITH seqs AS (
+      SELECT s.s AS shard, q.q AS seq
+      FROM generate_series(0, {_SIM_SHARDS - 1}) s(s),
+           generate_series(0, {_SIM_PER_SHARD - 1}) q(q)),
+    lines AS (
+      SELECT 'i-' || lpad(CAST(shard AS VARCHAR), 4, '0') AS short_host,
+             'i-' || lpad(CAST(shard AS VARCHAR), 4, '0') || ' '
+             || strftime(TIMESTAMP '2024-05-01 12:00:00'
+                         + seq * INTERVAL 1 SECOND, '%H:%M:%S') || ' '
+             || (CASE seq % 3 WHEN 0 THEN 'info' WHEN 1 THEN 'warn'
+                              ELSE 'error' END) || ' '
+             || CAST((seq * 7 + shard * 3) % 500 AS VARCHAR) AS line
+      FROM seqs)
+    SELECT short_host,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST('0x' || substr(md5(line), 1, 13) AS BIGINT))
+                AS BIGINT) AS line_check
+    FROM lines GROUP BY 1
+    """
+
+
+@register(
+    "kinesis_sim_render_e2e",
+    _E2E_SQL,
+    doc="The reference's entire program as ONE oracle-checked query: "
+    "simulated Kinesis source (custom Python DataSource) → envelope "
+    "(ShortHostId from the partition key) → compiled template render "
+    "(strftime + lenient {{.Log.x}} JSON access) → rendered line. The "
+    "oracle reconstructs the LINES THEMSELVES from generate_series "
+    "and compares an order-free 52-bit md5 hash-sum per host (13 hex "
+    "chars: 250 summands stay inside int64) — one green row "
+    "certifies source, envelope, template compiler, and strftime "
+    "translation byte-for-byte (main.go:248-293's record→line path). "
+    "Scale shape: narrow map over source partitions, one tiny rollup; "
+    "render throughput is the watcher.py number (~7M rows/s).",
+)
+def kinesis_sim_render_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.queries.base import ensure_session_confs
+    from kinesis_log_watcher_spark.sources.kinesis_sim import (
+        register_sim_source,
+    )
+    from kinesis_log_watcher_spark.watcher import build_lines
+
+    ensure_session_confs(spark)
+    register_sim_source(spark)
+    raw = (
+        spark.read.format("kinesis_sim")
+        .option("shards", str(_SIM_SHARDS))
+        .option("recordsPerShard", str(_SIM_PER_SHARD))
+        .load()
+    )
+    lines = build_lines(raw, _E2E_TEMPLATE)
+    short_host = F.element_at(F.split("line", " "), 1)
+    return lines.groupBy(short_host.alias("short_host")).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(
+            F.conv(F.substring(F.md5("line"), 1, 13), 16, 10).cast("long")
+        )
+        .cast("long")
+        .alias("line_check"),
     )

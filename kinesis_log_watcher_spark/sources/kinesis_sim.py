@@ -16,7 +16,7 @@ Everything the simulator emits is a PURE FUNCTION of (shard, seq) — no
 randomness, no clock — so a SQL oracle can regenerate the identical
 records with generate_series and the whole source + envelope + JSON
 access pipeline is hash-checkable end to end (queries/round6b.py
-kinesis_sim_batch_scan / kinesis_sim_stream_scan).
+kinesis_sim_batch_scan / stream_kinesis_sim_scan).
 
 At scale: a real deployment swaps this class for the connector; the
 reader surface (partition-per-shard, offset map, bounded batches per

@@ -26,6 +26,11 @@ FIXED_CARDINALITY = {
     "orders_expectation_audit": 7,
     # the profile reports every column even of an empty load (n_total=0)
     "orders_column_profile": 6,
+    # the Kinesis-simulator queries read the CUSTOM SOURCE, not the
+    # driver tables — their output is a pure function of the simulator
+    # parameters and ignores sf_dir entirely
+    "kinesis_sim_batch_scan": 12,
+    "kinesis_sim_render_e2e": 4,
 }
 
 

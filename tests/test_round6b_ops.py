@@ -862,7 +862,7 @@ def test_sim_source_batch_stream_agree(spark, sf_dir):
     }
     stream = {
         (r.short_host, r.level): r
-        for r in _q("kinesis_sim_stream_scan")(spark, sf_dir).collect()
+        for r in _q("stream_kinesis_sim_scan")(spark, sf_dir).collect()
     }
     assert batch.keys() == stream.keys() and len(batch) == 12
     for k, b in batch.items():
@@ -1006,3 +1006,29 @@ def test_runs_test_matches_python(spark, sf_dir):
     expect = math.floor((runs - er) / math.sqrt(vr) * 1000000 + 0.5)
     assert (r.n_days, r.n_above, r.n_below, r.n_runs) == (n, n1, n2, runs)
     assert r.z_micro == expect
+
+
+def test_render_e2e_lines_are_exact(spark, sf_dir):
+    """Spot-check the rendered lines themselves (the registry row only
+    hash-sums them): pull a few through build_lines and compare to the
+    literal expected strings."""
+    from kinesis_log_watcher_spark.queries.round6b import _E2E_TEMPLATE
+    from kinesis_log_watcher_spark.sources.kinesis_sim import (
+        register_sim_source,
+    )
+    from kinesis_log_watcher_spark.watcher import build_lines
+
+    register_sim_source(spark)
+    raw = (
+        spark.read.format("kinesis_sim")
+        .option("shards", "1")
+        .option("recordsPerShard", "4")
+        .load()
+    )
+    lines = sorted(r.line for r in build_lines(raw, _E2E_TEMPLATE).collect())
+    assert lines == [
+        "i-0000 12:00:00 info 0",
+        "i-0000 12:00:01 warn 7",
+        "i-0000 12:00:02 error 14",
+        "i-0000 12:00:03 info 21",
+    ]
