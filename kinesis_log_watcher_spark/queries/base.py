@@ -201,6 +201,7 @@ _FRONT = (
     "zone_map_skip_audit",
     "revenue_runs_test",
     "kinesis_sim_render_e2e",
+    "stream_scd2_enrich",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",

@@ -2811,3 +2811,104 @@ def kinesis_sim_render_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("line_check"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 30. stream_scd2_enrich — streaming point-in-time dimension enrichment
+# ---------------------------------------------------------------------------
+
+
+_SCD2E_SQL = """
+    WITH cust AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents0
+      FROM customer),
+    vers AS (
+      SELECT c_custkey, c_mktsegment, cents0,
+             unnest(generate_series(0, c_custkey % 3)) AS v
+      FROM cust),
+    feed AS (
+      SELECT c_custkey, c_mktsegment, v,
+             (c_custkey % 5) + v * 7 AS from_day,
+             cents0 + v * 1000 AS bal_cents
+      FROM vers),
+    scd AS (
+      SELECT c_custkey, c_mktsegment, from_day, bal_cents,
+             LEAD(from_day) OVER (PARTITION BY c_custkey ORDER BY v)
+               AS to_day
+      FROM feed),
+    facts AS (
+      SELECT event_id, user_id, event_id % 21 AS event_day
+      FROM events),
+    joined AS (
+      SELECT s.c_mktsegment, s.bal_cents
+      FROM facts f
+      JOIN scd s
+        ON f.user_id = s.c_custkey
+       AND f.event_day >= s.from_day
+       AND (s.to_day IS NULL OR f.event_day < s.to_day))
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(bal_cents) AS BIGINT) AS asof_bal_cents
+    FROM joined GROUP BY 1
+    """
+
+
+@register(
+    "stream_scd2_enrich",
+    _SCD2E_SQL,
+    doc="STREAMING point-in-time SCD2 enrichment: the event stream "
+    "joins, per micro-batch, to the ONE dimension version whose "
+    "effective range covers each event's day — a stream-static join "
+    "with an equi key plus interval predicates (the streaming form of "
+    "orders_pointintime_scd2; the dimension is the same shared "
+    "deterministic SCD2 feed). Spark plans the static side as a "
+    "broadcast per batch; at scale the dimension is a slowly-changing "
+    "table the batches re-resolve, which is exactly how a 100 TB "
+    "pipeline keeps in-flight enrichment consistent with dimension "
+    "history. Bounded replay -> complete-mode rollup equals the batch "
+    "join the oracle states.",
+)
+def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.queries.base import ensure_session_confs
+    from kinesis_log_watcher_spark.queries.warehouse import _scd2_dim
+    from kinesis_log_watcher_spark.sources.files import (
+        await_or_raise,
+        read_parquet_stream,
+        replay_partitions,
+    )
+    from kinesis_log_watcher_spark.functions.tscompat import (
+        normalize_ts_cols,
+    )
+
+    ensure_session_confs(spark)
+    scd = _scd2_dim(spark, sf_dir)
+    stream = normalize_ts_cols(
+        read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    ).select(
+        "event_id",
+        "user_id",
+        (F.col("event_id") % 21).alias("event_day"),
+    )
+    joined = stream.join(
+        scd,
+        (stream["user_id"] == scd["c_custkey"])
+        & (stream["event_day"] >= scd["from_day"])
+        & (scd["to_day"].isNull() | (stream["event_day"] < scd["to_day"])),
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("bal_cents").cast("long").alias("asof_bal_cents"),
+    )
+    name = f"scd2_enrich_{next(_SIM_COUNTER)}"
+    with replay_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 300)
+    return spark.table(name)

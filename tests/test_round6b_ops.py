@@ -1032,3 +1032,47 @@ def test_render_e2e_lines_are_exact(spark, sf_dir):
         "i-0000 12:00:02 error 14",
         "i-0000 12:00:03 info 21",
     ]
+
+
+def test_stream_scd2_enrich_equals_batch_join(spark, sf_dir):
+    from kinesis_log_watcher_spark.queries.warehouse import _scd2_dim
+
+    out = {
+        r.c_mktsegment: r
+        for r in _q("stream_scd2_enrich")(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", (F.col("event_id") % 21).alias("event_day")
+    )
+    scd = _scd2_dim(spark, sf_dir)
+    expect = {
+        r.c_mktsegment: r
+        for r in ev.join(
+            scd,
+            (ev["user_id"] == scd["c_custkey"])
+            & (ev["event_day"] >= scd["from_day"])
+            & (scd["to_day"].isNull() | (ev["event_day"] < scd["to_day"])),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("bal_cents").cast("long").alias("asof_bal_cents"),
+        )
+        .collect()
+    }
+    assert out.keys() == expect.keys() and len(out) > 0
+    for k, e in expect.items():
+        assert (out[k].n_events, out[k].asof_bal_cents) == (
+            e.n_events,
+            e.asof_bal_cents,
+        )
+    # point-in-time semantics: a fact matches AT MOST one version (an
+    # event before its customer's first version matches none) — the
+    # join must never fan a fact out across versions
+    j = ev.join(
+        scd,
+        (ev["user_id"] == scd["c_custkey"])
+        & (ev["event_day"] >= scd["from_day"])
+        & (scd["to_day"].isNull() | (ev["event_day"] < scd["to_day"])),
+    )
+    assert j.count() == j.select("event_id").distinct().count()
