@@ -1076,3 +1076,30 @@ def test_stream_scd2_enrich_equals_batch_join(spark, sf_dir):
         & (scd["to_day"].isNull() | (ev["event_day"] < scd["to_day"])),
     )
     assert j.count() == j.select("event_id").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape pins for the scale-sensitive wave-3 rewrites
+# ---------------------------------------------------------------------------
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = _q(name)(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_spearman_plans_without_ranking_window(spark, sf_dir):
+    # the whole point of the joint-histogram decomposition: ranks come
+    # from cumulative counts over the tiny value-margin relations, so
+    # the plan must not rank the fact table row-by-row
+    plan = _plan(spark, sf_dir, "spearman_quantity_discount")
+    assert "row_number" not in plan
+
+
+def test_bucketed_prefix_windows_are_partitioned(spark, sf_dir):
+    # ks/pareto prefix scans run per-bucket: every window spec in the
+    # plan carries a partition expression (no global single-partition
+    # staircase except the trivially-bounded bucket prefix relation)
+    for name in ("ks_two_sample_price", "pareto_frontier_orders"):
+        plan = _plan(spark, sf_dir, name)
+        assert "windowspecdefinition(bucket" in plan, name
