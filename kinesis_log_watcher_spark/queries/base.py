@@ -202,6 +202,7 @@ _FRONT = (
     "revenue_runs_test",
     "kinesis_sim_render_e2e",
     "stream_scd2_enrich",
+    "multimodal_scene_cuts",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",

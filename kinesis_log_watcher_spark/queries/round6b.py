@@ -2912,3 +2912,135 @@ def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         await_or_raise(q, 300)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# 31. multimodal_scene_cuts — level-shift detection over decoded frames
+# ---------------------------------------------------------------------------
+#
+# Synthesized PCM with a doc-dependent LEVEL SHIFT (samples amplified 3x
+# from a per-doc cut position), round-tripped through the REAL WAV codec
+# and framed by the Arrow-batched frame_energies kernel; a "scene cut"
+# is a >=4x energy ratio between adjacent frames (exact integer
+# cross-multiplication). The oracle recomputes the energies
+# arithmetically — codec round-trip must be the identity.
+
+_SC_SAMPLES = 128
+_SC_FRAME = 16
+
+_SC_SQL = f"""
+    WITH s AS (
+      SELECT d.doc_id, t.i AS i,
+             CASE WHEN t.i >= 32 + (d.doc_id % 3) * 32
+                  THEN 3 * ((d.doc_id * 7 + t.i) % 200 - 100)
+                  ELSE (d.doc_id * 7 + t.i) % 200 - 100 END AS x
+      FROM documents d, range({_SC_SAMPLES}) t(i)
+      WHERE d.doc_id < 200),
+    f AS (
+      SELECT doc_id, i // {_SC_FRAME} AS frame_idx,
+             CAST(SUM(x * x) AS BIGINT) AS energy
+      FROM s GROUP BY 1, 2),
+    lagd AS (
+      SELECT doc_id, frame_idx, energy,
+             LAG(energy) OVER (PARTITION BY doc_id
+                               ORDER BY frame_idx) AS prev
+      FROM f),
+    cuts AS (
+      SELECT doc_id, frame_idx,
+             CASE WHEN prev IS NOT NULL
+                   AND (energy > 4 * prev OR 4 * energy < prev)
+                  THEN 1 ELSE 0 END AS is_cut
+      FROM lagd)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(is_cut) AS BIGINT) AS n_cuts,
+           CAST(COALESCE(MIN(CASE WHEN is_cut = 1 THEN frame_idx END), -1)
+                AS BIGINT) AS first_cut_frame
+    FROM cuts GROUP BY 1
+    """
+
+
+@register(
+    "multimodal_scene_cuts",
+    _SC_SQL,
+    doc="Scene-cut (level-shift) detection over decoded media frames: "
+    "PCM with a doc-dependent 3x amplitude shift is encoded through "
+    "the REAL WAV codec, decoded and framed by the Arrow-batched "
+    "frame-energy kernel (operators/multimodal.py), and adjacent "
+    "frames are compared by an exact integer >=4x energy ratio (cross-"
+    "multiplication, no float) — the shot-boundary primitive a video "
+    "curation pipeline runs per clip. The oracle recomputes energies "
+    "arithmetically, so a green row certifies the codec round trip AND "
+    "the cut logic. Scale shape: decode is a narrow per-payload map; "
+    "the LAG/rollup run on the frames-per-doc relation (bounded by "
+    "clip length), hash-partitioned by doc.",
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    import pandas as pd
+
+    from kinesis_log_watcher_spark.functions.imagecodec import encode_wav
+    from kinesis_log_watcher_spark.operators.multimodal import frame_energies
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                cut = 32 + (d % 3) * 32
+                samples = b"".join(
+                    struct.pack(
+                        "<h",
+                        (3 if i >= cut else 1)
+                        * ((d * 7 + i) % 200 - 100),
+                    )
+                    for i in range(_SC_SAMPLES)
+                )
+                payloads.append(
+                    encode_wav(
+                        samples, channels=1, sample_width=2, frame_rate=16000
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+    wavs = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    frames = frame_energies(wavs, samples_per_frame=_SC_FRAME)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    lagd = frames.select(
+        "doc_id",
+        "frame_idx",
+        "energy",
+        F.lag("energy").over(w).alias("prev"),
+    )
+    cuts = lagd.select(
+        "doc_id",
+        "frame_idx",
+        F.when(
+            F.col("prev").isNotNull()
+            & (
+                (F.col("energy") > 4 * F.col("prev"))
+                | (4 * F.col("energy") < F.col("prev"))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_cut"),
+    )
+    return cuts.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum("is_cut").cast("long").alias("n_cuts"),
+        F.coalesce(
+            F.min(F.when(F.col("is_cut") == 1, F.col("frame_idx"))),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("first_cut_frame"),
+    )

@@ -1103,3 +1103,31 @@ def test_bucketed_prefix_windows_are_partitioned(spark, sf_dir):
     for name in ("ks_two_sample_price", "pareto_frontier_orders"):
         plan = _plan(spark, sf_dir, name)
         assert "windowspecdefinition(bucket" in plan, name
+
+
+def test_scene_cuts_fire_exactly_at_the_level_shift(spark, sf_dir):
+    out = {
+        r.doc_id: r for r in _q("multimodal_scene_cuts")(spark, sf_dir).collect()
+    }
+    assert len(out) == 200
+    for d, r in out.items():
+        assert r.n_frames == 8
+        # exact recompute of the framed energies and the >=4x ratio rule
+        cut = 32 + (d % 3) * 32
+        x = [
+            (3 if i >= cut else 1) * ((d * 7 + i) % 200 - 100)
+            for i in range(128)
+        ]
+        en = [
+            sum(v * v for v in x[f * 16 : (f + 1) * 16]) for f in range(8)
+        ]
+        cuts = [
+            f
+            for f in range(1, 8)
+            if en[f] > 4 * en[f - 1] or 4 * en[f] < en[f - 1]
+        ]
+        assert r.n_cuts == len(cuts), d
+        assert r.first_cut_frame == (cuts[0] if cuts else -1), d
+    # the 9x level shifts make cuts common corpus-wide (per-doc firing
+    # depends on base-frame ratios; the exact per-doc pin is above)
+    assert sum(r.n_cuts for r in out.values()) >= 200
