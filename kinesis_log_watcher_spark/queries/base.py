@@ -203,6 +203,7 @@ _FRONT = (
     "kinesis_sim_render_e2e",
     "stream_scd2_enrich",
     "multimodal_scene_cuts",
+    "flag_status_anova_twoway",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",

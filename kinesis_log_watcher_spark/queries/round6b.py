@@ -3044,3 +3044,183 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_cut_frame"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 32. flag_status_anova_twoway — factorial decomposition with interaction
+# ---------------------------------------------------------------------------
+#
+# Two-way cell-means decomposition over (returnflag x linestatus):
+# SS_A, SS_B, SS_cells from exact decimal cell/margin sums (decimal
+# addition is exact and associative, so margins need no ordered fold);
+# only the s^2/n terms are doubles, and their cross-cell reductions run
+# as ordered prefix folds (the priority_anova_f rule). Interaction =
+# SS_cells - SS_A - SS_B (the deterministic cell-means definition; for
+# unbalanced designs this is the Type-II-flavored quantity, documented).
+
+_ANOVA2_SQL = """
+    WITH cells AS (
+      SELECT l_returnflag AS a, l_linestatus AS b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(28,2))) AS s,
+             SUM(CAST(l_quantity AS DECIMAL(28,2))
+                 * CAST(l_quantity AS DECIMAL(28,2))) AS ss
+      FROM lineitem GROUP BY 1, 2),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(s) AS DOUBLE) AS sg,
+             CAST(SUM(ss) AS DOUBLE) AS ssg,
+             CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM cells),
+    tc AS (
+      SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE)) OVER (ORDER BY a, b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tsum,
+             ROW_NUMBER() OVER (ORDER BY a DESC, b DESC) AS rev
+      FROM cells),
+    ta AS (
+      SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE)) OVER (ORDER BY a
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tsum,
+             ROW_NUMBER() OVER (ORDER BY a DESC) AS rev,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k
+      FROM (SELECT a, CAST(SUM(n) AS BIGINT) AS n, SUM(s) AS s
+            FROM cells GROUP BY a)),
+    tb AS (
+      SELECT SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE)) OVER (ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tsum,
+             ROW_NUMBER() OVER (ORDER BY b DESC) AS rev,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k
+      FROM (SELECT b, CAST(SUM(n) AS BIGINT) AS n, SUM(s) AS s
+            FROM cells GROUP BY b)),
+    fin AS (
+      SELECT t.nn, t.n_cells,
+             ta.k AS ka, tb.k AS kb,
+             t.sg * t.sg / CAST(t.nn AS DOUBLE) AS cf,
+             tc.tsum AS t_cells, ta.tsum AS t_a, tb.tsum AS t_b,
+             t.ssg
+      FROM tot t
+      CROSS JOIN (SELECT tsum FROM tc WHERE rev = 1) tc
+      CROSS JOIN (SELECT tsum, k FROM ta WHERE rev = 1) ta
+      CROSS JOIN (SELECT tsum, k FROM tb WHERE rev = 1) tb)
+    SELECT nn AS n_total, ka AS k_flag, kb AS k_status,
+           CAST(floor(((t_a - cf) / (ka - 1))
+                      / ((ssg - t_cells) / (nn - n_cells))
+                      * 1000000 + 0.5) AS BIGINT) AS f_flag_micro,
+           CAST(floor(((t_b - cf) / (kb - 1))
+                      / ((ssg - t_cells) / (nn - n_cells))
+                      * 1000000 + 0.5) AS BIGINT) AS f_status_micro,
+           CAST(floor((((t_cells - cf) - (t_a - cf) - (t_b - cf))
+                       / ((ka - 1) * (kb - 1)))
+                      / ((ssg - t_cells) / (nn - n_cells))
+                      * 1000000 + 0.5) AS BIGINT) AS f_interaction_micro
+    FROM fin
+    """
+
+
+@register(
+    "flag_status_anova_twoway",
+    _ANOVA2_SQL,
+    doc="Two-way factorial ANOVA over (returnflag x linestatus) on "
+    "quantity: main-effect and interaction F statistics from the "
+    "cell-means decomposition — SS_cells/SS_A/SS_B from exact decimal "
+    "cell and margin sums (decimal addition is exact, so margins need "
+    "no float fold), interaction = SS_cells − SS_A − SS_B (the "
+    "deterministic cell-means quantity; Type-II-flavored under "
+    "imbalance, documented). Every cross-cell double reduction runs "
+    "as an ordered prefix fold (the priority_anova_f rule), so both "
+    "dialects add in the same IEEE order. One fact pass; everything "
+    "after lives on the 6-cell relation.",
+)
+def flag_status_anova_twoway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    li = load(spark, sf_dir, "lineitem")
+    x = dec(F.col("l_quantity"), 28, 2)
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("ss"),
+    ).persist()
+
+    tot = cells.groupBy().agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("double").alias("sg"),
+        F.sum("ss").cast("double").alias("ssg"),
+        F.count("*").cast("long").alias("n_cells"),
+    )
+
+    def fold(df: DataFrame, order_cols: list[str]) -> DataFrame:
+        term = (
+            F.col("s").cast("double")
+            * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        )
+        w = Window.orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wr = Window.orderBy(*[F.col(c).desc() for c in order_cols])
+        return (
+            df.select(
+                F.sum(term).over(w).alias("tsum"),
+                F.row_number().over(wr).alias("rev"),
+                F.count("*")
+                .over(
+                    Window.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+                .cast("long")
+                .alias("k"),
+            )
+            .filter(F.col("rev") == 1)
+            .select("tsum", "k")
+        )
+
+    tc = fold(cells, ["a", "b"]).select(
+        F.col("tsum").alias("t_cells"), F.col("k").alias("_kc")
+    )
+    ma = cells.groupBy("a").agg(
+        F.sum("n").cast("long").alias("n"), F.sum("s").alias("s")
+    )
+    mb = cells.groupBy("b").agg(
+        F.sum("n").cast("long").alias("n"), F.sum("s").alias("s")
+    )
+    ta = fold(ma, ["a"]).select(
+        F.col("tsum").alias("t_a"), F.col("k").alias("ka")
+    )
+    tb = fold(mb, ["b"]).select(
+        F.col("tsum").alias("t_b"), F.col("k").alias("kb")
+    )
+    fin = (
+        tot.crossJoin(F.broadcast(tc))
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    nn = F.col("nn").cast("double")
+    cf = F.col("sg") * F.col("sg") / nn
+    mse = (F.col("ssg") - F.col("t_cells")) / (
+        nn - F.col("n_cells").cast("double")
+    )
+    ka = F.col("ka").cast("double")
+    kb = F.col("kb").cast("double")
+
+    def fstat(num, df_):
+        return F.floor(num / df_ / mse * 1000000 + F.lit(0.5)).cast("long")
+
+    return fin.select(
+        F.col("nn").alias("n_total"),
+        F.col("ka").alias("k_flag"),
+        F.col("kb").alias("k_status"),
+        fstat(F.col("t_a") - cf, ka - 1).alias("f_flag_micro"),
+        fstat(F.col("t_b") - cf, kb - 1).alias("f_status_micro"),
+        fstat(
+            (F.col("t_cells") - cf)
+            - (F.col("t_a") - cf)
+            - (F.col("t_b") - cf),
+            (ka - 1) * (kb - 1),
+        ).alias("f_interaction_micro"),
+    )

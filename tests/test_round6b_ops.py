@@ -1131,3 +1131,48 @@ def test_scene_cuts_fire_exactly_at_the_level_shift(spark, sf_dir):
     # the 9x level shifts make cuts common corpus-wide (per-doc firing
     # depends on base-frame ratios; the exact per-doc pin is above)
     assert sum(r.n_cuts for r in out.values()) >= 200
+
+
+def test_twoway_anova_matches_python(spark, sf_dir):
+    from decimal import Decimal
+
+    r = _q("flag_status_anova_twoway")(spark, sf_dir).collect()[0]
+    rows = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    ).collect()
+    cells: dict[tuple, list] = {}
+    for x in rows:
+        cells.setdefault((x.l_returnflag, x.l_linestatus), []).append(
+            Decimal(str(round(x.l_quantity, 2)))
+        )
+    nn = sum(len(v) for v in cells.values())
+    sg = float(sum(sum(v) for v in cells.values()))
+    ssg = float(sum(sum(q * q for q in v) for v in cells.values()))
+    t_cells = 0.0
+    for k in sorted(cells):
+        v = cells[k]
+        t_cells += float(sum(v)) ** 2 / len(v)
+    avals = sorted({a for a, _ in cells})
+    bvals = sorted({b for _, b in cells})
+    t_a = 0.0
+    for a in avals:
+        s = float(sum(sum(v) for (aa, _), v in cells.items() if aa == a))
+        n = sum(len(v) for (aa, _), v in cells.items() if aa == a)
+        t_a += s * s / n
+    t_b = 0.0
+    for b in bvals:
+        s = float(sum(sum(v) for (_, bb), v in cells.items() if bb == b))
+        n = sum(len(v) for (_, bb), v in cells.items() if bb == b)
+        t_b += s * s / n
+    cf = sg * sg / nn
+    mse = (ssg - t_cells) / (nn - len(cells))
+    ka, kb = len(avals), len(bvals)
+    f_a = (t_a - cf) / (ka - 1) / mse
+    f_b = (t_b - cf) / (kb - 1) / mse
+    f_i = ((t_cells - cf) - (t_a - cf) - (t_b - cf)) / (
+        (ka - 1) * (kb - 1)
+    ) / mse
+    assert (r.n_total, r.k_flag, r.k_status) == (nn, ka, kb)
+    assert r.f_flag_micro == math.floor(f_a * 1000000 + 0.5)
+    assert r.f_status_micro == math.floor(f_b * 1000000 + 0.5)
+    assert r.f_interaction_micro == math.floor(f_i * 1000000 + 0.5)

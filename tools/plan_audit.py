@@ -118,6 +118,7 @@ ALLOWED_BNLJ = {
     "customer_rfm_segmentation": "1-row max-order-date broadcast",
     "zone_map_skip_audit": "3-row literal predicate-panel broadcast",
     "revenue_runs_test": "1-row median broadcast onto the daily series",
+    "flag_status_anova_twoway": "1-row fold-term broadcasts (3 scalar combines)",
 }
 
 
