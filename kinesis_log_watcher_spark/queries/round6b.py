@@ -1,7 +1,23 @@
-"""Round-6 wave 3: trend/robust statistics, graph community detection,
-lexical diversity, Zipf-law fitting, blocklist filtering, skyline
-(Pareto frontier), weighted quantiles, greedy k-center coresets, and a
-chained two-level streaming aggregation.
+"""Round-6 waves 3-8: the statistics/graph/text/layout/streaming
+extension family added in the round's second half.
+
+- trend & robust statistics: Mann-Kendall + Theil-Sen, tie-aware
+  Spearman (joint-histogram ranks), two-sample KS, one-way and two-way
+  ANOVA (ordered float folds), Wald-Wolfowitz runs test, CUSUM
+  changepoints (prefix-extrema closed form), conformal calibration;
+- graph: synchronous label-propagation communities, degree
+  assortativity, Newman modularity (shared LPA kernel);
+- text/corpus: lexical-diversity profile, Zipf-law fit, blocklist
+  phrase filtering, greedy bigram-LM decoding;
+- relational/layout: skyline (bucketed, no global sort), weighted
+  median, bitmap status rollup, FD discovery, zone-map skip audit,
+  RFM segmentation, l-diversity;
+- LLM-pipeline: greedy k-center coresets (exact quantized distances);
+- streaming: chained two-level aggregation, stateful CUSUM monitor,
+  point-in-time SCD2 enrichment;
+- sources: the custom Python DataSource (Kinesis simulator) queries,
+  including the end-to-end render certificate;
+- multimodal: scene-cut detection over the real WAV codec path.
 
 Every query keeps the repo-wide determinism contract (queries/base.py
 module docstring): integer-exact arithmetic end to end, or doubles
