@@ -1891,39 +1891,82 @@ def cogroup_order_event_reconcile(
 
     import pandas as pd
 
-    orders = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("id"),
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
+    # Two scale rules compose here: (1) pre-aggregate each side BEFORE
+    # the cogroup so the shuffle carries one row per entity, and (2)
+    # cogroup on a COARSE bucket (id % 64), reconciling per-entity with
+    # a VECTORIZED pandas outer-merge inside each bucket's kernel call
+    # — per-key kernel invocation costs ~2.5ms of Arrow/python overhead
+    # (15k entities read 38s at sf0.1), while 64 bucketed calls do the
+    # identical reconcile in ~1s. Same pattern a 100 TB run uses: the
+    # bucket count scales with cores, never with entities.
+    orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("id"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .withColumn("bucket", F.expr("id % 64"))
     )
-    events = load(spark, sf_dir, "events").select(
-        F.col("user_id").alias("id"),
-        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias(
-            "milli"
-        ),
+    events = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("id"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("milli"),
+        )
+        .withColumn("bucket", F.expr("id % 64"))
     )
 
     def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+        lo = (
+            left[["id", "n_rows", "cents"]]
+            .rename(columns={"n_rows": "n_orders", "cents": "order_cents"})
+            if len(left)
+            else pd.DataFrame(columns=["id", "n_orders", "order_cents"])
+        )
+        ro = (
+            right[["id", "n_rows", "milli"]]
+            .rename(columns={"n_rows": "n_events", "milli": "value_milli"})
+            if len(right)
+            else pd.DataFrame(columns=["id", "n_events", "value_milli"])
+        )
+        m = lo.merge(ro, on="id", how="outer", indicator=True)
+        m["presence"] = m["_merge"].map(
             {
-                "id": [int(key[0])],
-                "n_orders": [int(len(left))],
-                "order_cents": [int(left["cents"].sum()) if len(left) else 0],
-                "n_events": [int(len(right))],
-                "value_milli": [int(right["milli"].sum()) if len(right) else 0],
-                "presence": [
-                    "both"
-                    if len(left) and len(right)
-                    else ("orders_only" if len(left) else "events_only")
-                ],
+                "both": "both",
+                "left_only": "orders_only",
+                "right_only": "events_only",
             }
         )
+        for c in ("n_orders", "order_cents", "n_events", "value_milli"):
+            m[c] = m[c].fillna(0).astype("int64")
+        m["id"] = m["id"].astype("int64")
+        return m[
+            [
+                "id",
+                "n_orders",
+                "order_cents",
+                "n_events",
+                "value_milli",
+                "presence",
+            ]
+        ]
 
     _ = _math  # reconcile kernels keep stdlib imports local by contract
     return (
-        orders.groupBy("id")
-        .cogroup(events.groupBy("id"))
+        orders.groupBy("bucket")
+        .cogroup(events.groupBy("bucket"))
         .applyInPandas(
             reconcile,
             "id long, n_orders long, order_cents long, n_events long,"
