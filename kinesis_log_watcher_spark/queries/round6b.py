@@ -1887,8 +1887,6 @@ _COGROUP_SQL = """
 def cogroup_order_event_reconcile(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import math as _math
-
     import pandas as pd
 
     # Two scale rules compose here: (1) pre-aggregate each side BEFORE
@@ -1963,7 +1961,6 @@ def cogroup_order_event_reconcile(
             ]
         ]
 
-    _ = _math  # reconcile kernels keep stdlib imports local by contract
     return (
         orders.groupBy("bucket")
         .cogroup(events.groupBy("bucket"))
