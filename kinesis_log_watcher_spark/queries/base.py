@@ -204,6 +204,7 @@ _FRONT = (
     "stream_scd2_enrich",
     "multimodal_scene_cuts",
     "flag_status_anova_twoway",
+    "ann_nprobe_recall_curve",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",

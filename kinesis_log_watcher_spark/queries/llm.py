@@ -4127,3 +4127,191 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("exact_join_size")
     )
     return est.crossJoin(exact)
+
+
+# --------------------------------------------------------------------------
+# IVF operating curve: recall/candidate-volume vs nprobe
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ann_nprobe_recall_curve",
+    f"""
+    WITH comp AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings),
+    anchors AS (SELECT vec_id AS a_id, x AS qx, dim FROM comp WHERE vec_id < 8),
+    dots AS (
+      SELECT c.vec_id, a_id, {_DOT_DEC.replace('qx', 'a.qx').replace('CAST(x', 'CAST(c.x')} AS dot
+      FROM comp c JOIN anchors a USING (dim)
+      WHERE c.vec_id >= 8
+      GROUP BY c.vec_id, a_id),
+    cells AS (
+      SELECT vec_id, a_id AS cell FROM (
+        SELECT vec_id, a_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, a_id) AS rn
+        FROM dots)
+      WHERE rn = 1),
+    qcomp AS (
+      SELECT vec_id AS q_id, x AS qx, dim FROM comp
+      WHERE vec_id >= 10 AND vec_id < 20),
+    qdots AS (
+      SELECT q.q_id, a.a_id,
+             {_DOT_DEC.replace('qx', 'q.qx').replace('CAST(x', 'CAST(a.x')} AS dot
+      FROM (SELECT vec_id AS a_id, x, dim FROM comp WHERE vec_id < 8) a
+      JOIN qcomp q USING (dim)
+      GROUP BY q.q_id, a.a_id),
+    qrank AS (
+      SELECT q_id, a_id AS cell,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, a_id)
+               AS rn
+      FROM qdots),
+    probes(nprobe) AS (VALUES (1), (2), (4)),
+    probe_cells AS (
+      SELECT p.nprobe, q.q_id, q.cell
+      FROM qrank q JOIN probes p ON q.rn <= p.nprobe),
+    all_dots AS (
+      SELECT q.q_id, c.vec_id, {_DOT_DEC.replace('CAST(x', 'CAST(c.x')} AS dot
+      FROM comp c JOIN qcomp q USING (dim)
+      WHERE c.vec_id != q.q_id AND c.vec_id >= 8
+      GROUP BY q.q_id, c.vec_id),
+    exact_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY dot DESC, vec_id) AS rank
+        FROM all_dots)
+      WHERE rank <= 3),
+    cand AS (
+      SELECT p.nprobe, d.q_id, d.vec_id, d.dot
+      FROM all_dots d
+      JOIN cells cc ON cc.vec_id = d.vec_id
+      JOIN probe_cells p ON p.q_id = d.q_id AND p.cell = cc.cell),
+    ivf_top AS (
+      SELECT nprobe, q_id, vec_id FROM (
+        SELECT nprobe, q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY nprobe, q_id
+                    ORDER BY dot DESC, vec_id) AS rank
+        FROM cand)
+      WHERE rank <= 3),
+    hits AS (
+      SELECT p.nprobe,
+             CAST(COUNT(i.vec_id) AS BIGINT) AS n_hit,
+             CAST(COUNT(*) AS BIGINT) AS n_truth
+      FROM probes p
+      CROSS JOIN exact_top e
+      LEFT JOIN ivf_top i ON i.nprobe = p.nprobe AND i.q_id = e.q_id
+                          AND i.vec_id = e.vec_id
+      GROUP BY p.nprobe),
+    vol AS (
+      SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS cand_pairs
+      FROM cand GROUP BY 1)
+    SELECT h.nprobe, h.n_truth, h.n_hit,
+           CAST(h.n_hit * 1000000 // h.n_truth AS BIGINT) AS recall_micro,
+           v.cand_pairs
+    FROM hits h JOIN vol v ON v.nprobe = h.nprobe
+    """,
+    doc="IVF OPERATING CURVE: recall@3 and candidate volume as nprobe "
+    "sweeps 1 -> 2 -> 4 probed cells per query — the tuning table an "
+    "ANN deployment reads to pick its recall/cost point (recall must "
+    "be monotone in nprobe; candidate volume is the cost axis). Same "
+    "exact-integer dot machinery as ann_ivf_recall; the probe panel "
+    "is a 3-row literal joined on the query-to-cell rank, so the "
+    "whole curve costs ONE pass over the candidate relation, not one "
+    "run per operating point. At scale this is the query you run on a "
+    "sample before freezing index parameters.",
+)
+def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.similarity import (
+        exact_dot,
+        exploded_components,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    comp = exploded_components(emb, "vec_id")
+    data = comp.filter(F.col("vec_id") >= 8)
+    anch = comp.filter(F.col("vec_id") < 8)
+    anchors = anch.select(
+        F.col("vec_id").alias("a_id"), F.col("x").alias("qx"), "dim"
+    )
+    dots = exact_dot(anchors, data, "a_id", "vec_id", exclude_self=False)
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.col("dot").desc(), F.col("a_id")
+    )
+    cells = (
+        dots.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("a_id").alias("cell"))
+    )
+    qcomp = comp.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
+    ).select(F.col("vec_id").alias("q_id"), F.col("x").alias("qx"), "dim")
+    qdots = exact_dot(qcomp, anch, "q_id", "vec_id", exclude_self=False)
+    w_q = Window.partitionBy("q_id").orderBy(
+        F.col("dot").desc(), F.col("vec_id")
+    )
+    qrank = qdots.select(
+        "q_id",
+        F.col("vec_id").alias("cell"),
+        F.row_number().over(w_q).alias("rn"),
+    )
+    probes = F.broadcast(
+        emb.sparkSession.createDataFrame([(1,), (2,), (4,)], "nprobe long")
+    )
+    probe_cells = qrank.join(probes, F.col("rn") <= F.col("nprobe")).select(
+        "nprobe", "q_id", "cell"
+    )
+    all_dots = exact_dot(qcomp, data, "q_id", "vec_id").persist()
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("vec_id"))
+    exact_top = (
+        all_dots.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "vec_id")
+    )
+    cand = (
+        all_dots.join(cells, "vec_id")
+        .join(probe_cells, ["q_id", "cell"])
+        .select("nprobe", "q_id", "vec_id", "dot")
+        .persist()
+    )
+    w_np = Window.partitionBy("nprobe", "q_id").orderBy(
+        F.col("dot").desc(), F.col("vec_id")
+    )
+    ivf_top = (
+        cand.withColumn("rank", F.row_number().over(w_np))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("nprobe").alias("i_np"),
+            F.col("q_id").alias("i_q"),
+            F.col("vec_id").alias("i_v"),
+        )
+    )
+    hits = (
+        probes.crossJoin(exact_top)
+        .join(
+            ivf_top,
+            (F.col("nprobe") == F.col("i_np"))
+            & (F.col("q_id") == F.col("i_q"))
+            & (F.col("vec_id") == F.col("i_v")),
+            "left",
+        )
+        .groupBy("nprobe")
+        .agg(
+            F.count("i_v").cast("long").alias("n_hit"),
+            F.count("*").cast("long").alias("n_truth"),
+        )
+    )
+    vol = cand.groupBy("nprobe").agg(
+        F.count("*").cast("long").alias("cand_pairs")
+    )
+    return (
+        hits.join(vol, "nprobe")
+        .select(
+            "nprobe",
+            "n_truth",
+            "n_hit",
+            F.expr("n_hit * 1000000 div n_truth").alias("recall_micro"),
+            "cand_pairs",
+        )
+    )

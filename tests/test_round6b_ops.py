@@ -1176,3 +1176,18 @@ def test_twoway_anova_matches_python(spark, sf_dir):
     assert r.f_flag_micro == math.floor(f_a * 1000000 + 0.5)
     assert r.f_status_micro == math.floor(f_b * 1000000 + 0.5)
     assert r.f_interaction_micro == math.floor(f_i * 1000000 + 0.5)
+
+
+def test_nprobe_curve_is_monotone(spark, sf_dir):
+    out = sorted(
+        _q("ann_nprobe_recall_curve")(spark, sf_dir).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in out] == [1, 2, 4]
+    # probing more cells can only help recall and grows candidates
+    for a, b in zip(out, out[1:]):
+        assert b.recall_micro >= a.recall_micro
+        assert b.cand_pairs >= a.cand_pairs
+    for r in out:
+        assert 0 <= r.recall_micro <= 1000000
+        assert r.n_hit <= r.n_truth
