@@ -1641,12 +1641,30 @@ def orders_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integers. (Same trick the dynamic-session oracle uses for interval
 # unions: turn a fold into prefix extrema.)
 
-_CUSUM_SQL = """
-    WITH daily AS (
+# Shared daily-revenue rollup (CUSUM + runs test): exact int64 cents
+# per calendar day, day as its ISO string in both dialects.
+_DAILY_REV_CTE = """daily AS (
       SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
              CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                   AS BIGINT) AS cents
-      FROM orders GROUP BY 1),
+      FROM orders GROUP BY 1)"""
+
+
+def _daily_revenue_cents(orders: DataFrame) -> DataFrame:
+    """The Spark twin of _DAILY_REV_CTE."""
+    return orders.groupBy(
+        F.to_date("o_orderdate").cast("string").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+
+
+_CUSUM_SQL = f"""
+    WITH {_DAILY_REV_CTE},
     mu AS (
       SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mu FROM daily),
     pre AS (
@@ -1689,15 +1707,7 @@ _CUSUM_SQL = """
 )
 def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.to_date("o_orderdate").cast("string").alias("day")
-    ).agg(
-        F.sum(
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-        )
-        .cast("long")
-        .alias("cents")
-    )
+    daily = _daily_revenue_cents(orders)
     mu = daily.groupBy().agg(
         F.expr("sum(cents) div count(*)").cast("long").alias("mu")
     )
@@ -1927,17 +1937,13 @@ def cogroup_order_event_reconcile(
     )
 
     def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        lo = (
-            left[["id", "n_rows", "cents"]]
-            .rename(columns={"n_rows": "n_orders", "cents": "order_cents"})
-            if len(left)
-            else pd.DataFrame(columns=["id", "n_orders", "order_cents"])
+        # cogroup hands over SCHEMA-TYPED frames even when a side is
+        # empty, so the merge stays int64-dtyped with no object fallback
+        lo = left[["id", "n_rows", "cents"]].rename(
+            columns={"n_rows": "n_orders", "cents": "order_cents"}
         )
-        ro = (
-            right[["id", "n_rows", "milli"]]
-            .rename(columns={"n_rows": "n_events", "milli": "value_milli"})
-            if len(right)
-            else pd.DataFrame(columns=["id", "n_events", "value_milli"])
+        ro = right[["id", "n_rows", "milli"]].rename(
+            columns={"n_rows": "n_events", "milli": "value_milli"}
         )
         m = lo.merge(ro, on="id", how="outer", indicator=True)
         m["presence"] = m["_merge"].map(
@@ -2428,8 +2434,9 @@ def kinesis_sim_batch_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "consumed through DataSourceStreamReader — per-shard sequence-"
     "number offset maps (initialOffset/latestOffset/partitions), "
     "checkpoint-resumable exactly like the reference's "
-    "latestSequenceNumber tracking (W4), with maxRecordsPerTrigger "
-    "bounding each pull (S3, the GetRecords <=10k limit). The bounded "
+    "latestSequenceNumber tracking (W4), with maxRecordsPerPull "
+    "bounding each input-partition pull (S3, the GetRecords <=10k "
+    "limit). The bounded "
     "replay's rollup must equal the batch reader's — and both must "
     "equal the generate_series oracle.",
 )
@@ -2449,7 +2456,7 @@ def kinesis_sim_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.format("kinesis_sim")
         .option("shards", str(_SIM_SHARDS))
         .option("recordsPerShard", str(_SIM_PER_SHARD))
-        .option("maxRecordsPerTrigger", "100")
+        .option("maxRecordsPerPull", "100")
         .load()
     )
     agg = _sim_rollup(raw)
@@ -2541,7 +2548,9 @@ def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # predicates, how many buckets (and rows) each layout can skip.
 
 _ZM_BITS = 12
-_ZM_DAY0 = 9000  # days since epoch ~1994-08: keeps d_rel in [0, 2^12)
+_ZM_DAY0 = 8000  # days since epoch ~1991-11: ship dates start ~day 8036,
+# so d_rel stays in [0, 2^12) across the TPC-H horizon (morton_code
+# requires non-negative inputs; a negative day would alias buckets)
 _ZM_TERMS = " | ".join(
     f"(((d_rel >> {i}) & 1) << {2 * i}) | "
     f"(((l_partkey >> {i}) & 1) << {2 * i + 1})"
@@ -2661,12 +2670,8 @@ def zone_map_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 28. revenue_runs_test — Wald-Wolfowitz randomness test
 # ---------------------------------------------------------------------------
 
-_RUNS_SQL = """
-    WITH daily AS (
-      SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
-             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-                  AS BIGINT) AS cents
-      FROM orders GROUP BY 1),
+_RUNS_SQL = f"""
+    WITH {_DAILY_REV_CTE},
     med AS (
       SELECT cents AS m FROM (
         SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, day) AS rn,
@@ -2722,15 +2727,7 @@ _RUNS_SQL = """
 )
 def revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.to_date("o_orderdate").cast("string").alias("day")
-    ).agg(
-        F.sum(
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-        )
-        .cast("long")
-        .alias("cents")
-    )
+    daily = _daily_revenue_cents(orders)
     wall = Window.orderBy("cents", "day")
     med = (
         daily.select(
@@ -3161,16 +3158,22 @@ _ANOVA2_SQL = """
       CROSS JOIN (SELECT tsum, k FROM ta WHERE rev = 1) ta
       CROSS JOIN (SELECT tsum, k FROM tb WHERE rev = 1) tb)
     SELECT nn AS n_total, ka AS k_flag, kb AS k_status,
-           CAST(floor(((t_a - cf) / (ka - 1))
+           CASE WHEN ka < 2 OR kb < 2 OR nn <= n_cells
+                  OR (ssg - t_cells) <= 0 THEN 0
+                ELSE CAST(floor(((t_a - cf) / (ka - 1))
                       / ((ssg - t_cells) / (nn - n_cells))
-                      * 1000000 + 0.5) AS BIGINT) AS f_flag_micro,
-           CAST(floor(((t_b - cf) / (kb - 1))
+                      * 1000000 + 0.5) AS BIGINT) END AS f_flag_micro,
+           CASE WHEN ka < 2 OR kb < 2 OR nn <= n_cells
+                  OR (ssg - t_cells) <= 0 THEN 0
+                ELSE CAST(floor(((t_b - cf) / (kb - 1))
                       / ((ssg - t_cells) / (nn - n_cells))
-                      * 1000000 + 0.5) AS BIGINT) AS f_status_micro,
-           CAST(floor((((t_cells - cf) - (t_a - cf) - (t_b - cf))
+                      * 1000000 + 0.5) AS BIGINT) END AS f_status_micro,
+           CASE WHEN ka < 2 OR kb < 2 OR nn <= n_cells
+                  OR (ssg - t_cells) <= 0 THEN 0
+                ELSE CAST(floor((((t_cells - cf) - (t_a - cf) - (t_b - cf))
                        / ((ka - 1) * (kb - 1)))
                       / ((ssg - t_cells) / (nn - n_cells))
-                      * 1000000 + 0.5) AS BIGINT) AS f_interaction_micro
+                      * 1000000 + 0.5) AS BIGINT) END AS f_interaction_micro
     FROM fin
     """
 
@@ -3264,8 +3267,19 @@ def flag_status_anova_twoway(spark: SparkSession, sf_dir: str) -> DataFrame:
     ka = F.col("ka").cast("double")
     kb = F.col("kb").cast("double")
 
+    # Degenerate guards (the priority_anova_f rule): one factor level,
+    # no residual df, or zero within-cell variance -> 0, never NaN/Inf
+    # (Spark floors NaN to NULL where DuckDB raises — the e87db27 class).
+    degenerate = (
+        (F.col("ka") < 2)
+        | (F.col("kb") < 2)
+        | (nn <= F.col("n_cells").cast("double"))
+        | (F.col("ssg") - F.col("t_cells") <= 0)
+    )
+
     def fstat(num, df_):
-        return F.floor(num / df_ / mse * 1000000 + F.lit(0.5)).cast("long")
+        raw = F.floor(num / df_ / mse * 1000000 + F.lit(0.5)).cast("long")
+        return F.when(degenerate, F.lit(0).cast("long")).otherwise(raw)
 
     return fin.select(
         F.col("nn").alias("n_total"),

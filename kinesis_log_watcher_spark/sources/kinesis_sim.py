@@ -19,8 +19,8 @@ access pipeline is hash-checkable end to end (queries/round6b.py
 kinesis_sim_batch_scan / stream_kinesis_sim_scan).
 
 At scale: a real deployment swaps this class for the connector; the
-reader surface (partition-per-shard, offset map, bounded batches per
-trigger ≙ the ≤10k GetRecords limit, S3 parity) is identical.
+reader surface (partition-per-shard, offset map, bounded per-pull
+record limit ≙ the ≤10k GetRecords bound, S3 parity) is identical.
 """
 
 from __future__ import annotations
@@ -80,7 +80,7 @@ class _ShardSlice(InputPartition):
 def _opts(options) -> tuple[int, int, int, str]:
     shards = int(options.get("shards", "4"))
     per_shard = int(options.get("recordsPerShard", "250"))
-    batch = int(options.get("maxRecordsPerTrigger", "100"))
+    batch = int(options.get("maxRecordsPerPull", "100"))
     name = options.get("streamName", "sim-stream")
     return shards, per_shard, batch, name
 
@@ -104,9 +104,10 @@ class KinesisSimBatchReader(DataSourceReader):
 class KinesisSimStreamReader(DataSourceStreamReader):
     """Offsets are {"shard-<i>": next_seq} maps — checkpointed by
     Structured Streaming exactly like the reference tracks
-    latestSequenceNumber per shard. Each trigger advances every shard
-    by at most maxRecordsPerTrigger (the GetRecords batch bound,
-    main.go:306-312 ≤10k)."""
+    latestSequenceNumber per shard. maxRecordsPerPull bounds each
+    INPUT PARTITION (one pull ≡ one GetRecords call, Limit ≤10k,
+    main.go:218); a trigger may span several pulls per shard, exactly
+    like the reference's poll loop."""
 
     def __init__(self, options):
         self.shards, self.per_shard, self.batch, self.stream_name = _opts(
@@ -121,12 +122,14 @@ class KinesisSimStreamReader(DataSourceStreamReader):
         return {f"shard-{s}": self.per_shard for s in range(self.shards)}
 
     def partitions(self, start: dict, end: dict):
+        # Each input partition is one bounded PULL (the GetRecords
+        # Limit analogue, main.go:218): a micro-batch may span several
+        # pulls per shard, exactly like the reference's poll loop
+        # issues several GetRecords calls per poll.
         parts = []
         for s in range(self.shards):
             a = int(start.get(f"shard-{s}", 0))
-            b = min(int(end.get(f"shard-{s}", 0)), a + 0 + self.per_shard)
-            # respect the per-trigger bound progressively: Spark calls
-            # partitions() per micro-batch with the planned range
+            b = int(end.get(f"shard-{s}", 0))
             while a < b:
                 c = min(a + self.batch, b)
                 parts.append(_ShardSlice(s, a, c, self.stream_name))

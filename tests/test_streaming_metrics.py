@@ -30,9 +30,10 @@ def test_recorder_accounts_every_input_row(spark, sf_dir):
             time.sleep(0.5)
     finally:
         rec.detach()
-    qname = sorted(
-        n for n in names if n and n.startswith("windowed_counts_")
-    )[-1]
+    qname = max(
+        (n for n in names if n and n.startswith("windowed_counts_")),
+        key=lambda n: int(n.rsplit("_", 1)[1]),
+    )
     s = rec.summary(qname)
     n_events = load(spark, sf_dir, "events").count()
     assert s["total_input_rows"] == n_events
