@@ -205,6 +205,7 @@ _FRONT = (
     "multimodal_scene_cuts",
     "flag_status_anova_twoway",
     "ann_nprobe_recall_curve",
+    "revenue_periodogram",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",

@@ -3294,3 +3294,135 @@ def flag_status_anova_twoway(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ka - 1) * (kb - 1),
         ).alias("f_interaction_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 33. revenue_periodogram — spectral power at candidate seasonal periods
+# ---------------------------------------------------------------------------
+#
+# A coarse discrete-Fourier probe: for each candidate period P, the
+# power of the mean-centered daily-revenue series at frequency 1/P.
+# cos/sin of the phase are quantized to int64 micro-units PER TERM
+# (libm-ulp rule) so the correlation sums are exact integers; the final
+# power/variance ratio is one shared double expression.
+
+_PERIODS = (7, 30, 91)
+_PG_VALUES = ", ".join(f"({p})" for p in _PERIODS)
+
+_PG_SQL = f"""
+    WITH {_DAILY_REV_CTE},
+    mu AS (
+      SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mu,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily),
+    idx AS (
+      SELECT d.day, d.cents - m.mu AS x,
+             ROW_NUMBER() OVER (ORDER BY d.day) - 1 AS t,
+             m.n
+      FROM daily d CROSS JOIN mu m),
+    periods(p) AS (VALUES {_PG_VALUES}),
+    terms AS (
+      SELECT p.p, i.x, i.n,
+             CAST(floor(cos(2 * pi() * i.t / p.p) * 1000 + 0.5)
+                  AS BIGINT) AS cq,
+             CAST(floor(sin(2 * pi() * i.t / p.p) * 1000 + 0.5)
+                  AS BIGINT) AS sq
+      FROM idx i CROSS JOIN periods p),
+    sums AS (
+      SELECT p, CAST(MIN(n) AS BIGINT) AS n,
+             CAST(SUM(x * cq) AS BIGINT) AS sc,
+             CAST(SUM(x * sq) AS BIGINT) AS ss,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))
+                      * CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+      FROM terms GROUP BY 1)
+    SELECT CAST(p AS BIGINT) AS period_days, n AS n_days,
+           CASE WHEN sxx <= 0 THEN 0
+                ELSE CAST(floor(
+                  (CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                   + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+                  / 1000000.0
+                  / (sxx * CAST(n AS DOUBLE) / 2.0)
+                  * 1000000 + 0.5) AS BIGINT) END AS power_micro
+    FROM sums
+    """
+
+
+@register(
+    "revenue_periodogram",
+    _PG_SQL,
+    doc="Coarse periodogram of daily revenue: normalized spectral power "
+    f"at candidate seasonal periods {_PERIODS} days — the frequency-"
+    "domain member of the series-diagnostics family (Mann-Kendall "
+    "trend, CUSUM shifts, runs randomness, autocorrelation, and now "
+    "periodicity). Per-term cos/sin phases are milli-quantized BEFORE "
+    "summation so the correlation sums are exact order-free int64 "
+    "folds (never a float reduction over the series); power is "
+    "normalized by n*var/2, the expected power of white noise, so "
+    "power_micro >> 1e6 flags a real cycle. Scale shape: one fact "
+    "pass to the daily relation; the period panel is a bounded "
+    "literal broadcast and each period's sums are map-side partial "
+    "aggregations.",
+)
+def revenue_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _m
+
+    orders = load(spark, sf_dir, "orders")
+    daily = _daily_revenue_cents(orders)
+    mu = daily.groupBy().agg(
+        F.expr("sum(cents) div count(*)").cast("long").alias("mu"),
+        F.count("*").cast("long").alias("n"),
+    )
+    w = Window.orderBy("day")
+    idx = daily.crossJoin(F.broadcast(mu)).select(
+        (F.col("cents") - F.col("mu")).alias("x"),
+        (F.row_number().over(w) - 1).alias("t"),
+        "n",
+    )
+    periods = F.broadcast(
+        orders.sparkSession.createDataFrame(
+            [(p,) for p in _PERIODS], "p long"
+        )
+    )
+    two_pi = F.lit(2.0 * _m.pi)
+    terms = idx.crossJoin(periods).select(
+        "p",
+        "x",
+        "n",
+        F.floor(
+            F.cos(two_pi * F.col("t") / F.col("p")) * 1000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cq"),
+        F.floor(
+            F.sin(two_pi * F.col("t") / F.col("p")) * 1000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("sq"),
+    )
+    sums = terms.groupBy("p").agg(
+        F.min("n").cast("long").alias("n"),
+        F.sum(F.col("x") * F.col("cq")).cast("long").alias("sc"),
+        F.sum(F.col("x") * F.col("sq")).cast("long").alias("ss"),
+        F.sum(
+            F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    power = F.floor(
+        (
+            F.col("sc").cast("double") * F.col("sc").cast("double")
+            + F.col("ss").cast("double") * F.col("ss").cast("double")
+        )
+        / F.lit(1000000.0)
+        / (F.col("sxx") * F.col("n").cast("double") / 2.0)
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return sums.select(
+        F.col("p").alias("period_days"),
+        F.col("n").alias("n_days"),
+        F.when(F.col("sxx") <= 0, F.lit(0).cast("long"))
+        .otherwise(power)
+        .alias("power_micro"),
+    )

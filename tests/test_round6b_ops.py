@@ -1191,3 +1191,42 @@ def test_nprobe_curve_is_monotone(spark, sf_dir):
     for r in out:
         assert 0 <= r.recall_micro <= 1000000
         assert r.n_hit <= r.n_truth
+
+
+def test_periodogram_matches_python(spark, sf_dir):
+    out = {
+        r.period_days: r
+        for r in _q("revenue_periodogram")(spark, sf_dir).collect()
+    }
+    daily: Counter = Counter()
+    for r in load(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect():
+        daily[str(r.o_orderdate.date())] += math.floor(
+            r.o_totalprice * 100 + 0.5
+        )
+    days = sorted(daily)
+    n = len(days)
+    mu = sum(daily.values()) // n
+    xs = [daily[d] - mu for d in days]
+    for p in (7, 30, 91):
+        sc = sum(
+            x * math.floor(math.cos(2 * math.pi * t / p) * 1000 + 0.5)
+            for t, x in enumerate(xs)
+        )
+        ss = sum(
+            x * math.floor(math.sin(2 * math.pi * t / p) * 1000 + 0.5)
+            for t, x in enumerate(xs)
+        )
+        sxx = float(sum(x * x for x in xs))
+        power = math.floor(
+            (float(sc) * float(sc) + float(ss) * float(ss))
+            / 1000000.0
+            / (sxx * float(n) / 2.0)
+            * 1000000
+            + 0.5
+        )
+        r = out[p]
+        assert r.n_days == n
+        assert r.power_micro == power
+        assert r.power_micro >= 0

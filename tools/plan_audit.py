@@ -120,6 +120,7 @@ ALLOWED_BNLJ = {
     "revenue_runs_test": "1-row median broadcast onto the daily series",
     "flag_status_anova_twoway": "1-row fold-term broadcasts (3 scalar combines)",
     "ann_nprobe_recall_curve": "3-row nprobe-panel broadcast (non-equi rank join by design)",
+    "revenue_periodogram": "1-row mean + 3-row period-panel broadcasts",
 }
 
 
