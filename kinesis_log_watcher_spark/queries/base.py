@@ -206,6 +206,7 @@ _FRONT = (
     "flag_status_anova_twoway",
     "ann_nprobe_recall_curve",
     "revenue_periodogram",
+    "embedding_label_drift",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",

@@ -3426,3 +3426,118 @@ def revenue_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(power)
         .alias("power_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 34. embedding_label_drift — centroid shift between corpus halves
+# ---------------------------------------------------------------------------
+#
+# Distribution-drift monitoring for embedding spaces: per label, the
+# cosine between the first-half and second-half centroid. Cosine is
+# scale-invariant, so the centroids can stay as UNNORMALIZED component
+# SUMS of the 1e7-quantized vectors — exact int64 end to end, with the
+# one double expression (the cosine) shared verbatim by both dialects.
+
+_EDRIFT_SQL = """
+    WITH q AS (
+      SELECT vec_id, label,
+             unnest(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5)
+                         AS BIGINT))) AS qx,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS half
+      FROM embeddings WHERE label IS NOT NULL),
+    cent AS (
+      SELECT label, half, dim, CAST(SUM(qx) AS BIGINT) AS s,
+             CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+      FROM q GROUP BY 1, 2, 3),
+    pairs AS (
+      SELECT a.label, a.dim, a.s AS sa, b.s AS sb, a.n AS na, b.n AS nb
+      FROM cent a JOIN cent b
+        ON b.label = a.label AND b.dim = a.dim
+       AND a.half = 0 AND b.half = 1),
+    moms AS (
+      SELECT label, CAST(MIN(na) AS BIGINT) AS n_first,
+             CAST(MIN(nb) AS BIGINT) AS n_second,
+             CAST(SUM(CAST(sa AS DECIMAL(38,0))
+                      * CAST(sb AS DECIMAL(38,0))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(sa AS DECIMAL(38,0))
+                      * CAST(sa AS DECIMAL(38,0))) AS DOUBLE) AS naa,
+             CAST(SUM(CAST(sb AS DECIMAL(38,0))
+                      * CAST(sb AS DECIMAL(38,0))) AS DOUBLE) AS nbb
+      FROM pairs GROUP BY 1)
+    SELECT label, n_first, n_second,
+           CASE WHEN naa <= 0 OR nbb <= 0 THEN 0
+                ELSE CAST(floor(dot / sqrt(naa * nbb) * 1000000 + 0.5)
+                          AS BIGINT) END AS centroid_cos_micro
+    FROM moms
+    """
+
+
+@register(
+    "embedding_label_drift",
+    _EDRIFT_SQL,
+    doc="Embedding-space drift monitoring: per label, the cosine "
+    "between the centroid of even-id vectors and the centroid of "
+    "odd-id vectors (the two-split stability check an embedding "
+    "pipeline runs before trusting a retrain — a label whose halves "
+    "disagree has shifted or is too sparse to trust). Cosine is "
+    "scale-invariant, so centroids stay as UNNORMALIZED exact int64 "
+    "component sums of the 1e7-quantized vectors; cross products go "
+    "through exact decimals and the single double expression is "
+    "shared verbatim. Scale shape: one explode -> (label, half, dim) "
+    "sum — a partial-agg shuffle bounded by |labels| x 2 x dims — "
+    "then a dim-aligned equi-join of the two half relations.",
+)
+def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.similarity import (
+        quantized_embedding,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+    )
+    q = emb.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(quantized_embedding(F.col("embedding"))).alias(
+            "dim0", "qx"
+        ),
+    ).select(
+        "vec_id", "label", "half", (F.col("dim0") + 1).alias("dim"), "qx"
+    )
+    cent = q.groupBy("label", "half", "dim").agg(
+        F.sum("qx").cast("long").alias("s"),
+        F.countDistinct("vec_id").cast("long").alias("n"),
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    dec38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    moms = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.min("na").cast("long").alias("n_first"),
+            F.min("nb").cast("long").alias("n_second"),
+            F.sum(dec38("sa") * dec38("sb")).cast("double").alias("dot"),
+            F.sum(dec38("sa") * dec38("sa")).cast("double").alias("naa"),
+            F.sum(dec38("sb") * dec38("sb")).cast("double").alias("nbb"),
+        )
+    )
+    cosm = F.floor(
+        F.col("dot") / F.sqrt(F.col("naa") * F.col("nbb")) * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return moms.select(
+        "label",
+        "n_first",
+        "n_second",
+        F.when((F.col("naa") <= 0) | (F.col("nbb") <= 0), F.lit(0).cast("long"))
+        .otherwise(cosm)
+        .alias("centroid_cos_micro"),
+    )

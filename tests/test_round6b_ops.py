@@ -1230,3 +1230,44 @@ def test_periodogram_matches_python(spark, sf_dir):
         assert r.n_days == n
         assert r.power_micro == power
         assert r.power_micro >= 0
+
+
+def test_embedding_drift_matches_python(spark, sf_dir):
+    out = {
+        r.label: r for r in _q("embedding_label_drift")(spark, sf_dir).collect()
+    }
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("label").isNotNull())
+        .collect()
+    )
+    sums: dict[tuple, list] = {}
+    counts: Counter = Counter()
+    for r in emb:
+        half = r.vec_id % 2
+        key = (r.label, half)
+        q = [math.floor(float(x) * 10000000 + 0.5) for x in r.embedding]
+        if key not in sums:
+            sums[key] = [0] * len(q)
+        sums[key] = [a + b for a, b in zip(sums[key], q)]
+        counts[key] += 1
+    labels = {l for l, _ in sums}
+    for l in labels:
+        sa, sb = sums.get((l, 0)), sums.get((l, 1))
+        if sa is None or sb is None:
+            continue
+        dot = float(sum(x * y for x, y in zip(sa, sb)))
+        naa = float(sum(x * x for x in sa))
+        nbb = float(sum(x * x for x in sb))
+        expect = (
+            0
+            if naa <= 0 or nbb <= 0
+            else math.floor(dot / math.sqrt(naa * nbb) * 1000000 + 0.5)
+        )
+        r = out[l]
+        assert r.n_first == counts[(l, 0)]
+        assert r.n_second == counts[(l, 1)]
+        assert r.centroid_cos_micro == expect
+        # a cosine lives in [-1, 1] (the synthetic labels are not
+        # guaranteed to cluster, so no positivity claim)
+        assert -1000000 <= r.centroid_cos_micro <= 1000000
