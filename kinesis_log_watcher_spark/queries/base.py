@@ -207,6 +207,8 @@ _FRONT = (
     "ann_nprobe_recall_curve",
     "revenue_periodogram",
     "embedding_label_drift",
+    "neardup_graph_2core",
+    "systematic_sample_per_source",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",

@@ -3541,3 +3541,177 @@ def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(cosm)
         .alias("centroid_cos_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 35. neardup_graph_2core — bounded k-core peeling
+# ---------------------------------------------------------------------------
+#
+# Three synchronous peeling rounds toward the 2-core: each round drops
+# nodes with degree < 2 in the CURRENT subgraph (a leaf chain peels one
+# layer per round — the graph-cleanup primitive that strips weak
+# appendages off dedup clusters before transitive merging). Bounded
+# rounds keep the oracle a finite CTE chain; the fixpoint variant runs
+# the same round in a loop with a convergence check.
+
+_CORE_SQL = f"""
+    WITH {_NEARDUP_EDGE_CTE},
+    n0 AS (
+      SELECT v FROM (SELECT vec_a AS v FROM edges
+                     UNION ALL SELECT vec_b FROM edges)
+      GROUP BY v HAVING COUNT(*) >= 2),
+    e1 AS (
+      SELECT e.vec_a, e.vec_b FROM edges e
+      JOIN n0 a ON a.v = e.vec_a JOIN n0 b ON b.v = e.vec_b),
+    n1 AS (
+      SELECT v FROM (SELECT vec_a AS v FROM e1
+                     UNION ALL SELECT vec_b FROM e1)
+      GROUP BY v HAVING COUNT(*) >= 2),
+    e2 AS (
+      SELECT e.vec_a, e.vec_b FROM e1 e
+      JOIN n1 a ON a.v = e.vec_a JOIN n1 b ON b.v = e.vec_b),
+    n2 AS (
+      SELECT v FROM (SELECT vec_a AS v FROM e2
+                     UNION ALL SELECT vec_b FROM e2)
+      GROUP BY v HAVING COUNT(*) >= 2),
+    e3 AS (
+      SELECT e.vec_a, e.vec_b FROM e2 e
+      JOIN n2 a ON a.v = e.vec_a JOIN n2 b ON b.v = e.vec_b),
+    stats AS (
+      SELECT 0 AS round,
+             (SELECT CAST(COUNT(DISTINCT v) AS BIGINT)
+              FROM (SELECT vec_a AS v FROM edges
+                    UNION ALL SELECT vec_b FROM edges)) AS n_nodes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges
+      UNION ALL
+      SELECT 1, (SELECT CAST(COUNT(*) AS BIGINT) FROM n0),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e1)
+      UNION ALL
+      SELECT 2, (SELECT CAST(COUNT(*) AS BIGINT) FROM n1),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e2)
+      UNION ALL
+      SELECT 3, (SELECT CAST(COUNT(*) AS BIGINT) FROM n2),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e3))
+    SELECT CAST(round AS BIGINT) AS round, n_nodes, n_edges FROM stats
+    """
+
+
+@register(
+    "neardup_graph_2core",
+    _CORE_SQL,
+    doc="Bounded 2-core peeling of the verified near-dup graph: three "
+    "synchronous rounds, each dropping nodes whose degree in the "
+    "CURRENT subgraph is < 2 and the edges touching them — the "
+    "cleanup that strips pendant chains off duplicate clusters so "
+    "transitive merging only acts on densely-confirmed groups. "
+    "Output = the (nodes, edges) shrinkage trajectory per round. "
+    "Scale shape: each round is one degree aggregation + two "
+    "node-list equi-joins, hash-partitioned by node id; rounds "
+    "localCheckpoint between iterations in the fixpoint form "
+    "(dedup_clusters' discipline). Deterministic by construction — "
+    "synchronous peeling has no tie-breaks.",
+)
+def neardup_graph_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = (
+        embedding_near_dup_pairs(emb, threshold=0.35)
+        .select("vec_a", "vec_b")
+        .persist()
+    )
+
+    def nodes_of(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("vec_a").alias("v"))
+            .unionAll(e.select(F.col("vec_b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+        )
+
+    rows = []
+    cur = edges
+    n_nodes = nodes_of(cur).count()
+    rows.append((0, n_nodes, cur.count()))
+    for rnd in (1, 2, 3):
+        keep = nodes_of(cur).filter(F.col("deg") >= 2).select("v")
+        ka = keep.select(F.col("v").alias("vec_a"))
+        kb = keep.select(F.col("v").alias("vec_b"))
+        cur = cur.join(ka, "vec_a").join(kb, "vec_b").localCheckpoint()
+        rows.append((rnd, keep.count(), cur.count()))
+    edges.unpersist()
+    return emb.sparkSession.createDataFrame(
+        rows, "round long, n_nodes long, n_edges long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 36. systematic_sample_per_source — deterministic every-k-th sampling
+# ---------------------------------------------------------------------------
+
+_SYS_QUOTA = 20
+
+_SYS_SQL = f"""
+    WITH ordered AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM documents),
+    stepped AS (
+      SELECT source, doc_id, rn, n,
+             CAST(CASE WHEN n <= {_SYS_QUOTA} THEN 1
+                       ELSE (n + {_SYS_QUOTA} - 1) // {_SYS_QUOTA}
+                  END AS BIGINT) AS k
+      FROM ordered)
+    SELECT source, CAST(MIN(n) AS BIGINT) AS n_docs,
+           CAST(MIN(k) AS BIGINT) AS k_step,
+           CAST(SUM(CASE WHEN (rn - 1) % k = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN (rn - 1) % k = 0 THEN doc_id ELSE 0 END)
+                AS BIGINT) AS sampled_id_sum
+    FROM stepped GROUP BY 1
+    """
+
+
+@register(
+    "systematic_sample_per_source",
+    _SYS_SQL,
+    doc="Systematic (every-k-th) sampling per source: order each "
+    "stratum by md5(doc_id) (a deterministic random permutation, the "
+    "repo's sampling convention), take every k-th row with k = "
+    f"ceil(n/{_SYS_QUOTA}) — the classical design that guarantees "
+    "near-exact quota AND even coverage of the permuted order, "
+    "complementing the threshold (binomial) and reservoir (exact-k) "
+    "samplers. The checksum column pins the exact membership. Scale "
+    "shape: the rank runs per stratum (two-phase swap documented for "
+    "hot sources); selection is a stateless modulo — re-runs and "
+    "backfills pick identical rows.",
+)
+def systematic_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ordered = docs.select(
+        "source",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).cast("long").alias("n"),
+    )
+    k = F.when(F.col("n") <= _SYS_QUOTA, F.lit(1).cast("long")).otherwise(
+        F.expr(f"(n + {_SYS_QUOTA} - 1) div {_SYS_QUOTA}")
+    )
+    stepped = ordered.withColumn("k", k)
+    picked = (F.col("rn") - 1) % F.col("k") == 0
+    return stepped.groupBy("source").agg(
+        F.min("n").cast("long").alias("n_docs"),
+        F.min("k").cast("long").alias("k_step"),
+        F.sum(F.when(picked, 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.sum(F.when(picked, F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("sampled_id_sum"),
+    )

@@ -1271,3 +1271,50 @@ def test_embedding_drift_matches_python(spark, sf_dir):
         # a cosine lives in [-1, 1] (the synthetic labels are not
         # guaranteed to cluster, so no positivity claim)
         assert -1000000 <= r.centroid_cos_micro <= 1000000
+
+
+def test_2core_peeling_matches_python(spark, sf_dir):
+    out = {r.round: r for r in _q("neardup_graph_2core")(spark, sf_dir).collect()}
+    edges = set(_near_dup_edges(spark, sf_dir))
+    nodes = {v for e in edges for v in e}
+    assert (out[0].n_nodes, out[0].n_edges) == (len(nodes), len(edges))
+    cur = set(edges)
+    for rnd in (1, 2, 3):
+        deg = Counter()
+        for a, b in cur:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {v for v, d in deg.items() if d >= 2}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+        assert (out[rnd].n_nodes, out[rnd].n_edges) == (len(keep), len(cur))
+    # peeling only shrinks
+    for a, b in zip(sorted(out), sorted(out)[1:]):
+        assert out[b].n_nodes <= out[a].n_nodes
+        assert out[b].n_edges <= out[a].n_edges
+
+
+def test_systematic_sample_quota_and_determinism(spark, sf_dir):
+    import hashlib
+
+    out = {
+        r.source: r
+        for r in _q("systematic_sample_per_source")(spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id").collect()
+    groups: dict[str, list[int]] = {}
+    for d in docs:
+        groups.setdefault(d.source, []).append(d.doc_id)
+    for src, ids in groups.items():
+        ordered = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )
+        n = len(ids)
+        k = 1 if n <= 20 else -(-n // 20)
+        picked = ordered[::k]
+        r = out[src]
+        assert r.n_docs == n
+        assert r.k_step == k
+        assert r.n_sampled == len(picked)
+        assert r.sampled_id_sum == sum(picked)
+        # the every-k-th identity: exactly ceil(n/k) rows selected
+        assert r.n_sampled == -(-n // k)
