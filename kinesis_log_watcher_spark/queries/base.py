@@ -209,6 +209,7 @@ _FRONT = (
     "embedding_label_drift",
     "neardup_graph_2core",
     "systematic_sample_per_source",
+    "pinball_loss_eval",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",

@@ -3715,3 +3715,119 @@ def systematic_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sampled_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 37. pinball_loss_eval — quantile-forecast loss of the conformal q-hat
+# ---------------------------------------------------------------------------
+#
+# Pinball (quantile) loss at tau = 0.9 for the conformal quantile each
+# event type ships: loss(y, q) = max(tau*(y-q), (tau-1)*(y-q)). With
+# tau = 9/10 the x10-scaled loss is EXACTLY max(9*(y-q), q-y) in
+# integer milli units — no float anywhere until the final mean.
+
+_PINBALL_SQL = """
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS milli
+      FROM events WHERE value IS NOT NULL),
+    mu AS (
+      SELECT event_type, CAST(SUM(milli) // COUNT(*) AS BIGINT) AS mean_milli,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY 1),
+    nc AS (
+      SELECT v.event_type, v.event_id, m.n,
+             abs(v.milli - m.mean_milli) AS score
+      FROM v JOIN mu m ON m.event_type = v.event_type),
+    qh AS (
+      SELECT event_type, CAST(score AS BIGINT) AS qhat
+      FROM (SELECT event_type, score,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY score, event_id) AS rn,
+                   n
+            FROM nc)
+      WHERE rn = least(n, CAST(ceil(0.9 * (n + 1)) AS BIGINT)))
+    SELECT c.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           q.qhat AS qhat_milli,
+           CAST(SUM(CASE WHEN c.score >= q.qhat
+                         THEN 9 * (c.score - q.qhat)
+                         ELSE q.qhat - c.score END) AS BIGINT)
+             AS pinball_x10_total,
+           CAST(SUM(CASE WHEN c.score >= q.qhat
+                         THEN 9 * (c.score - q.qhat)
+                         ELSE q.qhat - c.score END) // COUNT(*)
+                AS BIGINT) AS pinball_x10_mean
+    FROM nc c JOIN qh q ON q.event_type = c.event_type
+    GROUP BY 1, 3
+    """
+
+
+@register(
+    "pinball_loss_eval",
+    _PINBALL_SQL,
+    doc="Pinball (quantile) loss at tau=0.9 of each type's conformal "
+    "q-hat over its nonconformity scores — the proper scoring rule "
+    "for quantile forecasts (the conformal quantile should roughly "
+    "minimize it; a q-hat with lower pinball loss elsewhere signals "
+    "mis-calibration). With tau=9/10 the x10-scaled loss is exactly "
+    "max(9(y-q), q-y) — integer milli end to end, the mean via floor "
+    "division. Completes the calibration family: coverage "
+    "(conformal_interval_calibration) checks validity, pinball checks "
+    "efficiency. Scale: one fact pass for scores, per-type rank for "
+    "q-hat, one counting join back.",
+)
+def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias(
+            "milli"
+        ),
+    )
+    mu = v.groupBy("event_type").agg(
+        F.expr("sum(milli) div count(*)").cast("long").alias("mean_milli"),
+        F.count("*").cast("long").alias("n"),
+    )
+    nc = v.join(mu, "event_type").select(
+        "event_type",
+        "event_id",
+        "n",
+        F.abs(F.col("milli") - F.col("mean_milli")).alias("score"),
+    ).persist()
+    w = Window.partitionBy("event_type").orderBy("score", "event_id")
+    qh = (
+        nc.select(
+            "event_type", "n", "score", F.row_number().over(w).alias("rn")
+        )
+        .filter(
+            F.col("rn")
+            == F.least(
+                F.col("n"), F.ceil(0.9 * (F.col("n") + 1)).cast("long")
+            )
+        )
+        .select("event_type", F.col("score").cast("long").alias("qhat"))
+    )
+    loss = F.when(
+        F.col("score") >= F.col("qhat"),
+        9 * (F.col("score") - F.col("qhat")),
+    ).otherwise(F.col("qhat") - F.col("score"))
+    return (
+        nc.select("event_type", "score")
+        .join(qh, "event_type")
+        .groupBy("event_type", F.col("qhat").alias("qhat_milli"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(loss).cast("long").alias("pinball_x10_total"),
+            F.expr(
+                "CAST(sum(CASE WHEN score >= qhat"
+                " THEN 9 * (score - qhat)"
+                " ELSE qhat - score END) div count(*) AS BIGINT)"
+            ).alias("pinball_x10_mean"),
+        )
+        .select(
+            "event_type", "n", "qhat_milli", "pinball_x10_total",
+            "pinball_x10_mean",
+        )
+    )

@@ -1318,3 +1318,40 @@ def test_systematic_sample_quota_and_determinism(spark, sf_dir):
         assert r.sampled_id_sum == sum(picked)
         # the every-k-th identity: exactly ceil(n/k) rows selected
         assert r.n_sampled == -(-n // k)
+
+
+def test_pinball_loss_matches_python(spark, sf_dir):
+    out = {
+        r.event_type: r for r in _q("pinball_loss_eval")(spark, sf_dir).collect()
+    }
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for r in ev:
+        groups.setdefault(r.event_type, []).append(
+            (math.floor(r.value * 1000 + 0.5), r.event_id)
+        )
+    for t, vals in groups.items():
+        n = len(vals)
+        mean = sum(v for v, _ in vals) // n
+        scores = sorted((abs(v - mean), eid) for v, eid in vals)
+        k = min(n, math.ceil(0.9 * (n + 1)))
+        qhat = scores[k - 1][0]
+        tot = sum(
+            9 * (s - qhat) if s >= qhat else qhat - s for s, _ in scores
+        )
+        r = out[t]
+        assert (r.n, r.qhat_milli) == (n, qhat)
+        assert r.pinball_x10_total == tot
+        assert r.pinball_x10_mean == tot // n
+        # the conformal q-hat (a ~0.9 sample quantile) should beat a
+        # grossly wrong quantile under the tau=0.9 pinball loss
+        bad = scores[0][0]  # the minimum score as "forecast"
+        bad_tot = sum(
+            9 * (s - bad) if s >= bad else bad - s for s, _ in scores
+        )
+        assert tot <= bad_tot
