@@ -31,6 +31,9 @@ FIXED_CARDINALITY = {
     # parameters and ignores sf_dir entirely
     "kinesis_sim_batch_scan": 12,
     "kinesis_sim_render_e2e": 4,
+    # the peeling trajectory always reports rounds 0..3 (all-zero on an
+    # empty graph)
+    "neardup_graph_2core": 4,
 }
 
 
