@@ -210,6 +210,7 @@ _FRONT = (
     "neardup_graph_2core",
     "systematic_sample_per_source",
     "pinball_loss_eval",
+    "supplier_pareto_8020",
     # ---- officially green in r5 (CORRECTNESS_r05: 49 hash-green rows);
     # rotate behind the never-sampled set.
     "targeted_deletion_rewrite",

@@ -3831,3 +3831,85 @@ def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pinball_x10_mean",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 38. supplier_pareto_8020 — revenue concentration (the 80/20 report)
+# ---------------------------------------------------------------------------
+
+_P8020_SQL = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1),
+    ranked AS (
+      SELECT l_suppkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, l_suppkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+             SUM(cents) OVER () AS tot,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, l_suppkey) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM rev),
+    hit AS (
+      SELECT rn, cum, tot, n FROM ranked
+      WHERE 5 * cum >= 4 * tot
+      ORDER BY rn LIMIT 1)
+    SELECT CAST(n AS BIGINT) AS n_suppliers,
+           CAST(rn AS BIGINT) AS n_for_80pct,
+           CAST(rn * 1000000 // n AS BIGINT) AS head_share_micro,
+           CAST(cum * 1000000 // tot AS BIGINT) AS revenue_share_micro
+    FROM hit
+    """
+
+
+@register(
+    "supplier_pareto_8020",
+    _P8020_SQL,
+    doc="Pareto concentration (the 80/20 report): the smallest head of "
+    "the revenue-ranked supplier list whose cumulative revenue reaches "
+    "80% of the total — threshold crossed by exact integer cross-"
+    "multiplication (5*cum >= 4*tot), deterministic (revenue, key) tie "
+    "order. Output: how many suppliers that takes and what fraction of "
+    "the roster they are — the concentration diagnostic behind key-"
+    "account risk and the supplier-side mirror of key_skew_profile's "
+    "Gini. Scale shape: one fact rollup to per-supplier revenue; the "
+    "cumulative scan runs on the SUPPLIER relation (two-phase bucket "
+    "swap documented via the ks_two_sample pattern when the roster is "
+    "data-sized).",
+)
+def supplier_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    wc = Window.orderBy(F.col("cents").desc(), "l_suppkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = rev.select(
+        F.sum("cents").over(wc).alias("cum"),
+        F.sum("cents").over(wall).alias("tot"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cents").desc(), "l_suppkey"))
+        .alias("rn"),
+        F.count("*").over(wall).cast("long").alias("n"),
+    )
+    hit = (
+        ranked.filter(5 * F.col("cum") >= 4 * F.col("tot"))
+        .orderBy("rn")
+        .limit(1)
+    )
+    return hit.select(
+        F.col("n").alias("n_suppliers"),
+        F.col("rn").cast("long").alias("n_for_80pct"),
+        F.expr("rn * 1000000 div n").alias("head_share_micro"),
+        F.expr("cum * 1000000 div tot").alias("revenue_share_micro"),
+    )

@@ -1355,3 +1355,25 @@ def test_pinball_loss_matches_python(spark, sf_dir):
             9 * (s - bad) if s >= bad else bad - s for s, _ in scores
         )
         assert tot <= bad_tot
+
+
+def test_pareto_8020_matches_python(spark, sf_dir):
+    r = _q("supplier_pareto_8020")(spark, sf_dir).collect()[0]
+    rev: Counter = Counter()
+    for x in load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    ).collect():
+        rev[x.l_suppkey] += math.floor(x.l_extendedprice * 100 + 0.5)
+    ordered = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    tot = sum(rev.values())
+    cum = 0
+    for i, (_, c) in enumerate(ordered, start=1):
+        cum += c
+        if 5 * cum >= 4 * tot:
+            break
+    assert r.n_suppliers == len(rev)
+    assert r.n_for_80pct == i
+    assert r.head_share_micro == i * 1000000 // len(rev)
+    assert r.revenue_share_micro == cum * 1000000 // tot
+    # the crossing point covers at least 80% by construction
+    assert r.revenue_share_micro >= 800000
