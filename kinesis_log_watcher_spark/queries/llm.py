@@ -43,7 +43,11 @@ from kinesis_log_watcher_spark.operators.similarity import (
     exploded_components,
     quantize,
 )
-from kinesis_log_watcher_spark.queries.base import load, register
+from kinesis_log_watcher_spark.queries.base import (
+    finalize_unpersist,
+    load,
+    register,
+)
 
 # Shared SQL fragments -------------------------------------------------------
 
@@ -4305,7 +4309,7 @@ def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = cand.groupBy("nprobe").agg(
         F.count("*").cast("long").alias("cand_pairs")
     )
-    return (
+    out = (
         hits.join(vol, "nprobe")
         .select(
             "nprobe",
@@ -4315,3 +4319,6 @@ def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_pairs",
         )
     )
+    # 3-row curve: materialize it, then free the two persisted
+    # intermediates instead of leaving them cached for the session.
+    return finalize_unpersist(out, all_dots, cand)

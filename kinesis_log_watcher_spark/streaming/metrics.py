@@ -80,9 +80,15 @@ class MetricsRecorder(StreamingQueryListener):
             self._spark.streams.removeListener(self)
             self._spark = None
 
-    def batches(self, query_name: str) -> list[dict[str, Any]]:
+    def progress(self) -> list[dict[str, Any]]:
+        """Snapshot of every recorded progress row (all queries), taken
+        under the lock — the poll-friendly public view (tests poll this
+        instead of reaching into the private buffer)."""
         with self._lock:
-            return [r for r in self._progress if r["name"] == query_name]
+            return list(self._progress)
+
+    def batches(self, query_name: str) -> list[dict[str, Any]]:
+        return [r for r in self.progress() if r["name"] == query_name]
 
     def summary(self, query_name: str) -> dict[str, Any]:
         """Fold a terminated query's progress into run totals."""

@@ -20,8 +20,7 @@ def test_recorder_accounts_every_input_row(spark, sf_dir):
         deadline = time.time() + 30
         names = set()
         while time.time() < deadline:
-            with rec._lock:
-                names = {r["name"] for r in rec._progress}
+            names = {r["name"] for r in rec.progress()}
             if any(n and n.startswith("windowed_counts_") for n in names):
                 rows = [n for n in names if n and n.startswith("windowed_counts_")]
                 s = rec.summary(rows[-1])

@@ -113,6 +113,12 @@ def main() -> int:
             print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
             failed.append(name)
             continue
+        finally:
+            # Queries persist() intermediates they reuse internally;
+            # drop them between queries (same hygiene as bench.py) so
+            # cached partitions don't accumulate executor memory across
+            # a full-registry sweep.
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"rows-only {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
             rows_only.append(name)
