@@ -153,6 +153,39 @@ def main() -> None:
                 spark.catalog.dropTempView(tbl.name)
 
     total = round(sum(timings.values()), 4)
+
+    # Self-adjudicating variance check: any query whose cold time swung
+    # >1.5x against the committed prior-round per-query archive is
+    # re-run ONCE in the same JVM and both numbers are recorded. A
+    # rerun back at the prior level is machine noise (r5/r6 saw roving
+    # 2-3-query tails tracking hypervisor steal); a rerun that stays
+    # high is a real regression — BENCH_rN now distinguishes the two
+    # without a narrative. The cold time stays the official number.
+    reruns: dict[str, dict[str, float]] = {}
+    prior_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LOCAL.json"
+    )
+    prior: dict[str, float] = {}
+    try:
+        with open(prior_path) as fh:
+            prior_doc = json.load(fh)
+        if abs(float(prior_doc.get("sf", -1)) - sf) < 1e-9:
+            prior = prior_doc.get("queries", {})
+    except (OSError, ValueError):
+        pass
+    for name, cold in timings.items():
+        p = prior.get(name)
+        if p is None or cold < 1.0 or cold <= 1.5 * p:
+            continue
+        t0 = time.perf_counter()
+        materialize(reg[name].fn(spark, sf_dir))
+        rerun = round(time.perf_counter() - t0, 4)
+        spark.catalog.clearCache()
+        for tbl in spark.catalog.listTables():
+            if tbl.isTemporary:
+                spark.catalog.dropTempView(tbl.name)
+        reruns[name] = {"prior": p, "cold": cold, "rerun": rerun}
+
     load_after = os.getloadavg()
     stat_after = _cpu_ticks()
     deltas = {
@@ -191,6 +224,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "reruns": reruns,
                 "host": telemetry,
             },
             fh,
@@ -213,6 +247,14 @@ def main() -> None:
                 "queries_file": "BENCH_FULL_LOCAL.json",
                 "n_queries": len(timings),
                 "sf": sf,
+                # biggest swings only — the full set is in the archive
+                "reruns": dict(
+                    sorted(
+                        reruns.items(),
+                        key=lambda kv: -kv[1]["cold"] / max(kv[1]["prior"], 1e-9),
+                    )[:5]
+                ),
+                "reruns_omitted": max(0, len(reruns) - 5),
                 "host": telemetry,
             },
             separators=(",", ":"),

@@ -349,6 +349,7 @@ def registry() -> dict[str, Query]:
         relational,
         round6,
         round6b,
+        round7,
         sampling,
         streaming,
         tpch_deep,

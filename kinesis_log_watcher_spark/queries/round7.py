@@ -1,0 +1,695 @@
+"""Round 7: the documented 100 TB swaps, executed.
+
+Round 6 left four operators whose registry form is exact-but-small-scale
+with the scale fallback stated only in prose. This module ships each
+fallback as a REAL oracle-checked twin (the orders_column_profile_approx
+pattern), so the plan a 100 TB user needs is code, not a docstring:
+
+- blocklist_phrase_filter_ac — Aho-Corasick mapInPandas kernel replacing
+  the broadcast nested-loop containment scan (O(len) per row instead of
+  O(len x |blocklist|)); certified lossless because the oracle is the
+  SAME naive strpos cross-join the BNLJ form uses.
+- customer_rfm_hist_quantile — NTILE quintiles WITHOUT any global
+  window: exact boundary keys located by histogram-bucket prefix sums +
+  a rank restricted to the boundary bucket, then a broadcast
+  threshold-join scores every customer. Bit-identical to NTILE because
+  the sort key (metric, custkey) is unique.
+- robust_zscore_outliers_hist — median/MAD/fence computed entirely on
+  the mergeable value-count histogram (groupBy(prio, value)); the only
+  windows run over DISTINCT values (bounded by the value domain), never
+  over fact rows.
+- source_quantile_normalize_hist — the global reference ranking replaced
+  by the stored value-histogram inverse-CDF: cumulative counts give each
+  distinct value a [lo, hi] global-rank span, spans and lookups meet on
+  a coarse rank-bucket EQUI-join (no range BNLJ), so no operator ever
+  sorts the corpus on one partition.
+
+Plus the two remaining round-7 punch-list items:
+
+- template_render_line_variant — the VariantType template engine
+  (compile_template(variant_log=True)) exercised against an oracle AND
+  cross-checked in-row against the string engine.
+- kinesis_sim_shard_split_scan / stream_kinesis_sim_split_resume — the
+  simulator's shard-split surface (parent closed at the split point,
+  parity-rerouted children with fresh sequence numbers, Kinesis
+  resharding semantics) scanned in batch and checkpoint-resumed ACROSS
+  the split in streaming.
+
+Reference parity note: the reference (/root/reference/main.go) handles
+resharding implicitly by re-listing shards (main.go:148-178); the
+simulator makes that behavior testable offline. Everything else here is
+SURVEY.md §2.2 "beyond-reference" engine surface.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_log_watcher_spark.functions.exact import dec
+from kinesis_log_watcher_spark.queries import round6, round6b  # noqa: F401
+from kinesis_log_watcher_spark.queries.base import (
+    _REGISTRY,
+    finalize_unpersist,
+    load,
+    register,
+)
+
+# ---------------------------------------------------------------------------
+# 1. blocklist_phrase_filter_ac — Aho-Corasick corpus screening
+# ---------------------------------------------------------------------------
+#
+# Oracle: the SAME naive strpos cross-join as blocklist_phrase_filter —
+# a green row certifies the automaton finds exactly the contained
+# phrases. Join shape unchanged (pattern set rides the closure, i.e. a
+# broadcast build side; corpus streams map-side; one tiny rollup
+# shuffle) but per-row cost is now O(len + matches) regardless of
+# phrase count — the plan that survives a 10k-phrase production list.
+
+
+@register(
+    "blocklist_phrase_filter_ac",
+    round6b._BL_SQL,
+    doc="The executed 100 TB swap for blocklist_phrase_filter: an "
+    "Aho-Corasick automaton (operators/ahocorasick.py — goto/fail/"
+    "output, built once from the bounded curated list, shipped in the "
+    "mapInPandas closure like a broadcast) scans each document ONCE, "
+    "O(len + matches) independent of |blocklist|, emitting the same "
+    "(doc, phrase) containment relation the broadcast-instr plan "
+    "produces. Arrow-batched kernel, no per-row Python UDF, no "
+    "shuffle before the final category rollup. The oracle is the "
+    "naive strpos cross-join, so every green row re-certifies the "
+    "automaton's losslessness.",
+)
+def blocklist_phrase_filter_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.ahocorasick import (
+        match_distinct_kernel,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    patterns = tuple(p for p, _ in round6b._BLOCKLIST)
+    kernel = match_distinct_kernel(patterns, "doc_id", "text")
+    matches = docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, pattern_idx int"
+    )
+    bl = F.broadcast(
+        spark.createDataFrame(
+            [(i, p, c) for i, (p, c) in enumerate(round6b._BLOCKLIST)],
+            "pattern_idx int, phrase string, category string",
+        )
+    )
+    return (
+        matches.join(bl, "pattern_idx")
+        .groupBy("category")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_hits"),
+            F.countDistinct("phrase").cast("long").alias("n_phrases_hit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. customer_rfm_hist_quantile — NTILE without a global window
+# ---------------------------------------------------------------------------
+#
+# The oracle is customer_rfm_segmentation's NTILE SQL verbatim: the twin
+# must reproduce the quintile grid bit-for-bit. The trick that makes a
+# threshold-join EXACT (not approximate): NTILE's ordering key
+# (metric, custkey) is unique, so the 4 boundary keys fully determine
+# every row's tile — locate them with (1) a 1024-bucket histogram +
+# prefix sums over BUCKETS (tiny), (2) a row_number restricted to the
+# ~4 boundary buckets only, then (3) score the whole relation against
+# the 4 broadcast keys. No window ever sees the full customer relation
+# on one partition.
+
+
+@register(
+    "customer_rfm_hist_quantile",
+    round6b._RFM_SQL,
+    doc="The executed 100 TB swap for customer_rfm_segmentation: "
+    "quintile scores from quantile-threshold joins instead of three "
+    "global NTILE windows. Exact-by-construction: the NTILE key "
+    "(metric, custkey) is unique, so boundary keys located via "
+    "bucket-histogram prefix sums (windows run over <=1024 bucket "
+    "rows per metric) plus an in-bucket rank reproduce NTILE "
+    "bit-for-bit; every customer then scores against the 12 broadcast "
+    "boundary keys with one conditional aggregate. Oracle: the "
+    "original NTILE SQL, verbatim.",
+)
+def customer_rfm_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    mx = orders.groupBy().agg(F.max(F.to_date("o_orderdate")).alias("mxd"))
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("mxd"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+        .persist()
+    )
+    # Melt to (metric, mval, custkey) with mval ASCENDING in NTILE order
+    # (descending metrics negated) so one code path handles all three.
+    m = cust.select(
+        F.col("o_custkey").alias("custkey"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("metric"),
+                    F.col("recency_days").alias("mval"),
+                ),
+                F.struct(
+                    F.lit("f").alias("metric"),
+                    (-F.col("frequency")).alias("mval"),
+                ),
+                F.struct(
+                    F.lit("m").alias("metric"),
+                    (-F.col("monetary_cents")).alias("mval"),
+                ),
+            )
+        ).alias("e"),
+    ).select("custkey", "e.metric", "e.mval")
+
+    stats = m.groupBy("metric").agg(
+        F.min("mval").alias("mn"),
+        F.max("mval").alias("mx"),
+        F.count("*").cast("long").alias("n"),
+    )
+    # Coarse value histogram: <=1025 buckets per metric, width scaled to
+    # the observed range (all arithmetic on broadcast per-metric stats).
+    m2 = m.join(F.broadcast(stats), "metric").select(
+        "metric",
+        "custkey",
+        "mval",
+        "n",
+        F.expr(
+            "(mval - mn) div greatest(CAST(1 AS BIGINT), ((mx - mn) div 1024) + 1)"
+        ).alias("bucket"),
+    )
+    hist = m2.groupBy("metric", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wb = Window.partitionBy("metric").orderBy("bucket")
+    histc = hist.select(
+        "metric",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(wb).cast("long").alias("cum"),
+    ).withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+
+    # NTILE(5) boundary ranks: cumulative size of the first i tiles.
+    bnds = stats.select(
+        "metric",
+        "n",
+        F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias("i"),
+    ).select(
+        "metric",
+        "i",
+        (
+            F.col("i") * F.expr("n div 5") + F.least(F.col("i"), F.col("n") % 5)
+        ).alias("brank"),
+    )
+    bcell = (
+        bnds.join(histc, "metric")
+        .filter(
+            (F.col("cum_prev") < F.col("brank"))
+            & (F.col("brank") <= F.col("cum"))
+        )
+        .select("metric", "i", "brank", "bucket", "cum_prev")
+    )
+
+    # Exact boundary keys: rank ONLY inside the boundary buckets.
+    bbuckets = bcell.select("metric", "bucket").distinct()
+    rows_b = m2.join(F.broadcast(bbuckets), ["metric", "bucket"])
+    wr = Window.partitionBy("metric", "bucket").orderBy("mval", "custkey")
+    ranked = rows_b.select(
+        "metric", "bucket", "mval", "custkey", F.row_number().over(wr).alias("rn")
+    )
+    bkeys = (
+        ranked.join(F.broadcast(bcell), ["metric", "bucket"])
+        .filter(F.col("rn") == F.col("brank") - F.col("cum_prev"))
+        .select(
+            "metric",
+            F.col("mval").alias("b_val"),
+            F.col("custkey").alias("b_key"),
+        )
+    )
+
+    # Score = 1 + #boundary keys strictly below this row's unique key.
+    after = (F.col("mval") > F.col("b_val")) | (
+        (F.col("mval") == F.col("b_val")) & (F.col("custkey") > F.col("b_key"))
+    )
+    sc = (
+        m2.join(F.broadcast(bkeys), "metric")
+        .groupBy("metric", "custkey")
+        .agg(
+            (1 + F.sum(F.when(after, 1).otherwise(0))).cast("long").alias("score")
+        )
+    )
+    piv = sc.groupBy("custkey").agg(
+        F.max(F.when(F.col("metric") == "r", F.col("score"))).alias("r_score"),
+        F.max(F.when(F.col("metric") == "f", F.col("score"))).alias("f_score"),
+        F.max(F.when(F.col("metric") == "m", F.col("score"))).alias("m_score"),
+    )
+    result = (
+        piv.join(
+            cust.select(
+                F.col("o_custkey").alias("custkey"), "monetary_cents"
+            ),
+            "custkey",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("monetary_cents").cast("long").alias("total_cents"),
+        )
+    )
+    return finalize_unpersist(result, cust)
+
+
+# ---------------------------------------------------------------------------
+# 3. robust_zscore_outliers_hist — median/MAD on the value histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "robust_zscore_outliers_hist",
+    _REGISTRY["robust_zscore_outliers"].oracle,
+    doc="The executed 100 TB swap for robust_zscore_outliers: lower "
+    "median, MAD and the 3.5-MAD fence computed entirely on the "
+    "mergeable (prio, cents)->count histogram. Integer cents make the "
+    "histogram LOSSLESS, so the result is exact — and the only "
+    "ordered windows run over DISTINCT values per priority (bounded "
+    "by the price domain), never over order rows: the fact relation "
+    "is touched by exactly one map-side-combinable groupBy. Oracle: "
+    "the original exact-rank SQL, verbatim.",
+)
+def robust_zscore_outliers_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long").alias("c"),
+    )
+    h1 = (
+        cents.groupBy("prio", "c")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .persist()
+    )
+    n = h1.groupBy("prio").agg(F.sum("cnt").cast("long").alias("n"))
+    wv = Window.partitionBy("prio").orderBy("c")
+    med = (
+        h1.select("prio", "c", F.sum("cnt").over(wv).alias("cum"))
+        .join(F.broadcast(n), "prio")
+        .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("prio")
+        .agg(F.min("c").alias("med_cents"))
+    )
+    h2 = (
+        h1.join(F.broadcast(med), "prio")
+        .select(
+            "prio",
+            "cnt",
+            "med_cents",
+            F.abs(F.col("c") - F.col("med_cents")).alias("ad"),
+        )
+        .persist()
+    )
+    hd = h2.groupBy("prio", "ad").agg(F.sum("cnt").alias("dcnt"))
+    wd = Window.partitionBy("prio").orderBy("ad")
+    mad = (
+        hd.select("prio", "ad", F.sum("dcnt").over(wd).alias("cum"))
+        .join(F.broadcast(n), "prio")
+        .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("prio")
+        .agg(F.greatest(F.min("ad"), F.lit(1)).cast("long").alias("mad_cents"))
+    )
+    result = (
+        h2.join(F.broadcast(mad), "prio")
+        .groupBy("prio")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.min("med_cents").alias("med_cents"),
+            F.min("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.lit(1000) * F.col("ad")
+                    > F.lit(3500) * F.col("mad_cents"),
+                    F.col("cnt"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+    return finalize_unpersist(result, h1, h2)
+
+
+# ---------------------------------------------------------------------------
+# 4. source_quantile_normalize_hist — inverse CDF via the value histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_quantile_normalize_hist",
+    _REGISTRY["source_quantile_normalize"].oracle,
+    doc="The executed 100 TB swap for source_quantile_normalize: the "
+    "global reference ranking (a single-partition sort of the corpus) "
+    "replaced by the stored value-histogram inverse CDF. Cumulative "
+    "counts over DISTINCT n_chars values give every value a [lo, hi] "
+    "global-rank span; tie-break by doc_id means the value at any "
+    "global index g is fully determined by which span contains g, so "
+    "the lookup is exact. Spans and lookups meet on a coarse "
+    "rank-bucket EQUI-join (spans exploded to the ~5-bins-worth of "
+    "buckets they cover) — no range BNLJ, no corpus-wide sort; the "
+    "only global window runs over distinct values (the histogram). "
+    "Oracle: the original global-rank SQL, verbatim.",
+)
+def source_quantile_normalize_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sw = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    src = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(sw).cast("long").alias("src_rank"),
+        F.count("*")
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("src_n"),
+    )
+    # Value histogram: one row per distinct n_chars, with its global
+    # rank span [lo, hi] from the prefix sum (window over bins only).
+    vh = docs.groupBy("n_chars").agg(F.count("*").cast("long").alias("cnt"))
+    wv = Window.orderBy("n_chars")
+    vhc = vh.select(
+        F.col("n_chars").alias("ref_chars"),
+        F.sum("cnt").over(wv).cast("long").alias("hi"),
+        "cnt",
+    ).withColumn("lo", F.col("hi") - F.col("cnt") + 1)
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("n_chars").cast("long").alias("nb"),
+    )
+    # Rank-bucket width: ~4 buckets per bin on average, so the exploded
+    # span relation stays O(bins) — the broadcast build side.
+    bexpr = "greatest(CAST(1 AS BIGINT), n div (4 * nb))"
+    ex = (
+        vhc.crossJoin(F.broadcast(stats))
+        .select(
+            "ref_chars",
+            "lo",
+            "hi",
+            F.explode(
+                F.expr(f"sequence(lo div ({bexpr}), hi div ({bexpr}))")
+            ).alias("gb"),
+        )
+    )
+    gidx = F.expr(
+        "CASE WHEN src_n = 1 THEN CAST(1 AS BIGINT) "
+        "ELSE ((2 * (src_rank - 1) * (n - 1) + (src_n - 1)) "
+        "div (2 * (src_n - 1))) + 1 END"
+    )
+    mapped = (
+        src.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "src_rank",
+            "src_n",
+            "n",
+            "nb",
+            gidx.alias("gidx"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "src_rank",
+            "src_n",
+            "gidx",
+            F.expr(f"gidx div ({bexpr})").alias("gb"),
+        )
+    )
+    return (
+        mapped.join(F.broadcast(ex), "gb")
+        .filter((F.col("lo") <= F.col("gidx")) & (F.col("gidx") <= F.col("hi")))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "src_rank",
+            "src_n",
+            F.col("ref_chars").cast("long").alias("norm_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. template_render_line_variant — the VariantType template engine
+# ---------------------------------------------------------------------------
+#
+# compile_template(variant_log=True) routes {{.Log.x}} accesses through
+# Spark 4's VariantType (one parse_json per row, O(log fields) per
+# access) instead of per-access get_json_object. The engine option was
+# property-tested but never oracle-checked; this query renders a
+# 3-field nested-access template with BOTH engines over the same
+# synthesized nested payload, returns the variant engine's line, and
+# pins cross-engine agreement in-row (engines_agree must be TRUE for
+# every row or the hash diverges from the oracle's literal TRUE).
+
+_VARIANT_TPL = (
+    "{{.ShortHostId}} k={{.Log.k}} ty={{.Log.meta.ty}} seq={{.Log.meta.seq}}"
+)
+
+_VARIANT_SQL = """
+    WITH env AS (
+      SELECT event_id, event_type,
+             CAST(event_id % 97 AS VARCHAR) AS kk,
+             CAST(event_id % 100 AS VARCHAR) AS sq,
+             regexp_replace(
+               list_extract(string_split(
+                 CASE CAST(user_id % 4 AS BIGINT)
+                   WHEN 0 THEN 'arn:aws:ecs:us-east-1:123456789012:task/task-' || CAST(user_id AS VARCHAR)
+                   WHEN 1 THEN 'arn:aws:ec2:us-east-1:123456789012:instance/i-' || CAST(user_id AS VARCHAR)
+                   WHEN 2 THEN 'ip-address:10.0.0.' || CAST(user_id AS VARCHAR)
+                   ELSE 'uuid:00000000-0000-0000-0000-' || lpad(CAST(user_id AS VARCHAR), 12, '0')
+                 END, ':'), -1),
+               '^(task/|instance/)', '') AS short_host
+      FROM events)
+    SELECT event_id,
+           short_host || ' k=' || kk || ' ty=' || event_type
+                      || ' seq=' || sq AS line,
+           TRUE AS engines_agree
+    FROM env
+    """
+
+
+@register(
+    "template_render_line_variant",
+    _VARIANT_SQL,
+    doc="X5/T1 via VariantType (template.py _compile_log_access_variant): "
+    "the default-dialect template engine with variant_log=True — the "
+    "payload is parse_json'd ONCE per row and every {{.Log.*}} access "
+    "is a try_variant_get path lookup (plan shows variant_get, not "
+    "get_json_object). The same template is compiled with the string "
+    "engine in the same projection; engines_agree pins byte equality "
+    "between the two engines row-by-row, and the DuckDB oracle "
+    "independently restates the render. Nested access ({{.Log.meta.ty}}) "
+    "exercises the intermediate-object traversal path.",
+)
+def template_render_line_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.envelope import short_host_id
+    from kinesis_log_watcher_spark.queries.watcher_surface import _partition_key
+    from kinesis_log_watcher_spark.template import compile_template
+
+    t_var = compile_template(_VARIANT_TPL, variant_log=True)
+    t_str = compile_template(_VARIANT_TPL)
+    ev = load(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"k": '),
+        (F.col("event_id") % 97).cast("string"),
+        F.lit(', "meta": {"ty": "'),
+        F.col("event_type"),
+        F.lit('", "seq": '),
+        (F.col("event_id") % 100).cast("string"),
+        F.lit("}}"),
+    )
+    env = ev.select(
+        "event_id",
+        F.col("ts").alias("Timestamp"),
+        _partition_key().alias("HostId"),
+        short_host_id(_partition_key()).alias("ShortHostId"),
+        payload.alias("LogEntry"),
+    )
+    return env.filter(~t_var.error).select(
+        "event_id",
+        t_var.line.alias("line"),
+        (t_var.line == t_str.line).alias("engines_agree"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6-7. kinesis_sim shard split: batch scan + checkpoint-resume across it
+# ---------------------------------------------------------------------------
+#
+# Kinesis resharding (the one real-stream behavior the round-6 simulator
+# didn't model): SplitShard closes the parent at a split point; records
+# past it land on two child shards under FRESH child sequence numbers.
+# The simulator reroutes deterministically by parity of the parent
+# sequence, so the oracle regenerates parent + children exactly with
+# generate_series, and the rollup below (grouped by shardId, with
+# per-shard LOCAL sequence extents) pins closure, rerouting, and child
+# re-sequencing all at once.
+
+_SPLIT_COUNTER = itertools.count()
+_SP_SHARDS = 4
+_SP_PER_SHARD = 250
+_SP_SHARD = 1
+_SP_AT = 100
+
+_SPLIT_ORACLE = f"""
+    WITH parents AS (
+      SELECT s.s AS shard, q.q AS q, q.q AS local_seq, s.s AS content
+      FROM generate_series(0, {_SP_SHARDS - 1}) s(s),
+           generate_series(0, {_SP_PER_SHARD - 1}) q(q)
+      WHERE NOT (s.s = {_SP_SHARD} AND q.q >= {_SP_AT})),
+    children AS (
+      SELECT {_SP_SHARDS} + (q.q - {_SP_AT}) % 2 AS shard, q.q AS q,
+             (q.q - {_SP_AT}) // 2 AS local_seq, {_SP_SHARD} AS content
+      FROM generate_series({_SP_AT}, {_SP_PER_SHARD - 1}) q(q)),
+    allrec AS (
+      SELECT * FROM parents UNION ALL SELECT * FROM children),
+    rec AS (
+      SELECT 'shardId-' || lpad(CAST(shard AS VARCHAR), 12, '0') AS shard_id,
+             CASE q % 3 WHEN 0 THEN 'info' WHEN 1 THEN 'warn'
+                        ELSE 'error' END AS level,
+             CAST((q * 7 + content * 3) % 500 AS BIGINT) AS latency,
+             local_seq
+      FROM allrec)
+    SELECT shard_id, level,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(latency) AS BIGINT) AS sum_latency_ms,
+           CAST(MIN(local_seq) AS BIGINT) AS min_seq,
+           CAST(MAX(local_seq) AS BIGINT) AS max_seq
+    FROM rec GROUP BY 1, 2
+    """
+
+
+def _split_rollup(raw: DataFrame) -> DataFrame:
+    entry = F.col("data").cast("string")
+    return (
+        raw.select(
+            F.col("shardId").alias("shard_id"),
+            F.get_json_object(entry, "$.level").alias("level"),
+            F.get_json_object(entry, "$.latency_ms")
+            .cast("long")
+            .alias("latency"),
+            F.substring("sequenceNumber", 5, 16).cast("long").alias("seq"),
+        )
+        .groupBy("shard_id", "level")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("latency").cast("long").alias("sum_latency_ms"),
+            F.min("seq").cast("long").alias("min_seq"),
+            F.max("seq").cast("long").alias("max_seq"),
+        )
+    )
+
+
+def _split_reader(spark: SparkSession, streaming: bool, **extra: str):
+    from kinesis_log_watcher_spark.queries.base import ensure_session_confs
+    from kinesis_log_watcher_spark.sources.kinesis_sim import (
+        register_sim_source,
+    )
+
+    ensure_session_confs(spark)
+    register_sim_source(spark)
+    rd = spark.readStream if streaming else spark.read
+    rd = (
+        rd.format("kinesis_sim")
+        .option("shards", str(_SP_SHARDS))
+        .option("recordsPerShard", str(_SP_PER_SHARD))
+        .option("splitShard", str(_SP_SHARD))
+        .option("splitAtSeq", str(_SP_AT))
+    )
+    for k, v in extra.items():
+        rd = rd.option(k, v)
+    return rd.load()
+
+
+@register(
+    "kinesis_sim_shard_split_scan",
+    _SPLIT_ORACLE,
+    doc="Kinesis resharding semantics, BATCH path: the simulator "
+    "(sources/kinesis_sim.py _SimPlan) closes shard 1 at parent seq "
+    "100 and reroutes the remainder to child shards 4/5 by parity "
+    "with fresh child-local sequence numbers — SplitShard as the "
+    "reference experiences it via re-listing (main.go:148-178). One "
+    "InputPartition per open-or-closed shard; the rollup pins parent "
+    "closure (max_seq=99 on shard 1), rerouted payload content, and "
+    "child re-sequencing (0-based local extents) against a "
+    "generate_series oracle.",
+)
+def kinesis_sim_shard_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _split_rollup(_split_reader(spark, streaming=False))
+
+
+@register(
+    "stream_kinesis_sim_split_resume",
+    _SPLIT_ORACLE,
+    doc="Kinesis resharding, STREAMING path with checkpoint-resume "
+    "ACROSS the split: phase 1 consumes the stream capped at parent "
+    "seq 60 (pre-split; the checkpointed offset map has no child "
+    "keys), stops, then phase 2 resumes from the same checkpoint with "
+    "the full post-split stream — the reader picks up the children "
+    "from offset 0 (the reference's TRIM_HORIZON pickup of "
+    "newly-listed shards) and reads ONLY the parent delta. The "
+    "file-sink output equals the batch scan's oracle iff resume "
+    "produced no duplicates and no gaps.",
+)
+def stream_kinesis_sim_split_resume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from kinesis_log_watcher_spark.sources.files import await_or_raise
+
+    run = next(_SPLIT_COUNTER)
+    base = tempfile.mkdtemp(prefix=f"klw_split_resume_{run}_")
+    out, ck = f"{base}/out", f"{base}/ck"
+
+    def consume(**extra: str) -> None:
+        raw = _split_reader(spark, streaming=True, **extra)
+        q = (
+            raw.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 300)
+
+    # Phase 1: the stream has only produced up to parent seq 60 —
+    # strictly pre-split, so the checkpoint knows nothing of shards 4/5.
+    consume(maxVisibleSeq="60", maxRecordsPerPull="40")
+    # Phase 2: the split has happened; resume from the same checkpoint.
+    consume(maxRecordsPerPull="40")
+    return _split_rollup(spark.read.parquet(out))

@@ -74,6 +74,19 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"
+    # Consumer ergonomics: a script driving this library from any cwd
+    # must still be able to run Python-worker code (mapInPandas kernels,
+    # the custom DataSource) — cloudpickle serializes those by module
+    # reference, so the package root has to be importable in the WORKER
+    # interpreter too, not just the driver. Exporting PYTHONPATH before
+    # the JVM launches covers local mode; on a real cluster the package
+    # ships via --py-files/venv and this is a no-op.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     if shuffle_partitions is None:
         # local: ~1 partition per core. On a cluster this is overridden by
         # AQE coalescing from a higher initial value.

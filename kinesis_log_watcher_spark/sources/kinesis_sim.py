@@ -69,36 +69,123 @@ def sim_record(stream_name: str, shard: int, seq: int) -> tuple:
     )
 
 
+def sim_child_record(
+    stream_name: str, parent: int, child_shard: int, child_off: int,
+    split_at: int, j: int,
+) -> tuple:
+    """Record ``j`` of a child shard created by splitting ``parent`` at
+    parent-sequence ``split_at``. Kinesis split semantics: the parent
+    shard is CLOSED at the split point; records that would have landed
+    on it are rerouted to the two children, which assign their own
+    fresh sequence numbers. Here rerouting is deterministic by parity
+    ((q - split_at) % 2 — the hash-range analogue), so the child record
+    carries the PARENT's payload/partition-key for parent seq
+    q = split_at + 2*j + child_off, re-sequenced as (child_shard, j)."""
+    q = split_at + 2 * j + child_off
+    rec = sim_record(stream_name, parent, q)
+    return (
+        rec[0],
+        f"shardId-{child_shard:012d}",
+        f"{child_shard:04d}{j:016d}",
+        rec[3],  # arrival time keyed to the parent seq — monotone per child
+        rec[4],
+        rec[5],
+    )
+
+
 class _ShardSlice(InputPartition):
-    def __init__(self, shard: int, start: int, end: int, stream_name: str):
+    def __init__(
+        self, shard: int, start: int, end: int, stream_name: str,
+        parent: int | None = None, child_off: int = 0, split_at: int = 0,
+    ):
         self.shard = shard
         self.start = start
         self.end = end
         self.stream_name = stream_name
+        self.parent = parent  # set → this is a post-split child shard
+        self.child_off = child_off
+        self.split_at = split_at
+
+
+class _SimPlan:
+    """The logical shard layout: every open-or-closed shard with its
+    record count and lineage. A pure function of the option map, so the
+    batch reader, the stream reader's offset maps, and the SQL oracle
+    all restate the identical stream."""
+
+    def __init__(self, options):
+        self.shards = int(options.get("shards", "4"))
+        self.per_shard = int(options.get("recordsPerShard", "250"))
+        self.batch = int(options.get("maxRecordsPerPull", "100"))
+        self.stream_name = options.get("streamName", "sim-stream")
+        self.split_shard = int(options.get("splitShard", "-1"))
+        self.split_at = int(options.get("splitAtSeq", "0"))
+        # Visibility cap in the PARENT sequence domain ("the stream has
+        # only produced up to here") — lets a resume test checkpoint
+        # mid-parent and restart after the split has happened.
+        self.visible = int(options.get("maxVisibleSeq", "-1"))
+
+    def _lim(self) -> int:
+        return self.per_shard if self.visible < 0 else min(
+            self.per_shard, self.visible
+        )
+
+    def counts(self) -> dict[int, int]:
+        """shard id → available record count (parents closed at the
+        split point, children carrying the rerouted remainder)."""
+        lim = self._lim()
+        out = {s: lim for s in range(self.shards)}
+        if 0 <= self.split_shard < self.shards:
+            k = min(self.split_at, self.per_shard)
+            out[self.split_shard] = min(k, lim)
+            rerouted = max(0, lim - k)
+            out[self.shards] = (rerouted + 1) // 2  # child 0: even offsets
+            out[self.shards + 1] = rerouted // 2  # child 1: odd offsets
+        return out
+
+    def slice(self, shard: int, start: int, end: int) -> _ShardSlice:
+        if 0 <= self.split_shard < self.shards and shard >= self.shards:
+            return _ShardSlice(
+                shard, start, end, self.stream_name,
+                parent=self.split_shard,
+                child_off=shard - self.shards,
+                split_at=min(self.split_at, self.per_shard),
+            )
+        return _ShardSlice(shard, start, end, self.stream_name)
+
+
+def _read_slice(partition: _ShardSlice):
+    if partition.parent is None:
+        for seq in range(partition.start, partition.end):
+            yield sim_record(partition.stream_name, partition.shard, seq)
+    else:
+        for j in range(partition.start, partition.end):
+            yield sim_child_record(
+                partition.stream_name, partition.parent, partition.shard,
+                partition.child_off, partition.split_at, j,
+            )
 
 
 def _opts(options) -> tuple[int, int, int, str]:
-    shards = int(options.get("shards", "4"))
-    per_shard = int(options.get("recordsPerShard", "250"))
-    batch = int(options.get("maxRecordsPerPull", "100"))
-    name = options.get("streamName", "sim-stream")
-    return shards, per_shard, batch, name
+    plan = _SimPlan(options)
+    return plan.shards, plan.per_shard, plan.batch, plan.stream_name
 
 
 class KinesisSimBatchReader(DataSourceReader):
     def __init__(self, options):
-        self.shards, self.per_shard, _, self.stream_name = _opts(options)
+        self.plan = _SimPlan(options)
 
     def partitions(self):
         # one input partition per shard — the connector's layout
+        # (closed parents and their children each get their own, the
+        # shape a post-split ListShards returns)
         return [
-            _ShardSlice(s, 0, self.per_shard, self.stream_name)
-            for s in range(self.shards)
+            self.plan.slice(s, 0, n)
+            for s, n in self.plan.counts().items()
         ]
 
     def read(self, partition: _ShardSlice):
-        for seq in range(partition.start, partition.end):
-            yield sim_record(partition.stream_name, partition.shard, seq)
+        yield from _read_slice(partition)
 
 
 class KinesisSimStreamReader(DataSourceStreamReader):
@@ -110,35 +197,37 @@ class KinesisSimStreamReader(DataSourceStreamReader):
     like the reference's poll loop."""
 
     def __init__(self, options):
-        self.shards, self.per_shard, self.batch, self.stream_name = _opts(
-            options
-        )
+        self.plan = _SimPlan(options)
 
     def initialOffset(self):
-        return {f"shard-{s}": 0 for s in range(self.shards)}
+        return {f"shard-{s}": 0 for s in self.plan.counts()}
 
     def latestOffset(self):
         # a bounded simulation: the stream "ends" at per_shard records
-        return {f"shard-{s}": self.per_shard for s in range(self.shards)}
+        # (parents end at the split point, children at their rerouted
+        # share; maxVisibleSeq caps everything for phased-resume tests)
+        return {f"shard-{s}": n for s, n in self.plan.counts().items()}
 
     def partitions(self, start: dict, end: dict):
         # Each input partition is one bounded PULL (the GetRecords
         # Limit analogue, main.go:218): a micro-batch may span several
         # pulls per shard, exactly like the reference's poll loop
-        # issues several GetRecords calls per poll.
+        # issues several GetRecords calls per poll. A checkpoint written
+        # BEFORE a split knows nothing of the children — missing start
+        # keys default to 0, exactly how the reference picks up
+        # newly-listed shards from TRIM_HORIZON (main.go:176-178).
         parts = []
-        for s in range(self.shards):
+        for s in self.plan.counts():
             a = int(start.get(f"shard-{s}", 0))
             b = int(end.get(f"shard-{s}", 0))
             while a < b:
-                c = min(a + self.batch, b)
-                parts.append(_ShardSlice(s, a, c, self.stream_name))
+                c = min(a + self.plan.batch, b)
+                parts.append(self.plan.slice(s, a, c))
                 a = c
         return parts
 
     def read(self, partition: _ShardSlice):
-        for seq in range(partition.start, partition.end):
-            yield sim_record(partition.stream_name, partition.shard, seq)
+        yield from _read_slice(partition)
 
     def commit(self, end):
         pass

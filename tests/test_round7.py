@@ -1,0 +1,238 @@
+"""Round-7 surface: the executed 100 TB swaps (Aho-Corasick blocklist,
+NTILE-free RFM, histogram median/MAD, histogram inverse-CDF), the
+VariantType template engine, and the Kinesis simulator's shard-split /
+resume-across-split behavior."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from kinesis_log_watcher_spark.operators.ahocorasick import AhoCorasick
+from kinesis_log_watcher_spark.queries.base import registry
+
+
+def _q(name: str):
+    return registry()[name].fn
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# Aho-Corasick automaton
+# ---------------------------------------------------------------------------
+
+
+def test_ac_matches_naive_containment_randomized():
+    rng = random.Random(7)
+    words = [
+        "a", "the", "fast", "slow", "scan", "table", "hash", "value",
+        "line", "sort", "batch", "window", "spark", "big", "query",
+    ]
+    pats = [
+        "slow fast", "fast table", "scan slow", "batch window spark",
+        "the line sort", "a a the", "he", "ash", "b", "spark",
+    ]
+    ac = AhoCorasick(pats)
+    for _ in range(500):
+        text = " ".join(rng.choices(words, k=rng.randint(0, 25)))
+        got = set(ac.match_distinct(text))
+        want = {i for i, p in enumerate(pats) if p in text}
+        assert got == want, text
+
+
+def test_ac_overlapping_and_nested_patterns():
+    # suffix-of-suffix chains exercise the fail-link output merge
+    ac = AhoCorasick(["abcde", "bcd", "cd", "d", "xd"])
+    assert ac.match_distinct("abcde") == [0, 1, 2, 3]
+    assert ac.match_distinct("xd") == [3, 4]
+    assert ac.match_distinct("zzz") == []
+    # occurrences: every (end, idx) event
+    evs = sorted(ac.finditer("abcd"))
+    assert (4, 1) in evs and (4, 2) in evs and (4, 3) in evs
+
+
+def test_ac_rejects_degenerate_inputs():
+    with pytest.raises(ValueError):
+        AhoCorasick([])
+    with pytest.raises(ValueError):
+        AhoCorasick(["ok", ""])
+
+
+# ---------------------------------------------------------------------------
+# Twin queries must equal their originals row-for-row
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "twin,orig",
+    [
+        ("blocklist_phrase_filter_ac", "blocklist_phrase_filter"),
+        ("customer_rfm_hist_quantile", "customer_rfm_segmentation"),
+        ("robust_zscore_outliers_hist", "robust_zscore_outliers"),
+        ("source_quantile_normalize_hist", "source_quantile_normalize"),
+    ],
+)
+def test_twin_equals_original(spark, sf_dir, twin, orig):
+    t = _rows(_q(twin)(spark, sf_dir))
+    o = _rows(_q(orig)(spark, sf_dir))
+    assert t == o
+
+
+def test_rfm_twin_plan_has_no_global_window(spark, sf_dir):
+    """The point of the swap: no windows over the unpartitioned customer
+    relation. Every Window spec in the twin is either partitioned or
+    runs over the bucket histogram (tiny); the ORIGINAL plan has three
+    unpartitioned running windows."""
+    plan = _q("customer_rfm_hist_quantile")(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+    # ntile never appears in the twin
+    assert "ntile" not in plan.lower()
+
+
+def test_hist_zscore_plan_has_no_rownumber_over_facts(spark, sf_dir):
+    plan = (
+        _q("robust_zscore_outliers_hist")(spark, sf_dir)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "row_number" not in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# VariantType template engine
+# ---------------------------------------------------------------------------
+
+
+def test_variant_engine_plan_and_agreement(spark, sf_dir):
+    df = _q("template_render_line_variant")(spark, sf_dir)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "variant_get" in plan.lower()  # the engine under test
+    rows = df.collect()
+    assert rows and all(r.engines_agree for r in rows)
+    sample = {r.event_id: r.line for r in rows}
+    k = min(sample)
+    assert f"k={k % 97}" in sample[k] and f"seq={k % 100}" in sample[k]
+
+
+# ---------------------------------------------------------------------------
+# Kinesis simulator: shard split + resume across it
+# ---------------------------------------------------------------------------
+
+
+def _read_split(spark, **extra):
+    from kinesis_log_watcher_spark.sources.kinesis_sim import (
+        register_sim_source,
+    )
+
+    register_sim_source(spark)
+    rd = (
+        spark.read.format("kinesis_sim")
+        .option("shards", "2")
+        .option("recordsPerShard", "40")
+        .option("splitShard", "1")
+        .option("splitAtSeq", "10")
+    )
+    for key, val in extra.items():
+        rd = rd.option(key, val)
+    return rd.load()
+
+
+def test_split_closes_parent_and_reroutes(spark):
+    rows = _read_split(spark).collect()
+    by_shard: dict[str, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shardId, []).append(r)
+    # parent closed at seq 10; shard 0 untouched; children split 30 rows
+    assert len(by_shard["shardId-000000000000"]) == 40
+    assert len(by_shard["shardId-000000000001"]) == 10
+    assert len(by_shard["shardId-000000000002"]) == 15
+    assert len(by_shard["shardId-000000000003"]) == 15
+    # children re-sequence from 0 with their own shard prefix
+    c0 = sorted(r.sequenceNumber for r in by_shard["shardId-000000000002"])
+    assert c0[0] == f"{2:04d}{0:016d}" and c0[-1] == f"{2:04d}{14:016d}"
+    # rerouted payloads are the PARENT's records for seqs >= 10, by parity
+    import json as _json
+
+    payloads = {
+        _json.loads(bytes(r.data).decode())["msg"]
+        for r in by_shard["shardId-000000000002"]
+    }
+    assert payloads == {f"req {q} shard 1" for q in range(10, 40, 2)}
+
+
+def test_split_visibility_cap_is_preslit_consistent(spark):
+    # cap below the split point: children invisible, parents capped
+    rows = _read_split(spark, maxVisibleSeq="8").collect()
+    shards = {r.shardId for r in rows}
+    assert shards == {"shardId-000000000000", "shardId-000000000001"}
+    assert len(rows) == 16
+    # cap straddling the split: children carry only pre-cap reroutes
+    rows = _read_split(spark, maxVisibleSeq="13").collect()
+    per = {}
+    for r in rows:
+        per[r.shardId] = per.get(r.shardId, 0) + 1
+    assert per["shardId-000000000001"] == 10  # parent still closed at 10
+    assert per["shardId-000000000002"] == 2  # q=10,12
+    assert per["shardId-000000000003"] == 1  # q=11
+
+
+def test_split_resume_reads_only_delta(spark, tmp_path):
+    """Checkpoint BEFORE the split, resume AFTER it: the children are
+    picked up from offset 0 and the parent delta is read exactly once —
+    no duplicates, no gaps, across the reshard boundary."""
+    from kinesis_log_watcher_spark.sources.kinesis_sim import (
+        register_sim_source,
+    )
+
+    register_sim_source(spark)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run(**extra):
+        rd = (
+            spark.readStream.format("kinesis_sim")
+            .option("shards", "2")
+            .option("recordsPerShard", "40")
+            .option("splitShard", "1")
+            .option("splitAtSeq", "10")
+            .option("maxRecordsPerPull", "7")
+        )
+        for key, val in extra.items():
+            rd = rd.option(key, val)
+        q = (
+            rd.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run(maxVisibleSeq="6")  # pre-split snapshot: 2 shards x 6
+    assert spark.read.parquet(out).count() == 12
+    run()  # post-split world: resume must add exactly the remainder
+    rows = spark.read.parquet(out).select("shardId", "sequenceNumber").collect()
+    assert len(rows) == 80  # 40 + 10 + 15 + 15
+    assert len({(r.shardId, r.sequenceNumber) for r in rows}) == 80
+
+
+def test_no_split_options_keep_legacy_offsets(spark):
+    """Backward compatibility: without splitShard the offset map and
+    partition layout are unchanged (old checkpoints keep working)."""
+    from kinesis_log_watcher_spark.sources.kinesis_sim import _SimPlan
+
+    plan = _SimPlan({"shards": "3", "recordsPerShard": "5"})
+    assert plan.counts() == {0: 5, 1: 5, 2: 5}
+    split = _SimPlan(
+        {
+            "shards": "3",
+            "recordsPerShard": "5",
+            "splitShard": "2",
+            "splitAtSeq": "2",
+        }
+    )
+    assert split.counts() == {0: 5, 1: 5, 2: 2, 3: 2, 4: 1}

@@ -76,6 +76,7 @@ ALLOWED_BNLJ = {
     # round-5 additions, same 1-row-build-side shape
     "mg_shard_merge": "1-row trim-offset/err-bound broadcasts",
     "source_quantile_normalize": "1-row corpus-size broadcast",
+    "source_quantile_normalize_hist": "1-row corpus-stats broadcast (the rank lookup itself is the bucketed equi-join)",
     "part_cooccurrence_topk": "1-row basket-count broadcast",
     "segment_type_chi2": "1-row total/dims broadcasts",
     "click_to_purchase_survival": "1-row cohort-size broadcast",
