@@ -179,6 +179,8 @@ _FRONT = (
     "template_render_line_variant",
     "kinesis_sim_shard_split_scan",
     "stream_kinesis_sim_split_resume",
+    "kinesis_sim_shard_merge_scan",
+    "kinesis_sim_split_render_e2e",
     # ---- officially green in r6 (CORRECTNESS_r06: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "key_skew_profile",

@@ -34,6 +34,11 @@ Plus the two remaining round-7 punch-list items:
   parity-rerouted children with fresh sequence numbers, Kinesis
   resharding semantics) scanned in batch and checkpoint-resumed ACROSS
   the split in streaming.
+- kinesis_sim_shard_merge_scan — MergeShards, the other reshard
+  direction: both parents closed, remainders interleaved on one child.
+- kinesis_sim_split_render_e2e — the end-to-end render certificate run
+  across the reshard, with the template referencing the one envelope
+  field resharding rewrites ({{.SequenceNumber}}).
 
 Reference parity note: the reference (/root/reference/main.go) handles
 resharding implicitly by re-listing shards (main.go:148-178); the
@@ -693,3 +698,142 @@ def stream_kinesis_sim_split_resume(
     # Phase 2: the split has happened; resume from the same checkpoint.
     consume(maxRecordsPerPull="40")
     return _split_rollup(spark.read.parquet(out))
+
+
+# ---------------------------------------------------------------------------
+# 8. kinesis_sim_shard_merge_scan — MergeShards, the other reshard op
+# ---------------------------------------------------------------------------
+#
+# Both parents close at the merge point; their remainders interleave on
+# ONE child under fresh child sequence numbers (sim_merged_record:
+# child j carries parent j%2's record for parent seq merge_at + j//2).
+
+_MG_PARENTS = (2, 3)
+_MG_AT = 100
+
+_MERGE_ORACLE = f"""
+    WITH parents AS (
+      SELECT s.s AS shard, q.q AS q, q.q AS local_seq, s.s AS content
+      FROM generate_series(0, {_SP_SHARDS - 1}) s(s),
+           generate_series(0, {_SP_PER_SHARD - 1}) q(q)
+      WHERE NOT (s.s IN {_MG_PARENTS} AND q.q >= {_MG_AT})),
+    child AS (
+      SELECT {_SP_SHARDS} AS shard, {_MG_AT} + j.j // 2 AS q, j.j AS local_seq,
+             CASE WHEN j.j % 2 = 0 THEN {_MG_PARENTS[0]}
+                  ELSE {_MG_PARENTS[1]} END AS content
+      FROM generate_series(0, {2 * (_SP_PER_SHARD - _MG_AT) - 1}) j(j)),
+    allrec AS (
+      SELECT * FROM parents UNION ALL SELECT * FROM child),
+    rec AS (
+      SELECT 'shardId-' || lpad(CAST(shard AS VARCHAR), 12, '0') AS shard_id,
+             CASE q % 3 WHEN 0 THEN 'info' WHEN 1 THEN 'warn'
+                        ELSE 'error' END AS level,
+             CAST((q * 7 + content * 3) % 500 AS BIGINT) AS latency,
+             local_seq
+      FROM allrec)
+    SELECT shard_id, level,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(latency) AS BIGINT) AS sum_latency_ms,
+           CAST(MIN(local_seq) AS BIGINT) AS min_seq,
+           CAST(MAX(local_seq) AS BIGINT) AS max_seq
+    FROM rec GROUP BY 1, 2
+    """
+
+
+@register(
+    "kinesis_sim_shard_merge_scan",
+    _MERGE_ORACLE,
+    doc="Kinesis MergeShards semantics (the reshard direction the split "
+    "queries don't cover): parents 2 and 3 close at seq 100; their "
+    "remainders interleave deterministically on child shard 4 under "
+    "fresh child-local sequence numbers. The rollup pins both parent "
+    "closures (max_seq=99), the interleave (child n = 2x150), and the "
+    "child re-sequencing, against a generate_series oracle. Together "
+    "with kinesis_sim_shard_split_scan this completes the resharding "
+    "surface the reference absorbs via re-listing (main.go:148-178).",
+)
+def kinesis_sim_shard_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.queries.base import ensure_session_confs
+    from kinesis_log_watcher_spark.sources.kinesis_sim import (
+        register_sim_source,
+    )
+
+    ensure_session_confs(spark)
+    register_sim_source(spark)
+    raw = (
+        spark.read.format("kinesis_sim")
+        .option("shards", str(_SP_SHARDS))
+        .option("recordsPerShard", str(_SP_PER_SHARD))
+        .option("mergeShards", f"{_MG_PARENTS[0]},{_MG_PARENTS[1]}")
+        .option("mergeAtSeq", str(_MG_AT))
+        .load()
+    )
+    return _split_rollup(raw)
+
+
+# ---------------------------------------------------------------------------
+# 9. kinesis_sim_split_render_e2e — the render certificate ACROSS a reshard
+# ---------------------------------------------------------------------------
+#
+# kinesis_sim_render_e2e certifies source → envelope → template on the
+# static stream; this twin runs the SAME pipeline over the split stream
+# with a template that references {{.SequenceNumber}} — the one field
+# resharding rewrites — so the hash-sum certifies child re-sequencing
+# through the envelope (main.go:270) and template compiler byte-for-byte.
+
+_SPLIT_E2E_TPL = "{{.ShortHostId}} {{.SequenceNumber}} {{.Log.level}}"
+
+_SPLIT_E2E_SQL = f"""
+    WITH parents AS (
+      SELECT s.s AS shard, q.q AS q, q.q AS local_seq, s.s AS content
+      FROM generate_series(0, {_SP_SHARDS - 1}) s(s),
+           generate_series(0, {_SP_PER_SHARD - 1}) q(q)
+      WHERE NOT (s.s = {_SP_SHARD} AND q.q >= {_SP_AT})),
+    children AS (
+      SELECT {_SP_SHARDS} + (q.q - {_SP_AT}) % 2 AS shard, q.q AS q,
+             (q.q - {_SP_AT}) // 2 AS local_seq, {_SP_SHARD} AS content
+      FROM generate_series({_SP_AT}, {_SP_PER_SHARD - 1}) q(q)),
+    allrec AS (
+      SELECT * FROM parents UNION ALL SELECT * FROM children),
+    lines AS (
+      SELECT 'i-' || lpad(CAST(content AS VARCHAR), 4, '0') AS short_host,
+             'i-' || lpad(CAST(content AS VARCHAR), 4, '0') || ' '
+             || lpad(CAST(shard AS VARCHAR), 4, '0')
+             || lpad(CAST(local_seq AS VARCHAR), 16, '0') || ' '
+             || (CASE q % 3 WHEN 0 THEN 'info' WHEN 1 THEN 'warn'
+                            ELSE 'error' END) AS line
+      FROM allrec)
+    SELECT short_host,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST('0x' || substr(md5(line), 1, 13) AS BIGINT))
+                AS BIGINT) AS line_check
+    FROM lines GROUP BY 1
+    """
+
+
+@register(
+    "kinesis_sim_split_render_e2e",
+    _SPLIT_E2E_SQL,
+    doc="The end-to-end render certificate ACROSS a reshard: split "
+    "stream (parent closed, parity-rerouted children) → envelope "
+    "(ShortHostId + SequenceNumber, main.go:252-270) → compiled "
+    "template → line, hash-summed per host against a generate_series "
+    "oracle that reconstructs the rendered lines INCLUDING the "
+    "children's rewritten zero-padded sequence numbers. One green row "
+    "certifies the resharded source, envelope derivation, and "
+    "template compiler byte-for-byte.",
+)
+def kinesis_sim_split_render_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.watcher import build_lines
+
+    raw = _split_reader(spark, streaming=False)
+    lines = build_lines(raw, _SPLIT_E2E_TPL)
+    short_host = F.element_at(F.split("line", " "), 1)
+    return lines.groupBy(short_host.alias("short_host")).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(
+            F.conv(F.substring(F.md5("line"), 1, 13), 16, 10).cast("long")
+        )
+        .cast("long")
+        .alias("line_check"),
+    )

@@ -93,10 +93,35 @@ def sim_child_record(
     )
 
 
+def sim_merged_record(
+    stream_name: str, parents: tuple[int, int], child_shard: int,
+    merge_at: int, j: int,
+) -> tuple:
+    """Record ``j`` of the child shard created by MERGING two parents at
+    parent-sequence ``merge_at``. Kinesis merge semantics: both parents
+    are CLOSED; subsequent records land on the single child under fresh
+    child sequence numbers. Deterministic interleave: child record j
+    carries parent ``parents[j % 2]``'s payload for parent seq
+    q = merge_at + j // 2 (both producers keep producing at the same
+    rate, alternating arrival)."""
+    q = merge_at + j // 2
+    parent = parents[j % 2]
+    rec = sim_record(stream_name, parent, q)
+    return (
+        rec[0],
+        f"shardId-{child_shard:012d}",
+        f"{child_shard:04d}{j:016d}",
+        rec[3],
+        rec[4],
+        rec[5],
+    )
+
+
 class _ShardSlice(InputPartition):
     def __init__(
         self, shard: int, start: int, end: int, stream_name: str,
         parent: int | None = None, child_off: int = 0, split_at: int = 0,
+        merge_parents: tuple[int, int] | None = None, merge_at: int = 0,
     ):
         self.shard = shard
         self.start = start
@@ -105,6 +130,8 @@ class _ShardSlice(InputPartition):
         self.parent = parent  # set → this is a post-split child shard
         self.child_off = child_off
         self.split_at = split_at
+        self.merge_parents = merge_parents  # set → post-merge child shard
+        self.merge_at = merge_at
 
 
 class _SimPlan:
@@ -120,6 +147,20 @@ class _SimPlan:
         self.stream_name = options.get("streamName", "sim-stream")
         self.split_shard = int(options.get("splitShard", "-1"))
         self.split_at = int(options.get("splitAtSeq", "0"))
+        # MergeShards: "i,j" names two parents closed at mergeAtSeq; the
+        # single child interleaves their remainders. Mutually exclusive
+        # with splitShard (one reshard event per simulated stream).
+        merge = options.get("mergeShards", "")
+        self.merge_parents: tuple[int, int] | None = None
+        if merge.strip():
+            if int(options.get("splitShard", "-1")) >= 0:
+                raise ValueError(
+                    "kinesis_sim: splitShard and mergeShards are mutually "
+                    "exclusive (one reshard event per stream)"
+                )
+            a, b = (int(x) for x in merge.split(","))
+            self.merge_parents = (a, b)
+        self.merge_at = int(options.get("mergeAtSeq", "0"))
         # Visibility cap in the PARENT sequence domain ("the stream has
         # only produced up to here") — lets a resume test checkpoint
         # mid-parent and restart after the split has happened.
@@ -141,6 +182,12 @@ class _SimPlan:
             rerouted = max(0, lim - k)
             out[self.shards] = (rerouted + 1) // 2  # child 0: even offsets
             out[self.shards + 1] = rerouted // 2  # child 1: odd offsets
+        elif self.merge_parents is not None:
+            k = min(self.merge_at, self.per_shard)
+            for p in self.merge_parents:
+                out[p] = min(k, lim)
+            # two producers' remainders interleave on the one child
+            out[self.shards] = 2 * max(0, lim - k)
         return out
 
     def slice(self, shard: int, start: int, end: int) -> _ShardSlice:
@@ -151,19 +198,31 @@ class _SimPlan:
                 child_off=shard - self.shards,
                 split_at=min(self.split_at, self.per_shard),
             )
+        if self.merge_parents is not None and shard >= self.shards:
+            return _ShardSlice(
+                shard, start, end, self.stream_name,
+                merge_parents=self.merge_parents,
+                merge_at=min(self.merge_at, self.per_shard),
+            )
         return _ShardSlice(shard, start, end, self.stream_name)
 
 
 def _read_slice(partition: _ShardSlice):
-    if partition.parent is None:
-        for seq in range(partition.start, partition.end):
-            yield sim_record(partition.stream_name, partition.shard, seq)
-    else:
+    if partition.parent is not None:
         for j in range(partition.start, partition.end):
             yield sim_child_record(
                 partition.stream_name, partition.parent, partition.shard,
                 partition.child_off, partition.split_at, j,
             )
+    elif partition.merge_parents is not None:
+        for j in range(partition.start, partition.end):
+            yield sim_merged_record(
+                partition.stream_name, tuple(partition.merge_parents),
+                partition.shard, partition.merge_at, j,
+            )
+    else:
+        for seq in range(partition.start, partition.end):
+            yield sim_record(partition.stream_name, partition.shard, seq)
 
 
 def _opts(options) -> tuple[int, int, int, str]:

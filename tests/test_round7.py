@@ -236,3 +236,53 @@ def test_no_split_options_keep_legacy_offsets(spark):
         }
     )
     assert split.counts() == {0: 5, 1: 5, 2: 2, 3: 2, 4: 1}
+
+
+def test_merge_closes_both_parents_and_interleaves(spark):
+    from kinesis_log_watcher_spark.sources.kinesis_sim import (
+        register_sim_source,
+    )
+
+    register_sim_source(spark)
+    rows = (
+        spark.read.format("kinesis_sim")
+        .option("shards", "3")
+        .option("recordsPerShard", "20")
+        .option("mergeShards", "0,2")
+        .option("mergeAtSeq", "12")
+        .load()
+        .collect()
+    )
+    per: dict[str, int] = {}
+    for r in rows:
+        per[r.shardId] = per.get(r.shardId, 0) + 1
+    assert per == {
+        "shardId-000000000000": 12,
+        "shardId-000000000001": 20,
+        "shardId-000000000002": 12,
+        "shardId-000000000003": 16,  # 2 x (20 - 12), interleaved
+    }
+    import json as _json
+
+    child = sorted(
+        (r.sequenceNumber, _json.loads(bytes(r.data).decode())["msg"])
+        for r in rows
+        if r.shardId == "shardId-000000000003"
+    )
+    # j even -> parent 0, j odd -> parent 2; q = 12 + j//2
+    assert child[0][1] == "req 12 shard 0"
+    assert child[1][1] == "req 12 shard 2"
+    assert child[-1][1] == "req 19 shard 2"
+
+
+def test_split_and_merge_are_mutually_exclusive(spark):
+    from kinesis_log_watcher_spark.sources.kinesis_sim import _SimPlan
+
+    with pytest.raises(ValueError):
+        _SimPlan(
+            {
+                "shards": "3",
+                "splitShard": "1",
+                "mergeShards": "0,2",
+            }
+        )
