@@ -181,6 +181,9 @@ _FRONT = (
     "stream_kinesis_sim_split_resume",
     "kinesis_sim_shard_merge_scan",
     "kinesis_sim_split_render_e2e",
+    "t_closeness_audit",
+    "dp_noisy_counts",
+    "open_intervals_per_day_sweep",
     # ---- officially green in r6 (CORRECTNESS_r06: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "key_skew_profile",

@@ -837,3 +837,271 @@ def kinesis_sim_split_render_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("line_check"),
     )
+
+
+# ===========================================================================
+# Round-7 wave 2: privacy + interval analytics
+# ===========================================================================
+#
+# - t_closeness_audit: completes the k-anonymity / l-diversity privacy
+#   family with the distributional criterion (Li, Li & Venkatasubramanian,
+#   ICDE 2007): per QI class, the Earth Mover's Distance between the
+#   class's sensitive-value distribution and the global one over the
+#   ORDERED value domain — all integer-exact via common-denominator
+#   cumulative differences.
+# - dp_noisy_counts: the reporting primitive for differentially-private
+#   statistics releases — Laplace(Δ/ε) noise drawn DETERMINISTICALLY by
+#   inverse-CDF from an md5-uniform per group (the repo's seeded-sample
+#   discipline), so the oracle reproduces the exact same noise.
+# - open_intervals_per_day_sweep: interval stabbing counts WITHOUT an
+#   interval join — the sweep-line reformulation (+1 at start, -1 past
+#   end, prefix-sum over the day domain) that turns an O(n·m) range
+#   join into one groupBy + one window over DISTINCT days.
+
+
+@register(
+    "t_closeness_audit",
+    """
+    WITH qid AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                                  AS BIGINT) AS DOUBLE) / 100000.0)
+                  AS BIGINT) AS band
+      FROM customer),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM qid),
+    bands AS (
+      SELECT band, CAST(COUNT(*) AS BIGINT) AS g_cnt FROM qid GROUP BY 1),
+    nbands AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM bands),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM qid GROUP BY 1, 2),
+    grid AS (
+      SELECT c.c_nationkey, c.c_mktsegment, c.class_size, b.band, b.g_cnt,
+             COALESCE(x.c_cnt, 0) AS c_cnt
+      FROM classes c
+      CROSS JOIN bands b
+      LEFT JOIN (SELECT c_nationkey, c_mktsegment, band,
+                        CAST(COUNT(*) AS BIGINT) AS c_cnt
+                 FROM qid GROUP BY 1, 2, 3) x
+        ON x.c_nationkey = c.c_nationkey
+       AND x.c_mktsegment = c.c_mktsegment AND x.band = b.band),
+    cums AS (
+      SELECT c_nationkey, c_mktsegment, class_size, band,
+             SUM(c_cnt) OVER w AS cum_c,
+             SUM(g_cnt) OVER w AS cum_g
+      FROM grid
+      WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment
+                   ORDER BY band ROWS UNBOUNDED PRECEDING)),
+    emd AS (
+      SELECT g.c_nationkey, g.c_mktsegment, g.class_size,
+             CAST(SUM(abs(g.cum_c * t.n_total - g.cum_g * g.class_size))
+                  AS BIGINT) AS emd_scaled
+      FROM cums g CROSS JOIN tot t
+      GROUP BY 1, 2, 3)
+    SELECT e.c_nationkey, e.c_mktsegment, e.class_size,
+           CAST(e.emd_scaled * 1000000
+                // (t.n_total * e.class_size * (nb.m - 1)) AS BIGINT)
+             AS t_micro,
+           (e.emd_scaled * 1000000
+            // (t.n_total * e.class_size * (nb.m - 1))) > 200000
+             AS violates_t02
+    FROM emd e CROSS JOIN tot t CROSS JOIN nbands nb
+    """,
+    doc="t-closeness (Li et al., ICDE 2007): per (nationkey, segment) QI "
+    "class, the ordered-domain EMD between the class's balance-band "
+    "distribution and the global one, as exact integers — cumulative "
+    "differences on the common denominator n_total*class_size, summed, "
+    "then one micro-quantized division by the (m-1) normalizer. "
+    "Completes the privacy-audit family (customer_k_anonymity, "
+    "customer_l_diversity): k bounds re-identification, l bounds "
+    "attribute disclosure by count, t bounds it by DISTRIBUTION. Scale "
+    "shape: class x band grid is (QI cells x value bands) — dimension-"
+    "bounded, never row-bounded; windows run over the grid only.",
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    qid = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(
+            (dec(F.col("c_acctbal"), 12, 2) * 100).cast("long").cast("double")
+            / 100000.0
+        )
+        .cast("long")
+        .alias("band"),
+    )
+    tot = qid.agg(F.count("*").cast("long").alias("n_total"))
+    bands = qid.groupBy("band").agg(F.count("*").cast("long").alias("g_cnt"))
+    nbands = bands.agg(F.count("*").cast("long").alias("m"))
+    classes = qid.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("class_size")
+    )
+    cellcnt = qid.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count("*").cast("long").alias("c_cnt")
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(bands))
+        .join(cellcnt, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            "band",
+            "g_cnt",
+            F.coalesce(F.col("c_cnt"), F.lit(0)).alias("c_cnt"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        F.sum("c_cnt").over(w).alias("cum_c"),
+        F.sum("g_cnt").over(w).alias("cum_g"),
+    )
+    emd = (
+        cums.crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "c_mktsegment", "class_size", "n_total")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_c") * F.col("n_total")
+                    - F.col("cum_g") * F.col("class_size")
+                )
+            )
+            .cast("long")
+            .alias("emd_scaled")
+        )
+    )
+    t_micro = F.expr(
+        "emd_scaled * 1000000 div (n_total * class_size * (m - 1))"
+    ).cast("long")
+    return (
+        emd.crossJoin(F.broadcast(nbands))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            t_micro.alias("t_micro"),
+            (t_micro > 200000).alias("violates_t02"),
+        )
+    )
+
+
+@register(
+    "dp_noisy_counts",
+    """
+    WITH cnt AS (
+      SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1),
+    unif AS (
+      SELECT prio, n,
+             (CAST(CAST('0x' || substr(md5(prio), 1, 13) AS BIGINT)
+                   % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
+      FROM cnt),
+    lap AS (
+      SELECT prio, n, u - 0.5 AS v FROM unif)
+    SELECT prio, n,
+           CAST(floor((CAST(n AS DOUBLE)
+                       - 2.0 * sign(v) * ln(1.0 - 2.0 * abs(v)))
+                      * 1000000 + 0.5) AS BIGINT) AS noisy_micro
+    FROM lap
+    """,
+    doc="Differentially-private count release (Laplace mechanism, "
+    "sensitivity 1, epsilon=0.5 -> scale b=2): noise drawn by inverse "
+    "CDF -b*sign(v)*ln(1-2|v|) from a DETERMINISTIC md5-uniform per "
+    "group (the repo's seeded-sampling discipline — the oracle "
+    "reproduces the identical draw), result micro-quantized once at "
+    "the end (double ln is the only float op; a last-ulp libm "
+    "difference is ~1e-15 against a 1e-6 grid). The reporting "
+    "primitive for private statistics over training corpora. Scale "
+    "shape: one partial-agg shuffle, then per-group scalar math.",
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cnt = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    u = (
+        (
+            F.conv(F.substring(F.md5("prio"), 1, 13), 16, 10).cast("long")
+            % 1000000
+        ).cast("double")
+        + 0.5
+    ) / 1000000.0
+    v = u - 0.5
+    noisy = (
+        F.col("n").cast("double")
+        - 2.0 * F.signum(v) * F.log(1.0 - 2.0 * F.abs(v))
+    )
+    return cnt.select(
+        "prio",
+        "n",
+        F.floor(noisy * 1000000 + F.lit(0.5)).cast("long").alias("noisy_micro"),
+    )
+
+
+@register(
+    "open_intervals_per_day_sweep",
+    """
+    WITH iv AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               AS d0,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               + (l_orderkey + l_linenumber) % 14 AS d1
+      FROM lineitem),
+    days AS (SELECT DISTINCT d0 AS day FROM iv),
+    naive AS (
+      SELECT d.day, CAST(COUNT(*) AS BIGINT) AS n_open
+      FROM days d JOIN iv ON iv.d0 <= d.day AND d.day <= iv.d1
+      GROUP BY 1)
+    SELECT CAST(day AS BIGINT) AS day, n_open FROM naive
+    """,
+    doc="Interval stabbing counts (shipments in transit per day) WITHOUT "
+    "an interval join: the engine plans the sweep-line reformulation — "
+    "+1 delta at interval start, -1 past its end, one groupBy to "
+    "per-day deltas, one prefix-sum window over DISTINCT days — while "
+    "the ORACLE states the naive O(days x intervals) range join, so "
+    "every green row certifies the sweep's equivalence. Transit length "
+    "is synthesized deterministically ((orderkey+linenumber) % 14) in "
+    "both dialects. Scale shape: the range join this replaces is the "
+    "classic 100 TB killer; the sweep is one shuffle on day + a window "
+    "over the bounded day DOMAIN (like the histogram family), then an "
+    "inner join back to observed ship days only.",
+)
+def open_intervals_per_day_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    epoch = F.lit("1970-01-01")
+    d0 = F.datediff(F.to_date("l_shipdate"), epoch).cast("long")
+    iv = li.select(
+        d0.alias("d0"),
+        (d0 + (F.col("l_orderkey") + F.col("l_linenumber")) % 14).alias("d1"),
+    )
+    # sweep deltas: +1 at d0, -1 at d1+1, summed per day
+    deltas = (
+        iv.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("d0").alias("day"), F.lit(1).alias("dl")),
+                    F.struct(
+                        (F.col("d1") + 1).alias("day"), F.lit(-1).alias("dl")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.day", "e.dl")
+        .groupBy("day")
+        .agg(F.sum("dl").alias("delta"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    open_by_day = deltas.select(
+        "day", F.sum("delta").over(w).cast("long").alias("n_open")
+    )
+    ship_days = iv.select(F.col("d0").alias("day")).distinct()
+    return ship_days.join(open_by_day, "day").select(
+        F.col("day").cast("long").alias("day"), "n_open"
+    )

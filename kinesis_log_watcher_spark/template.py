@@ -102,6 +102,7 @@ linear scale-out with input partitions.
 from __future__ import annotations
 
 import re
+import threading
 from dataclasses import dataclass, field, replace
 
 from pyspark.sql import Column, DataFrame
@@ -1632,7 +1633,25 @@ def compile_template(
 
     Compile errors raise TemplateError — the analogue of the reference's
     exit-2-on-parse-failure (main.go:110-114).
+
+    Thread-safe: the compiler stages its output through process-global
+    state (_ACTIVE_PREP / _HOIST_SEQ / _ACTIVE_DEFINES), so concurrent
+    compiles would cross-wire one template's hoisted prep columns into
+    another's error filter. The whole compile runs under a module lock —
+    cheap (driver-side, milliseconds) and it lets harnesses plan
+    template queries from thread pools without knowing compiler
+    internals.
     """
+    with _COMPILE_LOCK:
+        return _compile_template_locked(template, variant_log)
+
+
+_COMPILE_LOCK = threading.Lock()
+
+
+def _compile_template_locked(
+    template: str, variant_log: bool
+) -> CompiledTemplate:
     global _ACTIVE_PREP, _HOIST_SEQ, _ACTIVE_DEFINES
     nodes, defines = _parse(template)
     _ACTIVE_DEFINES = defines

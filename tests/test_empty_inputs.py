@@ -31,6 +31,13 @@ FIXED_CARDINALITY = {
     # parameters and ignores sf_dir entirely
     "kinesis_sim_batch_scan": 12,
     "kinesis_sim_render_e2e": 4,
+    # reshard scans: parents x levels + children x levels (split: 3 full
+    # parents x3 + closed parent x3 + 2 children x3 = 18; merge: 2 full
+    # parents x3 + 2 closed parents x3 + 1 child x3 = 15; the reshard
+    # render certificate groups by the 4 content hosts)
+    "kinesis_sim_shard_split_scan": 18,
+    "kinesis_sim_shard_merge_scan": 15,
+    "kinesis_sim_split_render_e2e": 4,
     # the peeling trajectory always reports rounds 0..3 (all-zero on an
     # empty graph)
     "neardup_graph_2core": 4,

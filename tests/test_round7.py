@@ -286,3 +286,114 @@ def test_split_and_merge_are_mutually_exclusive(spark):
                 "mergeShards": "0,2",
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Wave 2: privacy + interval analytics
+# ---------------------------------------------------------------------------
+
+
+def test_t_closeness_python_recompute(spark, sf_dir):
+    """Exact EMD recompute in Python over the collected QI relation."""
+    import math
+    from collections import Counter, defaultdict
+
+    from kinesis_log_watcher_spark.queries.base import load
+
+    rows = load(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    ).collect()
+    global_bands: Counter = Counter()
+    per_class: dict = defaultdict(Counter)
+    for r in rows:
+        cents = int(
+            (r.c_acctbal * 100).__round__()
+            if False
+            else math.floor(float(round(r.c_acctbal, 2)) * 100 + 0.5)
+        )
+        band = math.floor(cents / 100000.0)
+        global_bands[band] += 1
+        per_class[(r.c_nationkey, r.c_mktsegment)][band] += 1
+    n_total = sum(global_bands.values())
+    bands = sorted(global_bands)
+    m = len(bands)
+    out = {
+        (r.c_nationkey, r.c_mktsegment): r
+        for r in _q("t_closeness_audit")(spark, sf_dir).collect()
+    }
+    assert set(out) == set(per_class)
+    for key, cc in per_class.items():
+        cs = sum(cc.values())
+        cum_c = cum_g = emd = 0
+        for b in bands:
+            cum_c += cc.get(b, 0)
+            cum_g += global_bands[b]
+            emd += abs(cum_c * n_total - cum_g * cs)
+        t_micro = emd * 1000000 // (n_total * cs * (m - 1))
+        r = out[key]
+        assert r.class_size == cs
+        assert r.t_micro == t_micro
+        assert r.violates_t02 == (t_micro > 200000)
+    # sanity: t is a [0,1] distance and the audit is discriminative
+    ts = [r.t_micro for r in out.values()]
+    assert all(0 <= t <= 1000000 for t in ts)
+    assert len(set(ts)) > 1
+
+
+def test_dp_noise_is_laplace_deterministic(spark, sf_dir):
+    """The noise must be exactly the inverse-CDF draw from the md5
+    uniform — recomputed in Python — and stable across invocations."""
+    import hashlib
+    import math
+
+    rows = {r.prio: r for r in _q("dp_noisy_counts")(spark, sf_dir).collect()}
+    rows2 = {r.prio: r for r in _q("dp_noisy_counts")(spark, sf_dir).collect()}
+    assert rows.keys() == rows2.keys()
+    for p, r in rows.items():
+        assert rows2[p].noisy_micro == r.noisy_micro  # deterministic
+        h = int(hashlib.md5(p.encode()).hexdigest()[:13], 16)
+        u = ((h % 1000000) + 0.5) / 1000000.0
+        v = u - 0.5
+        noisy = r.n - 2.0 * math.copysign(1.0, v) * math.log(1.0 - 2.0 * abs(v))
+        assert r.noisy_micro == math.floor(noisy * 1000000 + 0.5)
+        # epsilon=0.5 Laplace noise is almost surely within +-30
+        assert abs(r.noisy_micro / 1e6 - r.n) < 30
+
+
+def test_interval_sweep_matches_naive(spark, sf_dir):
+    """Sweep-line result == naive per-day interval containment count."""
+    from collections import Counter
+
+    from kinesis_log_watcher_spark.queries.base import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    ).collect()
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    ivs = []
+    for r in li:
+        d0 = (r.l_shipdate.date() - epoch).days
+        ivs.append((d0, d0 + (r.l_orderkey + r.l_linenumber) % 14))
+    days = sorted({d0 for d0, _ in ivs})
+    deltas: Counter = Counter()
+    for d0, d1 in ivs:
+        deltas[d0] += 1
+        deltas[d1 + 1] -= 1
+    run = 0
+    expect = {}
+    for d in sorted(deltas):
+        run += deltas[d]
+        expect[d] = run
+    # forward-fill to observed ship days
+    want = {}
+    keys = sorted(deltas)
+    import bisect
+
+    for d in days:
+        i = bisect.bisect_right(keys, d) - 1
+        run = sum(deltas[k] for k in keys[: i + 1])
+        want[d] = run
+    got = {r.day: r.n_open for r in _q("open_intervals_per_day_sweep")(spark, sf_dir).collect()}
+    assert got == want
