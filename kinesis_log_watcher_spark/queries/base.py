@@ -184,6 +184,8 @@ _FRONT = (
     "t_closeness_audit",
     "dp_noisy_counts",
     "open_intervals_per_day_sweep",
+    "fellegi_sunter_linkage",
+    "ordered_funnel_completion",
     # ---- officially green in r6 (CORRECTNESS_r06: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "key_skew_profile",

@@ -1105,3 +1105,190 @@ def open_intervals_per_day_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ship_days.join(open_by_day, "day").select(
         F.col("day").cast("long").alias("day"), "n_open"
     )
+
+
+# ===========================================================================
+# Round-7 wave 3: record linkage + funnel analytics
+# ===========================================================================
+
+
+# Fellegi-Sunter match weights, precomputed offline from the model
+# parameters (m, u) per field and embedded as integer micro-nats in BOTH
+# dialects (no runtime ln anywhere):
+#   last name token: m=0.95, u=0.125 -> agree +2028148, disagree -2862201
+#   p_type:          m=0.90, u=0.200 -> agree +1504077, disagree -2079442
+#   p_size:          m=0.85, u=0.100 -> agree +2140066, disagree -1791759
+_FS_W = (
+    ("tok", 2028148, -2862201),
+    ("typ", 1504077, -2079442),
+    ("siz", 2140066, -1791759),
+)
+_FS_LINK = 3000000  # >= : link
+_FS_POSSIBLE = 0  # >= : possible match, needs review
+
+
+def _fs_case_sql(field: str, agree: int, disagree: int, a: str, b: str) -> str:
+    return f"CASE WHEN {a} = {b} THEN {agree} ELSE {disagree} END"
+
+
+_FS_SQL = f"""
+    WITH a AS (
+      SELECT p_partkey, split_part(p_name, ' ', 1) AS tok1,
+             split_part(p_name, ' ', 2) AS tok2, p_brand, p_type, p_size
+      FROM part WHERE p_partkey % 2 = 0),
+    b AS (
+      SELECT p_partkey, split_part(p_name, ' ', 1) AS tok1,
+             split_part(p_name, ' ', 2) AS tok2, p_brand, p_type, p_size
+      FROM part WHERE p_partkey % 2 = 1),
+    pairs AS (
+      SELECT {_fs_case_sql('tok', *_FS_W[0][1:], 'a.tok2', 'b.tok2')}
+           + {_fs_case_sql('typ', *_FS_W[1][1:], 'a.p_type', 'b.p_type')}
+           + {_fs_case_sql('siz', *_FS_W[2][1:], 'a.p_size', 'b.p_size')}
+             AS score
+      FROM a JOIN b ON a.tok1 = b.tok1 AND a.p_brand = b.p_brand),
+    scored AS (
+      SELECT CASE WHEN score >= {_FS_LINK} THEN 'link'
+                  WHEN score >= {_FS_POSSIBLE} THEN 'possible'
+                  ELSE 'non-link' END AS decision,
+             score
+      FROM pairs)
+    SELECT decision,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(score) AS BIGINT) AS sum_score_micro,
+           CAST(MIN(score) AS BIGINT) AS min_score_micro,
+           CAST(MAX(score) AS BIGINT) AS max_score_micro
+    FROM scored GROUP BY 1
+    """
+
+
+@register(
+    "fellegi_sunter_linkage",
+    _FS_SQL,
+    doc="Probabilistic record linkage (Fellegi & Sunter 1969), the "
+    "entity-resolution scorer behind cross-source dedup: candidate "
+    "pairs generated by BLOCKING (equi-join on first name token + "
+    "brand — never all-pairs), each pair scored by summing per-field "
+    "agreement/disagreement log-likelihood weights ln(m/u) vs "
+    "ln((1-m)/(1-u)), precomputed offline as integer micro-nats so "
+    "the whole pipeline is int64-exact; decisions by the classic "
+    "two-threshold rule (link / possible / non-link). Scale shape: "
+    "one equi-join on bounded blocking keys (block sizes bounded by "
+    "the key product, pairs ~ sum of block-size products, never "
+    "|A| x |B|), then a 3-row rollup.",
+)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+
+    def side(par: int, pre: str) -> DataFrame:
+        return part.filter(F.col("p_partkey") % 2 == par).select(
+            F.split("p_name", " ").getItem(0).alias(f"{pre}tok1"),
+            F.split("p_name", " ").getItem(1).alias(f"{pre}tok2"),
+            F.col("p_brand").alias(f"{pre}brand"),
+            F.col("p_type").alias(f"{pre}typ"),
+            F.col("p_size").alias(f"{pre}siz"),
+        )
+
+    a, b = side(0, "a_"), side(1, "b_")
+    pairs = a.join(
+        b,
+        (F.col("a_tok1") == F.col("b_tok1"))
+        & (F.col("a_brand") == F.col("b_brand")),
+    )
+
+    def w(fa: str, fb: str, agree: int, disagree: int) -> F.Column:
+        return F.when(F.col(fa) == F.col(fb), F.lit(agree)).otherwise(
+            F.lit(disagree)
+        )
+
+    score = (
+        w("a_tok2", "b_tok2", *_FS_W[0][1:])
+        + w("a_typ", "b_typ", *_FS_W[1][1:])
+        + w("a_siz", "b_siz", *_FS_W[2][1:])
+    ).cast("long")
+    decision = (
+        F.when(score >= _FS_LINK, F.lit("link"))
+        .when(score >= _FS_POSSIBLE, F.lit("possible"))
+        .otherwise(F.lit("non-link"))
+    )
+    return (
+        pairs.select(decision.alias("decision"), score.alias("score"))
+        .groupBy("decision")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("score").cast("long").alias("sum_score_micro"),
+            F.min("score").cast("long").alias("min_score_micro"),
+            F.max("score").cast("long").alias("max_score_micro"),
+        )
+    )
+
+
+@register(
+    "ordered_funnel_completion",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+    agg AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_view_click,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_full)
+    SELECT n_view, n_view_click, n_full,
+           CAST(n_view_click * 1000000 // n_view AS BIGINT) AS conv12_micro,
+           CAST(n_full * 1000000 // n_view_click AS BIGINT) AS conv23_micro
+    FROM agg
+    """,
+    doc="Ordered (landmark) funnel: users progressing view -> click -> "
+    "purchase with STRICT temporal order — each stage's timestamp is "
+    "the earliest qualifying event after the previous stage's, the "
+    "classic product-analytics primitive a bag-of-events count would "
+    "fake (a purchase before the first view must NOT convert). "
+    "Conversion ratios as exact integer micro shares. Scale shape: "
+    "three per-user partial aggregations chained by equi-joins on "
+    "user_id (the natural hash-partition key) — no windows, no "
+    "per-user sort; each stage's relation only shrinks.",
+)
+def ordered_funnel_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    agg = (
+        v.agg(F.count("*").cast("long").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").cast("long").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").cast("long").alias("n_full")))
+    )
+    return agg.select(
+        "n_view",
+        "n_view_click",
+        "n_full",
+        F.expr("n_view_click * 1000000 div n_view").cast("long").alias(
+            "conv12_micro"
+        ),
+        F.expr("n_full * 1000000 div n_view_click").cast("long").alias(
+            "conv23_micro"
+        ),
+    )

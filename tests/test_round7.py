@@ -397,3 +397,93 @@ def test_interval_sweep_matches_naive(spark, sf_dir):
         want[d] = run
     got = {r.day: r.n_open for r in _q("open_intervals_per_day_sweep")(spark, sf_dir).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Wave 3: record linkage + funnel
+# ---------------------------------------------------------------------------
+
+
+def test_fellegi_sunter_blocking_and_weights(spark, sf_dir):
+    """Python recompute over collected parts: same blocks, same scores."""
+    from collections import Counter
+
+    from kinesis_log_watcher_spark.queries.base import load
+    from kinesis_log_watcher_spark.queries.round7 import (
+        _FS_LINK,
+        _FS_POSSIBLE,
+        _FS_W,
+    )
+
+    parts = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+    ).collect()
+    a = [p for p in parts if p.p_partkey % 2 == 0]
+    b = [p for p in parts if p.p_partkey % 2 == 1]
+    want: Counter = Counter()
+    stats = {}
+    for x in a:
+        for y in b:
+            if (
+                x.p_name.split(" ")[0] != y.p_name.split(" ")[0]
+                or x.p_brand != y.p_brand
+            ):
+                continue
+            s = 0
+            for (fa, fb), (_, ag, dg) in zip(
+                [
+                    (x.p_name.split(" ")[1], y.p_name.split(" ")[1]),
+                    (x.p_type, y.p_type),
+                    (x.p_size, y.p_size),
+                ],
+                _FS_W,
+            ):
+                s += ag if fa == fb else dg
+            d = (
+                "link"
+                if s >= _FS_LINK
+                else ("possible" if s >= _FS_POSSIBLE else "non-link")
+            )
+            want[d] += 1
+            lo, hi, tot = stats.get(d, (s, s, 0))
+            stats[d] = (min(lo, s), max(hi, s), tot + s)
+    got = {r.decision: r for r in _q("fellegi_sunter_linkage")(spark, sf_dir).collect()}
+    assert {k: v.n_pairs for k, v in got.items()} == dict(want)
+    for d, r in got.items():
+        lo, hi, tot = stats[d]
+        assert (r.min_score_micro, r.max_score_micro, r.sum_score_micro) == (
+            lo, hi, tot,
+        )
+
+
+def test_funnel_requires_strict_order(spark, sf_dir):
+    """A purchase BEFORE the first view must not count as conversion —
+    recompute the landmark funnel in Python."""
+    from collections import defaultdict
+
+    from kinesis_log_watcher_spark.queries.base import load
+
+    by_user = defaultdict(list)
+    for r in load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect():
+        by_user[r.user_id].append((r.ts, r.event_type))
+    n1 = n2 = n3 = 0
+    for evs in by_user.values():
+        t1 = min((t for t, k in evs if k == "view"), default=None)
+        if t1 is None:
+            continue
+        n1 += 1
+        t2 = min((t for t, k in evs if k == "click" and t > t1), default=None)
+        if t2 is None:
+            continue
+        n2 += 1
+        t3 = min(
+            (t for t, k in evs if k == "purchase" and t > t2), default=None
+        )
+        if t3 is not None:
+            n3 += 1
+    (r,) = _q("ordered_funnel_completion")(spark, sf_dir).collect()
+    assert (r.n_view, r.n_view_click, r.n_full) == (n1, n2, n3)
+    assert r.conv12_micro == n2 * 1000000 // n1
+    assert r.conv23_micro == n3 * 1000000 // n2
