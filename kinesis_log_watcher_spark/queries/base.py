@@ -186,6 +186,8 @@ _FRONT = (
     "open_intervals_per_day_sweep",
     "fellegi_sunter_linkage",
     "ordered_funnel_completion",
+    "latest_state_compaction",
+    "fk_integrity_audit",
     # ---- officially green in r6 (CORRECTNESS_r06: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "key_skew_profile",

@@ -1292,3 +1292,165 @@ def ordered_funnel_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv23_micro"
         ),
     )
+
+
+# ===========================================================================
+# Round-7 wave 4: scale idioms — latest-state compaction, FK audit
+# ===========================================================================
+
+
+@register(
+    "latest_state_compaction",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           ts AS last_ts
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Latest-state compaction (the CDC/upsert-table maintenance "
+    "primitive): one row per key carrying its most recent event. The "
+    "ORACLE states the textbook window plan (ROW_NUMBER over a "
+    "per-key DESC sort); the ENGINE plans the scale idiom instead — "
+    "argmax via max-key self-join: (1) hash-aggregate max(ts) per "
+    "user, (2) equi-join the fact on (user, ts) and hash-aggregate "
+    "max(event_id) to resolve timestamp ties exactly like the "
+    "window's tie-break, (3) one last equi-join fetches the payload "
+    "of the now-unique winner. Every aggregate is a map-side-"
+    "combinable HashAggregate on primitive types and every join a "
+    "SHUFFLE_HASH equi-join — the executed plan contains NO Window "
+    "and NO Sort node (pinned), where the window form must exchange "
+    "AND sort the entire fact relation. (max(struct)/max(string) "
+    "would be one pass but Spark plans non-fixed-width aggregation "
+    "buffers as SortAggregate; at 100 TB two extra |keys|-sized "
+    "hash joins beat a full-fact sort.)",
+)
+def latest_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    mt = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    mt = mt.select(F.col("user_id").alias("u"), "last_ts")
+    me = (
+        ev.hint("SHUFFLE_HASH")
+        .join(
+            mt,
+            (F.col("user_id") == F.col("u")) & (F.col("ts") == F.col("last_ts")),
+        )
+        .groupBy("u", "last_ts")
+        .agg(F.max("event_id").alias("last_event_id"))
+    )
+    win = ev.hint("SHUFFLE_HASH").join(
+        me,
+        (F.col("user_id") == F.col("u"))
+        & (F.col("ts") == F.col("last_ts"))
+        & (F.col("event_id") == F.col("last_event_id")),
+    )
+    return win.select(
+        F.col("u").alias("user_id"),
+        "last_event_id",
+        F.col("event_type").alias("last_type"),
+        "last_ts",
+    )
+
+
+@register(
+    "fk_integrity_audit",
+    """
+    WITH live_cust AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0),
+    live_part AS (
+      SELECT p_partkey FROM part WHERE p_partkey % 89 <> 0),
+    o AS (
+      SELECT 'orders->customer' AS fk,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM orders x LEFT JOIN live_cust c ON c.c_custkey = x.o_custkey),
+    l1 AS (
+      SELECT 'lineitem->orders' AS fk,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM lineitem x
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ok
+        ON ok.o_orderkey = x.l_orderkey),
+    l2 AS (
+      SELECT 'lineitem->part' AS fk,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM lineitem x LEFT JOIN live_part p ON p.p_partkey = x.l_partkey)
+    SELECT fk, n_rows, n_orphans,
+           CAST(n_orphans * 1000000 // n_rows AS BIGINT) AS orphan_micro
+    FROM (SELECT * FROM o UNION ALL SELECT * FROM l1 UNION ALL
+          SELECT * FROM l2)
+    """,
+    doc="Referential-integrity audit across three FK edges in one "
+    "report — the ingest-gate every warehouse load runs. Deleted "
+    "dimension rows are simulated deterministically (custkey%97=0, "
+    "partkey%89=0 'deleted') so orphan counts are nonzero and the "
+    "rate math is exercised. Scale shape: each edge is one "
+    "hash-partitioned existence probe — the engine plans dimension "
+    "broadcasts where the live side is small and never materializes "
+    "orphan rows (counting left joins, no fact-side dedup); the "
+    "orders->lineitem edge probes the DISTINCT orderkey relation, "
+    "pre-shrunk map-side.",
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    live_cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 != 0)
+        .select("c_custkey")
+    )
+    live_part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 89 != 0)
+        .select("p_partkey")
+    )
+    okeys = orders.select("o_orderkey").distinct()
+
+    def edge(
+        fact: DataFrame, key: str, dim: DataFrame, dkey: str, name: str,
+        small_dim: bool,
+    ):
+        # dimension edges broadcast (customer/part are dim-sized at any
+        # SF); the orders-keys relation grows with the fact table, so
+        # that edge stays a hash join on the natural key
+        build = F.broadcast(dim) if small_dim else dim
+        joined = fact.select(F.col(key)).join(
+            build, fact[key] == dim[dkey], "left"
+        )
+        return joined.agg(
+            F.lit(name).alias("fk"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col(dkey).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+
+    out = (
+        edge(orders, "o_custkey", live_cust, "c_custkey",
+             "orders->customer", small_dim=True)
+        .unionAll(
+            edge(lineitem, "l_orderkey", okeys, "o_orderkey",
+                 "lineitem->orders", small_dim=False)
+        )
+        .unionAll(
+            edge(lineitem, "l_partkey", live_part, "p_partkey",
+                 "lineitem->part", small_dim=True)
+        )
+    )
+    return out.select(
+        "fk",
+        "n_rows",
+        "n_orphans",
+        F.expr("n_orphans * 1000000 div n_rows").cast("long").alias(
+            "orphan_micro"
+        ),
+    )

@@ -487,3 +487,45 @@ def test_funnel_requires_strict_order(spark, sf_dir):
     assert (r.n_view, r.n_view_click, r.n_full) == (n1, n2, n3)
     assert r.conv12_micro == n2 * 1000000 // n1
     assert r.conv23_micro == n3 * 1000000 // n2
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: scale idioms
+# ---------------------------------------------------------------------------
+
+
+def test_latest_state_plan_is_aggregate_not_window(spark, sf_dir):
+    """The whole point of the max-struct idiom: a hash aggregate with
+    map-side partials, no Window node, no sort of the fact relation."""
+    df = _q("latest_state_compaction")(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan and "Sort [" not in plan
+    # tie-break parity with the window form: same result as ROW_NUMBER
+    from kinesis_log_watcher_spark.queries.base import load
+
+    got = {r.user_id: (r.last_ts, r.last_event_id, r.last_type)
+           for r in df.collect()}
+    best = {}
+    for r in load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    ).collect():
+        k = (r.ts, r.event_id, r.event_type)
+        if r.user_id not in best or k > best[r.user_id]:
+            best[r.user_id] = k
+    assert got == {u: (t, e, y) for u, (t, e, y) in best.items()}
+
+
+def test_fk_audit_orphan_rates(spark, sf_dir):
+    rows = {r.fk: r for r in _q("fk_integrity_audit")(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "orders->customer", "lineitem->orders", "lineitem->part",
+    }
+    # simulated deletions make the dimension edges nonzero; the
+    # lineitem->orders edge is structurally intact in the testdata
+    assert rows["orders->customer"].n_orphans > 0
+    assert rows["lineitem->part"].n_orphans > 0
+    assert rows["lineitem->orders"].n_orphans == 0
+    for r in rows.values():
+        assert r.orphan_micro == r.n_orphans * 1000000 // r.n_rows
