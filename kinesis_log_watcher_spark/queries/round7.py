@@ -546,10 +546,16 @@ def template_render_line_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         short_host_id(_partition_key()).alias("ShortHostId"),
         payload.alias("LogEntry"),
     )
-    return env.filter(~t_var.error).select(
+    # Hoisted prep for BOTH engines (prep column names are unique per
+    # compile, so the two preps chain on one DataFrame): each engine
+    # parses the payload ONCE per row — the self-contained columns
+    # would re-parse at every access site x both uses (measured 32s ->
+    # ~2s at sf0.1 for this 3-access template).
+    prepped = t_str._prepped(t_var._prepped(env))
+    return prepped.filter(~t_var.error_h).select(
         "event_id",
-        t_var.line.alias("line"),
-        (t_var.line == t_str.line).alias("engines_agree"),
+        t_var.line_h.alias("line"),
+        (t_var.line_h == t_str.line_h).alias("engines_agree"),
     )
 
 
