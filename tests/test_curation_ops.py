@@ -381,15 +381,16 @@ def test_rate_limit_boundary_and_multibatch(spark, tmp_path):
     b1 = [(1, 0), (1, 60), (1, 120), (1, 180), (2, 0)]
     b2 = [(1, 240), (1, 300), (1, 360), (1, 420), (1, 420 + 3601 + 3600), (2, 7200)]
     path = _write_events_files(spark, tmp_path, [b1, b2])
-    single = {
-        r["user_id"]: r for r in run_rate_limit(spark, f"{path}/*.parquet").collect()
-    }
-    multi = {
-        r["user_id"]: r
-        for r in run_rate_limit(
+    from conftest import replay_parallel
+
+    rows_single, rows_multi = replay_parallel(
+        lambda: run_rate_limit(spark, f"{path}/*.parquet").collect(),
+        lambda: run_rate_limit(
             spark, f"{path}/*.parquet", max_files_per_trigger=1
-        ).collect()
-    }
+        ).collect(),
+    )
+    single = {r["user_id"]: r for r in rows_single}
+    multi = {r["user_id"]: r for r in rows_multi}
     for got in (single, multi):
         assert got[1]["n_events"] == 9
         assert got[1]["n_admitted"] == 6  # 5 in-window + 1 after the slide

@@ -108,6 +108,6 @@ def test_every_batch_query_survives_empty_tables(spark, empty_sf_dir):
     items = [
         (n, q) for n, q in registry().items() if not _is_streaming(n)
     ]
-    with ThreadPoolExecutor(max_workers=12) as pool:
+    with ThreadPoolExecutor(max_workers=20) as pool:
         failures = [f for f in pool.map(check, items) if f]
     assert not failures, "\n".join(failures)

@@ -109,11 +109,16 @@ def test_mapstate_replay_equals_batch_any_split(spark, tmp_path):
         .count()
         .collect()
     }
-    for split in (1, None):
-        got = {
-            (r.user_id, r.event_type, r.n)
-            for r in run_type_counts(
-                spark, str(d), max_files_per_trigger=split
-            ).collect()
-        }
+    from conftest import replay_parallel
+
+    res = replay_parallel(
+        *(
+            (lambda s=split: run_type_counts(
+                spark, str(d), max_files_per_trigger=s
+            ).collect())
+            for split in (1, None)
+        )
+    )
+    for rows in res:
+        got = {(r.user_id, r.event_type, r.n) for r in rows}
         assert got == want

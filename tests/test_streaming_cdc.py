@@ -101,10 +101,14 @@ def test_streaming_hll_matches_batch_any_split(spark, tmp_path):
     )
     want = {(r.event_type, r.r, r.m_rho) for r in batch_regs.collect()}
 
-    est = run_streaming_hll(spark, str(d), max_files_per_trigger=1)
-    # compare at the register level via a rebuilt run (the estimate is a
-    # deterministic function of the registers)
-    est_single = run_streaming_hll(spark, str(d))
+    from conftest import replay_parallel
+
+    # split and single-batch replays run concurrently; the estimate is a
+    # deterministic function of the registers
+    est, est_single = replay_parallel(
+        lambda: run_streaming_hll(spark, str(d), max_files_per_trigger=1),
+        lambda: run_streaming_hll(spark, str(d)),
+    )
     got = {
         (r.event_type, round(r.est_distinct, 9))
         for r in est.collect()

@@ -202,13 +202,18 @@ def test_member_cap_bounds_bucket_state(spark, tmp_path):
         _shutil.copy(part, dest)
         _os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
 
-    full = _as_set(run_stream_neardup(spark, str(d), max_files_per_trigger=1))
-    assert {(a, b) for a, b, _ in full} == {(10, 20), (10, 30), (20, 30)}
+    from conftest import replay_parallel
 
-    capped = _as_set(
-        run_stream_neardup(
-            spark, str(d), max_files_per_trigger=1, max_bucket_members=1
+    full, capped = (
+        _as_set(df)
+        for df in replay_parallel(
+            lambda: run_stream_neardup(spark, str(d), max_files_per_trigger=1),
+            lambda: run_stream_neardup(
+                spark, str(d), max_files_per_trigger=1, max_bucket_members=1
+            ),
         )
     )
+    assert {(a, b) for a, b, _ in full} == {(10, 20), (10, 30), (20, 30)}
+
     # (10,30) requires remembering doc 10 after doc 20 arrived — evicted
     assert {(a, b) for a, b, _ in capped} == {(10, 20), (20, 30)}

@@ -96,8 +96,12 @@ def test_sessions_span_micro_batches(spark, event_files):
 
 
 def test_single_batch_equals_multi_batch(spark, event_files):
-    got_single = _run(spark, f"{event_files}/*.parquet")
-    got_multi = _run(spark, f"{event_files}/*.parquet", max_files_per_trigger=1)
+    from conftest import replay_parallel
+
+    got_single, got_multi = replay_parallel(
+        lambda: _run(spark, f"{event_files}/*.parquet"),
+        lambda: _run(spark, f"{event_files}/*.parquet", max_files_per_trigger=1),
+    )
     assert got_single == got_multi == _expected()
 
 

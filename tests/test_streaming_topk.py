@@ -115,13 +115,22 @@ def test_topk_replay_equals_batch_any_split(spark, tmp_path):
         shutil.copy(part, dest)
         os.utime(dest, (1_700_000_000 + 10 * i,) * 2)
 
-    boards = {}
-    for split in (1, None):
-        out = run_stream_topk(spark, str(d), max_files_per_trigger=split)
-        boards[split] = sorted(
-            (r.event_type, r.rank, r.event_id, r.value_milli)
-            for r in out.collect()
+    from conftest import replay_parallel
+
+    res = replay_parallel(
+        *(
+            (lambda s=split: run_stream_topk(
+                spark, str(d), max_files_per_trigger=s
+            ).collect())
+            for split in (1, None)
         )
+    )
+    boards = {
+        split: sorted(
+            (r.event_type, r.rank, r.event_id, r.value_milli) for r in rows
+        )
+        for split, rows in zip((1, None), res)
+    }
     assert boards[1] == boards[None]
     # exact expected board: clicks 9900(id6), 8000(id3<id8 tie), views...
     assert boards[1] == sorted(

@@ -64,10 +64,17 @@ def _as_set(df):
 def test_replay_matches_batch_any_split(spark, event_files):
     expected = _as_set(batch_totals(spark.read.parquet(event_files)))
     assert expected  # sanity: non-empty
-    # one batch per file → state must merge across three batches
-    got_split = _as_set(run_running_totals(spark, event_files, max_files_per_trigger=1))
-    # all files in one batch
-    got_single = _as_set(run_running_totals(spark, event_files))
+    from conftest import replay_parallel
+
+    # one batch per file (state must merge across three batches) and
+    # all-files-in-one-batch, replayed concurrently
+    got_split, got_single = (
+        _as_set(df)
+        for df in replay_parallel(
+            lambda: run_running_totals(spark, event_files, max_files_per_trigger=1),
+            lambda: run_running_totals(spark, event_files),
+        )
+    )
     assert got_split == expected
     assert got_single == expected
 

@@ -105,29 +105,51 @@ def lint_one(con, name: str, sql: str) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     from kinesis_log_watcher_spark.queries import registry
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
-    n_checked = failures = 0
-    for name, q in registry().items():
-        if only and name not in only:
-            continue
-        if not q.oracle:
-            continue
-        n_checked += 1
-        findings = lint_one(con, name, q.oracle)
-        if not findings:
-            continue
-        if name in ALLOWED:
-            print(f"note  {name}: {'; '.join(findings)} (allowed: {ALLOWED[name]})")
-        else:
-            failures += 1
-            print(f"FLAG  {name}: {'; '.join(findings)}")
-    print(f"\n{n_checked} oracles linted, {failures} flagged")
+    # One DuckDB connection per worker thread (connections are not
+    # thread-safe; cursors off one connection share its lock and
+    # serialize). Each registers the same parquet views.
+    local = threading.local()
+
+    def con() -> duckdb.DuckDBPyConnection:
+        if getattr(local, "con", None) is None:
+            c = duckdb.connect()
+            for t in TABLES:
+                c.execute(
+                    f"CREATE OR REPLACE VIEW {t} AS "
+                    f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+                )
+            local.con = c
+        return local.con
+
+    items = [
+        (name, q.oracle)
+        for name, q in registry().items()
+        if q.oracle and (not only or name in only)
+    ]
+
+    def run(item: tuple[str, str]) -> tuple[str, list[str]]:
+        name, sql = item
+        return name, lint_one(con(), name, sql)
+
+    failures = 0
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, findings in pool.map(run, items):
+            if not findings:
+                continue
+            if name in ALLOWED:
+                print(
+                    f"note  {name}: {'; '.join(findings)} "
+                    f"(allowed: {ALLOWED[name]})"
+                )
+            else:
+                failures += 1
+                print(f"FLAG  {name}: {'; '.join(findings)}")
+    print(f"\n{len(items)} oracles linted, {failures} flagged")
     return 1 if failures else 0
 
 
