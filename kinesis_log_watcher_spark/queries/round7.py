@@ -49,6 +49,7 @@ SURVEY.md §2.2 "beyond-reference" engine surface.
 from __future__ import annotations
 
 import itertools
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -703,7 +704,12 @@ def stream_kinesis_sim_split_resume(
     consume(maxVisibleSeq="60", maxRecordsPerPull="40")
     # Phase 2: the split has happened; resume from the same checkpoint.
     consume(maxRecordsPerPull="40")
-    return _split_rollup(spark.read.parquet(out))
+    # Materialize the (18-row) rollup locally and remove the scratch
+    # sink+checkpoint so repeated sweeps don't accumulate tmp dirs.
+    result = _split_rollup(spark.read.parquet(out))
+    rows = result.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1247,8 +1253,12 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_view_click,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_full)
     SELECT n_view, n_view_click, n_full,
-           CAST(n_view_click * 1000000 // n_view AS BIGINT) AS conv12_micro,
-           CAST(n_full * 1000000 // n_view_click AS BIGINT) AS conv23_micro
+           CAST(CASE WHEN n_view = 0 THEN NULL
+                     ELSE n_view_click * 1000000 // n_view END
+                AS BIGINT) AS conv12_micro,
+           CAST(CASE WHEN n_view_click = 0 THEN NULL
+                     ELSE n_full * 1000000 // n_view_click END
+                AS BIGINT) AS conv23_micro
     FROM agg
     """,
     doc="Ordered (landmark) funnel: users progressing view -> click -> "
@@ -1287,16 +1297,24 @@ def ordered_funnel_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").cast("long").alias("n_view_click")))
         .crossJoin(p.agg(F.count("*").cast("long").alias("n_full")))
     )
+    # empty-input safe: an empty funnel reports NULL rates, not a
+    # divide-by-zero (ANSI div) — same CASE guard in the oracle
     return agg.select(
         "n_view",
         "n_view_click",
         "n_full",
-        F.expr("n_view_click * 1000000 div n_view").cast("long").alias(
-            "conv12_micro"
-        ),
-        F.expr("n_full * 1000000 div n_view_click").cast("long").alias(
-            "conv23_micro"
-        ),
+        F.expr(
+            "CASE WHEN n_view = 0 THEN NULL "
+            "ELSE n_view_click * 1000000 div n_view END"
+        )
+        .cast("long")
+        .alias("conv12_micro"),
+        F.expr(
+            "CASE WHEN n_view_click = 0 THEN NULL "
+            "ELSE n_full * 1000000 div n_view_click END"
+        )
+        .cast("long")
+        .alias("conv23_micro"),
     )
 
 
@@ -1391,7 +1409,9 @@ def latest_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS n_orphans
       FROM lineitem x LEFT JOIN live_part p ON p.p_partkey = x.l_partkey)
     SELECT fk, n_rows, n_orphans,
-           CAST(n_orphans * 1000000 // n_rows AS BIGINT) AS orphan_micro
+           CAST(CASE WHEN n_rows = 0 THEN NULL
+                     ELSE n_orphans * 1000000 // n_rows END
+                AS BIGINT) AS orphan_micro
     FROM (SELECT * FROM o UNION ALL SELECT * FROM l1 UNION ALL
           SELECT * FROM l2)
     """,
@@ -1456,7 +1476,10 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fk",
         "n_rows",
         "n_orphans",
-        F.expr("n_orphans * 1000000 div n_rows").cast("long").alias(
-            "orphan_micro"
-        ),
+        F.expr(
+            "CASE WHEN n_rows = 0 THEN NULL "
+            "ELSE n_orphans * 1000000 div n_rows END"
+        )
+        .cast("long")
+        .alias("orphan_micro"),
     )

@@ -58,7 +58,7 @@ def test_bench_emits_single_json_line(tmp_path):
         assert key in d, key
     assert d["unit"] == "sec" and d["value"] > 0
     assert abs(d["sf"] - 0.001) < 1e-9
-    assert d["n_queries"] == 5
+    assert d["n_queries"] == 3
     full = json.loads(full_out.read_text())
     assert set(full["queries"]) == set(subset.split(","))
 

@@ -118,6 +118,11 @@ def main() -> int:
     def con() -> duckdb.DuckDBPyConnection:
         if getattr(local, "con", None) is None:
             c = duckdb.connect()
+            # each connection defaults to ALL cores for its internal
+            # pipeline; 8 workers x 32 threads thrash the scheduler
+            # (measured 14s -> 67s inside a busy suite process). Cap
+            # per-connection parallelism so pool x threads ~ cores.
+            c.execute("SET threads TO 4")
             for t in TABLES:
                 c.execute(
                     f"CREATE OR REPLACE VIEW {t} AS "
