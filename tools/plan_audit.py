@@ -122,6 +122,10 @@ ALLOWED_BNLJ = {
     "flag_status_anova_twoway": "1-row fold-term broadcasts (3 scalar combines)",
     "ann_nprobe_recall_curve": "3-row nprobe-panel broadcast (non-equi rank join by design)",
     "revenue_periodogram": "1-row mean + 3-row period-panel broadcasts",
+    # round-7: 1-row corpus-stat broadcasts + a value-band grid whose
+    # build side is bounded by the sensitive-value DOMAIN, not rows
+    "t_closeness_audit": "1-row n_total/n_bands + band-dimension broadcasts",
+    "ordered_funnel_completion": "three 1-row stage-count broadcasts",
 }
 
 
