@@ -59,6 +59,8 @@ SKIP = {
     # resume harness, not query-engine cost; the single-lifecycle
     # kinesis_sim_shard_split_scan twin stays timed
     "stream_kinesis_sim_split_resume",
+    # same two-lifecycle resume harness, merge direction
+    "stream_kinesis_sim_merge_resume",
 }
 
 

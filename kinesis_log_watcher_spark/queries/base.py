@@ -188,6 +188,8 @@ _FRONT = (
     "ordered_funnel_completion",
     "latest_state_compaction",
     "fk_integrity_audit",
+    "stream_kinesis_sim_merge_resume",
+    "ivm_join_view_delta",
     # ---- officially green in r6 (CORRECTNESS_r06: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "key_skew_profile",

@@ -1483,3 +1483,151 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("orphan_micro"),
     )
+
+
+# ===========================================================================
+# Round-7 wave 5: resume-across-merge + incremental JOIN-view maintenance
+# ===========================================================================
+
+
+@register(
+    "stream_kinesis_sim_merge_resume",
+    _MERGE_ORACLE,
+    doc="Kinesis MergeShards, STREAMING path with checkpoint-resume "
+    "ACROSS the merge: phase 1 consumes the stream capped strictly "
+    "pre-merge (the checkpointed offset map has no child key and TWO "
+    "still-open parents), phase 2 resumes post-merge — both parents "
+    "close at the merge seq, the interleaved child is picked up from "
+    "offset 0, and only the parent deltas are re-read. The reshard "
+    "edge the split-resume query can't exercise: two shards closing "
+    "at once. File-sink output equals the batch merge oracle iff the "
+    "resume produced no duplicates and no gaps.",
+)
+def stream_kinesis_sim_merge_resume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from kinesis_log_watcher_spark.queries.base import ensure_session_confs
+    from kinesis_log_watcher_spark.sources.files import await_or_raise
+    from kinesis_log_watcher_spark.sources.kinesis_sim import (
+        register_sim_source,
+    )
+
+    ensure_session_confs(spark)
+    register_sim_source(spark)
+    run = next(_SPLIT_COUNTER)
+    base = tempfile.mkdtemp(prefix=f"klw_merge_resume_{run}_")
+    out, ck = f"{base}/out", f"{base}/ck"
+
+    def consume(**extra: str) -> None:
+        rd = (
+            spark.readStream.format("kinesis_sim")
+            .option("shards", str(_SP_SHARDS))
+            .option("recordsPerShard", str(_SP_PER_SHARD))
+            .option("mergeShards", f"{_MG_PARENTS[0]},{_MG_PARENTS[1]}")
+            .option("mergeAtSeq", str(_MG_AT))
+            .option("maxRecordsPerPull", "40")
+        )
+        for k, v in extra.items():
+            rd = rd.option(k, v)
+        q = (
+            rd.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 300)
+
+    consume(maxVisibleSeq="60")  # strictly pre-merge snapshot
+    consume()  # post-merge world: resume across the double closure
+    result = _split_rollup(spark.read.parquet(out))
+    rows = result.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
+# ---------------------------------------------------------------------------
+# ivm_join_view_delta — incremental maintenance of a JOIN view
+# ---------------------------------------------------------------------------
+#
+# ivm_incremental_agg (queries/warehouse.py) maintains an AGGREGATE
+# view from deltas; this maintains a JOIN view: for V = A JOIN B, after
+# deltas dA and dB the exact update is the delta-join identity
+#     V' = V  +  dA JOIN B0  +  A0 JOIN dB  +  dA JOIN dB
+# (A0/B0 = pre-delta snapshots). The engine computes the three delta
+# joins and merges them into the maintained rollup WITHOUT rescanning
+# the base join — the deltas are the only fact-sized inputs touched.
+# The oracle recomputes the full post-delta join from scratch; hash
+# equality certifies the identity's implementation.
+
+_IVMJ_SQL = """
+    WITH a1 AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS BIGINT) AS cents
+      FROM orders),
+    b1 AS (
+      SELECT c_custkey, c_mktsegment FROM customer),
+    v AS (
+      SELECT b1.c_mktsegment AS segment, a1.cents
+      FROM a1 JOIN b1 ON b1.c_custkey = a1.o_custkey)
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM v GROUP BY 1
+    """
+
+
+@register(
+    "ivm_join_view_delta",
+    _IVMJ_SQL,
+    doc="Incremental JOIN-view maintenance (the delta-join identity "
+    "V' = V + dA*B0 + A0*dB + dA*dB): the post-delta state of an "
+    "orders*customer join view maintained from a base snapshot "
+    "(orders with orderkey%7!=0, customers with custkey%5!=0) plus "
+    "the two delta relations, merged at the ROLLUP level so the "
+    "maintained view is never rescanned — only the deltas join "
+    "against the opposite snapshots. The oracle recomputes the full "
+    "join from scratch; hash equality certifies the identity. Scale "
+    "shape: the base pass happens ONCE (amortized across refreshes); "
+    "each refresh costs |dA| x B-lookup + |dB| x A-lookup, both "
+    "equi-joins on the natural keys — the view refresh pattern that "
+    "keeps a 100 TB materialization affordable.",
+)
+def ivm_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long").alias("cents"),
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # deterministic split into snapshot + delta
+    a0 = orders.filter(F.col("o_orderkey") % 7 != 0)
+    da = orders.filter(F.col("o_orderkey") % 7 == 0)
+    b0 = cust.filter(F.col("c_custkey") % 5 != 0)
+    db = cust.filter(F.col("c_custkey") % 5 == 0)
+
+    def rollup(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(b, a["o_custkey"] == b["c_custkey"])
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+        )
+
+    # the maintained view's rollup state (computed once at snapshot
+    # time in a real deployment; its cost is NOT part of the refresh)
+    v0 = rollup(a0, b0)
+    # refresh: three delta joins, merged at the rollup level
+    parts = (
+        v0.unionAll(rollup(da, b0))
+        .unionAll(rollup(a0, db))
+        .unionAll(rollup(da, db))
+    )
+    return parts.groupBy("segment").agg(
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.sum("total_cents").cast("long").alias("total_cents"),
+    )

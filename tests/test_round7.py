@@ -529,3 +529,76 @@ def test_fk_audit_orphan_rates(spark, sf_dir):
     assert rows["lineitem->orders"].n_orphans == 0
     for r in rows.values():
         assert r.orphan_micro == r.n_orphans * 1000000 // r.n_rows
+
+
+# ---------------------------------------------------------------------------
+# Wave 5: resume-across-merge + incremental JOIN-view maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_merge_resume_reads_only_delta(spark, tmp_path):
+    """Checkpoint BEFORE the merge (two open parents), resume AFTER it:
+    both parents close, the interleaved child is picked up from 0."""
+    from kinesis_log_watcher_spark.sources.kinesis_sim import (
+        register_sim_source,
+    )
+
+    register_sim_source(spark)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run(**extra):
+        rd = (
+            spark.readStream.format("kinesis_sim")
+            .option("shards", "3")
+            .option("recordsPerShard", "40")
+            .option("mergeShards", "0,2")
+            .option("mergeAtSeq", "10")
+            .option("maxRecordsPerPull", "7")
+        )
+        for key, val in extra.items():
+            rd = rd.option(key, val)
+        q = (
+            rd.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run(maxVisibleSeq="6")  # pre-merge: 3 shards x 6
+    assert spark.read.parquet(out).count() == 18
+    run()
+    rows = spark.read.parquet(out).select("shardId", "sequenceNumber").collect()
+    # parents 0,2 closed at 10; shard 1 full 40; child 3 = 2 x 30
+    assert len(rows) == 10 + 40 + 10 + 60
+    assert len({(r.shardId, r.sequenceNumber) for r in rows}) == 120
+
+
+def test_ivm_join_delta_identity(spark, sf_dir):
+    """The delta-join identity covers every (snapshot, delta) pairing:
+    the maintained rollup equals the from-scratch join."""
+    from kinesis_log_watcher_spark.queries.base import load
+
+    got = {
+        r.segment: (r.n_orders, r.total_cents)
+        for r in _q("ivm_join_view_delta")(spark, sf_dir).collect()
+    }
+    import math
+
+    from collections import defaultdict
+
+    cust = {
+        r.c_custkey: r.c_mktsegment
+        for r in load(spark, sf_dir, "customer").collect()
+    }
+    want: dict = defaultdict(lambda: [0, 0])
+    for r in load(spark, sf_dir, "orders").collect():
+        seg = cust.get(r.o_custkey)
+        if seg is None:
+            continue
+        cents = math.floor(float(round(r.o_totalprice, 2)) * 100 + 0.5)
+        want[seg][0] += 1
+        want[seg][1] += cents
+    assert got == {s: (n, c) for s, (n, c) in want.items()}
