@@ -190,6 +190,8 @@ _FRONT = (
     "fk_integrity_audit",
     "stream_kinesis_sim_merge_resume",
     "ivm_join_view_delta",
+    "association_rules_lift",
+    "dedup_bcubed_eval",
     # ---- officially green in r6 (CORRECTNESS_r06: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "key_skew_profile",

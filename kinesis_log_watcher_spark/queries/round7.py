@@ -1631,3 +1631,175 @@ def ivm_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").cast("long").alias("n_orders"),
         F.sum("total_cents").cast("long").alias("total_cents"),
     )
+
+
+# ===========================================================================
+# Round-7 wave 6: association rules + dedup-cluster evaluation
+# ===========================================================================
+
+
+@register(
+    "association_rules_lift",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey AS oid, p.p_brand AS item
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    nb AS (SELECT CAST(COUNT(DISTINCT oid) AS BIGINT) AS n FROM baskets),
+    isup AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS s FROM baskets GROUP BY 1),
+    pairs AS (
+      SELECT a.item AS ante, b.item AS cons, CAST(COUNT(*) AS BIGINT) AS s_ab
+      FROM baskets a JOIN baskets b
+        ON a.oid = b.oid AND a.item <> b.item
+      GROUP BY 1, 2),
+    rules AS (
+      SELECT p.ante, p.cons, p.s_ab, ia.s AS s_a, ic.s AS s_c, nb.n
+      FROM pairs p
+      JOIN isup ia ON ia.item = p.ante
+      JOIN isup ic ON ic.item = p.cons
+      CROSS JOIN nb
+      WHERE p.s_ab >= 60)
+    SELECT ante, cons, s_ab AS support_cnt,
+           CAST(s_ab * 1000000 // s_a AS BIGINT) AS confidence_micro,
+           CAST((s_ab * n * 1000000) // (s_a * s_c) AS BIGINT) AS lift_micro
+    FROM rules
+    """,
+    doc="Market-basket association rules over (order, brand) baskets: "
+    "support-thresholded pairs, confidence = s(A,B)/s(A) and lift = "
+    "s(A,B)*N / (s(A)*s(B)) as exact integer micro ratios — the "
+    "co-purchase mining primitive behind recommendations and the "
+    "companion to part_cooccurrence_topk (which stops at counts). "
+    "Scale shape: the pair relation is the basket self-join keyed on "
+    "the basket id — fan-out bounded by basket size squared (items "
+    "per order, never catalog size); item supports broadcast back "
+    "onto the thresholded pair relation; no window anywhere.",
+)
+def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    nb = baskets.agg(F.countDistinct("oid").cast("long").alias("n"))
+    isup = baskets.groupBy("item").agg(F.count("*").cast("long").alias("s"))
+    a = baskets.select("oid", F.col("item").alias("ante"))
+    b = baskets.select("oid", F.col("item").alias("cons"))
+    pairs = (
+        a.join(b, "oid")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").cast("long").alias("s_ab"))
+        .filter(F.col("s_ab") >= 60)
+    )
+    rules = (
+        pairs.join(
+            F.broadcast(isup.select(F.col("item").alias("ante"), F.col("s").alias("s_a"))),
+            "ante",
+        )
+        .join(
+            F.broadcast(isup.select(F.col("item").alias("cons"), F.col("s").alias("s_c"))),
+            "cons",
+        )
+        .crossJoin(F.broadcast(nb))
+    )
+    return rules.select(
+        "ante",
+        "cons",
+        F.col("s_ab").alias("support_cnt"),
+        F.expr("s_ab * 1000000 div s_a").cast("long").alias("confidence_micro"),
+        F.expr("(s_ab * n * 1000000) div (s_a * s_c)")
+        .cast("long")
+        .alias("lift_micro"),
+    )
+
+
+@register(
+    "dedup_bcubed_eval",
+    """
+    WITH items AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                    1, 24) AS pred_key,
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS gold_key
+      FROM documents),
+    nc AS (SELECT pred_key, CAST(COUNT(*) AS BIGINT) AS n_c
+           FROM items GROUP BY 1),
+    ng AS (SELECT gold_key, CAST(COUNT(*) AS BIGINT) AS n_g
+           FROM items GROUP BY 1),
+    ncg AS (SELECT pred_key, gold_key, CAST(COUNT(*) AS BIGINT) AS n_cg
+            FROM items GROUP BY 1, 2),
+    per_item AS (
+      SELECT i.doc_id,
+             x.n_cg * 1000000 // c.n_c AS p_micro,
+             x.n_cg * 1000000 // g.n_g AS r_micro
+      FROM items i
+      JOIN nc c ON c.pred_key = i.pred_key
+      JOIN ng g ON g.gold_key = i.gold_key
+      JOIN ncg x ON x.pred_key = i.pred_key AND x.gold_key = i.gold_key),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS bcubed_p_micro,
+             CAST(SUM(r_micro) // COUNT(*) AS BIGINT) AS bcubed_r_micro
+      FROM per_item)
+    SELECT n_docs, bcubed_p_micro, bcubed_r_micro,
+           CAST(CASE WHEN bcubed_p_micro + bcubed_r_micro = 0 THEN 0
+                     ELSE (2 * bcubed_p_micro * bcubed_r_micro)
+                          // (bcubed_p_micro + bcubed_r_micro) END
+                AS BIGINT) AS bcubed_f1_micro
+    FROM agg
+    """,
+    doc="B-cubed evaluation of a dedup clustering (Bagga & Baldwin "
+    "1998, the standard entity-resolution metric): predicted clusters "
+    "= 24-char normalized-prefix blocking, gold clusters = full "
+    "normalized text; per-item precision |C(i) inter G(i)|/|C(i)| and "
+    "recall |C(i) inter G(i)|/|G(i)| as truncated micro ratios, "
+    "averaged, F1 from the averaged P/R — all int64-exact with both "
+    "dialects truncating identically. The eval primitive that "
+    "quantifies what prefix blocking trades for its speed (recall 1.0 "
+    "by construction here — a prefix cluster always contains the full "
+    "gold group; precision < 1 measures over-merging). Scale shape: "
+    "three hash aggregates on the key relations + equi-joins back to "
+    "items — cluster-size bounded, no pairwise expansion anywhere "
+    "(B-cubed's whole point vs pair-counting metrics).",
+)
+def dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    items = docs.select(
+        "doc_id",
+        F.substring(norm, 1, 24).alias("pred_key"),
+        norm.alias("gold_key"),
+    )
+    nc = items.groupBy("pred_key").agg(F.count("*").cast("long").alias("n_c"))
+    ng = items.groupBy("gold_key").agg(F.count("*").cast("long").alias("n_g"))
+    ncg = items.groupBy("pred_key", "gold_key").agg(
+        F.count("*").cast("long").alias("n_cg")
+    )
+    per_item = (
+        items.join(nc, "pred_key")
+        .join(ng, "gold_key")
+        .join(ncg, ["pred_key", "gold_key"])
+        .select(
+            F.expr("n_cg * 1000000 div n_c").alias("p_micro"),
+            F.expr("n_cg * 1000000 div n_g").alias("r_micro"),
+        )
+    )
+    agg = per_item.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("sum(p_micro) div count(*)").cast("long").alias("bcubed_p_micro"),
+        F.expr("sum(r_micro) div count(*)").cast("long").alias("bcubed_r_micro"),
+    )
+    return agg.select(
+        "n_docs",
+        "bcubed_p_micro",
+        "bcubed_r_micro",
+        F.expr(
+            "CASE WHEN bcubed_p_micro + bcubed_r_micro = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE (2 * bcubed_p_micro * bcubed_r_micro) "
+            "div (bcubed_p_micro + bcubed_r_micro) END"
+        )
+        .cast("long")
+        .alias("bcubed_f1_micro"),
+    )

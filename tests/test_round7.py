@@ -602,3 +602,65 @@ def test_ivm_join_delta_identity(spark, sf_dir):
         want[seg][0] += 1
         want[seg][1] += cents
     assert got == {s: (n, c) for s, (n, c) in want.items()}
+
+
+# ---------------------------------------------------------------------------
+# Wave 6: association rules + B-cubed
+# ---------------------------------------------------------------------------
+
+
+def test_association_rules_math(spark, sf_dir):
+    """Recompute supports/confidence/lift in Python from the baskets."""
+    from collections import Counter, defaultdict
+
+    from kinesis_log_watcher_spark.queries.base import load
+
+    part_brand = {
+        r.p_partkey: r.p_brand
+        for r in load(spark, sf_dir, "part").collect()
+    }
+    baskets = defaultdict(set)
+    for r in load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect():
+        b = part_brand.get(r.l_partkey)
+        if b is not None:
+            baskets[r.l_orderkey].add(b)
+    n = len(baskets)
+    isup: Counter = Counter()
+    psup: Counter = Counter()
+    for items in baskets.values():
+        for x in items:
+            isup[x] += 1
+        for x in items:
+            for y in items:
+                if x != y:
+                    psup[(x, y)] += 1
+    got = {
+        (r.ante, r.cons): r
+        for r in _q("association_rules_lift")(spark, sf_dir).collect()
+    }
+    want = {k: v for k, v in psup.items() if v >= 60}
+    assert set(got) == set(want)
+    for (x, y), s_ab in want.items():
+        r = got[(x, y)]
+        assert r.support_cnt == s_ab
+        assert r.confidence_micro == s_ab * 1000000 // isup[x]
+        assert r.lift_micro == (s_ab * n * 1000000) // (isup[x] * isup[y])
+    # lift is symmetric, confidence is not (sanity on at least one pair)
+    some = next(iter(want))
+    rev = (some[1], some[0])
+    if rev in got:
+        assert got[some].lift_micro == got[rev].lift_micro
+
+
+def test_bcubed_prefix_blocking_properties(spark, sf_dir):
+    (r,) = _q("dedup_bcubed_eval")(spark, sf_dir).collect()
+    # prefix clusters are a COARSENING of exact-text clusters: every
+    # gold group sits inside one predicted cluster, so recall == 1
+    assert r.bcubed_r_micro == 1000000
+    # and precision measures over-merging: in (0, 1]
+    assert 0 < r.bcubed_p_micro <= 1000000
+    # F1 consistency with the truncated harmonic mean
+    p, q = r.bcubed_p_micro, r.bcubed_r_micro
+    assert r.bcubed_f1_micro == (2 * p * q) // (p + q)
