@@ -192,6 +192,7 @@ _FRONT = (
     "ivm_join_view_delta",
     "association_rules_lift",
     "dedup_bcubed_eval",
+    "doc_chunking_stride",
     # ---- officially green in r6 (CORRECTNESS_r06: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "key_skew_profile",

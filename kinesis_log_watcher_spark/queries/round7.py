@@ -1803,3 +1803,112 @@ def dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bcubed_f1_micro"),
     )
+
+
+# ===========================================================================
+# Round-7 wave 7: RAG-style document chunking
+# ===========================================================================
+#
+# The retrieval-corpus preparation staple: fixed-size token windows with
+# overlap (size 50, stride 30). Chunk CONTENT is certified, not just
+# counts — each chunk's text is reconstructed from the token slice and
+# md5 hash-summed per document, so a boundary off-by-one in either
+# dialect fails the hash. One explode per chunk (bounded by
+# ceil(tokens/stride)), no shuffle until the per-doc rollup.
+
+_CHUNK_SIZE = 50
+_CHUNK_STRIDE = 30
+
+
+@register(
+    "doc_chunking_stride",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    spans AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens <= {_CHUNK_SIZE} THEN 1
+                  ELSE CAST(ceil(CAST(n_tokens - {_CHUNK_SIZE} AS DOUBLE)
+                                 / {_CHUNK_STRIDE}) AS BIGINT) + 1
+             END AS n_chunks
+      FROM toks),
+    chunks AS (
+      SELECT t.doc_id, s.n_tokens, s.n_chunks, g.g AS chunk_idx,
+             array_to_string(
+               list_slice(t.ts, 1 + g.g * {_CHUNK_STRIDE},
+                          least(g.g * {_CHUNK_STRIDE} + {_CHUNK_SIZE},
+                                s.n_tokens)), ' ') AS chunk_text
+      FROM toks t
+      JOIN spans s ON s.doc_id = t.doc_id
+      JOIN LATERAL (SELECT unnest(generate_series(0, s.n_chunks - 1)) AS g)
+           g ON TRUE)
+    SELECT doc_id,
+           CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(CAST('0x' || substr(md5(chunk_text), 1, 13) AS BIGINT))
+                AS BIGINT) AS chunk_check
+    FROM chunks GROUP BY 1
+    """,
+    doc="RAG chunking: 50-token windows at stride 30 per document, with "
+    "the chunk CONTENT certified — every chunk's text is rebuilt from "
+    "its token slice and md5 hash-summed per doc (52-bit prefixes, "
+    "order-free), so an off-by-one window boundary in either engine "
+    "fails the hash, not just a count mismatch. Scale shape: tokenize "
+    "once, explode to ceil(tokens/stride) chunk indices per doc "
+    "(narrow, size-bounded), slice+join+hash in the same projection, "
+    "one per-doc rollup shuffle. The preparation step every retrieval "
+    "corpus build runs before embedding.",
+)
+def doc_chunking_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("ts"),
+    ).select("doc_id", "ts", F.size("ts").cast("long").alias("n_tokens"))
+    spans = toks.select(
+        "doc_id",
+        "ts",
+        "n_tokens",
+        F.when(F.col("n_tokens") <= _CHUNK_SIZE, F.lit(1).cast("long"))
+        .otherwise(
+            F.ceil(
+                (F.col("n_tokens") - _CHUNK_SIZE).cast("double") / _CHUNK_STRIDE
+            ).cast("long")
+            + 1
+        )
+        .alias("n_chunks"),
+    )
+    chunks = spans.select(
+        "doc_id",
+        "n_tokens",
+        "n_chunks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("ci"),
+        "ts",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_chunks",
+        F.array_join(
+            F.slice(
+                F.col("ts"),
+                F.col("ci") * _CHUNK_STRIDE + 1,
+                F.least(
+                    F.col("ci") * _CHUNK_STRIDE + F.lit(_CHUNK_SIZE),
+                    F.col("n_tokens"),
+                )
+                - F.col("ci") * _CHUNK_STRIDE,
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    return chunks.groupBy("doc_id").agg(
+        F.min("n_tokens").cast("long").alias("n_tokens"),
+        F.min("n_chunks").cast("long").alias("n_chunks"),
+        F.sum(
+            F.conv(F.substring(F.md5("chunk_text"), 1, 13), 16, 10).cast("long")
+        )
+        .cast("long")
+        .alias("chunk_check"),
+    )

@@ -664,3 +664,27 @@ def test_bcubed_prefix_blocking_properties(spark, sf_dir):
     # F1 consistency with the truncated harmonic mean
     p, q = r.bcubed_p_micro, r.bcubed_r_micro
     assert r.bcubed_f1_micro == (2 * p * q) // (p + q)
+
+
+def test_chunking_boundaries_python_recompute(spark, sf_dir):
+    """Chunk starts/ends and content hashes recomputed in Python."""
+    import hashlib
+    import math
+
+    from kinesis_log_watcher_spark.queries.base import load
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_chunks, r.chunk_check)
+        for r in _q("doc_chunking_stride")(spark, sf_dir).collect()
+    }
+    for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        ts = r.text.split(" ")
+        n = len(ts)
+        n_chunks = 1 if n <= 50 else math.ceil((n - 50) / 30) + 1
+        check = 0
+        for ci in range(n_chunks):
+            chunk = " ".join(ts[ci * 30 : min(ci * 30 + 50, n)])
+            check += int(hashlib.md5(chunk.encode()).hexdigest()[:13], 16)
+        assert got[r.doc_id] == (n, n_chunks, check), r.doc_id
+    # every token is covered and consecutive chunks overlap by 20
+    assert len(got) == load(spark, sf_dir, "documents").count()
