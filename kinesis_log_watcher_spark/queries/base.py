@@ -193,6 +193,8 @@ _FRONT = (
     "association_rules_lift",
     "dedup_bcubed_eval",
     "doc_chunking_stride",
+    "daily_revenue_stl_decompose",
+    "fuzzy_join_levenshtein",
     # ---- officially green in r6 (CORRECTNESS_r06: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "key_skew_profile",

@@ -1912,3 +1912,159 @@ def doc_chunking_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chunk_check"),
     )
+
+
+# ===========================================================================
+# Round-7 wave 8: seasonal decomposition + edit-distance fuzzy join
+# ===========================================================================
+
+
+@register(
+    "daily_revenue_stl_decompose",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS dd,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    trend AS (
+      SELECT dd, cents,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+             CAST(SUM(cents) OVER w AS BIGINT) AS sum_win
+      FROM daily
+      WINDOW w AS (ORDER BY dd ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+      SELECT dd, cents, sum_win // n_win AS trend_cents,
+             cents - (sum_win // n_win) AS detrended
+      FROM trend WHERE n_win = 7),
+    seas AS (
+      SELECT dd % 7 AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(detrended) AS BIGINT) AS sum_det,
+             CAST(SUM(detrended) // COUNT(*) AS BIGINT) AS seasonal_cents
+      FROM det GROUP BY 1),
+    resid AS (
+      SELECT d.dd % 7 AS dow,
+             d.detrended - s.seasonal_cents AS r
+      FROM det d JOIN seas s ON s.dow = d.dd % 7)
+    SELECT s.dow, s.n_days, s.seasonal_cents,
+           CAST(SUM(abs(r.r)) // COUNT(*) AS BIGINT) AS resid_mad_cents
+    FROM seas s JOIN resid r ON r.dow = s.dow
+    GROUP BY 1, 2, 3
+    """,
+    doc="Classical seasonal decomposition of daily revenue (the STL "
+    "shape with integer-exact arithmetic): trend = centered "
+    "7-OBSERVATION moving average over the ordered day relation "
+    "(interior rows only — full ROWS frames; calendar gaps handled "
+    "identically in both dialects by construction), seasonal = "
+    "per-weekday mean of the detrended series, remainder summarized "
+    "as mean absolute residual per weekday. All divisions are ordered "
+    "int64 floor-divs done identically in both dialects. Completes "
+    "the time-series family (autocorr, periodogram, Mann-Kendall, "
+    "CUSUM) with the decomposition every forecasting pipeline starts "
+    "from. Scale shape: one fact pass to the daily relation; every "
+    "window runs over the bounded DAY DOMAIN, never order rows.",
+)
+def daily_revenue_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("dd")
+    ).agg(
+        F.sum((dec(F.col("o_totalprice"), 12, 2) * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("dd").rowsBetween(-3, 3)
+    trend = daily.select(
+        "dd",
+        "cents",
+        F.count("*").over(w).cast("long").alias("n_win"),
+        F.sum("cents").over(w).cast("long").alias("sum_win"),
+    )
+    det = trend.filter(F.col("n_win") == 7).select(
+        "dd",
+        "cents",
+        F.expr("cents - (sum_win div n_win)").alias("detrended"),
+        (F.col("dd") % 7).alias("dow"),
+    )
+    # Both dialects TRUNCATE integer division toward zero (Spark `div`,
+    # DuckDB `//`) — the detrended sums go negative, where Python's
+    # flooring `//` differs by one; the recompute test mirrors the
+    # truncating semantics explicitly.
+    seas = det.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr("sum(detrended) div count(*)").cast("long").alias(
+            "seasonal_cents"
+        ),
+    )
+    resid = det.join(F.broadcast(seas), "dow").select(
+        "dow",
+        "n_days",
+        "seasonal_cents",
+        F.abs(F.col("detrended") - F.col("seasonal_cents")).alias("ar"),
+    )
+    return resid.groupBy("dow", "n_days", "seasonal_cents").agg(
+        F.expr("sum(ar) div count(*)").cast("long").alias("resid_mad_cents")
+    )
+
+
+@register(
+    "fuzzy_join_levenshtein",
+    """
+    WITH a AS (
+      SELECT p_partkey, p_name FROM part WHERE p_partkey % 2 = 0),
+    b AS (
+      SELECT p_partkey, p_name FROM part WHERE p_partkey % 2 = 1),
+    cand AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM a JOIN b
+        ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+       AND a.p_name <> b.p_name),
+    verified AS (
+      SELECT DISTINCT name_a, name_b,
+             CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+      FROM cand
+      WHERE levenshtein(name_a, name_b) <= 4)
+    SELECT dist,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT name_a) AS BIGINT) AS n_left_names
+    FROM verified GROUP BY 1
+    """,
+    doc="Edit-distance fuzzy join: candidates blocked on the shared "
+    "second name token (equi-join, never all-pairs), verified with "
+    "Levenshtein <= 4 — both engines' built-in edit distance, "
+    "cross-validated value-for-value through the dist column. The "
+    "companion to part_trigram_fuzzy_match (set-overlap similarity): "
+    "edit distance catches transpositions/typos trigrams dilute. "
+    "Scale shape: blocking keys bound candidate volume; the O(m*n) "
+    "DP verify runs only inside blocks, JVM-side codegen, no UDF.",
+)
+def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+
+    def side(par: int, pre: str) -> DataFrame:
+        return part.filter(F.col("p_partkey") % 2 == par).select(
+            F.col("p_name").alias(f"{pre}name"),
+            F.split("p_name", " ").getItem(1).alias(f"{pre}tok"),
+        )
+
+    a, b = side(0, "a_"), side(1, "b_")
+    cand = a.join(
+        b,
+        (F.col("a_tok") == F.col("b_tok"))
+        & (F.col("a_name") != F.col("b_name")),
+    )
+    verified = (
+        cand.select(
+            F.col("a_name").alias("name_a"),
+            F.col("b_name").alias("name_b"),
+            F.levenshtein("a_name", "b_name").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 4)
+        .distinct()
+    )
+    return verified.groupBy("dist").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.countDistinct("name_a").cast("long").alias("n_left_names"),
+    )

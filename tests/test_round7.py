@@ -688,3 +688,91 @@ def test_chunking_boundaries_python_recompute(spark, sf_dir):
         assert got[r.doc_id] == (n, n_chunks, check), r.doc_id
     # every token is covered and consecutive chunks overlap by 20
     assert len(got) == load(spark, sf_dir, "documents").count()
+
+
+# ---------------------------------------------------------------------------
+# Wave 8: seasonal decomposition + edit-distance fuzzy join
+# ---------------------------------------------------------------------------
+
+
+def test_stl_decomposition_python_recompute(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    from kinesis_log_watcher_spark.queries.base import load
+
+    daily: dict = defaultdict(int)
+    epoch = None
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    for r in load(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect():
+        dd = (r.o_orderdate.date() - epoch).days
+        daily[dd] += math.floor(float(round(r.o_totalprice, 2)) * 100 + 0.5)
+    days = sorted(daily)
+    det = {}
+    # ROWS-based centered window over the ORDERED day relation (both
+    # dialects use the identical ROWS frame, so gaps in the calendar
+    # are handled the same way: 7 observations, not 7 calendar days)
+    for i, d in enumerate(days):
+        if i - 3 < 0 or i + 3 >= len(days):
+            continue
+        win = [daily[x] for x in days[i - 3: i + 4]]
+        det[d] = daily[d] - (sum(win) // 7)
+    def tdiv(a: int, b: int) -> int:
+        # both engines truncate integer division toward zero; Python
+        # floors — mirror the engines
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    seas: dict = defaultdict(list)
+    for d, v in det.items():
+        seas[d % 7].append(v)
+    got = {r.dow: r for r in _q("daily_revenue_stl_decompose")(spark, sf_dir).collect()}
+    for dow, vals in seas.items():
+        s = tdiv(sum(vals), len(vals))
+        r = got[dow]
+        assert (r.n_days, r.seasonal_cents) == (len(vals), s)
+        mad = sum(abs(v - s) for v in vals) // len(vals)
+        assert r.resid_mad_cents == mad
+
+
+def test_fuzzy_levenshtein_recompute(spark, sf_dir):
+    from collections import Counter
+
+    from kinesis_log_watcher_spark.queries.base import load
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    parts = [r.p_name for r in load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name"
+    ).collect()]
+    rows = load(spark, sf_dir, "part").select("p_partkey", "p_name").collect()
+    a = [r.p_name for r in rows if r.p_partkey % 2 == 0]
+    b = [r.p_name for r in rows if r.p_partkey % 2 == 1]
+    seen = set()
+    hist: Counter = Counter()
+    lefts: dict = {}
+    for x in a:
+        for y in b:
+            if x.split(" ")[1] != y.split(" ")[1] or x == y:
+                continue
+            d = lev(x, y)
+            if d <= 4 and (x, y) not in seen:
+                seen.add((x, y))
+                hist[d] += 1
+                lefts.setdefault(d, set()).add(x)
+    got = {r.dist: r for r in _q("fuzzy_join_levenshtein")(spark, sf_dir).collect()}
+    assert {k: v.n_pairs for k, v in got.items()} == dict(hist)
+    for d, r in got.items():
+        assert r.n_left_names == len(lefts[d])
