@@ -195,6 +195,7 @@ _FRONT = (
     "doc_chunking_stride",
     "daily_revenue_stl_decompose",
     "fuzzy_join_levenshtein",
+    "multimodal_dhash_groups",
     # ---- officially green in r6 (CORRECTNESS_r06: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "key_skew_profile",

@@ -2068,3 +2068,144 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_pairs"),
         F.countDistinct("name_a").cast("long").alias("n_left_names"),
     )
+
+
+# ===========================================================================
+# Round-7 wave 9: perceptual image hashing (dHash) through the real codec
+# ===========================================================================
+#
+# The standard perceptual near-dup key for images: a 9x8 grayscale
+# thumbnail, one bit per horizontally-adjacent pixel comparison -> a
+# 64-bit hash; identical scenes with small level shifts collide. The
+# engine synthesizes each doc's 9x8 grayscale deterministically
+# (24 base patterns + a +3 level shift for every 4th GENERATION of 24 docs — which dHash
+# must IGNORE, gradients are shift-invariant), round-trips the pixels
+# through the REAL PNG codec (encode_png -> decode_png,
+# functions/imagecodec.py — grayscale color type 0, all scanline
+# filters live), computes the 64 comparison bits JVM-side from the
+# emitted pixel relation, and groups by hash. The DuckDB oracle
+# restates the pixel function and bit algebra directly — a green row
+# certifies codec round-trip AND hash algebra.
+
+_DH_W, _DH_H = 8, 8
+_DH_DOCS = 240
+
+
+@register(
+    "multimodal_dhash_groups",
+    f"""
+    WITH ids AS (
+      SELECT doc_id FROM documents WHERE doc_id < {_DH_DOCS}),
+    px AS (
+      SELECT doc_id, x.x AS x, y.y AS y,
+             ((doc_id % 24) * 17 + x.x * 7 + y.y * 13
+              + (x.x * y.y) % 5
+              + CASE WHEN (doc_id // 24) % 4 = 0 THEN 3 ELSE 0 END) % 256 AS v
+      FROM ids,
+           generate_series(0, {_DH_W - 1}) x(x),
+           generate_series(0, {_DH_H - 1}) y(y)),
+    bits AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN b.v > a.v
+                           THEN CAST(1 AS BIGINT) << (a.y * {_DH_W - 1} + a.x)
+                           ELSE 0 END) AS BIGINT) AS dhash
+      FROM px a JOIN px b
+        ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+      WHERE a.x < {_DH_W - 1}
+      GROUP BY 1)
+    SELECT dhash,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(doc_id) AS BIGINT) AS exemplar_doc
+    FROM bits GROUP BY 1
+    """,
+    doc="Perceptual image hashing (dHash, 8x8/56-bit variant) with the REAL PNG codec in "
+    "the loop: 8x8 grayscale thumbnails (synthesized as a pure "
+    "function of doc_id, 24 base gradients + a +3 level shift on "
+    "every 4th 24-doc generation) encoded and decoded through "
+    "functions/imagecodec.py inside an Arrow-batched mapInPandas "
+    "kernel, then the 64 adjacent-pixel comparison bits and the "
+    "group-by-hash rollup run JVM-side. dHash's defining invariance "
+    "is pinned by construction: the level-shifted copies MUST land in "
+    "the same hash group (gradients are shift-invariant), so group "
+    "sizes certify the property, and the oracle recomputes pixels and "
+    "bit algebra without any codec — hash equality certifies the "
+    "codec round-trip bit-for-bit. Scale shape: one kernel pass per "
+    "image (56 int comparisons), hash group-by — the dedup key "
+    "generator for a billion-image corpus; the 8x7 comparison grid "
+    "keeps the hash at 56 bits, exact in signed int64 in BOTH "
+    "dialects (the 9x8 variant needs bit 63, which overflows).",
+)
+def multimodal_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from kinesis_log_watcher_spark.functions.imagecodec import (
+        decode_png,
+        encode_png,
+    )
+
+    W, H = _DH_W, _DH_H
+
+    def synth_decode(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            xs: list[int] = []
+            ys: list[int] = []
+            vs: list[int] = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                shift = 3 if (d // 24) % 4 == 0 else 0
+                pix = bytes(
+                    ((d % 24) * 17 + x * 7 + y * 13 + (x * y) % 5 + shift)
+                    % 256
+                    for y in range(H)
+                    for x in range(W)
+                )
+                # the REAL round trip: encode to PNG, decode back
+                _w, _h, _c, raw = decode_png(encode_png(pix, W, H, 1))
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                for y in range(H):
+                    for x in range(W):
+                        ids.append(d)
+                        xs.append(x)
+                        ys.append(y)
+                        vs.append(int(arr[y * W + x]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "x": xs, "y": ys, "v": vs}
+            )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < _DH_DOCS)
+    )
+    px = docs.mapInPandas(
+        synth_decode, "doc_id bigint, x bigint, y bigint, v bigint"
+    )
+    a = px.filter(F.col("x") < W - 1).select(
+        "doc_id", "x", "y", F.col("v").alias("va")
+    )
+    b = px.select(
+        "doc_id", (F.col("x") - 1).alias("x"), "y", F.col("v").alias("vb")
+    )
+    bits = (
+        a.join(b, ["doc_id", "x", "y"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("vb") > F.col("va"),
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), "
+                        f"CAST(y * {W - 1} + x AS INT))"
+                    ),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("dhash")
+        )
+    )
+    return bits.groupBy("dhash").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.min("doc_id").cast("long").alias("exemplar_doc"),
+    )

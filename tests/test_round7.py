@@ -776,3 +776,57 @@ def test_fuzzy_levenshtein_recompute(spark, sf_dir):
     assert {k: v.n_pairs for k, v in got.items()} == dict(hist)
     for d, r in got.items():
         assert r.n_left_names == len(lefts[d])
+
+
+def test_dhash_shift_invariance_and_grouping(spark, sf_dir):
+    """dHash's defining property: the +3 level-shifted images land in
+    the SAME group as their unshifted base pattern (gradient bits are
+    shift-invariant); recompute hashes in Python through the codec."""
+    from kinesis_log_watcher_spark.functions.imagecodec import (
+        decode_png,
+        encode_png,
+    )
+    from kinesis_log_watcher_spark.queries.base import load
+
+    W, H = 8, 8
+    n_docs = min(
+        240,
+        load(spark, sf_dir, "documents")
+        .filter("doc_id < 240")
+        .count(),
+    )
+    want: dict = {}
+    for d in range(n_docs):
+        shift = 3 if (d // 24) % 4 == 0 else 0
+        pix = bytes(
+            ((d % 24) * 17 + x * 7 + y * 13 + (x * y) % 5 + shift) % 256
+            for y in range(H)
+            for x in range(W)
+        )
+        _w, _h, _c, raw = decode_png(encode_png(pix, W, H, 1))
+        hsh = 0
+        for y in range(H):
+            for x in range(W - 1):
+                if raw[y * W + x + 1] > raw[y * W + x]:
+                    hsh |= 1 << (y * (W - 1) + x)
+        want.setdefault(hsh, []).append(d)
+    got = {
+        r.dhash: (r.n_images, r.exemplar_doc)
+        for r in _q("multimodal_dhash_groups")(spark, sf_dir).collect()
+    }
+    assert got == {h: (len(ds), min(ds)) for h, ds in want.items()}
+    # shift invariance: docs d and d+? sharing a base pattern (d % 24)
+    # collide unless the +3 shift crosses a mod-256 wrap that flips a
+    # comparison — verify at least one shifted/unshifted pair collides
+    by_doc = {}
+    for h, ds in want.items():
+        for d in ds:
+            by_doc[d] = h
+    pairs = [
+        (d, d2)
+        for d in range(n_docs)
+        if (d // 24) % 4 == 0
+        for d2 in range(n_docs)
+        if (d2 // 24) % 4 != 0 and d2 % 24 == d % 24
+    ]
+    assert pairs and any(by_doc[a] == by_doc[b] for a, b in pairs)
