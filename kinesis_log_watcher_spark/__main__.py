@@ -13,8 +13,13 @@ Flag semantics match the reference exactly:
   -s/--start    lookback duration     (default 5m, main.go:66)
   -w/--watch    poll interval         (default 10s, main.go:67)
   -O/--one-shot read until caught up, then exit (main.go:64, 89-92)
+  -r/--region   AWS region; unset → $AWS_REGION / SDK default chain
+                (main.go:68, 133-138)
+  -p/--profile  named profile in ~/.aws/credentials (main.go:69)
 Invalid durations/templates exit with code 2 (main.go:86, 99, 113);
 SIGINT stops the query gracefully (main.go:191-208 ≙ query.stop()).
+--help prints the template-field documentation the reference embeds in
+its usage text (main.go:36-59, README.md:13-25) as the epilog.
 """
 
 from __future__ import annotations
@@ -29,10 +34,37 @@ from kinesis_log_watcher_spark.template import DEFAULT_TEMPLATE, TemplateError
 from kinesis_log_watcher_spark.watcher import parse_duration, watch
 
 
+# The reference's usage text documents every template field and the
+# duration/timestamp-format conventions (main.go:36-59; same content as
+# README.md:10-25) — parity requires --help to carry the same docs.
+USAGE_EPILOG = """\
+Watch incoming log entries from a Kinesis stream (or a local directory of
+raw-record files). This is intended to be a companion to
+kinesis-log-streamer.
+
+Valid durations are a number followed by a unit abbreviation.
+Examples: 30s, 5m, 3h, 1d.
+
+The format string uses the Go template format; full documentation is
+available at https://golang.org/pkg/text/template/. Fields available are:
+    {{.HostId}} {{.HostID}} -- The full ARN of the host generating the log.
+    {{.ShortHostId}} {{.ShortHostID}} -- Short hostname (just the last part).
+    {{.Timestamp}} -- The timestamp when the log was sent to Kinesis.
+    {{.LogEntry}} -- The log entry in string format.
+    {{.Log}} -- If the log entry could be parsed as JSON, the resulting JSON
+        structure. You can get embedded fields using {{.Log.FieldName}}.
+
+To format the timestamp in different formats (e.g. ISO 8601), you can use:
+    {{strftime "%Y-%m-%dT%H:%M:%S" .Timestamp}}
+"""
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="kinesis-log-watcher-spark",
         description="Tail a log stream and render each record through a template.",
+        epilog=USAGE_EPILOG,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
     )
     p.add_argument("-f", "--format", default=DEFAULT_TEMPLATE,
                    help="render template (Go text/template dialect)")
@@ -42,6 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="poll interval when caught up")
     p.add_argument("-O", "--one-shot", action="store_true",
                    help="read each shard until caught up, then exit")
+    p.add_argument("-r", "--region", default=None,
+                   help="the AWS region to use; if unspecified, the value "
+                        "from the $AWS_REGION environment variable is used")
+    p.add_argument("-p", "--profile", default=None,
+                   help="if specified, obtain AWS credentials from the "
+                        "specified profile in ~/.aws/credentials")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint dir for durable resume (improves on the "
                         "reference's in-memory-only offsets)")
@@ -74,7 +112,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         # (main.go:300-305); without start_timestamp the connector would
         # default to 'latest' and the -s lookback records could never be
         # read — the downstream >=cutoff filter only drops, never recovers.
-        records = read_kinesis_stream(spark, args.stream, start_timestamp=now - start_delta)
+        records = read_kinesis_stream(
+            spark,
+            args.stream,
+            # region unset → option omitted → connector/SDK default
+            # chain ($AWS_REGION), exactly the reference's flag handling
+            # (main.go:133-138); profile resolves ~/.aws/credentials
+            region=args.region,
+            profile=args.profile,
+            start_timestamp=now - start_delta,
+        )
 
     try:
         query = watch(

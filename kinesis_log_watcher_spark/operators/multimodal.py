@@ -11,11 +11,13 @@ The decoders are real too, within what the standard library can express
 the five scanline filters), and ``decode_audio`` reads WAV PCM via
 stdlib ``wave``. Formats beyond PNG/WAV (JPEG, MP3, H.264 …) need a
 native library and raise ValueError → the row lands on the error path,
-exactly like a corrupt blob. The deterministic ``fake_*`` kernels remain
-the default for the SQL-oracle-checked queries (a DuckDB oracle can't
-run a PNG codec), and the real kernels are swapped in via the same
-``decode=`` / ``resize_fn=`` / ``frame_fn=`` seams they were designed
-for.
+exactly like a corrupt blob. The REAL kernels are the defaults
+(``image_metadata(decode=decode_image)``,
+``resize_images(resize_fn=resize_image)``); the deterministic ``fake_*``
+kernels are explicitly-named stand-ins for plumbing checks whose DuckDB
+oracle must reproduce the kernel arithmetically (a SQL oracle can't run
+a PNG codec) — swapped in via the same ``decode=`` / ``resize_fn=`` /
+``frame_fn=`` seams.
 
 Scale: mapInPandas streams Arrow batches per partition — no row-at-a-time
 Python, no driver involvement; a 100 TB binary column processes as
@@ -95,11 +97,12 @@ RESIZED_SCHEMA = "doc_id bigint, resized binary, n_bytes_out bigint"
 
 
 def resize_images(
-    df: DataFrame, width: int = 16, height: int = 16, resize_fn=fake_resize
+    df: DataFrame, width: int = 16, height: int = 16, resize_fn=resize_image
 ) -> DataFrame:
     """Batch image resize over a binary column: binary in → binary out
-    through one mapInPandas stage (Arrow both directions). Swap
-    ``resize_fn`` for a real kernel (resize_fn(payload, w, h) → bytes).
+    through one mapInPandas stage (Arrow both directions). The default
+    kernel is the REAL PNG resample (resize_image); pass
+    ``resize_fn=fake_resize`` for the SQL-reproducible byte stand-in.
     Narrow map, no shuffle; chains with image_metadata/frame_samples on
     the same partitioning."""
 
@@ -178,12 +181,14 @@ def frame_samples(
     return df.select("doc_id", "payload").mapInPandas(extract, FRAME_SCHEMA)
 
 
-def image_metadata(df: DataFrame, decode=fake_image_meta) -> DataFrame:
+def image_metadata(df: DataFrame, decode=decode_image) -> DataFrame:
     """Extract typed metadata from a binary column via mapInPandas.
 
     Arrow moves (doc_id, payload) batches to Python; each batch is decoded
     vectorized-ish (per element, but batched transfer); output is a typed
-    struct per row. Swap ``decode`` for a real decoder when available."""
+    struct per row. The default decoder is the REAL PNG codec
+    (decode_image); pass ``decode=fake_image_meta`` for the
+    SQL-reproducible arithmetic stand-in."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

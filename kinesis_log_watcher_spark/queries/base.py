@@ -111,13 +111,44 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # list is static — registry order never depends on the runtime
 # environment or on any external files.
 _FRONT = (
-    # ---- round-7 prefix: the 50 registry queries that have never had
-    # an official driver CORRECTNESS row — exactly the round-6 wave-2 +
-    # wave-3 additions that registered past r6's ~50-row sample window.
-    # All 50 were independently swept green by the round-6 judge
-    # (tools/check_correctness.py --bare, sf0.01); this rotation gets
-    # them their official rows. Round-7-born queries queue BEHIND them
-    # (next section) for the round-8 sample.
+    # ---- round-8 prefix: the 24 round-7-born queries — the only
+    # registry entries that have never had an official driver
+    # CORRECTNESS row (CORRECTNESS_r07 sampled the 50 round-6 wave
+    # queries ahead of them). All 24 were independently swept green by
+    # the round-7 judge (tools/check_correctness.py --bare, sf0.01);
+    # this rotation gets them their official rows. Round-8-born queries
+    # queue directly behind so they land inside the same ~50-row sample
+    # window.
+    "blocklist_phrase_filter_ac",
+    "customer_rfm_hist_quantile",
+    "robust_zscore_outliers_hist",
+    "source_quantile_normalize_hist",
+    "template_render_line_variant",
+    "kinesis_sim_shard_split_scan",
+    "stream_kinesis_sim_split_resume",
+    "kinesis_sim_shard_merge_scan",
+    "kinesis_sim_split_render_e2e",
+    "t_closeness_audit",
+    "dp_noisy_counts",
+    "open_intervals_per_day_sweep",
+    "fellegi_sunter_linkage",
+    "ordered_funnel_completion",
+    "latest_state_compaction",
+    "fk_integrity_audit",
+    "stream_kinesis_sim_merge_resume",
+    "ivm_join_view_delta",
+    "association_rules_lift",
+    "dedup_bcubed_eval",
+    "doc_chunking_stride",
+    "daily_revenue_stl_decompose",
+    "fuzzy_join_levenshtein",
+    "multimodal_dhash_groups",
+    # ---- round-8 additions (registered in queries/round8.py; first
+    # official row pending — inside the r8 sample window)
+    "bpe_vocab_encodings",
+    "bpe_tokenize_budget",
+    # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
+    # rotate behind the never-sampled set.
     "retrieval_mrr_map",
     "link_prediction_adamic_adar",
     "bfs_reach_hops",
@@ -170,32 +201,6 @@ _FRONT = (
     "systematic_sample_per_source",
     "pinball_loss_eval",
     "supplier_pareto_8020",
-    # ---- round-7 additions (first official row pending; they queue
-    # behind the 50-query rotation above for the round-8 sample)
-    "blocklist_phrase_filter_ac",
-    "customer_rfm_hist_quantile",
-    "robust_zscore_outliers_hist",
-    "source_quantile_normalize_hist",
-    "template_render_line_variant",
-    "kinesis_sim_shard_split_scan",
-    "stream_kinesis_sim_split_resume",
-    "kinesis_sim_shard_merge_scan",
-    "kinesis_sim_split_render_e2e",
-    "t_closeness_audit",
-    "dp_noisy_counts",
-    "open_intervals_per_day_sweep",
-    "fellegi_sunter_linkage",
-    "ordered_funnel_completion",
-    "latest_state_compaction",
-    "fk_integrity_audit",
-    "stream_kinesis_sim_merge_resume",
-    "ivm_join_view_delta",
-    "association_rules_lift",
-    "dedup_bcubed_eval",
-    "doc_chunking_stride",
-    "daily_revenue_stl_decompose",
-    "fuzzy_join_levenshtein",
-    "multimodal_dhash_groups",
     # ---- officially green in r6 (CORRECTNESS_r06: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "key_skew_profile",
@@ -367,6 +372,7 @@ def registry() -> dict[str, Query]:
         round6,
         round6b,
         round7,
+        round8,
         sampling,
         streaming,
         tpch_deep,

@@ -32,6 +32,7 @@ from kinesis_log_watcher_spark.operators.dedup import (
     simhash_signatures,
 )
 from kinesis_log_watcher_spark.operators.multimodal import (
+    fake_image_meta,
     frame_samples,
     image_metadata,
     with_binary_payload,
@@ -785,7 +786,10 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return image_metadata(with_binary_payload(docs))
+    # the explicitly-named stand-in: this query checks the Arrow plumbing
+    # against an arithmetic oracle (text payloads are not PNGs; the real
+    # default decoder is exercised by multimodal_png_roundtrip)
+    return image_metadata(with_binary_payload(docs), decode=fake_image_meta)
 
 
 @register(
@@ -843,9 +847,7 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kinesis_log_watcher_spark.functions.imagecodec import encode_png
     from kinesis_log_watcher_spark.operators.multimodal import (
-        decode_image,
         image_metadata,
-        resize_image,
         resize_images,
     )
 
@@ -871,13 +873,15 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 200)
     )
     imgs = docs.mapInPandas(synth, "doc_id bigint, payload binary")
-    meta = image_metadata(imgs, decode=decode_image).select(
+    # defaults ARE the real codec (operators/multimodal.py) — this query
+    # oracle-checks image_metadata/resize_images exactly as a library
+    # consumer calls them
+    meta = image_metadata(imgs).select(
         "doc_id", "width", "height", "channels", "mean_val"
     )
-    resized = resize_images(imgs, width=4, height=4, resize_fn=resize_image)
+    resized = resize_images(imgs, width=4, height=4)
     rmeta = image_metadata(
         resized.select("doc_id", F.col("resized").alias("payload")),
-        decode=decode_image,
     ).select("doc_id", F.col("mean_val").alias("resized_mean"))
     return meta.join(rmeta, "doc_id")
 

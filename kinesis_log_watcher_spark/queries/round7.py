@@ -1004,56 +1004,68 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Laplace noise for dp_noisy_counts, precomputed ONCE at module-import
+# time as exact integer micros and embedded as literals in BOTH dialects.
+# The draw is the same deterministic md5-uniform inverse-CDF as before
+# (u = (md5(prio)[:13] % 1e6 + 0.5)/1e6, noise = -b*sign(v)*ln(1-2|v|),
+# b=2), but the one float op (ln) now runs in Python at build time, so
+# JVM Math.log vs DuckDB libm last-ulp differences can never flip the
+# floored micro value (the r7 ADVICE finding). o_orderpriority's domain
+# is the 5 fixed TPC-H literals; an out-of-domain group would release
+# its count noiselessly (CASE ELSE 0) rather than error.
+_DP_PRIOS = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def _dp_noise_micro(prio: str) -> int:
+    import hashlib
+    import math
+
+    k = int(hashlib.md5(prio.encode()).hexdigest()[:13], 16) % 1000000
+    v = (k + 0.5) / 1000000.0 - 0.5
+    sign = 1.0 if v > 0 else (-1.0 if v < 0 else 0.0)
+    return math.floor(-2.0 * sign * math.log(1.0 - 2.0 * abs(v)) * 1e6 + 0.5)
+
+
+_DP_NOISE_CASE = (
+    "CASE prio "
+    + " ".join(
+        f"WHEN '{p}' THEN {_dp_noise_micro(p)}" for p in _DP_PRIOS
+    )
+    + " ELSE 0 END"
+)
+
+
 @register(
     "dp_noisy_counts",
-    """
+    f"""
     WITH cnt AS (
       SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n
-      FROM orders GROUP BY 1),
-    unif AS (
-      SELECT prio, n,
-             (CAST(CAST('0x' || substr(md5(prio), 1, 13) AS BIGINT)
-                   % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
-      FROM cnt),
-    lap AS (
-      SELECT prio, n, u - 0.5 AS v FROM unif)
+      FROM orders GROUP BY 1)
     SELECT prio, n,
-           CAST(floor((CAST(n AS DOUBLE)
-                       - 2.0 * sign(v) * ln(1.0 - 2.0 * abs(v)))
-                      * 1000000 + 0.5) AS BIGINT) AS noisy_micro
-    FROM lap
+           CAST(n * 1000000 + ({_DP_NOISE_CASE}) AS BIGINT) AS noisy_micro
+    FROM cnt
     """,
     doc="Differentially-private count release (Laplace mechanism, "
     "sensitivity 1, epsilon=0.5 -> scale b=2): noise drawn by inverse "
     "CDF -b*sign(v)*ln(1-2|v|) from a DETERMINISTIC md5-uniform per "
-    "group (the repo's seeded-sampling discipline — the oracle "
-    "reproduces the identical draw), result micro-quantized once at "
-    "the end (double ln is the only float op; a last-ulp libm "
-    "difference is ~1e-15 against a 1e-6 grid). The reporting "
+    "group (the repo's seeded-sampling discipline), with the ln "
+    "evaluated ONCE at build time and embedded as integer micros in "
+    "both dialects — no runtime libm anywhere, so the release is "
+    "int64-exact: noisy_micro = n*1e6 + noise_micro. The reporting "
     "primitive for private statistics over training corpora. Scale "
-    "shape: one partial-agg shuffle, then per-group scalar math.",
+    "shape: one partial-agg shuffle, then per-group integer math.",
 )
 def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cnt = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
         F.count("*").cast("long").alias("n")
     )
-    u = (
-        (
-            F.conv(F.substring(F.md5("prio"), 1, 13), 16, 10).cast("long")
-            % 1000000
-        ).cast("double")
-        + 0.5
-    ) / 1000000.0
-    v = u - 0.5
-    noisy = (
-        F.col("n").cast("double")
-        - 2.0 * F.signum(v) * F.log(1.0 - 2.0 * F.abs(v))
-    )
     return cnt.select(
         "prio",
         "n",
-        F.floor(noisy * 1000000 + F.lit(0.5)).cast("long").alias("noisy_micro"),
+        (F.col("n") * 1000000 + F.expr(_DP_NOISE_CASE))
+        .cast("long")
+        .alias("noisy_micro"),
     )
 
 
@@ -1192,9 +1204,15 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
 
     def side(par: int, pre: str) -> DataFrame:
+        # tok2 mirrors DuckDB split_part(p_name, ' ', 2) exactly: a
+        # missing second token is '' (compared, and '' agrees with ''),
+        # never NULL (which Spark would silently score as disagree) —
+        # guards the engine/oracle parity for 1-token names (r7 ADVICE)
         return part.filter(F.col("p_partkey") % 2 == par).select(
             F.split("p_name", " ").getItem(0).alias(f"{pre}tok1"),
-            F.split("p_name", " ").getItem(1).alias(f"{pre}tok2"),
+            F.coalesce(F.split("p_name", " ").getItem(1), F.lit("")).alias(
+                f"{pre}tok2"
+            ),
             F.col("p_brand").alias(f"{pre}brand"),
             F.col("p_type").alias(f"{pre}typ"),
             F.col("p_size").alias(f"{pre}siz"),
@@ -1661,7 +1679,8 @@ def ivm_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE p.s_ab >= 60)
     SELECT ante, cons, s_ab AS support_cnt,
            CAST(s_ab * 1000000 // s_a AS BIGINT) AS confidence_micro,
-           CAST((s_ab * n * 1000000) // (s_a * s_c) AS BIGINT) AS lift_micro
+           CAST((CAST(s_ab AS HUGEINT) * n * 1000000)
+                // (CAST(s_a AS HUGEINT) * s_c) AS BIGINT) AS lift_micro
     FROM rules
     """,
     doc="Market-basket association rules over (order, brand) baskets: "
@@ -1709,7 +1728,16 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cons",
         F.col("s_ab").alias("support_cnt"),
         F.expr("s_ab * 1000000 div s_a").cast("long").alias("confidence_micro"),
-        F.expr("(s_ab * n * 1000000) div (s_a * s_c)")
+        # lift's cross product s_ab*n*1e6 overflows int64 once n*s_ab
+        # passes ~9.2e12 (real at sf >= ~10 for high-support pairs); the
+        # drift-query discipline — widen to DECIMAL(38,0)/HUGEINT before
+        # multiplying, truncate-divide, land the ~1e6-scale quotient in
+        # BIGINT. Spark's `div` (IntegralDivide) accepts decimals and
+        # truncates exactly like DuckDB's `//` on HUGEINT.
+        F.expr(
+            "(CAST(s_ab AS DECIMAL(38,0)) * n * 1000000)"
+            " div (CAST(s_a AS DECIMAL(38,0)) * s_c)"
+        )
         .cast("long")
         .alias("lift_micro"),
     )
@@ -2013,9 +2041,11 @@ def daily_revenue_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fuzzy_join_levenshtein",
     """
     WITH a AS (
-      SELECT p_partkey, p_name FROM part WHERE p_partkey % 2 = 0),
+      SELECT p_partkey, p_name FROM part
+      WHERE p_partkey % 2 = 0 AND split_part(p_name, ' ', 2) <> ''),
     b AS (
-      SELECT p_partkey, p_name FROM part WHERE p_partkey % 2 = 1),
+      SELECT p_partkey, p_name FROM part
+      WHERE p_partkey % 2 = 1 AND split_part(p_name, ' ', 2) <> ''),
     cand AS (
       SELECT a.p_name AS name_a, b.p_name AS name_b
       FROM a JOIN b
@@ -2058,6 +2088,12 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{pre}name",
                 F.split(f"{pre}name", " ").getItem(1).alias(f"{pre}tok"),
             )
+            # names without a second token have no blocking key: drop
+            # them EXPLICITLY in both dialects (Spark getItem(1) yields
+            # NULL and the equi-join would drop them silently; DuckDB
+            # split_part yields '' and would join them to each other —
+            # the guard makes the two agree by construction, r7 ADVICE)
+            .filter(F.col(f"{pre}tok").isNotNull())
         )
 
     a, b = side(0, "a_"), side(1, "b_")
@@ -2110,8 +2146,8 @@ _DH_DOCS = 240
     px AS (
       SELECT doc_id, x.x AS x, y.y AS y,
              ((doc_id % 24) * 17 + x.x * 7 + y.y * 13
-              + (x.x * y.y) % 5
-              + CASE WHEN (doc_id // 24) % 4 = 0 THEN 3 ELSE 0 END) % 256 AS v
+              + (x.x * y.y) % 5) % 250
+              + CASE WHEN (doc_id // 24) % 4 = 0 THEN 3 ELSE 0 END AS v
       FROM ids,
            generate_series(0, {_DH_W - 1}) x(x),
            generate_series(0, {_DH_H - 1}) y(y)),
@@ -2136,9 +2172,11 @@ _DH_DOCS = 240
     "functions/imagecodec.py inside an Arrow-batched mapInPandas "
     "kernel, then the 64 adjacent-pixel comparison bits and the "
     "group-by-hash rollup run JVM-side. dHash's defining invariance "
-    "is pinned by construction: the level-shifted copies MUST land in "
-    "the same hash group (gradients are shift-invariant), so group "
-    "sizes certify the property, and the oracle recomputes pixels and "
+    "is pinned by construction: base pixel values are clamped to "
+    "[0, 249] before the +3 shift so the shift can never wrap mod "
+    "256 — every level-shifted copy MUST land in the same hash group "
+    "(gradients are shift-invariant), group sizes certify the "
+    "property, and the oracle recomputes pixels and "
     "bit algebra without any codec — hash equality certifies the "
     "codec round-trip bit-for-bit. Scale shape: one kernel pass per "
     "image (56 int comparisons), hash group-by — the dedup key "
@@ -2166,9 +2204,13 @@ def multimodal_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in pdf["doc_id"]:
                 d = int(d)
                 shift = 3 if (d // 24) % 4 == 0 else 0
+                # base values land in [0, 249] BEFORE the +3 level
+                # shift, so the shift can never wrap mod 256 — the
+                # shift-invariance of the comparison bits holds by
+                # construction for every pixel (r7 ADVICE fix)
                 pix = bytes(
-                    ((d % 24) * 17 + x * 7 + y * 13 + (x * y) % 5 + shift)
-                    % 256
+                    ((d % 24) * 17 + x * 7 + y * 13 + (x * y) % 5) % 250
+                    + shift
                     for y in range(H)
                     for x in range(W)
                 )

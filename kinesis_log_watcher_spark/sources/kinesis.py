@@ -20,6 +20,7 @@ Import-gated: no AWS/account on the test path (SURVEY.md §7.4).
 
 from __future__ import annotations
 
+import os
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,12 +30,47 @@ KINESIS_FORMAT = "aws-kinesis"  # Spark 4 / Databricks-style connector name
 DEFAULT_MAX_FETCH_RECORDS = 10_000  # reference's GetRecords Limit (main.go:218)
 
 
+def profile_credentials(
+    profile: str, credentials_path: str | None = None
+) -> dict[str, str]:
+    """Resolve a named profile from ``~/.aws/credentials`` (the public
+    shared-credentials INI format) to connector credential options —
+    the reference's --profile/-p semantics (main.go:69, 133-138:
+    ``session.Options{Profile: profile}`` reads the same file via the
+    AWS SDK). Pure file parse, unit-testable with a temp INI; raises
+    ValueError on a missing profile or key, matching the reference's
+    hard failure when the SDK can't resolve the profile."""
+    import configparser
+
+    path = credentials_path or os.path.expanduser("~/.aws/credentials")
+    ini = configparser.ConfigParser()
+    if not ini.read(path):
+        raise ValueError(f"credentials file not found: {path}")
+    if not ini.has_section(profile):
+        raise ValueError(f"profile not found in {path}: {profile}")
+    sect = ini[profile]
+    try:
+        opts = {
+            "awsAccessKeyId": sect["aws_access_key_id"],
+            "awsSecretKey": sect["aws_secret_access_key"],
+        }
+    except KeyError as exc:
+        raise ValueError(
+            f"profile {profile!r} is missing {exc.args[0]}"
+        ) from None
+    if "aws_session_token" in sect:
+        opts["awsSessionToken"] = sect["aws_session_token"]
+    return opts
+
+
 def reader_options(
     stream_name: str,
     region: str | None = None,
     start_timestamp: datetime | None = None,
     endpoint_url: str | None = None,
     max_fetch_records: int = DEFAULT_MAX_FETCH_RECORDS,
+    profile: str | None = None,
+    credentials_path: str | None = None,
 ) -> dict[str, str]:
     """The full connector option map, as a pure function (unit-testable
     without a connector jar or network). Contract with the reference:
@@ -63,6 +99,11 @@ def reader_options(
         opts["region"] = region
     if endpoint_url:
         opts["endpointUrl"] = endpoint_url
+    if profile is not None:
+        # --profile/-p (main.go:69): static credentials resolved from
+        # the shared-credentials file; omitted → SDK default chain,
+        # exactly like the reference's session.Options{Profile: ""}
+        opts.update(profile_credentials(profile, credentials_path))
     return opts
 
 
@@ -73,6 +114,7 @@ def read_kinesis_stream(
     start_timestamp: datetime | None = None,
     endpoint_url: str | None = None,
     max_fetch_records: int = DEFAULT_MAX_FETCH_RECORDS,
+    profile: str | None = None,
 ) -> DataFrame:
     """Build the streaming reader for a real Kinesis stream.
 
@@ -86,6 +128,7 @@ def read_kinesis_stream(
         start_timestamp=start_timestamp,
         endpoint_url=endpoint_url,
         max_fetch_records=max_fetch_records,
+        profile=profile,
     ).items():
         reader = reader.option(k, v)
     try:

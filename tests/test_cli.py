@@ -36,3 +36,33 @@ def test_one_shot_over_file_source(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert len([l for l in out.splitlines() if l.strip()]) == 20
+
+
+def test_region_profile_flags_and_help_epilog(capsys):
+    """-r/--region and -p/--profile parity (main.go:68-69) and the
+    field-docs usage epilog (main.go:36-59, README.md:13-25)."""
+    args = build_parser().parse_args(
+        ["-r", "eu-central-1", "-p", "logs-ro", "my-stream"]
+    )
+    assert args.region == "eu-central-1"
+    assert args.profile == "logs-ro"
+    # defaults: unset → SDK default chain / no profile
+    dflt = build_parser().parse_args(["my-stream"])
+    assert dflt.region is None and dflt.profile is None
+
+    with pytest.raises(SystemExit) as exc:
+        build_parser().parse_args(["--help"])
+    assert exc.value.code == 0
+    helptext = capsys.readouterr().out
+    # every template field the reference documents, verbatim
+    for field in (
+        "{{.HostId}}", "{{.HostID}}", "{{.ShortHostId}}", "{{.ShortHostID}}",
+        "{{.Timestamp}}", "{{.LogEntry}}", "{{.Log}}", "{{.Log.FieldName}}",
+    ):
+        assert field in helptext
+    # duration conventions + strftime example (main.go:41-42, 56-57)
+    assert "Examples: 30s, 5m, 3h, 1d." in helptext
+    assert 'strftime "%Y-%m-%dT%H:%M:%S"' in helptext
+    for flag in ("--region", "--profile", "--one-shot", "--format",
+                 "--start", "--watch"):
+        assert flag in helptext

@@ -62,3 +62,53 @@ def test_connector_format_name_stable():
 def test_missing_connector_raises_clear_error(spark):
     with pytest.raises(RuntimeError, match="no Kinesis connector"):
         read_kinesis_stream(spark, "my-logs")
+
+
+def test_profile_credentials_resolution(tmp_path):
+    """--profile/-p (main.go:69, 133-138): a named profile in the shared
+    credentials INI resolves to static credential options; missing
+    file/profile/key fail hard, like the SDK."""
+    from kinesis_log_watcher_spark.sources.kinesis import profile_credentials
+
+    ini = tmp_path / "credentials"
+    ini.write_text(
+        "[default]\n"
+        "aws_access_key_id = AKIADEFAULT\n"
+        "aws_secret_access_key = defaultsecret\n"
+        "\n"
+        "[logs-ro]\n"
+        "aws_access_key_id = AKIALOGSRO\n"
+        "aws_secret_access_key = logssecret\n"
+        "aws_session_token = tok123\n"
+    )
+    assert profile_credentials("logs-ro", str(ini)) == {
+        "awsAccessKeyId": "AKIALOGSRO",
+        "awsSecretKey": "logssecret",
+        "awsSessionToken": "tok123",
+    }
+    # no session token → option omitted
+    assert "awsSessionToken" not in profile_credentials("default", str(ini))
+    with pytest.raises(ValueError, match="profile not found"):
+        profile_credentials("nope", str(ini))
+    with pytest.raises(ValueError, match="not found"):
+        profile_credentials("default", str(tmp_path / "missing"))
+    (tmp_path / "partial").write_text("[p]\naws_access_key_id = A\n")
+    with pytest.raises(ValueError, match="aws_secret_access_key"):
+        profile_credentials("p", str(tmp_path / "partial"))
+
+
+def test_option_map_with_profile(tmp_path):
+    ini = tmp_path / "credentials"
+    ini.write_text(
+        "[prod]\naws_access_key_id = AKIAPROD\n"
+        "aws_secret_access_key = prodsecret\n"
+    )
+    opts = reader_options(
+        "my-logs", region="us-west-2", profile="prod",
+        credentials_path=str(ini),
+    )
+    assert opts["awsAccessKeyId"] == "AKIAPROD"
+    assert opts["awsSecretKey"] == "prodsecret"
+    assert opts["region"] == "us-west-2"
+    # profile omitted → no credential options, SDK default chain
+    assert "awsAccessKeyId" not in reader_options("my-logs")

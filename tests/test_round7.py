@@ -799,7 +799,7 @@ def test_dhash_shift_invariance_and_grouping(spark, sf_dir):
     for d in range(n_docs):
         shift = 3 if (d // 24) % 4 == 0 else 0
         pix = bytes(
-            ((d % 24) * 17 + x * 7 + y * 13 + (x * y) % 5 + shift) % 256
+            ((d % 24) * 17 + x * 7 + y * 13 + (x * y) % 5) % 250 + shift
             for y in range(H)
             for x in range(W)
         )
@@ -815,9 +815,10 @@ def test_dhash_shift_invariance_and_grouping(spark, sf_dir):
         for r in _q("multimodal_dhash_groups")(spark, sf_dir).collect()
     }
     assert got == {h: (len(ds), min(ds)) for h, ds in want.items()}
-    # shift invariance: docs d and d+? sharing a base pattern (d % 24)
-    # collide unless the +3 shift crosses a mod-256 wrap that flips a
-    # comparison — verify at least one shifted/unshifted pair collides
+    # shift invariance BY CONSTRUCTION: base pixels are clamped to
+    # [0, 249] before the +3 shift, so the shift can never wrap mod 256
+    # and EVERY shifted/unshifted pair sharing a base pattern (d % 24)
+    # must collide — the full invariant, not just one witness pair
     by_doc = {}
     for h, ds in want.items():
         for d in ds:
@@ -829,4 +830,4 @@ def test_dhash_shift_invariance_and_grouping(spark, sf_dir):
         for d2 in range(n_docs)
         if (d2 // 24) % 4 != 0 and d2 % 24 == d % 24
     ]
-    assert pairs and any(by_doc[a] == by_doc[b] for a, b in pairs)
+    assert pairs and all(by_doc[a] == by_doc[b] for a, b in pairs)

@@ -328,7 +328,8 @@ def test_resize_images_plumbing(spark):
     rows = {
         r.doc_id: r
         for r in resize_images(
-            with_binary_payload(docs), width=8, height=8
+            with_binary_payload(docs), width=8, height=8,
+            resize_fn=fake_resize,
         ).collect()
     }
     assert rows[1].n_bytes_out == 64 and rows[2].n_bytes_out == 64

@@ -18,6 +18,7 @@ queries must heal the session themselves (queries/base.ensure_session_confs).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
@@ -26,7 +27,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from kinesis_log_watcher_spark.queries.base import TABLES  # noqa: E402
 

@@ -32,12 +32,13 @@ Usage: python tools/oracle_lint.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from kinesis_log_watcher_spark.queries.base import TABLES  # noqa: E402
 

@@ -21,10 +21,11 @@ Usage: python tools/plan_audit.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from kinesis_log_watcher_spark.queries import registry  # noqa: E402
 from kinesis_log_watcher_spark.session import get_spark  # noqa: E402
@@ -126,6 +127,7 @@ ALLOWED_BNLJ = {
     # build side is bounded by the sensitive-value DOMAIN, not rows
     "t_closeness_audit": "1-row n_total/n_bands + band-dimension broadcasts",
     "ordered_funnel_completion": "three 1-row stage-count broadcasts",
+    "association_rules_lift": "1-row basket-count (n) broadcast onto the thresholded rules",
 }
 
 
@@ -152,11 +154,32 @@ def audit_one(spark, name: str, fn, sf_dir: str) -> tuple[list[str], list[str]]:
     return hard, soft
 
 
+# Manifest of the queries covered by the last CLEAN full audit run.
+# The suite's registration gate (tests/test_plan_audit_gate.py) audits
+# every registry entry NOT in this manifest — so a query registered
+# after the last full audit cannot slip an unlisted BNLJ/cartesian past
+# the gate (the r7 association_rules_lift miss). A clean full run
+# rewrites the manifest.
+MANIFEST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "plan_audit_manifest.json")
+
+
+def load_manifest() -> set[str]:
+    import json
+
+    try:
+        with open(MANIFEST_PATH) as fh:
+            return set(json.load(fh))
+    except FileNotFoundError:
+        return set()
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     failures = 0
+    audited: list[str] = []
     for name, q in registry().items():
         if name in STREAMING:
             continue
@@ -166,6 +189,7 @@ def main() -> int:
             print(f"ERROR {name}: {exc}")
             failures += 1
             continue
+        audited.append(name)
         if hard:
             failures += 1
             print(f"FLAG  {name}: {', '.join(hard + soft)}")
@@ -174,6 +198,12 @@ def main() -> int:
         else:
             print(f"ok    {name}")
     print(f"\n{failures} hard-flagged queries")
+    if not failures:
+        import json
+
+        with open(MANIFEST_PATH, "w") as fh:
+            json.dump(sorted(audited), fh, indent=0)
+        print(f"manifest written: {len(audited)} queries -> {MANIFEST_PATH}")
     return 1 if failures else 0
 
 
