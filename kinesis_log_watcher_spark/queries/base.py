@@ -147,6 +147,9 @@ _FRONT = (
     # official row pending — inside the r8 sample window)
     "bpe_vocab_encodings",
     "bpe_tokenize_budget",
+    "pii_redaction_audit",
+    "sequence_packing_stats",
+    "bpe_token_vocab_coverage",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

@@ -142,3 +142,320 @@ def bpe_tokenize_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tokens_per_word_micro"),
     )
+
+
+# ===========================================================================
+# Round-8 wave 2: PII redaction, sequence packing, token-vocab coverage
+# ===========================================================================
+
+# PII is synthesized DETERMINISTICALLY onto the corpus (the raw test
+# corpus is PII-free): every 3rd doc gains an email, every 5th an IPv4,
+# every 7th a phone — both dialects build the identical augmented text,
+# so the queries certify the DETECTION/REDACTION kernels, not the
+# synthesizer. Patterns are RE2-safe (no backreferences/lookaround) and
+# evaluate identically under Java regex (Spark) and RE2 (DuckDB); the
+# engine binds them via F.lit (never through a SQL string literal, where
+# Spark's backslash escaping would silently rewrite them).
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IPV4 = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+_PII_PHONE = r"555-[0-9]{4}"
+
+_PII_AUG_SQL = """
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' call 555-' || (1000 + doc_id % 9000) ELSE '' END
+"""
+
+
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                (1000 + F.col("doc_id") % 9000).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", "source", aug.alias("t"))
+
+
+@register(
+    "pii_redaction_audit",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, source, ({_PII_AUG_SQL}) AS t FROM documents),
+    hits AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_email,
+             CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT)
+               AS n_ip,
+             CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phone,
+             CAST(CAST('0x' || substr(md5(
+               regexp_replace(regexp_replace(regexp_replace(t,
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_IPV4}', '<IP>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g')), 1, 13) AS BIGINT)
+               AS BIGINT) AS red_digest
+      FROM aug)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_email + n_ip + n_phone > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(SUM(n_email) AS BIGINT) AS emails_total,
+           CAST(SUM(n_ip) AS BIGINT) AS ips_total,
+           CAST(SUM(n_phone) AS BIGINT) AS phones_total,
+           CAST(SUM(red_digest) AS BIGINT) AS redacted_digest
+    FROM hits GROUP BY source
+    """,
+    doc="PII scrubbing gate (the curation step every training corpus "
+    "runs before release): detect emails / IPv4s / phone numbers with "
+    "RE2-safe patterns, count hits per class, and certify the REDACTED "
+    "corpus byte-for-byte via a per-doc md5 digest folded into an "
+    "exact int64 sum — a green row proves both engines redact to the "
+    "identical output text, not just that counts agree. PII is "
+    "synthesized deterministically from doc_id so the oracle builds "
+    "the same input. Scale shape: narrow per-row regex in JVM codegen "
+    "(no UDF, no shuffle before the rollup), one partial-agg shuffle "
+    "on source.",
+)
+def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    aug = _pii_augmented(docs)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_IPV4),
+            F.lit("<IP>"),
+        ),
+        F.lit(_PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    hits = aug.select(
+        "source",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), 0))
+        .cast("long")
+        .alias("n_email"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_IPV4), 0))
+        .cast("long")
+        .alias("n_ip"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), 0))
+        .cast("long")
+        .alias("n_phone"),
+        F.conv(F.substring(F.md5(red), 1, 13), 16, 10)
+        .cast("long")
+        .alias("red_digest"),
+    )
+    return hits.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_email") + F.col("n_ip") + F.col("n_phone") > 0, 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("docs_with_pii"),
+        F.sum("n_email").cast("long").alias("emails_total"),
+        F.sum("n_ip").cast("long").alias("ips_total"),
+        F.sum("n_phone").cast("long").alias("phones_total"),
+        F.sum("red_digest").cast("long").alias("redacted_digest"),
+    )
+
+
+_PACK_SEQ = 128  # tokens per packed training sequence
+_PACK_BUCKET = 32  # docs per packing bucket (resets the prefix sum)
+
+
+@register(
+    "sequence_packing_stats",
+    f"""
+    WITH RECURSIVE {_BPE_ENC_CTE},
+    per_doc AS (
+      SELECT w.doc_id, CAST(SUM(f.n_tokens) AS BIGINT) AS n_tokens
+      FROM words w JOIN fin f USING (word)
+      GROUP BY w.doc_id),
+    pos AS (
+      SELECT doc_id, n_tokens, doc_id // {_PACK_BUCKET} AS bucket,
+             SUM(n_tokens) OVER (PARTITION BY doc_id // {_PACK_BUCKET}
+                                 ORDER BY doc_id) AS cum
+      FROM per_doc),
+    marked AS (
+      SELECT bucket, n_tokens,
+             CASE WHEN (cum - n_tokens) // {_PACK_SEQ}
+                       <> (cum - 1) // {_PACK_SEQ}
+                  THEN 1 ELSE 0 END AS crosses
+      FROM pos),
+    per_bucket AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens_b,
+             CAST((SUM(n_tokens) + {_PACK_SEQ - 1}) // {_PACK_SEQ}
+                  AS BIGINT) AS seqs_b,
+             CAST(SUM(crosses) AS BIGINT) AS crossing_b
+      FROM marked GROUP BY bucket)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens_b) AS BIGINT) AS tokens_total,
+           CAST(SUM(seqs_b) AS BIGINT) AS seqs_total,
+           CAST(SUM(seqs_b) * {_PACK_SEQ} - SUM(tokens_b) AS BIGINT)
+             AS waste_total,
+           CAST(SUM(crossing_b) AS BIGINT) AS docs_crossing,
+           CAST(SUM(tokens_b) * 1000000
+                // (SUM(seqs_b) * {_PACK_SEQ}) AS BIGINT) AS fill_micro
+    FROM per_bucket
+    """,
+    doc="Contiguous sequence packing (the step that turns a tokenized "
+    "corpus into fixed-length training sequences): docs are laid out "
+    "in doc_id order within {B}-doc BUCKETS, each bucket packed "
+    "independently into {S}-token sequences by an exact integer prefix "
+    "sum — per-doc boundary-crossing counts (attention-mask splits), "
+    "total sequences, padding waste and the fill ratio. Bucketing is "
+    "the scale posture: the prefix-sum window partitions on the "
+    "bounded bucket key ({B} docs), never a global order — packing "
+    "1e12 docs is embarrassingly parallel across buckets at the cost "
+    "of at most one partial sequence of waste per bucket (measured "
+    "here by waste_total). Token counts are the REAL BPE counts "
+    "(operators/bpe.py), so the budget is the one the training run "
+    "sees.".format(B=_PACK_BUCKET, S=_PACK_SEQ),
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    per_doc = doc_token_counts(docs).select("doc_id", "n_tokens")
+    pos = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"doc_id div {_PACK_BUCKET}").alias("bucket"),
+    ).withColumn(
+        "cum",
+        F.sum("n_tokens").over(
+            Window.partitionBy("bucket")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    marked = pos.select(
+        "bucket",
+        "n_tokens",
+        F.when(
+            F.expr(f"(cum - n_tokens) div {_PACK_SEQ}")
+            != F.expr(f"(cum - 1) div {_PACK_SEQ}"),
+            1,
+        )
+        .otherwise(0)
+        .alias("crosses"),
+    )
+    per_bucket = marked.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_b"),
+        F.expr(f"(sum(n_tokens) + {_PACK_SEQ - 1}) div {_PACK_SEQ}")
+        .cast("long")
+        .alias("seqs_b"),
+        F.sum("crosses").cast("long").alias("crossing_b"),
+    )
+    return per_bucket.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("tokens_b").cast("long").alias("tokens_total"),
+        F.sum("seqs_b").cast("long").alias("seqs_total"),
+        (F.sum("seqs_b") * _PACK_SEQ - F.sum("tokens_b"))
+        .cast("long")
+        .alias("waste_total"),
+        F.sum("crossing_b").cast("long").alias("docs_crossing"),
+        F.expr(f"sum(tokens_b) * 1000000 div (sum(seqs_b) * {_PACK_SEQ})")
+        .cast("long")
+        .alias("fill_micro"),
+    )
+
+
+@register(
+    "bpe_token_vocab_coverage",
+    f"""
+    WITH RECURSIVE {_BPE_ENC_CTE},
+    wcnt AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM words GROUP BY word),
+    tok AS (
+      SELECT unnest(string_split(f.tokens, '|')) AS token, c.cnt
+      FROM fin f JOIN wcnt c USING (word)),
+    occ AS (
+      SELECT token, CAST(SUM(cnt) AS BIGINT) AS occurrences
+      FROM tok GROUP BY token),
+    ranked AS (
+      SELECT token, occurrences,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+             CAST(SUM(occurrences) OVER (w ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) * 1000000
+                  // SUM(occurrences) OVER () AS BIGINT)
+               AS coverage_micro
+      FROM occ
+      WINDOW w AS (ORDER BY occurrences DESC, token))
+    SELECT token, occurrences, rank, coverage_micro FROM ranked
+    """,
+    doc="Token-vocabulary coverage curve: every BPE token's corpus "
+    "occurrence count (word encodings weighted by word frequency), "
+    "ranked, with the cumulative coverage each rank buys — the curve "
+    "that sizes a vocabulary (how many tokens cover 95% of the "
+    "corpus) and prices OOV fallback. Scale shape: corpus-side work "
+    "is one word-count shuffle; the explode and windows run on the "
+    "TOKEN domain, which is bounded by construction (alphabet + one "
+    "symbol per merge-table row, independent of corpus size) — the "
+    "global window is over a bounded relation, the histogram-family "
+    "pattern.",
+)
+def bpe_token_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    wcnt = words.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+    per_word = vocab_token_counts(wcnt.select("word"))
+    tok = per_word.join(wcnt, "word").select(
+        F.explode(F.split("tokens", r"\|")).alias("token"), "cnt"
+    )
+    occ = tok.groupBy("token").agg(
+        F.sum("cnt").cast("long").alias("occurrences")
+    )
+    w = Window.orderBy(F.col("occurrences").desc(), "token")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return occ.select(
+        "token",
+        "occurrences",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.expr("sum(occurrences)")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("occurrences").over(wall).alias("tot"),
+    ).select(
+        "token",
+        "occurrences",
+        "rank",
+        F.expr("cum * 1000000 div tot").cast("long").alias("coverage_micro"),
+    )

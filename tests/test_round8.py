@@ -120,3 +120,106 @@ def test_bpe_corpus_flows_jvm_side(spark, sf_dir):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert plan.count("MapInPandas") == 1
+
+
+def test_pii_redaction_recompute(spark, sf_dir):
+    """Recompute detection counts + the redaction digest in pure Python
+    regex — independent of both engines."""
+    import hashlib
+    import re
+
+    from kinesis_log_watcher_spark.queries.base import load
+    from kinesis_log_watcher_spark.queries.round8 import (
+        _PII_EMAIL,
+        _PII_IPV4,
+        _PII_PHONE,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    per_source: dict = {}
+    for r in docs:
+        t = r.text
+        if r.doc_id % 3 == 0:
+            t += f" contact user{r.doc_id}@example.com"
+        if r.doc_id % 5 == 0:
+            t += f" from 10.{r.doc_id % 256}.0.{r.doc_id % 100}"
+        if r.doc_id % 7 == 0:
+            t += f" call 555-{1000 + r.doc_id % 9000}"
+        ne = len(re.findall(_PII_EMAIL, t))
+        ni = len(re.findall(_PII_IPV4, t))
+        np_ = len(re.findall(_PII_PHONE, t))
+        red = re.sub(_PII_PHONE, "<PHONE>",
+                     re.sub(_PII_IPV4, "<IP>",
+                            re.sub(_PII_EMAIL, "<EMAIL>", t)))
+        dig = int(hashlib.md5(red.encode()).hexdigest()[:13], 16)
+        s = per_source.setdefault(
+            r.source,
+            {"docs": 0, "pii": 0, "e": 0, "i": 0, "p": 0, "d": 0},
+        )
+        s["docs"] += 1
+        s["pii"] += 1 if ne + ni + np_ else 0
+        s["e"] += ne
+        s["i"] += ni
+        s["p"] += np_
+        s["d"] += dig
+    got = {r.source: r
+           for r in _q("pii_redaction_audit")(spark, sf_dir).collect()}
+    assert set(got) == set(per_source)
+    for src, s in per_source.items():
+        g = got[src]
+        assert (g.n_docs, g.docs_with_pii, g.emails_total, g.ips_total,
+                g.phones_total, g.redacted_digest) == (
+            s["docs"], s["pii"], s["e"], s["i"], s["p"], s["d"])
+    # the synthesizer actually planted PII (non-degenerate test)
+    assert sum(s["e"] for s in per_source.values()) > 0
+    assert sum(s["i"] for s in per_source.values()) > 0
+    assert sum(s["p"] for s in per_source.values()) > 0
+
+
+def test_sequence_packing_recompute(spark, sf_dir):
+    """Recompute bucketed packing from per-doc Python BPE counts."""
+    from kinesis_log_watcher_spark.queries.base import load
+    from kinesis_log_watcher_spark.queries.round8 import (
+        _PACK_BUCKET,
+        _PACK_SEQ,
+    )
+
+    ranks = merge_ranks(DEFAULT_MERGES)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    buckets: dict = {}
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        n = sum(len(bpe_encode(w, ranks)) for w in r.text.lower().split(" "))
+        buckets.setdefault(r.doc_id // _PACK_BUCKET, []).append(n)
+    n_docs = tokens_total = seqs_total = crossing = 0
+    for toks in buckets.values():
+        cum = 0
+        for n in toks:
+            start, cum = cum, cum + n
+            if start // _PACK_SEQ != (cum - 1) // _PACK_SEQ:
+                crossing += 1
+        n_docs += len(toks)
+        tokens_total += cum
+        seqs_total += (cum + _PACK_SEQ - 1) // _PACK_SEQ
+    g = _q("sequence_packing_stats")(spark, sf_dir).collect()[0]
+    assert (g.n_buckets, g.n_docs, g.tokens_total, g.seqs_total,
+            g.waste_total, g.docs_crossing) == (
+        len(buckets), n_docs, tokens_total, seqs_total,
+        seqs_total * _PACK_SEQ - tokens_total, crossing)
+    assert g.fill_micro == tokens_total * 1000000 // (seqs_total * _PACK_SEQ)
+
+
+def test_token_coverage_monotone_and_complete(spark, sf_dir):
+    rows = sorted(
+        _q("bpe_token_vocab_coverage")(spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert rows[-1].coverage_micro == 1000000  # full corpus covered
+    occs = [r.occurrences for r in rows]
+    assert occs == sorted(occs, reverse=True)
+    covs = [r.coverage_micro for r in rows]
+    assert covs == sorted(covs)
+    # token domain is bounded: alphabet + at most one symbol per merge
+    alphabet = {c for r in rows for c in r.token}
+    assert len(rows) <= len(alphabet) + len(DEFAULT_MERGES)
