@@ -1,10 +1,25 @@
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
 from kinesis_log_watcher_spark.session import get_spark
+
+
+def property_examples(n: int) -> int:
+    """Hypothesis example budget for SPARK-DRIVING property tests (each
+    example costs a full Spark action, ~0.5-1s). The default suite runs
+    40% of the full budget (floor 5) — the identities under test are
+    frozen dialect semantics, green at full budget every round since r2,
+    and the per-round certification runs restore the full budget with
+    SPARK_GRAFT_PROPERTY=full. Pure-Python property tests (closed-form,
+    fold identities) keep their full 200-300 example budgets — they cost
+    milliseconds per example."""
+    if os.environ.get("SPARK_GRAFT_PROPERTY", "").lower() == "full":
+        return n
+    return max(5, n * 2 // 5)
 
 
 def replay_parallel(*thunks):

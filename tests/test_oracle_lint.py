@@ -59,12 +59,42 @@ def test_rule_fires_on_inf_and_unordered_limit(con):
     assert f == []
 
 
-def test_registry_lints_clean():
-    """Every registered oracle, zero findings — run exactly the tool's
-    main() path over sf0.001 so CI and the CLI can't drift."""
+def test_lint_manifest_fresh():
+    """A missing/stale manifest would shrink the delta gate to nothing;
+    require it to exist, cover the bulk of the registry, and name no
+    ghost queries."""
+    from kinesis_log_watcher_spark.queries import registry
+
+    manifest = oracle_lint.load_manifest()
+    assert manifest, (
+        "tools/oracle_lint_manifest.json missing — run "
+        "`python tools/oracle_lint.py` for a clean full lint"
+    )
+    names = {n for n, q in registry().items() if q.oracle}
+    assert len(manifest & names) >= 0.9 * len(names), (
+        "manifest stale: most of the registry is unlinted — rerun the "
+        "full lint"
+    )
+    assert not (manifest - names), sorted(manifest - names)
+
+
+def test_oracles_added_since_last_full_lint_are_clean():
+    """Lint exactly the oracles the last clean full lint never saw —
+    run the tool's own main() path with the `only` filter so CI and the
+    CLI can't drift. Empty delta → main() lints nothing and stays green
+    (and must NOT rewrite the manifest on a filtered run)."""
+    from kinesis_log_watcher_spark.queries import registry
+
+    manifest = oracle_lint.load_manifest()
+    delta = sorted(
+        n for n, q in registry().items() if q.oracle and n not in manifest
+    )
     assert oracle_lint.main.__module__ == "oracle_lint"
-    argv, sys.argv = sys.argv, ["oracle_lint.py", "/root/testdata/sf0.001"]
+    argv, sys.argv = sys.argv, (
+        ["oracle_lint.py", "/root/testdata/sf0.001"] + (delta or ["__none__"])
+    )
     try:
         assert oracle_lint.main() == 0
     finally:
         sys.argv = argv
+    assert oracle_lint.load_manifest() == manifest

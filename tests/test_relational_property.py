@@ -9,11 +9,13 @@ from datetime import datetime, timedelta
 
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
+
+from conftest import property_examples
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=property_examples(12), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     rows=st.lists(
         st.tuples(
@@ -61,7 +63,7 @@ def test_twophase_topk_equals_single_window(spark, rows, k, n_salts):
     assert twophase == direct
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=property_examples(6), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     iv=st.lists(
         st.tuples(

@@ -14,8 +14,40 @@ from kinesis_log_watcher_spark.operators.bpe import (
 from kinesis_log_watcher_spark.queries import registry
 
 
+import pytest
+
+
 def _q(name):
     return registry()[name].fn
+
+
+@pytest.fixture(scope="module")
+def r8_results(spark, sf_dir):
+    """The module's five registry-query executions, one concurrent
+    burst (independent Spark actions; the r8 suite-speed shape), plus
+    the docs rows every recompute test replays in Python."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from kinesis_log_watcher_spark.queries.base import load
+
+    names = [
+        "bpe_tokenize_budget",
+        "bpe_vocab_encodings",
+        "pii_redaction_audit",
+        "sequence_packing_stats",
+        "bpe_token_vocab_coverage",
+    ]
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        futs = {n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+                for n in names}
+        docs = pool.submit(
+            lambda: load(spark, sf_dir, "documents")
+            .select("doc_id", "source", "text")
+            .collect()
+        )
+        out = {n: f.result() for n, f in futs.items()}
+        out["docs"] = docs.result()
+    return out
 
 
 def test_bpe_encode_iterates_by_min_rank():
@@ -69,15 +101,11 @@ def test_doc_token_counts_exact(spark):
     assert got == {1: (2, 2), 2: (3, 5)}
 
 
-def test_bpe_budget_recompute(spark, sf_dir):
+def test_bpe_budget_recompute(r8_results):
     """Recompute the per-source budget rollup from the per-word Python
     encoder — independent of both the Spark plan and the oracle CTE."""
-    from kinesis_log_watcher_spark.queries.base import load
-
     ranks = merge_ranks(DEFAULT_MERGES)
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
-    ).collect()
+    docs = r8_results["docs"]
     per_source: dict = {}
     for r in docs:
         words = r.text.lower().split(" ")
@@ -89,7 +117,7 @@ def test_bpe_budget_recompute(spark, sf_dir):
         s["words"] += len(words)
         s["tokens"] += n_tokens
         s["chunks"] += (n_tokens + 63) // 64
-    got = {r.source: r for r in _q("bpe_tokenize_budget")(spark, sf_dir).collect()}
+    got = {r.source: r for r in r8_results["bpe_tokenize_budget"]}
     assert set(got) == set(per_source)
     for src, s in per_source.items():
         g = got[src]
@@ -99,9 +127,9 @@ def test_bpe_budget_recompute(spark, sf_dir):
         assert g.tokens_per_word_micro == s["tokens"] * 1000000 // s["words"]
 
 
-def test_bpe_vocab_encodings_certifies_symbols(spark, sf_dir):
+def test_bpe_vocab_encodings_certifies_symbols(r8_results):
     ranks = merge_ranks(DEFAULT_MERGES)
-    rows = _q("bpe_vocab_encodings")(spark, sf_dir).collect()
+    rows = r8_results["bpe_vocab_encodings"]
     assert rows
     for r in rows:
         enc = bpe_encode(r.word, ranks)
@@ -122,22 +150,19 @@ def test_bpe_corpus_flows_jvm_side(spark, sf_dir):
     assert plan.count("MapInPandas") == 1
 
 
-def test_pii_redaction_recompute(spark, sf_dir):
+def test_pii_redaction_recompute(r8_results):
     """Recompute detection counts + the redaction digest in pure Python
     regex — independent of both engines."""
     import hashlib
     import re
 
-    from kinesis_log_watcher_spark.queries.base import load
     from kinesis_log_watcher_spark.queries.round8 import (
         _PII_EMAIL,
         _PII_IPV4,
         _PII_PHONE,
     )
 
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
-    ).collect()
+    docs = r8_results["docs"]
     per_source: dict = {}
     for r in docs:
         t = r.text
@@ -164,8 +189,7 @@ def test_pii_redaction_recompute(spark, sf_dir):
         s["i"] += ni
         s["p"] += np_
         s["d"] += dig
-    got = {r.source: r
-           for r in _q("pii_redaction_audit")(spark, sf_dir).collect()}
+    got = {r.source: r for r in r8_results["pii_redaction_audit"]}
     assert set(got) == set(per_source)
     for src, s in per_source.items():
         g = got[src]
@@ -178,16 +202,15 @@ def test_pii_redaction_recompute(spark, sf_dir):
     assert sum(s["p"] for s in per_source.values()) > 0
 
 
-def test_sequence_packing_recompute(spark, sf_dir):
+def test_sequence_packing_recompute(r8_results):
     """Recompute bucketed packing from per-doc Python BPE counts."""
-    from kinesis_log_watcher_spark.queries.base import load
     from kinesis_log_watcher_spark.queries.round8 import (
         _PACK_BUCKET,
         _PACK_SEQ,
     )
 
     ranks = merge_ranks(DEFAULT_MERGES)
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    docs = r8_results["docs"]
     buckets: dict = {}
     for r in sorted(docs, key=lambda r: r.doc_id):
         n = sum(len(bpe_encode(w, ranks)) for w in r.text.lower().split(" "))
@@ -202,7 +225,7 @@ def test_sequence_packing_recompute(spark, sf_dir):
         n_docs += len(toks)
         tokens_total += cum
         seqs_total += (cum + _PACK_SEQ - 1) // _PACK_SEQ
-    g = _q("sequence_packing_stats")(spark, sf_dir).collect()[0]
+    g = r8_results["sequence_packing_stats"][0]
     assert (g.n_buckets, g.n_docs, g.tokens_total, g.seqs_total,
             g.waste_total, g.docs_crossing) == (
         len(buckets), n_docs, tokens_total, seqs_total,
@@ -210,11 +233,8 @@ def test_sequence_packing_recompute(spark, sf_dir):
     assert g.fill_micro == tokens_total * 1000000 // (seqs_total * _PACK_SEQ)
 
 
-def test_token_coverage_monotone_and_complete(spark, sf_dir):
-    rows = sorted(
-        _q("bpe_token_vocab_coverage")(spark, sf_dir).collect(),
-        key=lambda r: r.rank,
-    )
+def test_token_coverage_monotone_and_complete(r8_results):
+    rows = sorted(r8_results["bpe_token_vocab_coverage"], key=lambda r: r.rank)
     assert rows[-1].coverage_micro == 1000000  # full corpus covered
     occs = [r.occurrences for r in rows]
     assert occs == sorted(occs, reverse=True)

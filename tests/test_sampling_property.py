@@ -10,6 +10,8 @@ import hashlib
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+from conftest import property_examples
 from pyspark.sql import functions as F
 
 from kinesis_log_watcher_spark.operators.sampling import (
@@ -23,7 +25,7 @@ def _draw(key) -> str:
     return hashlib.md5(str(key).encode()).hexdigest()[:8]
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=property_examples(20), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     sizes=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=40),
     budget=st.integers(min_value=1, max_value=4096),
@@ -44,7 +46,7 @@ def test_pack_bins_matches_python_reference(spark, sizes, budget):
         off += s
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=property_examples(20), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     keys=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
                   max_size=50, unique=True),

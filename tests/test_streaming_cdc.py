@@ -22,27 +22,68 @@ def _stage_file(spark, tmp_path, dest_dir, name, df, mtime):
     shutil.rmtree(stage)
 
 
-def test_cdc_latest_version_wins_across_batches(spark, tmp_path):
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cdc_results(spark, tmp_path_factory):
+    """The module's two bounded replays (CDC upsert, streaming HLL at
+    two splits) staged once and launched in ONE replay_parallel burst
+    (the r8 suite-speed shape); batch-only tests below stay inline."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from conftest import replay_parallel
+    from kinesis_log_watcher_spark.streaming.windows import run_streaming_hll
+
+    tmp_path = tmp_path_factory.mktemp("cdc")
     changes = tmp_path / "changes"
     changes.mkdir()
-    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+    ev = tmp_path / "ev"
+    ev.mkdir()
+    mkc = lambda rows: spark.createDataFrame(  # noqa: E731
         rows, "k long, val string, version long"
     )
-    # batch 0: keys 1..3 at v0; batch 1: key 2 updated, key 4 inserted
-    _stage_file(spark, tmp_path, changes, "c0",
-                mk([(1, "a", 0), (2, "b", 0), (3, "c", 0)]), 1_700_000_000)
-    _stage_file(spark, tmp_path, changes, "c1",
-                mk([(2, "B", 1), (4, "d", 0)]), 1_700_000_010)
-
-    got = run_cdc_upsert(
-        spark, str(changes), str(tmp_path / "target"),
-        key_cols=("k",), version_col="version",
+    mke = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "user_id long, event_type string"
     )
-    rows = {(r.k, r.val, r.version) for r in got.collect()}
+    stages = [
+        # batch 0: keys 1..3 at v0; batch 1: key 2 updated, key 4 inserted
+        (changes, "c0", mkc([(1, "a", 0), (2, "b", 0), (3, "c", 0)]),
+         1_700_000_000),
+        (changes, "c1", mkc([(2, "B", 1), (4, "d", 0)]), 1_700_000_010),
+        (ev, "e0", mke([(i, "click") for i in range(40)]
+                       + [(i, "view") for i in range(10)]), 1_700_000_000),
+        (ev, "e1", mke([(i, "click") for i in range(20, 60)]
+                       + [(i, "view") for i in range(5, 15)]), 1_700_000_010),
+    ]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(lambda a: _stage_file(spark, tmp_path, *a), stages))
+
+    upsert, est, est_single = replay_parallel(
+        lambda: run_cdc_upsert(
+            spark, str(changes), str(tmp_path / "target"),
+            key_cols=("k",), version_col="version",
+        ).collect(),
+        lambda: run_streaming_hll(
+            spark, str(ev), max_files_per_trigger=1
+        ).collect(),
+        lambda: run_streaming_hll(spark, str(ev)).collect(),
+    )
+    return {
+        "upsert": upsert,
+        "hll_split": est,
+        "hll_single": est_single,
+        "target": str(tmp_path / "target"),
+        "ev": str(ev),
+    }
+
+
+def test_cdc_latest_version_wins_across_batches(cdc_results):
+    rows = {(r.k, r.val, r.version) for r in cdc_results["upsert"]}
     assert rows == {(1, "a", 0), (2, "B", 1), (3, "c", 0), (4, "d", 0)}
     # one delta dir per micro-batch landed
     assert sorted(
-        d for d in os.listdir(tmp_path / "target") if d.startswith("batch=")
+        d for d in os.listdir(cdc_results["target"]) if d.startswith("batch=")
     ) == ["batch=0", "batch=1"]
 
 
@@ -78,44 +119,25 @@ def test_cdc_same_version_later_batch_wins(spark, tmp_path):
     assert (row.k, row.val) == (7, "new")
 
 
-def test_streaming_hll_matches_batch_any_split(spark, tmp_path):
+def test_streaming_hll_matches_batch_any_split(spark, cdc_results):
     """Register-MAX folding converges to the batch sketch whatever the
     micro-batch split (order-free state update)."""
     from kinesis_log_watcher_spark.operators.sketch import hll_build
-    from kinesis_log_watcher_spark.streaming.windows import run_streaming_hll
-
-    d = tmp_path / "ev"
-    d.mkdir()
-    mk = lambda rows: spark.createDataFrame(  # noqa: E731
-        rows, "user_id long, event_type string"
-    )
-    _stage_file(spark, tmp_path, d, "e0",
-                mk([(i, "click") for i in range(40)]
-                   + [(i, "view") for i in range(10)]), 1_700_000_000)
-    _stage_file(spark, tmp_path, d, "e1",
-                mk([(i, "click") for i in range(20, 60)]
-                   + [(i, "view") for i in range(5, 15)]), 1_700_000_010)
 
     batch_regs = hll_build(
-        spark.read.parquet(str(d)), "user_id", group_cols=("event_type",), p=4
+        spark.read.parquet(cdc_results["ev"]), "user_id",
+        group_cols=("event_type",), p=4,
     )
     want = {(r.event_type, r.r, r.m_rho) for r in batch_regs.collect()}
+    assert want  # the batch sketch is non-trivial
 
-    from conftest import replay_parallel
-
-    # split and single-batch replays run concurrently; the estimate is a
-    # deterministic function of the registers
-    est, est_single = replay_parallel(
-        lambda: run_streaming_hll(spark, str(d), max_files_per_trigger=1),
-        lambda: run_streaming_hll(spark, str(d)),
-    )
     got = {
         (r.event_type, round(r.est_distinct, 9))
-        for r in est.collect()
+        for r in cdc_results["hll_split"]
     }
     got_single = {
         (r.event_type, round(r.est_distinct, 9))
-        for r in est_single.collect()
+        for r in cdc_results["hll_single"]
     }
     assert got == got_single and len(got) == 2
     # and the split replay's registers reduce to the batch estimate:

@@ -32,23 +32,12 @@ def _mk_docs(spark, rows):
     )
 
 
-@pytest.fixture(scope="module")
-def doc_files(spark, tmp_path_factory):
-    """Three files; near-dup pairs span file boundaries. Module-scoped:
-    read-only input staged once for the whole file."""
-    tmp_path = tmp_path_factory.mktemp("doc_files")
-    base = " ".join(f"t{i:02d}" for i in range(20))
-    variant = base.replace("t07", "x07")  # high-Jaccard neighbor of base
-    fresh = " ".join(f"u{i:02d}" for i in range(20))
-    batches = [
-        [(0, base), (1, fresh)],
-        [(2, base), (3, variant)],          # 2 dups 0 across batches
-        [(4, base), (5, " ".join(f"v{i:02d}" for i in range(20)))],
-    ]
-    d = tmp_path / "docs_stream"
+def _stage_stream(spark, tmp_path, dirname, batches):
+    """mtime-ordered single-file batches under tmp_path/dirname."""
+    d = tmp_path / dirname
     d.mkdir()
     for i, batch in enumerate(batches, start=1):
-        stage = tmp_path / f"stage{i}"
+        stage = tmp_path / f"stage_{dirname}{i}"
         _mk_docs(spark, batch).coalesce(1).write.parquet(str(stage))
         (part,) = glob.glob(str(stage / "part-*.parquet"))
         dest = d / f"f{i}.parquet"
@@ -57,13 +46,64 @@ def doc_files(spark, tmp_path_factory):
     return str(d)
 
 
-def _as_set(df):
+def _as_rows(df):
     return {(r.doc_a, r.doc_b, r.n_bands) for r in df.collect()}
 
 
-def test_replay_matches_batch_any_split(spark, doc_files):
-    docs = spark.read.parquet(doc_files)
-    expected = _as_set(
+@pytest.fixture(scope="module")
+def neardup_replays(spark, tmp_path_factory):
+    """Both scenarios staged once; the module's four bounded replays
+    (split + single over the 3-file stream; capped + uncapped over the
+    cap stream) launch in ONE replay_parallel burst (the r8 suite-speed
+    shape). The TTL test stays standalone — it is wall-clock-bound by
+    real idle batches, not replay machinery."""
+    from conftest import replay_parallel
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    tmp_path = tmp_path_factory.mktemp("neardup")
+    base = " ".join(f"t{i:02d}" for i in range(20))
+    variant = base.replace("t07", "x07")  # high-Jaccard neighbor of base
+    fresh = " ".join(f"u{i:02d}" for i in range(20))
+    cap_text = " ".join(f"w{i:02d}" for i in range(20))
+    # the two streams stage concurrently (independent write jobs)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_docs = pool.submit(_stage_stream, spark, tmp_path, "docs_stream", [
+            [(0, base), (1, fresh)],
+            [(2, base), (3, variant)],          # 2 dups 0 across batches
+            [(4, base), (5, " ".join(f"v{i:02d}" for i in range(20)))],
+        ])
+        f_cap = pool.submit(_stage_stream, spark, tmp_path, "cap_stream", [
+            [(10, cap_text)], [(20, cap_text)], [(30, cap_text)],
+        ])
+        doc_files, cap_files = f_docs.result(), f_cap.result()
+
+    split, single, cap_full, cap_capped = replay_parallel(
+        lambda: _as_rows(
+            run_stream_neardup(spark, doc_files, max_files_per_trigger=1)
+        ),
+        lambda: _as_rows(run_stream_neardup(spark, doc_files)),
+        lambda: _as_rows(
+            run_stream_neardup(spark, cap_files, max_files_per_trigger=1)
+        ),
+        lambda: _as_rows(
+            run_stream_neardup(
+                spark, cap_files, max_files_per_trigger=1, max_bucket_members=1
+            )
+        ),
+    )
+    return {
+        "doc_files": doc_files,
+        "split": split,
+        "single": single,
+        "cap_full": cap_full,
+        "cap_capped": cap_capped,
+    }
+
+
+def test_replay_matches_batch_any_split(spark, neardup_replays):
+    docs = spark.read.parquet(neardup_replays["doc_files"])
+    expected = _as_rows(
         lsh_candidate_pairs(
             lsh_bands(
                 minhash_signature(exploded_shingles(docs), NUM_HASHES),
@@ -74,10 +114,8 @@ def test_replay_matches_batch_any_split(spark, doc_files):
     )
     assert expected  # identical docs collide in all bands
     assert any(n == BANDS for _, _, n in expected)
-    got_split = _as_set(run_stream_neardup(spark, doc_files, max_files_per_trigger=1))
-    got_single = _as_set(run_stream_neardup(spark, doc_files))
-    assert got_split == expected
-    assert got_single == expected
+    assert neardup_replays["split"] == expected
+    assert neardup_replays["single"] == expected
 
 
 def test_state_ttl_evicts_idle_buckets(spark, tmp_path):
@@ -174,7 +212,7 @@ def test_state_ttl_evicts_idle_buckets(spark, tmp_path):
     # without a TTL the same two files produce the cross-gap pairs too
     full = {
         (a, b)
-        for a, b, _ in _as_set(
+        for a, b, _ in _as_rows(
             run_stream_neardup(spark, str(d), max_files_per_trigger=1)
         )
     }
@@ -183,36 +221,12 @@ def test_state_ttl_evicts_idle_buckets(spark, tmp_path):
     assert got == {(2, 3)}
 
 
-def test_member_cap_bounds_bucket_state(spark, tmp_path):
+def test_member_cap_bounds_bucket_state(neardup_replays):
     """max_bucket_members=1 keeps only the most recent member per
     bucket: with three identical docs over three single-file batches,
     only consecutive pairs survive — the oldest member was evicted."""
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-
-    text = " ".join(f"w{i:02d}" for i in range(20))
-    d = tmp_path / "cap_stream"
-    d.mkdir()
-    for i, doc_id in enumerate([10, 20, 30], start=1):
-        stage = tmp_path / f"cap_stage{i}"
-        _mk_docs(spark, [(doc_id, text)]).coalesce(1).write.parquet(str(stage))
-        (part,) = _glob.glob(str(stage / "part-*.parquet"))
-        dest = d / f"f{i}.parquet"
-        _shutil.copy(part, dest)
-        _os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
-
-    from conftest import replay_parallel
-
-    full, capped = (
-        _as_set(df)
-        for df in replay_parallel(
-            lambda: run_stream_neardup(spark, str(d), max_files_per_trigger=1),
-            lambda: run_stream_neardup(
-                spark, str(d), max_files_per_trigger=1, max_bucket_members=1
-            ),
-        )
-    )
+    full = neardup_replays["cap_full"]
+    capped = neardup_replays["cap_capped"]
     assert {(a, b) for a, b, _ in full} == {(10, 20), (10, 30), (20, 30)}
 
     # (10,30) requires remembering doc 10 after doc 20 arrived — evicted

@@ -16,6 +16,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from conftest import property_examples
+
 from kinesis_log_watcher_spark.functions.strftime import go_default_render
 from kinesis_log_watcher_spark.sources.fixture import kinesis_records_fixture
 from kinesis_log_watcher_spark.watcher import build_lines
@@ -128,7 +130,7 @@ _ACTION = st.one_of(
 
 
 @settings(
-    max_examples=30,
+    max_examples=property_examples(30),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -155,7 +157,7 @@ def records_cache(spark):
 
 
 @settings(
-    max_examples=15,
+    max_examples=property_examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -182,7 +184,7 @@ def test_variant_mode_equals_string_mode(spark, records_cache, paths):
 
 
 @settings(
-    max_examples=25,
+    max_examples=property_examples(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -303,7 +305,7 @@ def range_corpus_df(spark):
 
 
 @settings(
-    max_examples=40,
+    max_examples=property_examples(40),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -334,7 +336,7 @@ def test_range_compiled_equals_reference(spark, range_corpus_df, target, body, w
 
 
 @settings(
-    max_examples=20,
+    max_examples=property_examples(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -353,7 +355,7 @@ def test_define_template_root_wrap_identity(spark, records_cache, actions):
 
 
 @settings(
-    max_examples=20,
+    max_examples=property_examples(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

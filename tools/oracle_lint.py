@@ -103,6 +103,26 @@ def lint_one(con, name: str, sql: str) -> list[str]:
     return findings
 
 
+# Manifest of the oracles covered by the last CLEAN full lint run. The
+# suite's registration gate (tests/test_oracle_lint.py) lints every
+# registry entry NOT in this manifest, so a post-lint registration
+# cannot slip a divergence-class oracle past the gate while the suite
+# skips re-linting the settled registry. A clean FULL run (no `only`
+# filter) rewrites it.
+MANIFEST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "oracle_lint_manifest.json")
+
+
+def load_manifest() -> set[str]:
+    import json
+
+    try:
+        with open(MANIFEST_PATH) as fh:
+            return set(json.load(fh))
+    except FileNotFoundError:
+        return set()
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -156,6 +176,12 @@ def main() -> int:
                 failures += 1
                 print(f"FLAG  {name}: {'; '.join(findings)}")
     print(f"\n{len(items)} oracles linted, {failures} flagged")
+    if not failures and not only:
+        import json
+
+        with open(MANIFEST_PATH, "w") as fh:
+            json.dump(sorted(name for name, _ in items), fh, indent=0)
+        print(f"manifest written: {len(items)} oracles -> {MANIFEST_PATH}")
     return 1 if failures else 0
 
 
