@@ -150,6 +150,8 @@ _FRONT = (
     "pii_redaction_audit",
     "sequence_packing_stats",
     "bpe_token_vocab_coverage",
+    "stream_token_budget_admission",
+    "weekly_revenue_holt_forecast",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

@@ -459,3 +459,174 @@ def bpe_token_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.expr("cum * 1000000 div tot").cast("long").alias("coverage_micro"),
     )
+
+
+# ===========================================================================
+# Round-8 wave 3: streaming token-budget admission + Holt forecasting
+# ===========================================================================
+
+
+@register(
+    "stream_token_budget_admission",
+    f"""
+    WITH RECURSIVE {_BPE_ENC_CTE},
+    per_doc AS (
+      SELECT w.doc_id, w.source,
+             CAST(SUM(f.n_tokens) AS BIGINT) AS n_tokens
+      FROM words w JOIN fin f USING (word)
+      GROUP BY w.doc_id, w.source),
+    cum AS (
+      SELECT source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+               AS cum_tokens
+      FROM per_doc)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cum_tokens <= 1000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(COALESCE(MAX(CASE WHEN cum_tokens <= 1000
+                                  THEN cum_tokens END), 0) AS BIGINT)
+             AS tokens_admitted
+    FROM cum GROUP BY source
+    """,
+    doc="Online token-budget admission (streaming/tokenbudget.py): a "
+    "document stream folds per-source running BPE token totals in "
+    "typed state (ValueState via transformWithStateInPandas, "
+    "applyInPandasWithState twin) and admits each source's doc_id "
+    "prefix while the running total fits a 1000-token budget — the "
+    "gate an online collector runs while a crawl is still arriving. "
+    "The oracle states the same rule declaratively (recursive-CTE BPE "
+    "tokens -> per-source cumsum <= budget), so a green row certifies "
+    "stateful-stream == declarative-batch. Scale shape: state is ONE "
+    "4-int row per source (bounded by the source alphabet); "
+    "tokenization runs in the same Arrow stage through a word cache, "
+    "vocabulary-sized work.",
+)
+def stream_token_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.tokenbudget import (
+        run_token_budget_admission,
+    )
+
+    return run_token_budget_admission(spark, f"{sf_dir}/documents.parquet")
+
+
+# Holt's linear-trend (double exponential) smoothing, integer-exact:
+# alpha/gamma as micro fractions, every recurrence step one truncating
+# int64 division in BOTH dialects (Spark `div`, DuckDB `//` — both
+# truncate toward zero, which matters on negative trend terms).
+_HOLT_ALPHA = 300000  # 0.3 in micros
+_HOLT_GAMMA = 100000  # 0.1 in micros
+
+
+@register(
+    "weekly_revenue_holt_forecast",
+    f"""
+    WITH RECURSIVE weekly AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) // 7 AS BIGINT) AS wk,
+             CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1),
+    seq AS (
+      SELECT wk, cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY wk) AS BIGINT) AS t
+      FROM weekly),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM seq),
+    holt AS (
+      SELECT t, wk, cents,
+             cents AS level_c,
+             CAST(0 AS BIGINT) AS trend_c,
+             CAST(0 AS BIGINT) AS forecast_c
+      FROM seq WHERE t = 1
+      UNION ALL
+      SELECT s.t, s.wk, s.cents,
+             ({_HOLT_ALPHA} * s.cents
+              + ({10**6} - {_HOLT_ALPHA}) * (h.level_c + h.trend_c))
+               // {10**6} AS level_c,
+             ({_HOLT_GAMMA} * ((({_HOLT_ALPHA} * s.cents
+                 + ({10**6} - {_HOLT_ALPHA}) * (h.level_c + h.trend_c))
+                  // {10**6}) - h.level_c)
+              + ({10**6} - {_HOLT_GAMMA}) * h.trend_c) // {10**6}
+               AS trend_c,
+             h.level_c + h.trend_c AS forecast_c
+      FROM holt h JOIN seq s ON s.t = h.t + 1)
+    SELECT wk AS week, cents AS actual_cents, forecast_c AS forecast_cents,
+           CAST(abs(cents - forecast_c) AS BIGINT) AS abs_err_cents
+    FROM holt WHERE t > 1
+    """,
+    doc="Holt's linear-trend exponential smoothing (the forecasting "
+    "primitive one step past the STL decomposition family): level and "
+    "trend recurrences in exact int64 micros with truncating division "
+    "identical in both dialects, one-step-ahead forecast per day with "
+    "absolute error, over the bounded WEEK domain (~343 weeks at ANY "
+    "corpus scale — the recurrence is inherently sequential, so the "
+    "domain choice bounds the fold depth). The engine computes the "
+    "fold with ONE F.aggregate over the sorted week array (the "
+    "histogram-family pattern: constant-size work after one "
+    "partial-agg shuffle); the oracle restates the recurrence as a "
+    "recursive CTE. "
+    "Truncation, not floor: trend terms go negative, where Python // "
+    "floors but both engines truncate (the r7 STL discipline).",
+)
+def weekly_revenue_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    orders = load(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.expr(
+            "CAST(datediff(to_date(o_orderdate), '1970-01-01') div 7 AS BIGINT)"
+        ).alias("wk")
+    ).agg(
+        F.sum((dec(F.col("o_totalprice"), 12, 2) * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    # bounded week domain -> one sorted array in a single row, then one
+    # exact integer fold producing (week, actual, forecast) structs
+    arr = weekly.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("wk"), F.col("cents")))
+        ).alias("days")
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+          slice(days, 2, greatest(size(days) - 1, 0)),
+          struct(
+            coalesce(get(days, 0).cents, CAST(0 AS BIGINT)) AS level_c,
+            CAST(0 AS BIGINT) AS trend_c,
+            CAST(array() AS array<struct<week:bigint,actual_cents:bigint,
+                                         forecast_cents:bigint>>) AS out
+          ),
+          (acc, x) -> struct(
+            ({_HOLT_ALPHA} * x.cents
+             + ({10**6} - {_HOLT_ALPHA}) * (acc.level_c + acc.trend_c))
+              div {10**6} AS level_c,
+            ({_HOLT_GAMMA} * ((({_HOLT_ALPHA} * x.cents
+                + ({10**6} - {_HOLT_ALPHA}) * (acc.level_c + acc.trend_c))
+                 div {10**6}) - acc.level_c)
+             + ({10**6} - {_HOLT_GAMMA}) * acc.trend_c) div {10**6}
+              AS trend_c,
+            array_append(acc.out, struct(
+              x.wk AS week,
+              x.cents AS actual_cents,
+              acc.level_c + acc.trend_c AS forecast_cents)) AS out
+          ),
+          acc -> acc.out
+        )
+        """
+    )
+    out = arr.select(F.explode(fold).alias("r")).select(
+        F.col("r.week").alias("week"),
+        F.col("r.actual_cents").alias("actual_cents"),
+        F.col("r.forecast_cents").alias("forecast_cents"),
+    )
+    return out.select(
+        "week",
+        "actual_cents",
+        "forecast_cents",
+        F.abs(F.col("actual_cents") - F.col("forecast_cents"))
+        .cast("long")
+        .alias("abs_err_cents"),
+    )

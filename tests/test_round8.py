@@ -243,3 +243,123 @@ def test_token_coverage_monotone_and_complete(r8_results):
     # token domain is bounded: alphabet + at most one symbol per merge
     alphabet = {c for r in rows for c in r.token}
     assert len(rows) <= len(alphabet) + len(DEFAULT_MERGES)
+
+
+def test_token_budget_prefix_recompute(r8_results, spark, sf_dir):
+    """Recompute the prefix-admission rule in Python off the same BPE
+    counts; the streaming fold must match exactly."""
+    from kinesis_log_watcher_spark.streaming.tokenbudget import (
+        TOKEN_BUDGET,
+        run_token_budget_admission,
+    )
+
+    ranks = merge_ranks(DEFAULT_MERGES)
+    per_source: dict = {}
+    for r in sorted(r8_results["docs"], key=lambda r: r.doc_id):
+        n = sum(len(bpe_encode(w, ranks)) for w in r.text.lower().split(" "))
+        s = per_source.setdefault(
+            r.source, {"docs": 0, "adm": 0, "tok": 0, "adm_tok": 0}
+        )
+        s["docs"] += 1
+        s["tok"] += n
+        if s["tok"] <= TOKEN_BUDGET:
+            s["adm"] += 1
+            s["adm_tok"] = s["tok"]
+    got = {
+        r.source: r
+        for r in run_token_budget_admission(
+            spark, f"{sf_dir}/documents.parquet"
+        ).collect()
+    }
+    assert set(got) == set(per_source)
+    for src, s in per_source.items():
+        g = got[src]
+        assert (g.n_docs, g.n_admitted, g.tokens_total, g.tokens_admitted) == (
+            s["docs"], s["adm"], s["tok"], s["adm_tok"])
+    # the budget actually bites somewhere (non-degenerate scenario)
+    assert any(s["adm"] < s["docs"] for s in per_source.values())
+
+
+def test_token_budget_split_and_twin_equal(spark, sf_dir, tmp_path):
+    """Any micro-batch split converges to the same admission (state
+    carries the running totals), and the applyInPandasWithState twin
+    equals whichever path the runtime picked."""
+    import glob
+    import os
+    import shutil
+
+    from conftest import replay_parallel
+    from kinesis_log_watcher_spark.queries.base import load
+    from kinesis_log_watcher_spark.streaming.tokenbudget import (
+        run_token_budget_admission,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    # three mtime-ordered files split by doc_id range (the determinism
+    # contract: file order == doc_id order)
+    for i, (lo, hi) in enumerate([(0, 150), (150, 300), (300, 10**9)]):
+        stage = tmp_path / f"_s{i}"
+        docs.filter(f"doc_id >= {lo} AND doc_id < {hi}").coalesce(1) \
+            .write.parquet(str(stage))
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        dest = d / f"f{i}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (1_700_000_000 + 10 * i,) * 2)
+
+    def rows(df):
+        return {
+            (r.source, r.n_docs, r.n_admitted, r.tokens_total,
+             r.tokens_admitted)
+            for r in df.collect()
+        }
+
+    split, single, fallback = replay_parallel(
+        lambda: rows(
+            run_token_budget_admission(spark, str(d), max_files_per_trigger=1)
+        ),
+        lambda: rows(run_token_budget_admission(spark, str(d))),
+        lambda: rows(
+            run_token_budget_admission(spark, str(d), use_tws=False)
+        ),
+    )
+    assert split == single == fallback
+
+
+def test_holt_forecast_recompute(spark, sf_dir):
+    """Recompute the Holt recurrence in Python with TRUNCATING division
+    (both engines truncate toward zero; Python // floors — mirrored
+    explicitly, the r7 STL discipline)."""
+    from kinesis_log_watcher_spark.queries.base import load
+    from kinesis_log_watcher_spark.queries.round8 import (
+        _HOLT_ALPHA,
+        _HOLT_GAMMA,
+    )
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect()
+    weekly: dict = {}
+    for r in orders:
+        wk = (r.o_orderdate.date() - __import__("datetime").date(1970, 1, 1)).days // 7
+        weekly[wk] = weekly.get(wk, 0) + int(round(float(r.o_totalprice) * 100))
+    seq = sorted(weekly.items())
+    level, trend = seq[0][1], 0
+    want = {}
+    M6 = 10**6
+    for wk, cents in seq[1:]:
+        forecast = level + trend
+        new_level = tdiv(_HOLT_ALPHA * cents + (M6 - _HOLT_ALPHA) * (level + trend), M6)
+        trend = tdiv(_HOLT_GAMMA * (new_level - level) + (M6 - _HOLT_GAMMA) * trend, M6)
+        level = new_level
+        want[wk] = (cents, forecast, abs(cents - forecast))
+    got = {
+        r.week: (r.actual_cents, r.forecast_cents, r.abs_err_cents)
+        for r in _q("weekly_revenue_holt_forecast")(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) >= 50
