@@ -117,14 +117,16 @@ _REPLAY_SCOPES: dict[int, list] = {}  # id(jsparkSession) -> [depth, prev]
 
 
 @contextlib.contextmanager
-def replay_partitions(spark, n: int = 8):
+def replay_partitions(spark, n: int = 2):
     """Scope ``spark.sql.shuffle.partitions`` down for a BOUNDED replay.
 
     Stateful streaming fixes its state-store partition count from this
     conf at the first micro-batch; at the default 32, a tiny 3-batch
     replay pays 32 state-store instances per stateful operator per
     batch — pure fixed overhead (measured 14.5s -> 3.5s on the chained
-    two-level aggregation at sf0.001). Replay results are partitioning-
+    two-level aggregation at sf0.001; a further ~15% per replay going
+    4 -> 2, measured on the neardup replay — still multi-partition, so
+    cross-partition state merge stays exercised). Replay results are partitioning-
     independent by the repo's determinism contract (order-free state
     merges, exact arithmetic), so the replay harnesses wrap their
     start+await in this scope. Production streams keep the session

@@ -61,6 +61,8 @@ def dedup_results(spark, tmp_path_factory):
     with ThreadPoolExecutor(max_workers=6) as pool:
         list(pool.map(lambda a: _write_file(spark, tmp_path, *a), stages))
 
+    from kinesis_log_watcher_spark.sources.files import replay_partitions
+
     def run_exact():
         stream = (
             spark.readStream.schema("doc_id long, content_hash string")
@@ -96,7 +98,8 @@ def dedup_results(spark, tmp_path_factory):
         q.awaitTermination(300)
         return spark.table("stream_dedup_wm").collect()
 
-    exact, wm = replay_parallel(run_exact, run_wm)
+    with replay_partitions(spark):
+        exact, wm = replay_parallel(run_exact, run_wm)
     return {"exact": exact, "wm": wm}
 
 

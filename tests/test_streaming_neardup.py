@@ -169,8 +169,10 @@ def test_state_ttl_evicts_idle_buckets(spark, tmp_path):
         ):
             time.sleep(0.2)
         # idle: empty batches run, doc 0's buckets pass the 1ms TTL and
-        # are invoked with hasTimedOut → state.remove()
-        time.sleep(3)
+        # are invoked with hasTimedOut → state.remove(). 1.5s of
+        # processingTime=0 batches is many eviction opportunities; the
+        # post-write polling loop below is the correctness wait.
+        time.sleep(1.5)
         _write_file([(2, base), (3, variant)], "ttl_stage2", d / "f2.parquet")
         while time.time() < deadline:
             got = {

@@ -58,14 +58,17 @@ def test_finalized_window_immune_to_late_rows(spark, tmp_path):
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("w_start"), "n")
     )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("wm_append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    from kinesis_log_watcher_spark.sources.files import replay_partitions
+
+    with replay_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("wm_append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
 
     emitted = [
         (r.w_start, r.n) for r in spark.table("wm_append").collect()
