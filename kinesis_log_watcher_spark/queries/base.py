@@ -152,6 +152,9 @@ _FRONT = (
     "bpe_token_vocab_coverage",
     "stream_token_budget_admission",
     "weekly_revenue_holt_forecast",
+    "annotator_agreement_kappa",
+    "golden_record_survivorship",
+    "chi_square_independence",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

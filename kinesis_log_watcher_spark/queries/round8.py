@@ -630,3 +630,449 @@ def weekly_revenue_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("abs_err_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-annotator agreement — Cohen's kappa for every rater pair plus
+# Fleiss' kappa across all three raters. The label-quality primitive of
+# an RLHF/eval annotation pipeline: three deterministic binary "raters"
+# (a length gate, a lexical-diversity gate, a char-count gate) label the
+# corpus, and the query reports chance-corrected agreement exactly.
+#
+# Exactness: kappa = (po - pe)/(1 - pe) is computed as one signed
+# integer ratio over a common denominator — Cohen:
+#   kappa = (n*agree - pesum) / (n^2 - pesum),
+#     pesum = s_x*s_y + (n-s_x)*(n-s_y)
+# Fleiss (r=3 raters, 2 categories), with S = s_a+s_b+s_c and
+# Pnum = SUM(k^2 + (3-k)^2 - 3) over items (k = positive votes):
+#   P-bar = Pnum/(6n), Pe = (S^2 + (3n-S)^2)/(9n^2)
+#   kappa = (3n*Pnum - 2*Enum) / (2*(9n^2 - Enum)), Enum = S^2+(3n-S)^2
+# Cross products are widened to DECIMAL(38,0)/HUGEINT before the
+# truncating divide (n^2 passes int64 at n ~ 3e9 docs); Spark `div` and
+# DuckDB `//` both truncate toward zero, so the signed micro values
+# (the a|b pair is near-complementary here, kappa < 0) match bit-exact.
+# Scale shape: ONE map-side-combinable aggregation over the corpus; the
+# four output rows are unpivoted from the single agg row driver-side.
+# ---------------------------------------------------------------------------
+
+_KAPPA_RATERS_SQL = """
+      SELECT CASE WHEN len(string_split(text, ' ')) >= 48
+                  THEN 1 ELSE 0 END AS a,
+             CASE WHEN 2 * len(list_distinct(string_split(lower(text), ' ')))
+                      >= len(string_split(text, ' '))
+                  THEN 1 ELSE 0 END AS b,
+             CASE WHEN n_chars >= 280 THEN 1 ELSE 0 END AS c
+      FROM documents
+"""
+
+
+def _cohen_arm_sql(tag: str, sx: str, sy: str, agree: str) -> str:
+    pesum = f"(CAST({sx} AS HUGEINT) * {sy} + CAST(n - {sx} AS HUGEINT) * (n - {sy}))"
+    return f"""
+    SELECT 'cohen:{tag}' AS pair, n AS n_items,
+           CAST({agree} * 1000000 // n AS BIGINT) AS obs_micro,
+           CAST({pesum} * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT)
+             AS exp_micro,
+           CAST(CASE WHEN CAST(n AS HUGEINT) * n = {pesum} THEN NULL
+                ELSE (CAST(n AS HUGEINT) * {agree} - {pesum}) * 1000000
+                     // (CAST(n AS HUGEINT) * n - {pesum}) END AS BIGINT)
+             AS kappa_micro
+    FROM s WHERE n > 0"""
+
+
+_FLEISS_ARM_SQL = """
+    SELECT 'fleiss:abc' AS pair, n AS n_items,
+           CAST(CAST(pnum AS HUGEINT) * 1000000 // (6 * n) AS BIGINT)
+             AS obs_micro,
+           CAST((CAST(sa + sb + sc AS HUGEINT) * (sa + sb + sc)
+                 + CAST(3 * n - sa - sb - sc AS HUGEINT)
+                   * (3 * n - sa - sb - sc)) * 1000000
+                // (9 * CAST(n AS HUGEINT) * n) AS BIGINT) AS exp_micro,
+           CAST(CASE WHEN 9 * CAST(n AS HUGEINT) * n = enum_ THEN NULL
+                ELSE (3 * CAST(n AS HUGEINT) * pnum - 2 * enum_) * 1000000
+                     // (2 * (9 * CAST(n AS HUGEINT) * n - enum_)) END
+                AS BIGINT) AS kappa_micro
+    FROM (SELECT *, CAST(sa + sb + sc AS HUGEINT) * (sa + sb + sc)
+                    + CAST(3 * n - sa - sb - sc AS HUGEINT)
+                      * (3 * n - sa - sb - sc) AS enum_ FROM s)
+    WHERE n > 0"""
+
+
+@register(
+    "annotator_agreement_kappa",
+    f"""
+    WITH r AS ({_KAPPA_RATERS_SQL}),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(a), 0) AS BIGINT) AS sa,
+             CAST(COALESCE(SUM(b), 0) AS BIGINT) AS sb,
+             CAST(COALESCE(SUM(c), 0) AS BIGINT) AS sc,
+             CAST(COALESCE(SUM(CASE WHEN a = b THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS agab,
+             CAST(COALESCE(SUM(CASE WHEN a = c THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS agac,
+             CAST(COALESCE(SUM(CASE WHEN b = c THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS agbc,
+             CAST(COALESCE(SUM((a + b + c) * (a + b + c)
+                  + (3 - a - b - c) * (3 - a - b - c) - 3), 0) AS BIGINT)
+               AS pnum
+      FROM r)
+    {_cohen_arm_sql("a_b", "sa", "sb", "agab")}
+    UNION ALL
+    {_cohen_arm_sql("a_c", "sa", "sc", "agac")}
+    UNION ALL
+    {_cohen_arm_sql("b_c", "sb", "sc", "agbc")}
+    UNION ALL
+    {_FLEISS_ARM_SQL}
+    """,
+    doc="Inter-annotator agreement: Cohen's kappa for each pair of three "
+    "deterministic binary raters (length, lexical-diversity, char-count "
+    "gates) plus Fleiss' kappa across all three — the chance-corrected "
+    "label-quality metrics of an annotation pipeline. Exact signed "
+    "integer arithmetic over ONE map-side-combinable corpus aggregation "
+    "(no shuffle beyond the single agg row); common-denominator ratios "
+    "widened to DECIMAL(38,0)/HUGEINT (n^2 passes int64 near 3e9 docs) "
+    "and truncate-divided identically in both dialects — the a|b pair "
+    "lands NEGATIVE, pinning signed `div`//`//` parity. Unanimity "
+    "(pe = 1) yields NULL kappa by the same CASE in both engines.",
+)
+def annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    wc = F.size(F.split("text", " "))
+    uq = F.size(F.array_distinct(F.split(F.lower("text"), " ")))
+    r = docs.select(
+        F.when(wc >= 48, 1).otherwise(0).alias("a"),
+        F.when(2 * uq >= wc, 1).otherwise(0).alias("b"),
+        F.when(F.col("n_chars") >= 280, 1).otherwise(0).alias("c"),
+    )
+    s = (
+        r.agg(
+            F.count("*").cast("long").alias("n"),
+            F.coalesce(F.sum("a"), F.lit(0)).cast("long").alias("sa"),
+            F.coalesce(F.sum("b"), F.lit(0)).cast("long").alias("sb"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("sc"),
+            F.coalesce(
+                F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("agab"),
+            F.coalesce(
+                F.sum(F.when(F.col("a") == F.col("c"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("agac"),
+            F.coalesce(
+                F.sum(F.when(F.col("b") == F.col("c"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("agbc"),
+            F.coalesce(
+                F.sum(
+                    (F.col("a") + F.col("b") + F.col("c"))
+                    * (F.col("a") + F.col("b") + F.col("c"))
+                    + (3 - F.col("a") - F.col("b") - F.col("c"))
+                    * (3 - F.col("a") - F.col("b") - F.col("c"))
+                    - 3
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("pnum"),
+        )
+        .filter(F.col("n") > 0)
+    )
+
+    def cohen(tag: str, sx: str, sy: str, agree: str):
+        pesum = (
+            f"(CAST({sx} AS DECIMAL(38,0)) * {sy}"
+            f" + CAST(n - {sx} AS DECIMAL(38,0)) * (n - {sy}))"
+        )
+        return F.struct(
+            F.lit(f"cohen:{tag}").alias("pair"),
+            F.col("n").alias("n_items"),
+            F.expr(f"{agree} * 1000000 div n").cast("long").alias("obs_micro"),
+            F.expr(
+                f"{pesum} * 1000000 div (CAST(n AS DECIMAL(38,0)) * n)"
+            )
+            .cast("long")
+            .alias("exp_micro"),
+            F.expr(
+                f"CASE WHEN CAST(n AS DECIMAL(38,0)) * n = {pesum} THEN NULL "
+                f"ELSE (CAST(n AS DECIMAL(38,0)) * {agree} - {pesum}) "
+                f"* 1000000 div (CAST(n AS DECIMAL(38,0)) * n - {pesum}) END"
+            )
+            .cast("long")
+            .alias("kappa_micro"),
+        )
+
+    enum_ = (
+        "(CAST(sa + sb + sc AS DECIMAL(38,0)) * (sa + sb + sc)"
+        " + CAST(3 * n - sa - sb - sc AS DECIMAL(38,0))"
+        " * (3 * n - sa - sb - sc))"
+    )
+    fleiss = F.struct(
+        F.lit("fleiss:abc").alias("pair"),
+        F.col("n").alias("n_items"),
+        F.expr("CAST(pnum AS DECIMAL(38,0)) * 1000000 div (6 * n)")
+        .cast("long")
+        .alias("obs_micro"),
+        F.expr(
+            f"{enum_} * 1000000 div (9 * CAST(n AS DECIMAL(38,0)) * n)"
+        )
+        .cast("long")
+        .alias("exp_micro"),
+        F.expr(
+            f"CASE WHEN 9 * CAST(n AS DECIMAL(38,0)) * n = {enum_} THEN NULL "
+            f"ELSE (3 * CAST(n AS DECIMAL(38,0)) * pnum - 2 * {enum_}) "
+            f"* 1000000 div (2 * (9 * CAST(n AS DECIMAL(38,0)) * n - {enum_})) "
+            "END"
+        )
+        .cast("long")
+        .alias("kappa_micro"),
+    )
+    return s.select(
+        F.explode(
+            F.array(
+                cohen("a_b", "sa", "sb", "agab"),
+                cohen("a_c", "sa", "sc", "agac"),
+                cohen("b_c", "sb", "sc", "agbc"),
+                fleiss,
+            )
+        ).alias("k")
+    ).select("k.*")
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship — the master-data-management consolidation
+# step that follows duplicate detection: for every duplicate group,
+# build ONE consolidated record by field-wise survivorship rules
+# (longest-text survivor with deterministic tie-break, per-field mode
+# with lexicographic tie-break, earliest id, total mass). Complements
+# dedup_keep_longest (which only SELECTS a row) by actually merging
+# fields from different group members.
+#
+# Scale shape: every aggregate is a primitive HashAggregate keyed on
+# the group fingerprint — survivor and field modes are argmax-via-
+# MIN(STRUCT(-count/size, tiebreak)) (two-level agg for the modes), so
+# there is NO Window and NO per-group sort anywhere; the three grouped
+# relations join on the same head_fp key at duplicate-group cardinality.
+# The oracle states the intent with ROW_NUMBER windows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "golden_record_survivorship",
+    """
+    WITH fpv AS (
+      SELECT doc_id, n_chars, lang, source,
+             md5(array_to_string(list_slice(string_split(lower(text), ' '),
+                                            1, 8), ' ')) AS head_fp
+      FROM documents),
+    g AS (
+      SELECT head_fp, CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM fpv GROUP BY head_fp HAVING COUNT(*) >= 2),
+    sv AS (
+      SELECT head_fp, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY head_fp
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM fpv),
+    lm AS (
+      SELECT head_fp, lang,
+             ROW_NUMBER() OVER (PARTITION BY head_fp
+                                ORDER BY COUNT(*) DESC, lang) AS rn
+      FROM fpv GROUP BY head_fp, lang),
+    sm AS (
+      SELECT head_fp, source,
+             ROW_NUMBER() OVER (PARTITION BY head_fp
+                                ORDER BY COUNT(*) DESC, source) AS rn
+      FROM fpv GROUP BY head_fp, source)
+    SELECT g.head_fp, g.group_size,
+           CAST(sv.doc_id AS BIGINT) AS survivor_doc_id,
+           CAST(sv.n_chars AS BIGINT) AS survivor_chars,
+           lm.lang AS mode_lang, sm.source AS mode_source,
+           g.first_doc_id, g.total_chars
+    FROM g
+    JOIN sv ON sv.head_fp = g.head_fp AND sv.rn = 1
+    JOIN lm ON lm.head_fp = g.head_fp AND lm.rn = 1
+    JOIN sm ON sm.head_fp = g.head_fp AND sm.rn = 1
+    """,
+    doc="Golden-record survivorship (the MDM consolidation step after "
+    "duplicate detection): per duplicate group (first-8-token "
+    "fingerprint, >= 2 members) one consolidated record — longest-text "
+    "survivor (tie: min doc_id), per-field MODE for lang/source (tie: "
+    "lexicographic), earliest doc_id, total char mass. Engine computes "
+    "every argmax as MIN(STRUCT(-metric, tiebreak)) primitive "
+    "aggregates (no Window, no per-group sort; the mode is a two-level "
+    "HashAggregate), with the three grouped relations joining on the "
+    "same head_fp key at duplicate-group cardinality — survivorship "
+    "over 1e12 docs is three map-side-combinable aggs plus aligned "
+    "equi-joins. Oracle states the same rules with ROW_NUMBER windows.",
+)
+def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(
+            " ", F.slice(F.split(F.lower("text"), " "), 1, 8)
+        )
+    )
+    base = docs.select(
+        "doc_id", "n_chars", "lang", "source", fp.alias("head_fp")
+    )
+    g = (
+        base.groupBy("head_fp")
+        .agg(
+            F.count("*").cast("long").alias("group_size"),
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("neg_chars"),
+                    F.col("doc_id").alias("d"),
+                )
+            ).alias("sv"),
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .filter(F.col("group_size") >= 2)
+    )
+    lm = (
+        base.groupBy("head_fp", "lang")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("head_fp")
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("lang").alias("v"))
+            ).alias("m")
+        )
+        .select("head_fp", F.col("m.v").alias("mode_lang"))
+    )
+    sm = (
+        base.groupBy("head_fp", "source")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("head_fp")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"), F.col("source").alias("v")
+                )
+            ).alias("m")
+        )
+        .select("head_fp", F.col("m.v").alias("mode_source"))
+    )
+    return (
+        g.join(lm, "head_fp")
+        .join(sm, "head_fp")
+        .select(
+            "head_fp",
+            "group_size",
+            F.col("sv.d").cast("long").alias("survivor_doc_id"),
+            (-F.col("sv.neg_chars")).cast("long").alias("survivor_chars"),
+            "mode_lang",
+            "mode_source",
+            "first_doc_id",
+            "total_chars",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (lang x source) + Cramer's V^2 — the
+# classic contingency-table screen for whether a corpus's language mix
+# is independent of its source (a skewed cell block is a curation
+# red flag: one source feeding one language its near-duplicates).
+#
+# Exactness at scale: chi2 = n * (SUM_ij O_ij^2/(r_i*c_j) - 1), so each
+# cell contributes O^2*1e9 // (r*c) <= 1e9 nano-units — the per-cell
+# numerator is widened to DECIMAL(38,0)/HUGEINT (O^2*1e9 passes int64
+# at O ~ 3e6) and the n multiply happens once on the summed nano value.
+# Per-cell truncation is < 1e-9 each, so the absolute chi2 error is
+# bounded by n*cells*1e-9 — relative error <= cells*1e-9/phi^2 for
+# effect size phi, negligible for any detectable association.
+# Cramer's V^2 = chi2/(n*(min(R,C)-1)) needs no n multiply at all.
+# Plan: one (lang,source) grouped agg; the row/col margins are bounded
+# dimension relations (distinct langs/sources) joined broadcast; n is
+# recovered as SUM(O) so there is no 1-row crossJoin anywhere.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chi_square_independence",
+    """
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source),
+    r AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rc FROM cells GROUP BY lang),
+    c AS (SELECT source, CAST(SUM(o) AS BIGINT) AS cc
+          FROM cells GROUP BY source),
+    t AS (
+      SELECT cells.o,
+             CAST(CAST(cells.o AS HUGEINT) * cells.o * 1000000000
+                  // (CAST(r.rc AS HUGEINT) * c.cc) AS BIGINT) AS term_nano,
+             cells.lang, cells.source
+      FROM cells JOIN r USING (lang) JOIN c USING (source)),
+    s AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n_docs,
+             CAST(SUM(term_nano) AS BIGINT) AS sum_nano,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS nc
+      FROM t)
+    SELECT n_docs, (nr - 1) * (nc - 1) AS dof,
+           CAST(CAST(n_docs AS HUGEINT) * (sum_nano - 1000000000)
+                // 1000 AS BIGINT) AS chi2_micro,
+           CAST(CASE WHEN LEAST(nr, nc) > 1
+                THEN (sum_nano - 1000000000) // ((LEAST(nr, nc) - 1) * 1000)
+                ELSE NULL END AS BIGINT) AS cramers_v2_micro
+    FROM s WHERE n_docs > 0
+    """,
+    doc="Chi-square test of independence over the lang x source "
+    "contingency table, with degrees of freedom and Cramer's V^2 — the "
+    "corpus-curation screen for source/language coupling. Computed as "
+    "chi2 = n*(SUM O^2/(r*c) - 1): one map-side-combinable (lang,"
+    "source) aggregation, margins joined back as BROADCAST bounded "
+    "dimension relations, n recovered as SUM(O) (no 1-row crossJoin). "
+    "Per-cell nano-quantized integer terms widened to DECIMAL(38,0)/"
+    "HUGEINT truncate-divide identically in both dialects; absolute "
+    "error bounded by n*cells*1e-9 (relative: cells*1e-9/phi^2).",
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    r = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("rc"))
+    c = cells.groupBy("source").agg(F.sum("o").cast("long").alias("cc"))
+    t = (
+        cells.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .select(
+            "o",
+            "lang",
+            "source",
+            F.expr(
+                "CAST(CAST(o AS DECIMAL(38,0)) * o * 1000000000"
+                " div (CAST(rc AS DECIMAL(38,0)) * cc) AS BIGINT)"
+            ).alias("term_nano"),
+        )
+    )
+    s = t.agg(
+        F.sum("o").cast("long").alias("n_docs"),
+        F.sum("term_nano").cast("long").alias("sum_nano"),
+        F.countDistinct("lang").cast("long").alias("nr"),
+        F.countDistinct("source").cast("long").alias("nc"),
+    ).filter(F.col("n_docs") > 0)
+    return s.select(
+        "n_docs",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("dof"),
+        F.expr(
+            "CAST(CAST(n_docs AS DECIMAL(38,0)) * (sum_nano - 1000000000)"
+            " div 1000 AS BIGINT)"
+        ).alias("chi2_micro"),
+        F.expr(
+            "CAST(CASE WHEN LEAST(nr, nc) > 1 THEN"
+            " (sum_nano - 1000000000) div ((LEAST(nr, nc) - 1) * 1000)"
+            " ELSE NULL END AS BIGINT)"
+        ).alias("cramers_v2_micro"),
+    )

@@ -36,13 +36,16 @@ def r8_results(spark, sf_dir):
         "pii_redaction_audit",
         "sequence_packing_stats",
         "bpe_token_vocab_coverage",
+        "annotator_agreement_kappa",
+        "golden_record_survivorship",
+        "chi_square_independence",
     ]
-    with ThreadPoolExecutor(max_workers=6) as pool:
+    with ThreadPoolExecutor(max_workers=9) as pool:
         futs = {n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
                 for n in names}
         docs = pool.submit(
             lambda: load(spark, sf_dir, "documents")
-            .select("doc_id", "source", "text")
+            .select("doc_id", "source", "text", "n_chars", "lang")
             .collect()
         )
         out = {n: f.result() for n, f in futs.items()}
@@ -363,3 +366,113 @@ def test_holt_forecast_recompute(spark, sf_dir):
         for r in _q("weekly_revenue_holt_forecast")(spark, sf_dir).collect()
     }
     assert got == want and len(got) >= 50
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Spark div / DuckDB //)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_annotator_agreement_kappa_recompute(r8_results):
+    """Exact Python recompute of all four kappa rows, including the
+    signed truncating division on the near-complementary a|b pair."""
+    labels = []
+    for r in r8_results["docs"]:
+        words = r.text.split(" ")
+        a = 1 if len(words) >= 48 else 0
+        b = 1 if 2 * len(set(r.text.lower().split(" "))) >= len(words) else 0
+        c = 1 if r.n_chars >= 280 else 0
+        labels.append((a, b, c))
+    n = len(labels)
+    want = {}
+    for tag, i, j in (("cohen:a_b", 0, 1), ("cohen:a_c", 0, 2),
+                      ("cohen:b_c", 1, 2)):
+        sx = sum(l[i] for l in labels)
+        sy = sum(l[j] for l in labels)
+        agree = sum(1 for l in labels if l[i] == l[j])
+        pesum = sx * sy + (n - sx) * (n - sy)
+        kappa = (None if n * n == pesum
+                 else _tdiv((n * agree - pesum) * 10**6, n * n - pesum))
+        want[tag] = (n, _tdiv(agree * 10**6, n),
+                     _tdiv(pesum * 10**6, n * n), kappa)
+    s3 = sum(sum(l) for l in labels)
+    pnum = sum((sum(l)) ** 2 + (3 - sum(l)) ** 2 - 3 for l in labels)
+    enum_ = s3 * s3 + (3 * n - s3) ** 2
+    want["fleiss:abc"] = (
+        n,
+        _tdiv(pnum * 10**6, 6 * n),
+        _tdiv(enum_ * 10**6, 9 * n * n),
+        None if 9 * n * n == enum_
+        else _tdiv((3 * n * pnum - 2 * enum_) * 10**6,
+                   2 * (9 * n * n - enum_)),
+    )
+    got = {
+        r.pair: (r.n_items, r.obs_micro, r.exp_micro, r.kappa_micro)
+        for r in r8_results["annotator_agreement_kappa"]
+    }
+    assert got == want
+    # the lexical-diversity rater disagrees with the length raters by
+    # construction on this corpus — the signed path is really exercised
+    assert got["cohen:a_b"][3] < 0 and got["cohen:a_c"][3] > 0
+
+
+def test_golden_record_survivorship_recompute(r8_results):
+    """Field-wise survivorship recomputed in Python: longest-text
+    survivor (tie min doc_id), per-field mode (tie lexicographic),
+    earliest id, total mass; only groups of >= 2."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    groups = defaultdict(list)
+    for r in r8_results["docs"]:
+        head = " ".join(r.text.lower().split(" ")[:8])
+        fp = hashlib.md5(head.encode()).hexdigest()
+        groups[fp].append(r)
+    want = {}
+    for fp, rows in groups.items():
+        if len(rows) < 2:
+            continue
+        sv = min(rows, key=lambda r: (-r.n_chars, r.doc_id))
+        lmode = min(Counter(r.lang for r in rows).items(),
+                    key=lambda kv: (-kv[1], kv[0]))[0]
+        smode = min(Counter(r.source for r in rows).items(),
+                    key=lambda kv: (-kv[1], kv[0]))[0]
+        want[fp] = (len(rows), sv.doc_id, sv.n_chars, lmode, smode,
+                    min(r.doc_id for r in rows),
+                    sum(r.n_chars for r in rows))
+    got = {
+        r.head_fp: (r.group_size, r.survivor_doc_id, r.survivor_chars,
+                    r.mode_lang, r.mode_source, r.first_doc_id,
+                    r.total_chars)
+        for r in r8_results["golden_record_survivorship"]
+    }
+    assert got == want and len(got) >= 5
+    assert all(v[0] >= 2 for v in got.values())
+
+
+def test_chi_square_independence_recompute(r8_results):
+    """chi2 = n*(sum O^2/(r*c) - 1) recomputed with the same per-cell
+    nano quantization; dof/V^2 pinned."""
+    from collections import Counter
+
+    cells = Counter((r.lang, r.source) for r in r8_results["docs"])
+    rmarg = Counter(r.lang for r in r8_results["docs"])
+    cmarg = Counter(r.source for r in r8_results["docs"])
+    n = sum(cells.values())
+    sum_nano = sum(
+        _tdiv(o * o * 10**9, rmarg[lg] * cmarg[src])
+        for (lg, src), o in cells.items()
+    )
+    nr, nc = len(rmarg), len(cmarg)
+    want = (
+        n,
+        (nr - 1) * (nc - 1),
+        _tdiv(n * (sum_nano - 10**9), 1000),
+        _tdiv(sum_nano - 10**9, (min(nr, nc) - 1) * 1000)
+        if min(nr, nc) > 1 else None,
+    )
+    [row] = r8_results["chi_square_independence"]
+    assert (row.n_docs, row.dof, row.chi2_micro, row.cramers_v2_micro) == want
+    # chi2 should hover near dof for this independent synthetic mix
+    assert 0 < row.chi2_micro < 10 * row.dof * 10**6
