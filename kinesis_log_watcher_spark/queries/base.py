@@ -155,6 +155,7 @@ _FRONT = (
     "annotator_agreement_kappa",
     "golden_record_survivorship",
     "chi_square_independence",
+    "ddsketch_quantile_bounds",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

@@ -37,7 +37,19 @@ def replay_parallel(*thunks):
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="klw-tests", shuffle_partitions=4)
+    # spark.default.parallelism=4: createDataFrame slices tiny LOCAL
+    # relations defaultParallelism-wide, and the replay harnesses'
+    # staging idiom (createDataFrame(...).coalesce(1).write.parquet)
+    # then evaluates every slice serially inside the one write task at
+    # a measured ~0.12s fixed cost per slice — 32 slices is ~4.0s per
+    # staged micro-batch file vs ~0.7s at 4 slices (≥19 staging sites,
+    # many staged 3×). Executor thread capacity stays local[32]; only
+    # the default slicing of driver-local test rows narrows.
+    spark = get_spark(
+        app_name="klw-tests",
+        shuffle_partitions=4,
+        extra_conf={"spark.default.parallelism": "4"},
+    )
     yield spark
 
 

@@ -476,3 +476,43 @@ def test_chi_square_independence_recompute(r8_results):
     assert (row.n_docs, row.dof, row.chi2_micro, row.cramers_v2_micro) == want
     # chi2 should hover near dof for this independent synthetic mix
     assert 0 < row.chi2_micro < 10 * row.dof * 10**6
+
+
+def test_ddsketch_bounds_certify_and_merge(spark, sf_dir):
+    """The sketch's guarantee, proven on real data: the exact ceil-rank
+    quantile lies inside every reported [lo,hi]; bucket width <= 12.5%
+    relative; and the sketch merges — bucketing each half of the data
+    separately and summing counts equals the one-pass sketch."""
+    from kinesis_log_watcher_spark.queries.base import load
+
+    rows = _q("ddsketch_quantile_bounds")(spark, sf_dir).collect()
+    assert {r.q for r in rows} == {50, 90, 95, 99}
+    cents = sorted(
+        r.c
+        for r in load(spark, sf_dir, "lineitem")
+        .filter("l_extendedprice > 0")
+        .selectExpr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c")
+        .collect()
+    )
+    assert rows[0].n_rows == len(cents)
+
+    def bucket(v: int) -> int:
+        if v < 8:
+            return v
+        e = v.bit_length() - 1
+        return 8 * e + ((v >> (e - 3)) & 7)
+
+    for r in rows:
+        exact = cents[r.target_rank - 1]
+        assert r.lo_bound <= exact <= r.hi_bound
+        assert bucket(exact) == r.bucket_idx
+        # relative width of the certificate interval
+        assert (r.hi_bound - r.lo_bound) <= r.lo_bound / 8 + 1
+    # mergeability: per-half histograms summed == whole histogram
+    from collections import Counter
+
+    half = len(cents) // 2
+    merged = Counter(map(bucket, cents[:half])) + Counter(
+        map(bucket, cents[half:])
+    )
+    assert merged == Counter(map(bucket, cents))
