@@ -156,6 +156,7 @@ _FRONT = (
     "golden_record_survivorship",
     "chi_square_independence",
     "ddsketch_quantile_bounds",
+    "isotonic_calibration_pav",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

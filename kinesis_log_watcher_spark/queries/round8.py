@@ -1222,3 +1222,134 @@ def ddsketch_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE bucket_idx END AS BIGINT)"
         ).alias("hi_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic regression (pool-adjacent-violators) — probability
+# calibration, the step that turns a ranking score into a usable
+# probability (Zadrozny & Elkan, KDD'02). Implemented through PAV's
+# CLOSED FORM: fitted(i) = max_{j<=i} min_{k>=i} mean(pos[j..k]/n[j..k])
+# (the minimax identity), evaluated on the BOUNDED score-bucket domain.
+#
+# Exactness: means are micro-quantized with truncating division —
+# floor(1e6*x) is nondecreasing in x, so it COMMUTES with the max/min
+# in the minimax identity; the reported fitted_micro is therefore
+# exactly floor(1e6 * true PAV fit), certified by the suite against an
+# exact-fraction Python PAV. Scale shape: one corpus aggregation to the
+# <=32-bucket relation, then the whole O(B^3) minimax runs as JVM array
+# HOFs on a single collected-array row — no self-join, no BNLJ, no
+# window over the fact table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "isotonic_calibration_pav",
+    """
+    WITH r AS (
+      SELECT LEAST(31, n_chars // 18) AS bucket,
+             CASE WHEN 2 * len(list_distinct(string_split(lower(text), ' ')))
+                      < len(string_split(text, ' '))
+                  THEN 1 ELSE 0 END AS lbl
+      FROM documents),
+    b AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lbl) AS BIGINT) AS pos
+      FROM r GROUP BY bucket),
+    pre AS (
+      SELECT bucket, n, pos,
+             SUM(n) OVER w AS cn, SUM(pos) OVER w AS cp,
+             SUM(n) OVER w - n AS cn0, SUM(pos) OVER w - pos AS cp0
+      FROM b WINDOW w AS (ORDER BY bucket)),
+    pairs AS (
+      SELECT j.bucket AS jb, k.bucket AS kb,
+             CAST((k.cp - j.cp0) * 1000000 // (k.cn - j.cn0) AS BIGINT)
+               AS mean_micro
+      FROM pre j JOIN pre k ON k.bucket >= j.bucket),
+    sm AS (
+      SELECT jb, kb,
+             MIN(mean_micro) OVER (PARTITION BY jb ORDER BY kb DESC)
+               AS suffmin
+      FROM pairs),
+    fit AS (
+      SELECT kb AS bucket, CAST(MAX(suffmin) AS BIGINT) AS fitted_micro
+      FROM sm GROUP BY kb)
+    SELECT b.bucket, b.n, b.pos,
+           CAST(b.pos * 1000000 // b.n AS BIGINT) AS raw_micro,
+           fit.fitted_micro
+    FROM b JOIN fit USING (bucket)
+    """,
+    doc="Isotonic regression (pool-adjacent-violators) calibrating "
+    "P(repetitive-text | length bucket) via PAV's minimax "
+    "closed form fitted(i) = max_{j<=i} min_{k>=i} mean(j..k). Micro-"
+    "quantization commutes with max/min (floor of a scale is "
+    "monotone), so fitted_micro == floor(1e6 * exact PAV fit) — the "
+    "suite certifies against an exact-fraction Python PAV and pins "
+    "isotonicity. Engine: one corpus agg to the <=32-bucket relation, "
+    "then the O(B^3) minimax entirely in JVM array HOFs on one "
+    "collected row (no self-join, no BNLJ, no fact-table window); the "
+    "oracle states the same identity relationally (bounded self-join "
+    "+ suffix-min window).",
+)
+def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    wc = F.size(F.split("text", " "))
+    uq = F.size(F.array_distinct(F.split(F.lower("text"), " ")))
+    r = docs.select(
+        F.least(F.lit(31), F.expr("n_chars div 18")).alias("bucket"),
+        F.when(2 * uq < wc, 1).otherwise(0).alias("lbl"),
+    )
+    b = r.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("lbl").cast("long").alias("pos"),
+    )
+    arr = b.agg(
+        F.sort_array(
+            F.collect_list(F.struct("bucket", "n", "pos"))
+        ).alias("a")
+    ).filter(F.size("a") > 0)
+    # cumulative sums over the bucket array (1-based, inclusive)
+    folded = arr.select(
+        "a",
+        F.expr(
+            "transform(sequence(1, size(a)),"
+            " i -> aggregate(slice(a, 1, i), 0L, (s, x) -> s + x.n))"
+        ).alias("cn"),
+        F.expr(
+            "transform(sequence(1, size(a)),"
+            " i -> aggregate(slice(a, 1, i), 0L, (s, x) -> s + x.pos))"
+        ).alias("cp"),
+    )
+    mean = (
+        "((element_at(cp, k + 1) - IF(j > 0, element_at(cp, j), 0L))"
+        " * 1000000"
+        " div (element_at(cn, k + 1) - IF(j > 0, element_at(cn, j), 0L)))"
+    )
+    fitted = folded.select(
+        "a",
+        F.expr(
+            "transform(sequence(0, size(a) - 1), i ->"
+            " array_max(transform(sequence(0, i), j ->"
+            f" array_min(transform(sequence(i, size(a) - 1), k -> {mean})"
+            "))))"
+        ).alias("f"),
+    )
+    out = fitted.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a)), i -> struct("
+                " element_at(a, i).bucket AS bucket,"
+                " element_at(a, i).n AS n,"
+                " element_at(a, i).pos AS pos,"
+                " element_at(a, i).pos * 1000000 div element_at(a, i).n"
+                "   AS raw_micro,"
+                " element_at(f, i) AS fitted_micro))"
+            )
+        ).alias("r")
+    )
+    return out.select(
+        "r.bucket",
+        "r.n",
+        "r.pos",
+        F.col("r.raw_micro").cast("long").alias("raw_micro"),
+        F.col("r.fitted_micro").cast("long").alias("fitted_micro"),
+    )

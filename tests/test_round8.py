@@ -516,3 +516,48 @@ def test_ddsketch_bounds_certify_and_merge(spark, sf_dir):
         map(bucket, cents[half:])
     )
     assert merged == Counter(map(bucket, cents))
+
+
+def test_isotonic_pav_exact_fraction_recompute(spark, sf_dir):
+    """The minimax micro fit must equal floor(1e6 * exact PAV) — run
+    the classic stack-based pool-adjacent-violators with exact
+    fractions in Python and compare; isotonicity pinned."""
+    from fractions import Fraction
+
+    from kinesis_log_watcher_spark.queries.base import load
+
+    rows = sorted(
+        (r.bucket, r.n, r.pos, r.raw_micro, r.fitted_micro)
+        for r in _q("isotonic_calibration_pav")(spark, sf_dir).collect()
+    )
+    docs = load(spark, sf_dir, "documents").select("n_chars", "text").collect()
+    agg: dict = {}
+    for d in docs:
+        words = d.text.split(" ")
+        lbl = 1 if 2 * len(set(d.text.lower().split(" "))) < len(words) else 0
+        b = min(31, d.n_chars // 18)
+        n, p = agg.get(b, (0, 0))
+        agg[b] = (n + 1, p + lbl)
+    assert {(b, n, p) for b, (n, p) in agg.items()} == {
+        (b, n, p) for b, n, p, _, _ in rows
+    }
+    # exact PAV: pool stack of (n, pos); merge while means decrease
+    stack: list = []
+    for b in sorted(agg):
+        n, p = agg[b]
+        cur = [n, p, [b]]
+        while stack and Fraction(stack[-1][1], stack[-1][0]) >= Fraction(
+            cur[1], cur[0]
+        ):
+            prev = stack.pop()
+            cur = [prev[0] + cur[0], prev[1] + cur[1], prev[2] + cur[2]]
+        stack.append(cur)
+    want = {}
+    for n, p, bs in stack:
+        for b in bs:
+            want[b] = (p * 10**6) // n
+    got = {b: f for b, _, _, _, f in rows}
+    assert got == want
+    fits = [f for _, _, _, _, f in rows]
+    assert all(a <= b for a, b in zip(fits, fits[1:]))
+    assert len(set(fits)) >= 3  # a real staircase, not one global pool
