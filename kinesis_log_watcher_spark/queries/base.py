@@ -157,6 +157,7 @@ _FRONT = (
     "chi_square_independence",
     "ddsketch_quantile_bounds",
     "isotonic_calibration_pav",
+    "bradley_terry_strengths",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

@@ -1353,3 +1353,171 @@ def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.raw_micro").cast("long").alias("raw_micro"),
         F.col("r.fitted_micro").cast("long").alias("fitted_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry preference-strength fitting (two MM iterations) — the
+# preference-model primitive behind RLHF reward-data pipelines (and
+# Chatbot-Arena-style leaderboards): pairwise "A beat B" outcomes fit
+# to per-player strengths w_i with P(i beats j) = w_i/(w_i + w_j),
+# via Hunter (2004)'s minorization-maximization update
+#   w_i' = W_i / SUM_j n_ij / (w_i + w_j)
+# which is embarrassingly parallel per iteration (unlike Elo, whose
+# result depends on game ORDER — the wrong primitive for a distributed
+# batch pipeline).
+#
+# Games: within each order, every supplier pair plays once; the higher
+# order-revenue supplier wins (ties to the lower suppkey). Pair fan-out
+# is bounded by per-order supplier count, so game generation is an
+# equi-self-join on the order key — never supplier x supplier. Each MM
+# iteration is one groupBy over the sparse pair relation with the
+# strength map joined broadcast (suppliers are a dimension). Exact
+# integer arithmetic: strengths in micro, per-term pico-scaled
+# truncating division widened to DECIMAL(38,0)/HUGEINT, identical in
+# both dialects; the two-iteration convention follows
+# kmeans_two_rounds / pagerank_two_rounds (queries/llm.py).
+# ---------------------------------------------------------------------------
+
+_BT_SCALE = 10**12
+
+
+def _bt_iter_sql(w_prev: str, out: str) -> str:
+    """One MM iteration as a DuckDB CTE body over sym(i, j, n, wins)."""
+    return f"""
+    {out} AS (
+      SELECT s.i,
+             CASE WHEN SUM((CAST(s.n AS HUGEINT) * {_BT_SCALE})
+                           // (wi.w + wj.w)) > 0
+                  THEN GREATEST(1, CAST(
+                    (CAST(MAX(t.wins_total) AS HUGEINT) * {_BT_SCALE})
+                    // SUM((CAST(s.n AS HUGEINT) * {_BT_SCALE})
+                           // (wi.w + wj.w)) AS BIGINT))
+                  ELSE 1000000 END AS w
+      FROM sym s
+      JOIN {w_prev} wi ON wi.i = s.i
+      JOIN {w_prev} wj ON wj.i = s.j
+      JOIN totals t ON t.i = s.i
+      GROUP BY s.i)"""
+
+
+@register(
+    "bradley_terry_strengths",
+    f"""
+    WITH os AS (
+      SELECT l_orderkey AS k, l_suppkey AS s,
+             CAST(SUM(floor(l_extendedprice * 100 + 0.5)) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2),
+    g AS (
+      SELECT a.s AS i, b.s AS j,
+             CASE WHEN a.c >= b.c THEN 1 ELSE 0 END AS win_i
+      FROM os a JOIN os b ON a.k = b.k AND a.s < b.s),
+    sym AS (
+      SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(win_i) AS BIGINT) AS wins
+      FROM (SELECT i, j, win_i FROM g
+            UNION ALL
+            SELECT j AS i, i AS j, 1 - win_i AS win_i FROM g)
+      GROUP BY i, j),
+    totals AS (
+      SELECT i, CAST(SUM(n) AS BIGINT) AS games_total,
+             CAST(SUM(wins) AS BIGINT) AS wins_total
+      FROM sym GROUP BY i),
+    w0 AS (SELECT i, CAST(1000000 AS BIGINT) AS w FROM totals),
+    {_bt_iter_sql("w0", "w1")},
+    {_bt_iter_sql("w1", "w2")},
+    ranked AS (
+      SELECT t.i AS suppkey, t.games_total, t.wins_total, w2.w
+               AS strength_micro,
+             ROW_NUMBER() OVER (ORDER BY w2.w DESC, t.i) AS rnk
+      FROM totals t JOIN w2 ON w2.i = t.i)
+    SELECT CAST(suppkey AS BIGINT) AS suppkey,
+           games_total, wins_total, strength_micro,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 20
+    """,
+    doc="Bradley-Terry preference-strength fitting, two Hunter (2004) "
+    "MM iterations — the RLHF preference-model / arena-leaderboard "
+    "primitive, chosen over Elo because the MM update is order-free "
+    "and embarrassingly parallel per iteration. Games are generated by "
+    "an order-key equi-self-join (fan-out bounded by per-order "
+    "supplier count, never supplier x supplier); each iteration is one "
+    "groupBy over the sparse pair relation with the strength map "
+    "joined broadcast. Exact micro strengths via pico-scaled "
+    "DECIMAL(38,0)/HUGEINT truncating division, floor-guarded at 1 so "
+    "degenerate all-loss players can never zero a denominator.",
+)
+def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    os_ = li.groupBy(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s")
+    ).agg(
+        F.expr("CAST(SUM(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)")
+        .alias("c")
+    )
+    a = os_.select(F.col("k"), F.col("s").alias("i"), F.col("c").alias("ca"))
+    b = os_.select(F.col("k"), F.col("s").alias("j"), F.col("c").alias("cb"))
+    g = a.join(b, "k").filter(F.col("i") < F.col("j")).select(
+        "i", "j", F.when(F.col("ca") >= F.col("cb"), 1).otherwise(0).alias("win_i")
+    )
+    sym = (
+        g.select("i", "j", "win_i")
+        .unionAll(
+            g.select(
+                F.col("j").alias("i"),
+                F.col("i").alias("j"),
+                (1 - F.col("win_i")).alias("win_i"),
+            )
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("win_i").cast("long").alias("wins"),
+        )
+    )
+    totals = sym.groupBy("i").agg(
+        F.sum("n").cast("long").alias("games_total"),
+        F.sum("wins").cast("long").alias("wins_total"),
+    )
+
+    def mm_iter(w_prev: DataFrame) -> DataFrame:
+        wi = w_prev.select(F.col("i"), F.col("w").alias("w_i"))
+        wj = w_prev.select(F.col("i").alias("j"), F.col("w").alias("w_j"))
+        return (
+            sym.join(F.broadcast(wi), "i")
+            .join(F.broadcast(wj), "j")
+            .join(F.broadcast(totals.select("i", "wins_total")), "i")
+            .groupBy("i")
+            .agg(
+                F.expr(
+                    f"CASE WHEN SUM((CAST(n AS DECIMAL(38,0)) * {_BT_SCALE})"
+                    " div (w_i + w_j)) > 0"
+                    " THEN GREATEST(1, CAST("
+                    f"(CAST(MAX(wins_total) AS DECIMAL(38,0)) * {_BT_SCALE})"
+                    f" div SUM((CAST(n AS DECIMAL(38,0)) * {_BT_SCALE})"
+                    " div (w_i + w_j)) AS BIGINT))"
+                    " ELSE 1000000 END"
+                ).alias("w")
+            )
+        )
+
+    w0 = totals.select("i", F.lit(1000000).cast("long").alias("w"))
+    w2 = mm_iter(mm_iter(w0))
+    ranked = (
+        totals.join(w2.select("i", F.col("w").alias("strength_micro")), "i")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("strength_micro").desc(), F.col("i"))
+            ),
+        )
+        .filter(F.col("rnk") <= 20)
+    )
+    return ranked.select(
+        F.col("i").cast("long").alias("suppkey"),
+        "games_total",
+        "wins_total",
+        "strength_micro",
+        F.col("rnk").cast("long").alias("rnk"),
+    )

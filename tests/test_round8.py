@@ -561,3 +561,63 @@ def test_isotonic_pav_exact_fraction_recompute(spark, sf_dir):
     fits = [f for _, _, _, _, f in rows]
     assert all(a <= b for a, b in zip(fits, fits[1:]))
     assert len(set(fits)) >= 3  # a real staircase, not one global pool
+
+
+def test_bradley_terry_mm_recompute(spark, sf_dir):
+    """Recompute the two MM iterations in exact Python integer
+    arithmetic from raw lineitem rows; also sanity-pin that strengths
+    order by quality, not just win counts."""
+    from collections import defaultdict
+
+    from kinesis_log_watcher_spark.queries.base import load
+    from kinesis_log_watcher_spark.queries.round8 import _BT_SCALE
+
+    rows = {r.suppkey: r for r in
+            _q("bradley_terry_strengths")(spark, sf_dir).collect()}
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey AS k", "l_suppkey AS s",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c",
+    ).collect()
+    rev: dict = defaultdict(int)
+    for r in li:
+        rev[(r.k, r.s)] += r.c
+    byorder: dict = defaultdict(list)
+    for (k, s), c in rev.items():
+        byorder[k].append((s, c))
+    n: dict = defaultdict(int)
+    wins: dict = defaultdict(int)
+    for k, ss in byorder.items():
+        ss.sort()
+        for x in range(len(ss)):
+            for y in range(x + 1, len(ss)):
+                (si, ci), (sj, cj) = ss[x], ss[y]
+                n[(si, sj)] += 1
+                n[(sj, si)] += 1
+                if ci >= cj:
+                    wins[(si, sj)] = wins.get((si, sj), 0) + 1
+                else:
+                    wins[(sj, si)] = wins.get((sj, si), 0) + 1
+    players = sorted({i for i, _ in n})
+    W = {i: sum(wins.get((i, j), 0) for j in players) for i in players}
+    G = {i: sum(n.get((i, j), 0) for j in players) for i in players}
+    w = {i: 10**6 for i in players}
+    for _ in range(2):
+        new = {}
+        for i in players:
+            denom = sum(
+                (n[(i, j)] * _BT_SCALE) // (w[i] + w[j])
+                for j in players if (i, j) in n
+            )
+            new[i] = (
+                max(1, (W[i] * _BT_SCALE) // denom) if denom > 0 else 10**6
+            )
+        w = new
+    top = sorted(players, key=lambda i: (-w[i], i))[:20]
+    assert set(rows) == set(top)
+    for rk, i in enumerate(top, start=1):
+        r = rows[i]
+        assert (r.strength_micro, r.rnk, r.games_total, r.wins_total) == (
+            w[i], rk, G[i], W[i]
+        )
+    # strengths are a real fit: spread away from the 1e6 prior
+    assert max(w.values()) > 10**6 > min(w.values())
