@@ -158,6 +158,7 @@ _FRONT = (
     "ddsketch_quantile_bounds",
     "isotonic_calibration_pav",
     "bradley_terry_strengths",
+    "stream_ddsketch_quantiles",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

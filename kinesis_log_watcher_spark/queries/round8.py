@@ -1095,74 +1095,26 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (<= 512 buckets for any int64), the histogram-family pattern.
 # ---------------------------------------------------------------------------
 
+import itertools as _itertools
+
 _DD_QS = (50, 90, 95, 99)
+_dd_counter = _itertools.count()
 
 
-@register(
-    "ddsketch_quantile_bounds",
-    f"""
-    WITH v AS (
-      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
-      FROM lineitem
-      WHERE l_extendedprice > 0),
-    b AS (
-      SELECT CASE WHEN c >= 8
-                  THEN 8 * (length(bin(c)) - 1)
-                       + ((c >> (length(bin(c)) - 4)) & 7)
-                  ELSE c END AS idx,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM v GROUP BY 1),
-    cum AS (
-      SELECT idx, cnt,
-             SUM(cnt) OVER (ORDER BY idx) AS cum_cnt,
-             SUM(cnt) OVER () AS n
-      FROM b),
-    q(q) AS (VALUES {", ".join(f"({q})" for q in _DD_QS)}),
-    hit AS (
-      SELECT q.q,
-             CAST((CAST(q.q AS BIGINT) * cum.n + 99) // 100 AS BIGINT)
-               AS target_rank,
-             CAST(MIN(cum.idx) AS BIGINT) AS bucket_idx,
-             CAST(MAX(cum.n) AS BIGINT) AS n_rows
-      FROM q JOIN cum
-        ON cum.cum_cnt >= (CAST(q.q AS BIGINT) * cum.n + 99) // 100
-      GROUP BY q.q, cum.n)
-    SELECT CAST(q AS BIGINT) AS q, n_rows, target_rank, bucket_idx,
-           CAST(CASE WHEN bucket_idx >= 24
-                THEN (8 + bucket_idx % 8) << (bucket_idx // 8 - 3)
-                ELSE bucket_idx END AS BIGINT) AS lo_bound,
-           CAST(CASE WHEN bucket_idx >= 24
-                THEN ((9 + bucket_idx % 8) << (bucket_idx // 8 - 3)) - 1
-                ELSE bucket_idx END AS BIGINT) AS hi_bound
-    FROM hit
-    """,
-    doc="DDSketch-shape mergeable quantile sketch (Masson et al. "
-    "VLDB'19) with INTEGER-EXACT log bucketing: bucket = (floor(log2 "
-    "v), 3 mantissa bits) == gamma 2^(1/8), via length(bin(v))/shift/"
-    "mask only — no libm log, so both engines bucket bit-identically. "
-    "Reports, for q in (50,90,95,99) over lineitem price cents, the "
-    "ceil-rank target, the hit bucket and its CERTIFIED [lo,hi] value "
-    "bounds (<= 12.5% relative width; the exact quantile provably "
-    "inside — pinned by the suite against a Python exact sort). The "
-    "sketch is a (bucket->count) grouped relation: partial aggs merge "
-    "map-side, cross-shard union is the same groupBy, and the "
-    "quantile walk windows over the BOUNDED bucket domain (<= 512 "
-    "buckets for any int64) — never a global sort of the fact table.",
+_DD_BUCKET_EXPR = (
+    "CASE WHEN c >= 8 THEN 8 * (length(bin(c)) - 1)"
+    " + (shiftright(c, length(bin(c)) - 4) & 7)"
+    " ELSE c END"
 )
-def ddsketch_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+def _dd_finalize(b: DataFrame) -> DataFrame:
+    """Quantile walk + certified bounds over a (idx, cnt) bucket
+    relation — shared by the batch sketch and the streaming twin (the
+    sketch is mergeable, so the finalize step is identical whichever
+    path maintained the buckets)."""
     from pyspark.sql import Window
 
-    li = load(spark, sf_dir, "lineitem")
-    v = li.filter(F.col("l_extendedprice") > 0).select(
-        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("c")
-    )
-    b = v.select(
-        F.expr(
-            "CASE WHEN c >= 8 THEN 8 * (length(bin(c)) - 1)"
-            " + (shiftright(c, length(bin(c)) - 4) & 7)"
-            " ELSE c END"
-        ).alias("idx")
-    ).groupBy("idx").agg(F.count("*").cast("long").alias("cnt"))
     cum = b.select(
         "idx",
         "cnt",
@@ -1173,15 +1125,10 @@ def ddsketch_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n"),
     )
-    # The quantile walk is ONE aggregation over the bounded bucket
-    # relation — a conditional MIN per q (no range join, no BNLJ); the
-    # oracle states the same walk as a VALUES-relation range join.
     aggs = [F.max("n").cast("long").alias("n_rows")]
     for q in _DD_QS:
         tgt = f"(CAST({q} AS BIGINT) * n + 99) div 100"
-        aggs.append(
-            F.expr(f"CAST(max({tgt}) AS BIGINT)").alias(f"tr_{q}")
-        )
+        aggs.append(F.expr(f"CAST(max({tgt}) AS BIGINT)").alias(f"tr_{q}"))
         aggs.append(
             F.expr(
                 f"CAST(min(CASE WHEN cum_cnt >= {tgt} THEN idx END)"
@@ -1222,6 +1169,72 @@ def ddsketch_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE bucket_idx END AS BIGINT)"
         ).alias("hi_bound"),
     )
+
+
+_DD_ORACLE_SQL = f"""
+    WITH v AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+      WHERE l_extendedprice > 0),
+    b AS (
+      SELECT CASE WHEN c >= 8
+                  THEN 8 * (length(bin(c)) - 1)
+                       + ((c >> (length(bin(c)) - 4)) & 7)
+                  ELSE c END AS idx,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1),
+    cum AS (
+      SELECT idx, cnt,
+             SUM(cnt) OVER (ORDER BY idx) AS cum_cnt,
+             SUM(cnt) OVER () AS n
+      FROM b),
+    q(q) AS (VALUES {", ".join(f"({q})" for q in _DD_QS)}),
+    hit AS (
+      SELECT q.q,
+             CAST((CAST(q.q AS BIGINT) * cum.n + 99) // 100 AS BIGINT)
+               AS target_rank,
+             CAST(MIN(cum.idx) AS BIGINT) AS bucket_idx,
+             CAST(MAX(cum.n) AS BIGINT) AS n_rows
+      FROM q JOIN cum
+        ON cum.cum_cnt >= (CAST(q.q AS BIGINT) * cum.n + 99) // 100
+      GROUP BY q.q, cum.n)
+    SELECT CAST(q AS BIGINT) AS q, n_rows, target_rank, bucket_idx,
+           CAST(CASE WHEN bucket_idx >= 24
+                THEN (8 + bucket_idx % 8) << (bucket_idx // 8 - 3)
+                ELSE bucket_idx END AS BIGINT) AS lo_bound,
+           CAST(CASE WHEN bucket_idx >= 24
+                THEN ((9 + bucket_idx % 8) << (bucket_idx // 8 - 3)) - 1
+                ELSE bucket_idx END AS BIGINT) AS hi_bound
+    FROM hit
+    """
+
+
+@register(
+    "ddsketch_quantile_bounds",
+    _DD_ORACLE_SQL,
+    doc="DDSketch-shape mergeable quantile sketch (Masson et al. "
+    "VLDB'19) with INTEGER-EXACT log bucketing: bucket = (floor(log2 "
+    "v), 3 mantissa bits) == gamma 2^(1/8), via length(bin(v))/shift/"
+    "mask only — no libm log, so both engines bucket bit-identically. "
+    "Reports, for q in (50,90,95,99) over lineitem price cents, the "
+    "ceil-rank target, the hit bucket and its CERTIFIED [lo,hi] value "
+    "bounds (<= 12.5% relative width; the exact quantile provably "
+    "inside — pinned by the suite against a Python exact sort). The "
+    "sketch is a (bucket->count) grouped relation: partial aggs merge "
+    "map-side, cross-shard union is the same groupBy, and the "
+    "quantile walk windows over the BOUNDED bucket domain (<= 512 "
+    "buckets for any int64) — never a global sort of the fact table.",
+)
+def ddsketch_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    v = li.filter(F.col("l_extendedprice") > 0).select(
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("c")
+    )
+    b = v.select(F.expr(_DD_BUCKET_EXPR).alias("idx")).groupBy("idx").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    return _dd_finalize(b)
+
 
 
 # ---------------------------------------------------------------------------
@@ -1521,3 +1534,51 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "strength_micro",
         F.col("rnk").cast("long").alias("rnk"),
     )
+
+
+@register(
+    "stream_ddsketch_quantiles",
+    _DD_ORACLE_SQL,
+    doc="STREAMING DDSketch: the (bucket -> count) sketch maintained as "
+    "streaming aggregation state across micro-batches — counting is "
+    "associative/commutative/order-free, so ANY replay split converges "
+    "to the batch sketch, which is exactly the mergeability claim the "
+    "batch query documents, here proven live. State is the bounded "
+    "bucket rows themselves (<= 512 for any int64 domain — the sketch "
+    "IS the state, never the values); quantiles finalize on read over "
+    "the sink registers through the same _dd_finalize walk. Oracle = "
+    "the batch ddsketch_quantile_bounds SQL verbatim, so green == the "
+    "streamed sketch is bit-identical to the batch one.",
+)
+def stream_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.sources.files import (
+        await_or_raise,
+        read_parquet_stream,
+        replay_partitions,
+    )
+    from kinesis_log_watcher_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
+    stream = read_parquet_stream(spark, f"{sf_dir}/lineitem.parquet")
+    b = (
+        stream.filter(F.col("l_extendedprice") > 0)
+        .select(
+            F.expr(
+                "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+            ).alias("c")
+        )
+        .select(F.expr(_DD_BUCKET_EXPR).alias("idx"))
+        .groupBy("idx")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    name = f"stream_ddsketch_{next(_dd_counter)}"
+    with replay_partitions(spark):
+        q = (
+            b.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 300)
+    return _dd_finalize(spark.table(name))

@@ -621,3 +621,79 @@ def test_bradley_terry_mm_recompute(spark, sf_dir):
         )
     # strengths are a real fit: spread away from the 1e6 prior
     assert max(w.values()) > 10**6 > min(w.values())
+
+
+def test_stream_ddsketch_any_split_equals_batch(spark, tmp_path):
+    """Mergeability proven live: replaying the SAME rows one file per
+    micro-batch vs all-at-once yields the identical sketch and
+    quantiles (counting state is order-free)."""
+    import glob as _glob
+    import shutil
+
+    from conftest import replay_parallel
+    from kinesis_log_watcher_spark.queries.round8 import (
+        _dd_finalize,
+        _DD_BUCKET_EXPR,
+    )
+    from kinesis_log_watcher_spark.sources.files import (
+        await_or_raise,
+        read_parquet_stream,
+        replay_partitions,
+    )
+
+    d = tmp_path / "li"
+    d.mkdir()
+    batches = [
+        [(1, 901.82), (2, 5302.0), (3, 104997.88)],
+        [(4, 12.5), (5, 5302.0), (6, 77000.25)],
+        [(7, 901.82), (8, 250000.0), (9, 33.0)],
+    ]
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"_s{i}"
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_extendedprice double"
+        ).coalesce(1).write.parquet(str(stage))
+        (part,) = _glob.glob(str(stage / "part-*.parquet"))
+        dest = d / f"f{i}.parquet"
+        shutil.copy(part, dest)
+        import os as _os
+
+        _os.utime(dest, (1_700_000_000 + 10 * i,) * 2)
+
+    def run(split):
+        from pyspark.sql import functions as F
+
+        stream = read_parquet_stream(spark, str(d), max_files_per_trigger=split)
+        b = (
+            stream.filter(F.col("l_extendedprice") > 0)
+            .select(
+                F.expr(
+                    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                ).alias("c")
+            )
+            .select(F.expr(_DD_BUCKET_EXPR).alias("idx"))
+            .groupBy("idx")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        name = f"t_dd_{split}"
+        with replay_partitions(spark):
+            q = (
+                b.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            await_or_raise(q, 300)
+        return sorted(
+            tuple(r) for r in _dd_finalize(spark.table(name)).collect()
+        )
+
+    r1, rall = replay_parallel(lambda: run(1), lambda: run(None))
+    assert r1 == rall and len(r1) == 4
+    # every certified interval contains its exact quantile
+    cents = sorted(
+        int(p * 100 + 0.5) for b in batches for _, p in b
+    )
+    for qq, n, tr, bi, lo, hi in r1:
+        assert n == len(cents) and lo <= cents[tr - 1] <= hi
