@@ -159,6 +159,7 @@ _FRONT = (
     "isotonic_calibration_pav",
     "bradley_terry_strengths",
     "stream_ddsketch_quantiles",
+    "changepoint_binary_segmentation",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

@@ -1582,3 +1582,148 @@ def stream_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         await_or_raise(q, 300)
     return _dd_finalize(spark.table(name))
+
+
+# ---------------------------------------------------------------------------
+# Change-point detection — one round of binary segmentation (Scott &
+# Knott 1974; the recursion step of ruptures/BinSeg): the split of the
+# daily-revenue series minimizing SSE_left + SSE_right, equivalently
+# maximizing g(s) = S_s^2/s + (S_D - S_s)^2/(D - s). Complements the
+# sequential detectors already in the tree (CUSUM alerts, Mann-Kendall
+# trend, STL) with the classic OFFLINE segmentation primitive.
+#
+# Exactness & scale-free headroom: the objective is evaluated on the
+# NANO-QUANTIZED cumulative revenue share p = S_s*1e9 // S_D, giving
+#   gain_nano = (p^2 (D-s) + (1e9-p)^2 s) // (s (D-s))  <=  2e18
+# which fits int64 AT ANY DATA SCALE (p is bounded by construction —
+# the first cut at this query computed S_s^2-scale products whose
+# integral quotient overflowed int64 silently under Spark's `div`,
+# caught against the HUGEINT oracle). Cross products still widen to
+# DECIMAL(38,0)/HUGEINT; argmax ties break to the earliest day via
+# MAX(STRUCT(gain, -day)). All windows run on the BOUNDED day domain
+# (the STL/histogram pattern); the fact table pays one map-side-
+# combinable daily aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "changepoint_binary_segmentation",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS dd,
+             CAST(SUM(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    seq AS (
+      SELECT dd, cents,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS s,
+             CAST(SUM(cents) OVER w AS BIGINT) AS cs,
+             CAST(COUNT(*) OVER () AS BIGINT) AS d,
+             CAST(SUM(cents) OVER () AS BIGINT) AS st
+      FROM daily WINDOW w AS (ORDER BY dd)),
+    gains AS (
+      SELECT dd, s, cs, d, st,
+             CAST(CAST(cs AS HUGEINT) * 1000000000 // st AS BIGINT) AS p,
+             CAST((CAST(CAST(cs AS HUGEINT) * 1000000000 // st AS HUGEINT)
+                     * (CAST(cs AS HUGEINT) * 1000000000 // st) * (d - s)
+                   + (1000000000 - CAST(cs AS HUGEINT) * 1000000000 // st)
+                     * (1000000000 - CAST(cs AS HUGEINT) * 1000000000 // st) * s)
+                  // (s * (d - s)) AS BIGINT) AS gain_nano
+      FROM seq WHERE s < d AND st > 0),
+    best AS (
+      SELECT dd, s, cs, d, st, gain_nano,
+             ROW_NUMBER() OVER (ORDER BY gain_nano DESC, dd) AS rn
+      FROM gains)
+    SELECT d AS n_days,
+           dd AS split_dd,
+           s AS left_days,
+           d - s AS right_days,
+           CAST(cs // s AS BIGINT) AS left_mean_cents,
+           CAST((st - cs) // (d - s) AS BIGINT) AS right_mean_cents,
+           gain_nano
+    FROM best WHERE rn = 1
+    """,
+    doc="Offline change-point detection: one binary-segmentation round "
+    "(Scott & Knott 1974; the BinSeg recursion step) over daily "
+    "revenue — the split minimizing SSE_left + SSE_right, found by "
+    "maximizing g(s) = S_s^2/s + (S_D-S_s)^2/(D-s) evaluated on the "
+    "nano-quantized revenue share p = S_s*1e9//S_D, so gain_nano <= "
+    "2e18 fits int64 at ANY data scale (the naive S^2-scale quotient "
+    "overflows Spark's bigint `div` silently — caught against the "
+    "HUGEINT oracle and redesigned scale-free). Earliest-day argmax "
+    "tie-break via MAX(STRUCT(gain, -day)); one map-side-combinable "
+    "daily agg, windows only on the bounded day domain.",
+)
+def changepoint_binary_segmentation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+            " AS BIGINT)"
+        ).alias("dd")
+    ).agg(
+        F.expr("CAST(SUM(floor(o_totalprice * 100 + 0.5)) AS BIGINT)")
+        .alias("cents")
+    )
+    w = Window.orderBy("dd")
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    seq = daily.select(
+        "dd",
+        "cents",
+        F.row_number().over(w).cast("long").alias("s"),
+        F.sum("cents").over(w).cast("long").alias("cs"),
+        F.count("*").over(whole).cast("long").alias("d"),
+        F.sum("cents").over(whole).cast("long").alias("st"),
+    )
+    gains = (
+        seq.filter((F.col("s") < F.col("d")) & (F.col("st") > 0))
+        .withColumn(
+            "p",
+            F.expr(
+                "CAST(CAST(cs AS DECIMAL(38,0)) * 1000000000 div st"
+                " AS BIGINT)"
+            ),
+        )
+        .select(
+            "dd",
+            "s",
+            "cs",
+            "d",
+            "st",
+            F.expr(
+                "CAST((CAST(p AS DECIMAL(38,0)) * p * (d - s)"
+                " + CAST(1000000000 - p AS DECIMAL(38,0))"
+                " * (1000000000 - p) * s)"
+                " div (s * (d - s)) AS BIGINT)"
+            ).alias("gain_nano"),
+        )
+    )
+    best = gains.agg(
+        F.max(
+            F.struct(
+                F.col("gain_nano").alias("g"),
+                (-F.col("dd")).alias("nd"),
+                F.col("s").alias("s"),
+                F.col("cs").alias("cs"),
+                F.col("d").alias("d"),
+                F.col("st").alias("st"),
+            )
+        ).alias("b")
+    ).filter(F.col("b").isNotNull())
+    return best.select(
+        F.col("b.d").alias("n_days"),
+        (-F.col("b.nd")).cast("long").alias("split_dd"),
+        F.col("b.s").alias("left_days"),
+        (F.col("b.d") - F.col("b.s")).alias("right_days"),
+        F.expr("b.cs div b.s").cast("long").alias("left_mean_cents"),
+        F.expr("(b.st - b.cs) div (b.d - b.s)")
+        .cast("long")
+        .alias("right_mean_cents"),
+        F.col("b.g").alias("gain_nano"),
+    )

@@ -697,3 +697,42 @@ def test_stream_ddsketch_any_split_equals_batch(spark, tmp_path):
     )
     for qq, n, tr, bi, lo, hi in r1:
         assert n == len(cents) and lo <= cents[tr - 1] <= hi
+
+
+def test_changepoint_binseg_recompute(spark, sf_dir):
+    """Recompute the nano-quantized binary-segmentation objective in
+    Python from raw orders and pin the argmax row; also check the
+    chosen split actually separates the means."""
+    from collections import defaultdict
+
+    from kinesis_log_watcher_spark.queries.base import load
+
+    [got] = _q("changepoint_binary_segmentation")(spark, sf_dir).collect()
+    orders = load(spark, sf_dir, "orders").selectExpr(
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        " AS BIGINT) AS dd",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c",
+    ).collect()
+    daily: dict = defaultdict(int)
+    for r in orders:
+        daily[r.dd] += r.c
+    days = sorted(daily)
+    d = len(days)
+    st = sum(daily.values())
+    cs = 0
+    best = None
+    for s, dd in enumerate(days[:-1], start=1):
+        cs += daily[dd]
+        p = cs * 10**9 // st
+        gain = (p * p * (d - s) + (10**9 - p) ** 2 * s) // (s * (d - s))
+        key = (-gain, dd)
+        if best is None or key < best[0]:
+            best = (key, s, cs, dd, gain)
+    _, s, cs, dd, gain = best
+    assert (got.n_days, got.split_dd, got.left_days, got.right_days) == (
+        d, dd, s, d - s
+    )
+    assert (got.left_mean_cents, got.right_mean_cents, got.gain_nano) == (
+        cs // s, (st - cs) // (d - s), gain
+    )
+    assert got.left_mean_cents != got.right_mean_cents
