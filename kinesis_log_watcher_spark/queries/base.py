@@ -92,9 +92,24 @@ _REGISTRY: dict[str, Query] = {}
 
 
 def register(name: str, oracle: str | None, doc: str = ""):
-    """Decorator: add a (spark_fn, oracle_sql) pair to the registry."""
+    """Decorator: add a (spark_fn, oracle_sql) pair to the registry.
+
+    Duplicate names are an error: a second registration would silently
+    SHADOW the first (last import wins), so the shadowed query's oracle
+    rows would keep passing while its implementation stopped being the
+    one exercised. Re-registering the exact same function object is
+    allowed (module re-import)."""
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        prev = _REGISTRY.get(name)
+        if prev is not None and (
+            prev.fn.__module__ != fn.__module__
+            or prev.fn.__qualname__ != fn.__qualname__
+        ):
+            raise ValueError(
+                f"duplicate query registration: {name!r} already maps to "
+                f"{prev.fn.__module__}.{prev.fn.__qualname__}"
+            )
         _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc)
         return fn
 

@@ -736,3 +736,17 @@ def test_changepoint_binseg_recompute(spark, sf_dir):
         cs // s, (st - cs) // (d - s), gain
     )
     assert got.left_mean_cents != got.right_mean_cents
+
+
+def test_register_rejects_duplicate_names():
+    """A second registration under an existing name would silently
+    shadow the first (last import wins) while its oracle rows kept
+    passing — register() must refuse."""
+    from kinesis_log_watcher_spark.queries.base import register, registry
+
+    registry()  # ensure all modules are imported
+
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        @register("dedup_exact", "SELECT 1 AS x")
+        def dedup_exact(spark, sf_dir):  # pragma: no cover
+            raise AssertionError("never called")
