@@ -1029,7 +1029,11 @@ def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Chi-square test of independence over the lang x source "
     "contingency table, with degrees of freedom and Cramer's V^2 — the "
-    "corpus-curation screen for source/language coupling. Computed as "
+    "corpus-curation screen for source/language coupling. Twin of "
+    "segment_type_chi2 (queries/mining.py, events segment x type) with "
+    "a stronger exactness posture: fully integer O^2/(r*c) terms (no "
+    "float rounding anywhere) plus the effect-size normalization "
+    "Cramer's V^2 the mining variant lacks. Computed as "
     "chi2 = n*(SUM O^2/(r*c) - 1): one map-side-combinable (lang,"
     "source) aggregation, margins joined back as BROADCAST bounded "
     "dimension relations, n recovered as SUM(O) (no 1-row crossJoin). "
