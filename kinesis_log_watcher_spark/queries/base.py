@@ -175,6 +175,7 @@ _FRONT = (
     "bradley_terry_strengths",
     "stream_ddsketch_quantiles",
     "changepoint_binary_segmentation",
+    "positional_delete_vector_read",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

@@ -1731,3 +1731,75 @@ def changepoint_binary_segmentation(
         .alias("right_mean_cents"),
         F.col("b.g").alias("gain_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional delete vectors — the modern lakehouse delete read path
+# (Iceberg positional deletes / Delta deletion vectors): deletes live
+# in a sidecar relation of physical row positions and the scan resolves
+# them with an ANTI-JOIN on position, never rewriting data files.
+# Spark exposes the physical position as `_metadata.row_index`; the
+# oracle (which only sees the registered view, not the file) states the
+# position LOGICALLY as rank over doc_id — the documents file's
+# clustering key — so a green row certifies BOTH halves of the
+# contract: position-keyed deletes are engine-portable, and the file's
+# physical layout really is doc_id-clustered (the zone-map/Z-order
+# assumption the layout queries rely on).
+#
+# The DV is a deterministic ~10% md5-of-position sample standing in
+# for the sidecar file; the read path is the real shape: base scan ->
+# LEFT ANTI join on position -> aggregate. At 100 TB the anti-join is
+# per-file position-aligned with tiny broadcast DVs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "positional_delete_vector_read",
+    """
+    WITH base AS (
+      SELECT source, n_chars,
+             CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS pos
+      FROM documents),
+    dv AS (
+      SELECT pos FROM base
+      WHERE CAST('0x' || substr(md5('dv:' || CAST(pos AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 10 = 0)
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_surviving,
+           CAST(SUM(b.n_chars) AS BIGINT) AS surviving_chars
+    FROM base b
+    LEFT JOIN dv ON dv.pos = b.pos
+    WHERE dv.pos IS NULL
+    GROUP BY b.source
+    """,
+    doc="Positional delete vectors (Iceberg positional deletes / Delta "
+    "deletion vectors): the delete sidecar is a relation of PHYSICAL "
+    "row positions and the scan resolves it with a LEFT ANTI join on "
+    "position (`_metadata.row_index`), never rewriting data files. The "
+    "oracle sees only the registered view, so it states positions "
+    "logically as rank over doc_id — the file's clustering key — and a "
+    "green row therefore certifies both that position-keyed deletes "
+    "are engine-portable AND that the physical layout really is "
+    "doc_id-clustered. The DV is a deterministic ~10% md5 position "
+    "sample standing in for the sidecar; at scale the anti-join is "
+    "per-file position-aligned with tiny broadcast DVs.",
+)
+def positional_delete_vector_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source",
+        "n_chars",
+        F.col("_metadata.row_index").cast("long").alias("pos"),
+    )
+    dv = base.filter(
+        F.expr(
+            "CAST(conv(substring(md5(concat('dv:', CAST(pos AS STRING))),"
+            " 1, 15), 16, 10) AS BIGINT) % 10 = 0"
+        )
+    ).select("pos")
+    surviving = base.join(dv, "pos", "left_anti")
+    return surviving.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_surviving"),
+        F.sum("n_chars").cast("long").alias("surviving_chars"),
+    )

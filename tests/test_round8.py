@@ -750,3 +750,37 @@ def test_register_rejects_duplicate_names():
         @register("dedup_exact", "SELECT 1 AS x")
         def dedup_exact(spark, sf_dir):  # pragma: no cover
             raise AssertionError("never called")
+
+
+def test_positional_dv_recompute_and_physical_positions(spark, sf_dir):
+    """Recompute the DV read in Python from physical row order AND pin
+    that Spark's _metadata.row_index equals the doc_id rank (the
+    clustering certificate the oracle relies on)."""
+    import hashlib
+    from collections import defaultdict
+
+    pos_rows = sorted(
+        (r.pos, r.doc_id, r.source, r.n_chars)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr(
+            "_metadata.row_index AS pos", "doc_id", "source", "n_chars"
+        )
+        .collect()
+    )
+    by_docid = sorted(pos_rows, key=lambda t: t[1])
+    assert [t[0] for t in by_docid] == list(range(len(pos_rows)))
+
+    want: dict = defaultdict(lambda: [0, 0])
+    for pos, _, source, n_chars in pos_rows:
+        h = int(hashlib.md5(f"dv:{pos}".encode()).hexdigest()[:15], 16)
+        if h % 10 == 0:
+            continue  # deleted
+        want[source][0] += 1
+        want[source][1] += n_chars
+    got = {
+        r.source: [r.n_surviving, r.surviving_chars]
+        for r in _q("positional_delete_vector_read")(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    # the DV really deleted something (non-degenerate)
+    assert sum(v[0] for v in got.values()) < len(pos_rows)
