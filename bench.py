@@ -219,9 +219,18 @@ def main() -> None:
     # Full fidelity: every timed query, committed to the repo each round.
     # Overridable so harness/test runs don't clobber the committed
     # per-round record (a pytest contract run at sf0.001 used to).
-    full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL_PATH") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LOCAL.json"
+    # SUBSET runs (SPARK_GRAFT_BENCH_ONLY) never write the committed
+    # archive implicitly: a 3-query sidecar silently replacing the
+    # 300+-query round record destroys every self-adjudication
+    # comparator — route subsets to a .subset sidecar unless the caller
+    # named an explicit path.
+    default_full = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_FULL_LOCAL.subset.json"
+        if os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+        else "BENCH_FULL_LOCAL.json",
     )
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL_PATH") or default_full
     with open(full_path, "w") as fh:
         json.dump(
             {
@@ -251,7 +260,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": dict(sorted(slowest[:k])),
                 "queries_omitted": len(timings) - k,
-                "queries_file": "BENCH_FULL_LOCAL.json",
+                "queries_file": os.path.basename(full_path),
                 "n_queries": len(timings),
                 "sf": sf,
                 # biggest swings only — the full set is in the archive
