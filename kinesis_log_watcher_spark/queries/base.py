@@ -176,6 +176,7 @@ _FRONT = (
     "stream_ddsketch_quantiles",
     "changepoint_binary_segmentation",
     "positional_delete_vector_read",
+    "inference_batch_padding_waste",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

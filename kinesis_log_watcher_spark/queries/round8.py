@@ -1815,3 +1815,140 @@ def positional_delete_vector_read(
         F.count("*").cast("long").alias("n_surviving"),
         F.sum("n_chars").cast("long").alias("surviving_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inference batch padding waste — the serving-side economics of batch
+# composition: fixed-size inference batches pad every sequence to the
+# batch max, so arrival-order batches burn FLOPs on pad tokens while
+# length-sorted ("bucketed") batching — the standard serving
+# optimization — packs like-length sequences together. The query
+# quantifies both strategies on the corpus.
+#
+# Scale shape: arrival batches are doc_id-contiguous (embarrassingly
+# parallel). The length-sorted strategy needs a GLOBAL rank by length —
+# done with the repo's histogram-rank trick, never a corpus-wide sort:
+# per-length counts (bounded value domain) -> prefix sums over the
+# length domain -> rank = prefix_before(len) + intra-length row_number
+# (windows partition on the bounded length value). Deterministic
+# tie-break by doc_id in both engines.
+# ---------------------------------------------------------------------------
+
+_PAD_B = 16  # sequences per inference batch
+
+
+@register(
+    "inference_batch_padding_waste",
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
+      FROM documents),
+    arrival AS (
+      SELECT doc_id // {_PAD_B} AS b, wc FROM d),
+    a_stats AS (
+      SELECT CAST(MAX(wc) * COUNT(*) AS BIGINT) AS padded,
+             CAST(SUM(wc) AS BIGINT) AS real
+      FROM arrival GROUP BY b),
+    hist AS (
+      SELECT wc, COUNT(*) AS c FROM d GROUP BY wc),
+    pre AS (
+      SELECT wc, SUM(c) OVER (ORDER BY wc) - c AS before_cnt FROM hist),
+    ranked AS (
+      SELECT d.wc,
+             pre.before_cnt
+               + ROW_NUMBER() OVER (PARTITION BY d.wc ORDER BY d.doc_id)
+               - 1 AS rk
+      FROM d JOIN pre ON pre.wc = d.wc),
+    srt AS (
+      SELECT rk // {_PAD_B} AS b, wc FROM ranked),
+    s_stats AS (
+      SELECT CAST(MAX(wc) * COUNT(*) AS BIGINT) AS padded,
+             CAST(SUM(wc) AS BIGINT) AS real
+      FROM srt GROUP BY b),
+    both_ AS (
+      SELECT 'arrival' AS strategy,
+             CAST(COUNT(*) AS BIGINT) AS n_batches,
+             CAST(SUM(real) AS BIGINT) AS tokens_real,
+             CAST(SUM(padded) AS BIGINT) AS tokens_padded
+      FROM a_stats
+      UNION ALL
+      SELECT 'length_sorted' AS strategy,
+             CAST(COUNT(*) AS BIGINT) AS n_batches,
+             CAST(SUM(real) AS BIGINT) AS tokens_real,
+             CAST(SUM(padded) AS BIGINT) AS tokens_padded
+      FROM s_stats)
+    SELECT strategy, n_batches, tokens_real, tokens_padded,
+           CAST((tokens_padded - tokens_real) * 1000 // tokens_padded
+                AS BIGINT) AS waste_milli
+    FROM both_ WHERE tokens_padded > 0
+    """,
+    doc="Inference batch padding waste: fixed {B}-sequence batches pad "
+    "to the batch max, so the query prices BOTH compositions — "
+    "arrival-order (doc_id-contiguous batches) vs length-sorted "
+    "bucketing, the standard serving optimization. The global "
+    "length rank is the histogram-rank trick (per-length counts -> "
+    "bounded-domain prefix sums -> intra-length row_number), NEVER a "
+    "corpus-wide sort — the windows partition on the bounded length "
+    "value; ties break on doc_id identically in both engines. The "
+    "suite pins that sorting strictly reduces waste.".format(B=_PAD_B),
+)
+def inference_batch_padding_waste(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("wc")
+    )
+    a_stats = (
+        d.groupBy(F.expr(f"doc_id div {_PAD_B}").alias("b"))
+        .agg(
+            (F.max("wc") * F.count("*")).cast("long").alias("padded"),
+            F.sum("wc").cast("long").alias("real"),
+        )
+    )
+    hist = d.groupBy("wc").agg(F.count("*").alias("c"))
+    pre = hist.select(
+        "wc",
+        (F.sum("c").over(Window.orderBy("wc")) - F.col("c")).alias(
+            "before_cnt"
+        ),
+    )
+    ranked = d.join(F.broadcast(pre), "wc").select(
+        "wc",
+        (
+            F.col("before_cnt")
+            + F.row_number().over(
+                Window.partitionBy("wc").orderBy("doc_id")
+            )
+            - 1
+        ).alias("rk"),
+    )
+    s_stats = (
+        ranked.groupBy(F.expr(f"rk div {_PAD_B}").alias("b"))
+        .agg(
+            (F.max("wc") * F.count("*")).cast("long").alias("padded"),
+            F.sum("wc").cast("long").alias("real"),
+        )
+    )
+
+    def roll(stats: DataFrame, name: str) -> DataFrame:
+        return stats.agg(
+            F.lit(name).alias("strategy"),
+            F.count("*").cast("long").alias("n_batches"),
+            F.sum("real").cast("long").alias("tokens_real"),
+            F.sum("padded").cast("long").alias("tokens_padded"),
+        )
+
+    both = roll(a_stats, "arrival").unionAll(roll(s_stats, "length_sorted"))
+    return both.filter(F.col("tokens_padded") > 0).select(
+        "strategy",
+        "n_batches",
+        "tokens_real",
+        "tokens_padded",
+        F.expr(
+            "CAST((tokens_padded - tokens_real) * 1000 div tokens_padded"
+            " AS BIGINT)"
+        ).alias("waste_milli"),
+    )

@@ -784,3 +784,31 @@ def test_positional_dv_recompute_and_physical_positions(spark, sf_dir):
     assert got == dict(want)
     # the DV really deleted something (non-degenerate)
     assert sum(v[0] for v in got.values()) < len(pos_rows)
+
+
+def test_padding_waste_recompute_and_sorting_wins(r8_results, spark, sf_dir):
+    """Python recompute of both batch compositions; length-sorting must
+    strictly reduce padding waste on this corpus."""
+    docs = sorted((r.doc_id, len(r.text.split(" "))) for r in r8_results["docs"])
+
+    def waste(lengths):
+        padded = real = 0
+        for i in range(0, len(lengths), 16):
+            b = lengths[i:i + 16]
+            padded += max(b) * len(b)
+            real += sum(b)
+        return padded, real
+
+    arrival = [wc for _, wc in docs]
+    slens = [wc for wc, _ in sorted((wc, did) for did, wc in docs)]
+    pa, ra = waste(arrival)
+    ps, rs = waste(slens)
+    got = {
+        r.strategy: (r.n_batches, r.tokens_real, r.tokens_padded,
+                     r.waste_milli)
+        for r in _q("inference_batch_padding_waste")(spark, sf_dir).collect()
+    }
+    nb = (len(docs) + 15) // 16
+    assert got["arrival"] == (nb, ra, pa, (pa - ra) * 1000 // pa)
+    assert got["length_sorted"] == (nb, rs, ps, (ps - rs) * 1000 // ps)
+    assert got["length_sorted"][3] < got["arrival"][3]
