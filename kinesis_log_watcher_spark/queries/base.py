@@ -177,6 +177,7 @@ _FRONT = (
     "changepoint_binary_segmentation",
     "positional_delete_vector_read",
     "inference_batch_padding_waste",
+    "prefix_cache_reuse_plan",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

@@ -1952,3 +1952,84 @@ def inference_batch_padding_waste(
             " AS BIGINT)"
         ).alias("waste_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-cache (KV-cache reuse) planning — the serving-side question
+# behind vLLM-style automatic prefix caching: if requests share their
+# first k tokens, the KV computation for those tokens is paid once per
+# DISTINCT prefix, not once per request. For each prefix depth k the
+# query reports the distinct-prefix count and the token-level reuse:
+#   saved_tokens(k) = k * (n_docs_with_len>=k - distinct_prefixes(k))
+# i.e. every duplicate occurrence of a depth-k prefix re-serves k
+# cached token states.
+#
+# Scale shape: one pass builds the per-doc depth-k prefix hash for the
+# fixed ladder of k's (array slice + md5 — narrow, no explode of token
+# rows), then one groupBy per k on the hash (map-side combinable,
+# fixed small ladder). No windows, no sorts.
+# ---------------------------------------------------------------------------
+
+_PC_KS = (1, 2, 4, 8, 16)
+
+
+@register(
+    "prefix_cache_reuse_plan",
+    f"""
+    WITH d AS (
+      SELECT string_split(lower(text), ' ') AS toks FROM documents),
+    lad AS (
+      SELECT k,
+             CAST(COUNT(*) AS BIGINT) AS n_reqs,
+             CAST(COUNT(DISTINCT md5(array_to_string(toks[1:k], ' ')))
+                  AS BIGINT) AS distinct_prefixes
+      FROM d, (SELECT unnest([{", ".join(str(k) for k in _PC_KS)}]) AS k) u
+      WHERE len(toks) >= k
+      GROUP BY k)
+    SELECT k, n_reqs, distinct_prefixes,
+           CAST(k * (n_reqs - distinct_prefixes) AS BIGINT)
+             AS saved_tokens,
+           CAST((n_reqs - distinct_prefixes) * 1000 // n_reqs AS BIGINT)
+             AS hit_rate_milli
+    FROM lad
+    """,
+    doc="Prefix-cache (KV-reuse) planning, the vLLM automatic-prefix-"
+    "caching question: per prefix depth k in {ks}, how many requests "
+    "share their first k tokens — distinct prefixes, tokens saved "
+    "(k per duplicate occurrence) and the request-level hit rate. One "
+    "narrow pass derives each doc's depth-k prefix hashes (array "
+    "slice + md5, no token explode); per-k distinct counts are "
+    "map-side-combinable groupBys over a fixed small ladder. No "
+    "windows, no sorts, no fact-table fan-out beyond the {n}-row "
+    "ladder.".format(ks=_PC_KS, n=len(_PC_KS)),
+)
+def prefix_cache_reuse_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(F.split(F.lower("text"), " ").alias("toks"))
+    lad = d.select(
+        F.explode(
+            F.array(*[F.lit(k) for k in _PC_KS])
+        ).alias("k"),
+        "toks",
+    ).filter(F.size("toks") >= F.col("k"))
+    lad = lad.select(
+        "k",
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", F.lit(1), F.col("k")))
+        ).alias("ph"),
+    )
+    agg = lad.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_reqs"),
+        F.countDistinct("ph").cast("long").alias("distinct_prefixes"),
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("k"),
+        "n_reqs",
+        "distinct_prefixes",
+        (F.col("k") * (F.col("n_reqs") - F.col("distinct_prefixes")))
+        .cast("long")
+        .alias("saved_tokens"),
+        F.expr(
+            "CAST((n_reqs - distinct_prefixes) * 1000 div n_reqs AS BIGINT)"
+        ).alias("hit_rate_milli"),
+    )

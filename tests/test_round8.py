@@ -812,3 +812,24 @@ def test_padding_waste_recompute_and_sorting_wins(r8_results, spark, sf_dir):
     assert got["arrival"] == (nb, ra, pa, (pa - ra) * 1000 // pa)
     assert got["length_sorted"] == (nb, rs, ps, (ps - rs) * 1000 // ps)
     assert got["length_sorted"][3] < got["arrival"][3]
+
+
+def test_prefix_cache_reuse_recompute(r8_results, spark, sf_dir):
+    """Python recompute of the reuse ladder + monotonicity pins: deeper
+    prefixes can only be rarer (distinct count rises with k until docs
+    run out; hit rate never rises as k doubles)."""
+    got = {
+        r.k: (r.n_reqs, r.distinct_prefixes, r.saved_tokens,
+              r.hit_rate_milli)
+        for r in _q("prefix_cache_reuse_plan")(spark, sf_dir).collect()
+    }
+    for k in (1, 2, 4, 8, 16):
+        toks = [r.text.lower().split(" ") for r in r8_results["docs"]]
+        elig = [t for t in toks if len(t) >= k]
+        distinct = len({" ".join(t[:k]) for t in elig})
+        n = len(elig)
+        assert got[k] == (
+            n, distinct, k * (n - distinct), (n - distinct) * 1000 // n
+        )
+    hits = [got[k][3] for k in (1, 2, 4, 8, 16)]
+    assert all(a >= b for a, b in zip(hits, hits[1:]))
