@@ -833,3 +833,99 @@ def test_prefix_cache_reuse_recompute(r8_results, spark, sf_dir):
         )
     hits = [got[k][3] for k in (1, 2, 4, 8, 16)]
     assert all(a >= b for a, b in zip(hits, hits[1:]))
+
+
+def test_dd_bucket_bounds_property():
+    """Hypothesis: for ANY positive int64, the bucket's [lo, hi] bounds
+    contain the value and the interval is <= 12.5% relative width —
+    the DDSketch guarantee holds over the whole domain, not just the
+    corpus sample."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def bucket(v: int) -> int:
+        if v < 8:
+            return v
+        e = v.bit_length() - 1
+        return 8 * e + ((v >> (e - 3)) & 7)
+
+    def bounds(idx: int) -> tuple[int, int]:
+        if idx < 24:
+            return idx, idx
+        e, m = divmod(idx, 8)
+        return (8 + m) << (e - 3), ((9 + m) << (e - 3)) - 1
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=1, max_value=2**62))
+    def check(v):
+        lo, hi = bounds(bucket(v))
+        assert lo <= v <= hi
+        assert (hi - lo) * 8 <= lo
+
+    check()
+
+
+def test_pav_minimax_identity_property():
+    """Hypothesis: the minimax closed form max_{j<=i} min_{k>=i}
+    mean(j..k) equals stack-based pool-adjacent-violators with exact
+    fractions, and micro floor-quantization commutes — on random
+    bucketed inputs, not just the corpus."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=50),   # n
+                st.integers(min_value=0, max_value=50),  # pos (clamped)
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def check(buckets):
+        buckets = [(n, min(p, n)) for n, p in buckets]
+        # stack PAV, exact fractions
+        stack = []
+        for n, p in buckets:
+            cur = [n, p, 1]
+            while stack and Fraction(stack[-1][1], stack[-1][0]) >= Fraction(
+                cur[1], cur[0]
+            ):
+                prev = stack.pop()
+                cur = [prev[0] + cur[0], prev[1] + cur[1], prev[2] + cur[2]]
+            stack.append(cur)
+        pav = []
+        for n, p, width in stack:
+            pav.extend([Fraction(p, n)] * width)
+        # minimax closed form
+        B = len(buckets)
+        pre_n = [0]
+        pre_p = [0]
+        for n, p in buckets:
+            pre_n.append(pre_n[-1] + n)
+            pre_p.append(pre_p[-1] + p)
+
+        def mean(j, k):
+            return Fraction(pre_p[k + 1] - pre_p[j], pre_n[k + 1] - pre_n[j])
+
+        for i in range(B):
+            mm = max(
+                min(mean(j, k) for k in range(i, B)) for j in range(i + 1)
+            )
+            assert mm == pav[i]
+            # floor-quantization commutes: micro minimax == floored PAV
+            mm_micro = max(
+                min(
+                    (pre_p[k + 1] - pre_p[j]) * 10**6
+                    // (pre_n[k + 1] - pre_n[j])
+                    for k in range(i, B)
+                )
+                for j in range(i + 1)
+            )
+            assert mm_micro == (pav[i].numerator * 10**6) // pav[i].denominator
+
+    check()
