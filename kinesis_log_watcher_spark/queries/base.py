@@ -178,6 +178,7 @@ _FRONT = (
     "positional_delete_vector_read",
     "inference_batch_padding_waste",
     "prefix_cache_reuse_plan",
+    "curation_pipeline_e2e",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

@@ -176,8 +176,9 @@ _PII_AUG_SQL = """
 """
 
 
-def _pii_augmented(docs: DataFrame) -> DataFrame:
-    aug = F.concat(
+def _pii_aug_col():
+    """The deterministic PII augmentation as an unbound Column."""
+    return F.concat(
         F.col("text"),
         F.when(
             F.col("doc_id") % 3 == 0,
@@ -204,7 +205,10 @@ def _pii_augmented(docs: DataFrame) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
-    return docs.select("doc_id", "source", aug.alias("t"))
+
+
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "source", _pii_aug_col().alias("t"))
 
 
 @register(
@@ -2033,3 +2037,221 @@ def prefix_cache_reuse_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((n_reqs - distinct_prefixes) * 1000 div n_reqs AS BIGINT)"
         ).alias("hit_rate_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The curation pipeline, END TO END, as one certified query: quality
+# gate -> canonical dedup -> PII redaction -> BPE tokenization ->
+# sequence packing, reporting per-stage survival and the stage metrics
+# (redaction checksum, token total, packing waste). Every stage reuses
+# a primitive the registry already certifies in isolation; this query
+# certifies that they COMPOSE — the oracle restates the whole chain in
+# one SQL (including the recursive-CTE BPE encoder running over the
+# REDACTED vocabulary), so a green row means the engines agree on the
+# corpus at every stage boundary, not just at the end.
+#
+# Scale shape: narrow row-local stages (gate predicate, regex redact),
+# one fingerprint groupBy for dedup, the vocabulary-relation BPE
+# encode (distinct words, Arrow-batched), bucketed prefix-sum packing
+# — the same postures as the individual queries; the canonical
+# relation is persisted across its consumers and freed via
+# finalize_unpersist.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_pipeline_e2e",
+    f"""
+    WITH RECURSIVE raw AS (
+      SELECT doc_id, n_chars,
+             ({_PII_AUG_SQL}) AS t,
+             len(string_split(text, ' ')) AS wc,
+             md5(array_to_string(list_slice(string_split(lower(text), ' '),
+                                            1, 8), ' ')) AS head_fp
+      FROM documents),
+    gated AS (SELECT * FROM raw WHERE wc >= 20),
+    canon AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, t,
+               ROW_NUMBER() OVER (PARTITION BY head_fp
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM gated) WHERE rn = 1),
+    red AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS rt
+      FROM canon),
+    m(rank, a, b) AS (VALUES {_MERGE_VALUES}),
+    words AS (
+      SELECT doc_id, unnest(string_split(lower(rt), ' ')) AS word
+      FROM red),
+    v AS (SELECT DISTINCT word FROM words),
+    enc AS (
+      SELECT word, '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS s
+      FROM v
+      UNION ALL
+      SELECT word,
+             replace(s,
+               (SELECT '|'||a||'|'||b||'|' FROM m
+                WHERE contains(enc.s, '|'||a||'|'||b||'|')
+                ORDER BY rank LIMIT 1),
+               (SELECT '|'||a||b||'|' FROM m
+                WHERE contains(enc.s, '|'||a||'|'||b||'|')
+                ORDER BY rank LIMIT 1))
+      FROM enc
+      WHERE EXISTS (SELECT 1 FROM m
+                    WHERE contains(enc.s, '|'||a||'|'||b||'|'))),
+    fin AS (
+      SELECT word,
+             CAST(len(s) - len(replace(s, '|', '')) - 1 AS BIGINT)
+               AS n_tokens
+      FROM enc e
+      WHERE NOT EXISTS (SELECT 1 FROM m
+                        WHERE contains(e.s, '|'||a||'|'||b||'|'))),
+    per_doc AS (
+      SELECT w.doc_id, CAST(SUM(f.n_tokens) AS BIGINT) AS n_tokens
+      FROM words w JOIN fin f USING (word) GROUP BY w.doc_id),
+    pos AS (
+      SELECT doc_id, n_tokens, doc_id // 32 AS bucket
+      FROM per_doc),
+    per_bucket AS (
+      SELECT bucket,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens_b,
+             CAST((SUM(n_tokens) + 127) // 128 AS BIGINT) AS seqs_b
+      FROM pos GROUP BY bucket),
+    stages AS (
+      SELECT 1 AS stage_order, 'raw' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(0 AS BIGINT) AS metric
+      FROM raw
+      UNION ALL
+      SELECT 2, 'quality_gate', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT)
+      FROM gated
+      UNION ALL
+      SELECT 3, 'dedup_canonical', CAST(COUNT(*) AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM canon
+      UNION ALL
+      SELECT 4, 'pii_redacted', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CAST('0x' || substr(md5(rt), 1, 13)
+                                    AS BIGINT)), 0)
+                  % 1000000007 AS BIGINT)
+      FROM red
+      UNION ALL
+      SELECT 5, 'tokenized', CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+      FROM per_doc
+      UNION ALL
+      SELECT 6, 'packed', CAST(COALESCE(SUM(seqs_b), 0) AS BIGINT),
+             CAST(COALESCE(SUM(seqs_b) * 128 - SUM(tokens_b), 0)
+                  AS BIGINT)
+      FROM per_bucket)
+    SELECT CAST(stage_order AS BIGINT) AS stage_order, stage, n, metric
+    FROM stages
+    """,
+    doc="The curation pipeline END TO END in one certified query: "
+    "quality gate (wc >= 20) -> canonical dedup (longest per head "
+    "fingerprint) -> PII redaction -> merge-table BPE tokenization of "
+    "the REDACTED text -> 128-token bucketed sequence packing, with "
+    "per-stage survival counts and stage metrics (prime-modulus "
+    "redaction checksum so the digest sum cannot overflow int64 at any "
+    "corpus size; token total; packing waste). Each primitive is "
+    "already registry-certified in isolation — this row certifies they "
+    "COMPOSE: the oracle restates the full chain in one SQL including "
+    "the recursive-CTE encoder over the redacted vocabulary. Postures "
+    "match the individual queries (row-local gate/redact, one "
+    "fingerprint groupBy, vocabulary-relation Arrow encode, bucketed "
+    "prefix-sum packing).",
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.bpe import doc_token_counts
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("wc"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 1, 8))
+        ).alias("head_fp"),
+        _pii_aug_col().alias("t"),
+    )
+    gated = raw.filter(F.col("wc") >= 20)
+    canon = (
+        gated.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("head_fp").orderBy(
+                    F.col("n_chars").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "t")
+    )
+    red = canon.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("t", F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+                F.lit(_PII_IPV4),
+                F.lit("<IP>"),
+            ),
+            F.lit(_PII_PHONE),
+            F.lit("<PHONE>"),
+        ).alias("rt"),
+    ).persist()
+    per_doc = doc_token_counts(
+        red.select("doc_id", F.col("rt").alias("text"))
+    ).select("doc_id", "n_tokens").persist()
+    per_bucket = (
+        per_doc.groupBy(F.expr("doc_id div 32").alias("bucket"))
+        .agg(
+            F.sum("n_tokens").cast("long").alias("tokens_b"),
+            F.expr("(sum(n_tokens) + 127) div 128").cast("long").alias(
+                "seqs_b"
+            ),
+        )
+    )
+
+    def stage(order: int, name: str, rel: DataFrame, metric) -> DataFrame:
+        return rel.agg(
+            F.lit(order).cast("long").alias("stage_order"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n"),
+            metric.cast("long").alias("metric"),
+        )
+
+    zero = F.lit(0)
+    digest = F.expr(
+        "COALESCE(SUM(CAST(conv(substring(md5(rt), 1, 13), 16, 10)"
+        " AS DECIMAL(38,0))), 0) % 1000000007"
+    )
+    out = (
+        stage(1, "raw", raw, zero)
+        .unionAll(stage(2, "quality_gate", gated, zero))
+        .unionAll(stage(3, "dedup_canonical", canon, zero))
+        .unionAll(stage(4, "pii_redacted", red, digest))
+        .unionAll(
+            stage(
+                5,
+                "tokenized",
+                per_doc,
+                F.expr("COALESCE(SUM(n_tokens), 0)"),
+            )
+        )
+        .unionAll(
+            per_bucket.agg(
+                F.lit(6).cast("long").alias("stage_order"),
+                F.lit("packed").alias("stage"),
+                F.expr("CAST(COALESCE(SUM(seqs_b), 0) AS BIGINT)").alias("n"),
+                F.expr(
+                    "CAST(COALESCE(SUM(seqs_b) * 128 - SUM(tokens_b), 0)"
+                    " AS BIGINT)"
+                ).alias("metric"),
+            )
+        )
+    )
+    return finalize_unpersist(out, red, per_doc)

@@ -929,3 +929,67 @@ def test_pav_minimax_identity_property():
             assert mm_micro == (pav[i].numerator * 10**6) // pav[i].denominator
 
     check()
+
+
+def test_curation_pipeline_e2e_recompute(r8_results, spark, sf_dir):
+    """Replay the entire pipeline in Python — gate, canonical dedup,
+    redaction (+ checksum), BPE tokenization of the REDACTED text,
+    bucketed packing — and match every stage row."""
+    import hashlib
+    import re
+
+    from kinesis_log_watcher_spark.queries.round8 import (
+        _PII_EMAIL,
+        _PII_IPV4,
+        _PII_PHONE,
+    )
+
+    docs = sorted(r8_results["docs"], key=lambda r: r.doc_id)
+    raw_n = len(docs)
+    gated = [r for r in docs if len(r.text.split(" ")) >= 20]
+    groups: dict = {}
+    for r in gated:
+        fp = " ".join(r.text.lower().split(" ")[:8])
+        groups.setdefault(fp, []).append(r)
+    canon = sorted(
+        (min(rows, key=lambda r: (-r.n_chars, r.doc_id)) for rows in groups.values()),
+        key=lambda r: r.doc_id,
+    )
+    checksum = 0
+    per_doc = {}
+    ranks = merge_ranks(DEFAULT_MERGES)
+    for r in canon:
+        t = r.text
+        if r.doc_id % 3 == 0:
+            t += f" contact user{r.doc_id}@example.com"
+        if r.doc_id % 5 == 0:
+            t += f" from 10.{r.doc_id % 256}.0.{r.doc_id % 100}"
+        if r.doc_id % 7 == 0:
+            t += f" call 555-{1000 + r.doc_id % 9000}"
+        rt = re.sub(_PII_PHONE, "<PHONE>",
+                    re.sub(_PII_IPV4, "<IP>",
+                           re.sub(_PII_EMAIL, "<EMAIL>", t)))
+        checksum += int(hashlib.md5(rt.encode()).hexdigest()[:13], 16)
+        per_doc[r.doc_id] = sum(
+            len(bpe_encode(w, ranks)) for w in rt.lower().split(" ")
+        )
+    buckets: dict = {}
+    for did, nt in per_doc.items():
+        buckets[did // 32] = buckets.get(did // 32, 0) + nt
+    seqs = sum((t + 127) // 128 for t in buckets.values())
+    waste = seqs * 128 - sum(buckets.values())
+    want = {
+        1: ("raw", raw_n, 0),
+        2: ("quality_gate", len(gated), 0),
+        3: ("dedup_canonical", len(canon), 0),
+        4: ("pii_redacted", len(canon), checksum % 1000000007),
+        5: ("tokenized", len(canon), sum(per_doc.values())),
+        6: ("packed", seqs, waste),
+    }
+    got = {
+        r.stage_order: (r.stage, r.n, r.metric)
+        for r in _q("curation_pipeline_e2e")(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the pipeline actually trims at each trimming stage
+    assert raw_n > len(gated) > len(canon) > 0

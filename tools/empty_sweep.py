@@ -56,6 +56,9 @@ FIXED_CARDINALITY = {
     "neardup_graph_2core": 4,
     # the FK audit reports every edge even over an empty load
     "fk_integrity_audit": 3,
+    # the pipeline reports every stage even over an empty corpus
+    # (all counts/metrics 0 — the oracle returns the same 6 rows)
+    "curation_pipeline_e2e": 6,
 }
 
 # Only the watcher-surface family compiles templates (the process-global,
