@@ -179,6 +179,12 @@ _FRONT = (
     "inference_batch_padding_waste",
     "prefix_cache_reuse_plan",
     "curation_pipeline_e2e",
+    # ---- round-8 wave B (queries/round8b.py; first official row
+    # pending)
+    "ams_f2_sketch_estimate",
+    "randomized_response_debias",
+    "simpson_paradox_audit",
+    "geohash_cell_pair_stats",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",
@@ -405,6 +411,7 @@ def registry() -> dict[str, Query]:
         round6b,
         round7,
         round8,
+        round8b,
         sampling,
         streaming,
         tpch_deep,
