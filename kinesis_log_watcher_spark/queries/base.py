@@ -185,6 +185,10 @@ _FRONT = (
     "randomized_response_debias",
     "simpson_paradox_audit",
     "geohash_cell_pair_stats",
+    "greedy_set_cover_docs",
+    "sax_daily_revenue_motifs",
+    "speculative_decode_acceptance",
+    "cuped_variance_reduction",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

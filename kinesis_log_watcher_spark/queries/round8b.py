@@ -625,3 +625,311 @@ def sax_daily_revenue_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("prio", F.col("word").cast("long").alias("word")).agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+# ===========================================================================
+# Speculative-decoding acceptance pricing (greedy draft vs greedy target)
+# ===========================================================================
+
+_SPEC_K = 4  # draft tokens proposed per target forward pass
+
+
+@register(
+    "speculative_decode_acceptance",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    bg AS (
+      SELECT d.source,
+             string_split(d.text, ' ')[t.i] AS prev,
+             string_split(d.text, ' ')[t.i + 1] AS cur
+      FROM documents d,
+           unnest(range(1, len(string_split(d.text, ' ')))) AS t(i)),
+    c1 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY word),
+    g AS (SELECT word AS gword FROM c1
+          ORDER BY cnt DESC, word LIMIT 1),
+    c2 AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM bg GROUP BY prev, cur),
+    winners AS (
+      SELECT prev, cur AS win FROM (
+        SELECT prev, cur,
+               ROW_NUMBER() OVER (PARTITION BY prev
+                                  ORDER BY cnt DESC, cur) AS rn
+        FROM c2) WHERE rn = 1),
+    acc AS (
+      SELECT b.source,
+             CASE WHEN w.win = (SELECT gword FROM g) THEN 1 ELSE 0 END
+               AS accept
+      FROM bg b JOIN winners w USING (prev)),
+    base AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS positions,
+             CAST(SUM(accept) AS BIGINT) AS accepted,
+             CAST(SUM(accept) * 1000000 // COUNT(*) AS BIGINT) AS a_micro
+      FROM acc GROUP BY source),
+    pw AS (
+      SELECT *,
+             a_micro * a_micro // 1000000 AS a2,
+             a_micro * a_micro // 1000000 * a_micro // 1000000 AS a3
+      FROM base)
+    SELECT source, positions, accepted, a_micro,
+           CAST(1000000 + a_micro + a2 + a3
+                + a3 * a_micro // 1000000 AS BIGINT)
+             AS exp_tokens_micro
+    FROM pw
+    """,
+    doc="Speculative-decoding acceptance pricing: the draft model is "
+    "the greedy unigram LM (always proposes the corpus-argmax token), "
+    "the target is the greedy bigram LM (argmax continuation of the "
+    "previous token, ties to the lexicographically smallest); under "
+    "greedy decoding the target accepts a drafted token iff the two "
+    "argmaxes agree, so the per-source acceptance rate a is the "
+    "fraction of bigram positions whose bigram winner IS the global "
+    "unigram winner — and the expected tokens emitted per target "
+    "forward pass with k=4 drafts is sum(a^i, i=0..4), evaluated in "
+    "truncating integer micros identically in both dialects. The "
+    "capacity-planning number for speculative inference serving. "
+    "Scale shape: bigrams are a narrow array-transform generator (no "
+    "window); winner selection is a two-phase per-prev top-1 "
+    "(WindowGroupLimit); the global argmax joins back as a broadcast "
+    "1-row EQUI-join on the winner word, never a cross join. (No "
+    "counterpart in reference main.go.)",
+)
+def speculative_decode_acceptance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    bg = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> struct(element_at(split(text, ' '), i) AS prev, "
+                "element_at(split(text, ' '), i + 1) AS cur))"
+            )
+        ).alias("p"),
+    ).select("source", "p.prev", "p.cur")
+    c1 = toks.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+    wg = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    g = (
+        c1.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") == 1)
+        .select(F.col("word").alias("gword"))
+    )
+    c2 = bg.groupBy("prev", "cur").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    ww = Window.partitionBy("prev").orderBy(
+        F.col("cnt").desc(), F.col("cur").asc()
+    )
+    winners = (
+        c2.withColumn("rn", F.row_number().over(ww))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("cur").alias("win"))
+        .join(F.broadcast(g), F.col("win") == F.col("gword"), "left")
+        .select(
+            "prev",
+            F.when(F.col("gword").isNotNull(), 1).otherwise(0).alias(
+                "accept"
+            ),
+        )
+    )
+    base = (
+        bg.join(winners, "prev")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("positions"),
+            F.sum("accept").cast("long").alias("accepted"),
+            F.expr("sum(accept) * 1000000 div count(*)")
+            .cast("long")
+            .alias("a_micro"),
+        )
+    )
+    a = F.col("a_micro")
+    a2 = F.expr("a_micro * a_micro div 1000000")
+    a3 = F.expr("a_micro * a_micro div 1000000 * a_micro div 1000000")
+    a4 = F.expr(
+        "a_micro * a_micro div 1000000 * a_micro div 1000000 "
+        "* a_micro div 1000000"
+    )
+    return base.select(
+        "source",
+        "positions",
+        "accepted",
+        "a_micro",
+        (F.lit(1000000) + a + a2 + a3 + a4)
+        .cast("long")
+        .alias("exp_tokens_micro"),
+    )
+
+
+# ===========================================================================
+# CUPED variance reduction for experiment metrics
+# ===========================================================================
+
+# Exact micro-mean of a nonnegative BIGINT sum without int64 overflow:
+# s*1e6 div n == (s div n)*1e6 + (s mod n)*1e6 div n, and both terms
+# stay far below int64 even when s*1e6 would not.
+_CUPED_MEAN_MICRO = "( ({s}) // ({n}) * 1000000 + ({s}) % ({n}) * 1000000 // ({n}) )"
+
+
+@register(
+    "cuped_variance_reduction",
+    f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST('0x' || substr(md5('cuped|' || CAST(o_custkey AS VARCHAR)),
+                  1, 15) AS BIGINT) % 2 AS arm,
+             CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+                           THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                     * 100 AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+                           THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                     * 100 AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    arms AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                  AS DOUBLE) AS syy
+      FROM cust GROUP BY arm),
+    pooled AS (
+      SELECT *,
+             CAST(SUM(n) OVER () AS DOUBLE) AS pn,
+             CAST(SUM(sx) OVER () AS DOUBLE) AS psx,
+             CAST(SUM(sy) OVER () AS DOUBLE) AS psy,
+             SUM(sxy) OVER () AS psxy,
+             SUM(sxx) OVER () AS psxx,
+             SUM(syy) OVER () AS psyy,
+             SUM(n) OVER () AS pni,
+             SUM(sx) OVER () AS psxi
+      FROM arms),
+    th AS (
+      SELECT *,
+             CAST(floor((pn * psxy - psx * psy)
+                        / (pn * psxx - psx * psx) * 1000000 + 0.5)
+                  AS BIGINT) AS theta_micro,
+             CAST(floor((pn * psxy - psx * psy) * (pn * psxy - psx * psy)
+                        / ((pn * psxx - psx * psx)
+                           * (pn * psyy - psy * psy)) * 1000000 + 0.5)
+                  AS BIGINT) AS rho2_micro
+      FROM pooled)
+    SELECT arm, n,
+           CAST({_CUPED_MEAN_MICRO.format(s='sy', n='n')} AS BIGINT)
+             AS mean_y_microcents,
+           CAST({_CUPED_MEAN_MICRO.format(s='sy', n='n')}
+                - theta_micro * (sx // n - psxi // pni) AS BIGINT)
+             AS adj_mean_microcents,
+           theta_micro, rho2_micro
+    FROM th
+    """,
+    doc="CUPED variance reduction (controlled experiments using "
+    "pre-experiment data): each customer's 1997 spend (metric y) is "
+    "adjusted by their 1996 spend (covariate x) with the pooled OLS "
+    "theta = cov(x,y)/var(x); arms are a deterministic md5 split. "
+    "Sums are exact int64 cents with DECIMAL(38,0) cross products "
+    "(the embedding_label_drift headroom discipline) collapsed to "
+    "DOUBLE only at the bounded 2-row arm relation, where IEEE "
+    "arithmetic is bit-identical across engines; theta and rho^2 "
+    "(the variance-reduction fraction) quantize to micros by the "
+    "same floor(+0.5) in both dialects, and the adjusted means use "
+    "an overflow-free split-division micro-mean identity. Pooled "
+    "moments ride window sums over the 2-row arm relation — no 1-row "
+    "broadcast join. The A/B-testing sensitivity primitive for "
+    "evaluating data-recipe experiments. Scale shape: one shuffle to "
+    "per-customer (x, y), one partial-agg shuffle to 2 arm rows; "
+    "everything after is constant-size. (No counterpart in reference "
+    "main.go.)",
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    orders = load(spark, sf_dir, "orders")
+    yr = F.year(F.to_date("o_orderdate"))
+    cents = (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(yr == 1996, cents).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(yr == 1997, cents).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    ).select(
+        (
+            _h15(
+                F.concat(F.lit("cuped|"), F.col("o_custkey").cast("string"))
+            )
+            % 2
+        ).alias("arm"),
+        "x",
+        "y",
+    )
+    d38 = "decimal(38,0)"
+    arms = cust.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y").cast(d38))
+        .cast("double")
+        .alias("syy"),
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pooled = arms.select(
+        "*",
+        F.sum("n").over(wall).cast("double").alias("pn"),
+        F.sum("sx").over(wall).cast("double").alias("psx"),
+        F.sum("sy").over(wall).cast("double").alias("psy"),
+        F.sum("sxy").over(wall).alias("psxy"),
+        F.sum("sxx").over(wall).alias("psxx"),
+        F.sum("syy").over(wall).alias("psyy"),
+        F.sum("n").over(wall).alias("pni"),
+        F.sum("sx").over(wall).alias("psxi"),
+    )
+    cov = F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")
+    vx = F.col("pn") * F.col("psxx") - F.col("psx") * F.col("psx")
+    vy = F.col("pn") * F.col("psyy") - F.col("psy") * F.col("psy")
+    th = pooled.select(
+        "*",
+        F.floor(cov / vx * 1000000 + 0.5).cast("long").alias("theta_micro"),
+        F.floor(cov * cov / (vx * vy) * 1000000 + 0.5)
+        .cast("long")
+        .alias("rho2_micro"),
+    )
+    mean_micro = F.expr(_CUPED_MEAN_MICRO.format(s="sy", n="n").replace("//", " div "))
+    return th.select(
+        "arm",
+        "n",
+        mean_micro.cast("long").alias("mean_y_microcents"),
+        (
+            mean_micro
+            - F.col("theta_micro")
+            * (
+                F.expr("sx div n")
+                - F.expr("psxi div pni")
+            )
+        )
+        .cast("long")
+        .alias("adj_mean_microcents"),
+        "theta_micro",
+        "rho2_micro",
+    )

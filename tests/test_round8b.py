@@ -1,0 +1,137 @@
+"""Round-8 wave B: AMS F2 sketch, randomized response, Simpson audit,
+grid-cell spatial join, greedy set cover, SAX motifs, speculative
+decoding, CUPED — closed-form invariants the oracle hash-match can't
+state (unbiasedness identities, coverage monotonicity, formula checks).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_log_watcher_spark.queries import registry
+
+
+def _q(name):
+    return registry()[name].fn
+
+
+@pytest.fixture(scope="module")
+def r8b_results(spark, sf_dir):
+    """One concurrent burst of the wave's registry executions (the r8
+    suite-speed shape: independent Spark actions share the session)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [
+        "ams_f2_sketch_estimate",
+        "randomized_response_debias",
+        "simpson_paradox_audit",
+        "geohash_cell_pair_stats",
+        "greedy_set_cover_docs",
+        "sax_daily_revenue_motifs",
+        "speculative_decode_acceptance",
+        "cuped_variance_reduction",
+    ]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in names
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_ams_estimator_identities(r8b_results):
+    rows = r8b_results["ams_f2_sketch_estimate"]
+    assert len(rows) == 16
+    f2 = {r["f2_exact"] for r in rows}
+    assert len(f2) == 1, "every estimator group must see the same exact F2"
+    f2 = f2.pop()
+    assert f2 > 0
+    for r in rows:
+        assert r["x"] == r["z"] * r["z"]
+    # mean-of-estimators column is the same value on every row and
+    # consistent with the per-row x values
+    est = {r["est_mean"] for r in rows}
+    assert est == {sum(r["x"] for r in rows) // 16}
+    # a 16-estimator mean should land within 75% relative error on this
+    # data (loose sanity bound — the oracle certifies exactness, this
+    # certifies the estimator is actually estimating)
+    assert all(r["rel_err_micro"] < 750_000 for r in rows)
+
+
+def test_randomized_response_debias_identity(r8b_results):
+    for r in r8b_results["randomized_response_debias"]:
+        assert r["est_micro"] == (4 * r["observed_cnt"] - r["n"]) * 500000
+        assert r["err_micro"] == r["est_micro"] - r["true_cnt"] * 1000000
+        assert 0 <= r["true_cnt"] <= r["n"]
+        assert 0 <= r["observed_cnt"] <= r["n"]
+
+
+def test_simpson_pooled_direction_consistent(r8b_results):
+    rows = r8b_results["simpson_paradox_audit"]
+    assert rows
+    # pooled direction identical on every stratum row; reversal flag
+    # matches the two direction columns
+    assert len({r["dir_pooled"] for r in rows}) == 1
+    for r in rows:
+        assert r["dir_stratum"] in (-1, 0, 1)
+        assert r["reversed"] == (r["dir_stratum"] * r["dir_pooled"] == -1)
+
+
+def test_geohash_cells_bounded_and_consistent(r8b_results):
+    rows = r8b_results["geohash_cell_pair_stats"]
+    assert rows
+    for r in rows:
+        assert 0 <= r["cell"] < 288
+        assert r["min_d2"] >= 0
+        assert 0 <= r["n_within_5deg"] <= r["n_pairs"]
+
+
+def test_set_cover_gains_monotone_and_cumulative(r8b_results):
+    rows = sorted(r8b_results["greedy_set_cover_docs"], key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == list(range(1, len(rows) + 1))
+    gains = [r["gain"] for r in rows]
+    # greedy marginal gains are non-increasing (submodularity)
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
+    # cumulative coverage is the running sum of gains
+    cum = 0
+    for r in rows:
+        cum += r["gain"]
+        assert r["covered_cum"] == cum
+    # picks are distinct documents
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+
+
+def test_sax_words_in_base4_domain(r8b_results):
+    rows = r8b_results["sax_daily_revenue_motifs"]
+    assert rows
+    for r in rows:
+        assert 0 <= r["word"] < 256
+        assert r["n"] >= 1
+
+
+def test_speculative_acceptance_formula(r8b_results):
+    rows = r8b_results["speculative_decode_acceptance"]
+    assert rows
+    for r in rows:
+        assert 0 <= r["accepted"] <= r["positions"]
+        a = r["accepted"] * 1000000 // r["positions"]
+        assert r["a_micro"] == a
+        a2 = a * a // 1000000
+        a3 = a2 * a // 1000000
+        a4 = a3 * a // 1000000
+        assert r["exp_tokens_micro"] == 1000000 + a + a2 + a3 + a4
+        # expected tokens per pass is in [1, k+1]
+        assert 1000000 <= r["exp_tokens_micro"] <= 5000000
+
+
+def test_cuped_reduces_between_arm_gap_consistently(r8b_results):
+    rows = r8b_results["cuped_variance_reduction"]
+    assert len(rows) == 2
+    assert {r["arm"] for r in rows} == {0, 1}
+    theta = {r["theta_micro"] for r in rows}
+    rho2 = {r["rho2_micro"] for r in rows}
+    assert len(theta) == 1 and len(rho2) == 1, "pooled stats identical per arm"
+    assert 0 <= rho2.pop() <= 1000000, "rho^2 is a fraction"
+    for r in rows:
+        assert r["n"] > 0
+        assert r["mean_y_microcents"] >= 0
