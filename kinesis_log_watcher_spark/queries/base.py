@@ -189,6 +189,9 @@ _FRONT = (
     "sax_daily_revenue_motifs",
     "speculative_decode_acceptance",
     "cuped_variance_reduction",
+    "logo_source_influence",
+    "attribution_multi_touch",
+    "graph_anf_reach_kmv",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

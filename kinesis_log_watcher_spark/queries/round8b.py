@@ -14,7 +14,15 @@ routinely:
 - grid-cell (geohash-style) spatial bucketing — the equi-join shape
   that replaces the quadratic distance cross-join;
 - Simpson's-paradox detection, the aggregation-reversal audit every
-  observational metric pipeline needs before it trusts a pooled rate.
+  observational metric pipeline needs before it trusts a pooled rate;
+- greedy maximum-coverage document selection (submodular set cover);
+- SAX symbolization + motif counting over a bounded-domain series;
+- speculative-decoding acceptance pricing (greedy draft vs target);
+- CUPED covariate variance reduction for experiment metrics;
+- leave-one-source-out OLS influence (data valuation from sufficient
+  statistics, 20 refits from one scan);
+- multi-touch attribution (first/last/linear) via as-of candidates;
+- ANF 2-hop reach estimation via KMV sketch propagation.
 
 House disciplines throughout: every random draw is a deterministic
 md5-derived integer computed IDENTICALLY in both dialects; all
@@ -932,4 +940,335 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("adj_mean_microcents"),
         "theta_micro",
         "rho2_micro",
+    )
+
+
+# ===========================================================================
+# Leave-one-source-out OLS influence (data valuation from sufficient stats)
+# ===========================================================================
+
+
+@register(
+    "logo_source_influence",
+    """
+    WITH pts AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+             n_chars AS y
+      FROM documents),
+    grp AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY source),
+    pooled AS (
+      SELECT *,
+             CAST(SUM(n) OVER () AS DOUBLE) AS pn,
+             CAST(SUM(sx) OVER () AS DOUBLE) AS psx,
+             CAST(SUM(sy) OVER () AS DOUBLE) AS psy,
+             CAST(SUM(sxy) OVER () AS DOUBLE) AS psxy,
+             CAST(SUM(sxx) OVER () AS DOUBLE) AS psxx
+      FROM grp)
+    SELECT source, n,
+           CAST(floor((pn * psxy - psx * psy)
+                      / (pn * psxx - psx * psx) * 1000000 + 0.5)
+                AS BIGINT) AS beta_full_micro,
+           CAST(floor(((pn - n) * (psxy - sxy) - (psx - sx) * (psy - sy))
+                      / ((pn - n) * (psxx - sxx)
+                         - (psx - sx) * (psx - sx)) * 1000000 + 0.5)
+                AS BIGINT) AS beta_loo_micro,
+           CAST(floor(((pn - n) * (psxy - sxy) - (psx - sx) * (psy - sy))
+                      / ((pn - n) * (psxx - sxx)
+                         - (psx - sx) * (psx - sx)) * 1000000 + 0.5)
+                - floor((pn * psxy - psx * psy)
+                        / (pn * psxx - psx * psx) * 1000000 + 0.5)
+                AS BIGINT) AS influence_micro
+    FROM pooled
+    """,
+    doc="Leave-one-group-out (LOGO) influence for data valuation: the "
+    "OLS slope of n_chars on token count is refit WITHOUT each source "
+    "by subtracting that source's sufficient statistics (n, sx, sy, "
+    "sxy, sxx) from the pooled ones — 20 leave-out refits from ONE "
+    "scan, no per-group re-aggregation, the trick that makes "
+    "influence-style data valuation feasible at corpus scale. "
+    "Per-source sums are exact int64; pooled moments ride window sums "
+    "over the bounded 20-row source relation and collapse to IEEE "
+    "double only there (bit-identical across engines), then quantize "
+    "by the same floor(+0.5). influence_micro > 0 means removing the "
+    "source RAISES the slope — the source drags the fit down. Scale "
+    "shape: one narrow map + one partial-agg shuffle to |sources| "
+    "rows; everything after is constant-size. (No counterpart in "
+    "reference main.go.)",
+)
+def logo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pts = docs.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("x"),
+        F.col("n_chars").alias("y"),
+    )
+    grp = pts.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pooled = grp.select(
+        "*",
+        F.sum("n").over(wall).cast("double").alias("pn"),
+        F.sum("sx").over(wall).cast("double").alias("psx"),
+        F.sum("sy").over(wall).cast("double").alias("psy"),
+        F.sum("sxy").over(wall).cast("double").alias("psxy"),
+        F.sum("sxx").over(wall).cast("double").alias("psxx"),
+    )
+    full = F.floor(
+        (F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy"))
+        / (F.col("pn") * F.col("psxx") - F.col("psx") * F.col("psx"))
+        * 1000000
+        + 0.5
+    ).cast("long")
+    ln = F.col("pn") - F.col("n")
+    lsx = F.col("psx") - F.col("sx")
+    lsy = F.col("psy") - F.col("sy")
+    lsxy = F.col("psxy") - F.col("sxy")
+    lsxx = F.col("psxx") - F.col("sxx")
+    loo = F.floor(
+        (ln * lsxy - lsx * lsy) / (ln * lsxx - lsx * lsx) * 1000000 + 0.5
+    ).cast("long")
+    return pooled.select(
+        "source",
+        "n",
+        full.alias("beta_full_micro"),
+        loo.alias("beta_loo_micro"),
+        (loo - full).alias("influence_micro"),
+    )
+
+
+# ===========================================================================
+# Multi-touch attribution (first / last / linear)
+# ===========================================================================
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1000000  # 7 days in microseconds
+
+
+@register(
+    "attribution_multi_touch",
+    f"""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id,
+             epoch_us(ts) AS cts, hour(ts) AS hr
+      FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pts
+      FROM events WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT p.purchase_id, c.click_id, c.hr, c.cts
+      FROM purchases p JOIN clicks c USING (user_id)
+      WHERE c.cts < p.pts AND c.cts >= p.pts - {_ATTR_WINDOW_US}),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                ORDER BY cts ASC, click_id ASC) AS rn_f,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                ORDER BY cts DESC, click_id DESC) AS rn_l,
+             COUNT(*) OVER (PARTITION BY purchase_id) AS k
+      FROM cand),
+    scored AS (
+      SELECT 'first' AS model, hr, 1000000 AS w FROM ranked WHERE rn_f = 1
+      UNION ALL
+      SELECT 'last', hr, 1000000 FROM ranked WHERE rn_l = 1
+      UNION ALL
+      SELECT 'linear', hr, 1000000 // k FROM ranked)
+    SELECT model, CAST(hr AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(w) AS BIGINT) AS credit_micro
+    FROM scored GROUP BY model, hr
+    """,
+    doc="Multi-touch attribution: every purchase credits the clicks the "
+    "same user made in the preceding 7 days — fully to the FIRST "
+    "touch, fully to the LAST touch, and split evenly (1e6 div k "
+    "integer micros) under the LINEAR model — aggregated by "
+    "click hour-of-day. First/last are row_number argmin/argmax with "
+    "deterministic event-id tie-breaks; the candidate join is a "
+    "user-key EQUI-join with a time-band filter (the as-of-join "
+    "candidate shape: per-user fan-out is click-rate x window, "
+    "bounded, never all-pairs). The marketing/conversion analytics "
+    "primitive. Scale shape: one shuffle on user_id for the candidate "
+    "join, windows partition by purchase (high-cardinality keys, no "
+    "global window), final rollup on the bounded (model x 24h) "
+    "domain. (No counterpart in reference main.go.)",
+)
+def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        us.alias("cts"),
+        F.hour("ts").alias("hr"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), us.alias("pts")
+    )
+    cand = purchases.join(clicks, "user_id").filter(
+        (F.col("cts") < F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - _ATTR_WINDOW_US)
+    )
+    wf = Window.partitionBy("purchase_id").orderBy(
+        F.col("cts").asc(), F.col("click_id").asc()
+    )
+    wl = Window.partitionBy("purchase_id").orderBy(
+        F.col("cts").desc(), F.col("click_id").desc()
+    )
+    wk = Window.partitionBy("purchase_id")
+    ranked = cand.select(
+        "purchase_id",
+        "hr",
+        F.row_number().over(wf).alias("rn_f"),
+        F.row_number().over(wl).alias("rn_l"),
+        F.count("*").over(wk).alias("k"),
+    )
+    scored = (
+        ranked.filter(F.col("rn_f") == 1)
+        .select(F.lit("first").alias("model"), "hr", F.lit(1000000).alias("w"))
+        .unionAll(
+            ranked.filter(F.col("rn_l") == 1).select(
+                F.lit("last").alias("model"), "hr", F.lit(1000000).alias("w")
+            )
+        )
+        .unionAll(
+            ranked.select(
+                F.lit("linear").alias("model"),
+                "hr",
+                F.expr("1000000 div k").alias("w"),
+            )
+        )
+    )
+    return scored.groupBy("model", F.col("hr").cast("long").alias("hour")).agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.sum("w").cast("long").alias("credit_micro"),
+    )
+
+
+# ===========================================================================
+# ANF: approximate neighborhood function via KMV sketch propagation
+# ===========================================================================
+
+_ANF_K = 8  # k-minimum-values sketch size
+_ANF_DOMAIN = 1 << 60  # h15 hash domain (15 hex chars)
+
+
+@register(
+    "graph_anf_reach_kmv",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS t
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    h AS (
+      SELECT c, t,
+             CAST('0x' || substr(md5('anf|' || CAST(t AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+      FROM e),
+    sketch_c AS (
+      SELECT c, hv FROM (
+        SELECT c, hv,
+               ROW_NUMBER() OVER (PARTITION BY c ORDER BY hv) AS rn
+        FROM h) WHERE rn <= {_ANF_K}),
+    samp AS (SELECT c, t AS s FROM e WHERE t % 20 = 0),
+    merged AS (
+      SELECT DISTINCT sp.s, sk.hv
+      FROM samp sp JOIN sketch_c sk USING (c)),
+    kmv AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS kmv_k,
+             CAST(MAX(hv) AS BIGINT) AS kth_hash
+      FROM (
+        SELECT s, hv,
+               ROW_NUMBER() OVER (PARTITION BY s ORDER BY hv) AS rn
+        FROM merged) WHERE rn <= {_ANF_K}
+      GROUP BY s),
+    exact AS (
+      SELECT sp.s, CAST(COUNT(DISTINCT e2.t) AS BIGINT) AS exact_n2
+      FROM samp sp JOIN e e2 USING (c)
+      GROUP BY sp.s)
+    SELECT k.s AS suppkey, x.exact_n2, k.kmv_k,
+           CASE WHEN k.kmv_k < {_ANF_K} THEN k.kmv_k
+                ELSE ({_ANF_K - 1} * {_ANF_DOMAIN}) // k.kth_hash
+           END AS est_n2
+    FROM kmv k JOIN exact x ON k.s = x.s
+    """,
+    doc="ANF (approximate neighborhood function, Palmer/Gibbons/"
+    "Faloutsos) via KMV sketch propagation: every supplier's 2-hop "
+    "neighborhood size |suppliers sharing a customer| is estimated by "
+    "propagating k=8-minimum-value hash sketches along the bipartite "
+    "customer-supplier edge relation — one supplier->customer round "
+    "(per-customer k smallest supplier hashes) and one customer->"
+    "supplier merge (k smallest of the union, distinct-by-hash), "
+    "estimate (k-1)*D/h_(k) with the exact count when the sketch "
+    "isn't full. The exact 2-hop expansion rides along on a 1-in-20 "
+    "supplier sample as the certificate (the minhash_prob_vs_exact "
+    "discipline: the oracle certifies estimator AND truth). This is "
+    "the algorithm that makes graph reach/diameter computable at "
+    "scale: sketches are fixed-size and mergeable, so h-hop "
+    "neighborhoods cost h equi-join rounds instead of an exponential "
+    "frontier expansion. Scale shape: per round one shuffle on the "
+    "join key with per-key top-k (WindowGroupLimit) keeping state at "
+    "k rows per node; the exact branch (quadratic in degree) is "
+    "confined to the bounded sample. All-integer arithmetic: "
+    "(k-1)*2^60 = 8.07e18 fits int64. (No counterpart in reference "
+    "main.go.)",
+)
+def graph_anf_reach_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    e = (
+        orders.select(F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("c"))
+        .join(li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("t")), "ok")
+        .select("c", "t")
+        .distinct()
+    )
+    h = e.select(
+        "c",
+        "t",
+        _h15(F.concat(F.lit("anf|"), F.col("t").cast("string"))).alias("hv"),
+    )
+    wc = Window.partitionBy("c").orderBy("hv")
+    sketch_c = (
+        h.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= _ANF_K)
+        .select("c", "hv")
+    )
+    samp = e.filter(F.col("t") % 20 == 0).select("c", F.col("t").alias("s"))
+    merged = samp.join(sketch_c, "c").select("s", "hv").distinct()
+    ws = Window.partitionBy("s").orderBy("hv")
+    kmv = (
+        merged.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _ANF_K)
+        .groupBy("s")
+        .agg(
+            F.count("*").cast("long").alias("kmv_k"),
+            F.max("hv").cast("long").alias("kth_hash"),
+        )
+    )
+    exact = (
+        samp.join(e, "c")
+        .groupBy("s")
+        .agg(F.count_distinct("t").cast("long").alias("exact_n2"))
+    )
+    return kmv.join(exact, "s").select(
+        F.col("s").alias("suppkey"),
+        "exact_n2",
+        "kmv_k",
+        F.when(F.col("kmv_k") < _ANF_K, F.col("kmv_k"))
+        .otherwise(
+            F.expr(f"{_ANF_K - 1} * {_ANF_DOMAIN}L div kth_hash")
+        )
+        .cast("long")
+        .alias("est_n2"),
     )

@@ -135,3 +135,68 @@ def test_cuped_reduces_between_arm_gap_consistently(r8b_results):
     for r in rows:
         assert r["n"] > 0
         assert r["mean_y_microcents"] >= 0
+
+
+@pytest.fixture(scope="module")
+def r8b_wave_c(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [
+        "logo_source_influence",
+        "attribution_multi_touch",
+        "graph_anf_reach_kmv",
+    ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in names
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_logo_influence_identity(r8b_wave_c):
+    rows = r8b_wave_c["logo_source_influence"]
+    assert rows
+    full = {r["beta_full_micro"] for r in rows}
+    assert len(full) == 1, "pooled slope identical on every source row"
+    for r in rows:
+        assert r["influence_micro"] == r["beta_loo_micro"] - r["beta_full_micro"]
+        assert r["n"] > 0
+
+
+def test_attribution_linear_credit_bounded(r8b_wave_c):
+    rows = r8b_wave_c["attribution_multi_touch"]
+    assert rows
+    by_model = {}
+    for r in rows:
+        by_model.setdefault(r["model"], []).append(r)
+        assert 0 <= r["hour"] < 24
+    assert set(by_model) <= {"first", "last", "linear"}
+    # first/last each credit exactly 1e6 per attributed purchase
+    for m in ("first", "last"):
+        for r in by_model.get(m, []):
+            assert r["credit_micro"] == r["n_touches"] * 1000000
+    # every model distributes credit over the same purchase population:
+    # total first credit == total last credit >= total linear credit
+    # (linear loses <= k-1 micro per purchase to truncation)
+    tf = sum(r["credit_micro"] for r in by_model.get("first", []))
+    tl = sum(r["credit_micro"] for r in by_model.get("last", []))
+    tlin = sum(r["credit_micro"] for r in by_model.get("linear", []))
+    assert tf == tl
+    assert tlin <= tf
+    n_purchases = sum(r["n_touches"] for r in by_model.get("first", []))
+    assert tf - tlin < n_purchases * 1000000  # truncation loss bound
+
+
+def test_anf_estimator_exact_when_sketch_not_full(r8b_wave_c):
+    rows = r8b_wave_c["graph_anf_reach_kmv"]
+    assert rows
+    for r in rows:
+        assert r["suppkey"] % 20 == 0
+        assert 1 <= r["kmv_k"] <= 8
+        assert r["exact_n2"] >= r["kmv_k"] if r["kmv_k"] == 8 else True
+        if r["kmv_k"] < 8:
+            # sketch below capacity => it IS the exact distinct count
+            assert r["est_n2"] == r["kmv_k"] == r["exact_n2"]
+        else:
+            assert r["est_n2"] >= 8
