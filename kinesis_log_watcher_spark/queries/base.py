@@ -192,6 +192,9 @@ _FRONT = (
     "logo_source_influence",
     "attribution_multi_touch",
     "graph_anf_reach_kmv",
+    "stream_ams_f2_sketch",
+    "ipw_biased_sample_debias",
+    "did_region_revenue",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

@@ -1272,3 +1272,314 @@ def graph_anf_reach_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_n2"),
     )
+
+
+# ===========================================================================
+# Streaming AMS F2 twin: the sketch as streaming aggregation state
+# ===========================================================================
+
+_ams_counter_src = __import__("itertools").count()
+
+
+@register(
+    "stream_ams_f2_sketch",
+    # oracle = the batch ams_f2_sketch_estimate SQL verbatim: green ==
+    # the streamed sketch is bit-identical to the batch one.
+    f"""
+    WITH freq AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id),
+    sk AS (
+      SELECT e.estimator,
+             CAST(SUM((1 - 2 * (CAST('0x' || substr(md5(
+                      'ams' || CAST(e.estimator AS VARCHAR) || '|'
+                      || CAST(f.user_id AS VARCHAR)), 1, 15) AS BIGINT)
+                      % 2)) * f.n) AS BIGINT) AS z,
+             CAST(SUM(f.n * f.n) AS BIGINT) AS f2_exact
+      FROM freq f
+      CROSS JOIN (SELECT unnest(range(0, {_AMS_S})) AS estimator) e
+      GROUP BY e.estimator)
+    SELECT CAST(estimator AS BIGINT) AS estimator, z,
+           CAST(z * z AS BIGINT) AS x,
+           f2_exact,
+           CAST(SUM(z * z) OVER () // {_AMS_S} AS BIGINT) AS est_mean,
+           CAST(abs(SUM(z * z) OVER () // {_AMS_S} - f2_exact) * 1000000
+                // f2_exact AS BIGINT) AS rel_err_micro
+    FROM sk
+    """,
+    doc="STREAMING AMS sketch: the defining property of the tug-of-war "
+    "estimator is that each Z_j is a plain SUM of per-event signed "
+    "contributions (sign depends only on the event's user hash), so "
+    "the 16-counter sketch is associative/commutative streaming "
+    "aggregation state — ANY micro-batch replay split converges to "
+    "the batch sketch. The stream folds sum(sign) per estimator in "
+    "complete mode (state = 16 integer rows, never the events); "
+    "finalization attaches the exact F2 (computed batch-side, a "
+    "1-row scalar) and the mean/error columns. Oracle = the batch "
+    "ams_f2_sketch_estimate SQL verbatim, so a green row proves "
+    "streamed sketch == batch sketch bit-for-bit — the mergeability "
+    "claim the batch query documents, proven live. Scale shape: "
+    "per-batch work is a narrow 16x explode + partial agg; state is "
+    "O(16) regardless of stream length. (No counterpart in reference "
+    "main.go.)",
+)
+def stream_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.session import ensure_session_confs
+    from kinesis_log_watcher_spark.sources.files import (
+        await_or_raise,
+        read_parquet_stream,
+        replay_partitions,
+    )
+
+    ensure_session_confs(spark)
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    signed = stream.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_AMS_S - 1))).alias(
+            "estimator"
+        ),
+        F.col("user_id"),
+    ).select(
+        "estimator",
+        (
+            1
+            - 2
+            * (
+                _h15(
+                    F.concat(
+                        F.lit("ams"),
+                        F.col("estimator").cast("string"),
+                        F.lit("|"),
+                        F.col("user_id").cast("string"),
+                    )
+                )
+                % 2
+            )
+        ).alias("sgn"),
+    )
+    zb = signed.groupBy("estimator").agg(
+        F.sum("sgn").cast("long").alias("z")
+    )
+    name = f"stream_ams_{next(_ams_counter_src)}"
+    with replay_partitions(spark):
+        q = (
+            zb.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 300)
+    # exact F2 is a batch-side scalar (sum of squared user frequencies)
+    events = load(spark, sf_dir, "events")
+    f2 = (
+        events.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("f2"))
+        .collect()[0]["f2"]
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    est = F.floor(
+        F.sum(F.col("z") * F.col("z")).over(wall) / F.lit(_AMS_S)
+    ).cast("long")
+    return spark.table(name).select(
+        F.col("estimator").cast("long").alias("estimator"),
+        "z",
+        (F.col("z") * F.col("z")).cast("long").alias("x"),
+        F.lit(f2).cast("long").alias("f2_exact"),
+        est.alias("est_mean"),
+        F.floor(F.abs(est - F.lit(f2)) * 1000000 / F.lit(f2))
+        .cast("long")
+        .alias("rel_err_micro"),
+    )
+
+
+# ===========================================================================
+# Horvitz-Thompson inverse-propensity debiasing of a biased sample
+# ===========================================================================
+
+
+@register(
+    "ipw_biased_sample_debias",
+    """
+    WITH base AS (
+      SELECT lang, n_chars,
+             1 + CAST('0x' || substr(md5('ipwp|' || source), 1, 15)
+                     AS BIGINT) % 4 AS k,
+             CAST('0x' || substr(md5('ipwc|' || CAST(doc_id AS VARCHAR)),
+                  1, 15) AS BIGINT) % 4 AS coin
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN coin < k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_included,
+           CAST(SUM(n_chars) AS BIGINT) AS true_chars,
+           CAST(SUM(CASE WHEN coin < k
+                         THEN n_chars * (4000000 // k) ELSE 0 END)
+                AS BIGINT) AS est_chars_micro,
+           CAST(SUM(CASE WHEN coin < k
+                         THEN n_chars * (4000000 // k) ELSE 0 END)
+                - SUM(n_chars) * 1000000 AS BIGINT) AS err_micro
+    FROM base GROUP BY lang
+    """,
+    doc="Horvitz-Thompson inverse-propensity debiasing: documents enter "
+    "a biased sample with a source-dependent inclusion probability "
+    "p_s = k/4 (k = 1..4 from the source hash; the inclusion coin is "
+    "an independent per-doc md5 draw), and the estimator recovers "
+    "each language's total character count from the sample alone by "
+    "weighting every included doc by 1/p_s (integer micros, 4e6 div "
+    "k). err_micro certifies the estimate against the full-population "
+    "truth the sampler never sees. The bias-correction primitive for "
+    "corpus statistics computed off non-uniform crawls or "
+    "rate-limited collectors. Scale shape: one narrow map + one "
+    "partial-agg shuffle on the bounded language domain; the sample "
+    "membership never materializes. (No counterpart in reference "
+    "main.go.)",
+)
+def ipw_biased_sample_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    k = 1 + _h15(F.concat(F.lit("ipwp|"), F.col("source"))) % 4
+    coin = _h15(F.concat(F.lit("ipwc|"), F.col("doc_id").cast("string"))) % 4
+    base = docs.select(
+        "lang",
+        "n_chars",
+        k.alias("k"),
+        coin.alias("coin"),
+    )
+    inc = F.when(F.col("coin") < F.col("k"), 1).otherwise(0)
+    w = F.expr("4000000 div k")
+    return base.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(inc).cast("long").alias("n_included"),
+        F.sum("n_chars").cast("long").alias("true_chars"),
+        F.sum(
+            F.when(F.col("coin") < F.col("k"), F.col("n_chars") * w).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("est_chars_micro"),
+        (
+            F.sum(
+                F.when(
+                    F.col("coin") < F.col("k"), F.col("n_chars") * w
+                ).otherwise(0)
+            )
+            - F.sum("n_chars") * 1000000
+        )
+        .cast("long")
+        .alias("err_micro"),
+    )
+
+
+# ===========================================================================
+# Difference-in-differences (2x2 panel) on exact order revenue
+# ===========================================================================
+
+
+@register(
+    "did_region_revenue",
+    """
+    WITH cells AS (
+      SELECT CASE WHEN r.r_name = 'ASIA' THEN 1 ELSE 0 END AS treated,
+             CASE WHEN year(CAST(o.o_orderdate AS DATE)) >= 1996
+                  THEN 1 ELSE 0 END AS post,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2),
+    means AS (
+      SELECT *,
+             cents // n_orders * 1000000
+             + cents % n_orders * 1000000 // n_orders AS mean_microcents
+      FROM cells)
+    SELECT treated, post, n_orders, cents, mean_microcents,
+           CAST(SUM(CASE WHEN treated = 1 AND post = 1 THEN mean_microcents
+                         WHEN treated = 1 AND post = 0 THEN -mean_microcents
+                         WHEN treated = 0 AND post = 1 THEN -mean_microcents
+                         ELSE mean_microcents END) OVER ()
+                AS BIGINT) AS did_microcents
+    FROM means
+    """,
+    doc="Difference-in-differences on the 2x2 (treated region x "
+    "pre/post-1996) panel: the causal-inference workhorse for policy "
+    "changes, computed on exact cents with the overflow-free "
+    "split-division micro-mean identity (quotient*1e6 + "
+    "remainder*1e6/n — exact integer, no s*1e6 overflow at any "
+    "scale). The DiD contrast (TT_post - TT_pre) - (C_post - C_pre) "
+    "rides a window sum over the bounded 4-row cell relation, "
+    "identical on every row — no 1-row broadcast join. Scale shape: "
+    "dimension joins broadcast (customer->nation->region), the fact "
+    "pays one partial-agg shuffle to 4 cells. (No counterpart in "
+    "reference main.go.)",
+)
+def did_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    dim = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey", "r_name")
+    )
+    cells = (
+        orders.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.when(F.col("r_name") == "ASIA", 1).otherwise(0).alias("treated"),
+            F.when(F.year(F.to_date("o_orderdate")) >= 1996, 1)
+            .otherwise(0)
+            .alias("post"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum((dec(F.col("o_totalprice"), 12, 2) * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    mean = F.expr(
+        "cents div n_orders * 1000000 "
+        "+ cents % n_orders * 1000000 div n_orders"
+    )
+    means = cells.select("*", mean.alias("mean_microcents"))
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    contrib = (
+        F.when(
+            (F.col("treated") == 1) & (F.col("post") == 1),
+            F.col("mean_microcents"),
+        )
+        .when(
+            (F.col("treated") == 1) & (F.col("post") == 0),
+            -F.col("mean_microcents"),
+        )
+        .when(
+            (F.col("treated") == 0) & (F.col("post") == 1),
+            -F.col("mean_microcents"),
+        )
+        .otherwise(F.col("mean_microcents"))
+    )
+    return means.select(
+        "treated",
+        "post",
+        "n_orders",
+        "cents",
+        "mean_microcents",
+        F.sum(contrib).over(wall).cast("long").alias("did_microcents"),
+    )

@@ -200,3 +200,66 @@ def test_anf_estimator_exact_when_sketch_not_full(r8b_wave_c):
             assert r["est_n2"] == r["kmv_k"] == r["exact_n2"]
         else:
             assert r["est_n2"] >= 8
+
+
+@pytest.fixture(scope="module")
+def r8b_wave_d(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [
+        "ipw_biased_sample_debias",
+        "did_region_revenue",
+    ]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in names
+        }
+        out = {n: f.result() for n, f in futs.items()}
+    # streaming twin runs serially: replay_partitions mutates session
+    # confs, so it must not interleave with other queries
+    out["stream_ams_f2_sketch"] = _q("stream_ams_f2_sketch")(
+        spark, sf_dir
+    ).collect()
+    return out
+
+
+def test_stream_ams_matches_batch_sketch(r8b_wave_d, spark, sf_dir):
+    streamed = {
+        r["estimator"]: r for r in r8b_wave_d["stream_ams_f2_sketch"]
+    }
+    batch = {
+        r["estimator"]: r
+        for r in _q("ams_f2_sketch_estimate")(spark, sf_dir).collect()
+    }
+    assert set(streamed) == set(batch) and len(streamed) == 16
+    for est, srow in streamed.items():
+        brow = batch[est]
+        for c in ("z", "x", "f2_exact", "est_mean", "rel_err_micro"):
+            assert srow[c] == brow[c], (est, c)
+
+
+def test_ipw_estimator_identity(r8b_wave_d):
+    rows = r8b_wave_d["ipw_biased_sample_debias"]
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_included"] <= r["n_docs"]
+        assert r["err_micro"] == r["est_chars_micro"] - r["true_chars"] * 1000000
+        assert r["est_chars_micro"] >= 0
+
+
+def test_did_contrast_consistent(r8b_wave_d):
+    rows = r8b_wave_d["did_region_revenue"]
+    assert len(rows) == 4
+    assert {(r["treated"], r["post"]) for r in rows} == {
+        (0, 0), (0, 1), (1, 0), (1, 1)
+    }
+    assert len({r["did_microcents"] for r in rows}) == 1
+    m = {(r["treated"], r["post"]): r["mean_microcents"] for r in rows}
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    assert rows[0]["did_microcents"] == did
+    for r in rows:
+        # split-division micro-mean is within 1 micro of cents*1e6/n
+        assert abs(
+            r["mean_microcents"] - r["cents"] * 1000000 // r["n_orders"]
+        ) <= 1
