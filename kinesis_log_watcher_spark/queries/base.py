@@ -195,6 +195,10 @@ _FRONT = (
     "stream_ams_f2_sketch",
     "ipw_biased_sample_debias",
     "did_region_revenue",
+    "capture_recapture_estimate",
+    "james_stein_source_means",
+    "neyman_allocation",
+    "mmr_diverse_selection",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

@@ -1583,3 +1583,434 @@ def did_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_microcents",
         F.sum(contrib).over(wall).cast("long").alias("did_microcents"),
     )
+
+
+# ===========================================================================
+# Capture-recapture (Chapman) population estimation
+# ===========================================================================
+
+
+@register(
+    "capture_recapture_estimate",
+    """
+    WITH marks AS (
+      SELECT o_orderpriority AS prio,
+             CASE WHEN CAST('0x' || substr(md5(
+                      'crA|' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+                      AS BIGINT) % 5 = 0 THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN CAST('0x' || substr(md5(
+                      'crB|' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+                      AS BIGINT) % 4 = 0 THEN 1 ELSE 0 END AS in_b
+      FROM orders)
+    SELECT prio,
+           CAST(COUNT(*) AS BIGINT) AS true_n,
+           CAST(SUM(in_a) AS BIGINT) AS n1,
+           CAST(SUM(in_b) AS BIGINT) AS n2,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS m,
+           CAST((SUM(in_a) + 1) * (SUM(in_b) + 1) * 1000000
+                // (SUM(in_a * in_b) + 1) - 1000000 AS BIGINT)
+             AS est_n_micro
+    FROM marks GROUP BY prio
+    """,
+    doc="Capture-recapture population estimation (Chapman's "
+    "nearly-unbiased variant of Lincoln-Petersen): two independent "
+    "deterministic md5 samples of orders (20% and 25%) play the two "
+    "capture occasions; the overlap m estimates each priority class's "
+    "total as (n1+1)(n2+1)/(m+1) - 1, in exact truncating micros "
+    "identical in both dialects, certified against the true count the "
+    "estimator never sees. The coverage-estimation primitive for "
+    "'how big is the crawlable corpus' questions answered from two "
+    "overlapping crawls. Scale shape: one narrow map + one "
+    "partial-agg shuffle on the bounded priority domain; int64-safe "
+    "while n1*n2*1e6 < 9.2e18 (n ~ 3e6 per class per sample at the "
+    "observed rates; the documented swap past that is DECIMAL(38,0) "
+    "for the cross product). (No counterpart in reference main.go.)",
+)
+def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("string")
+    in_a = F.when(
+        _h15(F.concat(F.lit("crA|"), okey)) % 5 == 0, 1
+    ).otherwise(0)
+    in_b = F.when(
+        _h15(F.concat(F.lit("crB|"), okey)) % 4 == 0, 1
+    ).otherwise(0)
+    marks = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        in_a.alias("in_a"),
+        in_b.alias("in_b"),
+    )
+    return marks.groupBy("prio").agg(
+        F.count("*").cast("long").alias("true_n"),
+        F.sum("in_a").cast("long").alias("n1"),
+        F.sum("in_b").cast("long").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("m"),
+        F.expr(
+            "(sum(in_a) + 1) * (sum(in_b) + 1) * 1000000 "
+            "div (sum(in_a * in_b) + 1) - 1000000"
+        )
+        .cast("long")
+        .alias("est_n_micro"),
+    )
+
+
+# ===========================================================================
+# James-Stein shrinkage of per-source means
+# ===========================================================================
+
+
+@register(
+    "james_stein_source_means",
+    """
+    WITH grp AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+      FROM documents GROUP BY source),
+    moments AS (
+      SELECT *,
+             CAST(s AS DOUBLE) / n AS m,
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+               / (n - 1) / n AS v
+      FROM grp),
+    pooled AS (
+      SELECT *,
+             COUNT(*) OVER () AS k,
+             AVG(m) OVER () AS grand,
+             AVG(v) OVER () AS vbar,
+             SUM(m * m) OVER ()
+               - COUNT(*) OVER () * AVG(m) OVER () * AVG(m) OVER ()
+               AS ssb
+      FROM moments),
+    shrunk AS (
+      SELECT *,
+             CASE WHEN 1 - (k - 3) * vbar / ssb > 0
+                  THEN 1 - (k - 3) * vbar / ssb ELSE 0 END AS c
+      FROM pooled)
+    SELECT source, n,
+           CAST(floor(m * 1000000 + 0.5) AS BIGINT) AS mean_micro,
+           CAST(floor((grand + c * (m - grand)) * 1000000 + 0.5) AS BIGINT)
+             AS shrunk_micro,
+           CAST(floor(c * 1000000 + 0.5) AS BIGINT) AS shrink_c_micro
+    FROM shrunk
+    """,
+    doc="James-Stein shrinkage of per-source mean document lengths "
+    "toward the grand mean: the empirical-Bayes estimator that "
+    "dominates per-group MLEs whenever 4+ groups are estimated "
+    "simultaneously — the right default for per-source rate/quality "
+    "statistics a curation pipeline acts on. Shrinkage factor "
+    "c = max(0, 1 - (K-3)*vbar/SSB) with vbar the mean sampling "
+    "variance of the group means and SSB the between-group sum of "
+    "squares, all computed from exact int64 sums collapsed to IEEE "
+    "doubles only on the bounded 20-row source relation (bit-"
+    "identical across engines), quantized by the same floor(+0.5). "
+    "Scale shape: one partial-agg shuffle to |sources| rows; windows "
+    "run on that bounded relation. (No counterpart in reference "
+    "main.go.)",
+)
+def james_stein_source_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    grp = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("ss"),
+    )
+    moments = grp.select(
+        "*",
+        (F.col("s").cast("double") / F.col("n")).alias("m"),
+        (
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
+            / (F.col("n") - 1)
+            / F.col("n")
+        ).alias("v"),
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pooled = moments.select(
+        "*",
+        F.count("*").over(wall).alias("k"),
+        F.avg("m").over(wall).alias("grand"),
+        F.avg("v").over(wall).alias("vbar"),
+        (
+            F.sum(F.col("m") * F.col("m")).over(wall)
+            - F.count("*").over(wall)
+            * F.avg("m").over(wall)
+            * F.avg("m").over(wall)
+        ).alias("ssb"),
+    )
+    raw_c = 1 - (F.col("k") - 3) * F.col("vbar") / F.col("ssb")
+    shrunk = pooled.select(
+        "*", F.when(raw_c > 0, raw_c).otherwise(F.lit(0.0)).alias("c")
+    )
+    return shrunk.select(
+        "source",
+        "n",
+        F.floor(F.col("m") * 1000000 + 0.5).cast("long").alias("mean_micro"),
+        F.floor(
+            (F.col("grand") + F.col("c") * (F.col("m") - F.col("grand")))
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("shrunk_micro"),
+        F.floor(F.col("c") * 1000000 + 0.5)
+        .cast("long")
+        .alias("shrink_c_micro"),
+    )
+
+
+# ===========================================================================
+# Neyman optimal sample allocation with largest-remainder rounding
+# ===========================================================================
+
+_NEYMAN_BUDGET = 1000
+
+
+@register(
+    "neyman_allocation",
+    f"""
+    WITH grp AS (
+      SELECT o_orderpriority AS prio,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                AS BIGINT) AS DECIMAL(38,0))
+                      * CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                  AS BIGINT) AS DECIMAL(38,0)))
+                  AS DOUBLE) AS ss
+      FROM orders GROUP BY 1),
+    wt AS (
+      SELECT *,
+             n * sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS w
+      FROM grp),
+    share AS (
+      SELECT *,
+             {_NEYMAN_BUDGET} * w / SUM(w) OVER () AS exact_share
+      FROM wt),
+    fl AS (
+      SELECT *,
+             CAST(floor(exact_share) AS BIGINT) AS base,
+             exact_share - floor(exact_share) AS frac,
+             {_NEYMAN_BUDGET} - SUM(CAST(floor(exact_share) AS BIGINT))
+               OVER () AS leftover
+      FROM share)
+    SELECT prio, n,
+           CAST(floor(w * 1000000 + 0.5) AS BIGINT) AS weight_micro,
+           base + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC, prio)
+                            <= leftover THEN 1 ELSE 0 END AS alloc
+    FROM fl
+    """,
+    doc="Neyman optimal allocation of a 1000-sample budget across "
+    "priority strata: n_h proportional to N_h * S_h (stratum size "
+    "times cents standard deviation), with largest-remainder rounding "
+    "so allocations sum EXACTLY to the budget (fractional parts "
+    "ranked, ties to the stratum name — fully deterministic). The "
+    "stratified-sampling design primitive that minimizes estimator "
+    "variance for a fixed labeling/eval budget. Exact DECIMAL(38,0) "
+    "squared-cents sums collapse to IEEE doubles on the bounded "
+    "5-row stratum relation only. Scale shape: one partial-agg "
+    "shuffle to |strata| rows; windows on the bounded relation. (No "
+    "counterpart in reference main.go.)",
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    orders = load(spark, sf_dir, "orders")
+    cents = (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long")
+    d38 = "decimal(38,0)"
+    grp = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("s"),
+        F.sum(cents.cast(d38) * cents.cast(d38)).cast("double").alias("ss"),
+    )
+    wt = grp.select(
+        "*",
+        (
+            F.col("n")
+            * F.sqrt(
+                (
+                    F.col("ss")
+                    - F.col("s").cast("double") * F.col("s") / F.col("n")
+                )
+                / (F.col("n") - 1)
+            )
+        ).alias("w"),
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = wt.select(
+        "*",
+        (F.lit(_NEYMAN_BUDGET) * F.col("w") / F.sum("w").over(wall)).alias(
+            "exact_share"
+        ),
+    )
+    fl = share.select(
+        "*",
+        F.floor("exact_share").cast("long").alias("base"),
+        (F.col("exact_share") - F.floor("exact_share")).alias("frac"),
+        (
+            F.lit(_NEYMAN_BUDGET)
+            - F.sum(F.floor("exact_share").cast("long")).over(wall)
+        ).alias("leftover"),
+    )
+    wr = Window.orderBy(F.col("frac").desc(), F.col("prio").asc())
+    return fl.select(
+        "prio",
+        "n",
+        F.floor(F.col("w") * 1000000 + 0.5).cast("long").alias("weight_micro"),
+        (
+            F.col("base")
+            + F.when(F.row_number().over(wr) <= F.col("leftover"), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+# ===========================================================================
+# MMR (maximal marginal relevance) diverse selection over embeddings
+# ===========================================================================
+
+_MMR_K = 3  # selection rounds
+# integer-exact MMR with lambda = 2/3: score = 3*(lam*rel - (1-lam)*ms)
+#                                            = 2*rel - ms
+_MMR_Q_SQL = """
+  q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5)
+                       AS BIGINT)) AS qe
+    FROM embeddings),
+  rel AS (
+    SELECT c.vec_id,
+           CAST(list_sum(list_transform(list_zip(c.qe, q0.qe),
+                p -> p[1] * p[2])) AS BIGINT) AS rel
+    FROM q c, (SELECT qe FROM q WHERE vec_id = 0) q0
+    WHERE c.vec_id >= 1)
+"""
+
+
+def _mmr_dot_sql(cand: str, sel: str) -> str:
+    """Max candidate-to-selected dot product (sel is a bounded pick
+    set), same int64 quantized arithmetic as rel."""
+    return f"""(
+      SELECT r.vec_id, r.rel, MAX(CAST(list_sum(list_transform(
+               list_zip(qc.qe, qs.qe), p -> p[1] * p[2])) AS BIGINT)) AS ms
+      FROM rel r
+      JOIN q qc ON qc.vec_id = r.vec_id
+      JOIN {sel} sv ON r.vec_id <> sv.vec_id
+      JOIN q qs ON qs.vec_id = sv.vec_id
+      WHERE r.vec_id NOT IN (SELECT vec_id FROM {sel})
+      GROUP BY r.vec_id, r.rel)"""
+
+
+@register(
+    "mmr_diverse_selection",
+    f"""
+    WITH {_MMR_Q_SQL},
+    p1 AS (
+      SELECT vec_id, rel, CAST(0 AS BIGINT) AS ms, 2 * rel AS score
+      FROM rel ORDER BY score DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT vec_id FROM p1),
+    s2 AS {_mmr_dot_sql('rel', 'sel1')},
+    p2 AS (
+      SELECT vec_id, rel, ms, 2 * rel - ms AS score
+      FROM s2 ORDER BY score DESC, vec_id LIMIT 1),
+    sel2 AS (SELECT vec_id FROM p1 UNION SELECT vec_id FROM p2),
+    s3 AS {_mmr_dot_sql('rel', 'sel2')},
+    p3 AS (
+      SELECT vec_id, rel, ms, 2 * rel - ms AS score
+      FROM s3 ORDER BY score DESC, vec_id LIMIT 1)
+    SELECT 1 AS round, vec_id, rel, ms, CAST(score AS BIGINT) AS score
+    FROM p1
+    UNION ALL SELECT 2, vec_id, rel, ms, CAST(score AS BIGINT) FROM p2
+    UNION ALL SELECT 3, vec_id, rel, ms, CAST(score AS BIGINT) FROM p3
+    """,
+    doc="MMR (maximal marginal relevance, Carbonell-Goldstein) diverse "
+    "selection: 3 greedy rounds picking the embedding that maximizes "
+    "2*relevance - max-similarity-to-selected (lambda = 2/3 scaled to "
+    "integers; relevance = dot with the query vector vec_id 0; ties "
+    "to the smallest vec_id) — the diversity-aware retrieval/data-"
+    "selection primitive that stops top-k returning near-duplicates. "
+    "All dot products are int64 sums of 1e7-quantized components (the "
+    "ANN family's engine-exact arithmetic). The engine runs K bounded "
+    "driver rounds; the diversity term each round joins candidates "
+    "against the <= K-row selected set BROADCAST on the dim key, "
+    "never against other candidates — cost K * |candidates| * dim, "
+    "not quadratic. Scale shape: relevance is one dim-key join + "
+    "partial agg; per-round argmax is two-phase top-1 "
+    "(WindowGroupLimit). (No counterpart in reference main.go.)",
+)
+def mmr_diverse_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.similarity import (
+        exploded_components,
+        quantize,
+    )
+    from kinesis_log_watcher_spark.queries.base import finalize_unpersist
+
+    emb = load(spark, sf_dir, "embeddings")
+    comp = exploded_components(emb, "vec_id").select(
+        "vec_id", "dim", quantize(F.col("x")).alias("qx")
+    )
+    qv = comp.filter(F.col("vec_id") == 0).select(
+        "dim", F.col("qx").alias("q0")
+    )
+    cand = comp.filter(F.col("vec_id") >= 1)
+    rel = (
+        cand.join(F.broadcast(qv), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qx") * F.col("q0")).cast("long").alias("rel"))
+        .persist()
+    )
+    picked: list[tuple[int, int, int, int]] = []  # (vec_id, rel, ms, score)
+    for _ in range(_MMR_K):
+        sel_ids = [p[0] for p in picked]
+        if not picked:
+            scored = rel.select(
+                "vec_id",
+                "rel",
+                F.lit(0).cast("long").alias("ms"),
+                (2 * F.col("rel")).alias("score"),
+            )
+        else:
+            sel_comp = comp.filter(F.col("vec_id").isin(sel_ids)).select(
+                F.col("vec_id").alias("sid"), "dim", F.col("qx").alias("qs")
+            )
+            ms = (
+                cand.filter(~F.col("vec_id").isin(sel_ids))
+                .join(F.broadcast(sel_comp), "dim")
+                .groupBy("vec_id", "sid")
+                .agg(F.sum(F.col("qx") * F.col("qs")).cast("long").alias("d"))
+                .groupBy("vec_id")
+                .agg(F.max("d").alias("ms"))
+            )
+            scored = rel.join(ms, "vec_id").select(
+                "vec_id", "rel", "ms", (2 * F.col("rel") - F.col("ms")).alias("score")
+            )
+        w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        row = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        )
+        if not row:
+            break
+        r = row[0]
+        picked.append((r["vec_id"], r["rel"], r["ms"], r["score"]))
+    out = spark.createDataFrame(
+        [
+            (i + 1, v, rl, m, sc)
+            for i, (v, rl, m, sc) in enumerate(picked)
+        ],
+        "round int, vec_id long, rel long, ms long, score long",
+    )
+    return finalize_unpersist(out, rel)

@@ -263,3 +263,69 @@ def test_did_contrast_consistent(r8b_wave_d):
         assert abs(
             r["mean_microcents"] - r["cents"] * 1000000 // r["n_orders"]
         ) <= 1
+
+
+@pytest.fixture(scope="module")
+def r8b_wave_e(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [
+        "capture_recapture_estimate",
+        "james_stein_source_means",
+        "neyman_allocation",
+        "mmr_diverse_selection",
+    ]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in names
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_capture_recapture_chapman_identity(r8b_wave_e):
+    rows = r8b_wave_e["capture_recapture_estimate"]
+    assert rows
+    for r in rows:
+        assert 0 <= r["m"] <= min(r["n1"], r["n2"])
+        assert r["est_n_micro"] == (
+            (r["n1"] + 1) * (r["n2"] + 1) * 1000000 // (r["m"] + 1) - 1000000
+        )
+        # estimate within 50% of truth on this data (sanity, not exactness)
+        assert abs(r["est_n_micro"] - r["true_n"] * 1000000) < r["true_n"] * 500000
+
+
+def test_james_stein_shrinks_toward_grand_mean(r8b_wave_e):
+    rows = r8b_wave_e["james_stein_source_means"]
+    assert rows
+    c = {r["shrink_c_micro"] for r in rows}
+    assert len(c) == 1
+    c = c.pop()
+    assert 0 <= c <= 1000000
+    # every shrunk mean lies between its raw mean and the grand mean
+    lo = min(r["mean_micro"] for r in rows)
+    hi = max(r["mean_micro"] for r in rows)
+    for r in rows:
+        assert lo - 1 <= r["shrunk_micro"] <= hi + 1
+        # shrinkage moves toward the pool: |shrunk - mean| <= (1-c) spread
+        assert abs(r["shrunk_micro"] - r["mean_micro"]) <= (
+            (1000000 - c) * (hi - lo) // 1000000 + 2
+        )
+
+
+def test_neyman_allocation_sums_to_budget(r8b_wave_e):
+    rows = r8b_wave_e["neyman_allocation"]
+    assert rows
+    assert sum(r["alloc"] for r in rows) == 1000
+    for r in rows:
+        assert r["alloc"] >= 0
+        assert r["weight_micro"] > 0
+
+
+def test_mmr_first_pick_is_most_relevant(r8b_wave_e):
+    rows = sorted(r8b_wave_e["mmr_diverse_selection"], key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    assert rows[0]["ms"] == 0 and rows[0]["score"] == 2 * rows[0]["rel"]
+    for r in rows[1:]:
+        assert r["score"] == 2 * r["rel"] - r["ms"]
+    assert len({r["vec_id"] for r in rows}) == 3
