@@ -199,6 +199,8 @@ _FRONT = (
     "james_stein_source_means",
     "neyman_allocation",
     "mmr_diverse_selection",
+    "bandit_replay_egreedy",
+    "mann_whitney_u_returns",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

@@ -2014,3 +2014,259 @@ def mmr_diverse_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round int, vec_id long, rel long, ms long, score long",
     )
     return finalize_unpersist(out, rel)
+
+
+# ===========================================================================
+# Bandit policy replay (full-information epsilon-greedy, integer-exact)
+# ===========================================================================
+
+_BANDIT_PRIOS = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+_BANDIT_THRESH_CENTS = 20_000_000  # reward: any order that day > $200k
+
+_BANDIT_RW_SQL = ", ".join(
+    f"MAX(CASE WHEN o_orderpriority = '{p}' AND cents > "
+    f"{_BANDIT_THRESH_CENTS} THEN 1 ELSE 0 END)::BIGINT AS r{i}"
+    for i, p in enumerate(_BANDIT_PRIOS)
+)
+
+
+@register(
+    "bandit_replay_egreedy",
+    f"""
+    WITH RECURSIVE wide AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d, {_BANDIT_RW_SQL}
+      FROM (SELECT o_orderdate, o_orderpriority,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS cents
+            FROM orders)
+      GROUP BY 1),
+    days AS (
+      SELECT d, [r0, r1, r2, r3, r4] AS rw,
+             ROW_NUMBER() OVER (ORDER BY d) AS i,
+             CASE WHEN CAST('0x' || substr(md5('bd|' || CAST(d AS VARCHAR)),
+                            1, 15) AS BIGINT) % 10 = 0
+                  THEN 1 + CAST('0x' || substr(md5('ba|'
+                           || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 5
+                  ELSE 0 END AS explore_arm
+      FROM wide),
+    rec AS (
+      SELECT CAST(0 AS BIGINT) AS i,
+             CAST([0, 0, 0, 0, 0] AS BIGINT[]) AS s,
+             CAST([0, 0, 0, 0, 0] AS BIGINT[]) AS ch,
+             CAST(0 AS BIGINT) AS pol
+      UNION ALL
+      SELECT d.i,
+             list_transform(list_zip(r.s, d.rw), p -> p[1] + p[2]),
+             list_transform(range(1, 6), j -> r.ch[j] + CASE WHEN j =
+               (CASE WHEN d.explore_arm > 0 THEN d.explore_arm
+                     ELSE list_position(r.s, list_max(r.s)) END)
+               THEN 1 ELSE 0 END),
+             r.pol + d.rw[CASE WHEN d.explore_arm > 0 THEN d.explore_arm
+                          ELSE list_position(r.s, list_max(r.s)) END]
+      FROM rec r JOIN days d ON d.i = r.i + 1),
+    fin AS (SELECT * FROM rec WHERE i = (SELECT MAX(i) FROM days)),
+    arms AS (
+      SELECT unnest(range(1, 6)) AS arm_idx)
+    SELECT CAST(a.arm_idx - 1 AS BIGINT) AS arm,
+           f.s[a.arm_idx] AS total_reward,
+           f.ch[a.arm_idx] AS times_chosen,
+           f.pol AS policy_total,
+           CAST(list_max(f.s) AS BIGINT) AS best_fixed_total,
+           CAST(list_max(f.s) - f.pol AS BIGINT) AS regret
+    FROM arms a, fin f
+    """,
+    doc="Bandit policy replay over the daily order log: arms are the 5 "
+    "order priorities, the day-d reward of an arm is 1 iff that "
+    "priority saw an order above $200k that day, and a "
+    "full-information epsilon-greedy policy (explore on the "
+    "deterministic md5 day-coin ~10%, else follow-the-leader with "
+    "first-index tie-break via array_position(s, max(s))) is replayed "
+    "day by day as ONE integer-exact fold over the sorted bounded day "
+    "domain — the offline policy-evaluation primitive for data-"
+    "collection schedulers. Regret = best fixed arm minus policy "
+    "total, certified exactly (no libm anywhere: full information "
+    "means argmax on integer totals, never mean ratios). Scale shape: "
+    "the fact table pays one partial-agg shuffle to the (day x 5) "
+    "reward matrix; the sequential fold runs on the bounded day "
+    "domain in a single task (the Holt-forecast pattern). (No "
+    "counterpart in reference main.go.)",
+)
+def bandit_replay_egreedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    orders = load(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01")
+    cents = (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long")
+    base = orders.select(
+        F.datediff(F.to_date("o_orderdate"), epoch).cast("long").alias("d"),
+        F.col("o_orderpriority").alias("prio"),
+        cents.alias("cents"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                (F.col("prio") == p) & (F.col("cents") > _BANDIT_THRESH_CENTS),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"r{i}")
+        for i, p in enumerate(_BANDIT_PRIOS)
+    ]
+    wide = base.groupBy("d").agg(*aggs)
+    explore = F.when(
+        _h15(F.concat(F.lit("bd|"), F.col("d").cast("string"))) % 10 == 0,
+        1 + _h15(F.concat(F.lit("ba|"), F.col("d").cast("string"))) % 5,
+    ).otherwise(F.lit(0))
+    days = wide.select(
+        "d",
+        F.array(*[F.col(f"r{i}") for i in range(5)]).alias("rw"),
+        explore.cast("long").alias("explore_arm"),
+    )
+    arr = days.agg(
+        F.array_sort(
+            F.collect_list(F.struct("d", "rw", "explore_arm"))
+        ).alias("seq")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          seq,
+          struct(
+            CAST(array(0,0,0,0,0) AS array<bigint>) AS s,
+            CAST(array(0,0,0,0,0) AS array<bigint>) AS ch,
+            CAST(0 AS BIGINT) AS pol
+          ),
+          (acc, x) -> struct(
+            zip_with(acc.s, x.rw, (a, b) -> a + b) AS s,
+            transform(acc.ch, (v, j) -> v + CASE WHEN j + 1 =
+              (CASE WHEN x.explore_arm > 0 THEN x.explore_arm
+                    ELSE array_position(acc.s, array_max(acc.s)) END)
+              THEN 1 ELSE 0 END) AS ch,
+            acc.pol + element_at(x.rw,
+              CAST((CASE WHEN x.explore_arm > 0 THEN x.explore_arm
+                    ELSE array_position(acc.s, array_max(acc.s)) END)
+                   AS INT)) AS pol
+          ),
+          acc -> acc
+        )
+        """
+    )
+    fin = arr.select(fold.alias("f"))
+    return fin.select(
+        F.explode(F.sequence(F.lit(1), F.lit(5))).alias("arm_idx"), "f"
+    ).select(
+        (F.col("arm_idx") - 1).cast("long").alias("arm"),
+        F.expr("element_at(f.s, CAST(arm_idx AS INT))").alias(
+            "total_reward"
+        ),
+        F.expr("element_at(f.ch, CAST(arm_idx AS INT))").alias(
+            "times_chosen"
+        ),
+        F.col("f.pol").alias("policy_total"),
+        F.expr("array_max(f.s)").cast("long").alias("best_fixed_total"),
+        (F.expr("array_max(f.s)") - F.col("f.pol"))
+        .cast("long")
+        .alias("regret"),
+    )
+
+
+# ===========================================================================
+# Mann-Whitney U (exact, tie-corrected ranks, integer arithmetic)
+# ===========================================================================
+
+
+@register(
+    "mann_whitney_u_returns",
+    """
+    WITH vals AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS c,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp
+      FROM lineitem),
+    byval AS (
+      SELECT c,
+             CAST(SUM(grp) AS BIGINT) AS n1v,
+             CAST(COUNT(*) AS BIGINT) AS ntot
+      FROM vals GROUP BY c),
+    ranked AS (
+      SELECT *,
+             COALESCE(SUM(ntot) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM byval),
+    sums AS (
+      SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+             CAST(SUM(ntot - n1v) AS BIGINT) AS n2,
+             -- doubled mid-rank sum of group 1: each tied value block
+             -- contributes n1v * (2*below + ntot + 1)
+             CAST(SUM(n1v * (2 * below + ntot + 1)) AS BIGINT) AS r1_x2,
+             CAST(SUM(ntot * (ntot * ntot - 1)) AS BIGINT) AS tie_term
+      FROM ranked)
+    SELECT n1, n2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
+           tie_term
+    FROM sums
+    """,
+    doc="Mann-Whitney U test statistic (exact, tie-corrected): do "
+    "returned line items ('R') price differently from the rest? "
+    "Doubled mid-ranks keep tied-rank arithmetic in exact int64 — a "
+    "tie block of size t starting above `below` items contributes "
+    "t_g * (2*below + t + 1) to each group's doubled rank sum — so "
+    "U1*2 = R1*2 - n1(n1+1) and the identity U1+U2 = n1*n2 holds "
+    "exactly (pinned in tests). tie_term = sum(t^3 - t) is the "
+    "variance tie correction, emitted for downstream normal "
+    "approximation. Completes the repo's nonparametric family (KS, "
+    "runs, Spearman, ANOVA, chi-square). Scale shape: one partial-agg "
+    "shuffle to the VALUE domain (distinct cents), one prefix-sum "
+    "window over that domain ordered by value — the histogram-family "
+    "swap (bucketed cents) is the documented path when the distinct "
+    "domain itself is too large to window. (No counterpart in "
+    "reference main.go.)",
+)
+def mann_whitney_u_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    li = load(spark, sf_dir, "lineitem")
+    vals = li.select(
+        (dec(F.col("l_extendedprice"), 12, 2) * 100).cast("long").alias("c"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("grp"),
+    )
+    byval = vals.groupBy("c").agg(
+        F.sum("grp").cast("long").alias("n1v"),
+        F.count("*").cast("long").alias("ntot"),
+    )
+    wb = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byval.select(
+        "*", F.coalesce(F.sum("ntot").over(wb), F.lit(0)).alias("below")
+    )
+    sums = ranked.agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum(F.col("ntot") - F.col("n1v")).cast("long").alias("n2"),
+        F.sum(
+            F.col("n1v") * (2 * F.col("below") + F.col("ntot") + 1)
+        )
+        .cast("long")
+        .alias("r1_x2"),
+        F.sum(F.col("ntot") * (F.col("ntot") * F.col("ntot") - 1))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    return sums.select(
+        "n1",
+        "n2",
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1))
+        .cast("long")
+        .alias("u1_x2"),
+        (
+            2 * F.col("n1") * F.col("n2")
+            - (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1))
+        )
+        .cast("long")
+        .alias("u2_x2"),
+        "tie_term",
+    )

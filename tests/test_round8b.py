@@ -329,3 +329,45 @@ def test_mmr_first_pick_is_most_relevant(r8b_wave_e):
     for r in rows[1:]:
         assert r["score"] == 2 * r["rel"] - r["ms"]
     assert len({r["vec_id"] for r in rows}) == 3
+
+
+@pytest.fixture(scope="module")
+def r8b_wave_f(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = ["bandit_replay_egreedy", "mann_whitney_u_returns"]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in names
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_bandit_replay_accounting(r8b_wave_f):
+    rows = r8b_wave_f["bandit_replay_egreedy"]
+    assert len(rows) == 5
+    assert {r["arm"] for r in rows} == set(range(5))
+    pol = {r["policy_total"] for r in rows}
+    best = {r["best_fixed_total"] for r in rows}
+    assert len(pol) == 1 and len(best) == 1
+    pol, best = pol.pop(), best.pop()
+    assert best == max(r["total_reward"] for r in rows)
+    assert all(r["regret"] == best - pol for r in rows)
+    # the policy can't beat the best fixed arm by more than exploration
+    # noise in FULL information: regret >= 0 is NOT guaranteed in
+    # general, but policy <= sum of per-day max <= total of all arms
+    assert 0 <= pol <= sum(r["total_reward"] for r in rows)
+    # every day chooses exactly one arm
+    n_days = sum(r["times_chosen"] for r in rows)
+    assert n_days > 0
+    assert all(0 <= r["times_chosen"] <= n_days for r in rows)
+
+
+def test_mann_whitney_identity(r8b_wave_f):
+    rows = r8b_wave_f["mann_whitney_u_returns"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["u1_x2"] + r["u2_x2"] == 2 * r["n1"] * r["n2"]
+    assert 0 <= r["u1_x2"] <= 2 * r["n1"] * r["n2"]
+    assert r["tie_term"] >= 0
