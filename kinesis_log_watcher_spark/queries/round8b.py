@@ -2155,7 +2155,11 @@ def bandit_replay_egreedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
-    fin = arr.select(fold.alias("f"))
+    # empty input => no days => no rows (the oracle's fin is empty too);
+    # without this gate the fold's initial state would fabricate 5 rows
+    fin = arr.select(fold.alias("f"), F.size("seq").alias("n_days")).filter(
+        F.col("n_days") > 0
+    )
     return fin.select(
         F.explode(F.sequence(F.lit(1), F.lit(5))).alias("arm_idx"), "f"
     ).select(
