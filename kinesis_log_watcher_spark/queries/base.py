@@ -201,6 +201,8 @@ _FRONT = (
     "mmr_diverse_selection",
     "bandit_replay_egreedy",
     "mann_whitney_u_returns",
+    "shapley_source_coverage",
+    "bq_hamming_rerank",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

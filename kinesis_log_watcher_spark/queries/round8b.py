@@ -2274,3 +2274,306 @@ def mann_whitney_u_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("u2_x2"),
         "tie_term",
     )
+
+
+# ===========================================================================
+# Exact Shapley valuation of source buckets by vocabulary coverage
+# ===========================================================================
+
+# 4 players => subset weights s!(4-1-s)!/4! times 12 are integers:
+# |S|=0 -> 3, |S|=1 -> 1, |S|=2 -> 1, |S|=3 -> 3.
+_SHAP_W12 = {0: 3, 1: 1, 2: 1, 3: 3}
+
+
+@register(
+    "shapley_source_coverage",
+    f"""
+    WITH sh AS (
+      SELECT CAST(substr(source, 4) AS BIGINT) % 4 AS bucket,
+             unnest(list_distinct(list_transform(
+               range(1, len(string_split(text, ' ')) - 1),
+               i -> array_to_string(
+                      list_slice(string_split(text, ' '), i, i + 2), ' ')
+             ))) AS shingle
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    bitmap AS (
+      SELECT shingle,
+             CAST(MAX(CASE WHEN bucket = 0 THEN 1 ELSE 0 END)
+                  + 2 * MAX(CASE WHEN bucket = 1 THEN 1 ELSE 0 END)
+                  + 4 * MAX(CASE WHEN bucket = 2 THEN 1 ELSE 0 END)
+                  + 8 * MAX(CASE WHEN bucket = 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS mask
+      FROM sh GROUP BY shingle),
+    mc AS (
+      SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bitmap GROUP BY mask),
+    subsets AS (SELECT unnest(range(0, 16)) AS s),
+    v AS (
+      SELECT s.s,
+             CAST(COALESCE(SUM(CASE WHEN (m.mask & s.s) <> 0
+                                    THEN m.cnt ELSE 0 END), 0) AS BIGINT)
+               AS cov
+      FROM subsets s, mc m
+      GROUP BY s.s),
+    players AS (SELECT unnest(range(0, 4)) AS p),
+    contrib AS (
+      SELECT p.p,
+             CASE bit_count(CAST(v0.s AS BIGINT) & 15)
+               WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 3 END
+               * (v1.cov - v0.cov) AS c
+      FROM players p
+      JOIN v v0 ON (v0.s & (1 << p.p)) = 0
+      JOIN v v1 ON v1.s = (v0.s | (1 << p.p)))
+    SELECT CAST(p AS BIGINT) AS bucket,
+           CAST(SUM(c) AS BIGINT) AS shapley_x12,
+           CAST((SELECT cov FROM v WHERE s = 15) AS BIGINT) AS v_full
+    FROM contrib GROUP BY p
+    """,
+    doc="Exact Shapley valuation of 4 source buckets by 3-token-shingle "
+    "vocabulary coverage: the cooperative-game data-valuation "
+    "primitive ('what does each data source contribute, averaged over "
+    "all join orders'), computed EXACTLY — the coverage of all 2^4 "
+    "subsets comes from ONE aggregation over the shingle relation "
+    "(each shingle carries a 4-bit presence bitmap; v(S) = count of "
+    "shingles whose mask intersects S), and Shapley values are "
+    "integer combinations (weights x12 are 3,1,1,3) of those 16 "
+    "numbers. Efficiency axiom sum(shapley) = 12*(v(full)-v(empty)) "
+    "is pinned in tests. Scale shape: corpus-side work is one shuffle "
+    "on the shingle key to a 4-bit bitmap + a 16-row mask histogram; "
+    "the subset/player algebra runs on bounded 16- and 4-row "
+    "relations. The exponential subset enumeration never touches the "
+    "data — it touches the mask histogram. (No counterpart in "
+    "reference main.go.)",
+)
+def shapley_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.dedup import exploded_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = exploded_shingles(
+        docs.select(
+            (F.substring(F.col("source"), 4, 10).cast("long") % 4).alias(
+                "doc_id"  # reuse the id slot for the bucket
+            ),
+            "text",
+        )
+    ).withColumnRenamed("doc_id", "bucket")
+    bitmap = sh.groupBy("shingle").agg(
+        (
+            F.max(F.when(F.col("bucket") == 0, 1).otherwise(0))
+            + 2 * F.max(F.when(F.col("bucket") == 1, 1).otherwise(0))
+            + 4 * F.max(F.when(F.col("bucket") == 2, 1).otherwise(0))
+            + 8 * F.max(F.when(F.col("bucket") == 3, 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("mask")
+    )
+    mc = bitmap.groupBy("mask").agg(F.count("*").cast("long").alias("cnt"))
+    # v(S) for all 16 subsets from the bounded 16-row mask histogram
+    v = (
+        mc.select(
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("s"),
+            "mask",
+            "cnt",
+        )
+        .groupBy("s")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("mask").bitwiseAND(F.col("s")) != 0,
+                        F.col("cnt"),
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("cov")
+        )
+    )
+    # (p, s0) pairs as a narrow generator (each player's 8 subsets
+    # without its bit), then two broadcast EQUI-joins against the
+    # bounded 16-row v relation — no nested-loop join anywhere.
+    pairs = (
+        spark.range(4)
+        .select(F.col("id").cast("int").alias("p"))
+        .select(
+            "p",
+            F.explode(
+                F.expr(
+                    "filter(sequence(0, 15), s -> (s & shiftleft(1, p)) = 0)"
+                )
+            ).alias("s0"),
+        )
+        .select("p", "s0", F.expr("s0 | shiftleft(1, p)").alias("s1"))
+    )
+    v0 = v.select(F.col("s").alias("s0"), F.col("cov").alias("cov0"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("cov").alias("cov1"))
+    w12 = (
+        F.when(F.bit_count(F.col("s0").bitwiseAND(F.lit(15))) == 0, 3)
+        .when(F.bit_count(F.col("s0").bitwiseAND(F.lit(15))) == 1, 1)
+        .when(F.bit_count(F.col("s0").bitwiseAND(F.lit(15))) == 2, 1)
+        .otherwise(3)
+    )
+    contrib = (
+        pairs.join(F.broadcast(v0), "s0")
+        .join(F.broadcast(v1), "s1")
+        .select("p", (w12 * (F.col("cov1") - F.col("cov0"))).alias("c"))
+    )
+    v_full = v.filter(F.col("s") == 15).select(
+        F.col("cov").alias("v_full"), F.lit(1).alias("j")
+    )
+    return (
+        contrib.groupBy("p")
+        .agg(F.sum("c").cast("long").alias("shapley_x12"))
+        .select(
+            F.col("p").cast("long").alias("bucket"),
+            "shapley_x12",
+            F.lit(1).alias("j"),
+        )
+        .join(F.broadcast(v_full), "j")
+        .select("bucket", "shapley_x12", "v_full")
+    )
+
+
+# ===========================================================================
+# Binary-quantized Hamming search with exact rerank
+# ===========================================================================
+
+_BQ_K = 5  # Hamming candidates per query, all exactly reranked
+
+# sign-bit packing: dims 1-32 -> w1, 33-64 -> w2 (two 32-bit halves keep
+# every packed word positive in int64 — no sign-bit traps in either
+# engine). A component counts as 1 iff strictly positive.
+_BQ_PACK_SQL = """
+  bits AS (
+    SELECT vec_id,
+           CAST(list_sum(list_transform(range(1, 33),
+             i -> CASE WHEN embedding[i] > 0
+                       THEN CAST(1 AS BIGINT) << (i - 1)
+                       ELSE 0 END)) AS BIGINT) AS w1,
+           CAST(list_sum(list_transform(range(33, 65),
+             i -> CASE WHEN embedding[i] > 0
+                       THEN CAST(1 AS BIGINT) << (i - 33)
+                       ELSE 0 END)) AS BIGINT) AS w2
+    FROM embeddings),
+  q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10000000 + 0.5)
+                       AS BIGINT)) AS qe
+    FROM embeddings)
+"""
+
+
+@register(
+    "bq_hamming_rerank",
+    f"""
+    WITH {_BQ_PACK_SQL},
+    ham AS (
+      SELECT qb.vec_id AS qid, cb.vec_id AS cid,
+             CAST(bit_count(xor(qb.w1, cb.w1))
+                  + bit_count(xor(qb.w2, cb.w2)) AS BIGINT) AS hamming
+      FROM bits qb JOIN bits cb ON qb.vec_id < 4 AND cb.vec_id >= 8),
+    topk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY hamming, cid) AS hrank
+        FROM ham) WHERE hrank <= {_BQ_K}),
+    rer AS (
+      SELECT t.qid, t.cid, t.hamming,
+             CAST(list_sum(list_transform(list_zip(qq.qe, qc.qe),
+                  p -> p[1] * p[2])) AS BIGINT) AS dot
+      FROM topk t
+      JOIN q qq ON qq.vec_id = t.qid
+      JOIN q qc ON qc.vec_id = t.cid)
+    SELECT qid, cid AS vec_id, hamming, dot,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY dot DESC, cid) AS BIGINT) AS rank
+    FROM rer
+    """,
+    doc="Binary-quantized vector search with exact rerank (the "
+    "modern vector-DB two-stage: 64x compression, then precision "
+    "restored on a bounded candidate set): every embedding packs to "
+    "two positive 32-bit sign words; Hamming distance = popcount of "
+    "the XORed words ranks candidates per query (ties to the smaller "
+    "id); the top-5 per query are reranked by the exact int64 "
+    "quantized dot product. Scale shape: packing is a narrow map (8 "
+    "bytes per vector - the scan that replaces reading 256 bytes of "
+    "floats); the query panel is a bounded broadcast; rerank touches "
+    "only k*|queries| vectors. The candidate scan is linear here "
+    "(certifying the BQ algebra); the production path composes with "
+    "the IVF/LSH bucketing already in the tree to prune it. (No "
+    "counterpart in reference main.go.)",
+)
+def bq_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.similarity import (
+        exploded_components,
+        quantize,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    pack = F.expr(
+        """
+        struct(
+          aggregate(sequence(1, 32), CAST(0 AS BIGINT),
+            (acc, i) -> acc + IF(element_at(embedding, i) > 0,
+                                 shiftleft(CAST(1 AS BIGINT), i - 1), 0))
+            AS w1,
+          aggregate(sequence(33, 64), CAST(0 AS BIGINT),
+            (acc, i) -> acc + IF(element_at(embedding, i) > 0,
+                                 shiftleft(CAST(1 AS BIGINT), i - 33), 0))
+            AS w2
+        )
+        """
+    )
+    bits = emb.select("vec_id", pack.alias("b")).select(
+        "vec_id", "b.w1", "b.w2"
+    )
+    qb = bits.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"),
+        F.col("w1").alias("qw1"),
+        F.col("w2").alias("qw2"),
+        F.lit(1).alias("j"),
+    )
+    cb = bits.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("cid"), "w1", "w2", F.lit(1).alias("j")
+    )
+    ham = cb.join(F.broadcast(qb), "j").select(
+        "qid",
+        "cid",
+        (
+            F.bit_count(F.expr("qw1 ^ w1")) + F.bit_count(F.expr("qw2 ^ w2"))
+        )
+        .cast("long")
+        .alias("hamming"),
+    )
+    wh = Window.partitionBy("qid").orderBy("hamming", "cid")
+    topk = (
+        ham.withColumn("hrank", F.row_number().over(wh))
+        .filter(F.col("hrank") <= _BQ_K)
+        .select("qid", "cid", "hamming")
+    )
+    comp = exploded_components(emb, "vec_id").select(
+        "vec_id", "dim", quantize(F.col("x")).alias("qx")
+    )
+    qcomp = comp.withColumnRenamed("vec_id", "qid").withColumnRenamed(
+        "qx", "qq"
+    )
+    ccomp = comp.withColumnRenamed("vec_id", "cid").withColumnRenamed(
+        "qx", "qc"
+    )
+    rer = (
+        topk.join(ccomp, "cid")
+        .join(F.broadcast(qcomp), ["qid", "dim"])
+        .groupBy("qid", "cid", "hamming")
+        .agg(F.sum(F.col("qq") * F.col("qc")).cast("long").alias("dot"))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("dot").desc(), "cid")
+    return rer.select(
+        "qid",
+        F.col("cid").alias("vec_id"),
+        "hamming",
+        "dot",
+        F.row_number().over(wr).cast("long").alias("rank"),
+    )

@@ -371,3 +371,46 @@ def test_mann_whitney_identity(r8b_wave_f):
     assert r["u1_x2"] + r["u2_x2"] == 2 * r["n1"] * r["n2"]
     assert 0 <= r["u1_x2"] <= 2 * r["n1"] * r["n2"]
     assert r["tie_term"] >= 0
+
+
+@pytest.fixture(scope="module")
+def r8b_wave_g(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = ["shapley_source_coverage", "bq_hamming_rerank"]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in names
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_shapley_efficiency_axiom(r8b_wave_g):
+    rows = r8b_wave_g["shapley_source_coverage"]
+    assert len(rows) == 4
+    assert {r["bucket"] for r in rows} == set(range(4))
+    v_full = {r["v_full"] for r in rows}
+    assert len(v_full) == 1
+    v_full = v_full.pop()
+    # efficiency: shapley values (x12) sum to 12 * (v(N) - v(empty))
+    assert sum(r["shapley_x12"] for r in rows) == 12 * v_full
+    # coverage games are monotone => every value nonnegative
+    assert all(r["shapley_x12"] >= 0 for r in rows)
+
+
+def test_bq_rerank_shape(r8b_wave_g):
+    rows = r8b_wave_g["bq_hamming_rerank"]
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+        assert 0 <= r["hamming"] <= 64
+        assert r["vec_id"] >= 8
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid, rs in by_q.items():
+        assert len(rs) == 5
+        assert sorted(r["rank"] for r in rs) == [1, 2, 3, 4, 5]
+        # rerank order follows exact dots descending
+        rs = sorted(rs, key=lambda r: r["rank"])
+        dots = [r["dot"] for r in rs]
+        assert all(a >= b for a, b in zip(dots, dots[1:]))

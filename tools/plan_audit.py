@@ -83,6 +83,13 @@ ALLOWED_BNLJ = {
     "click_to_purchase_survival": "1-row cohort-size broadcast",
     "benford_price_audit": "1-row digit-total broadcast",
     "source_quota_apportion": "1-row budget/shortfall broadcasts",
+    # round-8 wave B additions, same bounded-build-side shapes
+    "shapley_source_coverage": "1-row v(full)-coverage broadcast "
+    "(the subset algebra itself is equi-joined on bounded 16-row "
+    "relations)",
+    "bq_hamming_rerank": "4-row broadcast query panel vs the packed "
+    "sign-bit index (the ann_cosine_topk_fast shape; the scale path "
+    "composes with IVF/LSH pruning)",
     "stump_1r_training": "1-row class-total broadcast per feature sweep",
     "rendezvous_shard_rebalance": "9-row shard-enumeration broadcast (HRW weights are key x shard by definition)",
     # round-5 mining family: same 1-row-build-side shape as above
