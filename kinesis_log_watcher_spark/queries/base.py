@@ -203,6 +203,11 @@ _FRONT = (
     "mann_whitney_u_returns",
     "shapley_source_coverage",
     "bq_hamming_rerank",
+    "event_overdispersion_audit",
+    "bigram_collocation_chi2",
+    "huber_one_step_fit",
+    "auc_fairness_by_lang",
+    "budgeted_coverage_greedy",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

@@ -2577,3 +2577,566 @@ def bq_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dot",
         F.row_number().over(wr).cast("long").alias("rank"),
     )
+
+
+# ===========================================================================
+# Overdispersion (variance-to-mean) audit of daily event counts
+# ===========================================================================
+
+
+@register(
+    "event_overdispersion_audit",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    grp AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ss
+      FROM daily GROUP BY event_type)
+    SELECT event_type, n, s,
+           -- dispersion index D = sample_var/mean as exact micros:
+           -- D*1e6 = (n*ss - s*s) * 1e6 // ((n-1) * s)
+           CAST((n * ss - s * s) * 1000000 // ((n - 1) * s) AS BIGINT)
+             AS dispersion_micro,
+           (n * ss - s * s) > (n - 1) * s AS overdispersed
+    FROM grp
+    """,
+    doc="Overdispersion audit of daily event counts: the index of "
+    "dispersion D = variance/mean is 1 for a Poisson process; D > 1 "
+    "(burstiness) means Poisson-based capacity/error models "
+    "underestimate tails. Computed per event type as ONE exact "
+    "integer rational — the comparison itself is the cross-"
+    "multiplication n*ss - s*s vs (n-1)*s, no division — with the "
+    "micro-quantized ratio alongside. The count-model sanity gate "
+    "for rate forecasting. Scale shape: one partial-agg shuffle to "
+    "the bounded (type x day) domain, then a 5-row aggregate. At "
+    "extreme scale s*s widens to DECIMAL(38,0) (documented swap). "
+    "(No counterpart in reference main.go.)",
+)
+def event_overdispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), epoch).cast("long").alias("d"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    grp = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    den = (F.col("n") - 1) * F.col("s")
+    return grp.select(
+        "event_type",
+        "n",
+        "s",
+        F.expr(
+            "(n * ss - s * s) * 1000000 div ((n - 1) * s)"
+        )
+        .cast("long")
+        .alias("dispersion_micro"),
+        (num > den).alias("overdispersed"),
+    )
+
+
+# ===========================================================================
+# Bigram collocation strength (per-bigram 2x2 chi-square)
+# ===========================================================================
+
+_COLL_TOPK = 25
+
+
+@register(
+    "bigram_collocation_chi2",
+    f"""
+    WITH bg AS (
+      SELECT string_split(d.text, ' ')[t.i] AS w1,
+             string_split(d.text, ' ')[t.i + 1] AS w2
+      FROM documents d,
+           unnest(range(1, len(string_split(d.text, ' ')))) AS t(i)),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS f1 FROM bg GROUP BY w1),
+    c2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS f2 FROM bg GROUP BY w2),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS f12
+            FROM bg GROUP BY w1, w2),
+    scored AS (
+      SELECT c.w1, c.w2, c.f12, a.f1, b.f2,
+             CAST(floor(
+               t.n * power(CAST(c.f12 AS DOUBLE) * t.n
+                           - CAST(a.f1 AS DOUBLE) * b.f2, 2)
+               / (CAST(a.f1 AS DOUBLE) * b.f2 * (t.n - a.f1) * (t.n - b.f2))
+               * 1000 + 0.5) AS BIGINT) AS chi2_milli
+      FROM c12 c JOIN c1 a USING (w1) JOIN c2 b USING (w2), tot t),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY chi2_milli DESC, w1, w2)
+               AS rank
+      FROM scored)
+    SELECT CAST(rank AS BIGINT) AS rank, w1, w2, f12, f1, f2, chi2_milli
+    FROM ranked WHERE rank <= {_COLL_TOPK}
+    """,
+    doc="Bigram collocation strength via the per-bigram 2x2 chi-square "
+    "statistic chi2 = N(f12*N - f1*f2)^2 / (f1*f2*(N-f1)*(N-f2)) — "
+    "the classic collocation extraction score (Manning & Schutze "
+    "ch.5), ranking word pairs that co-occur far above independence. "
+    "Cross products run in IEEE doubles from exact int64 counts "
+    "(bit-identical across engines; exact counts ride along as "
+    "columns), quantized by the same floor(+0.5) to millis; top-25 "
+    "with full lexicographic tie-breaks. Scale shape: bigrams are a "
+    "narrow array generator; three partial-agg shuffles (pair / left "
+    "/ right marginals) joined on vocabulary keys; the corpus total "
+    "is a 1-row broadcast; the global top-k is two-phase "
+    "(WindowGroupLimit). (No counterpart in reference main.go.)",
+)
+def bigram_collocation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bg = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> struct(element_at(split(text, ' '), i) AS w1, "
+                "element_at(split(text, ' '), i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("f12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").cast("long").alias("f1"))
+    c2 = bg.groupBy("w2").agg(F.count("*").cast("long").alias("f2"))
+    n = bg.count()  # 1-scalar driver fetch (the corpus total)
+    scored = (
+        c12.join(c1, "w1")
+        .join(c2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "f12",
+            "f1",
+            "f2",
+            F.floor(
+                F.lit(float(n))
+                * F.pow(
+                    F.col("f12").cast("double") * n
+                    - F.col("f1").cast("double") * F.col("f2"),
+                    F.lit(2.0),
+                )
+                / (
+                    F.col("f1").cast("double")
+                    * F.col("f2")
+                    * (n - F.col("f1"))
+                    * (n - F.col("f2"))
+                )
+                * 1000
+                + 0.5
+            )
+            .cast("long")
+            .alias("chi2_milli"),
+        )
+    )
+    wr = Window.orderBy(F.col("chi2_milli").desc(), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= _COLL_TOPK)
+        .select("rank", "w1", "w2", "f12", "f1", "f2", "chi2_milli")
+    )
+
+
+# ===========================================================================
+# Huber robust regression (one IRLS step from the OLS fit)
+# ===========================================================================
+
+_HUBER_C_CENTS = 2_000_000  # $20k residual clamp
+
+
+@register(
+    "huber_one_step_fit",
+    f"""
+    WITH pts AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS y
+      FROM lineitem),
+    ols AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx
+      FROM pts),
+    beta0 AS (
+      SELECT CAST(floor((n * sxy - CAST(sx AS DOUBLE) * sy)
+                        / (n * sxx - CAST(sx AS DOUBLE) * sx)
+                        * 1000000 + 0.5) AS BIGINT) AS b_micro,
+             CAST(floor((CAST(sy AS DOUBLE)
+                         - (n * sxy - CAST(sx AS DOUBLE) * sy)
+                           / (n * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+                        / n * 1000000 + 0.5) AS BIGINT) AS a_micro
+      FROM ols),
+    wts AS (
+      SELECT p.x, p.y,
+             abs(p.y * 1000000 - (b.a_micro + b.b_micro * p.x)) AS r_abs,
+             CASE WHEN abs(p.y * 1000000 - (b.a_micro + b.b_micro * p.x))
+                       <= {_HUBER_C_CENTS} * CAST(1000000 AS BIGINT)
+                  THEN CAST(1000000 AS BIGINT)
+                  ELSE {_HUBER_C_CENTS} * CAST(1000000 AS BIGINT)
+                       * 1000000
+                       // abs(p.y * 1000000
+                              - (b.a_micro + b.b_micro * p.x)) END AS w
+      FROM pts p, beta0 b),
+    wols AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS sw,
+             CAST(SUM(CAST(w AS DECIMAL(38,0)) * x) AS DOUBLE) AS swx,
+             CAST(SUM(CAST(w AS DECIMAL(38,0)) * y) AS DOUBLE) AS swy,
+             CAST(SUM(CAST(w AS DECIMAL(38,0)) * x * y) AS DOUBLE) AS swxy,
+             CAST(SUM(CAST(w AS DECIMAL(38,0)) * x * x) AS DOUBLE) AS swxx,
+             CAST(SUM(CASE WHEN w < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_down
+      FROM wts),
+    fit AS (
+      SELECT w.*, b.a_micro AS ols_a_micro, b.b_micro AS ols_b_micro
+      FROM wols w, beta0 b)
+    SELECT CAST(sw AS BIGINT) AS sw, n_down, ols_a_micro, ols_b_micro,
+           CAST(floor((CAST(sw AS DOUBLE) * swxy - swx * swy)
+                      / (CAST(sw AS DOUBLE) * swxx - swx * swx)
+                      * 1000000 + 0.5) AS BIGINT) AS huber_b_micro,
+           CAST(floor((swy - (CAST(sw AS DOUBLE) * swxy - swx * swy)
+                             / (CAST(sw AS DOUBLE) * swxx - swx * swx)
+                             * swx) / sw * 1000000 + 0.5) AS BIGINT)
+             AS huber_a_micro
+    FROM fit
+    """,
+    doc="Huber robust regression, one IRLS step from the OLS start: "
+    "fit extendedprice-on-quantity by OLS, clamp each point's "
+    "influence with the Huber weight w = min(1, c/|residual|) "
+    "(c = $20k, weights as exact integer micros — the residual is an "
+    "exact int64 micro-cents value because the OLS coefficients are "
+    "quantized before the residual pass), then refit weighted OLS. "
+    "The outlier-resistant alternative the robust-stats family "
+    "(median/MAD/winsorize) lacked on the REGRESSION side. Moment "
+    "sums are exact DECIMAL(38,0), collapsed to IEEE doubles only in "
+    "the 1-row fit relations; both dialects quantize with the same "
+    "floor(+0.5). Scale shape: two scans (OLS pass, weighted pass), "
+    "each one map-side-combinable aggregation; the coefficient "
+    "handoff is a 1-row broadcast. (No counterpart in reference "
+    "main.go.)",
+)
+def huber_one_step_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    li = load(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        (dec(F.col("l_extendedprice"), 12, 2) * 100).cast("long").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    ols = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast("double").alias("sxx"),
+    ).collect()[0]
+    n, sx, sy, sxy, sxx = ols["n"], ols["sx"], ols["sy"], ols["sxy"], ols["sxx"]
+    if not n:
+        # empty input: no fit exists (the oracle's 1-row relation still
+        # appears, but every moment is NULL there too — emit no rows)
+        return (
+            pts.agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") < 0)
+            .select(
+                F.lit(0).cast("long").alias("sw"),
+                F.lit(0).cast("long").alias("n_down"),
+                F.lit(0).cast("long").alias("ols_a_micro"),
+                F.lit(0).cast("long").alias("ols_b_micro"),
+                F.lit(0).cast("long").alias("huber_b_micro"),
+                F.lit(0).cast("long").alias("huber_a_micro"),
+            )
+        )
+    import math
+
+    b = (n * sxy - float(sx) * sy) / (n * sxx - float(sx) * sx)
+    b_micro = math.floor(b * 1000000 + 0.5)
+    a_micro = math.floor((float(sy) - b * sx) / n * 1000000 + 0.5)
+    cth = _HUBER_C_CENTS * 1000000
+    cmul = cth * 1000000  # 2e18, int64-safe
+    r_abs = F.abs(
+        F.col("y") * 1000000 - (F.lit(a_micro) + F.lit(b_micro) * F.col("x"))
+    )
+    # TRUE integer division (matches the oracle's `//`) — a float-floor
+    # here could flip the last micro at quotient boundaries
+    wts = pts.select("x", "y", r_abs.alias("r_abs")).select(
+        "x",
+        "y",
+        F.expr(
+            f"IF(r_abs <= {cth}L, 1000000L, {cmul}L div r_abs)"
+        ).alias("w"),
+    )
+    wols = wts.agg(
+        F.sum("w").cast("long").alias("sw"),
+        F.sum(F.col("w").cast(d38) * F.col("x")).cast("double").alias("swx"),
+        F.sum(F.col("w").cast(d38) * F.col("y")).cast("double").alias("swy"),
+        F.sum(F.col("w").cast(d38) * F.col("x") * F.col("y"))
+        .cast("double")
+        .alias("swxy"),
+        F.sum(F.col("w").cast(d38) * F.col("x") * F.col("x"))
+        .cast("double")
+        .alias("swxx"),
+        F.sum(F.when(F.col("w") < 1000000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+    )
+    hb = (
+        F.col("sw").cast("double") * F.col("swxy")
+        - F.col("swx") * F.col("swy")
+    ) / (
+        F.col("sw").cast("double") * F.col("swxx")
+        - F.col("swx") * F.col("swx")
+    )
+    return wols.select(
+        "sw",
+        "n_down",
+        F.lit(a_micro).cast("long").alias("ols_a_micro"),
+        F.lit(b_micro).cast("long").alias("ols_b_micro"),
+        F.floor(hb * 1000000 + 0.5).cast("long").alias("huber_b_micro"),
+        F.floor(
+            (F.col("swy") - hb * F.col("swx")) / F.col("sw") * 1000000 + 0.5
+        )
+        .cast("long")
+        .alias("huber_a_micro"),
+    )
+
+
+# ===========================================================================
+# Per-language AUC fairness audit of the quality scorer
+# ===========================================================================
+
+
+def _auc_fairness_oracle() -> str:
+    from kinesis_log_watcher_spark.queries.quality import (
+        _SCORE_LABEL_CTE,
+        _STOPS_SQL,
+    )
+
+    return f"""
+    WITH {_SCORE_LABEL_CTE.format(stops=_STOPS_SQL)},
+    sl2 AS (
+      SELECT s.score, s.y, d.lang
+      FROM sl s JOIN documents d USING (doc_id)),
+    vals AS (
+      SELECT lang, score,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM sl2 GROUP BY lang, score),
+    cum AS (
+      SELECT lang, score, cnt, pos,
+             CAST(COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_prev
+      FROM vals),
+    tot AS (
+      SELECT lang,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
+             CAST(SUM(pos * (2 * cum_prev + cnt + 1)) AS BIGINT) AS r2
+      FROM cum GROUP BY lang),
+    auc AS (
+      SELECT lang, n_pos, n_neg,
+             CASE WHEN n_pos > 0 AND n_neg > 0
+                  THEN CAST((r2 - n_pos * (n_pos + 1)) * 500000
+                            // (n_pos * n_neg) AS BIGINT)
+                  ELSE 500000 END AS auc_micro
+      FROM tot)
+    SELECT lang, n_pos, n_neg, auc_micro,
+           CAST(MAX(auc_micro) OVER () - MIN(auc_micro) OVER () AS BIGINT)
+             AS gap_micro
+    FROM auc
+    """
+
+
+@register(
+    "auc_fairness_by_lang",
+    _auc_fairness_oracle(),
+    doc="Per-language AUC fairness audit of the linear quality scorer "
+    "against the Gopher gate verdict: the exact tie-corrected "
+    "Mann-Whitney AUC (doubled midranks, integer micros via *500000 "
+    "// n_pos*n_neg) computed WITHIN each language, plus the max-min "
+    "gap — the disaggregated-evaluation primitive that catches a "
+    "scorer working for en and failing for zh before the filter "
+    "ships. Scale shape: the per-language U statistics aggregate the "
+    "(lang x distinct score) relation with lang-partitioned prefix "
+    "windows (never a global sort); the gap rides a window over the "
+    "bounded language relation. (No counterpart in reference "
+    "main.go.)",
+)
+def auc_fairness_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.queries.quality import _score_label
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    sl2 = _score_label(spark, sf_dir).join(docs, "doc_id")
+    vals = sl2.groupBy("lang", "score").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    wprev = Window.partitionBy("lang").orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = vals.withColumn(
+        "cum_prev", F.coalesce(F.sum("cnt").over(wprev), F.lit(0)).cast("long")
+    )
+    tot = cum.groupBy("lang").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
+        F.sum(F.col("pos") * (2 * F.col("cum_prev") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("r2"),
+    )
+    auc = tot.select(
+        "lang",
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr(
+                "(r2 - n_pos * (n_pos + 1)) * 500000 div (n_pos * n_neg)"
+            ),
+        )
+        .otherwise(500000)
+        .cast("long")
+        .alias("auc_micro"),
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return auc.select(
+        "*",
+        (F.max("auc_micro").over(wall) - F.min("auc_micro").over(wall))
+        .cast("long")
+        .alias("gap_micro"),
+    )
+
+
+# ===========================================================================
+# Budgeted (cost-aware) greedy coverage: gain-per-token selection
+# ===========================================================================
+
+
+def _budget_pick_sql(cov: str, exclude: str) -> str:
+    """One cost-aware greedy round: argmax gain/cost via exact
+    cross-multiplied ratio ordering (gain*1e6 // cost as the sort key,
+    ties to gain then doc_id)."""
+    excl = (
+        f"AND d.doc_id NOT IN (SELECT doc_id FROM {exclude})"
+        if exclude
+        else ""
+    )
+    notin = f"AND d.word NOT IN (SELECT word FROM {cov})" if cov else ""
+    return f"""(
+      SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS gain,
+             ANY_VALUE(d.cost) AS cost,
+             CAST(COUNT(*) * 1000000 // ANY_VALUE(d.cost) AS BIGINT)
+               AS ratio_micro
+      FROM dwc d WHERE 1=1 {notin} {excl}
+      GROUP BY d.doc_id
+      ORDER BY ratio_micro DESC, gain DESC, d.doc_id LIMIT 1)"""
+
+
+@register(
+    "budgeted_coverage_greedy",
+    f"""
+    WITH dwc AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS cost,
+             unnest(list_distinct(list_transform(
+               range(1, len(string_split(text, ' ')) - 1),
+               i -> array_to_string(
+                      list_slice(string_split(text, ' '), i, i + 2), ' ')
+             ))) AS word
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    p1 AS {_budget_pick_sql('', '')},
+    c1 AS (SELECT DISTINCT word FROM dwc JOIN p1 USING (doc_id)),
+    p2 AS {_budget_pick_sql('c1', 'p1')},
+    c2 AS (SELECT word FROM c1 UNION
+           SELECT word FROM dwc JOIN p2 USING (doc_id)),
+    px AS (SELECT doc_id FROM p1 UNION SELECT doc_id FROM p2),
+    p3 AS {_budget_pick_sql('c2', 'px')}
+    SELECT 1 AS round, doc_id, gain, cost, ratio_micro FROM p1
+    UNION ALL SELECT 2, doc_id, gain, cost, ratio_micro FROM p2
+    UNION ALL SELECT 3, doc_id, gain, cost, ratio_micro FROM p3
+    """,
+    doc="Budgeted (cost-aware) greedy coverage: each round picks the "
+    "document with the best NEW-shingles-per-token ratio (the "
+    "cost-benefit greedy that approximates budgeted max-coverage; "
+    "cost = token count), with the ratio as exact truncating micros "
+    "and gain/doc_id tie-breaks. The variant of greedy_set_cover_docs "
+    "a real token-budgeted curation run uses — coverage per training "
+    "token, not coverage per document. Scale shape: identical to the "
+    "uncosted greedy — per round one anti-join on the shingle key "
+    "plus a two-phase top-1; the covered set stays broadcast-small "
+    "by construction. (No counterpart in reference main.go.)",
+)
+def budgeted_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.dedup import exploded_shingles
+    from kinesis_log_watcher_spark.queries.base import finalize_unpersist
+
+    docs = load(spark, sf_dir, "documents")
+    dwc = (
+        exploded_shingles(docs)
+        .withColumnRenamed("shingle", "word")
+        .join(
+            docs.select(
+                "doc_id",
+                F.size(F.split(F.col("text"), " ")).cast("long").alias(
+                    "cost"
+                ),
+            ),
+            "doc_id",
+        )
+        .persist()
+    )
+    picked: list[int] = []
+    rows = []
+    for rnd in range(1, 4):
+        cand = dwc
+        if picked:
+            cand = cand.filter(~F.col("doc_id").isin(picked)).join(
+                F.broadcast(
+                    dwc.filter(F.col("doc_id").isin(picked)).select("word")
+                ),
+                "word",
+                "left_anti",
+            )
+        gains = cand.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("gain"),
+            F.first("cost").alias("cost"),
+        ).select(
+            "doc_id",
+            "gain",
+            "cost",
+            F.expr("gain * 1000000 div cost").cast("long").alias(
+                "ratio_micro"
+            ),
+        )
+        w = Window.orderBy(
+            F.col("ratio_micro").desc(), F.col("gain").desc(), "doc_id"
+        )
+        pick = (
+            gains.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        )
+        if not pick:
+            break
+        r = pick[0]
+        picked.append(r["doc_id"])
+        rows.append(
+            (rnd, r["doc_id"], r["gain"], r["cost"], r["ratio_micro"])
+        )
+    out = spark.createDataFrame(
+        rows,
+        "round int, doc_id long, gain long, cost long, ratio_micro long",
+    )
+    return finalize_unpersist(out, dwc)

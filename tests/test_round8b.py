@@ -414,3 +414,89 @@ def test_bq_rerank_shape(r8b_wave_g):
         rs = sorted(rs, key=lambda r: r["rank"])
         dots = [r["dot"] for r in rs]
         assert all(a >= b for a, b in zip(dots, dots[1:]))
+
+
+@pytest.fixture(scope="module")
+def r8b_wave_h(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [
+        "event_overdispersion_audit",
+        "bigram_collocation_chi2",
+        "huber_one_step_fit",
+    ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in names
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_overdispersion_flag_matches_ratio(r8b_wave_h):
+    rows = r8b_wave_h["event_overdispersion_audit"]
+    assert rows
+    for r in rows:
+        assert r["overdispersed"] == (r["dispersion_micro"] > 1000000) or (
+            # the integer ratio can truncate down to exactly 1e6 while
+            # the exact cross-multiplication is strictly greater
+            r["dispersion_micro"] == 1000000
+        )
+        assert r["dispersion_micro"] >= 0
+
+
+def test_collocation_topk_ordered(r8b_wave_h):
+    rows = sorted(
+        r8b_wave_h["bigram_collocation_chi2"], key=lambda r: r["rank"]
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    chis = [r["chi2_milli"] for r in rows]
+    assert all(a >= b for a, b in zip(chis, chis[1:]))
+    for r in rows:
+        assert 1 <= r["f12"] <= min(r["f1"], r["f2"])
+
+
+def test_huber_downweights_and_stays_finite(r8b_wave_h):
+    rows = r8b_wave_h["huber_one_step_fit"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_down"] >= 0
+    assert r["sw"] > 0
+    # every weight is <= 1e6, so the weight mass can't exceed one unit
+    # per point; downweighting must leave SOME full-weight mass here
+    assert r["sw"] <= (r["n_down"] + r["sw"] // 1000000 + 1) * 1000000
+
+
+@pytest.fixture(scope="module")
+def r8b_wave_i(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = ["auc_fairness_by_lang", "budgeted_coverage_greedy"]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in names
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_auc_fairness_gap_consistent(r8b_wave_i):
+    rows = r8b_wave_i["auc_fairness_by_lang"]
+    assert rows
+    aucs = [r["auc_micro"] for r in rows]
+    gap = {r["gap_micro"] for r in rows}
+    assert len(gap) == 1
+    assert gap.pop() == max(aucs) - min(aucs)
+    for r in rows:
+        assert 0 <= r["auc_micro"] <= 1000000
+
+
+def test_budgeted_coverage_ratio_identity(r8b_wave_i):
+    rows = sorted(
+        r8b_wave_i["budgeted_coverage_greedy"], key=lambda r: r["round"]
+    )
+    assert [r["round"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["ratio_micro"] == r["gain"] * 1000000 // r["cost"]
+        assert r["cost"] >= 3  # shingled docs have >= 3 tokens
+    assert len({r["doc_id"] for r in rows}) == len(rows)
