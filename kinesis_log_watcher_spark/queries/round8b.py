@@ -2660,19 +2660,24 @@ _COLL_TOPK = 25
              string_split(d.text, ' ')[t.i + 1] AS w2
       FROM documents d,
            unnest(range(1, len(string_split(d.text, ' ')))) AS t(i)),
-    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg),
-    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS f1 FROM bg GROUP BY w1),
-    c2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS f2 FROM bg GROUP BY w2),
     c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS f12
             FROM bg GROUP BY w1, w2),
-    scored AS (
+    -- the marginals and the corpus total are re-aggregations of the
+    -- BOUNDED pair relation (vocab^2), never second corpus passes
+    c1 AS (SELECT w1, CAST(SUM(f12) AS BIGINT) AS f1 FROM c12 GROUP BY w1),
+    c2 AS (SELECT w2, CAST(SUM(f12) AS BIGINT) AS f2 FROM c12 GROUP BY w2),
+    joined AS (
       SELECT c.w1, c.w2, c.f12, a.f1, b.f2,
+             CAST(SUM(c.f12) OVER () AS BIGINT) AS n
+      FROM c12 c JOIN c1 a USING (w1) JOIN c2 b USING (w2)),
+    scored AS (
+      SELECT w1, w2, f12, f1, f2,
              CAST(floor(
-               t.n * power(CAST(c.f12 AS DOUBLE) * t.n
-                           - CAST(a.f1 AS DOUBLE) * b.f2, 2)
-               / (CAST(a.f1 AS DOUBLE) * b.f2 * (t.n - a.f1) * (t.n - b.f2))
+               n * power(CAST(f12 AS DOUBLE) * n
+                         - CAST(f1 AS DOUBLE) * f2, 2)
+               / (CAST(f1 AS DOUBLE) * f2 * (n - f1) * (n - f2))
                * 1000 + 0.5) AS BIGINT) AS chi2_milli
-      FROM c12 c JOIN c1 a USING (w1) JOIN c2 b USING (w2), tot t),
+      FROM joined),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (ORDER BY chi2_milli DESC, w1, w2)
                AS rank
@@ -2687,10 +2692,10 @@ _COLL_TOPK = 25
     "Cross products run in IEEE doubles from exact int64 counts "
     "(bit-identical across engines; exact counts ride along as "
     "columns), quantized by the same floor(+0.5) to millis; top-25 "
-    "with full lexicographic tie-breaks. Scale shape: bigrams are a "
-    "narrow array generator; three partial-agg shuffles (pair / left "
-    "/ right marginals) joined on vocabulary keys; the corpus total "
-    "is a 1-row broadcast; the global top-k is two-phase "
+    "with full lexicographic tie-breaks. Scale shape: ONE corpus pass "
+    "(narrow bigram generator + pair-count partial agg); marginals "
+    "and the corpus total are re-aggregations and a window over the "
+    "BOUNDED vocab^2 pair relation; the global top-k is two-phase "
     "(WindowGroupLimit). (No counterpart in reference main.go.)",
 )
 def bigram_collocation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2705,10 +2710,15 @@ def bigram_collocation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.w1", "p.w2")
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("f12"))
-    c1 = bg.groupBy("w1").agg(F.count("*").cast("long").alias("f1"))
-    c2 = bg.groupBy("w2").agg(F.count("*").cast("long").alias("f2"))
-    n = bg.count()  # 1-scalar driver fetch (the corpus total)
-    scored = (
+    # marginals + corpus total from the BOUNDED pair relation — the
+    # corpus is scanned exactly once (the first cut recomputed the
+    # bigram explode four times: 19.6s -> ~3s at sf0.1)
+    c1 = c12.groupBy("w1").agg(F.sum("f12").cast("long").alias("f1"))
+    c2 = c12.groupBy("w2").agg(F.sum("f12").cast("long").alias("f2"))
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    joined = (
         c12.join(c1, "w1")
         .join(c2, "w2")
         .select(
@@ -2717,25 +2727,33 @@ def bigram_collocation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f12",
             "f1",
             "f2",
-            F.floor(
-                F.lit(float(n))
-                * F.pow(
-                    F.col("f12").cast("double") * n
-                    - F.col("f1").cast("double") * F.col("f2"),
-                    F.lit(2.0),
-                )
-                / (
-                    F.col("f1").cast("double")
-                    * F.col("f2")
-                    * (n - F.col("f1"))
-                    * (n - F.col("f2"))
-                )
-                * 1000
-                + 0.5
-            )
-            .cast("long")
-            .alias("chi2_milli"),
+            F.sum("f12").over(wall).cast("long").alias("n"),
         )
+    )
+    scored = joined.select(
+        "w1",
+        "w2",
+        "f12",
+        "f1",
+        "f2",
+        F.floor(
+            F.col("n").cast("double")
+            * F.pow(
+                F.col("f12").cast("double") * F.col("n")
+                - F.col("f1").cast("double") * F.col("f2"),
+                F.lit(2.0),
+            )
+            / (
+                F.col("f1").cast("double")
+                * F.col("f2")
+                * (F.col("n") - F.col("f1"))
+                * (F.col("n") - F.col("f2"))
+            )
+            * 1000
+            + 0.5
+        )
+        .cast("long")
+        .alias("chi2_milli"),
     )
     wr = Window.orderBy(F.col("chi2_milli").desc(), "w1", "w2")
     return (
