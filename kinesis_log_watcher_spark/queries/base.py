@@ -208,6 +208,8 @@ _FRONT = (
     "huber_one_step_fit",
     "auc_fairness_by_lang",
     "budgeted_coverage_greedy",
+    "markov_purchase_absorption",
+    "dawid_skene_one_step",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

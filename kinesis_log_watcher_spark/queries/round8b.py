@@ -3158,3 +3158,301 @@ def budgeted_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round int, doc_id long, gain long, cost long, ratio_micro long",
     )
     return finalize_unpersist(out, dwc)
+
+
+# ===========================================================================
+# Markov absorption: probability of reaching 'purchase' within k steps
+# ===========================================================================
+
+_MK_ABS = "purchase"
+
+
+@register(
+    "markov_purchase_absorption",
+    f"""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    cnt AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+    m AS (
+      -- row-stochastic micro matrix; '{_MK_ABS}' is absorbing
+      SELECT cur, nxt,
+             CASE WHEN cur = '{_MK_ABS}'
+                  THEN CASE WHEN nxt = '{_MK_ABS}'
+                            THEN CAST(1000000 AS BIGINT) ELSE 0 END
+                  ELSE c * 1000000 // SUM(c) OVER (PARTITION BY cur) END
+               AS p
+      FROM cnt),
+    v0 AS (
+      SELECT DISTINCT cur AS state,
+             CASE WHEN cur = '{_MK_ABS}' THEN CAST(1000000 AS BIGINT)
+                  ELSE 0 END AS v
+      FROM cnt),
+    v1 AS (
+      SELECT m.cur AS state,
+             CAST(SUM(m.p * v.v) // 1000000 AS BIGINT) AS v
+      FROM m JOIN v0 v ON m.nxt = v.state GROUP BY m.cur),
+    v2 AS (
+      SELECT m.cur AS state,
+             CAST(SUM(m.p * v.v) // 1000000 AS BIGINT) AS v
+      FROM m JOIN v1 v ON m.nxt = v.state GROUP BY m.cur),
+    v3 AS (
+      SELECT m.cur AS state,
+             CAST(SUM(m.p * v.v) // 1000000 AS BIGINT) AS v
+      FROM m JOIN v2 v ON m.nxt = v.state GROUP BY m.cur)
+    SELECT v1.state, v1.v AS p1_micro, v2.v AS p2_micro, v3.v AS p3_micro
+    FROM v1 JOIN v2 USING (state) JOIN v3 USING (state)
+    """,
+    doc="Markov absorption probabilities: from each event type, the "
+    "probability of hitting '{_MK_ABS}' within 1/2/3 steps under the "
+    "empirical per-user transition kernel, with 'purchase' made "
+    "absorbing — the funnel primitive that answers 'how close is "
+    "each state to conversion' from the same transition counts the "
+    "event_transition_matrix query certifies. The kernel is the "
+    "row-normalized micro matrix (truncating, identical in both "
+    "dialects); each step is one join+agg of the BOUNDED 25-row "
+    "matrix against the 5-row value vector, truncated once per step "
+    "after the sum. Scale shape: the fact table pays one lead-window "
+    "pass partitioned by user (high-cardinality keys) + one "
+    "partial-agg shuffle to the bounded kernel; the matrix powers "
+    "never touch the data again. (No counterpart in reference "
+    "main.go.)",
+)
+def markov_purchase_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(wseq).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cnt = seq.groupBy("cur", "nxt").agg(F.count("*").cast("long").alias("c"))
+    m = cnt.select(
+        "cur",
+        "nxt",
+        F.expr(
+            f"CAST(CASE WHEN cur = '{_MK_ABS}' "
+            f"THEN IF(nxt = '{_MK_ABS}', 1000000L, 0L) "
+            "ELSE c * 1000000 div sum(c) over (partition by cur) END "
+            "AS BIGINT)"
+        ).alias("p"),
+    )
+    v = cnt.select("cur").distinct().select(
+        F.col("cur").alias("state"),
+        F.when(F.col("cur") == _MK_ABS, F.lit(1000000))
+        .otherwise(0)
+        .cast("long")
+        .alias("v"),
+    )
+    outs = []
+    for _ in range(3):
+        v = (
+            m.join(v, m["nxt"] == v["state"])
+            .groupBy("cur")
+            .agg(
+                F.expr("sum(p * v) div 1000000")
+                .cast("long")
+                .alias("v")
+            )
+            .select(F.col("cur").alias("state"), "v")
+        )
+        outs.append(v)
+    v1, v2, v3 = outs
+    return (
+        v1.withColumnRenamed("v", "p1_micro")
+        .join(v2.withColumnRenamed("v", "p2_micro"), "state")
+        .join(v3.withColumnRenamed("v", "p3_micro"), "state")
+    )
+
+
+# ===========================================================================
+# Dawid-Skene one-step label aggregation over the 3 deterministic raters
+# ===========================================================================
+
+_DS_RATERS_SQL = """
+      SELECT CASE WHEN len(string_split(text, ' ')) >= 48
+                  THEN 1 ELSE 0 END AS a,
+             CASE WHEN 2 * len(list_distinct(string_split(lower(text), ' ')))
+                      >= len(string_split(text, ' '))
+                  THEN 1 ELSE 0 END AS b,
+             CASE WHEN n_chars >= 280 THEN 1 ELSE 0 END AS c
+      FROM documents
+"""
+
+# sequential micro-product: prior, then one factor per rater, truncating
+# after every multiply — the SAME nesting in both dialects.
+def _ds_w_sql(prior: str, fa: str, fb: str, fc: str) -> str:
+    return (
+        f"(((({prior}) * ({fa}) // 1000000) * ({fb}) // 1000000)"
+        f" * ({fc}) // 1000000)"
+    )
+
+
+@register(
+    "dawid_skene_one_step",
+    f"""
+    WITH r AS ({_DS_RATERS_SQL}),
+    pat AS (
+      SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CASE WHEN a + b + c >= 2 THEN 1 ELSE 0 END AS maj
+      FROM r GROUP BY a, b, c),
+    st AS (
+      SELECT *,
+             SUM(n_docs) OVER () AS nt,
+             SUM(n_docs * maj) OVER () AS npos,
+             SUM(n_docs * a * maj) OVER () AS tpa,
+             SUM(n_docs * a * (1 - maj)) OVER () AS fpa,
+             SUM(n_docs * (1 - a) * maj) OVER () AS fna,
+             SUM(n_docs * (1 - a) * (1 - maj)) OVER () AS tna,
+             SUM(n_docs * b * maj) OVER () AS tpb,
+             SUM(n_docs * b * (1 - maj)) OVER () AS fpb,
+             SUM(n_docs * (1 - b) * maj) OVER () AS fnb,
+             SUM(n_docs * (1 - b) * (1 - maj)) OVER () AS tnb,
+             SUM(n_docs * c * maj) OVER () AS tpc,
+             SUM(n_docs * c * (1 - maj)) OVER () AS fpc,
+             SUM(n_docs * (1 - c) * maj) OVER () AS fnc,
+             SUM(n_docs * (1 - c) * (1 - maj)) OVER () AS tnc
+      FROM pat),
+    scored AS (
+      SELECT a, b, c, n_docs, maj,
+             {_ds_w_sql(
+                 "npos * 1000000 // nt",
+                 "CASE WHEN a = 1 THEN tpa * 1000000 // (tpa + fna) "
+                 "ELSE 1000000 - tpa * 1000000 // (tpa + fna) END",
+                 "CASE WHEN b = 1 THEN tpb * 1000000 // (tpb + fnb) "
+                 "ELSE 1000000 - tpb * 1000000 // (tpb + fnb) END",
+                 "CASE WHEN c = 1 THEN tpc * 1000000 // (tpc + fnc) "
+                 "ELSE 1000000 - tpc * 1000000 // (tpc + fnc) END",
+             )} AS w1_micro,
+             {_ds_w_sql(
+                 "(nt - npos) * 1000000 // nt",
+                 "CASE WHEN a = 1 THEN 1000000 - tna * 1000000 "
+                 "// (tna + fpa) ELSE tna * 1000000 // (tna + fpa) END",
+                 "CASE WHEN b = 1 THEN 1000000 - tnb * 1000000 "
+                 "// (tnb + fpb) ELSE tnb * 1000000 // (tnb + fpb) END",
+                 "CASE WHEN c = 1 THEN 1000000 - tnc * 1000000 "
+                 "// (tnc + fpc) ELSE tnc * 1000000 // (tnc + fpc) END",
+             )} AS w0_micro
+      FROM st)
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(c AS BIGINT) AS c, n_docs,
+           CAST(maj AS BIGINT) AS maj_label,
+           CAST(w1_micro AS BIGINT) AS w1_micro,
+           CAST(w0_micro AS BIGINT) AS w0_micro,
+           CAST(CASE WHEN w1_micro > w0_micro THEN 1 ELSE 0 END AS BIGINT)
+             AS ds_label,
+           (CASE WHEN w1_micro > w0_micro THEN 1 ELSE 0 END) <> maj
+             AS flipped
+    FROM scored
+    """,
+    doc="Dawid-Skene label aggregation, one EM step: initialize with "
+    "majority vote over the three deterministic rater gates, estimate "
+    "each rater's sensitivity/specificity from the confusion counts, "
+    "then re-score every response PATTERN with the class-prior-times-"
+    "per-rater-likelihood product (exact integer micros, truncating "
+    "after each factor, the same nesting in both dialects) — the "
+    "crowdsourced-label aggregation primitive that beats majority "
+    "vote when raters differ in reliability; `flipped` marks patterns "
+    "the likelihood model re-labels against the majority. Everything "
+    "after the one corpus aggregation lives on the BOUNDED 8-row "
+    "response-pattern relation (2^3 rater bitmaps), so the EM step "
+    "costs nothing at any corpus size. Scale shape: one partial-agg "
+    "shuffle to 8 rows; windows on that bounded relation. (No "
+    "counterpart in reference main.go.)",
+)
+def dawid_skene_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ltoks = F.split(F.lower(F.col("text")), " ")
+    r = docs.select(
+        F.when(F.size(toks) >= 48, 1).otherwise(0).alias("a"),
+        F.when(
+            2 * F.size(F.array_distinct(ltoks)) >= F.size(toks), 1
+        )
+        .otherwise(0)
+        .alias("b"),
+        F.when(F.col("n_chars") >= 280, 1).otherwise(0).alias("c"),
+    )
+    pat = r.groupBy("a", "b", "c").agg(
+        F.count("*").cast("long").alias("n_docs")
+    ).withColumn(
+        "maj", F.when(F.col("a") + F.col("b") + F.col("c") >= 2, 1).otherwise(0)
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sums = {
+        "nt": F.col("n_docs"),
+        "npos": F.col("n_docs") * F.col("maj"),
+    }
+    for rr in ("a", "b", "c"):
+        sums[f"tp{rr}"] = F.col("n_docs") * F.col(rr) * F.col("maj")
+        sums[f"fp{rr}"] = F.col("n_docs") * F.col(rr) * (1 - F.col("maj"))
+        sums[f"fn{rr}"] = F.col("n_docs") * (1 - F.col(rr)) * F.col("maj")
+        sums[f"tn{rr}"] = (
+            F.col("n_docs") * (1 - F.col(rr)) * (1 - F.col("maj"))
+        )
+    st = pat.select(
+        "*", *[F.sum(e).over(wall).alias(k) for k, e in sums.items()]
+    )
+
+    def sens_factor(rr: str) -> str:
+        return (
+            f"CASE WHEN {rr} = 1 THEN tp{rr} * 1000000 div (tp{rr} + fn{rr}) "
+            f"ELSE 1000000 - tp{rr} * 1000000 div (tp{rr} + fn{rr}) END"
+        )
+
+    def spec_factor(rr: str) -> str:
+        return (
+            f"CASE WHEN {rr} = 1 THEN 1000000 - tn{rr} * 1000000 "
+            f"div (tn{rr} + fp{rr}) "
+            f"ELSE tn{rr} * 1000000 div (tn{rr} + fp{rr}) END"
+        )
+
+    def w_expr(prior: str, fa: str, fb: str, fc: str) -> str:
+        return (
+            f"(((({prior}) * ({fa}) div 1000000) * ({fb}) div 1000000)"
+            f" * ({fc}) div 1000000)"
+        )
+
+    w1 = w_expr(
+        "npos * 1000000 div nt",
+        sens_factor("a"),
+        sens_factor("b"),
+        sens_factor("c"),
+    )
+    w0 = w_expr(
+        "(nt - npos) * 1000000 div nt",
+        spec_factor("a"),
+        spec_factor("b"),
+        spec_factor("c"),
+    )
+    scored = st.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        "n_docs",
+        F.col("maj").cast("long").alias("maj_label"),
+        F.expr(w1).cast("long").alias("w1_micro"),
+        F.expr(w0).cast("long").alias("w0_micro"),
+    )
+    return scored.select(
+        "*",
+        F.when(F.col("w1_micro") > F.col("w0_micro"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("ds_label"),
+    ).select(
+        "a",
+        "b",
+        "c",
+        "n_docs",
+        "maj_label",
+        "w1_micro",
+        "w0_micro",
+        "ds_label",
+        (F.col("ds_label") != F.col("maj_label")).alias("flipped"),
+    )

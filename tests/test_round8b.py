@@ -500,3 +500,50 @@ def test_budgeted_coverage_ratio_identity(r8b_wave_i):
         assert r["ratio_micro"] == r["gain"] * 1000000 // r["cost"]
         assert r["cost"] >= 3  # shingled docs have >= 3 tokens
     assert len({r["doc_id"] for r in rows}) == len(rows)
+
+
+@pytest.fixture(scope="module")
+def r8b_wave_j(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = ["markov_purchase_absorption", "dawid_skene_one_step"]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in names
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_markov_absorption_monotone(r8b_wave_j):
+    rows = r8b_wave_j["markov_purchase_absorption"]
+    assert rows
+    by_state = {r["state"]: r for r in rows}
+    assert "purchase" in by_state
+    p = by_state["purchase"]
+    assert p["p1_micro"] == p["p2_micro"] == p["p3_micro"] == 1000000
+    for r in rows:
+        # absorption probability is nondecreasing in the horizon (up to
+        # the 1-micro truncation per step)
+        assert r["p1_micro"] <= r["p2_micro"] + 1
+        assert r["p2_micro"] <= r["p3_micro"] + 1
+        assert 0 <= r["p1_micro"] <= 1000000
+        assert 0 <= r["p3_micro"] <= 1000000
+
+
+def test_dawid_skene_patterns_partition_corpus(r8b_wave_j, spark, sf_dir):
+    from kinesis_log_watcher_spark.queries.base import load
+
+    rows = r8b_wave_j["dawid_skene_one_step"]
+    assert 1 <= len(rows) <= 8
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["maj_label"] == (1 if r["a"] + r["b"] + r["c"] >= 2 else 0)
+        assert r["flipped"] == (r["ds_label"] != r["maj_label"])
+        assert 0 <= r["w1_micro"] <= 1000000
+        assert 0 <= r["w0_micro"] <= 1000000
+        # unanimous patterns are never flipped by a one-step relabel
+        # when raters are better than chance on this data
+        if r["a"] == r["b"] == r["c"] == r["maj_label"]:
+            assert not r["flipped"]
