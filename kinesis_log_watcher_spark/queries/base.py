@@ -210,6 +210,9 @@ _FRONT = (
     "budgeted_coverage_greedy",
     "markov_purchase_absorption",
     "dawid_skene_one_step",
+    "iv_wald_estimator",
+    "ab_test_mde",
+    "heaps_vocab_growth",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

@@ -3456,3 +3456,298 @@ def dawid_skene_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ds_label",
         (F.col("ds_label") != F.col("maj_label")).alias("flipped"),
     )
+
+
+# ===========================================================================
+# Instrumental-variable (Wald) estimator
+# ===========================================================================
+
+
+@register(
+    "iv_wald_estimator",
+    """
+    WITH base AS (
+      SELECT CAST('0x' || substr(md5('iv|' || CAST(o_orderkey AS VARCHAR)),
+                  1, 15) AS BIGINT) % 2 AS z,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       OR CAST('0x' || substr(md5('ivc|'
+                          || CAST(o_orderkey AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 3 = 0
+                  THEN 1 ELSE 0 END AS x,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS y
+      FROM orders),
+    arms AS (
+      SELECT z, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy
+      FROM base GROUP BY z),
+    wide AS (
+      SELECT *,
+             SUM(CASE WHEN z = 1 THEN sy END) OVER () AS sy1,
+             SUM(CASE WHEN z = 1 THEN n END) OVER () AS n1,
+             SUM(CASE WHEN z = 0 THEN sy END) OVER () AS sy0,
+             SUM(CASE WHEN z = 0 THEN n END) OVER () AS n0,
+             SUM(CASE WHEN z = 1 THEN sx END) OVER () AS sx1,
+             SUM(CASE WHEN z = 0 THEN sx END) OVER () AS sx0
+      FROM arms)
+    SELECT z, n, sx, sy,
+           CAST(floor((CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)
+                      / (CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0)
+                      * 1000000 + 0.5) AS BIGINT) AS wald_microcents
+    FROM wide
+    """,
+    doc="Instrumental-variable (Wald) estimator: a deterministic md5 "
+    "instrument z nudges treatment uptake x (priority OR an "
+    "instrument-correlated compliance coin), and the Wald ratio "
+    "(E[y|z=1]-E[y|z=0]) / (E[x|z=1]-E[x|z=0]) estimates the local "
+    "average treatment effect on order value — the causal-inference "
+    "primitive for encouragement designs where treatment itself "
+    "can't be randomized. Completes the repo's causal family "
+    "(DiD, CUPED, IPW). Arm moments are exact int64; the ratio "
+    "collapses to IEEE doubles on the bounded 2-row arm relation "
+    "(bit-identical across engines) and quantizes with the same "
+    "floor(+0.5). Scale shape: one narrow map + one partial-agg "
+    "shuffle to 2 rows; windows on that bounded relation. (No "
+    "counterpart in reference main.go.)",
+)
+def iv_wald_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    orders = load(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("string")
+    z = _h15(F.concat(F.lit("iv|"), okey)) % 2
+    x = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        | (_h15(F.concat(F.lit("ivc|"), okey)) % 3 == 0),
+        1,
+    ).otherwise(0)
+    y = (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long")
+    base = orders.select(z.alias("z"), x.alias("x"), y.alias("y"))
+    arms = base.groupBy("z").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wide = arms.select(
+        "*",
+        F.sum(F.when(F.col("z") == 1, F.col("sy"))).over(wall).alias("sy1"),
+        F.sum(F.when(F.col("z") == 1, F.col("n"))).over(wall).alias("n1"),
+        F.sum(F.when(F.col("z") == 0, F.col("sy"))).over(wall).alias("sy0"),
+        F.sum(F.when(F.col("z") == 0, F.col("n"))).over(wall).alias("n0"),
+        F.sum(F.when(F.col("z") == 1, F.col("sx"))).over(wall).alias("sx1"),
+        F.sum(F.when(F.col("z") == 0, F.col("sx"))).over(wall).alias("sx0"),
+    )
+    wald = (
+        F.col("sy1").cast("double") / F.col("n1")
+        - F.col("sy0").cast("double") / F.col("n0")
+    ) / (
+        F.col("sx1").cast("double") / F.col("n1")
+        - F.col("sx0").cast("double") / F.col("n0")
+    )
+    return wide.select(
+        "z",
+        "n",
+        "sx",
+        "sy",
+        F.floor(wald * 1000000 + 0.5).cast("long").alias("wald_microcents"),
+    )
+
+
+# ===========================================================================
+# A/B test minimum detectable effect (power analysis from the data)
+# ===========================================================================
+
+# z_{alpha/2} + z_{beta} for alpha=.05, power=.8, as an exact micro
+# constant (1.959964 + 0.841621), embedded in BOTH dialects — no
+# runtime inverse-normal anywhere.
+_MDE_ZSUM_MICRO = 2_801_585
+
+
+@register(
+    "ab_test_mde",
+    f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST('0x' || substr(md5('cuped|' || CAST(o_custkey AS VARCHAR)),
+                  1, 15) AS BIGINT) % 2 AS arm,
+             CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+                           THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                     * 100 AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS ss
+      FROM cust GROUP BY arm),
+    pooled AS (
+      SELECT *,
+             SUM(n) OVER () AS nt,
+             (SUM(ss) OVER ()
+              - CAST(SUM(s) OVER () AS DOUBLE) * SUM(s) OVER ()
+                / SUM(n) OVER ()) / (SUM(n) OVER () - 1) AS var_pooled
+      FROM arms)
+    SELECT arm, n, s,
+           CAST(floor(sqrt(var_pooled) + 0.5) AS BIGINT) AS sd_cents,
+           CAST(floor({_MDE_ZSUM_MICRO} / 1000000.0
+                      * sqrt(2 * var_pooled / n) + 0.5) AS BIGINT)
+             AS mde_cents
+    FROM pooled
+    """,
+    doc="A/B-test power analysis from the data: the minimum detectable "
+    "effect (alpha=.05 two-sided, power=.8) for the 1997-spend metric "
+    "at each arm's realized sample size, MDE = (z_a+z_b) * "
+    "sqrt(2*sigma^2/n) — the experiment-design primitive that says "
+    "whether a proposed data-recipe test is even worth running. The "
+    "normal quantile sum is a build-time micro constant embedded in "
+    "both dialects (no runtime inverse-normal); variance comes from "
+    "exact DECIMAL(38,0) sums collapsed to IEEE doubles on the "
+    "bounded 2-row arm relation; sqrt is the one correctly-rounded "
+    "IEEE libm call both engines share. Scale shape: one shuffle to "
+    "per-customer spend, one partial agg to 2 rows. (No counterpart "
+    "in reference main.go.)",
+)
+def ab_test_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    orders = load(spark, sf_dir, "orders")
+    yr = F.year(F.to_date("o_orderdate"))
+    cents = (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(yr == 1997, cents).otherwise(0)).cast("long").alias("y")
+    ).select(
+        (
+            _h15(
+                F.concat(F.lit("cuped|"), F.col("o_custkey").cast("string"))
+            )
+            % 2
+        ).alias("arm"),
+        "y",
+    )
+    d38 = "decimal(38,0)"
+    arms = cust.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).cast("double").alias("ss"),
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    var_pooled = (
+        F.sum("ss").over(wall)
+        - F.sum("s").over(wall).cast("double")
+        * F.sum("s").over(wall)
+        / F.sum("n").over(wall)
+    ) / (F.sum("n").over(wall) - 1)
+    pooled = arms.select("*", var_pooled.alias("var_pooled"))
+    return pooled.select(
+        "arm",
+        "n",
+        "s",
+        F.floor(F.sqrt(F.col("var_pooled")) + 0.5)
+        .cast("long")
+        .alias("sd_cents"),
+        F.floor(
+            F.lit(_MDE_ZSUM_MICRO / 1000000.0)
+            * F.sqrt(2 * F.col("var_pooled") / F.col("n"))
+            + 0.5
+        )
+        .cast("long")
+        .alias("mde_cents"),
+    )
+
+
+# ===========================================================================
+# Heaps-law vocabulary growth at doubling checkpoints
+# ===========================================================================
+
+_HEAPS_CKPTS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+@register(
+    "heaps_vocab_growth",
+    f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    firstdoc AS (
+      SELECT word, CAST(MIN(doc_id) AS BIGINT) AS fd
+      FROM words GROUP BY word),
+    doctok AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      FROM documents),
+    ck AS (SELECT unnest([{", ".join(str(c) for c in _HEAPS_CKPTS)}])
+             AS checkpoint_n)
+    SELECT CAST(c.checkpoint_n AS BIGINT) AS checkpoint_n,
+           (SELECT CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM doctok
+            WHERE doc_id < c.checkpoint_n) AS tokens_cum,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM firstdoc
+            WHERE fd < c.checkpoint_n) AS vocab_cum
+    FROM ck c
+    """,
+    doc="Heaps-law vocabulary growth curve: cumulative distinct "
+    "vocabulary vs cumulative tokens at doubling document-count "
+    "checkpoints — the sublinear V ~ K*n^beta curve that sizes "
+    "tokenizer vocabularies and predicts how much NEW vocabulary "
+    "another crawl buys. ONE corpus pass: each word's first-"
+    "appearance doc (min doc_id) turns every checkpoint's vocabulary "
+    "into a simple count over the word relation — no per-checkpoint "
+    "rescan, no sequential fold. Scale shape: one shuffle on the "
+    "word key to first-appearance, then bounded checkpoint "
+    "aggregations (the engine folds all checkpoints in one "
+    "conditional aggregation over first-doc values). (No counterpart "
+    "in reference main.go.)",
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    firstdoc = words.groupBy("word").agg(
+        F.min("doc_id").cast("long").alias("fd")
+    )
+    # token rows (isv=0, one per word occurrence) and first-appearance
+    # rows (isv=1, one per distinct word) fold through ONE aggregation —
+    # no 1-row x 1-row combine join anywhere
+    tagged = words.select(
+        F.col("doc_id").alias("k"), F.lit(0).alias("isv")
+    ).unionAll(firstdoc.select(F.col("fd").alias("k"), F.lit(1).alias("isv")))
+    merged = tagged.agg(
+        *[
+            F.sum(
+                F.when((F.col("k") < c) & (F.col("isv") == 0), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias(f"t{c}")
+            for c in _HEAPS_CKPTS
+        ],
+        *[
+            F.sum(
+                F.when((F.col("k") < c) & (F.col("isv") == 1), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias(f"v{c}")
+            for c in _HEAPS_CKPTS
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).cast("long").alias("checkpoint_n"),
+                F.col(f"t{c}").alias("tokens_cum"),
+                F.col(f"v{c}").alias("vocab_cum"),
+            )
+            for c in _HEAPS_CKPTS
+        ]
+    )
+    return merged.select(F.explode(pairs).alias("r")).select(
+        "r.checkpoint_n", "r.tokens_cum", "r.vocab_cum"
+    )

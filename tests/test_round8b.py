@@ -547,3 +547,50 @@ def test_dawid_skene_patterns_partition_corpus(r8b_wave_j, spark, sf_dir):
         # when raters are better than chance on this data
         if r["a"] == r["b"] == r["c"] == r["maj_label"]:
             assert not r["flipped"]
+
+
+@pytest.fixture(scope="module")
+def r8b_wave_k(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = ["iv_wald_estimator", "ab_test_mde", "heaps_vocab_growth"]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in names
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_iv_wald_scalar_consistent(r8b_wave_k):
+    rows = r8b_wave_k["iv_wald_estimator"]
+    assert len(rows) == 2
+    assert {r["z"] for r in rows} == {0, 1}
+    assert len({r["wald_microcents"] for r in rows}) == 1
+    for r in rows:
+        assert 0 <= r["sx"] <= r["n"]
+
+
+def test_mde_positive_and_scales_with_sd(r8b_wave_k):
+    rows = r8b_wave_k["ab_test_mde"]
+    assert len(rows) == 2
+    for r in rows:
+        assert r["sd_cents"] > 0
+        assert r["mde_cents"] > 0
+        # MDE = 2.8*sqrt(2)*sd/sqrt(n): sanity-bounded by sd when n >= 16
+        if r["n"] >= 16:
+            assert r["mde_cents"] < r["sd_cents"]
+
+
+def test_heaps_growth_monotone_sublinear(r8b_wave_k):
+    rows = sorted(
+        r8b_wave_k["heaps_vocab_growth"], key=lambda r: r["checkpoint_n"]
+    )
+    assert [r["checkpoint_n"] for r in rows] == [
+        32, 64, 128, 256, 512, 1024, 2048, 4096, 8192,
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert a["tokens_cum"] <= b["tokens_cum"]
+        assert a["vocab_cum"] <= b["vocab_cum"]
+    for r in rows:
+        assert r["vocab_cum"] <= r["tokens_cum"]

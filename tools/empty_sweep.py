@@ -59,6 +59,9 @@ FIXED_CARDINALITY = {
     # the pipeline reports every stage even over an empty corpus
     # (all counts/metrics 0 — the oracle returns the same 6 rows)
     "curation_pipeline_e2e": 6,
+    # the growth curve reports every checkpoint even over an empty
+    # corpus (tokens/vocab 0 — the oracle returns the same 9 rows)
+    "heaps_vocab_growth": 9,
 }
 
 # Only the watcher-surface family compiles templates (the process-global,
