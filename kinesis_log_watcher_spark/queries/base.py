@@ -213,6 +213,8 @@ _FRONT = (
     "iv_wald_estimator",
     "ab_test_mde",
     "heaps_vocab_growth",
+    "forecast_mase_backtest",
+    "compaction_binpack_plan",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

@@ -3751,3 +3751,213 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(F.explode(pairs).alias("r")).select(
         "r.checkpoint_n", "r.tokens_cum", "r.vocab_cum"
     )
+
+
+# ===========================================================================
+# Forecast backtest: seasonal-naive vs naive, exact MASE
+# ===========================================================================
+
+
+@register(
+    "forecast_mase_backtest",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    lagged AS (
+      SELECT d, cents,
+             LAG(cents, 1) OVER (ORDER BY d) AS naive_f,
+             LAG(cents, 7) OVER (ORDER BY d) AS seasonal_f
+      FROM daily),
+    errs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(abs(cents - naive_f)) AS BIGINT) AS naive_mae_sum,
+             CAST(SUM(abs(cents - seasonal_f)) AS BIGINT)
+               AS seasonal_mae_sum
+      FROM lagged WHERE naive_f IS NOT NULL AND seasonal_f IS NOT NULL)
+    SELECT n, naive_mae_sum, seasonal_mae_sum,
+           CAST(seasonal_mae_sum * 1000000 // naive_mae_sum AS BIGINT)
+             AS mase_micro,
+           seasonal_mae_sum < naive_mae_sum AS seasonal_wins
+    FROM errs
+    """,
+    doc="Forecast backtest with exact MASE: the seasonal-naive (lag-7) "
+    "daily-revenue forecast scored against the naive (lag-1) "
+    "benchmark on the same evaluation days — MASE = seasonal MAE / "
+    "naive MAE as an exact truncating micro ratio (the "
+    "scale-independent forecast-accuracy metric of Hyndman-Koehler), "
+    "with the comparison itself an exact integer inequality. "
+    "Completes the forecasting family (Holt, STL, periodogram) with "
+    "its standard evaluation metric. Scale shape: one partial-agg "
+    "shuffle to the bounded day domain; lags are windows over that "
+    "bounded relation; the verdict is one aggregate row. (No "
+    "counterpart in reference main.go.)",
+)
+def forecast_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    orders = load(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01")
+    daily = orders.groupBy(
+        F.datediff(F.to_date("o_orderdate"), epoch).cast("long").alias("d")
+    ).agg(
+        F.sum((dec(F.col("o_totalprice"), 12, 2) * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wd = Window.orderBy("d")
+    lagged = daily.select(
+        "cents",
+        F.lag("cents", 1).over(wd).alias("naive_f"),
+        F.lag("cents", 7).over(wd).alias("seasonal_f"),
+    ).filter(F.col("naive_f").isNotNull() & F.col("seasonal_f").isNotNull())
+    errs = lagged.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.abs(F.col("cents") - F.col("naive_f")))
+        .cast("long")
+        .alias("naive_mae_sum"),
+        F.sum(F.abs(F.col("cents") - F.col("seasonal_f")))
+        .cast("long")
+        .alias("seasonal_mae_sum"),
+    )
+    return errs.select(
+        "n",
+        "naive_mae_sum",
+        "seasonal_mae_sum",
+        F.expr("seasonal_mae_sum * 1000000 div naive_mae_sum")
+        .cast("long")
+        .alias("mase_micro"),
+        (F.col("seasonal_mae_sum") < F.col("naive_mae_sum")).alias(
+            "seasonal_wins"
+        ),
+    )
+
+
+# ===========================================================================
+# Compaction planning: first-fit-decreasing bin packing of partition files
+# ===========================================================================
+
+_PACK_TARGET_ROWS = 2048  # target rows per compacted output file
+
+
+@register(
+    "compaction_binpack_plan",
+    f"""
+    WITH RECURSIVE files AS (
+      SELECT date_diff('month', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS file_id,
+             CAST(COUNT(*) AS BIGINT) AS rows_
+      FROM orders GROUP BY 1),
+    ordered AS (
+      SELECT file_id, rows_,
+             ROW_NUMBER() OVER (ORDER BY rows_ DESC, file_id) AS i
+      FROM files),
+    -- FFD fold: state = list of bin loads; place each file (descending)
+    -- into the first bin it fits, else open a new bin
+    rec AS (
+      SELECT CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS bins
+      UNION ALL
+      SELECT o.i,
+             CASE WHEN len(list_filter(range(1, len(r.bins) + 1),
+                     j -> r.bins[j] + o.rows_ <= {_PACK_TARGET_ROWS})) > 0
+                  THEN list_transform(range(1, len(r.bins) + 1),
+                    j -> r.bins[j] + CASE WHEN j = list_filter(
+                           range(1, len(r.bins) + 1),
+                           k -> r.bins[k] + o.rows_
+                                <= {_PACK_TARGET_ROWS})[1]
+                         THEN o.rows_ ELSE 0 END)
+                  ELSE list_append(r.bins, o.rows_) END
+      FROM rec r JOIN ordered o ON o.i = r.i + 1),
+    fin AS (SELECT bins FROM rec
+            WHERE i = (SELECT COALESCE(MAX(i), 0) FROM ordered)),
+    stats AS (
+      SELECT CAST(len(bins) AS BIGINT) AS n_bins,
+             CAST(COALESCE(list_sum(bins), 0) AS BIGINT) AS total_rows
+      FROM fin)
+    SELECT n_bins, total_rows,
+           CAST((total_rows + {_PACK_TARGET_ROWS} - 1)
+                // {_PACK_TARGET_ROWS} AS BIGINT) AS lower_bound_bins,
+           CAST(CASE WHEN n_bins > 0
+                     THEN total_rows * 1000000 // (n_bins
+                          * {_PACK_TARGET_ROWS}) ELSE 0 END AS BIGINT)
+             AS fill_micro
+    FROM stats
+    """,
+    doc="Compaction planning by first-fit-decreasing bin packing: "
+    "monthly order partitions (the 'small files') are packed into "
+    f"{_PACK_TARGET_ROWS}-row target output files by the classic FFD "
+    "greedy (11/9 OPT + 6/9 guarantee), run as one integer fold over "
+    "the size-sorted BOUNDED file manifest; reports bins used vs the "
+    "ceil(total/target) lower bound and the achieved fill rate. The "
+    "small-files maintenance planner every lakehouse table needs. "
+    "Scale shape: the fact table pays one partial-agg shuffle to the "
+    "bounded partition manifest (~100 rows per decade of months); "
+    "the sequential pack runs on that manifest only — file COUNTS "
+    "scale with partitions, never with rows. (No counterpart in "
+    "reference main.go.)",
+)
+def compaction_binpack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.expr(
+            "CAST(months_between(to_date(o_orderdate), "
+            "to_date('1970-01-01')) AS BIGINT)"
+        ).alias("file_id")
+    ).agg(F.count("*").cast("long").alias("rows_"))
+    arr = files.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("rows_")).alias("neg_rows"),
+                    "file_id",
+                    "rows_",
+                )
+            )
+        ).alias("seq")
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+          seq,
+          CAST(array() AS array<bigint>),
+          (bins, x) -> CASE
+            -- Spark sequence(1, 0) counts DOWN to [1, 0]; empty bins
+            -- must short-circuit before any sequence over their size
+            WHEN size(bins) = 0 THEN array(x.rows_)
+            WHEN size(filter(sequence(1, size(bins)),
+                   j -> element_at(bins, CAST(j AS INT)) + x.rows_
+                        <= {_PACK_TARGET_ROWS})) > 0
+            THEN transform(bins, (v, j0) -> v + IF(j0 + 1 =
+                   element_at(filter(sequence(1, size(bins)),
+                     k -> element_at(bins, CAST(k AS INT)) + x.rows_
+                          <= {_PACK_TARGET_ROWS}), 1),
+                   x.rows_, CAST(0 AS BIGINT)))
+            ELSE concat(bins, array(x.rows_)) END,
+          bins -> struct(
+            CAST(size(bins) AS BIGINT) AS n_bins,
+            CAST(coalesce(aggregate(bins, CAST(0 AS BIGINT),
+                 (a, b) -> a + b), 0) AS BIGINT) AS total_rows)
+        )
+        """
+    )
+    fin = arr.select(fold.alias("f")).select("f.n_bins", "f.total_rows")
+    return fin.select(
+        "n_bins",
+        "total_rows",
+        F.expr(
+            f"CAST((total_rows + {_PACK_TARGET_ROWS - 1}) "
+            f"div {_PACK_TARGET_ROWS} AS BIGINT)"
+        ).alias("lower_bound_bins"),
+        F.when(
+            F.col("n_bins") > 0,
+            F.expr(
+                f"total_rows * 1000000 div (n_bins * {_PACK_TARGET_ROWS})"
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("fill_micro"),
+    )

@@ -594,3 +594,35 @@ def test_heaps_growth_monotone_sublinear(r8b_wave_k):
         assert a["vocab_cum"] <= b["vocab_cum"]
     for r in rows:
         assert r["vocab_cum"] <= r["tokens_cum"]
+
+
+@pytest.fixture(scope="module")
+def r8b_wave_l(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = ["forecast_mase_backtest", "compaction_binpack_plan"]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in names
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_mase_ratio_identity(r8b_wave_l):
+    rows = r8b_wave_l["forecast_mase_backtest"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n"] > 0
+    assert r["mase_micro"] == r["seasonal_mae_sum"] * 1000000 // r["naive_mae_sum"]
+    assert r["seasonal_wins"] == (r["seasonal_mae_sum"] < r["naive_mae_sum"])
+
+
+def test_binpack_bounds(r8b_wave_l):
+    rows = r8b_wave_l["compaction_binpack_plan"]
+    assert len(rows) == 1
+    r = rows[0]
+    # FFD never beats the fractional lower bound and never exceeds
+    # 2x of it for target-respecting items (loose structural bound)
+    assert r["n_bins"] >= r["lower_bound_bins"]
+    assert 0 < r["fill_micro"] <= 1000000
