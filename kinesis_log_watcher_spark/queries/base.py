@@ -215,6 +215,8 @@ _FRONT = (
     "heaps_vocab_growth",
     "forecast_mase_backtest",
     "compaction_binpack_plan",
+    "median_ci_order_statistics",
+    "supplier_revenue_concentration",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

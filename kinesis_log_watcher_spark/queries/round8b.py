@@ -3961,3 +3961,196 @@ def compaction_binpack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fill_micro"),
     )
+
+
+# ===========================================================================
+# Distribution-free median CI from order statistics
+# ===========================================================================
+
+
+@register(
+    "median_ci_order_statistics",
+    """
+    WITH vals AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS c
+      FROM orders),
+    byval AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY c),
+    cum AS (
+      SELECT c, cnt,
+             SUM(cnt) OVER (ORDER BY c) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM byval),
+    ranks AS (
+      SELECT *,
+             (n + 1) // 2 AS r_med,
+             CAST(greatest(1, n // 2
+                  - CAST(ceil(0.98 * sqrt(CAST(n AS DOUBLE))) AS BIGINT))
+               AS BIGINT) AS r_lo,
+             CAST(least(n, n // 2 + 1
+                  + CAST(ceil(0.98 * sqrt(CAST(n AS DOUBLE))) AS BIGINT))
+               AS BIGINT) AS r_hi
+      FROM cum)
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(r_lo) AS BIGINT) AS r_lo,
+           CAST(MAX(r_hi) AS BIGINT) AS r_hi,
+           CAST(MIN(CASE WHEN cum >= r_med THEN c END) AS BIGINT)
+             AS median_cents,
+           CAST(MIN(CASE WHEN cum >= r_lo THEN c END) AS BIGINT)
+             AS ci_lo_cents,
+           CAST(MIN(CASE WHEN cum >= r_hi THEN c END) AS BIGINT)
+             AS ci_hi_cents
+    FROM ranks
+    """,
+    doc="Distribution-free ~95% confidence interval for the median via "
+    "order statistics: the CI endpoints are the values at ranks "
+    "n/2 -/+ ceil(0.98*sqrt(n)) (the binomial normal approximation; "
+    "0.98 = z_{{.975}}/2), needing NO resampling — the uncertainty "
+    "primitive bootstrap_mean_ci provides for the mean, here for the "
+    "median with zero replicates. All three rank lookups are "
+    "conditional MINs over the cumulative value-count relation in "
+    "ONE aggregation; sqrt/ceil is the single correctly-rounded IEEE "
+    "call both engines share. Scale shape: one partial-agg shuffle "
+    "to the distinct-cents domain + one prefix window over it (the "
+    "mann_whitney pattern; the histogram swap is the documented path "
+    "past that). (No counterpart in reference main.go.)",
+)
+def median_ci_order_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    orders = load(spark, sf_dir, "orders")
+    vals = orders.select(
+        (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long").alias("c")
+    )
+    byval = vals.groupBy("c").agg(F.count("*").cast("long").alias("cnt"))
+    wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = byval.select(
+        "c",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    half = F.expr("CAST(ceil(0.98 * sqrt(CAST(n AS DOUBLE))) AS BIGINT)")
+    ranks = cum.select(
+        "*",
+        F.expr("(n + 1) div 2").alias("r_med"),
+        F.greatest(F.lit(1).cast("long"), F.expr("n div 2") - half).alias(
+            "r_lo"
+        ),
+        F.least(F.col("n"), F.expr("n div 2 + 1") + half).alias("r_hi"),
+    )
+    return ranks.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("r_lo").cast("long").alias("r_lo"),
+        F.max("r_hi").cast("long").alias("r_hi"),
+        F.min(F.when(F.col("cum") >= F.col("r_med"), F.col("c")))
+        .cast("long")
+        .alias("median_cents"),
+        F.min(F.when(F.col("cum") >= F.col("r_lo"), F.col("c")))
+        .cast("long")
+        .alias("ci_lo_cents"),
+        F.min(F.when(F.col("cum") >= F.col("r_hi"), F.col("c")))
+        .cast("long")
+        .alias("ci_hi_cents"),
+    )
+
+
+# ===========================================================================
+# Revenue concentration: exact Gini + HHI per nation's supplier base
+# ===========================================================================
+
+
+@register(
+    "supplier_revenue_concentration",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_suppkey),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, l_suppkey) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(cents) OVER () AS tot
+      FROM rev),
+    g AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n_suppliers,
+             CAST(MAX(tot) AS BIGINT) AS total_cents,
+             CAST(SUM(CAST(i AS DECIMAL(38,0)) * cents) AS DOUBLE) AS iws,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE)
+               AS sq
+      FROM ranked)
+    SELECT n_suppliers, total_cents,
+           CAST(floor((2.0 * iws / (n_suppliers
+                       * CAST(total_cents AS DOUBLE))
+                       - (n_suppliers + 1.0) / n_suppliers)
+                      * 1000000 + 0.5) AS BIGINT) AS gini_micro,
+           CAST(floor(sq / (CAST(total_cents AS DOUBLE) * total_cents)
+                      * 1000000 + 0.5) AS BIGINT) AS hhi_micro
+    FROM g
+    """,
+    doc="Revenue concentration: the exact Gini coefficient (from the "
+    "rank-weighted sum identity G = 2*sum(i*x_i)/(n*sum(x)) - "
+    "(n+1)/n over ascending-sorted supplier revenues, deterministic "
+    "suppkey tie-break) and the Herfindahl-Hirschman index "
+    "(sum of squared revenue shares) — the two standard inequality/ "
+    "concentration diagnostics for 'is this corpus/market dominated "
+    "by a few contributors'. Exact int64 cents with DECIMAL(38,0) "
+    "cross products collapsed to IEEE doubles at the 1-row relation; "
+    "both dialects quantize with the same floor(+0.5). Scale shape: "
+    "one partial-agg shuffle to the supplier relation; the rank "
+    "window runs over that bounded-by-|suppliers| relation (the "
+    "histogram swap applies if the entity domain itself explodes). "
+    "(No counterpart in reference main.go.)",
+)
+def supplier_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum((dec(F.col("l_extendedprice"), 12, 2) * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wr = Window.orderBy("cents", "l_suppkey")
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d38 = "decimal(38,0)"
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(wr).cast("long").alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("tot"),
+    )
+    g = ranked.agg(
+        F.max("n").cast("long").alias("n_suppliers"),
+        F.max("tot").cast("long").alias("total_cents"),
+        F.sum(F.col("i").cast(d38) * F.col("cents"))
+        .cast("double")
+        .alias("iws"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents"))
+        .cast("double")
+        .alias("sq"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("iws")
+        / (F.col("n_suppliers") * F.col("total_cents").cast("double"))
+        - (F.col("n_suppliers") + F.lit(1.0)) / F.col("n_suppliers")
+    )
+    hhi = F.col("sq") / (
+        F.col("total_cents").cast("double") * F.col("total_cents")
+    )
+    return g.select(
+        "n_suppliers",
+        "total_cents",
+        F.floor(gini * 1000000 + 0.5).cast("long").alias("gini_micro"),
+        F.floor(hhi * 1000000 + 0.5).cast("long").alias("hhi_micro"),
+    )

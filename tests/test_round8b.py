@@ -626,3 +626,33 @@ def test_binpack_bounds(r8b_wave_l):
     # 2x of it for target-respecting items (loose structural bound)
     assert r["n_bins"] >= r["lower_bound_bins"]
     assert 0 < r["fill_micro"] <= 1000000
+
+
+@pytest.fixture(scope="module")
+def r8b_wave_m(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = ["median_ci_order_statistics", "supplier_revenue_concentration"]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in names
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_median_ci_contains_median(r8b_wave_m):
+    rows = r8b_wave_m["median_ci_order_statistics"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert 1 <= r["r_lo"] <= r["r_hi"] <= r["n"]
+    assert r["ci_lo_cents"] <= r["median_cents"] <= r["ci_hi_cents"]
+
+
+def test_concentration_indices_in_range(r8b_wave_m):
+    rows = r8b_wave_m["supplier_revenue_concentration"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 <= r["gini_micro"] <= 1000000
+    # HHI is at least 1/n and at most 1
+    assert 1000000 // r["n_suppliers"] <= r["hhi_micro"] <= 1000000
