@@ -217,6 +217,8 @@ _FRONT = (
     "compaction_binpack_plan",
     "median_ci_order_statistics",
     "supplier_revenue_concentration",
+    "cluster_design_effect",
+    "raking_ipf_two_iters",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

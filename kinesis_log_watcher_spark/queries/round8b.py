@@ -4154,3 +4154,200 @@ def supplier_revenue_concentration(
         F.floor(gini * 1000000 + 0.5).cast("long").alias("gini_micro"),
         F.floor(hhi * 1000000 + 0.5).cast("long").alias("hhi_micro"),
     )
+
+
+# ===========================================================================
+# Cluster-sampling design effect (DEFF via one-way ANOVA ICC)
+# ===========================================================================
+
+
+@register(
+    "cluster_design_effect",
+    """
+    WITH grp AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                AS BIGINT) AS DECIMAL(38,0))
+                      * CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS DOUBLE) AS ss
+      FROM orders GROUP BY o_custkey),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(m) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS st,
+             SUM(ss) AS sst,
+             SUM(CAST(s AS DOUBLE) * s / m) AS sbm
+      FROM grp),
+    comp AS (
+      SELECT *,
+             sbm - CAST(st AS DOUBLE) * st / n AS ssb,
+             sst - sbm AS ssw,
+             CAST(n AS DOUBLE) / k AS mbar
+      FROM tot),
+    icc AS (
+      SELECT *,
+             ((ssb / (k - 1)) - (ssw / (n - k)))
+             / ((ssb / (k - 1)) + (mbar - 1) * (ssw / (n - k))) AS rho
+      FROM comp)
+    SELECT k AS n_clusters, n AS n_orders,
+           CAST(floor(mbar * 1000000 + 0.5) AS BIGINT) AS mbar_micro,
+           CAST(floor(rho * 1000000 + 0.5) AS BIGINT) AS icc_micro,
+           CAST(floor((1 + (mbar - 1) * rho) * 1000000 + 0.5) AS BIGINT)
+             AS deff_micro
+    FROM icc
+    """,
+    doc="Cluster-sampling design effect: if you sample CUSTOMERS (the "
+    "clusters) instead of orders, the effective sample size shrinks "
+    "by DEFF = 1 + (mbar - 1)*ICC, with the intraclass correlation "
+    "from the one-way ANOVA components (between/within sums of "
+    "squares over the per-customer order clusters) — the "
+    "survey-design primitive that prices clustered data collection "
+    "(and clustered A/B randomization). Exact int64 cents and "
+    "DECIMAL(38,0) squared sums collapse to IEEE doubles only in the "
+    "1-row component relation; same floor(+0.5) in both dialects. "
+    "Scale shape: one partial-agg shuffle to per-cluster moments, "
+    "then a single aggregate row. (No counterpart in reference "
+    "main.go.)",
+)
+def cluster_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    orders = load(spark, sf_dir, "orders")
+    cents = (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long")
+    d38 = "decimal(38,0)"
+    grp = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(cents).cast("long").alias("s"),
+        F.sum(cents.cast(d38) * cents).cast("double").alias("ss"),
+    )
+    tot = grp.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("m").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("ss").alias("sst"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("m")).alias(
+            "sbm"
+        ),
+    )
+    comp = tot.select(
+        "*",
+        (
+            F.col("sbm")
+            - F.col("st").cast("double") * F.col("st") / F.col("n")
+        ).alias("ssb"),
+        (F.col("sst") - F.col("sbm")).alias("ssw"),
+        (F.col("n").cast("double") / F.col("k")).alias("mbar"),
+    )
+    msb = F.col("ssb") / (F.col("k") - 1)
+    msw = F.col("ssw") / (F.col("n") - F.col("k"))
+    rho = (msb - msw) / (msb + (F.col("mbar") - 1) * msw)
+    icc = comp.select("*", rho.alias("rho"))
+    return icc.select(
+        F.col("k").alias("n_clusters"),
+        F.col("n").alias("n_orders"),
+        F.floor(F.col("mbar") * 1000000 + 0.5)
+        .cast("long")
+        .alias("mbar_micro"),
+        F.floor(F.col("rho") * 1000000 + 0.5).cast("long").alias("icc_micro"),
+        F.floor((1 + (F.col("mbar") - 1) * F.col("rho")) * 1000000 + 0.5)
+        .cast("long")
+        .alias("deff_micro"),
+    )
+
+
+# ===========================================================================
+# Raking (iterative proportional fitting), two exact-micro iterations
+# ===========================================================================
+
+
+@register(
+    "raking_ipf_two_iters",
+    """
+    WITH cell AS (
+      SELECT o_orderpriority AS prio, o_orderstatus AS status,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    -- margin TARGETS: uniform across priorities, observed across status
+    -- (the classic post-stratification shape: fix one margin, keep the
+    -- other) — targets derived from the same bounded cell relation
+    t AS (
+      SELECT *,
+             SUM(n) OVER () AS nt,
+             SUM(n) OVER (PARTITION BY status) AS col_obs,
+             COUNT(*) OVER (PARTITION BY status) AS _c,
+             CAST(1000000 AS BIGINT) AS w0
+      FROM cell),
+    -- iteration 1a: scale rows (priorities) to the uniform target
+    -- nt/5 per priority
+    r1 AS (
+      SELECT *,
+             w0 * (nt // 5) // SUM(n * w0 // 1000000)
+                                 OVER (PARTITION BY prio) AS w1
+      FROM t),
+    -- iteration 1b: scale columns (status) back to their observed
+    -- margins
+    r2 AS (
+      SELECT *,
+             w1 * col_obs // SUM(n * w1 // 1000000)
+                               OVER (PARTITION BY status) AS w2
+      FROM r1)
+    SELECT prio, status, n,
+           CAST(w2 AS BIGINT) AS weight_micro,
+           CAST(n * w2 // 1000000 AS BIGINT) AS weighted_n
+    FROM r2
+    """,
+    doc="Raking / iterative proportional fitting, one full row+column "
+    "cycle in exact truncating micros: reweight the (priority x "
+    "status) contingency cells so priorities match a UNIFORM target "
+    "margin while status margins stay at their observed totals — the "
+    "post-stratification primitive for correcting a corpus or panel "
+    "toward known population margins. Every scaling factor is an "
+    "integer micro ratio over window sums of the BOUNDED 15-cell "
+    "relation, identical in both dialects; weighted_n certifies the "
+    "fit. Scale shape: one partial-agg shuffle to the bounded cell "
+    "relation; all iterations are windows over it. (No counterpart "
+    "in reference main.go.)",
+)
+def raking_ipf_two_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cell = orders.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wst = Window.partitionBy("status").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = cell.select(
+        "*",
+        F.sum("n").over(wall).alias("nt"),
+        F.sum("n").over(wst).alias("col_obs"),
+        F.lit(1000000).cast("long").alias("w0"),
+    )
+    # integer division against the window sum (matches the oracle's //)
+    r1 = t.select(
+        "*",
+        F.expr(
+            "CAST(w0 * (nt div 5) div (sum(n * w0 div 1000000) "
+            "over (partition by prio)) AS BIGINT)"
+        ).alias("w1"),
+    )
+    r2 = r1.select(
+        "*",
+        F.expr(
+            "CAST(w1 * col_obs div (sum(n * w1 div 1000000) "
+            "over (partition by status)) AS BIGINT)"
+        ).alias("w2"),
+    )
+    return r2.select(
+        "prio",
+        "status",
+        "n",
+        F.col("w2").alias("weight_micro"),
+        F.expr("n * w2 div 1000000").cast("long").alias("weighted_n"),
+    )

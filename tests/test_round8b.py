@@ -656,3 +656,45 @@ def test_concentration_indices_in_range(r8b_wave_m):
     assert 0 <= r["gini_micro"] <= 1000000
     # HHI is at least 1/n and at most 1
     assert 1000000 // r["n_suppliers"] <= r["hhi_micro"] <= 1000000
+
+
+@pytest.fixture(scope="module")
+def r8b_wave_n(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = ["cluster_design_effect", "raking_ipf_two_iters"]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in names
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_deff_formula_consistent(r8b_wave_n):
+    rows = r8b_wave_n["cluster_design_effect"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_clusters"] <= r["n_orders"]
+    assert r["mbar_micro"] >= 1000000
+    # DEFF = 1 + (mbar-1)*ICC within integer-rounding tolerance
+    expected = 1000000 + (r["mbar_micro"] - 1000000) * r["icc_micro"] // 1000000
+    assert abs(r["deff_micro"] - expected) <= 2
+
+
+def test_raking_restores_status_margins(r8b_wave_n):
+    rows = r8b_wave_n["raking_ipf_two_iters"]
+    assert rows
+    by_status = {}
+    obs = {}
+    for r in rows:
+        by_status.setdefault(r["status"], 0)
+        obs.setdefault(r["status"], 0)
+        by_status[r["status"]] += r["weighted_n"]
+        obs[r["status"]] += r["n"]
+        assert r["weight_micro"] > 0
+    # after the column step, each status margin matches its observed
+    # total up to truncation (one micro per cell)
+    for s in by_status:
+        cells = sum(1 for r in rows if r["status"] == s)
+        assert abs(by_status[s] - obs[s]) <= cells + 1
