@@ -219,6 +219,8 @@ _FRONT = (
     "supplier_revenue_concentration",
     "cluster_design_effect",
     "raking_ipf_two_iters",
+    "kaplan_meier_survival",
+    "youden_optimal_threshold",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

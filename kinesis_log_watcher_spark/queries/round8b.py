@@ -4351,3 +4351,236 @@ def raking_ipf_two_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w2").alias("weight_micro"),
         F.expr("n * w2 div 1000000").cast("long").alias("weighted_n"),
     )
+
+# ===========================================================================
+# Kaplan-Meier product-limit survival with right censoring
+# ===========================================================================
+
+_KM_SUBJ_SQL = """
+    t0 AS (
+      SELECT user_id, MIN(ts) AS first_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id),
+    t1 AS (
+      SELECT user_id, MIN(ts) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    last AS (
+      SELECT user_id, MAX(ts) AS last_seen FROM events GROUP BY user_id),
+    subj AS (
+      SELECT c.user_id,
+             CASE WHEN p.first_purchase IS NOT NULL
+                       AND p.first_purchase >= c.first_click
+                  THEN 1 ELSE 0 END AS event,
+             CAST(date_diff('day', c.first_click,
+                    CASE WHEN p.first_purchase IS NOT NULL
+                              AND p.first_purchase >= c.first_click
+                         THEN p.first_purchase ELSE l.last_seen END)
+                  AS BIGINT) AS t
+      FROM t0 c
+      LEFT JOIN t1 p USING (user_id)
+      JOIN last l USING (user_id)),
+    byday AS (
+      SELECT t, CAST(SUM(event) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM subj GROUP BY t),
+    risk AS (
+      SELECT t, d,
+             CAST(SUM(leaving) OVER (ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n_risk
+      FROM byday),
+    ordered AS (
+      SELECT t, d, n_risk,
+             CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS i
+      FROM risk WHERE d > 0)
+"""
+
+
+@register(
+    "kaplan_meier_survival",
+    f"""
+    WITH RECURSIVE {_KM_SUBJ_SQL},
+    rec AS (
+      SELECT CAST(0 AS BIGINT) AS i, CAST(1000000 AS BIGINT) AS s
+      UNION ALL
+      SELECT o.i,
+             r.s * ((o.n_risk - o.d) * 1000000 // o.n_risk) // 1000000
+      FROM rec r JOIN ordered o ON o.i = r.i + 1)
+    SELECT o.t AS day, o.d AS n_events, o.n_risk,
+           CAST((o.n_risk - o.d) * 1000000 // o.n_risk AS BIGINT)
+             AS factor_micro,
+           CAST(r.s AS BIGINT) AS surv_micro
+    FROM ordered o JOIN rec r ON r.i = o.i
+    """,
+    doc="Kaplan-Meier product-limit survival with RIGHT CENSORING: "
+    "time from a user's first click to first purchase, with "
+    "never-purchasing users censored at their last observed event — "
+    "the estimator click_to_purchase_survival approximates without "
+    "censoring (its denominators ignore dropout; KM's shrinking risk "
+    "sets are the correct treatment). Risk sets come from one "
+    "reversed prefix sum over the bounded day-lag domain; the "
+    "survival curve is the exact sequential truncating micro product "
+    "S_i = S_(i-1) * ((n_i - d_i) * 1e6 // n_i) // 1e6, run as the "
+    "recursive fold both dialects share (the bandit/FFD pattern). "
+    "Scale shape: the fact table pays three per-user aggregations + "
+    "one shuffle to the bounded lag relation; the product folds over "
+    "event days only. (No counterpart in reference main.go.)",
+)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    t0 = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    last = ev.groupBy("user_id").agg(F.max("ts").alias("last_seen"))
+    has_event = F.col("first_purchase").isNotNull() & (
+        F.col("first_purchase") >= F.col("first_click")
+    )
+    end = F.when(has_event, F.col("first_purchase")).otherwise(
+        F.col("last_seen")
+    )
+    subj = (
+        t0.join(t1, "user_id", "left")
+        .join(last, "user_id")
+        .select(
+            F.when(has_event, 1).otherwise(0).alias("event"),
+            F.datediff(F.to_date(end), F.to_date("first_click"))
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    byday = subj.groupBy("t").agg(
+        F.sum("event").cast("long").alias("d"),
+        F.count("*").cast("long").alias("leaving"),
+    )
+    wrev = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    risk = byday.select(
+        "t", "d", F.sum("leaving").over(wrev).alias("n_risk")
+    ).filter(F.col("d") > 0)
+    # exact sequential product as ONE fold over the bounded, sorted
+    # event-day relation (the bandit/FFD pattern)
+    arr = risk.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "d", "n_risk"))
+        ).alias("seq")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          seq,
+          struct(CAST(1000000 AS BIGINT) AS s,
+                 CAST(array() AS array<struct<day:bigint,n_events:bigint,
+                      n_risk:bigint,factor_micro:bigint,
+                      surv_micro:bigint>>) AS out),
+          (acc, x) -> struct(
+            acc.s * ((x.n_risk - x.d) * 1000000 div x.n_risk)
+              div 1000000 AS s,
+            array_append(acc.out, struct(
+              x.t AS day, x.d AS n_events, x.n_risk AS n_risk,
+              (x.n_risk - x.d) * 1000000 div x.n_risk AS factor_micro,
+              acc.s * ((x.n_risk - x.d) * 1000000 div x.n_risk)
+                div 1000000 AS surv_micro)) AS out
+          ),
+          acc -> acc.out
+        )
+        """
+    )
+    return arr.select(F.explode(fold).alias("r")).select(
+        "r.day", "r.n_events", "r.n_risk", "r.factor_micro", "r.surv_micro"
+    )
+
+
+# ===========================================================================
+# Youden-optimal decision threshold for the quality scorer
+# ===========================================================================
+
+
+def _youden_oracle() -> str:
+    from kinesis_log_watcher_spark.queries.quality import (
+        _SCORE_LABEL_CTE,
+        _STOPS_SQL,
+    )
+
+    return f"""
+    WITH {_SCORE_LABEL_CTE.format(stops=_STOPS_SQL)},
+    vals AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM sl GROUP BY score),
+    cum AS (
+      SELECT score, cnt, pos,
+             CAST(SUM(pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+             CAST(SUM(cnt - pos) OVER (ORDER BY score DESC) AS BIGINT)
+               AS fp,
+             CAST(SUM(pos) OVER () AS BIGINT) AS np,
+             CAST(SUM(cnt - pos) OVER () AS BIGINT) AS nn
+      FROM vals),
+    j AS (
+      SELECT score AS threshold, tp, fp, np, nn,
+             -- J*1e6 = TPR - FPR in micros, exact integer rationals
+             CAST(tp * 1000000 // np - fp * 1000000 // nn AS BIGINT)
+               AS j_micro
+      FROM cum)
+    SELECT threshold, tp, fp, np, nn, j_micro
+    FROM j
+    ORDER BY j_micro DESC, threshold LIMIT 1
+    """
+
+
+@register(
+    "youden_optimal_threshold",
+    _youden_oracle(),
+    doc="Youden-optimal decision threshold for the linear quality "
+    "scorer: the score cut maximizing J = TPR - FPR against the "
+    "Gopher gate verdict (exact integer micro rationals; ties to the "
+    "lowest threshold) — the operating-point selection step that "
+    "turns the AUC family's ranking quality into an actual deployable "
+    "filter threshold. TP/FP at every candidate threshold come from "
+    "descending prefix sums over the bounded distinct-score relation; "
+    "the argmax is a two-phase top-1 (WindowGroupLimit). Scale shape: "
+    "the corpus pays the one shared word-count aggregation; "
+    "everything else runs on the bounded score domain. (No "
+    "counterpart in reference main.go.)",
+)
+def youden_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.queries.quality import _score_label
+
+    sl = _score_label(spark, sf_dir)
+    vals = sl.groupBy("score").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    wdesc = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        "score",
+        F.sum("pos").over(wdesc).alias("tp"),
+        F.sum(F.col("cnt") - F.col("pos")).over(wdesc).alias("fp"),
+        F.sum("pos").over(wall).alias("np"),
+        F.sum(F.col("cnt") - F.col("pos")).over(wall).alias("nn"),
+    )
+    j = cum.select(
+        F.col("score").alias("threshold"),
+        "tp",
+        "fp",
+        "np",
+        "nn",
+        F.expr("tp * 1000000 div np - fp * 1000000 div nn")
+        .cast("long")
+        .alias("j_micro"),
+    )
+    w = Window.orderBy(F.col("j_micro").desc(), F.col("threshold").asc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

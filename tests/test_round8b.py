@@ -698,3 +698,44 @@ def test_raking_restores_status_margins(r8b_wave_n):
     for s in by_status:
         cells = sum(1 for r in rows if r["status"] == s)
         assert abs(by_status[s] - obs[s]) <= cells + 1
+
+
+@pytest.fixture(scope="module")
+def r8b_wave_o(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = ["kaplan_meier_survival", "youden_optimal_threshold"]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in names
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_km_curve_monotone_nonincreasing(r8b_wave_o):
+    rows = sorted(r8b_wave_o["kaplan_meier_survival"], key=lambda r: r["day"])
+    assert rows
+    prev = 1000000
+    for r in rows:
+        assert 1 <= r["n_events"] <= r["n_risk"]
+        assert r["factor_micro"] == (
+            (r["n_risk"] - r["n_events"]) * 1000000 // r["n_risk"]
+        )
+        assert r["surv_micro"] == prev * r["factor_micro"] // 1000000
+        assert r["surv_micro"] <= prev
+        prev = r["surv_micro"]
+    # risk sets shrink over time
+    risks = [r["n_risk"] for r in rows]
+    assert all(a >= b for a, b in zip(risks, risks[1:]))
+
+
+def test_youden_j_identity(r8b_wave_o):
+    rows = r8b_wave_o["youden_optimal_threshold"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["j_micro"] == (
+        r["tp"] * 1000000 // r["np"] - r["fp"] * 1000000 // r["nn"]
+    )
+    assert -1000000 <= r["j_micro"] <= 1000000
+    assert 0 <= r["tp"] <= r["np"] and 0 <= r["fp"] <= r["nn"]
