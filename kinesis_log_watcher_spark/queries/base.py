@@ -223,6 +223,9 @@ _FRONT = (
     "youden_optimal_threshold",
     "evalue_sequential_test",
     "luhn_cardnumber_audit",
+    "bh_fdr_event_tests",
+    "logrank_two_arm",
+    "negbin_moment_fit",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

@@ -4356,7 +4356,7 @@ def raking_ipf_two_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Kaplan-Meier product-limit survival with right censoring
 # ===========================================================================
 
-_KM_SUBJ_SQL = """
+_KM_CORE_SQL = """
     t0 AS (
       SELECT user_id, MIN(ts) AS first_click
       FROM events WHERE event_type = 'click' GROUP BY user_id),
@@ -4377,7 +4377,10 @@ _KM_SUBJ_SQL = """
                   AS BIGINT) AS t
       FROM t0 c
       LEFT JOIN t1 p USING (user_id)
-      JOIN last l USING (user_id)),
+      JOIN last l USING (user_id))
+"""
+
+_KM_SUBJ_SQL = _KM_CORE_SQL + """,
     byday AS (
       SELECT t, CAST(SUM(event) AS BIGINT) AS d,
              CAST(COUNT(*) AS BIGINT) AS leaving
@@ -4828,4 +4831,367 @@ def luhn_cardnumber_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("long")
             )
         ).alias("detection_exact"),
+    )
+
+
+# ===========================================================================
+# Benjamini-Hochberg FDR over per-type chi-square tests
+# ===========================================================================
+
+# chi2 (1 df) critical values for the BH ladder alpha*i/m, m=5,
+# alpha=.05, precomputed ONCE at build time (Newton on the erf CDF) and
+# embedded in BOTH dialects — no runtime inverse-chi2 anywhere.
+_BH_CRIT_MICRO = (6634897, 5411894, 4709292, 4217885, 3841459)
+_BH_CRIT_CASE = (
+    "CASE rank "
+    + " ".join(
+        f"WHEN {i + 1} THEN {c}" for i, c in enumerate(_BH_CRIT_MICRO)
+    )
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "bh_fdr_event_tests",
+    f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN hour(ts) < 12 AND value > 0.5
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN hour(ts) < 12 AND value <= 0.5
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN hour(ts) >= 12 AND value > 0.5
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN hour(ts) >= 12 AND value <= 0.5
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM events GROUP BY event_type),
+    stat AS (
+      SELECT event_type, a, b, c, d,
+             CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0
+                  THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor(
+               (a + b + c + d)
+               * power(CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c, 2)
+               / (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d))
+               * 1000000 + 0.5) AS BIGINT) END AS chi2_micro
+      FROM cells),
+    ranked AS (
+      SELECT *,
+             CAST(ROW_NUMBER() OVER (ORDER BY chi2_micro DESC, event_type)
+                  AS BIGINT) AS rank
+      FROM stat),
+    laddered AS (
+      SELECT *, CAST({_BH_CRIT_CASE} AS BIGINT) AS crit_micro
+      FROM ranked),
+    kmax AS (
+      SELECT *,
+             CAST(COALESCE(MAX(CASE WHEN chi2_micro >= crit_micro
+                                    THEN rank END) OVER (), 0) AS BIGINT)
+               AS k
+      FROM laddered)
+    SELECT event_type, rank, chi2_micro, crit_micro,
+           rank <= k AS rejected
+    FROM kmax
+    """,
+    doc="Benjamini-Hochberg FDR control over the five per-event-type "
+    "chi-square independence tests (morning-vs-afternoon x high-vs-low "
+    "value): statistics rank descending, each compared against its BH "
+    "ladder critical value chi2_1(alpha*i/m) — precomputed at build "
+    "time and embedded in both dialects, so no runtime inverse-CDF — "
+    "and every rank up to the largest satisfying one rejects (the "
+    "step-up rule). The multiple-testing primitive for dashboards "
+    "that run one test per segment. Scale shape: one partial-agg "
+    "shuffle to 5 strata cells; ranking and the step-up max ride "
+    "windows on that bounded relation. (No counterpart in reference "
+    "main.go.)",
+)
+def bh_fdr_event_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    am = F.hour("ts") < 12
+    hi = F.col("value") > 0.5
+    cells = events.groupBy("event_type").agg(
+        F.sum(F.when(am & hi, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(am & ~hi, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~am & hi, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~am & ~hi, 1).otherwise(0)).cast("long").alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    num = F.col("a").cast("double") * F.col("d") - F.col("b").cast(
+        "double"
+    ) * F.col("c")
+    den = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    )
+    # an empty margin means no association is measurable: chi2 = 0
+    # (also keeps ANSI mode from raising on the 0 denominator)
+    stat = cells.select(
+        "event_type",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(
+            (F.col("a") + F.col("b"))
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+            == 0,
+            F.lit(0).cast("long"),
+        )
+        .otherwise(
+            F.floor(n * F.pow(num, F.lit(2.0)) / den * 1000000 + 0.5).cast(
+                "long"
+            )
+        )
+        .alias("chi2_micro"),
+    )
+    wr = Window.orderBy(F.col("chi2_micro").desc(), "event_type")
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = stat.select(
+        "event_type",
+        "chi2_micro",
+        F.row_number().over(wr).cast("long").alias("rank"),
+    ).select("*", F.expr(_BH_CRIT_CASE).cast("long").alias("crit_micro"))
+    kmax = ranked.select(
+        "*",
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("chi2_micro") >= F.col("crit_micro"),
+                    F.col("rank"),
+                )
+            ).over(wall),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    return kmax.select(
+        "event_type",
+        "rank",
+        "chi2_micro",
+        "crit_micro",
+        (F.col("rank") <= F.col("k")).alias("rejected"),
+    )
+
+
+# ===========================================================================
+# Log-rank test comparing two arms' survival curves
+# ===========================================================================
+
+
+@register(
+    "logrank_two_arm",
+    f"""
+    WITH {_KM_CORE_SQL},
+    armed AS (
+      SELECT s.*, s.user_id % 2 AS arm FROM subj s),
+    byday AS (
+      SELECT t,
+             CAST(SUM(event) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN arm = 1 THEN event ELSE 0 END) AS BIGINT)
+               AS d1,
+             CAST(COUNT(*) AS BIGINT) AS leaving,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS leaving1
+      FROM armed GROUP BY t),
+    risk AS (
+      SELECT t, d, d1,
+             CAST(SUM(leaving) OVER (ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n,
+             CAST(SUM(leaving1) OVER (ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n1
+      FROM byday),
+    terms AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             SUM(CAST(d AS DOUBLE) * n1 / n) AS e1,
+             SUM(CASE WHEN n > 1
+                      THEN CAST(d AS DOUBLE) * n1 / n * (n - n1) / n
+                           * (n - d) / (n - 1) ELSE 0 END) AS v
+      FROM risk WHERE d > 0)
+    SELECT o1,
+           CAST(floor(e1 * 1000000 + 0.5) AS BIGINT) AS e1_micro,
+           CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS v_micro,
+           CAST(floor((o1 - e1) * (o1 - e1) / v * 1000000 + 0.5)
+                AS BIGINT) AS logrank_chi2_micro
+    FROM terms
+    """,
+    doc="Log-rank test comparing click-to-purchase survival between "
+    "the two user-parity arms: at every event day the observed arm-1 "
+    "events are compared with the hypergeometric expectation "
+    "d * n1/n from the shared risk set, and (O-E)^2/V is the "
+    "chi-square(1) log-rank statistic — the standard two-sample "
+    "survival comparison completing the Kaplan-Meier family. "
+    "Per-day terms come from exact int64 (d, d1, n, n1) quadruples "
+    "(the same reversed prefix sums as KM) and collapse to IEEE "
+    "doubles only in the final 1-row aggregation; both dialects "
+    "quantize with the same floor(+0.5). Scale shape: one shuffle to "
+    "the bounded day-lag relation; windows on that bounded domain. "
+    "(No counterpart in reference main.go.)",
+)
+def logrank_two_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    t0 = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    last = ev.groupBy("user_id").agg(F.max("ts").alias("last_seen"))
+    has_event = F.col("first_purchase").isNotNull() & (
+        F.col("first_purchase") >= F.col("first_click")
+    )
+    end = F.when(has_event, F.col("first_purchase")).otherwise(
+        F.col("last_seen")
+    )
+    subj = (
+        t0.join(t1, "user_id", "left")
+        .join(last, "user_id")
+        .select(
+            (F.col("user_id") % 2).alias("arm"),
+            F.when(has_event, 1).otherwise(0).alias("event"),
+            F.datediff(F.to_date(end), F.to_date("first_click"))
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    byday = subj.groupBy("t").agg(
+        F.sum("event").cast("long").alias("d"),
+        F.sum(F.when(F.col("arm") == 1, F.col("event")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.count("*").cast("long").alias("leaving"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("leaving1"),
+    )
+    wrev = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    risk = byday.select(
+        "t",
+        "d",
+        "d1",
+        F.sum("leaving").over(wrev).cast("long").alias("n"),
+        F.sum("leaving1").over(wrev).cast("long").alias("n1"),
+    ).filter(F.col("d") > 0)
+    terms = risk.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(F.col("d").cast("double") * F.col("n1") / F.col("n")).alias(
+            "e1"
+        ),
+        F.sum(
+            F.when(
+                F.col("n") > 1,
+                F.col("d").cast("double")
+                * F.col("n1")
+                / F.col("n")
+                * (F.col("n") - F.col("n1"))
+                / F.col("n")
+                * (F.col("n") - F.col("d"))
+                / (F.col("n") - 1),
+            ).otherwise(0.0)
+        ).alias("v"),
+    )
+    return terms.select(
+        "o1",
+        F.floor(F.col("e1") * 1000000 + 0.5).cast("long").alias("e1_micro"),
+        F.floor(F.col("v") * 1000000 + 0.5).cast("long").alias("v_micro"),
+        F.floor(
+            (F.col("o1") - F.col("e1"))
+            * (F.col("o1") - F.col("e1"))
+            / F.col("v")
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("logrank_chi2_micro"),
+    )
+
+
+# ===========================================================================
+# Negative-binomial moment fit of overdispersed daily counts
+# ===========================================================================
+
+
+@register(
+    "negbin_moment_fit",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    grp AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ss
+      FROM daily GROUP BY event_type),
+    mom AS (
+      SELECT event_type, n,
+             CAST(s AS DOUBLE) / n AS m,
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+               AS var
+      FROM grp)
+    SELECT event_type, n,
+           CAST(floor(m * 1000000 + 0.5) AS BIGINT) AS mean_micro,
+           CAST(floor(var * 1000000 + 0.5) AS BIGINT) AS var_micro,
+           CAST(floor(m * m / (var - m) * 1000000 + 0.5) AS BIGINT)
+             AS r_micro,
+           CAST(floor(m / var * 1000000 + 0.5) AS BIGINT) AS p_micro
+    FROM mom WHERE var > m
+    """,
+    doc="Negative-binomial method-of-moments fit of overdispersed "
+    "daily event counts: r = mean^2/(var-mean), p = mean/var — the "
+    "count model the overdispersion audit says Poisson isn't "
+    "(emitted only for types where var > mean, the moment fit's "
+    "domain); the capacity/burst model for event-rate forecasting. "
+    "Moments come from exact int64 sums collapsed to IEEE doubles on "
+    "the bounded 5-type relation, same floor(+0.5) in both dialects. "
+    "Scale shape: one partial-agg shuffle to the bounded (type x "
+    "day) domain, then a 5-row aggregate. (No counterpart in "
+    "reference main.go.)",
+)
+def negbin_moment_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), epoch).cast("long").alias("day"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    grp = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    m = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    mom = grp.select("event_type", "n", m.alias("m"), var.alias("var"))
+    return mom.filter(F.col("var") > F.col("m")).select(
+        "event_type",
+        "n",
+        F.floor(F.col("m") * 1000000 + 0.5).cast("long").alias("mean_micro"),
+        F.floor(F.col("var") * 1000000 + 0.5).cast("long").alias("var_micro"),
+        F.floor(
+            F.col("m") * F.col("m") / (F.col("var") - F.col("m")) * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("r_micro"),
+        F.floor(F.col("m") / F.col("var") * 1000000 + 0.5)
+        .cast("long")
+        .alias("p_micro"),
     )

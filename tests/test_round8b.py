@@ -780,3 +780,48 @@ def test_luhn_detection_exact_by_construction(r8b_wave_p):
             assert r["n_detected"] == r["n"]
         else:
             assert r["n_detected"] == 0
+
+
+@pytest.fixture(scope="module")
+def r8b_wave_q(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = ["bh_fdr_event_tests", "logrank_two_arm", "negbin_moment_fit"]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in names
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_bh_stepup_rule(r8b_wave_q):
+    rows = sorted(r8b_wave_q["bh_fdr_event_tests"], key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # critical ladder decreases with rank (larger alpha*i/m => smaller crit)
+    crits = [r["crit_micro"] for r in rows]
+    assert all(a >= b for a, b in zip(crits, crits[1:]))
+    # rejections form a prefix (the step-up rule)
+    rej = [r["rejected"] for r in rows]
+    k = max((r["rank"] for r in rows
+             if r["chi2_micro"] >= r["crit_micro"]), default=0)
+    assert rej == [r["rank"] <= k for r in rows]
+
+
+def test_logrank_components_consistent(r8b_wave_q):
+    rows = r8b_wave_q["logrank_two_arm"]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["o1"] >= 0 and r["e1_micro"] >= 0 and r["v_micro"] > 0
+    # (O-E)^2/V recomputed within rounding tolerance of the emitted stat
+    o_minus_e = r["o1"] - r["e1_micro"] / 1e6
+    approx = o_minus_e * o_minus_e / (r["v_micro"] / 1e6) * 1e6
+    assert abs(r["logrank_chi2_micro"] - approx) < 2000
+
+
+def test_negbin_fit_domain(r8b_wave_q):
+    rows = r8b_wave_q["negbin_moment_fit"]
+    for r in rows:
+        assert r["var_micro"] > r["mean_micro"], "fit only where overdispersed"
+        assert r["r_micro"] > 0
+        assert 0 < r["p_micro"] <= 1000000
