@@ -226,6 +226,7 @@ _FRONT = (
     "bh_fdr_event_tests",
     "logrank_two_arm",
     "negbin_moment_fit",
+    "experiment_pipeline_e2e",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

@@ -5195,3 +5195,233 @@ def negbin_moment_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p_micro"),
     )
+
+
+# ===========================================================================
+# Experimentation pipeline end-to-end composition certificate
+# ===========================================================================
+
+
+@register(
+    "experiment_pipeline_e2e",
+    f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST('0x' || substr(md5('cuped|' || CAST(o_custkey AS VARCHAR)),
+                  1, 15) AS BIGINT) % 2 AS arm,
+             CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+                           THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                     * 100 AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+                           THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                     * 100 AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    arms AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                  AS DOUBLE) AS syy
+      FROM cust GROUP BY arm),
+    pooled AS (
+      SELECT *,
+             CAST(SUM(n) OVER () AS DOUBLE) AS pn,
+             CAST(SUM(sx) OVER () AS DOUBLE) AS psx,
+             CAST(SUM(sy) OVER () AS DOUBLE) AS psy,
+             SUM(sxy) OVER () AS psxy,
+             SUM(sxx) OVER () AS psxx,
+             SUM(syy) OVER () AS psyy,
+             SUM(n) OVER () AS pni,
+             SUM(sx) OVER () AS psxi
+      FROM arms),
+    fit AS (
+      SELECT *,
+             (pn * psxy - psx * psy) / (pn * psxx - psx * psx) AS theta,
+             ((pn * psxy - psx * psy) * (pn * psxy - psx * psy))
+               / ((pn * psxx - psx * psx) * (pn * psyy - psy * psy))
+               AS rho2,
+             (psyy - psy * psy / pn) / (pn - 1) AS var_y
+      FROM pooled),
+    scored AS (
+      SELECT arm, n,
+             CAST(floor(CAST(sy AS DOUBLE) / n * 1000000 + 0.5) AS BIGINT)
+               AS mean_y_micro,
+             CAST(floor((CAST(sy AS DOUBLE) / n
+                         - theta * (CAST(sx AS DOUBLE) / n
+                                    - psxi / CAST(pni AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS adj_mean_micro,
+             CAST(floor(theta * 1000000 + 0.5) AS BIGINT) AS theta_micro,
+             CAST(floor(rho2 * 1000000 + 0.5) AS BIGINT) AS rho2_micro,
+             -- MDE at the realized n under the CUPED-adjusted variance
+             -- var_y*(1 - rho2): the sensitivity the adjustment buys
+             CAST(floor({_MDE_ZSUM_MICRO} / 1000000.0
+                        * sqrt(2 * var_y * (1 - rho2) / n) + 0.5)
+                  AS BIGINT) AS mde_adj_cents,
+             CAST(floor({_MDE_ZSUM_MICRO} / 1000000.0
+                        * sqrt(2 * var_y / n) + 0.5) AS BIGINT)
+               AS mde_raw_cents
+      FROM fit),
+    verdict AS (
+      SELECT *,
+             abs(MAX(CASE WHEN arm = 1 THEN adj_mean_micro END) OVER ()
+                 - MAX(CASE WHEN arm = 0 THEN adj_mean_micro END) OVER ())
+               AS adj_diff_micro
+      FROM scored)
+    SELECT arm, n, mean_y_micro, adj_mean_micro, theta_micro, rho2_micro,
+           mde_raw_cents, mde_adj_cents,
+           CAST(adj_diff_micro AS BIGINT) AS adj_diff_micro,
+           adj_diff_micro >= mde_adj_cents * 1000000 AS powered_difference
+    FROM verdict
+    """,
+    doc="Experimentation pipeline end-to-end composition certificate: "
+    "deterministic assignment -> per-arm metric moments -> CUPED "
+    "covariate adjustment (pooled theta, rho^2) -> minimum detectable "
+    "effect at the realized n under BOTH the raw and the "
+    "CUPED-reduced variance (the sensitivity the adjustment buys, "
+    "var*(1-rho^2)) -> the final powered-difference verdict comparing "
+    "the observed adjusted gap against the adjusted MDE — the whole "
+    "experiment-readout chain in ONE query, with the oracle "
+    "restating every stage, so a green row certifies the engines "
+    "agree at every stage boundary (the curation_pipeline_e2e "
+    "pattern, for the causal family). Exact int64 sums, DECIMAL(38,0) "
+    "cross products, IEEE-double collapse only on the bounded 2-row "
+    "arm relation, one shared build-time normal-quantile constant. "
+    "Scale shape: one shuffle to per-customer (x, y), one partial agg "
+    "to 2 rows; everything after is constant-size. (No counterpart "
+    "in reference main.go.)",
+)
+def experiment_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    orders = load(spark, sf_dir, "orders")
+    yr = F.year(F.to_date("o_orderdate"))
+    cents = (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(yr == 1996, cents).otherwise(0)).cast("long").alias("x"),
+        F.sum(F.when(yr == 1997, cents).otherwise(0)).cast("long").alias("y"),
+    ).select(
+        (
+            _h15(
+                F.concat(F.lit("cuped|"), F.col("o_custkey").cast("string"))
+            )
+            % 2
+        ).alias("arm"),
+        "x",
+        "y",
+    )
+    d38 = "decimal(38,0)"
+    arms = cust.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y").cast(d38))
+        .cast("double")
+        .alias("syy"),
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pooled = arms.select(
+        "*",
+        F.sum("n").over(wall).cast("double").alias("pn"),
+        F.sum("sx").over(wall).cast("double").alias("psx"),
+        F.sum("sy").over(wall).cast("double").alias("psy"),
+        F.sum("sxy").over(wall).alias("psxy"),
+        F.sum("sxx").over(wall).alias("psxx"),
+        F.sum("syy").over(wall).alias("psyy"),
+        F.sum("n").over(wall).alias("pni"),
+        F.sum("sx").over(wall).alias("psxi"),
+    )
+    theta = (F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")) / (
+        F.col("pn") * F.col("psxx") - F.col("psx") * F.col("psx")
+    )
+    rho2 = (
+        (F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy"))
+        * (F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy"))
+    ) / (
+        (F.col("pn") * F.col("psxx") - F.col("psx") * F.col("psx"))
+        * (F.col("pn") * F.col("psyy") - F.col("psy") * F.col("psy"))
+    )
+    var_y = (
+        F.col("psyy") - F.col("psy") * F.col("psy") / F.col("pn")
+    ) / (F.col("pn") - 1)
+    fit = pooled.select(
+        "*", theta.alias("theta"), rho2.alias("rho2"), var_y.alias("var_y")
+    )
+    zsum = _MDE_ZSUM_MICRO / 1000000.0
+    scored = fit.select(
+        "arm",
+        "n",
+        F.floor(F.col("sy").cast("double") / F.col("n") * 1000000 + 0.5)
+        .cast("long")
+        .alias("mean_y_micro"),
+        F.floor(
+            (
+                F.col("sy").cast("double") / F.col("n")
+                - F.col("theta")
+                * (
+                    F.col("sx").cast("double") / F.col("n")
+                    - F.col("psxi") / F.col("pni").cast("double")
+                )
+            )
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("adj_mean_micro"),
+        F.floor(F.col("theta") * 1000000 + 0.5).cast("long").alias(
+            "theta_micro"
+        ),
+        F.floor(F.col("rho2") * 1000000 + 0.5).cast("long").alias(
+            "rho2_micro"
+        ),
+        F.floor(
+            F.lit(zsum)
+            * F.sqrt(2 * F.col("var_y") * (1 - F.col("rho2")) / F.col("n"))
+            + 0.5
+        )
+        .cast("long")
+        .alias("mde_adj_cents"),
+        F.floor(F.lit(zsum) * F.sqrt(2 * F.col("var_y") / F.col("n")) + 0.5)
+        .cast("long")
+        .alias("mde_raw_cents"),
+    )
+    verdict = scored.select(
+        "*",
+        F.abs(
+            F.max(
+                F.when(F.col("arm") == 1, F.col("adj_mean_micro"))
+            ).over(wall)
+            - F.max(
+                F.when(F.col("arm") == 0, F.col("adj_mean_micro"))
+            ).over(wall)
+        ).alias("adj_diff_micro"),
+    )
+    return verdict.select(
+        "arm",
+        "n",
+        "mean_y_micro",
+        "adj_mean_micro",
+        "theta_micro",
+        "rho2_micro",
+        "mde_raw_cents",
+        "mde_adj_cents",
+        F.col("adj_diff_micro").cast("long").alias("adj_diff_micro"),
+        (
+            F.col("adj_diff_micro")
+            >= F.col("mde_adj_cents") * 1000000
+        ).alias("powered_difference"),
+    )

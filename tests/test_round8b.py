@@ -825,3 +825,23 @@ def test_negbin_fit_domain(r8b_wave_q):
         assert r["var_micro"] > r["mean_micro"], "fit only where overdispersed"
         assert r["r_micro"] > 0
         assert 0 < r["p_micro"] <= 1000000
+
+
+def test_experiment_pipeline_composition(spark, sf_dir):
+    rows = _q("experiment_pipeline_e2e")(spark, sf_dir).collect()
+    assert len(rows) == 2
+    assert {r["arm"] for r in rows} == {0, 1}
+    shared = ("theta_micro", "rho2_micro", "adj_diff_micro")
+    for c in shared:
+        assert len({r[c] for r in rows}) == 1, c
+    for r in rows:
+        # variance reduction can only tighten the MDE
+        assert r["mde_adj_cents"] <= r["mde_raw_cents"]
+        assert 0 <= r["rho2_micro"] <= 1000000
+        assert r["powered_difference"] == (
+            r["adj_diff_micro"] >= r["mde_adj_cents"] * 1000000
+        )
+    # CUPED and the standalone queries agree on theta/rho2
+    cuped = {r["arm"]: r for r in _q("cuped_variance_reduction")(spark, sf_dir).collect()}
+    assert rows[0]["theta_micro"] == cuped[0]["theta_micro"]
+    assert rows[0]["rho2_micro"] == cuped[0]["rho2_micro"]
