@@ -227,6 +227,8 @@ _FRONT = (
     "logrank_two_arm",
     "negbin_moment_fit",
     "experiment_pipeline_e2e",
+    "rbo_ranking_overlap",
+    "stratified_ate_coarsened",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",

@@ -5425,3 +5425,261 @@ def experiment_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.col("mde_adj_cents") * 1000000
         ).alias("powered_difference"),
     )
+
+
+# ===========================================================================
+# Rank-biased overlap (RBO) of two supplier rankings
+# ===========================================================================
+
+_RBO_DEPTH = 10
+_RBO_P_MICRO = 900_000  # persistence p = 0.9
+
+
+@register(
+    "rbo_ranking_overlap",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY l_suppkey),
+    ra AS (
+      SELECT l_suppkey,
+             CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, l_suppkey)
+                  AS BIGINT) AS r
+      FROM rev),
+    rb AS (
+      SELECT l_suppkey,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_items DESC, l_suppkey)
+                  AS BIGINT) AS r
+      FROM rev),
+    depths AS (SELECT unnest(range(1, {_RBO_DEPTH + 1})) AS d),
+    ov AS (
+      SELECT d.d,
+             CAST((SELECT COUNT(*) FROM ra a JOIN rb b USING (l_suppkey)
+                   WHERE a.r <= d.d AND b.r <= d.d) AS BIGINT) AS inter
+      FROM depths d),
+    -- geometric weights p^(d-1) as exact truncating micro powers
+    wts AS (
+      SELECT d, inter,
+             CAST(floor(power({_RBO_P_MICRO} / 1000000.0, d - 1)
+                        * 1000000 + 0.5) AS BIGINT) AS w_micro
+      FROM ov)
+    SELECT CAST(d AS BIGINT) AS depth, inter,
+           CAST(inter * 1000000 // d AS BIGINT) AS agreement_micro,
+           w_micro,
+           CAST(SUM(inter * 1000000 // d * w_micro // 1000000)
+                  OVER (ORDER BY d)
+                * (1000000 - {_RBO_P_MICRO}) // 1000000 AS BIGINT)
+             AS rbo_prefix_micro
+    FROM wts
+    """,
+    doc="Rank-biased overlap (Webber-Moffat-Zobel) between the "
+    "revenue ranking and the item-count ranking of suppliers: "
+    "agreement |A@d intersect B@d| / d at each depth, geometrically "
+    "weighted by p^(d-1) (p=0.9, powers as floor(+0.5) micros from "
+    "the one shared IEEE pow), accumulated to the (1-p)-scaled RBO "
+    "prefix — the top-weighted ranking-similarity metric that "
+    "Kendall/Spearman (whole-list, unweighted) can't express, and "
+    "the standard way to compare retrieval runs. Scale shape: one "
+    "partial-agg shuffle to the supplier relation, two rank windows "
+    "over it, then all depth algebra on the bounded 10-row depth "
+    "relation (the overlap-at-depth join touches only rank <= 10 "
+    "rows). (No counterpart in reference main.go.)",
+)
+def rbo_ranking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum((dec(F.col("l_extendedprice"), 12, 2) * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+    wa = Window.orderBy(F.col("cents").desc(), "l_suppkey")
+    wb = Window.orderBy(F.col("n_items").desc(), "l_suppkey")
+    ranked = rev.select(
+        "l_suppkey",
+        F.row_number().over(wa).cast("long").alias("ra"),
+        F.row_number().over(wb).cast("long").alias("rb"),
+    ).filter(
+        (F.col("ra") <= _RBO_DEPTH) | (F.col("rb") <= _RBO_DEPTH)
+    )
+    # overlap at every depth from the bounded top-rank relation: a
+    # supplier contributes to depth d iff max(ra, rb) <= d. The
+    # max-rank filter must precede the sequence explode — Spark's
+    # sequence(a, b) DESCENDS when a > b instead of being empty.
+    ov = (
+        ranked.filter(
+            F.greatest(F.col("ra"), F.col("rb")) <= _RBO_DEPTH
+        )
+        .select(
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("ra"), F.col("rb")),
+                    F.lit(_RBO_DEPTH).cast("long"),
+                )
+            ).alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    depths = spark.range(1, _RBO_DEPTH + 1).select(
+        F.col("id").cast("long").alias("d")
+    )
+    full = depths.join(ov, "d", "left").select(
+        "d", F.coalesce(F.col("inter"), F.lit(0)).cast("long").alias("inter")
+    )
+    w_micro = F.floor(
+        F.pow(F.lit(_RBO_P_MICRO / 1000000.0), F.col("d") - 1) * 1000000
+        + 0.5
+    ).cast("long")
+    wts = full.select("d", "inter", w_micro.alias("w_micro"))
+    return wts.select(
+        F.col("d").alias("depth"),
+        "inter",
+        F.expr("inter * 1000000 div d").cast("long").alias(
+            "agreement_micro"
+        ),
+        "w_micro",
+        F.expr(
+            f"CAST(sum(inter * 1000000 div d * w_micro div 1000000) "
+            f"over (order by d) * {1000000 - _RBO_P_MICRO} div 1000000 "
+            f"AS BIGINT)"
+        ).alias("rbo_prefix_micro"),
+    )
+
+
+# ===========================================================================
+# Stratified ATE on a coarsened covariate
+# ===========================================================================
+
+_ATE_BUCKET_CENTS = 20_000_000  # $200k pre-period spend buckets
+
+
+@register(
+    "stratified_ate_coarsened",
+    f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST('0x' || substr(md5('cuped|' || CAST(o_custkey AS VARCHAR)),
+                  1, 15) AS BIGINT) % 2 AS arm,
+             CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+                           THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                     * 100 AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1997
+                           THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                     * 100 AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    strat AS (
+      SELECT least(x // {_ATE_BUCKET_CENTS}, 4) AS stratum, arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s
+      FROM cust GROUP BY 1, 2),
+    wide AS (
+      SELECT stratum,
+             CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN arm = 1 THEN s END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 0 THEN s END) AS BIGINT) AS s0
+      FROM strat GROUP BY stratum
+      HAVING SUM(CASE WHEN arm = 1 THEN n END) > 0
+         AND SUM(CASE WHEN arm = 0 THEN n END) > 0),
+    scored AS (
+      SELECT CAST(stratum AS BIGINT) AS stratum, n1, n0,
+             CAST(floor((CAST(s1 AS DOUBLE) / n1
+                         - CAST(s0 AS DOUBLE) / n0) * 1000000 + 0.5)
+                  AS BIGINT) AS diff_micro
+      FROM wide)
+    SELECT *,
+           CAST(floor(SUM(CAST(diff_micro AS DOUBLE) * (n1 + n0))
+                        OVER ()
+                      / SUM(n1 + n0) OVER () + 0.5) AS BIGINT)
+             AS ate_micro
+    FROM scored
+    """,
+    doc="Stratified average treatment effect on a coarsened covariate "
+    "(the subclassification estimator of Cochran/Rubin): customers "
+    "stratify by $200k pre-period-spend buckets (capped at 5 strata "
+    "— coarsened exact stratification), the arm difference of 1997 "
+    "spend is taken WITHIN each stratum, and the ATE is the "
+    "stratum-size-weighted average — the observational-causal "
+    "workhorse that removes covariate imbalance the raw difference "
+    "absorbs (complements IPW and CUPED in the causal family). "
+    "Strata with an empty arm drop (no within-stratum contrast "
+    "exists). Exact int64 sums collapse to IEEE doubles on the "
+    "bounded stratum relation; the weighted average rides a window "
+    "over it. Scale shape: one shuffle to per-customer (x, y), one "
+    "partial agg to <= 10 (stratum x arm) rows. (No counterpart in "
+    "reference main.go.)",
+)
+def stratified_ate_coarsened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.functions.exact import dec
+
+    orders = load(spark, sf_dir, "orders")
+    yr = F.year(F.to_date("o_orderdate"))
+    cents = (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(yr == 1996, cents).otherwise(0)).cast("long").alias("x"),
+        F.sum(F.when(yr == 1997, cents).otherwise(0)).cast("long").alias("y"),
+    ).select(
+        (
+            _h15(
+                F.concat(F.lit("cuped|"), F.col("o_custkey").cast("string"))
+            )
+            % 2
+        ).alias("arm"),
+        F.least(
+            F.expr(f"x div {_ATE_BUCKET_CENTS}"), F.lit(4).cast("long")
+        ).alias("stratum"),
+        "y",
+    )
+    strat = cust.groupBy("stratum", "arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    wide = (
+        strat.groupBy("stratum")
+        .agg(
+            F.sum(F.when(F.col("arm") == 1, F.col("n"))).cast("long").alias("n1"),
+            F.sum(F.when(F.col("arm") == 1, F.col("s"))).cast("long").alias("s1"),
+            F.sum(F.when(F.col("arm") == 0, F.col("n"))).cast("long").alias("n0"),
+            F.sum(F.when(F.col("arm") == 0, F.col("s"))).cast("long").alias("s0"),
+        )
+        .filter((F.col("n1") > 0) & (F.col("n0") > 0))
+    )
+    scored = wide.select(
+        F.col("stratum").cast("long").alias("stratum"),
+        "n1",
+        "n0",
+        F.floor(
+            (
+                F.col("s1").cast("double") / F.col("n1")
+                - F.col("s0").cast("double") / F.col("n0")
+            )
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("diff_micro"),
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return scored.select(
+        "*",
+        F.floor(
+            F.sum(
+                F.col("diff_micro").cast("double")
+                * (F.col("n1") + F.col("n0"))
+            ).over(wall)
+            / F.sum(F.col("n1") + F.col("n0")).over(wall)
+            + 0.5
+        )
+        .cast("long")
+        .alias("ate_micro"),
+    )

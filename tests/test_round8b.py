@@ -845,3 +845,46 @@ def test_experiment_pipeline_composition(spark, sf_dir):
     cuped = {r["arm"]: r for r in _q("cuped_variance_reduction")(spark, sf_dir).collect()}
     assert rows[0]["theta_micro"] == cuped[0]["theta_micro"]
     assert rows[0]["rho2_micro"] == cuped[0]["rho2_micro"]
+
+
+@pytest.fixture(scope="module")
+def r8b_wave_r(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = ["rbo_ranking_overlap", "stratified_ate_coarsened"]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in names
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_rbo_structure(r8b_wave_r):
+    rows = sorted(r8b_wave_r["rbo_ranking_overlap"], key=lambda r: r["depth"])
+    assert [r["depth"] for r in rows] == list(range(1, 11))
+    prev_inter = 0
+    for r in rows:
+        # overlap at depth d is monotone and bounded by d
+        assert prev_inter <= r["inter"] <= r["depth"]
+        prev_inter = r["inter"]
+        assert 0 <= r["agreement_micro"] <= 1000000
+        assert 0 < r["w_micro"] <= 1000000
+    # RBO prefix is nondecreasing and bounded by 1
+    rbos = [r["rbo_prefix_micro"] for r in rows]
+    assert all(a <= b for a, b in zip(rbos, rbos[1:]))
+    assert 0 <= rbos[-1] <= 1000000
+
+
+def test_stratified_ate_weighted_average(r8b_wave_r):
+    rows = r8b_wave_r["stratified_ate_coarsened"]
+    assert rows
+    ate = {r["ate_micro"] for r in rows}
+    assert len(ate) == 1
+    ate = ate.pop()
+    num = sum(r["diff_micro"] * (r["n1"] + r["n0"]) for r in rows)
+    den = sum(r["n1"] + r["n0"] for r in rows)
+    import math
+    assert abs(ate - math.floor(num / den + 0.5)) <= 1
+    for r in rows:
+        assert r["n1"] > 0 and r["n0"] > 0

@@ -62,6 +62,9 @@ FIXED_CARDINALITY = {
     # the growth curve reports every checkpoint even over an empty
     # corpus (tokens/vocab 0 — the oracle returns the same 9 rows)
     "heaps_vocab_growth": 9,
+    # the overlap curve reports every depth even over an empty load
+    # (inter 0 — the oracle's depths CTE returns the same 10 rows)
+    "rbo_ranking_overlap": 10,
 }
 
 # Only the watcher-surface family compiles templates (the process-global,
