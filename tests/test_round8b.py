@@ -16,28 +16,31 @@ def _q(name):
 
 
 @pytest.fixture(scope="module")
-def r8b_results(spark, sf_dir):
-    """One concurrent burst of the wave's registry executions (the r8
-    suite-speed shape: independent Spark actions share the session)."""
+def r8b_all(spark, sf_dir):
+    """EVERY wave's registry executions in ONE 12-wide concurrent burst
+    (the r8 suite-speed shape), plus the streaming twin run serially
+    afterwards (replay_partitions mutates session confs and must not
+    interleave). The per-wave fixtures below are views into this dict —
+    collapsing ~17 sequential bursts into one cut the suite's round8b
+    wall-clock roughly in half."""
     from concurrent.futures import ThreadPoolExecutor
 
-    names = [
-        "ams_f2_sketch_estimate",
-        "randomized_response_debias",
-        "simpson_paradox_audit",
-        "geohash_cell_pair_stats",
-        "greedy_set_cover_docs",
-        "sax_daily_revenue_motifs",
-        "speculative_decode_acceptance",
-        "cuped_variance_reduction",
-    ]
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    names = ['ab_test_mde', 'ams_f2_sketch_estimate', 'attribution_multi_touch', 'auc_fairness_by_lang', 'bandit_replay_egreedy', 'bh_fdr_event_tests', 'bigram_collocation_chi2', 'bq_hamming_rerank', 'budgeted_coverage_greedy', 'capture_recapture_estimate', 'cluster_design_effect', 'compaction_binpack_plan', 'cuped_variance_reduction', 'dawid_skene_one_step', 'did_region_revenue', 'evalue_sequential_test', 'event_overdispersion_audit', 'forecast_mase_backtest', 'geohash_cell_pair_stats', 'graph_anf_reach_kmv', 'greedy_set_cover_docs', 'heaps_vocab_growth', 'huber_one_step_fit', 'ipw_biased_sample_debias', 'iv_wald_estimator', 'james_stein_source_means', 'kaplan_meier_survival', 'logo_source_influence', 'logrank_two_arm', 'luhn_cardnumber_audit', 'mann_whitney_u_returns', 'markov_purchase_absorption', 'median_ci_order_statistics', 'mmr_diverse_selection', 'negbin_moment_fit', 'neyman_allocation', 'raking_ipf_two_iters', 'randomized_response_debias', 'rbo_ranking_overlap', 'sax_daily_revenue_motifs', 'shapley_source_coverage', 'simpson_paradox_audit', 'speculative_decode_acceptance', 'stratified_ate_coarsened', 'supplier_revenue_concentration', 'youden_optimal_threshold']
+    with ThreadPoolExecutor(max_workers=12) as pool:
         futs = {
             n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
             for n in names
         }
-        return {n: f.result() for n, f in futs.items()}
+        out = {n: f.result() for n, f in futs.items()}
+    out["stream_ams_f2_sketch"] = _q("stream_ams_f2_sketch")(
+        spark, sf_dir
+    ).collect()
+    return out
 
+
+@pytest.fixture(scope="module")
+def r8b_results(r8b_all):
+    return {n: r8b_all[n] for n in ['ams_f2_sketch_estimate', 'randomized_response_debias', 'simpson_paradox_audit', 'geohash_cell_pair_stats', 'greedy_set_cover_docs', 'sax_daily_revenue_motifs', 'speculative_decode_acceptance', 'cuped_variance_reduction']}
 
 def test_ams_estimator_identities(r8b_results):
     rows = r8b_results["ams_f2_sketch_estimate"]
@@ -138,21 +141,8 @@ def test_cuped_reduces_between_arm_gap_consistently(r8b_results):
 
 
 @pytest.fixture(scope="module")
-def r8b_wave_c(spark, sf_dir):
-    from concurrent.futures import ThreadPoolExecutor
-
-    names = [
-        "logo_source_influence",
-        "attribution_multi_touch",
-        "graph_anf_reach_kmv",
-    ]
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        futs = {
-            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
-            for n in names
-        }
-        return {n: f.result() for n, f in futs.items()}
-
+def r8b_wave_c(r8b_all):
+    return {n: r8b_all[n] for n in ['logo_source_influence', 'attribution_multi_touch', 'graph_anf_reach_kmv']}
 
 def test_logo_influence_identity(r8b_wave_c):
     rows = r8b_wave_c["logo_source_influence"]
@@ -203,26 +193,8 @@ def test_anf_estimator_exact_when_sketch_not_full(r8b_wave_c):
 
 
 @pytest.fixture(scope="module")
-def r8b_wave_d(spark, sf_dir):
-    from concurrent.futures import ThreadPoolExecutor
-
-    names = [
-        "ipw_biased_sample_debias",
-        "did_region_revenue",
-    ]
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = {
-            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
-            for n in names
-        }
-        out = {n: f.result() for n, f in futs.items()}
-    # streaming twin runs serially: replay_partitions mutates session
-    # confs, so it must not interleave with other queries
-    out["stream_ams_f2_sketch"] = _q("stream_ams_f2_sketch")(
-        spark, sf_dir
-    ).collect()
-    return out
-
+def r8b_wave_d(r8b_all):
+    return {n: r8b_all[n] for n in ['ipw_biased_sample_debias', 'did_region_revenue', 'stream_ams_f2_sketch']}
 
 def test_stream_ams_matches_batch_sketch(r8b_wave_d, spark, sf_dir):
     streamed = {
@@ -266,22 +238,8 @@ def test_did_contrast_consistent(r8b_wave_d):
 
 
 @pytest.fixture(scope="module")
-def r8b_wave_e(spark, sf_dir):
-    from concurrent.futures import ThreadPoolExecutor
-
-    names = [
-        "capture_recapture_estimate",
-        "james_stein_source_means",
-        "neyman_allocation",
-        "mmr_diverse_selection",
-    ]
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        futs = {
-            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
-            for n in names
-        }
-        return {n: f.result() for n, f in futs.items()}
-
+def r8b_wave_e(r8b_all):
+    return {n: r8b_all[n] for n in ['capture_recapture_estimate', 'james_stein_source_means', 'neyman_allocation', 'mmr_diverse_selection']}
 
 def test_capture_recapture_chapman_identity(r8b_wave_e):
     rows = r8b_wave_e["capture_recapture_estimate"]
@@ -332,17 +290,8 @@ def test_mmr_first_pick_is_most_relevant(r8b_wave_e):
 
 
 @pytest.fixture(scope="module")
-def r8b_wave_f(spark, sf_dir):
-    from concurrent.futures import ThreadPoolExecutor
-
-    names = ["bandit_replay_egreedy", "mann_whitney_u_returns"]
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = {
-            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
-            for n in names
-        }
-        return {n: f.result() for n, f in futs.items()}
-
+def r8b_wave_f(r8b_all):
+    return {n: r8b_all[n] for n in ['bandit_replay_egreedy', 'mann_whitney_u_returns']}
 
 def test_bandit_replay_accounting(r8b_wave_f):
     rows = r8b_wave_f["bandit_replay_egreedy"]
@@ -374,17 +323,8 @@ def test_mann_whitney_identity(r8b_wave_f):
 
 
 @pytest.fixture(scope="module")
-def r8b_wave_g(spark, sf_dir):
-    from concurrent.futures import ThreadPoolExecutor
-
-    names = ["shapley_source_coverage", "bq_hamming_rerank"]
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = {
-            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
-            for n in names
-        }
-        return {n: f.result() for n, f in futs.items()}
-
+def r8b_wave_g(r8b_all):
+    return {n: r8b_all[n] for n in ['shapley_source_coverage', 'bq_hamming_rerank']}
 
 def test_shapley_efficiency_axiom(r8b_wave_g):
     rows = r8b_wave_g["shapley_source_coverage"]
@@ -417,21 +357,8 @@ def test_bq_rerank_shape(r8b_wave_g):
 
 
 @pytest.fixture(scope="module")
-def r8b_wave_h(spark, sf_dir):
-    from concurrent.futures import ThreadPoolExecutor
-
-    names = [
-        "event_overdispersion_audit",
-        "bigram_collocation_chi2",
-        "huber_one_step_fit",
-    ]
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        futs = {
-            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
-            for n in names
-        }
-        return {n: f.result() for n, f in futs.items()}
-
+def r8b_wave_h(r8b_all):
+    return {n: r8b_all[n] for n in ['event_overdispersion_audit', 'bigram_collocation_chi2', 'huber_one_step_fit']}
 
 def test_overdispersion_flag_matches_ratio(r8b_wave_h):
     rows = r8b_wave_h["event_overdispersion_audit"]
@@ -468,17 +395,8 @@ def test_huber_downweights_and_stays_finite(r8b_wave_h):
 
 
 @pytest.fixture(scope="module")
-def r8b_wave_i(spark, sf_dir):
-    from concurrent.futures import ThreadPoolExecutor
-
-    names = ["auc_fairness_by_lang", "budgeted_coverage_greedy"]
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = {
-            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
-            for n in names
-        }
-        return {n: f.result() for n, f in futs.items()}
-
+def r8b_wave_i(r8b_all):
+    return {n: r8b_all[n] for n in ['auc_fairness_by_lang', 'budgeted_coverage_greedy']}
 
 def test_auc_fairness_gap_consistent(r8b_wave_i):
     rows = r8b_wave_i["auc_fairness_by_lang"]
@@ -503,17 +421,8 @@ def test_budgeted_coverage_ratio_identity(r8b_wave_i):
 
 
 @pytest.fixture(scope="module")
-def r8b_wave_j(spark, sf_dir):
-    from concurrent.futures import ThreadPoolExecutor
-
-    names = ["markov_purchase_absorption", "dawid_skene_one_step"]
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = {
-            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
-            for n in names
-        }
-        return {n: f.result() for n, f in futs.items()}
-
+def r8b_wave_j(r8b_all):
+    return {n: r8b_all[n] for n in ['markov_purchase_absorption', 'dawid_skene_one_step']}
 
 def test_markov_absorption_monotone(r8b_wave_j):
     rows = r8b_wave_j["markov_purchase_absorption"]
@@ -550,17 +459,8 @@ def test_dawid_skene_patterns_partition_corpus(r8b_wave_j, spark, sf_dir):
 
 
 @pytest.fixture(scope="module")
-def r8b_wave_k(spark, sf_dir):
-    from concurrent.futures import ThreadPoolExecutor
-
-    names = ["iv_wald_estimator", "ab_test_mde", "heaps_vocab_growth"]
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        futs = {
-            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
-            for n in names
-        }
-        return {n: f.result() for n, f in futs.items()}
-
+def r8b_wave_k(r8b_all):
+    return {n: r8b_all[n] for n in ['iv_wald_estimator', 'ab_test_mde', 'heaps_vocab_growth']}
 
 def test_iv_wald_scalar_consistent(r8b_wave_k):
     rows = r8b_wave_k["iv_wald_estimator"]
@@ -597,17 +497,8 @@ def test_heaps_growth_monotone_sublinear(r8b_wave_k):
 
 
 @pytest.fixture(scope="module")
-def r8b_wave_l(spark, sf_dir):
-    from concurrent.futures import ThreadPoolExecutor
-
-    names = ["forecast_mase_backtest", "compaction_binpack_plan"]
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = {
-            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
-            for n in names
-        }
-        return {n: f.result() for n, f in futs.items()}
-
+def r8b_wave_l(r8b_all):
+    return {n: r8b_all[n] for n in ['forecast_mase_backtest', 'compaction_binpack_plan']}
 
 def test_mase_ratio_identity(r8b_wave_l):
     rows = r8b_wave_l["forecast_mase_backtest"]
@@ -629,17 +520,8 @@ def test_binpack_bounds(r8b_wave_l):
 
 
 @pytest.fixture(scope="module")
-def r8b_wave_m(spark, sf_dir):
-    from concurrent.futures import ThreadPoolExecutor
-
-    names = ["median_ci_order_statistics", "supplier_revenue_concentration"]
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = {
-            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
-            for n in names
-        }
-        return {n: f.result() for n, f in futs.items()}
-
+def r8b_wave_m(r8b_all):
+    return {n: r8b_all[n] for n in ['median_ci_order_statistics', 'supplier_revenue_concentration']}
 
 def test_median_ci_contains_median(r8b_wave_m):
     rows = r8b_wave_m["median_ci_order_statistics"]
@@ -659,17 +541,8 @@ def test_concentration_indices_in_range(r8b_wave_m):
 
 
 @pytest.fixture(scope="module")
-def r8b_wave_n(spark, sf_dir):
-    from concurrent.futures import ThreadPoolExecutor
-
-    names = ["cluster_design_effect", "raking_ipf_two_iters"]
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = {
-            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
-            for n in names
-        }
-        return {n: f.result() for n, f in futs.items()}
-
+def r8b_wave_n(r8b_all):
+    return {n: r8b_all[n] for n in ['cluster_design_effect', 'raking_ipf_two_iters']}
 
 def test_deff_formula_consistent(r8b_wave_n):
     rows = r8b_wave_n["cluster_design_effect"]
@@ -701,17 +574,8 @@ def test_raking_restores_status_margins(r8b_wave_n):
 
 
 @pytest.fixture(scope="module")
-def r8b_wave_o(spark, sf_dir):
-    from concurrent.futures import ThreadPoolExecutor
-
-    names = ["kaplan_meier_survival", "youden_optimal_threshold"]
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = {
-            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
-            for n in names
-        }
-        return {n: f.result() for n, f in futs.items()}
-
+def r8b_wave_o(r8b_all):
+    return {n: r8b_all[n] for n in ['kaplan_meier_survival', 'youden_optimal_threshold']}
 
 def test_km_curve_monotone_nonincreasing(r8b_wave_o):
     rows = sorted(r8b_wave_o["kaplan_meier_survival"], key=lambda r: r["day"])
@@ -742,17 +606,8 @@ def test_youden_j_identity(r8b_wave_o):
 
 
 @pytest.fixture(scope="module")
-def r8b_wave_p(spark, sf_dir):
-    from concurrent.futures import ThreadPoolExecutor
-
-    names = ["evalue_sequential_test", "luhn_cardnumber_audit"]
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = {
-            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
-            for n in names
-        }
-        return {n: f.result() for n, f in futs.items()}
-
+def r8b_wave_p(r8b_all):
+    return {n: r8b_all[n] for n in ['evalue_sequential_test', 'luhn_cardnumber_audit']}
 
 def test_evalue_martingale_accounting(r8b_wave_p):
     rows = r8b_wave_p["evalue_sequential_test"]
@@ -783,17 +638,8 @@ def test_luhn_detection_exact_by_construction(r8b_wave_p):
 
 
 @pytest.fixture(scope="module")
-def r8b_wave_q(spark, sf_dir):
-    from concurrent.futures import ThreadPoolExecutor
-
-    names = ["bh_fdr_event_tests", "logrank_two_arm", "negbin_moment_fit"]
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        futs = {
-            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
-            for n in names
-        }
-        return {n: f.result() for n, f in futs.items()}
-
+def r8b_wave_q(r8b_all):
+    return {n: r8b_all[n] for n in ['bh_fdr_event_tests', 'logrank_two_arm', 'negbin_moment_fit']}
 
 def test_bh_stepup_rule(r8b_wave_q):
     rows = sorted(r8b_wave_q["bh_fdr_event_tests"], key=lambda r: r["rank"])
@@ -848,17 +694,8 @@ def test_experiment_pipeline_composition(spark, sf_dir):
 
 
 @pytest.fixture(scope="module")
-def r8b_wave_r(spark, sf_dir):
-    from concurrent.futures import ThreadPoolExecutor
-
-    names = ["rbo_ranking_overlap", "stratified_ate_coarsened"]
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = {
-            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
-            for n in names
-        }
-        return {n: f.result() for n, f in futs.items()}
-
+def r8b_wave_r(r8b_all):
+    return {n: r8b_all[n] for n in ['rbo_ranking_overlap', 'stratified_ate_coarsened']}
 
 def test_rbo_structure(r8b_wave_r):
     rows = sorted(r8b_wave_r["rbo_ranking_overlap"], key=lambda r: r["depth"])
