@@ -73,7 +73,8 @@ _AMS_S = 16  # independent estimators
            CAST(z * z AS BIGINT) AS x,
            f2_exact,
            CAST(SUM(z * z) OVER () // {_AMS_S} AS BIGINT) AS est_mean,
-           CAST(abs(SUM(z * z) OVER () // {_AMS_S} - f2_exact) * 1000000
+           CAST(CAST(abs(SUM(z * z) OVER () // {_AMS_S} - f2_exact)
+                     AS HUGEINT) * 1000000
                 // f2_exact AS BIGINT) AS rel_err_micro
     FROM sk
     """,
@@ -137,20 +138,21 @@ def ams_f2_sketch_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    est = F.floor(
-        F.sum(F.col("z") * F.col("z")).over(wall) / F.lit(_AMS_S)
-    ).cast("long")
-    return sk.select(
+    # true integer `div` (never float /+floor: the quotient-boundary
+    # parity trap) and the documented DECIMAL(38,0) swap on the rel_err
+    # numerator — abs(est-f2)*1e6 outgrows int64 once F2 passes ~9e12
+    return sk.withColumn(
+        "sumzz", F.sum(F.col("z") * F.col("z")).over(wall).cast("long")
+    ).select(
         F.col("estimator").cast("long").alias("estimator"),
         "z",
         (F.col("z") * F.col("z")).cast("long").alias("x"),
         "f2_exact",
-        est.alias("est_mean"),
-        F.floor(
-            F.abs(est - F.col("f2_exact")) * 1000000 / F.col("f2_exact")
-        )
-        .cast("long")
-        .alias("rel_err_micro"),
+        F.expr(f"sumzz div {_AMS_S}").cast("long").alias("est_mean"),
+        F.expr(
+            f"cast(cast(abs(sumzz div {_AMS_S} - f2_exact) "
+            f"as decimal(38,0)) * 1000000 div f2_exact as long)"
+        ).alias("rel_err_micro"),
     )
 
 
@@ -711,16 +713,24 @@ def speculative_decode_acceptance(
     toks = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("word")
     )
-    bg = docs.select(
-        "source",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> struct(element_at(split(text, ' '), i) AS prev, "
-                "element_at(split(text, ' '), i + 1) AS cur))"
-            )
-        ).alias("p"),
-    ).select("source", "p.prev", "p.cur")
+    # guard the bigram generator: Spark's sequence(1, 0) counts DOWN to
+    # [1, 0] (the documented empty-array-fold trap) while the oracle's
+    # range(1, 1) is empty — a 1-token doc must contribute no bigrams,
+    # not an ANSI out-of-bounds crash
+    bg = (
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> struct(element_at(split(text, ' '), i) AS prev, "
+                    "element_at(split(text, ' '), i + 1) AS cur))"
+                )
+            ).alias("p"),
+        )
+        .select("source", "p.prev", "p.cur")
+    )
     c1 = toks.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
     wg = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
     g = (
@@ -1303,7 +1313,8 @@ _ams_counter_src = __import__("itertools").count()
            CAST(z * z AS BIGINT) AS x,
            f2_exact,
            CAST(SUM(z * z) OVER () // {_AMS_S} AS BIGINT) AS est_mean,
-           CAST(abs(SUM(z * z) OVER () // {_AMS_S} - f2_exact) * 1000000
+           CAST(CAST(abs(SUM(z * z) OVER () // {_AMS_S} - f2_exact)
+                     AS HUGEINT) * 1000000
                 // f2_exact AS BIGINT) AS rel_err_micro
     FROM sk
     """,
@@ -1380,18 +1391,23 @@ def stream_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    est = F.floor(
-        F.sum(F.col("z") * F.col("z")).over(wall) / F.lit(_AMS_S)
-    ).cast("long")
-    return spark.table(name).select(
-        F.col("estimator").cast("long").alias("estimator"),
-        "z",
-        (F.col("z") * F.col("z")).cast("long").alias("x"),
-        F.lit(f2).cast("long").alias("f2_exact"),
-        est.alias("est_mean"),
-        F.floor(F.abs(est - F.lit(f2)) * 1000000 / F.lit(f2))
-        .cast("long")
-        .alias("rel_err_micro"),
+    # same true-`div` + DECIMAL(38,0) discipline as the batch twin
+    return (
+        spark.table(name)
+        .withColumn(
+            "sumzz", F.sum(F.col("z") * F.col("z")).over(wall).cast("long")
+        )
+        .select(
+            F.col("estimator").cast("long").alias("estimator"),
+            "z",
+            (F.col("z") * F.col("z")).cast("long").alias("x"),
+            F.lit(f2).cast("long").alias("f2_exact"),
+            F.expr(f"sumzz div {_AMS_S}").cast("long").alias("est_mean"),
+            F.expr(
+                f"cast(cast(abs(sumzz div {_AMS_S} - {f2}) "
+                f"as decimal(38,0)) * 1000000 div {f2} as long)"
+            ).alias("rel_err_micro"),
+        )
     )
 
 
@@ -2700,15 +2716,21 @@ _COLL_TOPK = 25
 )
 def bigram_collocation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    bg = docs.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> struct(element_at(split(text, ' '), i) AS w1, "
-                "element_at(split(text, ' '), i + 1) AS w2))"
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
+    # size >= 2 guard: Spark sequence(1, 0) descends to [1, 0] while the
+    # oracle's range(1, 1) is empty — short docs contribute no bigrams
+    bg = (
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> struct(element_at(split(text, ' '), i) AS w1, "
+                    "element_at(split(text, ' '), i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("f12"))
     # marginals + corpus total from the BOUNDED pair relation — the
     # corpus is scanned exactly once (the first cut recomputed the
@@ -4840,14 +4862,18 @@ def luhn_cardnumber_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # chi2 (1 df) critical values for the BH ladder alpha*i/m, m=5,
 # alpha=.05, precomputed ONCE at build time (Newton on the erf CDF) and
-# embedded in BOTH dialects — no runtime inverse-chi2 anywhere.
+# embedded in BOTH dialects — no runtime inverse-chi2 anywhere. Ranks
+# beyond the precomputed ladder get an effectively infinite critical
+# value (int64 max) so a 6th event_type can never satisfy the step-up
+# rule and silently reject everything — an ELSE 0 would, since
+# chi2_micro >= 0 always (r8 ADVICE finding).
 _BH_CRIT_MICRO = (6634897, 5411894, 4709292, 4217885, 3841459)
 _BH_CRIT_CASE = (
     "CASE rank "
     + " ".join(
         f"WHEN {i + 1} THEN {c}" for i, c in enumerate(_BH_CRIT_MICRO)
     )
-    + " ELSE 0 END"
+    + " ELSE 9223372036854775807 END"
 )
 
 

@@ -147,7 +147,9 @@ def main() -> int:
     from kinesis_log_watcher_spark.queries import registry
     from kinesis_log_watcher_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    argv = [a for a in sys.argv[1:] if a != "--no-write"]
+    no_write = "--no-write" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     spark = get_spark(app_name="empty-sweep", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
     items = [(n, q) for n, q in registry().items() if not is_streaming(n)]
@@ -158,9 +160,24 @@ def main() -> int:
         print(f"FLAG  {f}")
     print(f"\n{len(items)} queries swept, {len(failures)} failed")
     if not failures:
-        with open(MANIFEST_PATH, "w") as fh:
-            json.dump(sorted(n for n, _ in items), fh, indent=0)
-        print(f"manifest written: {len(items)} queries -> {MANIFEST_PATH}")
+        # write only on content change so read-only verification runs
+        # leave `git status` clean
+        payload = json.dumps(sorted(n for n, _ in items), indent=0)
+        try:
+            with open(MANIFEST_PATH) as fh:
+                current = fh.read()
+        except FileNotFoundError:
+            current = None
+        if current == payload:
+            print(f"manifest unchanged: {len(items)} queries "
+                  f"({MANIFEST_PATH})")
+        elif no_write:
+            print(f"manifest DIFFERS but --no-write given ({MANIFEST_PATH})")
+        else:
+            with open(MANIFEST_PATH, "w") as fh:
+                fh.write(payload)
+            print(f"manifest written: {len(items)} queries -> "
+                  f"{MANIFEST_PATH}")
     return 1 if failures else 0
 
 

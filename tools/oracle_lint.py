@@ -124,8 +124,10 @@ def load_manifest() -> set[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--no-write"]
+    no_write = "--no-write" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
@@ -179,9 +181,24 @@ def main() -> int:
     if not failures and not only:
         import json
 
-        with open(MANIFEST_PATH, "w") as fh:
-            json.dump(sorted(name for name, _ in items), fh, indent=0)
-        print(f"manifest written: {len(items)} oracles -> {MANIFEST_PATH}")
+        # write only on content change so read-only verification runs
+        # leave `git status` clean
+        payload = json.dumps(sorted(name for name, _ in items), indent=0)
+        try:
+            with open(MANIFEST_PATH) as fh:
+                current = fh.read()
+        except FileNotFoundError:
+            current = None
+        if current == payload:
+            print(f"manifest unchanged: {len(items)} oracles "
+                  f"({MANIFEST_PATH})")
+        elif no_write:
+            print(f"manifest DIFFERS but --no-write given ({MANIFEST_PATH})")
+        else:
+            with open(MANIFEST_PATH, "w") as fh:
+                fh.write(payload)
+            print(f"manifest written: {len(items)} oracles -> "
+                  f"{MANIFEST_PATH}")
     return 1 if failures else 0
 
 

@@ -181,8 +181,32 @@ def load_manifest() -> set[str]:
         return set()
 
 
+def write_manifest_if_changed(names: list[str], no_write: bool) -> None:
+    """Write the manifest only when its content would change, so a
+    verification run on a clean tree leaves `git status` clean."""
+    import json
+
+    payload = json.dumps(sorted(names), indent=0)
+    try:
+        with open(MANIFEST_PATH) as fh:
+            current = fh.read()
+    except FileNotFoundError:
+        current = None
+    if current == payload:
+        print(f"manifest unchanged: {len(names)} queries ({MANIFEST_PATH})")
+        return
+    if no_write:
+        print(f"manifest DIFFERS but --no-write given ({MANIFEST_PATH})")
+        return
+    with open(MANIFEST_PATH, "w") as fh:
+        fh.write(payload)
+    print(f"manifest written: {len(names)} queries -> {MANIFEST_PATH}")
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    argv = [a for a in sys.argv[1:] if a != "--no-write"]
+    no_write = "--no-write" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     spark = get_spark(app_name="plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     failures = 0
@@ -206,11 +230,7 @@ def main() -> int:
             print(f"ok    {name}")
     print(f"\n{failures} hard-flagged queries")
     if not failures:
-        import json
-
-        with open(MANIFEST_PATH, "w") as fh:
-            json.dump(sorted(audited), fh, indent=0)
-        print(f"manifest written: {len(audited)} queries -> {MANIFEST_PATH}")
+        write_manifest_if_changed(audited, no_write)
     return 1 if failures else 0
 
 
