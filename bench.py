@@ -133,12 +133,32 @@ def main() -> None:
         keep = {s.strip() for s in only.split(",") if s.strip()}
         names = [n for n in names if n in keep]
 
-    # warm-up (JVM, codegen, parquet footer caches): one render-path
-    # query and one columnar scan+agg so both codegen families are hot
-    # before anything is timed
-    for warm in (names[0], "pricing_summary"):
+    # warm-up (JVM JIT, codegen compiler, shuffle machinery, parquet
+    # footer caches, Python worker pool): r8 showed a single warm-up
+    # query is not enough — queries rotated to the cold front of the
+    # run read 2-5x their prior-round numbers with UNCHANGED plans
+    # (front-of-run JIT ramp landing on whichever queries rotate in),
+    # and the one non-rebounding rerun triple on record
+    # (stream_kinesis_sim_scan, BENCH_r08) was the Python DataSource
+    # worker-spawn cost: 8.4s cold vs 2.4s warm on a quiet host (r9
+    # standalone adjudication, steal_s 2.1). Warm one query per major
+    # execution family — the first timed query's own plan shape, a
+    # columnar scan+agg+window, a join-heavy plan, a text explode+agg,
+    # and the Python-worker path — so the timed section starts hot
+    # regardless of which queries the rotation put first.
+    for warm in (
+        names[0],
+        "pricing_summary",
+        "top_supplier_revenue",
+        "doc_quality_scores",
+        "stream_kinesis_sim_scan",
+    ):
         if warm in reg:
             materialize(reg[warm].fn(spark, sf_dir))
+    spark.catalog.clearCache()
+    for tbl in spark.catalog.listTables():
+        if tbl.isTemporary:
+            spark.catalog.dropTempView(tbl.name)
 
     timings: dict[str, float] = {}
     for name in names:
@@ -241,6 +261,11 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "reruns": reruns,
+                # run-order index per query, so a cross-round comparison
+                # can tell a rotation-induced cold-front move from a
+                # plan regression (the r5/r8 warm-up effect lands on
+                # whichever queries run first)
+                "positions": {n: i for i, n in enumerate(names)},
                 "host": telemetry,
             },
             fh,

@@ -126,14 +126,63 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # list is static — registry order never depends on the runtime
 # environment or on any external files.
 _FRONT = (
-    # ---- round-8 prefix: the 24 round-7-born queries — the only
-    # registry entries that have never had an official driver
-    # CORRECTNESS row (CORRECTNESS_r07 sampled the 50 round-6 wave
-    # queries ahead of them). All 24 were independently swept green by
-    # the round-7 judge (tools/check_correctness.py --bare, sf0.01);
-    # this rotation gets them their official rows. Round-8-born queries
-    # queue directly behind so they land inside the same ~50-row sample
-    # window.
+    # ---- round-9 prefix: the 41 round-8b queries that are the only
+    # registry entries without an official driver CORRECTNESS row
+    # (CORRECTNESS_r08's ~50-row sample window closed just ahead of
+    # them; the round-8 judge swept all 41 green with
+    # tools/check_correctness.py --bare at sf0.01). Listing them first
+    # puts them inside the r9 sample window; duplicates further down
+    # the tuple are harmless — registry() builds a dict, so the first
+    # occurrence pins the position.
+    "cuped_variance_reduction",
+    "logo_source_influence",
+    "attribution_multi_touch",
+    "graph_anf_reach_kmv",
+    "stream_ams_f2_sketch",
+    "ipw_biased_sample_debias",
+    "did_region_revenue",
+    "capture_recapture_estimate",
+    "james_stein_source_means",
+    "neyman_allocation",
+    "mmr_diverse_selection",
+    "bandit_replay_egreedy",
+    "mann_whitney_u_returns",
+    "shapley_source_coverage",
+    "bq_hamming_rerank",
+    "event_overdispersion_audit",
+    "bigram_collocation_chi2",
+    "huber_one_step_fit",
+    "auc_fairness_by_lang",
+    "budgeted_coverage_greedy",
+    "markov_purchase_absorption",
+    "dawid_skene_one_step",
+    "iv_wald_estimator",
+    "ab_test_mde",
+    "heaps_vocab_growth",
+    "forecast_mase_backtest",
+    "compaction_binpack_plan",
+    "median_ci_order_statistics",
+    "supplier_revenue_concentration",
+    "cluster_design_effect",
+    "raking_ipf_two_iters",
+    "kaplan_meier_survival",
+    "youden_optimal_threshold",
+    "evalue_sequential_test",
+    "luhn_cardnumber_audit",
+    "bh_fdr_event_tests",
+    "logrank_two_arm",
+    "negbin_moment_fit",
+    "experiment_pipeline_e2e",
+    "rbo_ranking_overlap",
+    "stratified_ate_coarsened",
+    # ---- round-8 prefix (kept for history; every name below through
+    # the wave-B block now has an official row or appears above): the
+    # 24 round-7-born queries — at the r8 close the only registry
+    # entries that had never had an official driver CORRECTNESS row
+    # (CORRECTNESS_r07 sampled the 50 round-6 wave queries ahead of
+    # them). All 24 were independently swept green by the round-7
+    # judge (tools/check_correctness.py --bare, sf0.01); the r8
+    # rotation got them their official rows.
     "blocklist_phrase_filter_ac",
     "customer_rfm_hist_quantile",
     "robust_zscore_outliers_hist",
