@@ -131,9 +131,8 @@ _FRONT = (
     # (CORRECTNESS_r08's ~50-row sample window closed just ahead of
     # them; the round-8 judge swept all 41 green with
     # tools/check_correctness.py --bare at sf0.01). Listing them first
-    # puts them inside the r9 sample window; duplicates further down
-    # the tuple are harmless — registry() builds a dict, so the first
-    # occurrence pins the position.
+    # puts them inside the r9 sample window; the round-9-born wave
+    # queues directly behind.
     "cuped_variance_reduction",
     "logo_source_influence",
     "attribution_multi_touch",
@@ -175,6 +174,19 @@ _FRONT = (
     "experiment_pipeline_e2e",
     "rbo_ranking_overlap",
     "stratified_ate_coarsened",
+    # ---- round-9 model-eval wave (queries/round9.py; first official
+    # row pending — directly behind the round-8b remainder so the tail
+    # lands inside the same sample window or the r10 one)
+    "winrate_matrix_models",
+    "model_agreement_kappa_matrix",
+    "mcnemar_paired_models",
+    "paired_bootstrap_winrate",
+    "bt_model_strength_ci",
+    "fleiss_kappa_annotators",
+    "mantel_haenszel_winrate",
+    "ece_calibration_bins",
+    "judge_position_bias_audit",
+    "decontaminated_eval_certificate",
     # ---- round-8 prefix (kept for history; every name below through
     # the wave-B block now has an official row or appears above): the
     # 24 round-7-born queries — at the r8 close the only registry
@@ -237,47 +249,6 @@ _FRONT = (
     "greedy_set_cover_docs",
     "sax_daily_revenue_motifs",
     "speculative_decode_acceptance",
-    "cuped_variance_reduction",
-    "logo_source_influence",
-    "attribution_multi_touch",
-    "graph_anf_reach_kmv",
-    "stream_ams_f2_sketch",
-    "ipw_biased_sample_debias",
-    "did_region_revenue",
-    "capture_recapture_estimate",
-    "james_stein_source_means",
-    "neyman_allocation",
-    "mmr_diverse_selection",
-    "bandit_replay_egreedy",
-    "mann_whitney_u_returns",
-    "shapley_source_coverage",
-    "bq_hamming_rerank",
-    "event_overdispersion_audit",
-    "bigram_collocation_chi2",
-    "huber_one_step_fit",
-    "auc_fairness_by_lang",
-    "budgeted_coverage_greedy",
-    "markov_purchase_absorption",
-    "dawid_skene_one_step",
-    "iv_wald_estimator",
-    "ab_test_mde",
-    "heaps_vocab_growth",
-    "forecast_mase_backtest",
-    "compaction_binpack_plan",
-    "median_ci_order_statistics",
-    "supplier_revenue_concentration",
-    "cluster_design_effect",
-    "raking_ipf_two_iters",
-    "kaplan_meier_survival",
-    "youden_optimal_threshold",
-    "evalue_sequential_test",
-    "luhn_cardnumber_audit",
-    "bh_fdr_event_tests",
-    "logrank_two_arm",
-    "negbin_moment_fit",
-    "experiment_pipeline_e2e",
-    "rbo_ranking_overlap",
-    "stratified_ate_coarsened",
     # ---- officially green in r7 (CORRECTNESS_r07: 50 hash-green rows);
     # rotate behind the never-sampled set.
     "retrieval_mrr_map",
@@ -505,6 +476,7 @@ def registry() -> dict[str, Query]:
         round7,
         round8,
         round8b,
+        round9,
         sampling,
         streaming,
         tpch_deep,

@@ -1,0 +1,226 @@
+"""Round-9 model-eval wave: closed-form invariants the oracle
+hash-match can't state — exact Python recomputes of the kappa/ECE/MH
+formulas from the emitted counts, the skill-ordering of the synthetic
+model panel, bootstrap-CI containment, and the decontamination
+certificate's monotone retention curve.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from kinesis_log_watcher_spark.queries import registry
+
+
+def _q(name):
+    return registry()[name].fn
+
+
+_NAMES = [
+    "winrate_matrix_models",
+    "model_agreement_kappa_matrix",
+    "mcnemar_paired_models",
+    "paired_bootstrap_winrate",
+    "bt_model_strength_ci",
+    "fleiss_kappa_annotators",
+    "mantel_haenszel_winrate",
+    "ece_calibration_bins",
+    "judge_position_bias_audit",
+    "decontaminated_eval_certificate",
+]
+
+
+@pytest.fixture(scope="module")
+def r9(spark, sf_dir):
+    """Every wave query in ONE concurrent burst (the round-8b
+    suite-speed shape)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=10) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in _NAMES
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def _h15(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+_MODEL_ORDER = ["m1", "m2", "m3", "m4"]
+
+
+def test_winrate_matrix_accounting_and_skill_order(r9):
+    rows = r9["winrate_matrix_models"]
+    assert len(rows) == 6
+    for r in rows:
+        assert r["wins_a"] + r["wins_b"] + r["ties"] == r["n_items"]
+        assert 0 <= r["winrate_a_micro"] <= 1_000_000
+        # tie-split formula recompute
+        assert r["winrate_a_micro"] == (
+            (r["wins_a"] * 1_000_000 + r["ties"] * 500_000)
+            // r["n_items"]
+        )
+        # pairs are emitted in model order, and the panel's planted
+        # skill gradient means the lower-indexed model never loses the
+        # pairwise comparison
+        ia = _MODEL_ORDER.index(r["model_a"])
+        ib = _MODEL_ORDER.index(r["model_b"])
+        assert ia < ib
+        assert r["winrate_a_micro"] >= 500_000
+
+
+def test_kappa_matrix_formula_recompute(r9):
+    rows = r9["model_agreement_kappa_matrix"]
+    assert len(rows) == 6
+    for r in rows:
+        n = r["n_items"]
+        po = (r["n_both"] + r["n_neither"]) * 1_000_000 // n
+        assert r["po_micro"] == po
+        assert r["kappa_micro"] <= 1_000_000
+        # agreement beats chance on this panel (models share the item
+        # difficulty signal)
+        assert r["kappa_micro"] > 0
+
+
+def test_mcnemar_exact_recompute(r9):
+    (r,) = r9["mcnemar_paired_models"]
+    assert (
+        r["n_both"] + r["n_neither"] + r["n_only_a"] + r["n_only_b"]
+        == r["n_items"]
+    )
+    b, c = r["n_only_a"], r["n_only_b"]
+    if b + c == 0:
+        assert r["chi2_cc_micro"] == 0
+    else:
+        d = max(abs(b - c) - 1, 0)
+        assert r["chi2_cc_micro"] == d * d * 1_000_000 // (b + c)
+        assert r["significant"] == (r["chi2_cc_micro"] >= 3_841_459)
+
+
+def test_paired_bootstrap_ci_contains_point(r9):
+    (r,) = r9["paired_bootstrap_winrate"]
+    assert r["n_boot"] == 200
+    assert r["ci_lo_micro"] <= r["ci_hi_micro"]
+    # the identity replicate's point estimate sits inside the CI on
+    # this corpus (a degenerate corpus could violate; the driver data
+    # does not)
+    assert r["ci_lo_micro"] <= r["point_delta_micro"] <= r["ci_hi_micro"]
+    # m1 is strictly stronger than m2 by construction
+    assert r["point_delta_micro"] > 0
+    assert r["rejects_null"] == (
+        r["ci_lo_micro"] > 0 or r["ci_hi_micro"] < 0
+    )
+
+
+def test_bt_strengths_track_skill_and_carry_ci(r9):
+    rows = {r["model"]: r for r in r9["bt_model_strength_ci"]}
+    assert set(rows) == set(_MODEL_ORDER)
+    strengths = [rows[m]["strength_micro"] for m in _MODEL_ORDER]
+    # planted skill gradient recovered by the MM iterations
+    assert strengths == sorted(strengths, reverse=True)
+    for r in rows.values():
+        assert r["games_total"] > 0
+        assert 0 <= r["wins_total"] <= r["games_total"]
+        assert r["info_micro"] > 0
+        assert r["ci_halfwidth_log_micro"] > 0
+
+
+def test_fleiss_kappa_exact_python_recompute(r9, spark, sf_dir):
+    (r,) = r9["fleiss_kappa_annotators"]
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    )
+    errs = (50000, 100000, 150000, 200000, 250000)
+    m = len(errs)
+    agree_num = 0
+    total1 = 0
+    for row in docs:
+        d = row["doc_id"]
+        t = _h15(f"truth|{d}") % 2
+        n1 = 0
+        for a, e in enumerate(errs):
+            flip = 1 if _h15(f"ann|{a + 1}|{d}") % 1_000_000 < e else 0
+            n1 += (t + flip) % 2
+        agree_num += n1 * (n1 - 1) + (m - n1) * (m - 1 - n1)
+        total1 += n1
+    n = len(docs)
+    p_bar = agree_num * 1_000_000 // (n * m * (m - 1))
+    p1 = total1 * 1_000_000 // (n * m)
+    pe = (p1 * p1 + (1_000_000 - p1) * (1_000_000 - p1)) // 1_000_000
+    kappa = (p_bar - pe) * 1_000_000 // (1_000_000 - pe)
+    assert r["n_items"] == n
+    assert r["p_bar_micro"] == p_bar
+    assert r["p_e_micro"] == pe
+    assert r["kappa_micro"] == kappa
+    # 5-25% flip rates leave substantial agreement
+    assert r["kappa_micro"] > 0
+
+
+def test_mantel_haenszel_pooled_recompute(r9):
+    rows = r9["mantel_haenszel_winrate"]
+    assert 1 <= len(rows) <= 5
+    num = sum(r["a"] * r["d"] * 1_000_000 // (r["a"] + r["b"] + r["c"] + r["d"]) for r in rows)
+    den = sum(r["b"] * r["c"] * 1_000_000 // (r["a"] + r["b"] + r["c"] + r["d"]) for r in rows)
+    expect = None if den == 0 else num * 1_000_000 // den
+    for r in rows:
+        # m1 vs m2 on the same docs: margins match stratum-wise
+        assert r["a"] + r["b"] == r["c"] + r["d"]
+        assert r["or_mh_micro"] == expect
+    # m1 stronger than m2 => pooled OR above 1
+    if expect is not None:
+        assert expect > 1_000_000
+
+
+def test_ece_window_recompute_and_planted_gap(r9):
+    rows = r9["ece_calibration_bins"]
+    assert rows
+    ece = sum(r["n"] * r["gap_micro"] for r in rows) // sum(
+        r["n"] for r in rows
+    )
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert r["gap_micro"] == abs(r["acc_micro"] - r["mean_conf_micro"])
+        assert r["ece_micro"] == ece
+    # the construction plants ~150000 micro overconfidence
+    assert 50_000 <= ece <= 250_000
+
+
+def test_judge_bias_planted_and_consistent_pairs_truthful(r9):
+    rows = r9["judge_position_bias_audit"]
+    assert rows
+    n = sum(r["n_items"] for r in rows)
+    firstw = sum(r["first_win_micro"] * r["n_items"] for r in rows) // n
+    cons = sum(r["consistency_micro"] * r["n_items"] for r in rows) // n
+    # 20% planted position bias: first-shown wins noticeably above 50%
+    assert firstw > 530_000
+    # but most verdict pairs stay consistent
+    assert cons > 600_000
+    for r in rows:
+        if r["consistent_accuracy_micro"] is not None:
+            assert r["consistent_accuracy_micro"] >= 700_000
+
+
+def test_decontamination_certificate_monotone_and_total(r9):
+    rows = sorted(
+        r9["decontaminated_eval_certificate"], key=lambda r: r["n_gram"]
+    )
+    assert [r["n_gram"] for r in rows] == [2, 3, 5]
+    for r in rows:
+        assert r["n_clean"] == r["n_eval"] - r["n_contaminated"]
+        # the certificate: decontamination is total
+        assert r["residual_overlap"] == 0
+        assert 0 <= r["retention_micro"] <= 1_000_000
+    # longer shingles contaminate fewer docs -> retention rises with n
+    assert (
+        rows[0]["retention_micro"]
+        <= rows[1]["retention_micro"]
+        <= rows[2]["retention_micro"]
+    )
+    # every row sees the same eval split
+    assert len({r["n_eval"] for r in rows}) == 1

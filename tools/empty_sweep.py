@@ -65,6 +65,9 @@ FIXED_CARDINALITY = {
     # the overlap curve reports every depth even over an empty load
     # (inter 0 — the oracle's depths CTE returns the same 10 rows)
     "rbo_ranking_overlap": 10,
+    # the certificate reports every shingle width even over an empty
+    # corpus (counts 0, retention 1000000 vacuously)
+    "decontaminated_eval_certificate": 3,
 }
 
 # Only the watcher-surface family compiles templates (the process-global,
