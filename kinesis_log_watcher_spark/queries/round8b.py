@@ -1795,16 +1795,32 @@ _NEYMAN_BUDGET = 1000
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
                            AS BIGINT)) AS BIGINT) AS s,
-             CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
-                                AS BIGINT) AS DECIMAL(38,0))
-                      * CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
-                                  AS BIGINT) AS DECIMAL(38,0)))
-                  AS DOUBLE) AS ss
+             SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT) AS DECIMAL(38,0))
+                 * CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT) AS DECIMAL(38,0))) AS ssd
       FROM orders GROUP BY 1),
-    wt AS (
-      SELECT *,
-             n * sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS w
+    -- variance numerator n*ss - s^2 stays EXACT; the >2^53 integer is
+    -- converted to double via the engine-stable two-part split
+    -- hi*2^30 + lo (each half < 2^53, so each cast is exact in both
+    -- engines). A direct DECIMAL(38,0)->DOUBLE cast diverged in the
+    -- last bit between engines at sf0.1 (DuckDB's conversion is not
+    -- correctly rounded above 2^53; Java's is), and a micro-quantized
+    -- output at 4e17 magnitude amplifies that ulp to a hash mismatch.
+    -- NB DuckDB's // on DECIMAL routes through float — HUGEINT // is
+    -- the exact path that matches Spark's decimal `div`.
+    vn AS (
+      SELECT prio, n, s,
+             CAST(CAST(n AS DECIMAL(38,0)) * ssd
+                  - CAST(s AS DECIMAL(38,0)) * s AS HUGEINT) AS vnum
       FROM grp),
+    wt AS (
+      SELECT prio, n, s,
+             n * sqrt((CAST(CAST(vnum // 1073741824 AS BIGINT) AS DOUBLE)
+                       * 1073741824.0
+                       + CAST(CAST(vnum % 1073741824 AS BIGINT) AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (n - 1))) AS w
+      FROM vn),
     share AS (
       SELECT *,
              {_NEYMAN_BUDGET} * w / SUM(w) OVER () AS exact_share
@@ -1828,11 +1844,15 @@ _NEYMAN_BUDGET = 1000
     "so allocations sum EXACTLY to the budget (fractional parts "
     "ranked, ties to the stratum name — fully deterministic). The "
     "stratified-sampling design primitive that minimizes estimator "
-    "variance for a fixed labeling/eval budget. Exact DECIMAL(38,0) "
-    "squared-cents sums collapse to IEEE doubles on the bounded "
-    "5-row stratum relation only. Scale shape: one partial-agg "
-    "shuffle to |strata| rows; windows on the bounded relation. (No "
-    "counterpart in reference main.go.)",
+    "variance for a fixed labeling/eval budget. The variance "
+    "numerator n*ss - s^2 stays an EXACT DECIMAL(38,0)/HUGEINT and "
+    "collapses to an IEEE double via the engine-stable two-part "
+    "hi*2^30+lo split on the bounded 5-row stratum relation only — a "
+    "direct >2^53 DECIMAL->DOUBLE cast is not correctly rounded in "
+    "DuckDB and diverged in the last bit at sf0.1 (caught by the r9 "
+    "overflow-family sweep). Scale shape: one partial-agg shuffle to "
+    "|strata| rows; windows on the bounded relation. (No counterpart "
+    "in reference main.go.)",
 )
 def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.functions.exact import dec
@@ -1843,19 +1863,29 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
         F.count("*").cast("long").alias("n"),
         F.sum(cents).cast("long").alias("s"),
-        F.sum(cents.cast(d38) * cents.cast(d38)).cast("double").alias("ss"),
+        F.sum(cents.cast(d38) * cents.cast(d38)).alias("ssd"),
     )
-    wt = grp.select(
-        "*",
-        (
-            F.col("n")
-            * F.sqrt(
-                (
-                    F.col("ss")
-                    - F.col("s").cast("double") * F.col("s") / F.col("n")
-                )
-                / (F.col("n") - 1)
-            )
+    # exact variance numerator + the engine-stable two-part double
+    # conversion (see the oracle SQL comment: a direct >2^53
+    # DECIMAL->DOUBLE cast is not correctly rounded in DuckDB)
+    vn = grp.select(
+        "prio",
+        "n",
+        "s",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * ssd "
+            "- CAST(s AS DECIMAL(38,0)) * s"
+        ).alias("vnum"),
+    )
+    wt = vn.select(
+        "prio",
+        "n",
+        "s",
+        F.expr(
+            "n * sqrt((CAST(CAST(vnum div 1073741824 AS BIGINT) AS DOUBLE)"
+            " * 1073741824.0"
+            " + CAST(CAST(vnum % 1073741824 AS BIGINT) AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * (n - 1)))"
         ).alias("w"),
     )
     wall = Window.partitionBy().rowsBetween(

@@ -433,12 +433,22 @@ def test_ts_profile_similarity_shape_invariance(spark, tmp_path, reg):
 
 def test_new_op_invariants_on_driver_corpus(spark, reg):
     """Cross-cutting invariants of the round-4 operators on the real
-    sf0.001 tables — cheap CI pins beyond the per-query oracles."""
+    sf0.001 tables — cheap CI pins beyond the per-query oracles. The
+    four independent registry executions run as one concurrent burst
+    (the round-8b suite-speed shape)."""
+    from conftest import replay_parallel
+
     sf = "/root/testdata/sf0.001"
+    span, rows, pr, dsir = replay_parallel(
+        lambda: reg["span_corruption_stats"].fn(spark, sf).collect(),
+        lambda: reg["event_transition_matrix"].fn(spark, sf).collect(),
+        lambda: reg["pagerank_two_rounds"].fn(spark, sf).collect(),
+        lambda: reg["dsir_importance_weights"].fn(spark, sf).collect(),
+    )
 
     # span corruption: masked tokens never exceed the doc, spans >= 1,
     # ratio consistent with the counts
-    for r in reg["span_corruption_stats"].fn(spark, sf).collect():
+    for r in span:
         assert 0 < r["n_masked"] <= r["n_tokens"]
         assert 1 <= r["n_spans"] <= r["n_masked"]
 
@@ -446,7 +456,6 @@ def test_new_op_invariants_on_driver_corpus(spark, reg):
     # within per-cell rounding
     import collections
 
-    rows = reg["event_transition_matrix"].fn(spark, sf).collect()
     by_from = collections.defaultdict(list)
     for r in rows:
         by_from[r["from_type"]].append(r["prob_micro"])
@@ -455,14 +464,12 @@ def test_new_op_invariants_on_driver_corpus(spark, reg):
 
     # pagerank: mass approximately conserved (floor losses only shrink),
     # and every supplier node gets a row
-    pr = reg["pagerank_two_rounds"].fn(spark, sf).collect()
     assert pr, "graph must be non-empty at sf0.001"
     total = sum(r["rank_pico"] for r in pr)
     assert 0 < total <= 1_000_000_000_000  # suppliers' share of unit mass
 
     # dsir: weights are finite ints; en docs skew positive on average
     # (the target IS the en sub-corpus)
-    dsir = reg["dsir_importance_weights"].fn(spark, sf).collect()
     assert dsir and all(isinstance(r["logw_nano"], int) for r in dsir)
 
 
