@@ -187,6 +187,14 @@ _FRONT = (
     "ece_calibration_bins",
     "judge_position_bias_audit",
     "decontaminated_eval_certificate",
+    "paired_ttest_scores",
+    "tost_equivalence_certificate",
+    "krippendorff_alpha_binary",
+    "passk_curve_models",
+    "balanced_grader_assignment",
+    "corpus_bleu2_decode_audit",
+    "semantic_decontamination_embeddings",
+    "elo_sequential_replay",
     # ---- round-8 prefix (kept for history; every name below through
     # the wave-B block now has an official row or appears above): the
     # 24 round-7-born queries — at the r8 close the only registry

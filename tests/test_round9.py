@@ -224,3 +224,126 @@ def test_decontamination_certificate_monotone_and_total(r9):
     )
     # every row sees the same eval split
     assert len({r["n_eval"] for r in rows}) == 1
+
+
+_NAMES2 = [
+    "paired_ttest_scores",
+    "tost_equivalence_certificate",
+    "krippendorff_alpha_binary",
+    "passk_curve_models",
+    "balanced_grader_assignment",
+    "corpus_bleu2_decode_audit",
+    "semantic_decontamination_embeddings",
+    "elo_sequential_replay",
+]
+
+
+@pytest.fixture(scope="module")
+def r9b(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in _NAMES2
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_paired_ttest_recovers_planted_gap(r9b):
+    (r,) = r9b["paired_ttest_scores"]
+    # the construction plants a 150000-micro mean score gap m1-m2
+    assert 100_000 <= r["mean_delta_micro"] <= 200_000
+    assert r["significant"] is True
+    # t2 formula recompute from the emitted exact moments
+    n, sd, sd2 = r["n"], r["sd"], r["sd2"]
+    v = n * sd2 - sd * sd
+    assert r["t2_micro"] == sd * sd * (n - 1) * 1_000_000 // v
+
+
+def test_tost_separates_clone_from_gap(r9b):
+    rows = {r["pair"]: r for r in r9b["tost_equivalence_certificate"]}
+    assert set(rows) == {"m2_vs_m2b", "m1_vs_m4"}
+    # same-skill clone certifies equivalent; the 450000-micro gap never
+    assert rows["m2_vs_m2b"]["equivalent"] is True
+    assert rows["m1_vs_m4"]["equivalent"] is False
+
+
+def test_krippendorff_bounds_and_positive_agreement(r9b):
+    (r,) = r9b["krippendorff_alpha_binary"]
+    # missing-at-random: pairable items < all items, values < 5*items
+    assert 0 < r["n_items"]
+    assert r["n_items"] * 2 <= r["n_values"] <= r["n_items"] * 5
+    assert 0 <= r["p1"] <= r["n_values"]
+    # 5-25% flip rates leave real agreement
+    assert 0 < r["alpha_micro"] <= 1_000_000
+
+
+def test_passk_curve_monotone(r9b):
+    rows = sorted(r9b["passk_curve_models"], key=lambda r: r["k"])
+    assert [r["k"] for r in rows] == [1, 2, 4, 8]
+    vals = [r["mean_passk_micro"] for r in rows]
+    # pass@k is monotone nondecreasing in k, bounded by 1
+    assert vals == sorted(vals)
+    assert all(0 <= v <= 1_000_000 for v in vals)
+    # k=1 equals the plain mean success rate of the 16-trial table
+    assert len({r["n_items"] for r in rows}) == 1
+
+
+def test_grader_assignment_balanced(r9b):
+    rows = r9b["balanced_grader_assignment"]
+    assert len(rows) == 8
+    loads = [r["n_items"] for r in rows]
+    for r in rows:
+        assert r["max_load"] == max(loads)
+        assert r["min_load"] == min(loads)
+        assert r["balanced"] is True
+        assert r["balanced"] == (
+            r["max_load"] - r["min_load"] <= r["n_strata"]
+        )
+
+
+def test_bleu2_corruption_recovered(r9b):
+    rows = r9b["corpus_bleu2_decode_audit"]
+    assert rows
+    for r in rows:
+        # dropout-only shortening: hypothesis never longer than ref
+        assert r["c_len"] <= r["r_len"]
+        # ~25% corruption: unigram precision well below 1, above 0.5
+        assert 500_000 <= r["p1_micro"] < 1_000_000
+        # bigram precision below unigram (corruption breaks pairs)
+        assert r["p2_micro"] <= r["p1_micro"]
+        assert 0 < r["bp_micro"] <= 1_000_000
+        # geometric-mean recompute
+        import math
+
+        geo = math.floor(math.sqrt(r["p1_micro"] * r["p2_micro"]))
+        assert r["bleu2_micro"] == geo * r["bp_micro"] // 1_000_000
+
+
+def test_semantic_decontamination_totals(r9b):
+    (r,) = r9b["semantic_decontamination_embeddings"]
+    assert r["n_clean"] == r["n_eval"] - r["n_contaminated"]
+    assert r["residual_overlap"] == 0
+    assert 0 <= r["retention_micro"] <= 1_000_000
+    # 80/20 split roughly holds on the driver data
+    total = r["n_train"] + r["n_eval"]
+    assert total > 0
+    assert 0.6 * total <= r["n_train"] <= 0.95 * total
+
+
+def test_elo_replay_recovers_skill_order(r9b):
+    rows = {r["model"]: r for r in r9b["elo_sequential_replay"]}
+    assert set(rows) == {"m1", "m2", "m3", "m4"}
+    ratings = {m: rows[m]["rating_milli"] for m in ["m1", "m2", "m3", "m4"]}
+    # Elo with ~30 direct games per pair at sf0.001 is noisy on the
+    # adjacent 150000-micro gaps (the top pair CAN flip); the 2-step
+    # and 3-step gaps are far outside replay noise and must hold.
+    assert ratings["m1"] > ratings["m3"]
+    assert ratings["m1"] > ratings["m4"]
+    assert ratings["m2"] > ratings["m4"]
+    assert min(ratings, key=ratings.get) == "m4"
+    # rating is zero-sum around the 1500.000 start
+    assert sum(ratings.values()) == 4 * 1_500_000
+    for r in rows.values():
+        assert 0 <= r["n_wins"] <= r["n_games"]

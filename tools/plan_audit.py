@@ -92,6 +92,10 @@ ALLOWED_BNLJ = {
     "composes with IVF/LSH pruning)",
     "stump_1r_training": "1-row class-total broadcast per feature sweep",
     "rendezvous_shard_rebalance": "9-row shard-enumeration broadcast (HRW weights are key x shard by definition)",
+    # round-9 model-eval wave: same 1-row-build-side shape
+    "balanced_grader_assignment": "1-row strata-count broadcast (the "
+    "balance certificate's bound; loads ride a window on the bounded "
+    "8-grader relation)",
     # round-5 mining family: same 1-row-build-side shape as above
     "kmv_theta_set_ops": "1-row sketch-stats/exact broadcasts",
     "kn_bigram_perplexity": "1-row bigram-type-total broadcast",
