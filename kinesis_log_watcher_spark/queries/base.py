@@ -195,6 +195,9 @@ _FRONT = (
     "corpus_bleu2_decode_audit",
     "semantic_decontamination_embeddings",
     "elo_sequential_replay",
+    "stream_winrate_matrix",
+    "stream_ece_calibration",
+    "stream_mcnemar_paired",
     # ---- round-8 prefix (kept for history; every name below through
     # the wave-B block now has an official row or appears above): the
     # 24 round-7-born queries — at the r8 close the only registry

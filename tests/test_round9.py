@@ -347,3 +347,20 @@ def test_elo_replay_recovers_skill_order(r9b):
     assert sum(ratings.values()) == 4 * 1_500_000
     for r in rows.values():
         assert 0 <= r["n_wins"] <= r["n_games"]
+
+
+def test_streaming_twins_equal_batch_exactly(spark, sf_dir):
+    """The live-mergeability certificate beyond the shared oracle: the
+    streaming twins' rows equal the batch queries' rows EXACTLY on the
+    same corpus (complete-mode counting state is order-free, so any
+    micro-batch split must converge to the batch aggregation)."""
+    pairs = [
+        ("stream_winrate_matrix", "winrate_matrix_models"),
+        ("stream_ece_calibration", "ece_calibration_bins"),
+        ("stream_mcnemar_paired", "mcnemar_paired_models"),
+    ]
+    for twin, batch in pairs:
+        got = sorted(map(tuple, _q(twin)(spark, sf_dir).collect()))
+        want = sorted(map(tuple, _q(batch)(spark, sf_dir).collect()))
+        assert got == want, f"{twin} diverged from {batch}"
+        assert got, f"{twin} returned no rows"
