@@ -32,18 +32,46 @@ _NAMES = [
 ]
 
 
+_NAMES2 = [
+    "paired_ttest_scores",
+    "tost_equivalence_certificate",
+    "krippendorff_alpha_binary",
+    "passk_curve_models",
+    "balanced_grader_assignment",
+    "corpus_bleu2_decode_audit",
+    "semantic_decontamination_embeddings",
+    "elo_sequential_replay",
+]
+
+_TWINS = [
+    ("stream_winrate_matrix", "winrate_matrix_models"),
+    ("stream_ece_calibration", "ece_calibration_bins"),
+    ("stream_mcnemar_paired", "mcnemar_paired_models"),
+]
+
+
 @pytest.fixture(scope="module")
-def r9(spark, sf_dir):
-    """Every wave query in ONE concurrent burst (the round-8b
-    suite-speed shape)."""
+def r9_all(spark, sf_dir):
+    """EVERY round-9 registry execution in ONE 12-wide concurrent burst
+    (the round-8b suite-speed shape), plus the three streaming twins
+    run serially afterwards (replay_partitions mutates session confs
+    and must not interleave)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=10) as pool:
+    with ThreadPoolExecutor(max_workers=12) as pool:
         futs = {
             n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
-            for n in _NAMES
+            for n in _NAMES + _NAMES2
         }
-        return {n: f.result() for n, f in futs.items()}
+        out = {n: f.result() for n, f in futs.items()}
+    for twin, _batch in _TWINS:
+        out[twin] = _q(twin)(spark, sf_dir).collect()
+    return out
+
+
+@pytest.fixture(scope="module")
+def r9(r9_all):
+    return {n: r9_all[n] for n in _NAMES}
 
 
 def _h15(s: str) -> int:
@@ -226,28 +254,9 @@ def test_decontamination_certificate_monotone_and_total(r9):
     assert len({r["n_eval"] for r in rows}) == 1
 
 
-_NAMES2 = [
-    "paired_ttest_scores",
-    "tost_equivalence_certificate",
-    "krippendorff_alpha_binary",
-    "passk_curve_models",
-    "balanced_grader_assignment",
-    "corpus_bleu2_decode_audit",
-    "semantic_decontamination_embeddings",
-    "elo_sequential_replay",
-]
-
-
 @pytest.fixture(scope="module")
-def r9b(spark, sf_dir):
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        futs = {
-            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
-            for n in _NAMES2
-        }
-        return {n: f.result() for n, f in futs.items()}
+def r9b(r9_all):
+    return {n: r9_all[n] for n in _NAMES2}
 
 
 def test_paired_ttest_recovers_planted_gap(r9b):
@@ -349,18 +358,13 @@ def test_elo_replay_recovers_skill_order(r9b):
         assert 0 <= r["n_wins"] <= r["n_games"]
 
 
-def test_streaming_twins_equal_batch_exactly(spark, sf_dir):
+def test_streaming_twins_equal_batch_exactly(r9_all):
     """The live-mergeability certificate beyond the shared oracle: the
     streaming twins' rows equal the batch queries' rows EXACTLY on the
     same corpus (complete-mode counting state is order-free, so any
     micro-batch split must converge to the batch aggregation)."""
-    pairs = [
-        ("stream_winrate_matrix", "winrate_matrix_models"),
-        ("stream_ece_calibration", "ece_calibration_bins"),
-        ("stream_mcnemar_paired", "mcnemar_paired_models"),
-    ]
-    for twin, batch in pairs:
-        got = sorted(map(tuple, _q(twin)(spark, sf_dir).collect()))
-        want = sorted(map(tuple, _q(batch)(spark, sf_dir).collect()))
+    for twin, batch in _TWINS:
+        got = sorted(map(tuple, r9_all[twin]))
+        want = sorted(map(tuple, r9_all[batch]))
         assert got == want, f"{twin} diverged from {batch}"
         assert got, f"{twin} returned no rows"
