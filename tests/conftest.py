@@ -45,10 +45,23 @@ def spark():
     # staged micro-batch file vs ~0.7s at 4 slices (≥19 staging sites,
     # many staged 3×). Executor thread capacity stays local[32]; only
     # the default slicing of driver-local test rows narrows.
+    # UI live-state store trimmed for the same reason bench.py does it
+    # (the r6 lesson): a ~570-test suite submits thousands of jobs
+    # through one JVM, the UI retains them all by default, and the
+    # resulting driver heap/GC pressure lands on whichever tests run
+    # LATE in the alphabet (template tests measured 2-3x their
+    # standalone times at the r9 registry size). The suite needs no UI.
     spark = get_spark(
         app_name="klw-tests",
         shuffle_partitions=4,
-        extra_conf={"spark.default.parallelism": "4"},
+        extra_conf={
+            "spark.default.parallelism": "4",
+            "spark.ui.enabled": "false",
+            "spark.sql.ui.retainedExecutions": "5",
+            "spark.ui.retainedJobs": "50",
+            "spark.ui.retainedStages": "50",
+            "spark.ui.retainedTasks": "500",
+        },
     )
     yield spark
 
