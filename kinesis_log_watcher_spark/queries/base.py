@@ -198,6 +198,10 @@ _FRONT = (
     "stream_winrate_matrix",
     "stream_ece_calibration",
     "stream_mcnemar_paired",
+    "token_fertility_by_lang",
+    "judge_verbosity_bias_audit",
+    "doremi_linear_reweight",
+    "eval_dedup_inflation_audit",
     # ---- round-8 prefix (kept for history; every name below through
     # the wave-B block now has an official row or appears above): the
     # 24 round-7-born queries — at the r8 close the only registry

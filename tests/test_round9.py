@@ -368,3 +368,78 @@ def test_streaming_twins_equal_batch_exactly(r9_all):
         want = sorted(map(tuple, r9_all[batch]))
         assert got == want, f"{twin} diverged from {batch}"
         assert got, f"{twin} returned no rows"
+
+
+_NAMES4 = [
+    "token_fertility_by_lang",
+    "judge_verbosity_bias_audit",
+    "doremi_linear_reweight",
+    "eval_dedup_inflation_audit",
+]
+
+
+@pytest.fixture(scope="module")
+def r9c(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in _NAMES4
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_fertility_accounting(r9c):
+    rows = r9c["token_fertility_by_lang"]
+    assert rows
+    for r in rows:
+        assert r["total_tokens"] > 0
+        assert r["chars_per_token_micro"] == (
+            r["total_chars"] * 1_000_000 // r["total_tokens"]
+        )
+        assert r["tokens_per_doc_micro"] == (
+            r["total_tokens"] * 1_000_000 // r["n_docs"]
+        )
+        # whitespace tokens average more than 1 char
+        assert r["chars_per_token_micro"] > 1_000_000
+
+
+def test_verbosity_bias_curve(r9c):
+    rows = sorted(
+        r9c["judge_verbosity_bias_audit"], key=lambda r: r["gap_bucket"]
+    )
+    assert rows
+    # the planted bias grows with the length gap: the longer answer's
+    # win rate rises across buckets while accuracy falls (endpoints
+    # compared; middle buckets can wobble on small n)
+    assert rows[-1]["longer_win_micro"] > rows[0]["longer_win_micro"]
+    assert rows[-1]["accuracy_micro"] < rows[0]["accuracy_micro"]
+    for r in rows:
+        assert 0 <= r["accuracy_micro"] <= 1_000_000
+
+
+def test_doremi_reweight_conserves_and_shifts_mass(r9c):
+    rows = r9c["doremi_linear_reweight"]
+    assert rows
+    w0 = sum(r["w0_micro"] for r in rows)
+    w1 = sum(r["w1_micro"] for r in rows)
+    # truncating normalization: totals within one micro per domain
+    assert 1_000_000 - len(rows) <= w0 <= 1_000_000
+    assert 1_000_000 - len(rows) <= w1 <= 1_000_000
+    for r in rows:
+        assert r["delta_micro"] == r["w1_micro"] - r["w0_micro"]
+    # the highest-excess domain gains share, within truncation slack
+    hi = max(rows, key=lambda r: r["excess_micro"])
+    assert hi["delta_micro"] >= -1
+
+
+def test_eval_dedup_inflation_consistent(r9c):
+    (r,) = r9c["eval_dedup_inflation_audit"]
+    assert 0 < r["n_unique"] <= r["n_raw"]
+    # the driver corpus is ~28% near-dup: dedup must remove something
+    assert r["n_unique"] < r["n_raw"]
+    assert (
+        r["inflation_micro"]
+        == r["winrate_raw_micro"] - r["winrate_dedup_micro"]
+    )
