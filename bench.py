@@ -83,7 +83,81 @@ def _cpu_ticks() -> dict[str, int]:
         return {}
 
 
+def parse_args(argv: list[str]) -> "argparse.Namespace":
+    """Strict CLI: UNKNOWN flags are an error, not a silent full run.
+
+    The round-9 judge typed ``bench.py --subset a,b,c`` (not a real
+    flag); the old arg handling ignored it, ran the FULL registry, and
+    overwrote the committed BENCH_FULL_LOCAL.json comparator in the
+    working tree. argparse's default unknown-argument error makes that
+    class of typo fail fast instead."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument(
+        "--commit",
+        action="store_true",
+        help="write the full-run archive to BENCH_FULL_LOCAL.json "
+        "(the committed cross-round comparator). Without it a full "
+        "run writes BENCH_FULL_LOCAL.candidate.json so ad-hoc and "
+        "adjudication runs can never clobber the committed archive.",
+    )
+    p.add_argument(
+        "--only",
+        default="",
+        metavar="a,b,c",
+        help="restrict the timed set to these query names "
+        "(same semantics as SPARK_GRAFT_BENCH_ONLY).",
+    )
+    return p.parse_args(argv)
+
+
+# Queries sharing an iterative kernel run at ADJACENT registry
+# positions (they live in the same module), so one hypervisor-steal
+# burst inflates the whole family at once and cross-round comparison
+# flags them together (BENCH_r09's false positive: the LPA trio at
+# run positions 127-137 all read 1.4-2.5x under steal_s 168). Spread
+# each family's members >=30 run slots apart so contention cannot
+# correlate them; plans are unchanged, only run ORDER moves (the
+# positions map in the archive records it).
+FAMILY_SPREAD = (
+    ("community_modularity",
+     "neardup_graph_assortativity",
+     "community_label_propagation"),
+)
+_SPREAD_SLOTS = 30
+
+
+def spread_families(names: list[str]) -> list[str]:
+    """Re-seat later members of each FAMILY_SPREAD family >=_SPREAD_SLOTS
+    positions after the previous member. Deterministic, order-preserving
+    for everything else."""
+    for family in FAMILY_SPREAD:
+        members = [n for n in family if n in names]
+        if len(members) < 2:
+            continue
+        rest = [n for n in names if n not in members[1:]]
+        out = list(rest)
+        anchor = out.index(members[0])
+        for i, m in enumerate(members[1:], start=1):
+            pos = min(anchor + i * _SPREAD_SLOTS, len(out))
+            out.insert(pos, m)
+        names = out
+    return names
+
+
+def archive_name(subset_run: bool, commit: bool) -> str:
+    """Which file a run's full-fidelity record goes to. Only an explicit
+    --commit full run may touch the committed cross-round comparator."""
+    if subset_run:
+        return "BENCH_FULL_LOCAL.subset.json"
+    if commit:
+        return "BENCH_FULL_LOCAL.json"
+    return "BENCH_FULL_LOCAL.candidate.json"
+
+
 def main() -> None:
+    args = parse_args(sys.argv[1:])
     # Point fd 1 at stderr BEFORE the JVM launches so its stdout banners
     # ("Setting default log level...", Ivy, WARNs) can't pollute the one
     # JSON line the driver parses.
@@ -96,6 +170,25 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    reg = registry()
+    names = [n for n in reg if n not in SKIP]
+
+    # Subset hook: --only a,b,c (or SPARK_GRAFT_BENCH_ONLY for contract
+    # tests) restricts the timed set; the stdout/budget logic runs
+    # unchanged. The driver passes neither, so per-round benches are
+    # unaffected. Resolved BEFORE the JVM launches so a no-match typo
+    # fails in seconds, not after a full Spark bring-up.
+    only = args.only or os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    subset_run = bool(only.strip())
+    if subset_run:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
+        if not names:
+            sys.exit(f"bench.py: no registered queries match --only/"
+                     f"SPARK_GRAFT_BENCH_ONLY={only!r}")
+    else:
+        names = spread_families(names)
     # A ~270-query marathon submits thousands of jobs through one JVM;
     # the Spark UI's live state store retains them all by default and
     # the resulting driver heap/GC pressure lands on whichever queries
@@ -122,17 +215,6 @@ def main() -> None:
     t_start = time.time()
     stat_before = _cpu_ticks()
 
-    reg = registry()
-    names = [n for n in reg if n not in SKIP]
-
-    # Contract-test hook: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the
-    # timed set (the stdout/budget logic runs unchanged). The driver
-    # never sets it, so per-round benches are unaffected.
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
-    if only.strip():
-        keep = {s.strip() for s in only.split(",") if s.strip()}
-        names = [n for n in names if n in keep]
-
     # warm-up (JVM JIT, codegen compiler, shuffle machinery, parquet
     # footer caches, Python worker pool): r8 showed a single warm-up
     # query is not enough — queries rotated to the cold front of the
@@ -151,7 +233,7 @@ def main() -> None:
     # 3-query diagnostic run.
     warm_set = (
         (names[0],)
-        if only.strip()
+        if subset_run
         else (
             names[0],
             "pricing_summary",
@@ -247,16 +329,18 @@ def main() -> None:
     # Full fidelity: every timed query, committed to the repo each round.
     # Overridable so harness/test runs don't clobber the committed
     # per-round record (a pytest contract run at sf0.001 used to).
-    # SUBSET runs (SPARK_GRAFT_BENCH_ONLY) never write the committed
-    # archive implicitly: a 3-query sidecar silently replacing the
-    # 300+-query round record destroys every self-adjudication
+    # SUBSET runs (--only / SPARK_GRAFT_BENCH_ONLY) never write the
+    # committed archive implicitly: a 3-query sidecar silently replacing
+    # the 400+-query round record destroys every self-adjudication
     # comparator — route subsets to a .subset sidecar unless the caller
-    # named an explicit path.
+    # named an explicit path. FULL runs are archive-safe too (r9
+    # verdict item 2): only --commit writes BENCH_FULL_LOCAL.json; a
+    # plain full run (driver per-round bench, judge adjudication)
+    # writes a .candidate sidecar, so the committed comparator only
+    # moves on an explicit round-close commit run.
     default_full = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "BENCH_FULL_LOCAL.subset.json"
-        if os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
-        else "BENCH_FULL_LOCAL.json",
+        archive_name(subset_run, args.commit),
     )
     full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL_PATH") or default_full
     with open(full_path, "w") as fh:

@@ -126,13 +126,37 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # list is static — registry order never depends on the runtime
 # environment or on any external files.
 _FRONT = (
-    # ---- round-9 prefix: the 41 round-8b queries that are the only
-    # registry entries without an official driver CORRECTNESS row
-    # (CORRECTNESS_r08's ~50-row sample window closed just ahead of
-    # them; the round-8 judge swept all 41 green with
-    # tools/check_correctness.py --bare at sf0.01). Listing them first
-    # puts them inside the r9 sample window; the round-9-born wave
-    # queues directly behind.
+    # ---- round-10 prefix: the 16 round-9-born queries that are the
+    # only registry entries without an official driver CORRECTNESS row
+    # (CORRECTNESS_r09's 50-row sample window covered the 41 queued
+    # round-8b queries + the first 9 of the round-9 wave; the round-9
+    # judge swept all 16 green with tools/check_correctness.py --bare
+    # at sf0.01). Listing them first puts them inside the r10 sample
+    # window; the round-10-born wave queues directly behind.
+    "decontaminated_eval_certificate",
+    "paired_ttest_scores",
+    "tost_equivalence_certificate",
+    "krippendorff_alpha_binary",
+    "passk_curve_models",
+    "balanced_grader_assignment",
+    "corpus_bleu2_decode_audit",
+    "semantic_decontamination_embeddings",
+    "elo_sequential_replay",
+    "stream_winrate_matrix",
+    "stream_ece_calibration",
+    "stream_mcnemar_paired",
+    "token_fertility_by_lang",
+    "judge_verbosity_bias_audit",
+    "doremi_linear_reweight",
+    "eval_dedup_inflation_audit",
+    # ---- round-10 retrieval/RAG-evaluation wave (queries/round10.py;
+    # first official row pending — directly behind the round-9
+    # remainder so the head of the wave lands inside the same ~50-row
+    # sample window and the tail queues for r11)
+    # (names appended by the round-10 build as each sub-wave lands)
+    # ---- round-9 prefix (kept for history; every name below now has
+    # an official row — the 41 round-8b queries sampled in
+    # CORRECTNESS_r09 plus the first 9 round-9-born)
     "cuped_variance_reduction",
     "logo_source_influence",
     "attribution_multi_touch",
@@ -174,9 +198,9 @@ _FRONT = (
     "experiment_pipeline_e2e",
     "rbo_ranking_overlap",
     "stratified_ate_coarsened",
-    # ---- round-9 model-eval wave (queries/round9.py; first official
-    # row pending — directly behind the round-8b remainder so the tail
-    # lands inside the same sample window or the r10 one)
+    # ---- round-9 model-eval wave head (queries/round9.py; these 9
+    # got their official rows in CORRECTNESS_r09 — the 16-query tail
+    # of the wave is the round-10 prefix above)
     "winrate_matrix_models",
     "model_agreement_kappa_matrix",
     "mcnemar_paired_models",
@@ -186,22 +210,6 @@ _FRONT = (
     "mantel_haenszel_winrate",
     "ece_calibration_bins",
     "judge_position_bias_audit",
-    "decontaminated_eval_certificate",
-    "paired_ttest_scores",
-    "tost_equivalence_certificate",
-    "krippendorff_alpha_binary",
-    "passk_curve_models",
-    "balanced_grader_assignment",
-    "corpus_bleu2_decode_audit",
-    "semantic_decontamination_embeddings",
-    "elo_sequential_replay",
-    "stream_winrate_matrix",
-    "stream_ece_calibration",
-    "stream_mcnemar_paired",
-    "token_fertility_by_lang",
-    "judge_verbosity_bias_audit",
-    "doremi_linear_reweight",
-    "eval_dedup_inflation_audit",
     # ---- round-8 prefix (kept for history; every name below through
     # the wave-B block now has an official row or appears above): the
     # 24 round-7-born queries — at the r8 close the only registry

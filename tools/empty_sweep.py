@@ -22,10 +22,11 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-MANIFEST_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "empty_sweep_manifest.json"
-)
+import _manifest  # noqa: E402  (tools/_manifest.py — shared gate plumbing)
+
+MANIFEST_PATH = _manifest.manifest_path("empty_sweep_manifest.json")
 
 # Every stream_* query is a replay-backed Structured Streaming run: on
 # (empty, NULL-ts sentinel) input the sweep would pay dataset staging
@@ -134,17 +135,10 @@ def sweep(spark, empty_sf_dir: str, items) -> list[str]:
 
 
 def load_manifest() -> set[str]:
-    import json
-
-    try:
-        with open(MANIFEST_PATH) as fh:
-            return set(json.load(fh))
-    except FileNotFoundError:
-        return set()
+    return _manifest.load_manifest(MANIFEST_PATH)
 
 
 def main() -> int:
-    import json
     import tempfile
 
     from kinesis_log_watcher_spark.queries import registry
@@ -163,24 +157,9 @@ def main() -> int:
         print(f"FLAG  {f}")
     print(f"\n{len(items)} queries swept, {len(failures)} failed")
     if not failures:
-        # write only on content change so read-only verification runs
-        # leave `git status` clean
-        payload = json.dumps(sorted(n for n, _ in items), indent=0)
-        try:
-            with open(MANIFEST_PATH) as fh:
-                current = fh.read()
-        except FileNotFoundError:
-            current = None
-        if current == payload:
-            print(f"manifest unchanged: {len(items)} queries "
-                  f"({MANIFEST_PATH})")
-        elif no_write:
-            print(f"manifest DIFFERS but --no-write given ({MANIFEST_PATH})")
-        else:
-            with open(MANIFEST_PATH, "w") as fh:
-                fh.write(payload)
-            print(f"manifest written: {len(items)} queries -> "
-                  f"{MANIFEST_PATH}")
+        _manifest.write_manifest_if_changed(
+            MANIFEST_PATH, [n for n, _ in items], no_write
+        )
     return 1 if failures else 0
 
 

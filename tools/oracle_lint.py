@@ -39,6 +39,9 @@ import sys
 import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import _manifest  # noqa: E402  (tools/_manifest.py — shared gate plumbing)
 
 from kinesis_log_watcher_spark.queries.base import TABLES  # noqa: E402
 
@@ -109,18 +112,11 @@ def lint_one(con, name: str, sql: str) -> list[str]:
 # cannot slip a divergence-class oracle past the gate while the suite
 # skips re-linting the settled registry. A clean FULL run (no `only`
 # filter) rewrites it.
-MANIFEST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "oracle_lint_manifest.json")
+MANIFEST_PATH = _manifest.manifest_path("oracle_lint_manifest.json")
 
 
 def load_manifest() -> set[str]:
-    import json
-
-    try:
-        with open(MANIFEST_PATH) as fh:
-            return set(json.load(fh))
-    except FileNotFoundError:
-        return set()
+    return _manifest.load_manifest(MANIFEST_PATH)
 
 
 def main() -> int:
@@ -179,26 +175,10 @@ def main() -> int:
                 print(f"FLAG  {name}: {'; '.join(findings)}")
     print(f"\n{len(items)} oracles linted, {failures} flagged")
     if not failures and not only:
-        import json
-
-        # write only on content change so read-only verification runs
-        # leave `git status` clean
-        payload = json.dumps(sorted(name for name, _ in items), indent=0)
-        try:
-            with open(MANIFEST_PATH) as fh:
-                current = fh.read()
-        except FileNotFoundError:
-            current = None
-        if current == payload:
-            print(f"manifest unchanged: {len(items)} oracles "
-                  f"({MANIFEST_PATH})")
-        elif no_write:
-            print(f"manifest DIFFERS but --no-write given ({MANIFEST_PATH})")
-        else:
-            with open(MANIFEST_PATH, "w") as fh:
-                fh.write(payload)
-            print(f"manifest written: {len(items)} oracles -> "
-                  f"{MANIFEST_PATH}")
+        _manifest.write_manifest_if_changed(
+            MANIFEST_PATH, [name for name, _ in items], no_write,
+            noun="oracles",
+        )
     return 1 if failures else 0
 
 

@@ -26,6 +26,9 @@ import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import _manifest  # noqa: E402  (tools/_manifest.py — shared gate plumbing)
 
 from kinesis_log_watcher_spark.queries import registry  # noqa: E402
 from kinesis_log_watcher_spark.session import get_spark  # noqa: E402
@@ -171,40 +174,15 @@ def audit_one(spark, name: str, fn, sf_dir: str) -> tuple[list[str], list[str]]:
 # after the last full audit cannot slip an unlisted BNLJ/cartesian past
 # the gate (the r7 association_rules_lift miss). A clean full run
 # rewrites the manifest.
-MANIFEST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "plan_audit_manifest.json")
+MANIFEST_PATH = _manifest.manifest_path("plan_audit_manifest.json")
 
 
 def load_manifest() -> set[str]:
-    import json
-
-    try:
-        with open(MANIFEST_PATH) as fh:
-            return set(json.load(fh))
-    except FileNotFoundError:
-        return set()
+    return _manifest.load_manifest(MANIFEST_PATH)
 
 
 def write_manifest_if_changed(names: list[str], no_write: bool) -> None:
-    """Write the manifest only when its content would change, so a
-    verification run on a clean tree leaves `git status` clean."""
-    import json
-
-    payload = json.dumps(sorted(names), indent=0)
-    try:
-        with open(MANIFEST_PATH) as fh:
-            current = fh.read()
-    except FileNotFoundError:
-        current = None
-    if current == payload:
-        print(f"manifest unchanged: {len(names)} queries ({MANIFEST_PATH})")
-        return
-    if no_write:
-        print(f"manifest DIFFERS but --no-write given ({MANIFEST_PATH})")
-        return
-    with open(MANIFEST_PATH, "w") as fh:
-        fh.write(payload)
-    print(f"manifest written: {len(names)} queries -> {MANIFEST_PATH}")
+    _manifest.write_manifest_if_changed(MANIFEST_PATH, names, no_write)
 
 
 def main() -> int:
