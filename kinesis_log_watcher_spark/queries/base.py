@@ -153,7 +153,12 @@ _FRONT = (
     # first official row pending — directly behind the round-9
     # remainder so the head of the wave lands inside the same ~50-row
     # sample window and the tail queues for r11)
-    # (names appended by the round-10 build as each sub-wave lands)
+    "retrieval_recall_at_k",
+    "retrieval_mrr_first_rank",
+    "retrieval_ndcg_at10",
+    "retrieval_recall_curve",
+    "retrieval_failure_taxonomy",
+    "retrieval_candidate_coverage",
     # ---- round-9 prefix (kept for history; every name below now has
     # an official row — the 41 round-8b queries sampled in
     # CORRECTNESS_r09 plus the first 9 round-9-born)
@@ -500,6 +505,7 @@ def registry() -> dict[str, Query]:
         round8,
         round8b,
         round9,
+        round10,
         sampling,
         streaming,
         tpch_deep,
