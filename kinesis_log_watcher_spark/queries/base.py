@@ -159,6 +159,11 @@ _FRONT = (
     "retrieval_recall_curve",
     "retrieval_failure_taxonomy",
     "retrieval_candidate_coverage",
+    "reciprocal_rank_fusion",
+    "rrf_sign_test",
+    "two_stage_rerank_gain",
+    "interleaving_ab_eval",
+    "cascade_fallback_eval",
     # ---- round-9 prefix (kept for history; every name below now has
     # an official row — the 41 round-8b queries sampled in
     # CORRECTNESS_r09 plus the first 9 round-9-born)

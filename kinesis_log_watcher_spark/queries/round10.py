@@ -659,3 +659,591 @@ def retrieval_candidate_coverage(
         F.expr(micro.format("rel_a")).alias("coverage_a_micro"),
         F.expr(micro.format("rel_b")).alias("coverage_b_micro"),
     )
+
+
+# ===========================================================================
+# Reciprocal-rank fusion
+# ===========================================================================
+
+_SQL_FUSED = """contrib AS (
+      SELECT q_id, doc_id, rel, 1000000000 // (60 + rnk) AS c FROM ra
+      UNION ALL
+      SELECT q_id, doc_id, rel, 1000000000 // (60 + rnk) FROM rb),
+    fused AS (
+      SELECT q_id, doc_id, MAX(rel) AS rel, CAST(SUM(c) AS BIGINT) AS rrf
+      FROM contrib GROUP BY q_id, doc_id),
+    franked AS (
+      SELECT q_id, doc_id, rel,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+      FROM fused)"""
+
+_SQL_RRF_PERQ = """ah AS (
+      SELECT q_id, CAST(SUM(CASE WHEN rnk <= 10 AND rel > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS hits_a
+      FROM ra GROUP BY q_id),
+    bh AS (
+      SELECT q_id, CAST(SUM(CASE WHEN rnk <= 10 AND rel > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS hits_b
+      FROM rb GROUP BY q_id),
+    fh AS (
+      SELECT q_id, CAST(SUM(CASE WHEN rnk <= 10 AND rel > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS hits_rrf
+      FROM franked GROUP BY q_id),
+    perq AS (
+      SELECT n.q_id, n.n_rel,
+             COALESCE(ah.hits_a, 0) AS hits_a,
+             COALESCE(bh.hits_b, 0) AS hits_b,
+             COALESCE(fh.hits_rrf, 0) AS hits_rrf
+      FROM nrel n
+      LEFT JOIN ah ON ah.q_id = n.q_id
+      LEFT JOIN bh ON bh.q_id = n.q_id
+      LEFT JOIN fh ON fh.q_id = n.q_id)"""
+
+
+def _fused_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF-fused ranking: per-list contributions 1e9 // (60 + rank)
+    unioned then summed per (q, doc) — a union + ONE partial-agg
+    shuffle, never an outer join of the two lists."""
+    sc = _scored(spark, sf_dir)
+    ra = _ranked(sc, "sa", _CUT_A)
+    rb = _ranked(sc, "sb", _CUT_B)
+    contrib = ra.select(
+        "q_id", "doc_id", "rel",
+        F.expr("1000000000 div (60 + rnk)").alias("c"),
+    ).unionByName(
+        rb.select(
+            "q_id", "doc_id", "rel",
+            F.expr("1000000000 div (60 + rnk)").alias("c"),
+        )
+    )
+    fused = contrib.groupBy("q_id", "doc_id").agg(
+        F.max("rel").alias("rel"), F.sum("c").cast("long").alias("rrf")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return fused.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def _hits10(df: DataFrame, out: str) -> DataFrame:
+    return df.groupBy("q_id").agg(
+        F.sum(F.when((F.col("rnk") <= 10) & (F.col("rel") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias(out)
+    )
+
+
+def _rrf_perq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _scored(spark, sf_dir)
+    ah = _hits10(_ranked(sc, "sa", _CUT_A), "hits_a")
+    bh = _hits10(_ranked(sc, "sb", _CUT_B), "hits_b")
+    fh = _hits10(_fused_lists(spark, sf_dir), "hits_rrf")
+    nrel = _nrel(_panel(spark, sf_dir))
+    return (
+        nrel.join(F.broadcast(ah), "q_id", "left")
+        .join(F.broadcast(bh), "q_id", "left")
+        .join(F.broadcast(fh), "q_id", "left")
+        .select(
+            "q_id",
+            "n_rel",
+            F.coalesce("hits_a", F.lit(0)).cast("long").alias("hits_a"),
+            F.coalesce("hits_b", F.lit(0)).cast("long").alias("hits_b"),
+            F.coalesce("hits_rrf", F.lit(0)).cast("long").alias("hits_rrf"),
+        )
+    )
+
+
+@register(
+    "reciprocal_rank_fusion",
+    f"""
+    WITH {_SQL_CORE},
+    {_SQL_FUSED},
+    {_SQL_RRF_PERQ}
+    SELECT q_id, n_rel, hits_a, hits_b, hits_rrf,
+           CASE WHEN hits_rrf > GREATEST(hits_a, hits_b) THEN 'rrf'
+                WHEN hits_rrf < GREATEST(hits_a, hits_b) THEN 'single'
+                ELSE 'tie' END AS winner
+    FROM perq
+    """,
+    doc="Reciprocal-rank fusion of the two retrievers (RRF, Cormack et "
+    "al. 2009: score = sum 1/(60+rank), here exact 1e9//(60+rank) "
+    "integer contributions): per query, recall@10 hits of each single "
+    "system vs the fused list, with the per-query winner verdict. THE "
+    "standard zero-training hybrid-retrieval combiner (BM25 + vector). "
+    "Scale shape: fusion is a union of the two bounded candidate "
+    "lists + ONE partial-agg shuffle per (q, doc) — never an outer "
+    "join; the re-rank window stays inside the fused candidate "
+    "subset; per-query metrics land on the 16-row domain via "
+    "broadcast joins. (No counterpart in reference main.go.)",
+)
+def reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    perq = _rrf_perq(spark, sf_dir)
+    return perq.select(
+        "q_id",
+        "n_rel",
+        "hits_a",
+        "hits_b",
+        "hits_rrf",
+        F.when(
+            F.col("hits_rrf") > F.greatest("hits_a", "hits_b"), F.lit("rrf")
+        )
+        .when(
+            F.col("hits_rrf") < F.greatest("hits_a", "hits_b"),
+            F.lit("single"),
+        )
+        .otherwise(F.lit("tie"))
+        .alias("winner"),
+    )
+
+
+# ===========================================================================
+# Exact sign test: fused vs best single retriever
+# ===========================================================================
+
+# factorials 0!..16! as literal ladders (16! = 2.09e13 < 2^53): the
+# exact binomial sign-test tail needs C(n, w) = n! // (w! * (n-w)!),
+# computed identically in both dialects from the same literals.
+_FACT = [1]
+for _i in range(1, 17):
+    _FACT.append(_FACT[-1] * _i)
+
+
+def _sql_fact(expr: str) -> str:
+    arms = " ".join(f"WHEN {i} THEN {_FACT[i]}" for i in range(17))
+    return f"(CASE {expr} {arms} ELSE 0 END)"
+
+
+@register(
+    "rrf_sign_test",
+    f"""
+    WITH {_SQL_CORE},
+    {_SQL_FUSED},
+    {_SQL_RRF_PERQ},
+    verdicts AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN hits_rrf > GREATEST(hits_a, hits_b)
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS wins,
+             CAST(COALESCE(SUM(CASE WHEN hits_rrf < GREATEST(hits_a, hits_b)
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS losses,
+             CAST(COALESCE(SUM(CASE WHEN hits_rrf = GREATEST(hits_a, hits_b)
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS ties
+      FROM perq),
+    tail AS (
+      SELECT wins, losses, ties, wins + losses AS n_eff,
+             w.w AS w
+      FROM verdicts
+      CROSS JOIN (SELECT unnest(range(0, {_NQ + 1})) AS w) w
+      WHERE w.w >= wins AND w.w <= wins + losses)
+    SELECT wins, losses, ties, CAST(n_eff AS BIGINT) AS n_eff,
+           CAST(SUM({_sql_fact('n_eff')}
+                    // ({_sql_fact('w')} * {_sql_fact('(n_eff - w)')}))
+                * 1000000 // (1 << n_eff) AS BIGINT) AS p_one_sided_micro
+    FROM tail GROUP BY wins, losses, ties, n_eff
+    """,
+    doc="Exact one-sided sign test on 'RRF beats the best single "
+    "retriever' over the panel queries: wins/losses/ties on recall@10, "
+    "then the exact binomial tail P(W >= wins | n_eff, p=1/2) with "
+    "C(n, w) = n!//(w!(n-w)!) from a literal factorial ladder "
+    "(16! < 2^53 — all-integer, no normal approximation, no floats). "
+    "The statistically honest way to claim a fusion win on a small "
+    "eval panel. Scale shape: everything after the per-query hits "
+    "relation is arithmetic on ONE aggregate row; the tail explodes "
+    "at most 17 w-values in-row. (No counterpart in reference "
+    "main.go.)",
+)
+def rrf_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    perq = _rrf_perq(spark, sf_dir)
+    best = F.greatest("hits_a", "hits_b")
+    verdicts = perq.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("hits_rrf") > best, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("wins"),
+        F.coalesce(
+            F.sum(F.when(F.col("hits_rrf") < best, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("losses"),
+        F.coalesce(
+            F.sum(F.when(F.col("hits_rrf") == best, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("ties"),
+    ).withColumn("n_eff", F.col("wins") + F.col("losses"))
+    tail = verdicts.select(
+        "wins",
+        "losses",
+        "ties",
+        "n_eff",
+        F.explode(F.sequence(F.col("wins"), F.col("n_eff"))).alias("w"),
+    )
+    fact_n = _sql_fact("n_eff")
+    fact_w = _sql_fact("w")
+    fact_nw = _sql_fact("(n_eff - w)")
+    return tail.groupBy("wins", "losses", "ties", "n_eff").agg(
+        F.expr(
+            f"CAST(SUM({fact_n} div ({fact_w} * {fact_nw})) * 1000000 "
+            f"div (CAST(1 AS BIGINT) << n_eff) AS BIGINT)"
+        ).alias("p_one_sided_micro")
+    )
+
+
+# ===========================================================================
+# Two-stage rerank (retrieve-then-rerank)
+# ===========================================================================
+
+# the "cross-encoder" reranker: much sharper relevance signal, applied
+# only to stage-1's top-20 (the whole point of two-stage serving)
+_W_CE, _N_CE = 300000, 300000
+
+
+@register(
+    "two_stage_rerank_gain",
+    f"""
+    WITH {_SQL_CORE},
+    stage1 AS (SELECT * FROM ra WHERE rnk <= 20),
+    ce AS (
+      SELECT q_id, doc_id, rel, rnk,
+             rel * {_W_CE}
+               + {_hs("'ce|' || CAST(q_id AS VARCHAR) || '|' "
+                      "|| CAST(doc_id AS VARCHAR)")} % {_N_CE} AS ce_score
+      FROM stage1),
+    rr AS (
+      SELECT q_id, doc_id, rel, rnk,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY ce_score DESC, doc_id) AS BIGINT) AS rnk2
+      FROM ce),
+    d1 AS (
+      SELECT q_id,
+             CAST(SUM(CASE WHEN rnk <= 5
+                  THEN {_SQL_GAIN} * {_sql_disc('rnk', 5)} ELSE 0 END)
+                  AS BIGINT) AS dcg5_stage1,
+             CAST(SUM(CASE WHEN rnk2 <= 5
+                  THEN {_SQL_GAIN} * {_sql_disc('rnk2', 5)} ELSE 0 END)
+                  AS BIGINT) AS dcg5_rerank
+      FROM rr GROUP BY q_id),
+    ideal AS (
+      SELECT q_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY rel DESC, doc_id) AS irnk
+      FROM panel WHERE rel > 0),
+    idcg AS (
+      SELECT q_id,
+             CAST(SUM({_SQL_GAIN} * {_sql_disc('irnk', 5)}) AS BIGINT)
+               AS idcg5
+      FROM ideal WHERE irnk <= 5 GROUP BY q_id)
+    SELECT d.q_id, d.dcg5_stage1, d.dcg5_rerank, i.idcg5,
+           CASE WHEN i.idcg5 = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(d.dcg5_stage1 * 1000000 // i.idcg5 AS BIGINT)
+           END AS ndcg5_stage1_micro,
+           CASE WHEN i.idcg5 = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(d.dcg5_rerank * 1000000 // i.idcg5 AS BIGINT)
+           END AS ndcg5_rerank_micro,
+           CASE WHEN i.idcg5 = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((d.dcg5_rerank - d.dcg5_stage1) * 1000000
+                          // i.idcg5 AS BIGINT)
+           END AS gain_micro
+    FROM d1 d JOIN idcg i USING (q_id)
+    """,
+    doc="Two-stage retrieval serving (retrieve-then-rerank, the "
+    "standard RAG architecture): a sharp 'cross-encoder' score "
+    "(rel x 300000 + draw % 300000) re-orders ONLY retriever A's "
+    "top-20, and the query reports nDCG@5 before/after plus the "
+    "per-query gain (can be negative — reranker noise on an already-"
+    "good list). Gains/discounts are the wave's literal ladders; the "
+    "truncating gain_micro uses the SAME idcg denominator as both "
+    "nDCG terms so gain = rerank - stage1 exactly. Scale shape: the "
+    "reranker touches 20 rows per query BY CONSTRUCTION (that's the "
+    "two-stage economics); windows partition by q_id over those 20. "
+    "(No counterpart in reference main.go.)",
+)
+def two_stage_rerank_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _scored(spark, sf_dir)
+    stage1 = _ranked(sc, "sa", _CUT_A).filter(F.col("rnk") <= 20)
+    ce = stage1.withColumn(
+        "ce_score",
+        (
+            F.col("rel") * _W_CE
+            + _draw("ce", F.col("q_id"), F.col("doc_id")) % _N_CE
+        ).cast("long"),
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("ce_score").desc(), "doc_id"
+    )
+    rr = ce.withColumn("rnk2", F.row_number().over(w2).cast("long"))
+    d1 = rr.groupBy("q_id").agg(
+        F.sum(
+            F.when(
+                F.col("rnk") <= 5,
+                _gain_col() * _disc_col(F.col("rnk"), 5),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg5_stage1"),
+        F.sum(
+            F.when(
+                F.col("rnk2") <= 5,
+                _gain_col() * _disc_col(F.col("rnk2"), 5),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg5_rerank"),
+    )
+    panel = _panel(spark, sf_dir)
+    w_ideal = Window.partitionBy("q_id").orderBy(
+        F.col("rel").desc(), "doc_id"
+    )
+    idcg = (
+        panel.filter(F.col("rel") > 0)
+        .withColumn("irnk", F.row_number().over(w_ideal))
+        .filter(F.col("irnk") <= 5)
+        .groupBy("q_id")
+        .agg(
+            F.sum(_gain_col() * _disc_col(F.col("irnk"), 5))
+            .cast("long")
+            .alias("idcg5")
+        )
+    )
+    z = F.lit(0).cast("long")
+    return d1.join(F.broadcast(idcg), "q_id").select(
+        "q_id",
+        "dcg5_stage1",
+        "dcg5_rerank",
+        "idcg5",
+        F.when(F.col("idcg5") == 0, z)
+        .otherwise(F.expr("dcg5_stage1 * 1000000 div idcg5"))
+        .cast("long")
+        .alias("ndcg5_stage1_micro"),
+        F.when(F.col("idcg5") == 0, z)
+        .otherwise(F.expr("dcg5_rerank * 1000000 div idcg5"))
+        .cast("long")
+        .alias("ndcg5_rerank_micro"),
+        F.when(F.col("idcg5") == 0, z)
+        .otherwise(
+            F.expr("(dcg5_rerank - dcg5_stage1) * 1000000 div idcg5")
+        )
+        .cast("long")
+        .alias("gain_micro"),
+    )
+
+
+# ===========================================================================
+# Balanced interleaving A/B evaluation
+# ===========================================================================
+
+
+@register(
+    "interleaving_ab_eval",
+    f"""
+    WITH {_SQL_CORE},
+    tops AS (
+      SELECT q_id, doc_id, rel, rnk AS rnk_a, NULL AS rnk_b
+      FROM ra WHERE rnk <= 10
+      UNION ALL
+      SELECT q_id, doc_id, rel, NULL, rnk FROM rb WHERE rnk <= 10),
+    merged AS (
+      SELECT q_id, doc_id, MAX(rel) AS rel,
+             COALESCE(MIN(rnk_a), 999) AS rnk_a,
+             COALESCE(MIN(rnk_b), 999) AS rnk_b
+      FROM tops GROUP BY q_id, doc_id),
+    teamed AS (
+      SELECT *,
+             CASE WHEN rnk_a < rnk_b THEN 'A'
+                  WHEN rnk_b < rnk_a THEN 'B'
+                  WHEN q_id % 2 = 0 THEN 'A' ELSE 'B' END AS team,
+             LEAST(rnk_a, rnk_b) * 10
+               + CASE WHEN (q_id % 2 = 0 AND rnk_a <= rnk_b)
+                        OR (q_id % 2 = 1 AND rnk_b <= rnk_a)
+                      THEN 0 ELSE 1 END AS sortkey
+      FROM merged),
+    inter AS (
+      SELECT q_id, doc_id, rel, team,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY sortkey, doc_id) AS irank
+      FROM teamed),
+    clicked AS (
+      SELECT q_id, doc_id, rel, team, irank,
+             CASE WHEN rel >= 2
+                   AND {_hs("'ck|' || CAST(q_id AS VARCHAR) || '|' "
+                            "|| CAST(doc_id AS VARCHAR)")} % 100
+                       < 25 * rel
+                  THEN 1 ELSE 0 END AS clicked
+      FROM inter WHERE irank <= 10)
+    SELECT q_id,
+           CAST(COUNT(*) AS BIGINT) AS n_interleaved,
+           CAST(SUM(CASE WHEN team = 'A' THEN clicked ELSE 0 END)
+                AS BIGINT) AS clicks_a,
+           CAST(SUM(CASE WHEN team = 'B' THEN clicked ELSE 0 END)
+                AS BIGINT) AS clicks_b,
+           CASE WHEN SUM(CASE WHEN team = 'A' THEN clicked ELSE 0 END)
+                     > SUM(CASE WHEN team = 'B' THEN clicked ELSE 0 END)
+                THEN 'A'
+                WHEN SUM(CASE WHEN team = 'A' THEN clicked ELSE 0 END)
+                     < SUM(CASE WHEN team = 'B' THEN clicked ELSE 0 END)
+                THEN 'B' ELSE 'tie' END AS winner
+    FROM clicked GROUP BY q_id
+    """,
+    doc="Balanced-interleaving online A/B evaluation (Joachims 2003 "
+    "family): both retrievers' top-10s merge into one interleaved "
+    "list (position = better single-system rank, leader alternates by "
+    "query parity on ties), each shown doc credits the system that "
+    "ranked it better, and a deterministic graded click model "
+    "(P(click) = 25% x rel for rel >= 2, as an md5 draw) yields "
+    "per-query click credits and the interleaving winner — the "
+    "serving-side eval that needs no relevance labels in production "
+    "(here the planted panel doubles as the click ground truth). "
+    "Scale shape: union of two 10-row-per-query lists + one partial "
+    "agg + one bounded window; 16 output rows. "
+    "(No counterpart in reference main.go.)",
+)
+def interleaving_ab_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _scored(spark, sf_dir)
+    ra = _ranked(sc, "sa", _CUT_A).filter(F.col("rnk") <= 10)
+    rb = _ranked(sc, "sb", _CUT_B).filter(F.col("rnk") <= 10)
+    tops = ra.select(
+        "q_id", "doc_id", "rel",
+        F.col("rnk").alias("rnk_a"),
+        F.lit(None).cast("long").alias("rnk_b"),
+    ).unionByName(
+        rb.select(
+            "q_id", "doc_id", "rel",
+            F.lit(None).cast("long").alias("rnk_a"),
+            F.col("rnk").alias("rnk_b"),
+        )
+    )
+    merged = tops.groupBy("q_id", "doc_id").agg(
+        F.max("rel").alias("rel"),
+        F.coalesce(F.min("rnk_a"), F.lit(999)).alias("rnk_a"),
+        F.coalesce(F.min("rnk_b"), F.lit(999)).alias("rnk_b"),
+    )
+    a_leads = F.col("q_id") % 2 == 0
+    team = (
+        F.when(F.col("rnk_a") < F.col("rnk_b"), F.lit("A"))
+        .when(F.col("rnk_b") < F.col("rnk_a"), F.lit("B"))
+        .otherwise(F.when(a_leads, F.lit("A")).otherwise(F.lit("B")))
+    )
+    pref = F.when(
+        (a_leads & (F.col("rnk_a") <= F.col("rnk_b")))
+        | (~a_leads & (F.col("rnk_b") <= F.col("rnk_a"))),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    sortkey = F.least("rnk_a", "rnk_b") * 10 + pref
+    teamed = merged.select(
+        "q_id", "doc_id", "rel",
+        team.alias("team"), sortkey.alias("sortkey"),
+    )
+    w = Window.partitionBy("q_id").orderBy("sortkey", "doc_id")
+    inter = teamed.withColumn("irank", F.row_number().over(w)).filter(
+        F.col("irank") <= 10
+    )
+    clicked = inter.withColumn(
+        "clicked",
+        F.when(
+            (F.col("rel") >= 2)
+            & (
+                _draw("ck", F.col("q_id"), F.col("doc_id")) % 100
+                < 25 * F.col("rel")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    ca = F.sum(F.when(F.col("team") == "A", F.col("clicked")).otherwise(0))
+    cb = F.sum(F.when(F.col("team") == "B", F.col("clicked")).otherwise(0))
+    return clicked.groupBy("q_id").agg(
+        F.count("*").cast("long").alias("n_interleaved"),
+        ca.cast("long").alias("clicks_a"),
+        cb.cast("long").alias("clicks_b"),
+        F.when(ca > cb, F.lit("A"))
+        .when(ca < cb, F.lit("B"))
+        .otherwise(F.lit("tie"))
+        .alias("winner"),
+    )
+
+
+# ===========================================================================
+# Cascade fallback (cheap retriever first, expensive on low confidence)
+# ===========================================================================
+
+_CONF_T = 1050000
+
+
+@register(
+    "cascade_fallback_eval",
+    f"""
+    WITH {_SQL_CORE},
+    conf AS (
+      SELECT q_id, CAST(MAX(sa) AS BIGINT) AS conf_a FROM ra GROUP BY q_id),
+    ah AS (
+      SELECT q_id, CAST(SUM(CASE WHEN rnk <= 10 AND rel > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS hits_a
+      FROM ra GROUP BY q_id),
+    bh AS (
+      SELECT q_id, CAST(SUM(CASE WHEN rnk <= 10 AND rel > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS hits_b
+      FROM rb GROUP BY q_id),
+    casc AS (
+      SELECT n.q_id, n.n_rel,
+             COALESCE(c.conf_a, 0) AS conf_a,
+             CASE WHEN COALESCE(c.conf_a, 0) < {_CONF_T}
+                  THEN 1 ELSE 0 END AS is_fallback,
+             COALESCE(ah.hits_a, 0) AS hits_a,
+             COALESCE(bh.hits_b, 0) AS hits_b
+      FROM nrel n
+      LEFT JOIN conf c ON c.q_id = n.q_id
+      LEFT JOIN ah ON ah.q_id = n.q_id
+      LEFT JOIN bh ON bh.q_id = n.q_id)
+    SELECT q_id, n_rel, conf_a, CAST(is_fallback AS BIGINT) AS is_fallback,
+           hits_a, hits_b,
+           CAST(CASE WHEN is_fallback = 1 THEN hits_b ELSE hits_a END
+                AS BIGINT) AS hits_cascade
+    FROM casc
+    """,
+    doc="Serving cascade: route every query to cheap retriever A "
+    "first; when A's top score (its confidence) is below the tuned "
+    "threshold {T}, fall back to expensive retriever B — the standard "
+    "cost/quality trade in serving stacks. Per query: A's confidence, "
+    "the routing decision, and recall@10 hits under A, B, and the "
+    "cascade (at the tuned panel ~7/16 queries fall back). Scale "
+    "shape: three per-query partial aggs over bounded lists, "
+    "broadcast-joined onto the 16-row query domain. "
+    "(No counterpart in reference main.go.)".format(T=_CONF_T),
+)
+def cascade_fallback_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _scored(spark, sf_dir)
+    ra = _ranked(sc, "sa", _CUT_A)
+    rb = _ranked(sc, "sb", _CUT_B)
+    conf = ra.groupBy("q_id").agg(
+        F.max("score").cast("long").alias("conf_a")
+    )
+    ah = _hits10(ra, "hits_a")
+    bh = _hits10(rb, "hits_b")
+    nrel = _nrel(_panel(spark, sf_dir))
+    casc = (
+        nrel.join(F.broadcast(conf), "q_id", "left")
+        .join(F.broadcast(ah), "q_id", "left")
+        .join(F.broadcast(bh), "q_id", "left")
+        .select(
+            "q_id",
+            "n_rel",
+            F.coalesce("conf_a", F.lit(0)).cast("long").alias("conf_a"),
+            F.when(
+                F.coalesce("conf_a", F.lit(0)) < _CONF_T, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("is_fallback"),
+            F.coalesce("hits_a", F.lit(0)).cast("long").alias("hits_a"),
+            F.coalesce("hits_b", F.lit(0)).cast("long").alias("hits_b"),
+        )
+    )
+    return casc.select(
+        "q_id",
+        "n_rel",
+        "conf_a",
+        F.col("is_fallback").cast("long").alias("is_fallback"),
+        "hits_a",
+        "hits_b",
+        F.when(F.col("is_fallback") == 1, F.col("hits_b"))
+        .otherwise(F.col("hits_a"))
+        .cast("long")
+        .alias("hits_cascade"),
+    )
