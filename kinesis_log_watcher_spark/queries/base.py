@@ -164,6 +164,12 @@ _FRONT = (
     "two_stage_rerank_gain",
     "interleaving_ab_eval",
     "cascade_fallback_eval",
+    "rag_context_packing",
+    "rag_citation_precision_recall",
+    "context_redundancy_audit",
+    "retrieval_per_lang_parity",
+    "semantic_cache_ttl_eval",
+    "retrieval_eval_embeddings",
     # ---- round-9 prefix (kept for history; every name below now has
     # an official row — the 41 round-8b queries sampled in
     # CORRECTNESS_r09 plus the first 9 round-9-born)

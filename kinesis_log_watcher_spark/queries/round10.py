@@ -1247,3 +1247,487 @@ def cascade_fallback_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hits_cascade"),
     )
+
+
+# ===========================================================================
+# RAG context packing
+# ===========================================================================
+
+_CTX_BUDGET = 400  # tokens
+
+
+@register(
+    "rag_context_packing",
+    f"""
+    WITH {_SQL_CORE},
+    toks AS (
+      SELECT q_id, doc_id, rel, rnk,
+             CAST(n_chars // 5 + 1 AS BIGINT) AS tok
+      FROM ra),
+    cum AS (
+      SELECT *,
+             CAST(SUM(tok) OVER (PARTITION BY q_id ORDER BY rnk
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cumtok
+      FROM toks),
+    packed AS (
+      SELECT q_id,
+             CAST(COUNT(*) AS BIGINT) AS n_packed,
+             CAST(MAX(cumtok) AS BIGINT) AS tokens_packed,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel_packed,
+             CAST(MAX(rel) AS BIGINT) AS best_rel_packed
+      FROM cum WHERE cumtok <= {_CTX_BUDGET} GROUP BY q_id)
+    SELECT n.q_id, n.n_rel,
+           COALESCE(p.n_packed, 0) AS n_packed,
+           COALESCE(p.tokens_packed, 0) AS tokens_packed,
+           COALESCE(p.n_rel_packed, 0) AS n_rel_packed,
+           COALESCE(p.best_rel_packed, 0) AS best_rel_packed
+    FROM nrel n LEFT JOIN packed p ON p.q_id = n.q_id
+    """,
+    doc="RAG context packing: stuff retriever A's ranked list into a "
+    f"{_CTX_BUDGET}-token context window in rank order, stopping at "
+    "the first overflow (prefix packing — the standard context-"
+    "stuffing policy); per query, how many docs and tokens fit and "
+    "how much relevance made it in. Token counts are n_chars//5 + 1 "
+    "(exact integer chars-per-token heuristic; the BPE-true path is "
+    "operators/bpe.py). The cumulative-token window SUM is CAST at "
+    "the window site (DuckDB window SUM over BIGINT yields HUGEINT). "
+    "Scale shape: one bounded per-query running-sum window over the "
+    "candidate list + one partial agg to 16 rows. "
+    "(No counterpart in reference main.go.)",
+)
+def rag_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _scored(spark, sf_dir)
+    ra = _ranked(sc, "sa", _CUT_A)
+    toks = ra.withColumn(
+        "tok", F.expr("CAST(n_chars div 5 + 1 AS BIGINT)")
+    )
+    w = (
+        Window.partitionBy("q_id")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cumtok", F.sum("tok").over(w).cast("long"))
+    packed = (
+        cum.filter(F.col("cumtok") <= _CTX_BUDGET)
+        .groupBy("q_id")
+        .agg(
+            F.count("*").cast("long").alias("n_packed"),
+            F.max("cumtok").cast("long").alias("tokens_packed"),
+            F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rel_packed"),
+            F.max("rel").cast("long").alias("best_rel_packed"),
+        )
+    )
+    nrel = _nrel(_panel(spark, sf_dir))
+    return nrel.join(F.broadcast(packed), "q_id", "left").select(
+        "q_id",
+        "n_rel",
+        F.coalesce("n_packed", F.lit(0)).cast("long").alias("n_packed"),
+        F.coalesce("tokens_packed", F.lit(0))
+        .cast("long")
+        .alias("tokens_packed"),
+        F.coalesce("n_rel_packed", F.lit(0))
+        .cast("long")
+        .alias("n_rel_packed"),
+        F.coalesce("best_rel_packed", F.lit(0))
+        .cast("long")
+        .alias("best_rel_packed"),
+    )
+
+
+# ===========================================================================
+# Citation precision/recall
+# ===========================================================================
+
+
+@register(
+    "rag_citation_precision_recall",
+    f"""
+    WITH {_SQL_CORE},
+    gold AS (
+      SELECT q_id,
+             CAST(SUM(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gold
+      FROM panel GROUP BY q_id),
+    cited AS (
+      SELECT q_id,
+             CAST(COUNT(*) AS BIGINT) AS n_cited,
+             CAST(SUM(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_good
+      FROM ra WHERE rnk <= 5 GROUP BY q_id)
+    SELECT g.q_id, g.n_gold,
+           COALESCE(c.n_cited, 0) AS n_cited,
+           COALESCE(c.n_good, 0) AS n_good,
+           CASE WHEN COALESCE(c.n_cited, 0) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(c.n_good * 1000000 // c.n_cited AS BIGINT)
+           END AS cite_precision_micro,
+           CASE WHEN g.n_gold = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(COALESCE(c.n_good, 0) * 1000000 // g.n_gold
+                          AS BIGINT)
+           END AS cite_recall_micro
+    FROM gold g LEFT JOIN cited c ON c.q_id = g.q_id
+    """,
+    doc="Citation audit for a RAG answer that cites its top-5 "
+    "retrieved docs: precision (how many citations actually support — "
+    "rel >= 2 — the query) and recall against the query's full "
+    "support set. Low precision = hallucinated-attribution risk; low "
+    "recall = answer argued from partial evidence. Truncating integer "
+    "micros with zero-denominator guards. Scale shape: two per-query "
+    "partial aggs (one over the 5-row citation slice, one over the "
+    "panel), joined on the 16-row query domain. "
+    "(No counterpart in reference main.go.)",
+)
+def rag_citation_precision_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    panel = _panel(spark, sf_dir)
+    gold = panel.groupBy("q_id").agg(
+        F.sum(F.when(F.col("rel") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_gold")
+    )
+    sc = _scored(spark, sf_dir)
+    cited = (
+        _ranked(sc, "sa", _CUT_A)
+        .filter(F.col("rnk") <= 5)
+        .groupBy("q_id")
+        .agg(
+            F.count("*").cast("long").alias("n_cited"),
+            F.sum(F.when(F.col("rel") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_good"),
+        )
+    )
+    z = F.lit(0).cast("long")
+    return gold.join(F.broadcast(cited), "q_id", "left").select(
+        "q_id",
+        "n_gold",
+        F.coalesce("n_cited", F.lit(0)).cast("long").alias("n_cited"),
+        F.coalesce("n_good", F.lit(0)).cast("long").alias("n_good"),
+        F.when(F.coalesce("n_cited", F.lit(0)) == 0, z)
+        .otherwise(F.expr("n_good * 1000000 div n_cited"))
+        .cast("long")
+        .alias("cite_precision_micro"),
+        F.when(F.col("n_gold") == 0, z)
+        .otherwise(F.expr("coalesce(n_good, 0) * 1000000 div n_gold"))
+        .cast("long")
+        .alias("cite_recall_micro"),
+    )
+
+
+# ===========================================================================
+# Context redundancy
+# ===========================================================================
+
+
+@register(
+    "context_redundancy_audit",
+    f"""
+    WITH {_SQL_CORE},
+    bysrc AS (
+      SELECT q_id, source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ra WHERE rnk <= 10 GROUP BY q_id, source)
+    SELECT q_id,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(MAX(c) AS BIGINT) AS max_single_source,
+           CAST((SUM(c) - COUNT(*)) * 1000000 // SUM(c) AS BIGINT)
+             AS redundancy_micro
+    FROM bysrc GROUP BY q_id
+    """,
+    doc="Context redundancy audit over retriever A's top-10: docs per "
+    "distinct source, the largest single-source block, and a "
+    "redundancy ratio (0 = every doc from a different source) — "
+    "over-concentration in one source wastes context-window tokens on "
+    "near-duplicate evidence (the near-dup-aware variant would chain "
+    "the MinHash family, operators/dedup.py). Scale shape: two "
+    "stacked partial aggs, (q, source) then q, both on bounded "
+    "domains. (No counterpart in reference main.go.)",
+)
+def context_redundancy_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sc = _scored(spark, sf_dir)
+    bysrc = (
+        _ranked(sc, "sa", _CUT_A)
+        .filter(F.col("rnk") <= 10)
+        .groupBy("q_id", "source")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return bysrc.groupBy("q_id").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_sources"),
+        F.max("c").cast("long").alias("max_single_source"),
+        F.expr(
+            "CAST((SUM(c) - COUNT(*)) * 1000000 div SUM(c) AS BIGINT)"
+        ).alias("redundancy_micro"),
+    )
+
+
+# ===========================================================================
+# Per-language retrieval parity
+# ===========================================================================
+
+
+@register(
+    "retrieval_per_lang_parity",
+    f"""
+    WITH {_SQL_CORE},
+    rel_lang AS (
+      SELECT lang,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel
+      FROM panel GROUP BY lang),
+    hit_lang AS (
+      SELECT lang,
+             CAST(SUM(CASE WHEN rel > 0 AND rnk <= 20 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM ra GROUP BY lang)
+    SELECT r.lang, r.n_rel, COALESCE(h.n_hit, 0) AS n_hit,
+           CASE WHEN r.n_rel = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(COALESCE(h.n_hit, 0) * 1000000 // r.n_rel
+                          AS BIGINT)
+           END AS recall20_micro
+    FROM rel_lang r LEFT JOIN hit_lang h ON h.lang = r.lang
+    """,
+    doc="Retrieval parity by document language: recall@20 of retriever "
+    "A's lists computed per lang over the pooled panel — the fairness "
+    "slice that catches an index or scorer that under-serves a "
+    "language (the round-8b auc_fairness_by_lang discipline, applied "
+    "to retrieval). Scale shape: two partial aggs keyed by the "
+    "5-value lang domain; no windows beyond the shared ranked lists. "
+    "(No counterpart in reference main.go.)",
+)
+def retrieval_per_lang_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    panel = _panel(spark, sf_dir)
+    rel_lang = panel.groupBy("lang").agg(
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel")
+    )
+    sc = _scored(spark, sf_dir)
+    hit_lang = (
+        _ranked(sc, "sa", _CUT_A)
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.when((F.col("rel") > 0) & (F.col("rnk") <= 20), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_hit")
+        )
+    )
+    return rel_lang.join(F.broadcast(hit_lang), "lang", "left").select(
+        "lang",
+        "n_rel",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        F.when(F.col("n_rel") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("coalesce(n_hit, 0) * 1000000 div n_rel"))
+        .cast("long")
+        .alias("recall20_micro"),
+    )
+
+
+# ===========================================================================
+# Semantic cache with TTL (serving-side)
+# ===========================================================================
+
+_CACHE_CLUSTERS = 1024
+_CACHE_TTL = 500  # in request sequence numbers
+
+
+@register(
+    "semantic_cache_ttl_eval",
+    f"""
+    WITH req AS (
+      SELECT event_id,
+             {_hs("'scq|' || CAST(event_id AS VARCHAR)")}
+               % {_CACHE_CLUSTERS} AS cluster
+      FROM events),
+    lagd AS (
+      SELECT event_id, cluster,
+             LAG(event_id) OVER (PARTITION BY cluster ORDER BY event_id)
+               AS prev
+      FROM req)
+    SELECT CAST(event_id // 1000 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_requests,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND event_id - prev <= {_CACHE_TTL}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND event_id - prev <= {_CACHE_TTL}
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS hit_rate_micro
+    FROM lagd GROUP BY bucket
+    """,
+    doc="Semantic-cache hit-rate audit for a serving stack: each "
+    f"request maps to one of {_CACHE_CLUSTERS} paraphrase clusters "
+    "(md5 draw — the stand-in for an embedding-bucket cache key; the "
+    "real bucketing is the sign-LSH family, operators/similarity.py), "
+    "and a request HITS when the same cluster was served within the "
+    f"last {_CACHE_TTL} requests (the TTL). Hit rates per 1000-request "
+    "bucket show the cold-start ramp. Scale shape: one LAG window "
+    "partitioned by cluster (bounded per-key state — the natural "
+    "streaming-state layout), then a partial agg to the bucket "
+    "domain. (No counterpart in reference main.go.)",
+)
+def semantic_cache_ttl_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    req = ev.select(
+        "event_id",
+        (_draw("scq", F.col("event_id")) % _CACHE_CLUSTERS).alias("cluster"),
+    )
+    w = Window.partitionBy("cluster").orderBy("event_id")
+    lagd = req.withColumn("prev", F.lag("event_id").over(w))
+    hit = F.when(
+        F.col("prev").isNotNull()
+        & (F.col("event_id") - F.col("prev") <= _CACHE_TTL),
+        1,
+    ).otherwise(0)
+    return (
+        lagd.groupBy(F.expr("CAST(event_id div 1000 AS BIGINT)").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_requests"),
+            F.sum(hit).cast("long").alias("n_hits"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN prev IS NOT NULL AND event_id - prev "
+                f"<= {_CACHE_TTL} THEN 1 ELSE 0 END) * 1000000 "
+                f"div COUNT(*) AS BIGINT)"
+            ).alias("hit_rate_micro"),
+        )
+    )
+
+
+# ===========================================================================
+# Real-vector retrieval eval (embeddings table, exact quantized dots)
+# ===========================================================================
+
+# float32 -> int64 quantization at 1e7, same convention as
+# operators/similarity.py (llm.py's _Q/_DOT_DEC discipline)
+_QV = "CAST(floor(CAST({0} AS DOUBLE) * 10000000 + 0.5) AS BIGINT)"
+
+
+@register(
+    "retrieval_eval_embeddings",
+    f"""
+    WITH comp AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings),
+    q AS (
+      SELECT vec_id AS q_id, x AS qx, dim FROM comp
+      WHERE vec_id >= 10 AND vec_id < 20),
+    d AS (
+      SELECT q_id, c.vec_id,
+             (CAST(SUM({_QV.format('qx')} * {_QV.format('c.x')}) AS DOUBLE)
+              / 100000000000000.0) AS dot
+      FROM comp c JOIN q USING (dim)
+      WHERE c.vec_id != q_id
+      GROUP BY q_id, c.vec_id),
+    r AS (
+      SELECT q_id, vec_id, dot,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY dot DESC, vec_id) AS BIGINT) AS rnk
+      FROM d),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    j AS (
+      SELECT r.q_id, r.rnk,
+             CASE WHEN lq.label = lc.label THEN 1 ELSE 0 END AS rel
+      FROM r
+      JOIN lab lq ON lq.vec_id = r.q_id
+      JOIN lab lc ON lc.vec_id = r.vec_id),
+    per AS (
+      SELECT q_id,
+             CAST(SUM(CASE WHEN rnk <= 10 AND rel = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits_10,
+             MIN(CASE WHEN rel = 1 THEN rnk END) AS frr
+      FROM j GROUP BY q_id),
+    nlab AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM lab
+             GROUP BY label),
+    gold AS (
+      SELECT lq.vec_id AS q_id, CAST(n.n - 1 AS BIGINT) AS n_rel
+      FROM lab lq JOIN nlab n ON n.label = lq.label
+      WHERE lq.vec_id >= 10 AND lq.vec_id < 20)
+    SELECT g.q_id, g.n_rel, p.hits_10,
+           CAST(p.hits_10 * 1000000 // 10 AS BIGINT)
+             AS precision10_micro,
+           CAST(COALESCE(p.frr, 0) AS BIGINT) AS first_rel_rank
+    FROM gold g JOIN per p USING (q_id)
+    """,
+    doc="Retrieval evaluation on REAL vectors: brute-force exact top-k "
+    "over the embeddings table by int64-quantized inner product "
+    "(operators/similarity.py exact_dot — bit-identical scores in "
+    "both engines), with same-label as the relevance ground truth; "
+    "per query-vector precision@10, first relevant rank and the "
+    "label's corpus support. The panel queries measure metric "
+    "machinery; THIS one measures an actual embedding space. Scale "
+    "shape: the 10-query side broadcasts through the dim join (the "
+    "ann_cosine_topk convention, llm.py:462); production replaces "
+    "brute force with the IVF cell-probe family (llm.py:515). "
+    "(No counterpart in reference main.go.)",
+)
+def retrieval_eval_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.similarity import (
+        exact_dot,
+        exploded_components,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    lab = emb.select("vec_id", "label")
+    qcomp = exploded_components(
+        emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        ),
+        "q_id",
+        out_val="qx",
+    )
+    comp = exploded_components(emb, "vec_id")
+    dots = exact_dot(qcomp, comp, "q_id", "vec_id")
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), "vec_id")
+    r = dots.withColumn("rnk", F.row_number().over(w).cast("long"))
+    lq = lab.select(F.col("vec_id").alias("q_id"), F.col("label").alias("lq"))
+    lc = lab.select("vec_id", F.col("label").alias("lc"))
+    j = (
+        r.join(F.broadcast(lq), "q_id")
+        .join(F.broadcast(lc), "vec_id")
+        .select(
+            "q_id",
+            "rnk",
+            F.when(F.col("lq") == F.col("lc"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    per = j.groupBy("q_id").agg(
+        F.sum(F.when((F.col("rnk") <= 10) & (F.col("rel") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("hits_10"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("frr"),
+    )
+    nlab = lab.groupBy("label").agg(F.count("*").cast("long").alias("n"))
+    gold = (
+        lab.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+        .join(F.broadcast(nlab), "label")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            (F.col("n") - 1).cast("long").alias("n_rel"),
+        )
+    )
+    return gold.join(F.broadcast(per), "q_id").select(
+        "q_id",
+        "n_rel",
+        "hits_10",
+        F.expr("CAST(hits_10 * 1000000 div 10 AS BIGINT)").alias(
+            "precision10_micro"
+        ),
+        F.coalesce("frr", F.lit(0)).cast("long").alias("first_rel_rank"),
+    )
