@@ -170,6 +170,8 @@ _FRONT = (
     "retrieval_per_lang_parity",
     "semantic_cache_ttl_eval",
     "retrieval_eval_embeddings",
+    "stream_retrieval_coverage",
+    "stream_semantic_cache_ttl",
     # ---- round-9 prefix (kept for history; every name below now has
     # an official row — the 41 round-8b queries sampled in
     # CORRECTNESS_r09 plus the first 9 round-9-born)

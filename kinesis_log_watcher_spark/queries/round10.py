@@ -123,7 +123,13 @@ def _draw(prefix: str, *cols) -> "F.Column":
 
 
 def _panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    return _panel_from(load(spark, sf_dir, "documents"))
+
+
+def _panel_from(docs: DataFrame) -> DataFrame:
+    """Panel columns from any documents relation (batch scan or
+    stream) — the expressions are pure per-row functions, so the
+    streaming twins reuse them verbatim."""
     d = docs.select(
         "doc_id",
         "lang",
@@ -148,7 +154,10 @@ def _panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _panel(spark, sf_dir)
+    return _scored_from(_panel(spark, sf_dir))
+
+
+def _scored_from(p: DataFrame) -> DataFrame:
     sa = F.col("rel") * _W_A + _draw("ra", F.col("q_id"), F.col("doc_id")) % _N_A
     sb = F.col("rel") * _W_B + _draw("rb", F.col("q_id"), F.col("doc_id")) % _N_B
     return p.select(
@@ -1731,3 +1740,137 @@ def retrieval_eval_embeddings(
         ),
         F.coalesce("frr", F.lit(0)).cast("long").alias("first_rel_rank"),
     )
+
+
+# ===========================================================================
+# Streaming twins (share the batch oracle SQL verbatim — the round-9
+# twin discipline: a green row certifies live == batch bit-for-bit)
+# ===========================================================================
+
+import itertools as _it
+
+_stream_r10_counter = _it.count()
+
+
+def _finalize_stream_table(spark, df_writer, name):
+    from kinesis_log_watcher_spark.sources.files import (
+        await_or_raise,
+        replay_partitions,
+    )
+
+    with replay_partitions(spark):
+        q = (
+            df_writer.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 300)
+    return spark.table(name)
+
+
+@register(
+    "stream_retrieval_coverage",
+    None,  # patched to the batch oracle SQL below (_share_batch_oracles)
+    doc="STREAMING twin of retrieval_candidate_coverage: the per-query "
+    "candidate/relevant counters are streaming aggregation state in "
+    "complete mode (order-free counting — any replay split converges "
+    "to the batch matrix), the coverage micros finalize on read from "
+    "the bounded 16-row state relation, and the oracle is the BATCH "
+    "SQL verbatim — a green row certifies the live recall-ceiling "
+    "dashboard equals the batch audit bit-for-bit. Scale shape: state "
+    "is 16 rows of counters; the stream pays the same panel explode + "
+    "partial agg the batch plan does. "
+    "(No counterpart in reference main.go.)",
+)
+def stream_retrieval_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from kinesis_log_watcher_spark.session import ensure_session_confs
+    from kinesis_log_watcher_spark.sources.files import read_parquet_stream
+
+    ensure_session_confs(spark)
+    stream = read_parquet_stream(spark, f"{sf_dir}/documents.parquet")
+    sc = _scored_from(_panel_from(stream))
+    cov = sc.groupBy("q_id").agg(
+        F.sum(F.when(F.col("sa") >= _CUT_A, 1).otherwise(0))
+        .cast("long")
+        .alias("cand_a"),
+        F.sum(F.when(F.col("sb") >= _CUT_B, 1).otherwise(0))
+        .cast("long")
+        .alias("cand_b"),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel"),
+        F.sum(
+            F.when((F.col("sa") >= _CUT_A) & (F.col("rel") > 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("rel_a"),
+        F.sum(
+            F.when((F.col("sb") >= _CUT_B) & (F.col("rel") > 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("rel_b"),
+    )
+    name = f"stream_rcov_{next(_stream_r10_counter)}"
+    tbl = _finalize_stream_table(spark, cov.writeStream, name)
+    micro = (
+        "CASE WHEN n_rel = 0 THEN CAST(0 AS BIGINT) "
+        "ELSE CAST({} * 1000000 div n_rel AS BIGINT) END"
+    )
+    return tbl.select(
+        "q_id",
+        "cand_a",
+        "cand_b",
+        "n_rel",
+        "rel_a",
+        "rel_b",
+        F.expr(micro.format("rel_a")).alias("coverage_a_micro"),
+        F.expr(micro.format("rel_b")).alias("coverage_b_micro"),
+    )
+
+
+@register(
+    "stream_semantic_cache_ttl",
+    None,  # patched to the batch oracle SQL below (_share_batch_oracles)
+    doc="STREAMING twin of semantic_cache_ttl_eval, STATEFUL: the "
+    "online form of the cache audit — per-cluster last-served "
+    "sequence number as typed state (ONE bigint per cluster, bounded "
+    "by the cluster alphabet), hit/miss decided as each request "
+    "arrives, per-(cluster, bucket) count partials emitted per "
+    "micro-batch and SUM-rolled to the bucket domain on read. Oracle "
+    "= the batch LAG-window SQL verbatim — a green row certifies the "
+    "online cache decisions equal the declarative batch window "
+    "bit-for-bit. Dual-path TWS/applyInPandasWithState "
+    "(streaming/semcache.py). (No counterpart in reference main.go.)",
+)
+def stream_semantic_cache_ttl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from kinesis_log_watcher_spark.streaming.semcache import run_semcache_eval
+
+    return run_semcache_eval(
+        spark,
+        f"{sf_dir}/events.parquet",
+        clusters=_CACHE_CLUSTERS,
+        ttl=_CACHE_TTL,
+    )
+
+
+def _share_batch_oracles_r10() -> None:
+    from dataclasses import replace
+
+    from kinesis_log_watcher_spark.queries.base import _REGISTRY
+
+    for twin, batch in (
+        ("stream_retrieval_coverage", "retrieval_candidate_coverage"),
+        ("stream_semantic_cache_ttl", "semantic_cache_ttl_eval"),
+    ):
+        _REGISTRY[twin] = replace(
+            _REGISTRY[twin], oracle=_REGISTRY[batch].oracle
+        )
+
+
+_share_batch_oracles_r10()
