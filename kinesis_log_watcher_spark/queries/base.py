@@ -172,6 +172,12 @@ _FRONT = (
     "retrieval_eval_embeddings",
     "stream_retrieval_coverage",
     "stream_semantic_cache_ttl",
+    "retrieval_map_at20",
+    "ab_sample_ratio_mismatch",
+    "embedding_drift_tvd",
+    "slo_burn_rate_windows",
+    "paraphrase_consistency_eval",
+    "stream_srm_check",
     # ---- round-9 prefix (kept for history; every name below now has
     # an official row — the 41 round-8b queries sampled in
     # CORRECTNESS_r09 plus the first 9 round-9-born)

@@ -1874,3 +1874,540 @@ def _share_batch_oracles_r10() -> None:
 
 
 _share_batch_oracles_r10()
+
+
+# ===========================================================================
+# Wave 5: eval-ops extras — MAP, SRM guardrail (+ streaming twin),
+# drift monitoring, SLO burn rate, paraphrase consistency
+# ===========================================================================
+
+
+@register(
+    "retrieval_map_at20",
+    f"""
+    WITH {_SQL_CORE},
+    pre AS (
+      SELECT q_id, 'A' AS retriever, rel, rnk,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY q_id ORDER BY rnk
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cumhits
+      FROM ra WHERE rnk <= 20
+      UNION ALL
+      SELECT q_id, 'B' AS retriever, rel, rnk,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY q_id ORDER BY rnk
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT)
+      FROM rb WHERE rnk <= 20),
+    ap AS (
+      SELECT q_id, retriever,
+             CAST(SUM(CASE WHEN rel > 0
+                           THEN cumhits * 1000000 // rnk ELSE 0 END)
+                  AS BIGINT) AS sum_prec_micro
+      FROM pre GROUP BY q_id, retriever),
+    grid AS (
+      SELECT n.q_id, n.n_rel, r.retriever
+      FROM nrel n CROSS JOIN (SELECT unnest(['A', 'B']) AS retriever) r)
+    SELECT g.q_id, g.retriever, g.n_rel,
+           COALESCE(a.sum_prec_micro, 0) AS sum_prec_micro,
+           CASE WHEN LEAST(g.n_rel, 20) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(COALESCE(a.sum_prec_micro, 0)
+                          // LEAST(g.n_rel, 20) AS BIGINT)
+           END AS ap20_micro
+    FROM grid g
+    LEFT JOIN ap a ON a.q_id = g.q_id AND a.retriever = g.retriever
+    """,
+    doc="Average precision@20 per query per retriever (the MAP building "
+    "block): precision-at-each-relevant-rank summed and normalized by "
+    "min(n_rel, 20), all truncating integer micros — the running-hit "
+    "window SUM is CAST at the window site (DuckDB HUGEINT). AP "
+    "rewards putting relevance EARLY, where recall@k only counts "
+    "membership. Scale shape: one bounded per-query prefix window "
+    "over the top-20 slices + one partial agg, nrel-anchored grid so "
+    "empty lists score 0 instead of vanishing. "
+    "(No counterpart in reference main.go.)",
+)
+def retrieval_map_at20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lists = _both_lists(spark, sf_dir).filter(F.col("rnk") <= 20)
+    w = (
+        Window.partitionBy("q_id", "retriever")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = lists.withColumn(
+        "cumhits",
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).over(w).cast("long"),
+    )
+    ap = pre.groupBy("q_id", "retriever").agg(
+        F.sum(
+            F.when(
+                F.col("rel") > 0,
+                F.expr("cumhits * 1000000 div rnk"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("sum_prec_micro")
+    )
+    grid = _nrel(_panel(spark, sf_dir)).withColumn(
+        "retriever", F.explode(F.array(F.lit("A"), F.lit("B")))
+    )
+    return grid.join(F.broadcast(ap), ["q_id", "retriever"], "left").select(
+        "q_id",
+        "retriever",
+        "n_rel",
+        F.coalesce("sum_prec_micro", F.lit(0))
+        .cast("long")
+        .alias("sum_prec_micro"),
+        F.when(F.least("n_rel", F.lit(20)) == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("coalesce(sum_prec_micro, 0) div least(n_rel, 20)")
+        )
+        .cast("long")
+        .alias("ap20_micro"),
+    )
+
+
+# ===========================================================================
+# Sample-ratio mismatch (the live-experiment guardrail)
+# ===========================================================================
+
+# planted assignment skew: 50.3% to arm A instead of 50.0% — the bug
+# class SRM exists to catch (a biased bucketing hash, a crash in one
+# arm's logging path)
+_SRM_SKEW = 503
+_CHI2_95 = 3841459  # chi-square(1) 95% critical value in micros (build-time)
+
+
+@register(
+    "ab_sample_ratio_mismatch",
+    f"""
+    WITH assign AS (
+      SELECT event_type,
+             CASE WHEN {_hs("'srm|' || CAST(event_id AS VARCHAR)")}
+                       % 1000 < {_SRM_SKEW}
+                  THEN 1 ELSE 0 END AS arm_a
+      FROM events),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(arm_a) AS BIGINT) AS o_a
+      FROM assign GROUP BY event_type)
+    SELECT event_type, n, o_a, n - o_a AS o_b,
+           CAST((2 * o_a - n) * (2 * o_a - n) * 1000000 // n AS BIGINT)
+             AS chi2_micro,
+           ((2 * o_a - n) * (2 * o_a - n) * 1000000 // n) >= {_CHI2_95}
+             AS srm_flag
+    FROM agg
+    """,
+    doc="Sample-ratio mismatch check per experiment (event_type): each "
+    "event hashes into arm A with a PLANTED 50.3% skew (the biased-"
+    "bucketing bug class SRM exists to catch), and the chi-square(1) "
+    "statistic against the declared 50/50 split — for two equal-"
+    "expectation cells chi2 = (o_a - o_b)^2 / n exactly, so the whole "
+    "test is one int64 expression ((2*o_a - n)^2 * 1e6 // n, worst "
+    "case ~3e16 at sf1: inside int64, no doubles anywhere) against "
+    "the build-time critical constant. THE guardrail every experiment "
+    "dashboard runs before reading any metric. Scale shape: one "
+    "narrow projection + ONE partial-agg shuffle to the experiment "
+    "domain; rank-free counting, so it streams (wave-5 twin). "
+    "(No counterpart in reference main.go.)",
+)
+def ab_sample_ratio_mismatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    assign = ev.select(
+        "event_type",
+        F.when(
+            _draw("srm", F.col("event_id")) % 1000 < _SRM_SKEW, 1
+        )
+        .otherwise(0)
+        .alias("arm_a"),
+    )
+    agg = assign.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("arm_a").cast("long").alias("o_a"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "o_a",
+        (F.col("n") - F.col("o_a")).cast("long").alias("o_b"),
+        F.expr(
+            "CAST((2 * o_a - n) * (2 * o_a - n) * 1000000 div n AS BIGINT)"
+        ).alias("chi2_micro"),
+        (
+            F.expr("(2 * o_a - n) * (2 * o_a - n) * 1000000 div n")
+            >= _CHI2_95
+        ).alias("srm_flag"),
+    )
+
+
+# ===========================================================================
+# Embedding drift (total-variation distance, exp-free PSI stand-in)
+# ===========================================================================
+
+# planted drift: the "live" half's components shift by +0.05 (5e5 in
+# quantized units) — the monitor must flag it
+_DRIFT_SHIFT = 500000
+_DRIFT_DIMS = 2
+_DRIFT_BUCKETS = 8
+
+
+def _sql_bucket(qexpr: str) -> str:
+    return (
+        f"LEAST({_DRIFT_BUCKETS - 1}, GREATEST(0, "
+        f"CAST(({qexpr} + 10000000) * {_DRIFT_BUCKETS} // 20000000 "
+        f"AS BIGINT)))"
+    )
+
+
+@register(
+    "embedding_drift_tvd",
+    f"""
+    WITH comp AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, dim,
+             CASE WHEN vec_id % 2 = 1
+                  THEN {_QV.format('x')} + {_DRIFT_SHIFT}
+                  ELSE {_QV.format('x')} END AS qx,
+             vec_id % 2 AS live
+      FROM comp WHERE dim <= {_DRIFT_DIMS}),
+    hist AS (
+      SELECT dim, live, {_sql_bucket('qx')} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM q GROUP BY dim, live, bucket),
+    tot AS (
+      SELECT dim, live, CAST(SUM(c) AS BIGINT) AS n
+      FROM hist GROUP BY dim, live),
+    props AS (
+      SELECT h.dim, h.bucket,
+             CAST(SUM(CASE WHEN h.live = 0
+                           THEN h.c * 1000000 // t.n ELSE 0 END)
+                  AS BIGINT) AS p_ref,
+             CAST(SUM(CASE WHEN h.live = 1
+                           THEN h.c * 1000000 // t.n ELSE 0 END)
+                  AS BIGINT) AS p_live
+      FROM hist h JOIN tot t ON t.dim = h.dim AND t.live = h.live
+      GROUP BY h.dim, h.bucket)
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(abs(p_ref - p_live)) // 2 AS BIGINT) AS tvd_micro,
+           CAST(SUM(abs(p_ref - p_live)) // 2 AS BIGINT) >= 50000
+             AS drift_flag
+    FROM props GROUP BY dim
+    """,
+    doc="Embedding drift monitor: the corpus splits into reference "
+    "(even vec_id) and live (odd) halves, the live half's components "
+    "get a PLANTED +0.05 shift, and per leading dimension the monitor "
+    "reports the total-variation distance between the two 8-bucket "
+    "quantized-component histograms (TVD = sum|p-q|/2 — the exp-free "
+    "drift statistic: PSI's ln() is not engine-stable, TVD on exact "
+    "micro proportions is) with a 5% drift flag. The retrain/reindex "
+    "trigger for any embedding-backed retrieval stack. Scale shape: "
+    "histogram counters per (dim, half, bucket) — one partial-agg "
+    "shuffle to a bounded 32-row relation, shards merge by counter "
+    "addition. (No counterpart in reference main.go.)",
+)
+def embedding_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.similarity import (
+        exploded_components,
+        quantize,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    comp = exploded_components(emb, "vec_id").filter(
+        F.col("dim") <= _DRIFT_DIMS
+    )
+    qx = F.when(
+        F.col("vec_id") % 2 == 1, quantize(F.col("x")) + _DRIFT_SHIFT
+    ).otherwise(quantize(F.col("x")))
+    bucket = F.least(
+        F.lit(_DRIFT_BUCKETS - 1),
+        F.greatest(
+            F.lit(0),
+            F.expr(
+                f"CAST((qx + 10000000) * {_DRIFT_BUCKETS} div 20000000 "
+                f"AS BIGINT)"
+            ),
+        ),
+    )
+    q = comp.select(
+        "dim", (F.col("vec_id") % 2).alias("live"), qx.alias("qx")
+    ).withColumn("bucket", bucket)
+    hist = q.groupBy("dim", "live", "bucket").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    tot = hist.groupBy("dim", "live").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    props = (
+        hist.join(F.broadcast(tot), ["dim", "live"])
+        .groupBy("dim", "bucket")
+        .agg(
+            F.sum(
+                F.when(F.col("live") == 0, F.expr("c * 1000000 div n"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("p_ref"),
+            F.sum(
+                F.when(F.col("live") == 1, F.expr("c * 1000000 div n"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("p_live"),
+        )
+    )
+    return props.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.expr(
+            "CAST(SUM(abs(p_ref - p_live)) div 2 AS BIGINT)"
+        ).alias("tvd_micro"),
+        (
+            F.expr("CAST(SUM(abs(p_ref - p_live)) div 2 AS BIGINT)")
+            >= 50000
+        ).alias("drift_flag"),
+    )
+
+
+# ===========================================================================
+# SLO burn rate (multiwindow)
+# ===========================================================================
+
+_SLO_MS = 145.0  # ~p95 of the synthetic latency distribution
+_BUDGET_INV = 20  # 5% error budget
+
+
+@register(
+    "slo_burn_rate_windows",
+    f"""
+    WITH buckets AS (
+      SELECT CAST(event_id // 1000 AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value > {_SLO_MS} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_over
+      FROM events GROUP BY 1),
+    win AS (
+      SELECT bucket, n, n_over,
+             CAST(SUM(n) OVER (ORDER BY bucket
+                  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n6,
+             CAST(SUM(n_over) OVER (ORDER BY bucket
+                  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS over6
+      FROM buckets)
+    SELECT bucket, n, n_over,
+           CAST(n_over * {_BUDGET_INV} * 1000000 // n AS BIGINT)
+             AS burn1_micro,
+           CAST(over6 * {_BUDGET_INV} * 1000000 // n6 AS BIGINT)
+             AS burn6_micro,
+           (n_over * {_BUDGET_INV} * 1000000 // n) >= 2000000
+             AND (over6 * {_BUDGET_INV} * 1000000 // n6) >= 1000000
+             AS page_alert
+    FROM win
+    """,
+    doc="Multiwindow SLO burn-rate audit (the Google-SRE alerting "
+    "recipe): per 1000-request bucket, the latency-SLO violation rate "
+    "over a 5% error budget as a burn MULTIPLE (1e6 = burning exactly "
+    "the budget), in the short window and the 6-bucket trailing "
+    "window, paging only when BOTH burn (fast + sustained — the "
+    "flap-proof combination). Exact integer micros; the trailing "
+    "window SUMs are CAST at the window site. Scale shape: one "
+    "partial agg to the bounded bucket domain, then a 6-row bounded "
+    "window over it. (No counterpart in reference main.go.)",
+)
+def slo_burn_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        F.expr("CAST(event_id div 1000 AS BIGINT)").alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("value") > _SLO_MS, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over"),
+    )
+    w6 = Window.orderBy("bucket").rowsBetween(-5, Window.currentRow)
+    win = buckets.select(
+        "bucket",
+        "n",
+        "n_over",
+        F.sum("n").over(w6).cast("long").alias("n6"),
+        F.sum("n_over").over(w6).cast("long").alias("over6"),
+    )
+    burn1 = F.expr(f"n_over * {_BUDGET_INV} * 1000000 div n")
+    burn6 = F.expr(f"over6 * {_BUDGET_INV} * 1000000 div n6")
+    return win.select(
+        "bucket",
+        "n",
+        "n_over",
+        burn1.cast("long").alias("burn1_micro"),
+        burn6.cast("long").alias("burn6_micro"),
+        ((burn1 >= 2000000) & (burn6 >= 1000000)).alias("page_alert"),
+    )
+
+
+# ===========================================================================
+# Paraphrase-consistency eval (same-topic query pairs)
+# ===========================================================================
+
+
+@register(
+    "paraphrase_consistency_eval",
+    f"""
+    WITH {_SQL_CORE},
+    t AS (SELECT q_id, doc_id FROM ra WHERE rnk <= 10),
+    ov AS (
+      SELECT a.q_id AS q_lo,
+             CAST(COUNT(*) AS BIGINT) AS overlap
+      FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.q_id = a.q_id + 8
+      WHERE a.q_id < 8 GROUP BY a.q_id),
+    g AS (
+      SELECT p1.q_id AS q_lo, CAST(COUNT(*) AS BIGINT) AS gold_shared
+      FROM panel p1 JOIN panel p2
+        ON p2.doc_id = p1.doc_id AND p2.q_id = p1.q_id + 8
+      WHERE p1.rel > 0 AND p2.rel > 0 AND p1.q_id < 8
+      GROUP BY p1.q_id),
+    grid AS (SELECT unnest(range(8)) AS q_lo)
+    SELECT CAST(gr.q_lo AS BIGINT) AS q_lo,
+           CAST(gr.q_lo + 8 AS BIGINT) AS q_hi,
+           COALESCE(o.overlap, 0) AS top10_overlap,
+           CAST(COALESCE(o.overlap, 0) * 1000000
+                // (20 - COALESCE(o.overlap, 0)) AS BIGINT)
+             AS jaccard_micro,
+           COALESCE(g.gold_shared, 0) AS gold_shared
+    FROM grid gr
+    LEFT JOIN ov o ON o.q_lo = gr.q_lo
+    LEFT JOIN g ON g.q_lo = gr.q_lo
+    """,
+    doc="Paraphrase-consistency eval: panel queries q and q+8 share a "
+    "topic (q_id % 8) — the same information need phrased twice — so "
+    "a robust retriever should return overlapping results; per pair, "
+    "the top-10 overlap, its Jaccard (|A∩B| / |A∪B| = ov/(20-ov), "
+    "exact micros), and how much GOLD the two relevance draws "
+    "actually share (the ceiling the overlap should track). Low "
+    "consistency = the ranking is noise-dominated, the "
+    "query-understanding failure mode offline recall can't see. "
+    "Scale shape: the pair relation is an equi-join of the two "
+    "bounded top-10 slices on (doc_id, q+8); grid-anchored so "
+    "zero-overlap pairs report 0. (No counterpart in reference "
+    "main.go.)",
+)
+def paraphrase_consistency_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sc = _scored(spark, sf_dir)
+    t = (
+        _ranked(sc, "sa", _CUT_A)
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "doc_id")
+    )
+    ov = (
+        t.filter(F.col("q_id") < 8)
+        .alias("a")
+        .join(
+            t.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.q_id") == F.col("a.q_id") + 8),
+        )
+        .groupBy(F.col("a.q_id").alias("q_lo"))
+        .agg(F.count("*").cast("long").alias("overlap"))
+    )
+    panel = _panel(spark, sf_dir)
+    rel = panel.filter(F.col("rel") > 0).select("q_id", "doc_id")
+    g = (
+        rel.filter(F.col("q_id") < 8)
+        .alias("p1")
+        .join(
+            rel.alias("p2"),
+            (F.col("p2.doc_id") == F.col("p1.doc_id"))
+            & (F.col("p2.q_id") == F.col("p1.q_id") + 8),
+        )
+        .groupBy(F.col("p1.q_id").alias("q_lo"))
+        .agg(F.count("*").cast("long").alias("gold_shared"))
+    )
+    grid = spark.range(8).select(F.col("id").cast("long").alias("q_lo"))
+    return (
+        grid.join(F.broadcast(ov), "q_lo", "left")
+        .join(F.broadcast(g), "q_lo", "left")
+        .select(
+            "q_lo",
+            (F.col("q_lo") + 8).cast("long").alias("q_hi"),
+            F.coalesce("overlap", F.lit(0))
+            .cast("long")
+            .alias("top10_overlap"),
+            F.expr(
+                "CAST(coalesce(overlap, 0) * 1000000 "
+                "div (20 - coalesce(overlap, 0)) AS BIGINT)"
+            ).alias("jaccard_micro"),
+            F.coalesce("gold_shared", F.lit(0))
+            .cast("long")
+            .alias("gold_shared"),
+        )
+    )
+
+
+@register(
+    "stream_srm_check",
+    None,  # patched to the batch oracle SQL below
+    doc="STREAMING twin of ab_sample_ratio_mismatch: the per-experiment "
+    "(n, o_a) counters are complete-mode streaming aggregation state "
+    "(order-free counting), the chi-square statistic and SRM flag "
+    "finalize on read from the bounded experiment relation, and the "
+    "oracle is the BATCH SQL verbatim — SRM is THE guardrail that "
+    "must run ON the live assignment stream (by the time a batch "
+    "audit sees the skew, the experiment is already burned). Scale "
+    "shape: state is one counter row per experiment. "
+    "(No counterpart in reference main.go.)",
+)
+def stream_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.session import ensure_session_confs
+    from kinesis_log_watcher_spark.sources.files import read_parquet_stream
+
+    ensure_session_confs(spark)
+    stream = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    assign = stream.select(
+        "event_type",
+        F.when(
+            _draw("srm", F.col("event_id")) % 1000 < _SRM_SKEW, 1
+        )
+        .otherwise(0)
+        .alias("arm_a"),
+    )
+    agg = assign.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("arm_a").cast("long").alias("o_a"),
+    )
+    name = f"stream_srm_{next(_stream_r10_counter)}"
+    tbl = _finalize_stream_table(spark, agg.writeStream, name)
+    return tbl.select(
+        "event_type",
+        "n",
+        "o_a",
+        (F.col("n") - F.col("o_a")).cast("long").alias("o_b"),
+        F.expr(
+            "CAST((2 * o_a - n) * (2 * o_a - n) * 1000000 div n AS BIGINT)"
+        ).alias("chi2_micro"),
+        (
+            F.expr("(2 * o_a - n) * (2 * o_a - n) * 1000000 div n")
+            >= _CHI2_95
+        ).alias("srm_flag"),
+    )
+
+
+def _share_batch_oracles_r10b() -> None:
+    from dataclasses import replace
+
+    from kinesis_log_watcher_spark.queries.base import _REGISTRY
+
+    _REGISTRY["stream_srm_check"] = replace(
+        _REGISTRY["stream_srm_check"],
+        oracle=_REGISTRY["ab_sample_ratio_mismatch"].oracle,
+    )
+
+
+_share_batch_oracles_r10b()

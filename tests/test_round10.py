@@ -294,3 +294,92 @@ def _sorted_rows(rows):
 @pytest.mark.parametrize("twin,batch", _TWINS)
 def test_streaming_twins_equal_batch(r10, twin, batch):
     assert _sorted_rows(r10[twin]) == _sorted_rows(r10[batch])
+
+
+# ---------------------------------------------------------------------------
+# wave 5: eval-ops extras
+# ---------------------------------------------------------------------------
+
+_NAMES5 = [
+    "retrieval_map_at20",
+    "ab_sample_ratio_mismatch",
+    "embedding_drift_tvd",
+    "slo_burn_rate_windows",
+    "paraphrase_consistency_eval",
+]
+
+
+@pytest.fixture(scope="module")
+def r10b(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in _NAMES5
+        }
+        out = {n: f.result() for n, f in futs.items()}
+    out["stream_srm_check"] = _q("stream_srm_check")(spark, sf_dir).collect()
+    return out
+
+
+def test_map_identity_and_ordering(r10b):
+    rows = r10b["retrieval_map_at20"]
+    assert len(rows) == 32
+    totals = {"A": 0, "B": 0}
+    for r in rows:
+        assert 0 <= r["ap20_micro"] <= 1_000_000
+        denom = min(r["n_rel"], 20)
+        if denom > 0:
+            assert r["ap20_micro"] == r["sum_prec_micro"] // denom
+        totals[r["retriever"]] += r["ap20_micro"]
+    # AP rewards early relevance; the sharper retriever wins
+    assert totals["A"] > totals["B"]
+
+
+def test_srm_chi2_identity(r10b):
+    rows = r10b["ab_sample_ratio_mismatch"]
+    assert len(rows) == 5  # one per event_type
+    for r in rows:
+        assert r["o_a"] + r["o_b"] == r["n"]
+        d = 2 * r["o_a"] - r["n"]
+        assert r["chi2_micro"] == d * d * 1_000_000 // r["n"]
+        assert r["srm_flag"] == (r["chi2_micro"] >= 3_841_459)
+
+
+def test_drift_monitor_flags_planted_shift(r10b):
+    rows = r10b["embedding_drift_tvd"]
+    assert sorted(r["dim"] for r in rows) == [1, 2]
+    for r in rows:
+        assert 0 <= r["tvd_micro"] <= 1_000_000
+        assert r["drift_flag"] == (r["tvd_micro"] >= 50_000)
+        # the planted +0.05 shift must be visible
+        assert r["drift_flag"]
+
+
+def test_slo_burn_identities(r10b):
+    rows = r10b["slo_burn_rate_windows"]
+    assert rows
+    for r in rows:
+        assert r["n_over"] <= r["n"]
+        assert r["burn1_micro"] == r["n_over"] * 20 * 1_000_000 // r["n"]
+        assert r["page_alert"] == (
+            r["burn1_micro"] >= 2_000_000 and r["burn6_micro"] >= 1_000_000
+        )
+
+
+def test_paraphrase_pairs_grid(r10b):
+    rows = r10b["paraphrase_consistency_eval"]
+    assert len(rows) == 8
+    for r in rows:
+        assert r["q_hi"] == r["q_lo"] + 8
+        assert 0 <= r["top10_overlap"] <= 10
+        assert r["jaccard_micro"] == (
+            r["top10_overlap"] * 1_000_000 // (20 - r["top10_overlap"])
+        )
+
+
+def test_stream_srm_equals_batch(r10b):
+    assert _sorted_rows(r10b["stream_srm_check"]) == _sorted_rows(
+        r10b["ab_sample_ratio_mismatch"]
+    )

@@ -41,6 +41,10 @@ def is_streaming(name: str) -> bool:
 # input (an unpivoted check suite reports every check even on an empty
 # load — with zero violations, which the check pins).
 FIXED_CARDINALITY = {
+    # the paraphrase panel has exactly 8 same-topic query pairs by
+    # construction; the grid anchors them so an empty corpus reports
+    # 8 all-zero pairs (the oracle returns the same 8 rows)
+    "paraphrase_consistency_eval": 8,
     "orders_expectation_audit": 7,
     # the profile reports every column even of an empty load (n_total=0)
     "orders_column_profile": 6,
