@@ -178,6 +178,11 @@ _FRONT = (
     "slo_burn_rate_windows",
     "paraphrase_consistency_eval",
     "stream_srm_check",
+    "reward_model_accuracy_eval",
+    "best_of_n_reward_gain",
+    "rm_length_gradient_audit",
+    "curriculum_pacing_schedule",
+    "ivf_build_cost_model",
     # ---- round-9 prefix (kept for history; every name below now has
     # an official row — the 41 round-8b queries sampled in
     # CORRECTNESS_r09 plus the first 9 round-9-born)

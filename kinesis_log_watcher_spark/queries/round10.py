@@ -2411,3 +2411,422 @@ def _share_batch_oracles_r10b() -> None:
 
 
 _share_batch_oracles_r10b()
+
+
+# ===========================================================================
+# Wave 6: alignment-eval + index economics
+# ===========================================================================
+#
+# The reward-model panel: every document is a "completion" with a
+# planted true quality (length-correlated plus an md5 draw) and a
+# noisy reward-model estimate that ALSO carries an extra length term —
+# the reward-hacking signal the length audit exists to expose. All
+# exact integer micros, identical expressions in both dialects.
+
+_SQL_QUAL = (
+    "n_chars * 1500 + "
+    + _hs("'qual|' || CAST(doc_id AS VARCHAR)")
+    + " % 300000"
+)
+_SQL_RM = (
+    f"({_SQL_QUAL}) // 2 + n_chars * 100 + "
+    + _hs("'rm|' || CAST(doc_id AS VARCHAR)")
+    + " % 300000"
+)
+
+_SQL_RMPANEL = f"""rmp AS (
+      SELECT doc_id, source, n_chars,
+             CAST({_SQL_QUAL} AS BIGINT) AS qual,
+             CAST({_SQL_RM} AS BIGINT) AS rm
+      FROM documents)"""
+
+
+def _rm_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    qual = (
+        F.col("n_chars") * 1500
+        + _draw("qual", F.col("doc_id")) % 300000
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        qual.cast("long").alias("qual"),
+    ).withColumn(
+        "rm",
+        (
+            F.expr("qual div 2")
+            + F.col("n_chars") * 100
+            + _draw("rm", F.col("doc_id")) % 300000
+        ).cast("long"),
+    )
+
+
+@register(
+    "reward_model_accuracy_eval",
+    f"""
+    WITH {_SQL_RMPANEL},
+    pairs AS (
+      SELECT a.doc_id AS id_a,
+             LEAST(4, abs(a.qual - b.qual) // 100000) AS gap_bucket,
+             CASE WHEN (a.rm >= b.rm) = (a.qual >= b.qual)
+                  THEN 1 ELSE 0 END AS rm_correct
+      FROM rmp a JOIN rmp b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 2 = 0)
+    SELECT CAST(gap_bucket AS BIGINT) AS gap_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(rm_correct) AS BIGINT) AS n_correct,
+           CAST(SUM(rm_correct) * 1000000 // COUNT(*) AS BIGINT)
+             AS accuracy_micro
+    FROM pairs GROUP BY gap_bucket
+    """,
+    doc="Reward-model pairwise accuracy vs preference strength: "
+    "adjacent docs pair as (chosen-candidate, rejected-candidate), "
+    "gold preference = higher planted true quality, and the noisy RM "
+    "either agrees or not — bucketed by the true-quality GAP, the "
+    "accuracy curve every RM eval publishes (close pairs are coin "
+    "flips, wide pairs should approach 1.0; a flat curve means the RM "
+    "learned nothing). Scale shape: the pair relation is an "
+    "equi-join on doc_id+1 (co-partitioned, never cartesian), then "
+    "one partial agg to the 5-bucket domain. "
+    "(No counterpart in reference main.go.)",
+)
+def reward_model_accuracy_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    rmp = _rm_panel(spark, sf_dir)
+    a = rmp.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("qual").alias("qual_a"),
+        F.col("rm").alias("rm_a"),
+    )
+    b = rmp.select(
+        (F.col("doc_id") - 1).alias("id_a"),
+        F.col("qual").alias("qual_b"),
+        F.col("rm").alias("rm_b"),
+    )
+    pairs = a.join(b, "id_a").select(
+        F.least(
+            F.lit(4),
+            F.expr("abs(qual_a - qual_b) div 100000"),
+        )
+        .cast("long")
+        .alias("gap_bucket"),
+        F.when(
+            (F.col("rm_a") >= F.col("rm_b"))
+            == (F.col("qual_a") >= F.col("qual_b")),
+            1,
+        )
+        .otherwise(0)
+        .alias("rm_correct"),
+    )
+    return pairs.groupBy("gap_bucket").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("rm_correct").cast("long").alias("n_correct"),
+        F.expr(
+            "CAST(SUM(rm_correct) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("accuracy_micro"),
+    )
+
+
+@register(
+    "best_of_n_reward_gain",
+    f"""
+    WITH {_SQL_RMPANEL},
+    grp AS (
+      SELECT doc_id // 4 AS g, doc_id % 4 AS pos, rm, qual
+      FROM rmp),
+    per AS (
+      SELECT g,
+             CAST(MAX(CASE WHEN pos = 0 THEN rm END) AS BIGINT) AS rm1,
+             CAST(MAX(CASE WHEN pos < 2 THEN rm END) AS BIGINT) AS rm2,
+             CAST(MAX(rm) AS BIGINT) AS rm4,
+             CAST(MAX(CASE WHEN pos = 0 THEN qual END) AS BIGINT) AS q1,
+             CAST(MAX(CASE WHEN pos < 2 THEN qual END) AS BIGINT) AS q2,
+             CAST(MAX(qual) AS BIGINT) AS q4
+      FROM grp GROUP BY g
+      HAVING COUNT(*) = 4),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(rm1) AS BIGINT) AS s1,
+             CAST(SUM(rm2) AS BIGINT) AS s2,
+             CAST(SUM(rm4) AS BIGINT) AS s4,
+             CAST(SUM(q1) AS BIGINT) AS t1,
+             CAST(SUM(q2) AS BIGINT) AS t2,
+             CAST(SUM(q4) AS BIGINT) AS t4
+      FROM per)
+    SELECT n.n, n_groups,
+           CAST(CASE n.n WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s4 END
+                // n_groups AS BIGINT) AS mean_best_rm_micro,
+           CAST(CASE n.n WHEN 1 THEN t1 WHEN 2 THEN t2 ELSE t4 END
+                // n_groups AS BIGINT) AS mean_best_qual_micro,
+           CAST((CASE n.n WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s4 END
+                 - s1) // n_groups AS BIGINT) AS rm_gain_micro
+    FROM agg CROSS JOIN (SELECT unnest([1, 2, 4]) AS n) n
+    WHERE n_groups > 0
+    """,
+    doc="Best-of-n sampling curve: each 4-doc group is one prompt's "
+    "candidate set; the selector keeps the best RM score among the "
+    "first n in (1, 2, 4) candidates, and the curve reports the mean "
+    "selected RM score AND the mean selected TRUE quality — the gap "
+    "between the two curves is the overoptimization cost (the RM "
+    "picks its own noise at larger n; Gao et al. 2022 scaling-law "
+    "shape, here exact). Scale shape: one partial agg per prompt "
+    "group (conditional MAXes), one global agg, then a 3-row literal "
+    "unpivot. (No counterpart in reference main.go.)",
+)
+def best_of_n_reward_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rmp = _rm_panel(spark, sf_dir)
+    grp = rmp.select(
+        F.expr("doc_id div 4").alias("g"),
+        (F.col("doc_id") % 4).alias("pos"),
+        "rm",
+        "qual",
+    )
+    per = (
+        grp.groupBy("g")
+        .agg(
+            F.max(F.when(F.col("pos") == 0, F.col("rm"))).alias("rm1"),
+            F.max(F.when(F.col("pos") < 2, F.col("rm"))).alias("rm2"),
+            F.max("rm").alias("rm4"),
+            F.max(F.when(F.col("pos") == 0, F.col("qual"))).alias("q1"),
+            F.max(F.when(F.col("pos") < 2, F.col("qual"))).alias("q2"),
+            F.max("qual").alias("q4"),
+            F.count("*").alias("cnt"),
+        )
+        .filter(F.col("cnt") == 4)
+    )
+    agg = per.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("rm1").cast("long").alias("s1"),
+        F.sum("rm2").cast("long").alias("s2"),
+        F.sum("rm4").cast("long").alias("s4"),
+        F.sum("q1").cast("long").alias("t1"),
+        F.sum("q2").cast("long").alias("t2"),
+        F.sum("q4").cast("long").alias("t4"),
+    )
+    n = F.explode(F.array(F.lit(1), F.lit(2), F.lit(4))).alias("n")
+    wide = agg.select("*", n).filter(F.col("n_groups") > 0)
+    s = "CASE n WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s4 END"
+    t = "CASE n WHEN 1 THEN t1 WHEN 2 THEN t2 ELSE t4 END"
+    return wide.select(
+        F.col("n").cast("long").alias("n"),
+        "n_groups",
+        F.expr(f"CAST({s} div n_groups AS BIGINT)").alias(
+            "mean_best_rm_micro"
+        ),
+        F.expr(f"CAST({t} div n_groups AS BIGINT)").alias(
+            "mean_best_qual_micro"
+        ),
+        F.expr(f"CAST(({s} - s1) div n_groups AS BIGINT)").alias(
+            "rm_gain_micro"
+        ),
+    )
+
+
+@register(
+    "rm_length_gradient_audit",
+    f"""
+    WITH {_SQL_RMPANEL},
+    b AS (
+      SELECT LEAST(9, n_chars // 50) AS len_bucket, rm, qual
+      FROM rmp)
+    SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(rm) // COUNT(*) AS BIGINT) AS mean_rm_micro,
+           CAST(SUM(qual) // COUNT(*) AS BIGINT) AS mean_qual_micro,
+           CAST((SUM(rm) * 2 - SUM(qual)) // COUNT(*) AS BIGINT)
+             AS excess_rm_micro
+    FROM b GROUP BY len_bucket
+    """,
+    doc="Reward-hacking length audit: mean RM score and mean TRUE "
+    "quality per length bucket, plus the excess (2*rm - qual — the "
+    "RM's planted n_chars*100 bias term plus noise mean, which rises "
+    "with length while a faithful RM's excess would be flat). THE "
+    "first check on any preference model: does reward track quality "
+    "or just length? Scale shape: one narrow projection + one "
+    "partial agg to the 10-bucket domain. "
+    "(No counterpart in reference main.go.)",
+)
+def rm_length_gradient_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    rmp = _rm_panel(spark, sf_dir)
+    b = rmp.select(
+        F.least(F.lit(9), F.expr("n_chars div 50"))
+        .cast("long")
+        .alias("len_bucket"),
+        "rm",
+        "qual",
+    )
+    return b.groupBy("len_bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("CAST(SUM(rm) div COUNT(*) AS BIGINT)").alias(
+            "mean_rm_micro"
+        ),
+        F.expr("CAST(SUM(qual) div COUNT(*) AS BIGINT)").alias(
+            "mean_qual_micro"
+        ),
+        F.expr(
+            "CAST((SUM(rm) * 2 - SUM(qual)) div COUNT(*) AS BIGINT)"
+        ).alias("excess_rm_micro"),
+    )
+
+
+@register(
+    "curriculum_pacing_schedule",
+    f"""
+    WITH {_SQL_RMPANEL},
+    staged AS (
+      SELECT LEAST(4, qual // 200000) AS stage,
+             CAST(n_chars // 5 + 1 AS BIGINT) AS tok,
+             qual
+      FROM rmp),
+    per AS (
+      SELECT CAST(stage AS BIGINT) AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(tok) AS BIGINT) AS stage_tokens,
+             CAST(SUM(qual) // COUNT(*) AS BIGINT)
+               AS mean_difficulty_micro
+      FROM staged GROUP BY stage)
+    SELECT stage, n_docs, stage_tokens, mean_difficulty_micro,
+           CAST(SUM(stage_tokens) OVER (ORDER BY stage
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tokens
+    FROM per
+    """,
+    doc="Curriculum pacing schedule: documents bucket into 5 "
+    "difficulty stages by the planted quality score (value-range "
+    "bucketing — NOT ntile, which would global-sort the corpus), and "
+    "the manifest reports per-stage doc counts, token budgets, mean "
+    "difficulty, and the cumulative token schedule a trainer walks. "
+    "The data-ordering artifact every curriculum run starts from. "
+    "Scale shape: one partial agg to the 5-stage domain + a bounded "
+    "5-row cumulative window (CAST at the window site). "
+    "(No counterpart in reference main.go.)",
+)
+def curriculum_pacing_schedule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    rmp = _rm_panel(spark, sf_dir)
+    staged = rmp.select(
+        F.least(F.lit(4), F.expr("qual div 200000"))
+        .cast("long")
+        .alias("stage"),
+        F.expr("CAST(n_chars div 5 + 1 AS BIGINT)").alias("tok"),
+        "qual",
+    )
+    per = staged.groupBy("stage").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("stage_tokens"),
+        F.expr("CAST(SUM(qual) div COUNT(*) AS BIGINT)").alias(
+            "mean_difficulty_micro"
+        ),
+    )
+    w = (
+        Window.orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "stage",
+        "n_docs",
+        "stage_tokens",
+        "mean_difficulty_micro",
+        F.sum("stage_tokens").over(w).cast("long").alias("cum_tokens"),
+    )
+
+
+@register(
+    "ivf_build_cost_model",
+    f"""
+    WITH comp AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings),
+    assigns AS (
+      SELECT nl.nlist, c.vec_id, a.vec_id AS a_id,
+             (CAST(SUM({_QV.format('a.x')} * {_QV.format('c.x')})
+                   AS DOUBLE) / 100000000000000.0) AS dot
+      FROM comp c
+      JOIN comp a ON a.dim = c.dim
+      JOIN (SELECT unnest([4, 8, 16]) AS nlist) nl
+        ON a.vec_id < nl.nlist
+      WHERE c.vec_id >= 16
+      GROUP BY nl.nlist, c.vec_id, a.vec_id),
+    best AS (
+      SELECT nlist, vec_id, a_id AS cell FROM (
+        SELECT nlist, vec_id, a_id,
+               ROW_NUMBER() OVER (PARTITION BY nlist, vec_id
+                   ORDER BY dot DESC, a_id) AS rn
+        FROM assigns)
+      WHERE rn = 1),
+    cells AS (
+      SELECT nlist, cell, CAST(COUNT(*) AS BIGINT) AS c
+      FROM best GROUP BY nlist, cell)
+    SELECT CAST(nlist AS BIGINT) AS nlist,
+           CAST(COUNT(*) AS BIGINT) AS n_cells_used,
+           CAST(SUM(c) AS BIGINT) AS n_vecs,
+           CAST(MAX(c) AS BIGINT) AS max_cell,
+           CAST(SUM(c) * 1000000 // COUNT(*) AS BIGINT)
+             AS mean_cell_micro,
+           CAST(2 * SUM(c) // COUNT(*) AS BIGINT) AS est_probe2_rows
+    FROM cells GROUP BY nlist
+    """,
+    doc="IVF index-build economics: assign the corpus (vec_id >= 16) "
+    "to its best anchor cell at nlist in (4, 8, 16) — same exact "
+    "quantized-dot assignment the ann_ivf_topk family uses — and "
+    "price each configuration: cells actually used, the largest cell "
+    "(the tail-latency driver), mean cell size, and the expected "
+    "rows scanned by a 2-probe query. The capacity-planning table "
+    "behind the nlist knob (more cells = cheaper probes, worse "
+    "recall — recall curves live in the ann_recall family). Scale "
+    "shape: the anchor side is tiny and broadcast through the dim "
+    "join; ONE (nlist, vec, anchor) partial agg, a bounded "
+    "assignment window per (nlist, vec), and a 3-row rollup. "
+    "(No counterpart in reference main.go.)",
+)
+def ivf_build_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_log_watcher_spark.operators.similarity import (
+        exploded_components,
+        quantize,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    comp = exploded_components(emb, "vec_id")
+    corpus = comp.filter(F.col("vec_id") >= 16)
+    anchors = comp.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("a_id"), F.col("x").alias("ax"), "dim"
+    )
+    nl = F.explode(F.array(F.lit(4), F.lit(8), F.lit(16))).alias("nlist")
+    tagged = anchors.select("*", nl).filter(F.col("a_id") < F.col("nlist"))
+    j = corpus.join(F.broadcast(tagged), "dim")
+    assigns = j.groupBy("nlist", "vec_id", "a_id").agg(
+        (
+            F.sum(quantize(F.col("ax")) * quantize(F.col("x"))).cast(
+                "double"
+            )
+            / F.lit(1e14)
+        ).alias("dot")
+    )
+    w = Window.partitionBy("nlist", "vec_id").orderBy(
+        F.col("dot").desc(), "a_id"
+    )
+    best = (
+        assigns.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("nlist", "vec_id", F.col("a_id").alias("cell"))
+    )
+    cells = best.groupBy("nlist", "cell").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return cells.groupBy(F.col("nlist").cast("long").alias("nlist")).agg(
+        F.count("*").cast("long").alias("n_cells_used"),
+        F.sum("c").cast("long").alias("n_vecs"),
+        F.max("c").cast("long").alias("max_cell"),
+        F.expr("CAST(SUM(c) * 1000000 div COUNT(*) AS BIGINT)").alias(
+            "mean_cell_micro"
+        ),
+        F.expr("CAST(2 * SUM(c) div COUNT(*) AS BIGINT)").alias(
+            "est_probe2_rows"
+        ),
+    )

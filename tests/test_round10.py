@@ -383,3 +383,85 @@ def test_stream_srm_equals_batch(r10b):
     assert _sorted_rows(r10b["stream_srm_check"]) == _sorted_rows(
         r10b["ab_sample_ratio_mismatch"]
     )
+
+
+# ---------------------------------------------------------------------------
+# wave 6: alignment-eval + index economics
+# ---------------------------------------------------------------------------
+
+_NAMES6 = [
+    "reward_model_accuracy_eval",
+    "best_of_n_reward_gain",
+    "rm_length_gradient_audit",
+    "curriculum_pacing_schedule",
+    "ivf_build_cost_model",
+]
+
+
+@pytest.fixture(scope="module")
+def r10c(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in _NAMES6
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_rm_accuracy_rises_with_preference_strength(r10c):
+    rows = sorted(r10c["reward_model_accuracy_eval"], key=lambda r: r["gap_bucket"])
+    assert 2 <= len(rows) <= 5
+    for r in rows:
+        assert r["accuracy_micro"] == r["n_correct"] * 1_000_000 // r["n_pairs"]
+    # wide-gap pairs must be easier than coin-flip-close pairs
+    assert rows[-1]["accuracy_micro"] > rows[0]["accuracy_micro"]
+    assert rows[-1]["accuracy_micro"] >= 900_000
+
+
+def test_best_of_n_monotone_and_overoptimization_gap(r10c):
+    rows = sorted(r10c["best_of_n_reward_gain"], key=lambda r: r["n"])
+    assert [r["n"] for r in rows] == [1, 2, 4]
+    assert rows[0]["rm_gain_micro"] == 0
+    rm = [r["mean_best_rm_micro"] for r in rows]
+    q = [r["mean_best_qual_micro"] for r in rows]
+    assert rm == sorted(rm) and q == sorted(q)
+    # selecting on the noisy RM gains RM score faster than TRUE quality
+    # relative to its own scale at n=4 vs n=1 (overoptimization shape)
+    assert rows[2]["rm_gain_micro"] > 0
+
+
+def test_length_gradient_visible(r10c):
+    rows = sorted(r10c["rm_length_gradient_audit"], key=lambda r: r["len_bucket"])
+    assert rows[-1]["len_bucket"] <= 9
+    # the planted n_chars terms dominate bucket-level noise end-to-end
+    assert rows[-1]["mean_rm_micro"] > rows[0]["mean_rm_micro"]
+    assert rows[-1]["mean_qual_micro"] > rows[0]["mean_qual_micro"]
+
+
+def test_curriculum_schedule_identities(r10c):
+    rows = sorted(r10c["curriculum_pacing_schedule"], key=lambda r: r["stage"])
+    cum = 0
+    prev_diff = -1
+    for r in rows:
+        cum += r["stage_tokens"]
+        assert r["cum_tokens"] == cum
+        # value-range staging makes per-stage mean difficulty monotone
+        assert r["mean_difficulty_micro"] > prev_diff
+        prev_diff = r["mean_difficulty_micro"]
+
+
+def test_ivf_cost_model_identities(r10c):
+    rows = sorted(r10c["ivf_build_cost_model"], key=lambda r: r["nlist"])
+    assert [r["nlist"] for r in rows] == [4, 8, 16]
+    n_vecs = {r["n_vecs"] for r in rows}
+    assert len(n_vecs) == 1  # every config assigns the same corpus
+    for r in rows:
+        assert r["n_cells_used"] <= r["nlist"]
+        assert r["max_cell"] * r["n_cells_used"] >= r["n_vecs"]
+        assert r["mean_cell_micro"] == r["n_vecs"] * 1_000_000 // r["n_cells_used"]
+        assert r["est_probe2_rows"] == 2 * r["n_vecs"] // r["n_cells_used"]
+    # more cells -> cheaper probes
+    probes = [r["est_probe2_rows"] for r in rows]
+    assert probes == sorted(probes, reverse=True)
