@@ -183,6 +183,7 @@ _FRONT = (
     "rm_length_gradient_audit",
     "curriculum_pacing_schedule",
     "ivf_build_cost_model",
+    "kv_cache_concurrency_budget",
     # ---- round-9 prefix (kept for history; every name below now has
     # an official row — the 41 round-8b queries sampled in
     # CORRECTNESS_r09 plus the first 9 round-9-born)

@@ -2830,3 +2830,117 @@ def ivf_build_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_probe2_rows"
         ),
     )
+
+
+# ===========================================================================
+# Wave 7: serving capacity — KV-cache concurrency vs memory budget
+# ===========================================================================
+
+_SESS_GAP = 300     # inactivity slots that close a session
+_KV_PER_TURN = 50   # KV tokens held per conversation turn
+_KV_BUDGET = 100000  # tokens of KV memory on the box
+
+
+@register(
+    "kv_cache_concurrency_budget",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS prev
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id,
+             CASE WHEN prev IS NULL OR event_id - prev > {_SESS_GAP}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM seq),
+    sess_ids AS (
+      SELECT user_id, event_id,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                  ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS sid
+      FROM flagged),
+    sess AS (
+      SELECT user_id, sid,
+             CAST(MIN(event_id) AS BIGINT) AS lo,
+             CAST(MAX(event_id) AS BIGINT) AS hi,
+             CAST(COUNT(*) * {_KV_PER_TURN} AS BIGINT) AS kv_tokens
+      FROM sess_ids GROUP BY user_id, sid),
+    spans AS (
+      SELECT user_id, sid, lo, kv_tokens,
+             unnest(range(lo // 1000, hi // 1000 + 1)) AS bucket
+      FROM sess)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS active_sessions,
+           CAST(SUM(CASE WHEN lo // 1000 = bucket THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_sessions,
+           CAST(SUM(kv_tokens) AS BIGINT) AS kv_tokens_held,
+           CAST(GREATEST(0, SUM(kv_tokens) - {_KV_BUDGET}) AS BIGINT)
+             AS excess_tokens,
+           SUM(kv_tokens) > {_KV_BUDGET} AS over_budget
+    FROM spans GROUP BY bucket
+    """,
+    doc="KV-cache capacity planning for a serving box: user event "
+    f"streams sessionize by inactivity gap (> {_SESS_GAP} slots closes "
+    "a session), each live session pins KV memory proportional to its "
+    f"turn count ({_KV_PER_TURN} tokens/turn, held for the session's "
+    "lifetime), and per 1000-slot bucket the table reports concurrent "
+    "sessions, session arrivals, total KV tokens held, and the excess "
+    f"over a {_KV_BUDGET}-token budget — the eviction pressure the "
+    "scheduler must absorb. THE sizing table behind max-concurrency "
+    "and preemption knobs in an LLM serving stack. Scale shape: one "
+    "LAG + one cumulative window per user partition (bounded per-key "
+    "state, CAST at the window site), one partial agg per session, a "
+    "bounded bucket-range explode per session (never a time x session "
+    "cross join), and one partial agg to the bucket domain. "
+    "(No counterpart in reference main.go.)",
+)
+def kv_cache_concurrency_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    flagged = ev.select("user_id", "event_id").withColumn(
+        "new_sess",
+        F.when(
+            F.lag("event_id").over(w).isNull()
+            | (F.col("event_id") - F.lag("event_id").over(w) > _SESS_GAP),
+            1,
+        ).otherwise(0),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess_ids = flagged.withColumn(
+        "sid", F.sum("new_sess").over(wc).cast("long")
+    )
+    sess = sess_ids.groupBy("user_id", "sid").agg(
+        F.min("event_id").cast("long").alias("lo"),
+        F.max("event_id").cast("long").alias("hi"),
+        (F.count("*") * _KV_PER_TURN).cast("long").alias("kv_tokens"),
+    )
+    spans = sess.select(
+        "lo",
+        "kv_tokens",
+        F.explode(
+            F.sequence(
+                F.expr("lo div 1000"), F.expr("hi div 1000")
+            )
+        ).alias("bucket"),
+    )
+    return spans.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count("*").cast("long").alias("active_sessions"),
+        F.sum(
+            F.when(F.expr("lo div 1000") == F.col("bucket"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("new_sessions"),
+        F.sum("kv_tokens").cast("long").alias("kv_tokens_held"),
+        F.expr(
+            f"CAST(GREATEST(0, SUM(kv_tokens) - {_KV_BUDGET}) AS BIGINT)"
+        ).alias("excess_tokens"),
+        (F.sum("kv_tokens") > _KV_BUDGET).alias("over_budget"),
+    )

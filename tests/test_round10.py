@@ -465,3 +465,13 @@ def test_ivf_cost_model_identities(r10c):
     # more cells -> cheaper probes
     probes = [r["est_probe2_rows"] for r in rows]
     assert probes == sorted(probes, reverse=True)
+
+
+def test_kv_cache_budget_accounting(spark, sf_dir):
+    rows = _q("kv_cache_concurrency_budget")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["new_sessions"] <= r["active_sessions"]
+        assert r["kv_tokens_held"] >= r["active_sessions"] * 50
+        assert r["excess_tokens"] == max(0, r["kv_tokens_held"] - 100_000)
+        assert r["over_budget"] == (r["kv_tokens_held"] > 100_000)
