@@ -126,6 +126,26 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # list is static — registry order never depends on the runtime
 # environment or on any external files.
 _FRONT = (
+    # ---- round-11 wave (queries/round11.py; first official row
+    # pending — listed first so the whole 15-query wave lands inside
+    # the driver's ~50-row sample window; every name behind it already
+    # has an official row, CORRECTNESS_r10 closed the backlog at
+    # 458/458)
+    "dpo_implicit_reward_margin",
+    "dpo_beta_sensitivity_ladder",
+    "dpo_margin_filter_curve",
+    "rejection_sampling_efficiency",
+    "winrate_verbosity_confound",
+    "kto_unpaired_preference_eval",
+    "preference_transitivity_audit",
+    "continuous_batching_occupancy",
+    "serving_backlog_lindley",
+    "speculative_serving_throughput",
+    "speculative_draft_len_tuner",
+    "index_staleness_recall_curve",
+    "index_rebuild_cadence_cost",
+    "stream_rejection_sampling",
+    "stream_rebuild_cadence",
     # ---- round-10 prefix: the 16 round-9-born queries that are the
     # only registry entries without an official driver CORRECTNESS row
     # (CORRECTNESS_r09's 50-row sample window covered the 41 queued
@@ -531,6 +551,7 @@ def registry() -> dict[str, Query]:
         round8b,
         round9,
         round10,
+        round11,
         sampling,
         streaming,
         tpch_deep,

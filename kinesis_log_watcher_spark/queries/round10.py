@@ -2442,7 +2442,13 @@ _SQL_RMPANEL = f"""rmp AS (
 
 
 def _rm_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    return _rm_panel_from(load(spark, sf_dir, "documents"))
+
+
+def _rm_panel_from(docs: DataFrame) -> DataFrame:
+    """RM-panel columns from any documents relation (batch scan or
+    stream) — pure per-row expressions, so the round-11 streaming
+    twins reuse them verbatim."""
     qual = (
         F.col("n_chars") * 1500
         + _draw("qual", F.col("doc_id")) % 300000

@@ -185,10 +185,13 @@ def test_rerank_gain_identity_and_direction(r10):
         assert 0 <= r["ndcg5_stage1_micro"] <= 1_000_000
         assert 0 <= r["ndcg5_rerank_micro"] <= 1_000_000
         if r["idcg5"] > 0:
-            assert r["gain_micro"] == (
-                (r["dcg5_rerank"] - r["dcg5_stage1"]) * 1_000_000
-                // r["idcg5"]
+            # truncate-toward-zero like Spark div / DuckDB // — Python's
+            # floor // would diverge on a negative, non-divisible gain
+            d = r["dcg5_rerank"] - r["dcg5_stage1"]
+            expect = (abs(d) * 1_000_000 // r["idcg5"]) * (
+                1 if d >= 0 else -1
             )
+            assert r["gain_micro"] == expect
         total_gain += r["gain_micro"]
     # the sharp cross-encoder improves A's list on average (panel tuning)
     assert total_gain > 0
