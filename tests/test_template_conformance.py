@@ -143,6 +143,10 @@ class _Serializer:
                     "{{$" + n[1] + " = "
                     + _target(("L", n[2]), rebound) + "}}"
                 )
+            elif kind == "js":
+                out.append("{{js " + _target(n[1], rebound) + "}}")
+            elif kind == "callerr":
+                out.append("{{call " + _target(n[1], rebound) + "}}")
             elif kind == "call":
                 _, body, tgt = n
                 name = f"t{len(self.defines)}"
@@ -165,6 +169,32 @@ def to_template(nodes, prefix: str) -> str:
     s = _Serializer()
     body = s.text(nodes, rebound=False)
     return "".join(s.defines) + prefix + body
+
+
+# round-11 extension: the escape/exec-error edges (r10 verdict item 8)
+#   ("js", tgt)       {{js <target>}}   (the JS escaper builtin)
+#   ("callerr", tgt)  {{call <target>}} (always an exec error in this
+#                     engine: JSON data has no function values)
+
+
+def _js_ref(s: str) -> str:
+    """Reference of the engine's documented JSEscapeString surface:
+    \\ ' " < > & = quoted, ASCII control chars -> \\u00XX (uppercase
+    hex), everything else (incl. printable non-ASCII) passes."""
+    table = {
+        "\\": "\\\\", "'": "\\'", '"': '\\"',
+        "<": "\\u003C", ">": "\\u003E",
+        "&": "\\u0026", "=": "\\u003D",
+    }
+    out = []
+    for ch in s:
+        if ch in table:
+            out.append(table[ch])
+        elif ord(ch) < 0x20:
+            out.append(f"\\u{ord(ch):04X}")
+        else:
+            out.append(ch)
+    return "".join(out)
 
 
 # ---------------------------------------------------------------------------
@@ -283,6 +313,11 @@ def ref_eval(nodes, log, dot, env, rebound: bool) -> str:
                 out.append(ref_eval(body, log, el, env, True))
         elif kind == "assign":
             env[n[1]] = _eval_log_path(log, n[2])
+        elif kind == "js":
+            out.append(_js_ref(_render(_tval(n[1], log, dot))))
+        elif kind == "callerr":
+            _tval(n[1], log, dot)  # argument still evaluated first
+            raise Drop()  # call of a non-function value
         elif kind == "call":
             _, body, tgt = n
             arg = None if tgt is None else _eval_log_path(log, tgt)
@@ -322,18 +357,24 @@ def _block_target(rebound: bool):
     return st.one_of(*opts)
 
 
-def _nodes(depth: int, rebound: bool, var_names: tuple):
+def _nodes(depth: int, rebound: bool, var_names: tuple, esc: bool = False):
     leaf = [st.tuples(st.just("text"), _TEXTS)]
     if rebound:
         leaf.append(st.tuples(st.just("dot")))
         leaf.append(st.tuples(st.just("child"), _CHILD))
     leaf.append(st.tuples(st.just("log"), _PATH))
+    if esc:
+        # escape/exec-error edges: js over any reachable target, call
+        # (always an exec error) placed so branch guards decide whether
+        # a row actually reaches it
+        leaf.append(st.tuples(st.just("js"), _block_target(rebound)))
+        leaf.append(st.tuples(st.just("callerr"), _block_target(rebound)))
     if var_names:
         leaf.append(st.tuples(st.just("var"), st.sampled_from(var_names)))
     opts = list(leaf)
     if depth > 0:
-        sub = _nodes(depth - 1, rebound, var_names)
-        sub_rebound = _nodes(depth - 1, True, var_names)
+        sub = _nodes(depth - 1, rebound, var_names, esc)
+        sub_rebound = _nodes(depth - 1, True, var_names, esc)
         els = st.one_of(st.none(), sub)
         tgt = _block_target(rebound)
         opts.append(
@@ -390,7 +431,12 @@ _DECL = st.one_of(
 def template_case(draw):
     decl = draw(_DECL)
     var_names = ("x",) if decl is not None else ()
-    nodes = draw(_nodes(2, rebound=False, var_names=var_names))
+    # esc=True (round-11): the js escaper and the always-erroring
+    # {{call}} are ordinary leaves of the SAME composition space, so
+    # one sweep covers control flow and the escape/exec-error edges
+    # together (r10 verdict item 8) at a higher per-sweep budget
+    # instead of two half-budget sweeps
+    nodes = draw(_nodes(2, rebound=False, var_names=var_names, esc=True))
     return decl, nodes
 
 
@@ -408,7 +454,7 @@ def conformance_df(spark):
 
 
 @settings(
-    max_examples=property_examples(40),
+    max_examples=property_examples(55),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -431,3 +477,94 @@ def test_nested_control_flow_matches_semantics_table(
         i: ref_render(p, nodes, decl) for i, p in enumerate(_CORPUS)
     }
     assert got == exp, tpl
+
+
+# ---------------------------------------------------------------------------
+# round-11 extension (r10 verdict item 8): js / call / recursive-define
+# ---------------------------------------------------------------------------
+
+
+def _chain(depth: int) -> str:
+    """{"v": 0, "next": {"v": 1, ... }} with `depth` total levels."""
+    payload: dict = {"v": 0}
+    cur = payload
+    for i in range(1, depth):
+        cur["next"] = {"v": i}
+        cur = cur["next"]
+    return json.dumps(payload)
+
+
+def _render_one(spark, tpl: str, payloads: list[str]):
+    compiled = compile_template(tpl)
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        "rid long, LogEntry string",
+    )
+    rows = df.select(
+        "rid", compiled.line.alias("line"), compiled.error.alias("err")
+    ).collect()
+    return {r.rid: (None if r.err else r.line) for r in rows}
+
+
+def test_recursion_depth_boundary_exact(spark):
+    """Self-recursive define over data chains: MAX_TEMPLATE_DEPTH=8
+    expansions succeed, the 9th is a render error — so the per-row
+    verdict is a pure function of the DATA's nesting depth, checked at
+    every depth around the bound in one projection."""
+    from kinesis_log_watcher_spark.template import MAX_TEMPLATE_DEPTH
+
+    t = (
+        '{{define "r"}}{{.v}}{{with .next}}>{{template "r" .}}'
+        "{{end}}{{end}}"
+        '{{template "r" .Log}}'
+    )
+    depths = list(range(1, 13))
+    got = _render_one(spark, t, [_chain(d) for d in depths])
+    for rid, d in enumerate(depths):
+        if d <= MAX_TEMPLATE_DEPTH:
+            # the top-level invocation compiles at depth 0, so the
+            # k-th RECURSIVE call site compiles at depth k and the
+            # level-8 site is the error node: d-level chains execute
+            # sites 0..d-1 and survive iff d <= 8
+            assert got[rid] == ">".join(str(i) for i in range(d)), d
+        else:
+            assert got[rid] is None, d
+
+
+def test_mutual_recursion_per_name_bound(spark):
+    """a <-> b mutual recursion: the unroll bound is PER NAME, so an
+    alternating chain survives ~2x the single-name bound."""
+    from kinesis_log_watcher_spark.template import MAX_TEMPLATE_DEPTH
+
+    t = (
+        '{{define "a"}}a{{with .next}}{{template "b" .}}{{end}}{{end}}'
+        '{{define "b"}}b{{with .next}}{{template "a" .}}{{end}}{{end}}'
+        '{{template "a" .Log}}'
+    )
+    # chain of depth d renders "ab"*... with d letters total; each
+    # name's counter advances every OTHER level, so the first error
+    # node (a's 8th recursion) sits at level 16 (0-indexed)
+    for d, ok in ((2 * MAX_TEMPLATE_DEPTH, True),
+                  (2 * MAX_TEMPLATE_DEPTH + 1, False)):
+        got = _render_one(spark, t, [_chain(d)])
+        if ok:
+            assert got[0] == ("ab" * d)[:d], d
+        else:
+            assert got[0] is None, d
+
+
+def test_argless_invocation_nil_dot_and_dollar(spark):
+    """{{template "r"}} with NO argument: dot is nil inside AND $
+    rebinds to the (nil) argument (Go exec.go walkTemplate), so BOTH
+    access forms are nil-dereference exec errors and every row drops —
+    an argless body can consult no data at all. A literal-only argless
+    recursive body therefore recurses unconditionally: it renders the
+    full 8-expansion unroll and then hits the depth-bound error node
+    on every row."""
+    for t in (
+        '{{define "r"}}{{if .Log.a}}x{{end}}{{end}}{{template "r"}}',
+        '{{define "r"}}{{if $.Log.a}}x{{end}}{{end}}{{template "r"}}',
+        '{{define "r"}}x{{template "r"}}{{end}}{{template "r"}}',
+    ):
+        got = _render_one(spark, t, ['{"a": 1}', '{"a": 0}', "not json"])
+        assert got == {0: None, 1: None, 2: None}, t
