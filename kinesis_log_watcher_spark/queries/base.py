@@ -146,6 +146,11 @@ _FRONT = (
     "index_rebuild_cadence_cost",
     "stream_rejection_sampling",
     "stream_rebuild_cadence",
+    # ---- round-11 wave 4 (post-close sub-wave, same sample window)
+    "batch_size_latency_pareto",
+    "context_window_overflow_audit",
+    "retry_backoff_economics",
+    "shard_skew_salting_audit",
     # ---- round-10 prefix: the 16 round-9-born queries that are the
     # only registry entries without an official driver CORRECTNESS row
     # (CORRECTNESS_r09's 50-row sample window covered the 41 queued

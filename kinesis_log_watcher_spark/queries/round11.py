@@ -1317,3 +1317,363 @@ def _share_batch_oracles_r11() -> None:
 
 
 _share_batch_oracles_r11()
+
+
+# ===========================================================================
+# Wave 4: serving control + pipeline capacity (post-close sub-wave)
+# ===========================================================================
+
+from kinesis_log_watcher_spark.queries.round9 import _h15  # noqa: E402
+
+_BP_TICK = 500                  # events per scheduling tick
+_BP_BS = (1, 4, 8, 16, 32)      # batch-size ladder
+_BP_SVC_A, _BP_SVC_B = 40, 12   # service_ms(B) = 40 + 12*B
+
+_CW_WINDOWS = (32, 64, 96, 128)  # context-window token ladder
+
+_RT_PBASE, _RT_PMOD = 5, 30      # fail pct = 5 + draw(event_type) % 30
+_RT_MAX = 4                      # attempts cap
+
+_SK_SHARDS = 32                  # shard count under audit
+_SK_SALT = 8                     # salt fan-out for the hot tenant
+
+
+@register(
+    "batch_size_latency_pareto",
+    f"""
+    WITH t AS (
+      SELECT CAST(event_id // {_BP_TICK} AS BIGINT) AS tick,
+             CAST(SUM(CASE WHEN
+                  {_hs("'ar|' || CAST(event_id AS VARCHAR)")} % 3 = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS a
+      FROM events GROUP BY 1),
+    lad AS (
+      SELECT b.B, t.a, (t.a + b.B - 1) // b.B AS nb
+      FROM t CROSS JOIN (SELECT unnest([1, 4, 8, 16, 32]) AS B) b)
+    SELECT CAST(B AS BIGINT) AS batch_size,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(a) AS BIGINT) AS total_arrivals,
+           CAST(SUM(nb) AS BIGINT) AS total_batches,
+           CAST(SUM(a) * 1000000 // (SUM(nb) * B) AS BIGINT)
+             AS fill_micro,
+           CAST(SUM(a) * 1000000
+                // (SUM(nb) * ({_BP_SVC_A} + {_BP_SVC_B} * B))
+                AS BIGINT) AS throughput_micro,
+           CAST(CAST({_BP_SVC_A} + {_BP_SVC_B} * B AS BIGINT)
+                * (B - 1) * 1000000
+                // (2 * B) AS BIGINT) AS wait_penalty_micro
+    FROM lad GROUP BY B
+    """,
+    doc="Batch-size/latency pareto for a serving scheduler: per-tick "
+    "drawn work arrivals batched at size B in {1,4,8,16,32} under a "
+    f"linear service model ({_BP_SVC_A} + {_BP_SVC_B}*B ms/batch): "
+    "batch fill and items-per-service-ms rise with B while the mean "
+    "in-batch wait penalty (B-1)/2B of a service interval rises too "
+    "— the table a latency-SLO capacity planner reads to pick the "
+    "knee. All truncating integer micros, identical both dialects. "
+    "Scale shape: one partial agg to the bounded tick domain, an "
+    "in-row 5-way literal explode over it, one partial agg to the "
+    "5-row ladder. (No counterpart in reference main.go.)",
+)
+def batch_size_latency_pareto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    t = ev.groupBy(
+        F.expr(f"CAST(event_id div {_BP_TICK} AS BIGINT)").alias("tick")
+    ).agg(
+        F.sum(
+            F.when(_draw("ar", F.col("event_id")) % 3 == 0, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("a")
+    )
+    lad = t.select(
+        "a",
+        F.explode(F.array(*[F.lit(b) for b in _BP_BS])).alias("B"),
+    ).withColumn("nb", F.expr("(a + B - 1) div B"))
+    per = lad.groupBy(F.col("B").cast("long").alias("batch_size")).agg(
+        F.count("*").cast("long").alias("n_ticks"),
+        F.sum("a").cast("long").alias("total_arrivals"),
+        F.sum("nb").cast("long").alias("total_batches"),
+    )
+    # micros referencing the group key compute AFTER the agg (a group
+    # alias is not resolvable inside agg expressions)
+    return per.select(
+        "batch_size",
+        "n_ticks",
+        "total_arrivals",
+        "total_batches",
+        F.expr(
+            "CAST(total_arrivals * 1000000 "
+            "div (total_batches * batch_size) AS BIGINT)"
+        ).alias("fill_micro"),
+        F.expr(
+            f"CAST(total_arrivals * 1000000 div (total_batches "
+            f"* ({_BP_SVC_A} + {_BP_SVC_B} * batch_size)) AS BIGINT)"
+        ).alias("throughput_micro"),
+        F.expr(
+            f"CAST(({_BP_SVC_A} + {_BP_SVC_B} * batch_size) "
+            f"* (batch_size - 1) * 1000000 div (2 * batch_size) "
+            "AS BIGINT)"
+        ).alias("wait_penalty_micro"),
+    )
+
+
+@register(
+    "context_window_overflow_audit",
+    """
+    WITH toks AS (
+      SELECT n_chars // 4 + 1 AS tok FROM documents),
+    lad AS (
+      SELECT w.W, tok FROM toks
+      CROSS JOIN (SELECT unnest([32, 64, 96, 128]) AS W) w)
+    SELECT CAST(W AS BIGINT) AS window_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN tok > W THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overflow,
+           CAST(SUM(CASE WHEN tok > W THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS overflow_micro,
+           CAST(SUM(GREATEST(0, tok - W)) AS BIGINT)
+             AS tokens_lost_truncating,
+           CAST(SUM((tok + W - 1) // W) AS BIGINT) AS total_splits,
+           CAST(SUM(W * ((tok + W - 1) // W) - tok) AS BIGINT)
+             AS padding_waste_tokens
+    FROM lad GROUP BY 1
+    """,
+    doc="Context-window overflow audit: per window size in "
+    "{32,64,96,128} tokens (tok = n_chars//4+1, the classic chars/4 "
+    "heuristic), the fraction of documents that overflow, tokens lost "
+    "under TRUNCATION, chunk count under SPLITTING, and padding waste "
+    "if each chunk ships in its own fixed-size slot — the three "
+    "ingest-strategy costs (truncate vs split vs pad) priced on the "
+    "real length distribution (88%/58%/33%/6% overflow across the "
+    "tuned ladder). Scale shape: in-row 4-way literal explode over "
+    "one narrow documents scan, one partial agg to the 4-row ladder. "
+    "(No counterpart in reference main.go.)",
+)
+def context_window_overflow_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    lad = docs.select(
+        F.expr("n_chars div 4 + 1").alias("tok"),
+        F.explode(F.array(*[F.lit(w) for w in _CW_WINDOWS])).alias("W"),
+    )
+    over = F.when(F.col("tok") > F.col("W"), 1).otherwise(0)
+    per = lad.groupBy("W").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(over).cast("long").alias("n_overflow"),
+        F.sum(F.expr("GREATEST(0, tok - W)"))
+        .cast("long")
+        .alias("tokens_lost_truncating"),
+        F.sum(F.expr("(tok + W - 1) div W"))
+        .cast("long")
+        .alias("total_splits"),
+        F.sum(F.expr("W * ((tok + W - 1) div W) - tok"))
+        .cast("long")
+        .alias("padding_waste_tokens"),
+    )
+    return per.select(
+        F.col("W").cast("long").alias("window_tokens"),
+        "n_docs",
+        "n_overflow",
+        F.expr(
+            "CAST(n_overflow * 1000000 div n_docs AS BIGINT)"
+        ).alias("overflow_micro"),
+        "tokens_lost_truncating",
+        "total_splits",
+        "padding_waste_tokens",
+    )
+
+
+def _rt_fail(i: int):
+    return (
+        _draw("rt", F.col("event_id"), F.lit(str(i))) % 100
+        < F.col("p_pct")
+    )
+
+
+def _rt_fail_sql(i: int) -> str:
+    d = _hs(f"'rt|' || CAST(event_id AS VARCHAR) || '|' || '{i}'")
+    return f"({d} % 100 < p_pct)"
+
+
+@register(
+    "retry_backoff_economics",
+    f"""
+    WITH base AS (
+      SELECT event_id, event_type,
+             {_RT_PBASE} + {_hs("event_type")} % {_RT_PMOD} AS p_pct
+      FROM events),
+    tries AS (
+      SELECT event_type, p_pct,
+             CASE WHEN NOT {_rt_fail_sql(0)} THEN 1
+                  WHEN NOT {_rt_fail_sql(1)} THEN 2
+                  WHEN NOT {_rt_fail_sql(2)} THEN 3
+                  ELSE {_RT_MAX} END AS attempts,
+             CASE WHEN NOT {_rt_fail_sql(0)} OR NOT {_rt_fail_sql(1)}
+                       OR NOT {_rt_fail_sql(2)} OR NOT {_rt_fail_sql(3)}
+                  THEN 1 ELSE 0 END AS ok
+      FROM base)
+    SELECT event_type,
+           CAST(MIN(p_pct) AS BIGINT) AS fail_prob_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_requests,
+           CAST(SUM(ok) * 1000000 // COUNT(*) AS BIGINT)
+             AS success_after_retries_micro,
+           CAST(SUM(attempts) * 1000000 // COUNT(*) AS BIGINT)
+             AS mean_attempts_micro,
+           CAST(SUM(attempts - ok) AS BIGINT) AS wasted_attempts
+    FROM tries GROUP BY event_type
+    """,
+    doc="Retry/backoff economics: each request fails an attempt with "
+    "a per-event-type drawn probability (15-31%% on this corpus), "
+    f"retries up to {_RT_MAX} attempts; the attempt count resolves in "
+    "ONE in-row CASE chain (the speculative-run pattern — no "
+    "per-attempt explode), and per event type the table prices "
+    "post-retry success rate, mean attempts, and wasted (failed) "
+    "attempts — the capacity overhead retries add to a serving "
+    "fleet, and the number the retry-budget knob trades against "
+    "availability. Scale shape: narrow per-row expressions over one "
+    "events scan, one partial agg per event type. "
+    "(No counterpart in reference main.go.)",
+)
+def retry_backoff_economics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        (F.lit(_RT_PBASE) + _h15(F.col("event_type")) % _RT_PMOD)
+        .cast("long")
+        .alias("p_pct"),
+    )
+    attempts = (
+        F.when(~_rt_fail(0), 1)
+        .when(~_rt_fail(1), 2)
+        .when(~_rt_fail(2), 3)
+        .otherwise(_RT_MAX)
+    )
+    ok = F.when(
+        ~_rt_fail(0) | ~_rt_fail(1) | ~_rt_fail(2) | ~_rt_fail(3), 1
+    ).otherwise(0)
+    tries = base.select(
+        "event_type",
+        "p_pct",
+        attempts.cast("long").alias("attempts"),
+        ok.alias("ok"),
+    )
+    return tries.groupBy("event_type").agg(
+        F.min("p_pct").cast("long").alias("fail_prob_pct"),
+        F.count("*").cast("long").alias("n_requests"),
+        F.expr(
+            "CAST(SUM(ok) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("success_after_retries_micro"),
+        F.expr(
+            "CAST(SUM(attempts) * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("mean_attempts_micro"),
+        F.expr("CAST(SUM(attempts - ok) AS BIGINT)").alias(
+            "wasted_attempts"
+        ),
+    )
+
+
+@register(
+    "shard_skew_salting_audit",
+    f"""
+    WITH keyed AS (
+      SELECT CASE WHEN user_id % 10 = 0 THEN 'tenant_hot'
+                  ELSE 'tenant_' || CAST(user_id AS VARCHAR)
+             END AS tenant,
+             event_id
+      FROM events),
+    strat AS (
+      SELECT s.strategy,
+             CASE WHEN s.strategy = 'hash'
+                  THEN {_hs("tenant")} % {_SK_SHARDS}
+                  ELSE {_hs(f"tenant || '|' || CAST(event_id % {_SK_SALT} AS VARCHAR)")}
+                       % {_SK_SHARDS}
+             END AS shard
+      FROM keyed
+      CROSS JOIN (SELECT unnest(['hash', 'salted']) AS strategy) s),
+    per AS (
+      SELECT strategy, shard, CAST(COUNT(*) AS BIGINT) AS n
+      FROM strat GROUP BY 1, 2)
+    SELECT strategy,
+           CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(MAX(n) AS BIGINT) AS max_load,
+           CAST(SUM(n) // COUNT(*) AS BIGINT) AS mean_load,
+           CAST(MAX(n) * 1000000 // (SUM(n) // COUNT(*)) AS BIGINT)
+             AS skew_micro,
+           CAST(MAX(n) * 1000000 // SUM(n) AS BIGINT)
+             AS top_share_micro
+    FROM per GROUP BY strategy
+    """,
+    doc="Shard-skew/salting audit: a planted hot tenant (10%% of "
+    "rows collapse onto one key) hash-partitions into "
+    f"{_SK_SHARDS} shards at 4.5x mean load; salting the key with an "
+    f"event-derived %%{_SK_SALT} suffix spreads the hot tenant over "
+    f"{_SK_SALT} shards and drops the skew to ~1.6x — the exact "
+    "before/after table for THE decision this engine's own plan "
+    "discipline is built on (skewed keys are where 100 TB shuffles "
+    "die; AQE skew-join and manual salting are the remedies, and "
+    "this measures what salting buys on real key distributions). "
+    "Scale shape: in-row 2-way strategy explode, partial agg to the "
+    "(strategy, shard) grid (64 rows), final agg to 2 rows. "
+    "(No counterpart in reference main.go.)",
+)
+def shard_skew_salting_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(
+            F.col("user_id") % 10 == 0, F.lit("tenant_hot")
+        )
+        .otherwise(
+            F.concat(F.lit("tenant_"), F.col("user_id").cast("string"))
+        )
+        .alias("tenant"),
+        "event_id",
+    )
+    strat = keyed.select(
+        "tenant",
+        "event_id",
+        F.explode(F.array(F.lit("hash"), F.lit("salted"))).alias(
+            "strategy"
+        ),
+    ).select(
+        "strategy",
+        F.when(
+            F.col("strategy") == "hash",
+            _h15(F.col("tenant")) % _SK_SHARDS,
+        )
+        .otherwise(
+            _h15(
+                F.concat(
+                    F.col("tenant"),
+                    F.lit("|"),
+                    (F.col("event_id") % _SK_SALT).cast("string"),
+                )
+            )
+            % _SK_SHARDS
+        )
+        .alias("shard"),
+    )
+    per = strat.groupBy("strategy", "shard").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return per.groupBy("strategy").agg(
+        F.count("*").cast("long").alias("n_shards"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.max("n").cast("long").alias("max_load"),
+        F.expr("CAST(SUM(n) div COUNT(*) AS BIGINT)").alias("mean_load"),
+        F.expr(
+            "CAST(MAX(n) * 1000000 div (SUM(n) div COUNT(*)) AS BIGINT)"
+        ).alias("skew_micro"),
+        F.expr("CAST(MAX(n) * 1000000 div SUM(n) AS BIGINT)").alias(
+            "top_share_micro"
+        ),
+    )

@@ -287,3 +287,105 @@ def test_cadence_cost_identities_and_interior_optimum(r11):
 def test_streaming_twins_equal_batch(r11, twin, batch):
     key = lambda r: tuple(r)  # noqa: E731
     assert sorted(map(tuple, r11[twin])) == sorted(map(tuple, r11[batch]))
+
+
+# ---------------------------------------------------------------------------
+# Wave 4: serving control + pipeline capacity
+# ---------------------------------------------------------------------------
+
+_NAMES4 = [
+    "batch_size_latency_pareto",
+    "context_window_overflow_audit",
+    "retry_backoff_economics",
+    "shard_skew_salting_audit",
+]
+
+
+@pytest.fixture(scope="module")
+def r11d(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {
+            n: pool.submit(lambda n=n: _q(n)(spark, sf_dir).collect())
+            for n in _NAMES4
+        }
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_batch_pareto_tradeoffs(r11d):
+    rows = sorted(r11d["batch_size_latency_pareto"], key=lambda r: r["batch_size"])
+    assert [r["batch_size"] for r in rows] == [1, 4, 8, 16, 32]
+    for r in rows:
+        # ceil-batching identities from the emitted sums
+        assert r["total_batches"] * r["batch_size"] >= r["total_arrivals"]
+        assert r["fill_micro"] == r["total_arrivals"] * 1_000_000 // (
+            r["total_batches"] * r["batch_size"]
+        )
+        svc = 40 + 12 * r["batch_size"]
+        assert r["throughput_micro"] == r["total_arrivals"] * 1_000_000 // (
+            r["total_batches"] * svc
+        )
+        assert r["wait_penalty_micro"] == svc * (
+            r["batch_size"] - 1
+        ) * 1_000_000 // (2 * r["batch_size"])
+    # the pareto directions: throughput and wait both rise with B
+    for a, b in zip(rows, rows[1:]):
+        assert b["throughput_micro"] > a["throughput_micro"]
+        assert b["wait_penalty_micro"] > a["wait_penalty_micro"]
+        assert b["total_batches"] < a["total_batches"]
+    assert rows[0]["wait_penalty_micro"] == 0  # B=1 never waits
+
+
+def test_context_overflow_monotone(r11d):
+    rows = sorted(
+        r11d["context_window_overflow_audit"], key=lambda r: r["window_tokens"]
+    )
+    assert [r["window_tokens"] for r in rows] == [32, 64, 96, 128]
+    for r in rows:
+        assert r["overflow_micro"] == r["n_overflow"] * 1_000_000 // r["n_docs"]
+        assert r["total_splits"] >= r["n_docs"]
+    for a, b in zip(rows, rows[1:]):
+        # larger windows: fewer overflows, less truncation loss, fewer
+        # splits, but no monotonicity claim on padding (it see-saws)
+        assert b["n_overflow"] < a["n_overflow"]
+        assert b["tokens_lost_truncating"] < a["tokens_lost_truncating"]
+        assert b["total_splits"] <= a["total_splits"]
+
+
+def test_retry_economics_identities(r11d):
+    rows = r11d["retry_backoff_economics"]
+    assert len(rows) == 5
+    for r in rows:
+        assert 5 <= r["fail_prob_pct"] <= 34
+        assert 1_000_000 <= r["mean_attempts_micro"] <= 4_000_000
+        # with p <= 34%, four attempts nearly always succeed
+        assert r["success_after_retries_micro"] >= 980_000
+        assert r["wasted_attempts"] >= 0
+    # higher fail prob -> more mean attempts (5 well-separated probs)
+    by_p = sorted(rows, key=lambda r: r["fail_prob_pct"])
+    atts = [r["mean_attempts_micro"] for r in by_p]
+    assert atts == sorted(atts)
+
+
+def test_salting_flattens_skew(r11d):
+    rows = {r["strategy"]: r for r in r11d["shard_skew_salting_audit"]}
+    assert set(rows) == {"hash", "salted"}
+    for r in rows.values():
+        assert r["n_shards"] <= 32
+        assert r["max_load"] >= r["mean_load"]
+        assert r["skew_micro"] == r["max_load"] * 1_000_000 // r["mean_load"]
+        assert (
+            r["top_share_micro"]
+            == r["max_load"] * 1_000_000 // r["total_rows"]
+        )
+    assert rows["hash"]["total_rows"] == rows["salted"]["total_rows"]
+    # the planted hot tenant dominates one hash shard; salting spreads
+    # it over more shards and at least halves the hottest shard's share
+    # of total load (skew_micro normalizes by PRESENT-shard mean, which
+    # is misleading when the tiny-sf tenant space underfills the ring)
+    assert rows["salted"]["n_shards"] >= rows["hash"]["n_shards"]
+    assert (
+        rows["salted"]["top_share_micro"] * 2
+        < rows["hash"]["top_share_micro"]
+    )
