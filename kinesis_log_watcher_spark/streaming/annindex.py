@@ -30,7 +30,10 @@ rebuild by design, as in every production IVF serving stack.
 
 from __future__ import annotations
 
-from kinesis_log_watcher_spark.sources.files import replay_partitions
+from kinesis_log_watcher_spark.sources.files import (
+    python_state_partitions,
+    replay_partitions,
+)
 
 import itertools
 import os
@@ -119,7 +122,7 @@ def run_stream_ivf_index_update(
         )
 
     name = f"ivf_index_update_{next(_counter)}"
-    with replay_partitions(spark):
+    with replay_partitions(spark, python_state_partitions()):
         q = (
             stream.writeStream.foreachBatch(land)
             .queryName(name)

@@ -19,7 +19,10 @@ format, which is this exact layout plus a transaction log.
 
 from __future__ import annotations
 
-from kinesis_log_watcher_spark.sources.files import replay_partitions
+from kinesis_log_watcher_spark.sources.files import (
+    python_state_partitions,
+    replay_partitions,
+)
 
 import itertools
 import os
@@ -79,7 +82,7 @@ def run_cdc_upsert(
         )
 
     name = f"cdc_upsert_{next(_counter)}"
-    with replay_partitions(spark):
+    with replay_partitions(spark, python_state_partitions()):
         q = (
             stream.writeStream.foreachBatch(land)
             .queryName(name)

@@ -24,7 +24,10 @@ fold, same emissions, pinned against the processor in tests.
 
 from __future__ import annotations
 
-from kinesis_log_watcher_spark.sources.files import replay_partitions
+from kinesis_log_watcher_spark.sources.files import (
+    python_state_partitions,
+    replay_partitions,
+)
 
 import itertools
 from collections.abc import Iterator
@@ -157,7 +160,7 @@ def run_type_counts(
     ensure_session_confs(spark)
     stream = read_parquet_stream(spark, events_path, max_files_per_trigger)
     name = f"type_counts_{next(_counter)}"
-    with replay_partitions(spark):
+    with replay_partitions(spark, python_state_partitions()):
         q = (
             count_stream(stream.select("user_id", "event_type"))
             .writeStream.outputMode("update")

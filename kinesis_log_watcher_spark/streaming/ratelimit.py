@@ -35,7 +35,10 @@ window."""
 
 from __future__ import annotations
 
-from kinesis_log_watcher_spark.sources.files import replay_partitions
+from kinesis_log_watcher_spark.sources.files import (
+    python_state_partitions,
+    replay_partitions,
+)
 
 import itertools
 from collections.abc import Iterator
@@ -214,7 +217,7 @@ def run_rate_limit(
     stream = read_parquet_stream(spark, events_path, max_files_per_trigger)
     stream = normalize_ts_cols(stream)
     name = f"rate_limit_{next(_counter)}"
-    with replay_partitions(spark):
+    with replay_partitions(spark, python_state_partitions()):
         q = (
             admit_stream(stream, k, window_s)
             .writeStream.outputMode("update")

@@ -157,6 +157,7 @@ def run_semcache_eval(
     SUM)."""
     from kinesis_log_watcher_spark.sources.files import (
         await_or_raise,
+        python_state_partitions,
         read_parquet_stream,
         replay_partitions,
     )
@@ -179,7 +180,7 @@ def run_semcache_eval(
         ).alias("cluster"),
     )
     name = f"semcache_{next(_counter)}"
-    with replay_partitions(spark):
+    with replay_partitions(spark, python_state_partitions()):
         q = (
             cache_partials_stream(requests, ttl, use_tws=use_tws)
             .writeStream.outputMode("update")

@@ -41,7 +41,10 @@ Replay determinism notes (bounded-replay ≡ batch, SURVEY.md §5.2):
 
 from __future__ import annotations
 
-from kinesis_log_watcher_spark.sources.files import replay_partitions
+from kinesis_log_watcher_spark.sources.files import (
+    python_state_partitions,
+    replay_partitions,
+)
 
 import itertools
 from collections.abc import Iterator
@@ -195,7 +198,7 @@ def run_timer_sessions(
         read_parquet_stream(spark, replay, max_files_per_trigger=1)
     )
     name = f"timer_sessions_{next(_counter)}"
-    with replay_partitions(spark):
+    with replay_partitions(spark, python_state_partitions()):
         q = (
             timer_session_stream(stream, gap_s)
             .writeStream.outputMode("update")

@@ -38,7 +38,10 @@ StatefulProcessor path is used unchanged.
 
 from __future__ import annotations
 
-from kinesis_log_watcher_spark.sources.files import replay_partitions
+from kinesis_log_watcher_spark.sources.files import (
+    python_state_partitions,
+    replay_partitions,
+)
 
 import itertools
 from collections.abc import Iterator
@@ -185,7 +188,7 @@ def run_running_totals(
     stream = normalize_ts_cols(stream)
 
     name = f"tws_totals_{next(_counter)}"
-    with replay_partitions(spark):
+    with replay_partitions(spark, python_state_partitions()):
         q = (
             running_totals_stream(stream)
             .writeStream.outputMode("update")
