@@ -15,6 +15,7 @@ Determinism rules every query follows:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -58,8 +59,57 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         normalize_ts_cols,
     )
 
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    return normalize_ts_cols(df, NANOS_BIGINT_COLS.get(table, ()))
+    path = f"{sf_dir}/{table}.parquet"
+    df = spark.read.parquet(path)
+    df = normalize_ts_cols(df, NANOS_BIGINT_COLS.get(table, ()))
+    return _spread_scan(spark, df, path)
+
+
+# Scan-spread decision cache: parquet footer metadata per path (local
+# files only; the testdata never changes mid-process).
+_SPREAD_META: dict[str, int | None] = {}
+
+# Below this, the single map task finishes faster than the exchange it
+# would take to spread it (25-row region, 100-row nation).
+_SPREAD_MIN_ROWS = 10_000
+
+
+def _spread_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Re-parallelize a scan whose parquet layout defeats split planning.
+
+    A parquet ROW GROUP is the atomic unit of parallel reads; the driver
+    testdata ships every table as ONE row group per file, so Spark plans
+    N byte-range splits but only one task ever produces rows — the whole
+    map side of every query (decode, explode, hash, partial aggregation
+    up to the first exchange) runs single-threaded no matter how many
+    cores the session has (guide: input skew from an unsplittable file —
+    repartition right after the read). A round-robin repartition to the
+    session's default parallelism costs one exchange of a tiny table and
+    buys an N-wide map side.
+
+    Applied only when provably useful AND cheap: local file, exactly one
+    row group, and at least _SPREAD_MIN_ROWS rows (shuffling a 25-row
+    dimension buys nothing). Multi-row-group inputs (any production
+    layout at scale) parallelize natively and are returned untouched, so
+    nothing here tunes for local mode — it only repairs the degenerate
+    single-group case. Opt-out: SPARK_GRAFT_SPREAD_SCANS=0."""
+    if os.environ.get("SPARK_GRAFT_SPREAD_SCANS", "1") != "1":
+        return df
+    if path not in _SPREAD_META:
+        rows: int | None = None
+        try:
+            import pyarrow.parquet as pq
+
+            f = pq.ParquetFile(path)
+            if f.metadata.num_row_groups == 1:
+                rows = f.metadata.num_rows
+        except Exception:  # noqa: BLE001 - non-local path or no footer
+            rows = None
+        _SPREAD_META[path] = rows
+    rows = _SPREAD_META[path]
+    if rows is None or rows < _SPREAD_MIN_ROWS:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def finalize_unpersist(result: DataFrame, *cached: DataFrame) -> DataFrame:

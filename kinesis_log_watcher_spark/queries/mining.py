@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from kinesis_log_watcher_spark.functions.exact import dec
 from kinesis_log_watcher_spark.queries.base import load, register
@@ -3163,8 +3164,14 @@ def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and their bounded effect documented at the helper). The prefix
     # lemma needs only a CONSISTENT global order, which (df, hash)
     # provides just as well as (df, string).
-    sh = exploded_shingles(docs, n=3, hashed=True).withColumnRenamed(
-        "shingle", "tok"
+    sh = (
+        exploded_shingles(docs, n=3, hashed=True)
+        .withColumnRenamed("shingle", "tok")
+        # Four independent consumers (df_tok, sz, ordered, arrs) fan out
+        # of this relation with DIFFERENT aggregations, so exchange
+        # reuse can't dedup the explode — persist runs it once
+        # (measured 7.0s -> 5.2s at sf0.1, identical 256 rows).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df_tok = sh.groupBy("tok").agg(F.count("*").alias("df"))
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
