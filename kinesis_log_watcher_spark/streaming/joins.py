@@ -80,7 +80,9 @@ def run_stream_stream_join(
     joined = clicks_to_purchases(clicks, purchases, within)
 
     name = f"stream_stream_join_{next(_counter)}"
-    with replay_partitions(spark):
+    # n=2 pinned: a stream-stream join keeps FOUR state stores per
+    # partition; the 2/4/8 sweep read 5.6/6.3/10.2s on the outer twin
+    with replay_partitions(spark, 2):
         q = (
             joined.writeStream.outputMode("append")
             .format("memory")
@@ -267,7 +269,8 @@ def run_stream_stream_left_join(
     )
 
     name = f"stream_stream_left_join_{next(_counter)}"
-    with replay_partitions(spark):
+    # n=2 pinned: see run_stream_stream_join
+    with replay_partitions(spark, 2):
         q = (
             joined.writeStream.outputMode("append")
             .format("memory")
@@ -404,7 +407,8 @@ def run_stream_stream_full_outer(
     )
 
     name = f"stream_stream_full_outer_{next(_counter)}"
-    with replay_partitions(spark):
+    # n=2 pinned: see run_stream_stream_join
+    with replay_partitions(spark, 2):
         q = (
             joined.writeStream.outputMode("append")
             .format("memory")
