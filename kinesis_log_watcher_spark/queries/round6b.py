@@ -990,27 +990,29 @@ def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
 
     schema = "round long, center_id long, radius_d2 long"
-    # Seed: max exact norm2, tie-break min id — one aggregate job.
+    # Seed: max exact norm2, tie-break min id — one aggregate job that
+    # ALSO carries the winner's (qe, n2) payload in the max-struct, so
+    # no separate fetch-the-center job is needed here or per round
+    # (payload fields sit after the (n2, ni) compare keys, which are
+    # unique per row, so they never influence the argmax).
     seed = p.agg(
-        F.max(F.struct(F.col("n2"), (-F.col("vec_id")).alias("ni"))).alias(
-            "m"
-        )
+        F.max(
+            F.struct(F.col("n2"), (-F.col("vec_id")).alias("ni"), F.col("qe"))
+        ).alias("m")
     ).collect()
     if not seed or seed[0].m is None:
         p.unpersist()
         return spark.createDataFrame([], schema)
 
     rows = []
-    center_id = -seed[0].m.ni
+    m = seed[0].m
+    center_id, c_qe, c_n2 = -m.ni, m.qe, m.n2
     cur = p
     for rnd in (1, 2, 3):
-        crow = cur.filter(F.col("vec_id") == center_id).select(
-            "qe", "n2"
-        ).collect()[0]
-        carr = F.array(*[F.lit(int(v)).cast("long") for v in crow.qe])
+        carr = F.array(*[F.lit(int(v)).cast("long") for v in c_qe])
         dist = (
             F.col("n2")
-            + F.lit(int(crow.n2)).cast("long")
+            + F.lit(int(c_n2)).cast("long")
             - 2
             * F.aggregate(
                 F.zip_with("qe", carr, lambda x, y: x * y),
@@ -1024,17 +1026,23 @@ def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dist if rnd == 1 else F.least(F.col("d"), dist),
             )
         ).persist()
-        # One job: covering radius AND the farthest point (next center).
+        # One job: covering radius AND the farthest point (next center),
+        # with the next center's payload riding the same struct.
         m = nxt.agg(
             F.max(
-                F.struct(F.col("d"), (-F.col("vec_id")).alias("ni"))
+                F.struct(
+                    F.col("d"),
+                    (-F.col("vec_id")).alias("ni"),
+                    F.col("qe"),
+                    F.col("n2"),
+                )
             ).alias("m")
         ).collect()[0].m
         rows.append((rnd, center_id, int(m.d)))
         if cur is not p:
             cur.unpersist()
         cur = nxt
-        center_id = -m.ni
+        center_id, c_qe, c_n2 = -m.ni, m.qe, m.n2
     cur.unpersist()
     p.unpersist()
     return spark.createDataFrame(rows, schema)
