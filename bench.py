@@ -112,6 +112,68 @@ def parse_args(argv: list[str]) -> "argparse.Namespace":
     return p.parse_args(argv)
 
 
+# FIXED stdout headline set (round 12). The old stdout line showed
+# this-run-slowest-N, so any distribution shift rotated ~20 queries out
+# of the driver's 2000-byte tail view and its cross-round common-set
+# comparison reported them "dropped" (PERF_r11: 19 phantom drops, all
+# still registered and timed in the archive). The headline set is now
+# FROZEN: the 34 queries in the round-11 stdout line plus the next 10
+# biggest cost centers from the last steal-quiet committed archive
+# (BENCH_FULL_LOCAL.json at 6cd0872, steal_s 4.2). Every headline query
+# present in the run is ALWAYS in the stdout line (additions-only
+# vs round 11 — nothing that was in the r11 line can drop out), and any
+# remaining byte budget is filled with this-run slowest extras. Listed
+# in KEEP priority order: when the byte budget forces trimming, extras
+# drop first, then rerun details, then the tail of this list.
+HEADLINE = (
+    # the 34 names in BENCH_r11.json's stdout line (never drop)
+    "stream_ams_f2_sketch",
+    "fuzzy_join_levenshtein",
+    "kinesis_sim_shard_split_scan",
+    "stream_timer_sessions",
+    "template_render_line_variant",
+    "dawid_skene_one_step",
+    "bradley_terry_strengths",
+    "fellegi_sunter_linkage",
+    "t_closeness_audit",
+    "daily_revenue_stl_decompose",
+    "association_rules_lift",
+    "ordered_funnel_completion",
+    "multimodal_dhash_groups",
+    "budgeted_coverage_greedy",
+    "open_intervals_per_day_sweep",
+    "bt_model_strength_ci",
+    "stream_click_purchase_full_outer",
+    "latest_state_compaction",
+    "dedup_clusters",
+    "bfs_reach_hops",
+    "neardup_graph_2core",
+    "bigram_collocation_chi2",
+    "graph_anf_reach_kmv",
+    "neardup_graph_triangles",
+    "decontaminated_eval_certificate",
+    "semantic_decontamination_embeddings",
+    "minhash_prob_vs_exact_jaccard",
+    "customer_rfm_hist_quantile",
+    "robust_zscore_outliers_hist",
+    "shingle_containment_pairs",
+    "community_label_propagation",
+    "huber_one_step_fit",
+    "part_cooccurrence_topk",
+    "pagerank_two_rounds",
+    # next-10 cost centers from the steal-quiet archive (drop last)
+    "greedy_set_cover_docs",
+    "link_prediction_adamic_adar",
+    "ppjoin_prefix_filter",
+    "stream_rate_limit",
+    "bootstrap_mean_ci",
+    "tfidf_cosine_pairs",
+    "dedup_minhash_lsh",
+    "bigram_greedy_generation",
+    "dedup_ngram_jaccard",
+    "community_modularity",
+)
+
 # Queries sharing an iterative kernel run at ADJACENT registry
 # positions (they live in the same module), so one hypervisor-steal
 # burst inflates the whole family at once and cross-round comparison
@@ -364,40 +426,60 @@ def main() -> None:
             indent=1,
         )
 
-    # Stdout line: must survive a 2000-byte tail capture. Include the
-    # slowest queries first until the byte budget is hit.
-    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    # Stdout line: must survive a 2000-byte tail capture. The query set
+    # shown is the FIXED headline set (see HEADLINE above) so the
+    # driver's cross-round common-set comparison is stable; leftover
+    # byte budget is filled with this-run slowest non-headline extras.
+    # Trim order under pressure: extras first, then rerun detail, then
+    # the tail of HEADLINE (priority-ordered; the r11-line names go
+    # last so nothing the driver saw last round can rotate out).
+    headline_present = [n for n in HEADLINE if n in timings]
+    extras = sorted(
+        ((n, t) for n, t in timings.items() if n not in set(HEADLINE)),
+        key=lambda kv: -kv[1],
+    )
+    candidates = headline_present + [n for n, _ in extras]
+    ranked_reruns = sorted(
+        reruns.items(),
+        key=lambda kv: -kv[1]["cold"] / max(kv[1]["prior"], 1e-9),
+    )
     BUDGET = 1900
 
-    def render(k: int) -> str:
+    def render(k: int, n_reruns: int) -> str:
+        shown = candidates[:k]
         return json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": dict(sorted(slowest[:k])),
-                "queries_omitted": len(timings) - k,
+                "queries": {n: timings[n] for n in sorted(shown)},
+                "queries_omitted": len(timings) - len(shown),
                 "queries_file": os.path.basename(full_path),
                 "n_queries": len(timings),
                 "sf": sf,
+                "headline_set": "r12",
                 # biggest swings only — the full set is in the archive
-                "reruns": dict(
-                    sorted(
-                        reruns.items(),
-                        key=lambda kv: -kv[1]["cold"] / max(kv[1]["prior"], 1e-9),
-                    )[:5]
-                ),
-                "reruns_omitted": max(0, len(reruns) - 5),
+                "reruns": dict(ranked_reruns[:n_reruns]),
+                "reruns_omitted": max(0, len(reruns) - n_reruns),
                 "host": telemetry,
             },
             separators=(",", ":"),
         )
 
-    k = len(timings)
-    line = render(k)
+    k, n_reruns = len(candidates), 3
+    line = render(k, n_reruns)
+    # 1) trim extras down to the headline set
+    while k > len(headline_present) and len(line.encode()) > BUDGET:
+        k -= 1
+        line = render(k, n_reruns)
+    # 2) trim rerun detail
+    while n_reruns > 0 and len(line.encode()) > BUDGET:
+        n_reruns -= 1
+        line = render(k, n_reruns)
+    # 3) last resort: trim the headline tail (priority order holds)
     while k > 0 and len(line.encode()) > BUDGET:
         k -= 1
-        line = render(k)
+        line = render(k, n_reruns)
 
     # Restore the real stdout for exactly one line.
     sys.stdout.flush()

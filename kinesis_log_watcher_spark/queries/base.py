@@ -37,7 +37,9 @@ TABLES = [
 ]
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, table: str, spread: bool = False
+) -> DataFrame:
     """Read one driver table. Parquet → columnar scan with predicate
     pushdown and column pruning for whatever the query selects.
 
@@ -62,19 +64,47 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     path = f"{sf_dir}/{table}.parquet"
     df = spark.read.parquet(path)
     df = normalize_ts_cols(df, NANOS_BIGINT_COLS.get(table, ()))
-    return _spread_scan(spark, df, path)
+    return _spread_scan(spark, df, path, spread=spread)
 
 
 # Scan-spread decision cache: parquet footer metadata per path (local
-# files only; the testdata never changes mid-process).
-_SPREAD_META: dict[str, int | None] = {}
+# files only; the testdata never changes mid-process). Value is
+# (num_rows, uncompressed_bytes) for single-row-group files, else None.
+_SPREAD_META: dict[str, tuple[int, int] | None] = {}
 
 # Below this, the single map task finishes faster than the exchange it
 # would take to spread it (25-row region, 100-row nation).
 _SPREAD_MIN_ROWS = 10_000
 
+# A single-row-group scan below the row guard can still carry a heavy
+# map side when its rows are WIDE and fan OUT: a 5,000-row documents
+# table is ~1.6 MB of text that explodes ~50x into shingle/token rows,
+# and a 2,000-row embeddings table is 64-float arrays feeding LSH
+# banding — both run their entire decode+explode+partial-agg in one
+# task under a rows-only guard. Row width and fan-out are what the row
+# count can't see — and only the QUERY knows whether its plan shape
+# profits: measured at sf0.1, heavy single-chain text/embedding
+# kernels win 1.1-3x from spreading these scans, while trivial
+# one-stage queries and many-reference plans (which pay the exchange
+# per scan reference) lose 1.2-2.7x. So the byte trigger is a per-query
+# OPT-IN (``load(..., spread=True)``), still footer-gated to the
+# degenerate single-row-group case so it stays inert on production
+# layouts (guide §2.5 input skew).
+_SPREAD_MIN_BYTES = 512 * 1024
 
-def _spread_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+
+def _env_int(name: str, default: int) -> int:
+    """Defensive env parse: malformed values fall back to the default
+    instead of raising at query-build time; floors at 0."""
+    try:
+        return max(0, int(os.environ.get(name, "") or default))
+    except ValueError:
+        return default
+
+
+def _spread_scan(
+    spark: SparkSession, df: DataFrame, path: str, spread: bool = False
+) -> DataFrame:
     """Re-parallelize a scan whose parquet layout defeats split planning.
 
     A parquet ROW GROUP is the atomic unit of parallel reads; the driver
@@ -89,27 +119,40 @@ def _spread_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
 
     Applied only when provably useful AND cheap: local file, exactly one
     row group, and at least _SPREAD_MIN_ROWS rows (shuffling a 25-row
-    dimension buys nothing). Multi-row-group inputs (any production
-    layout at scale) parallelize natively and are returned untouched, so
-    nothing here tunes for local mode — it only repairs the degenerate
-    single-group case. Opt-out: SPARK_GRAFT_SPREAD_SCANS=0."""
+    dimension buys nothing) — or, for callers that pass ``spread=True``
+    (heavy single-chain fan-out kernels, measured per query), at least
+    _SPREAD_MIN_BYTES uncompressed bytes. Multi-row-group inputs (any
+    production layout at scale) parallelize natively and are returned
+    untouched, so nothing here tunes for local mode — it only repairs
+    the degenerate single-group case. Opt-out:
+    SPARK_GRAFT_SPREAD_SCANS=0; thresholds overridable via
+    SPARK_GRAFT_SPREAD_MIN_ROWS / _MIN_BYTES (and _MIN_BYTES applies
+    globally when SPARK_GRAFT_SPREAD_BYTES_GLOBAL=1 — the A/B hook)."""
     if os.environ.get("SPARK_GRAFT_SPREAD_SCANS", "1") != "1":
         return df
     if path not in _SPREAD_META:
-        rows: int | None = None
+        meta: tuple[int, int] | None = None
         try:
             import pyarrow.parquet as pq
 
             f = pq.ParquetFile(path)
             if f.metadata.num_row_groups == 1:
-                rows = f.metadata.num_rows
+                meta = (f.metadata.num_rows, f.metadata.row_group(0).total_byte_size)
         except Exception:  # noqa: BLE001 - non-local path or no footer
-            rows = None
-        _SPREAD_META[path] = rows
-    rows = _SPREAD_META[path]
-    if rows is None or rows < _SPREAD_MIN_ROWS:
+            meta = None
+        _SPREAD_META[path] = meta
+    meta = _SPREAD_META[path]
+    if meta is None:
         return df
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    rows, nbytes = meta
+    min_rows = _env_int("SPARK_GRAFT_SPREAD_MIN_ROWS", _SPREAD_MIN_ROWS)
+    if rows >= min_rows:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    if spread or os.environ.get("SPARK_GRAFT_SPREAD_BYTES_GLOBAL") == "1":
+        min_bytes = _env_int("SPARK_GRAFT_SPREAD_MIN_BYTES", _SPREAD_MIN_BYTES)
+        if nbytes >= min_bytes:
+            return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def finalize_unpersist(result: DataFrame, *cached: DataFrame) -> DataFrame:

@@ -129,7 +129,9 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with a doc-frequency cap (stop-shingle skew guard).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # spread=True: shingle explode fan-out (~50x) is the map-side hot
+    # path (measured 4.4 -> 3.1s at sf0.1, A/B r12).
+    docs = load(spark, sf_dir, "documents", spread=True)
     # The shingle index feeds sizes, doc-frequency pruning, and both join
     # sides — materialize it once (at corpus scale this is "write the
     # inverted index, then query it"; MEMORY_AND_DISK spills safely).
@@ -185,7 +187,9 @@ _BAND_UNION = "\n      UNION ALL\n".join(
     "make signatures engine-reproducible.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # spread=True: the 16-md5 signature map side dominates; spreading
+    # the scan measured 3.7 -> 1.2s at sf0.1 (A/B r12).
+    docs = load(spark, sf_dir, "documents", spread=True)
     sh = exploded_shingles(docs)
     sig = minhash_signature(sh, _NUM_HASHES)
     # Signatures feed both sides of the band bucket-join — compute once.
@@ -281,7 +285,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "survivor id. Oracle: DuckDB recursive CTE reachability.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # spread=True: jaccard_pairs' shingle explode + inverted-index build
+    # is ~half the query (measured 5.9 -> 4.9s at sf0.1, A/B r12).
+    docs = load(spark, sf_dir, "documents", spread=True)
     sh = exploded_shingles(docs, hashed=True).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = jaccard_pairs(sh, threshold=0.5, max_doc_freq=100)
     return connected_components(pairs)
@@ -1025,7 +1031,9 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.operators.similarity import cosine_topk_fast
 
-    emb = load(spark, sf_dir, "embeddings")
+    # spread=True: the brute-force scoring map is the whole query
+    # (measured 0.9 -> 0.5s at sf0.1, A/B r12).
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )

@@ -1110,7 +1110,8 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded_shingles,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    # spread=True: measured 3.4 -> 2.5s at sf0.1 (A/B r12).
+    docs = load(spark, sf_dir, "documents", spread=True)
     # hashed=True + persist: 8-byte keys through the inverted-index
     # self-join (same trade every other set-overlap query makes —
     # collision odds documented at the helper, intersection counts
@@ -1190,7 +1191,8 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.operators.dedup import exploded_shingles
 
-    docs = load(spark, sf_dir, "documents")
+    # spread=True: measured 2.4 -> 1.7s at sf0.1 (A/B r12).
+    docs = load(spark, sf_dir, "documents", spread=True)
     sh = (
         exploded_shingles(docs, n=3)
         .select(F.expr("doc_id div 100").alias("cohort"), "shingle")
@@ -3165,7 +3167,8 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.operators.dedup import exploded_shingles
 
-    docs = load(spark, sf_dir, "documents")
+    # spread=True: measured 4.2 -> 3.8s at sf0.1 (A/B r12).
+    docs = load(spark, sf_dir, "documents", spread=True)
     # distinct word trigrams with the >=3-token guard (a 2-word doc has
     # no shingles; the inline sequence() it replaces DESCENDED through
     # index 0 on short docs and threw). hashed=True: 8-byte join keys

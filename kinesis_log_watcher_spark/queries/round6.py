@@ -257,7 +257,10 @@ _R6_MATCH_SUM = "\n             + ".join(
     "(micro units), no float Jaccard anywhere.",
 )
 def minhash_prob_vs_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # spread=True: the 16-md5s-per-shingle MinHash map side is the
+    # query's hot path; single-row-group layouts run it in ONE task
+    # without the spread (measured 5.1 -> 2.4s at sf0.1, A/B r12).
+    docs = load(spark, sf_dir, "documents", spread=True)
     # String shingles feed the md5 MinHash (signatures must be
     # engine-reproducible); the exact-intersection joins re-key on
     # xxhash64 — 8-byte shuffle keys instead of ~3-word strings, the
@@ -638,7 +641,10 @@ _COS_EXPR = (
     f"{_TFIDF_TOP} pairs, total order (cos DESC, doc_a, doc_b).",
 )
 def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # spread=True: the trigram explode below fans 5,000 docs into ~250k
+    # term rows; single-row-group layouts run that in ONE task without
+    # the spread (measured 5.8 -> 3.4s at sf0.1, A/B r12).
+    docs = load(spark, sf_dir, "documents", spread=True)
     # Term occurrences WITH multiplicity (TF needs counts, so no
     # array_distinct — exploded_shingles dedups per doc and would lose tf).
     words = F.split(F.col("text"), " ")
