@@ -72,25 +72,35 @@ def load(
 # (num_rows, uncompressed_bytes) for single-row-group files, else None.
 _SPREAD_META: dict[str, tuple[int, int] | None] = {}
 
-# Below this, the single map task finishes faster than the exchange it
-# would take to spread it (25-row region, 100-row nation).
+# Opt-in floors: below BOTH of these the single map task finishes
+# faster than the exchange it would take to spread it (25-row region,
+# 100-row nation, tiny sf0.001 fixtures), so even an opted-in query
+# stays unspread there.
 _SPREAD_MIN_ROWS = 10_000
-
-# A single-row-group scan below the row guard can still carry a heavy
-# map side when its rows are WIDE and fan OUT: a 5,000-row documents
-# table is ~1.6 MB of text that explodes ~50x into shingle/token rows,
-# and a 2,000-row embeddings table is 64-float arrays feeding LSH
-# banding — both run their entire decode+explode+partial-agg in one
-# task under a rows-only guard. Row width and fan-out are what the row
-# count can't see — and only the QUERY knows whether its plan shape
-# profits: measured at sf0.1, heavy single-chain text/embedding
-# kernels win 1.1-3x from spreading these scans, while trivial
-# one-stage queries and many-reference plans (which pay the exchange
-# per scan reference) lose 1.2-2.7x. So the byte trigger is a per-query
-# OPT-IN (``load(..., spread=True)``), still footer-gated to the
-# degenerate single-row-group case so it stays inert on production
-# layouts (guide §2.5 input skew).
 _SPREAD_MIN_BYTES = 512 * 1024
+
+# WHY opt-in and not a global default (the round-12 finding that
+# reversed round 11's S1): only the QUERY knows whether its plan shape
+# profits from the repartition. Measured at sf0.1 (interleaved A/B,
+# min-of-3, two independent runs):
+#   - heavy single-chain map sides WIN 1.3-3x: shingle/MinHash
+#     explodes over documents (dedup_minhash_lsh 3.7->1.2s), md5/regex
+#     render kernels over events (template_render_line_variant
+#     2.8->0.9s, luhn 1.6->0.6s), wide column profiles
+#     (bootstrap_mean_ci 4.2->1.9s);
+#   - but trivial one-stage queries and many-reference plans LOSE
+#     1.2-2.7x: every spread table reference is an extra AQE exchange
+#     + stage round-trip (~0.3-0.5s), which dwarfs a sub-second query
+#     (latest_state_compaction 0.7->1.7s, taxonomy_rollup 1.4->3.5s,
+#     zone_map_skip_audit 1.0->2.4s), and the registry has ~320 such
+#     queries vs ~25 measured winners — a global trigger costs the
+#     bench total ~+100s net (seen directly: the first steal-quiet
+#     full run since S1 landed read the sub-second tail at 291s vs
+#     175s in the pre-S1 quiet archive).
+# So `load(..., spread=True)` is a per-query declaration backed by a
+# per-query A/B, still footer-gated to the degenerate single-row-group
+# case so it stays inert on production layouts (guide §2.5 input skew,
+# §1.2 "configuration only after the algorithm").
 
 
 def _env_int(name: str, default: int) -> int:
@@ -117,18 +127,21 @@ def _spread_scan(
     session's default parallelism costs one exchange of a tiny table and
     buys an N-wide map side.
 
-    Applied only when provably useful AND cheap: local file, exactly one
-    row group, and at least _SPREAD_MIN_ROWS rows (shuffling a 25-row
-    dimension buys nothing) — or, for callers that pass ``spread=True``
-    (heavy single-chain fan-out kernels, measured per query), at least
-    _SPREAD_MIN_BYTES uncompressed bytes. Multi-row-group inputs (any
-    production layout at scale) parallelize natively and are returned
-    untouched, so nothing here tunes for local mode — it only repairs
-    the degenerate single-group case. Opt-out:
-    SPARK_GRAFT_SPREAD_SCANS=0; thresholds overridable via
-    SPARK_GRAFT_SPREAD_MIN_ROWS / _MIN_BYTES (and _MIN_BYTES applies
-    globally when SPARK_GRAFT_SPREAD_BYTES_GLOBAL=1 — the A/B hook)."""
+    Applied only when the CALLER opted in (``load(..., spread=True)``,
+    a per-query measured decision — see the module comment above) AND
+    the footer proves the degenerate case: local file, exactly one row
+    group, and at least _SPREAD_MIN_ROWS rows or _SPREAD_MIN_BYTES
+    uncompressed bytes (shuffling a 25-row dimension buys nothing).
+    Multi-row-group inputs (any production layout at scale)
+    parallelize natively and are returned untouched, so nothing here
+    tunes for local mode — it only repairs the degenerate single-group
+    case. Env hooks: SPARK_GRAFT_SPREAD_SCANS=0 disables all spreads;
+    SPARK_GRAFT_SPREAD_GLOBAL=1 applies the trigger to every load (the
+    A/B hook that measured the opt-in table); floors overridable via
+    SPARK_GRAFT_SPREAD_MIN_ROWS / _MIN_BYTES."""
     if os.environ.get("SPARK_GRAFT_SPREAD_SCANS", "1") != "1":
+        return df
+    if not spread and os.environ.get("SPARK_GRAFT_SPREAD_GLOBAL") != "1":
         return df
     if path not in _SPREAD_META:
         meta: tuple[int, int] | None = None
@@ -146,12 +159,9 @@ def _spread_scan(
         return df
     rows, nbytes = meta
     min_rows = _env_int("SPARK_GRAFT_SPREAD_MIN_ROWS", _SPREAD_MIN_ROWS)
-    if rows >= min_rows:
+    min_bytes = _env_int("SPARK_GRAFT_SPREAD_MIN_BYTES", _SPREAD_MIN_BYTES)
+    if rows >= min_rows or nbytes >= min_bytes:
         return df.repartition(spark.sparkContext.defaultParallelism)
-    if spread or os.environ.get("SPARK_GRAFT_SPREAD_BYTES_GLOBAL") == "1":
-        min_bytes = _env_int("SPARK_GRAFT_SPREAD_MIN_BYTES", _SPREAD_MIN_BYTES)
-        if nbytes >= min_bytes:
-            return df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 

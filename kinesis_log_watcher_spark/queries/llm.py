@@ -343,6 +343,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verification (engine-identical doubles).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread examined and left OFF: the LSH+verify kernel is BIMODAL
+    # under the spread (A/B reps read 1.1s and 8.3s for the same plan);
+    # reverted after the order-alternating harness showed 2.27x median.
     emb = load(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.35)
 

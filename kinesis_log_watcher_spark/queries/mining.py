@@ -524,7 +524,8 @@ _SN_JMILLI = 500  # report pairs at Jaccard >= 0.5
 def sorted_neighborhood_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.operators.dedup import exploded_shingles
 
-    docs = load(spark, sf_dir, "documents")
+    # spread=True: interleaved A/B r12, 0.89 (2.1 -> 1.9s) at sf0.1.
+    docs = load(spark, sf_dir, "documents", spread=True)
     sh = exploded_shingles(docs, n=3)
     h60 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast(
         "long"
@@ -1144,10 +1145,16 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             milli("sz_b").alias("cont_b_milli"),
         )
     )
-    return scored.filter(
+    out = scored.filter(
         F.greatest(F.col("cont_a_milli"), F.col("cont_b_milli"))
         >= _CONT_MILLI
     )
+    # <=256 rows: materialize and release the persisted shingle
+    # relation deterministically (library consumers don't clearCache
+    # between queries the way the bench harness does).
+    from kinesis_log_watcher_spark.queries.base import finalize_unpersist
+
+    return finalize_unpersist(out, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -3167,8 +3174,10 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.operators.dedup import exploded_shingles
 
-    # spread=True: measured 4.2 -> 3.8s at sf0.1 (A/B r12).
-    docs = load(spark, sf_dir, "documents", spread=True)
+    # spread examined and left OFF: three A/Bs read 0.92 / 0.96 / 1.02
+    # vs unspread (flat; the 4-consumer persist already bounds the
+    # explode cost) — reverted under the order-alternating harness.
+    docs = load(spark, sf_dir, "documents")
     # distinct word trigrams with the >=3-token guard (a 2-word doc has
     # no shingles; the inline sequence() it replaces DESCENDED through
     # index 0 on short docs and threw). hashed=True: 8-byte join keys
@@ -3249,7 +3258,7 @@ def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tok_shared"),
         )
     )
-    return (
+    out = (
         shared.filter(
             2 * F.col("tok_shared")
             >= F.col("n_a") + F.col("n_b") - F.col("tok_shared")
@@ -3268,6 +3277,12 @@ def ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+    # <=256 rows: materialize and release the persisted token relation
+    # deterministically (the bench clears cache between queries; library
+    # consumers must not accumulate pinned blocks).
+    from kinesis_log_watcher_spark.queries.base import finalize_unpersist
+
+    return finalize_unpersist(out, sh)
 
 
 # ---------------------------------------------------------------------------

@@ -497,8 +497,11 @@ def greedy_set_cover_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.operators.dedup import exploded_shingles
     from kinesis_log_watcher_spark.queries.base import finalize_unpersist
 
-    # spread=True: measured 4.3 -> 3.5s at sf0.1 (A/B r12).
-    docs = load(spark, sf_dir, "documents", spread=True)
+    # spread examined and left OFF: three A/Bs read 0.81 / 0.94 / 1.05
+    # vs unspread (not reproducible once the A/B harness alternated arm
+    # order) — the per-round aggregation over the persisted relation,
+    # not the explode, is the cost here.
+    docs = load(spark, sf_dir, "documents")
     dw = (
         exploded_shingles(docs)
         .withColumnRenamed("shingle", "word")
@@ -710,7 +713,8 @@ _SPEC_K = 4  # draft tokens proposed per target forward pass
 def speculative_decode_acceptance(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # spread=True: interleaved A/B r12, 0.86 (1.5 -> 1.3s) at sf0.1.
+    docs = load(spark, sf_dir, "documents", spread=True)
     toks = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("word")
     )
@@ -2396,7 +2400,8 @@ _SHAP_W12 = {0: 3, 1: 1, 2: 1, 3: 3}
 def shapley_source_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_log_watcher_spark.operators.dedup import exploded_shingles
 
-    docs = load(spark, sf_dir, "documents")
+    # spread=True: interleaved A/B r12, 0.83 (1.3 -> 1.1s) at sf0.1.
+    docs = load(spark, sf_dir, "documents", spread=True)
     sh = exploded_shingles(
         docs.select(
             (F.substring(F.col("source"), 4, 10).cast("long") % 4).alias(
@@ -2746,7 +2751,8 @@ _COLL_TOPK = 25
     "(WindowGroupLimit). (No counterpart in reference main.go.)",
 )
 def bigram_collocation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # spread=True: interleaved A/B r12, 0.87 (1.4 -> 1.2s) at sf0.1.
+    docs = load(spark, sf_dir, "documents", spread=True)
     # size >= 2 guard: Spark sequence(1, 0) descends to [1, 0] while the
     # oracle's range(1, 1) is empty — short docs contribute no bigrams
     bg = (
@@ -2819,11 +2825,16 @@ def bigram_collocation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chi2_milli"),
     )
     wr = Window.orderBy(F.col("chi2_milli").desc(), "w1", "w2")
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(wr).cast("long"))
         .filter(F.col("rank") <= _COLL_TOPK)
         .select("rank", "w1", "w2", "f12", "f1", "f2", "chi2_milli")
     )
+    # top-k rows only: materialize and release the persisted bigram
+    # relation deterministically (library-consumer memory discipline).
+    from kinesis_log_watcher_spark.queries.base import finalize_unpersist
+
+    return finalize_unpersist(out, c12)
 
 
 # ===========================================================================
@@ -4830,7 +4841,9 @@ def evalue_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "main.go.)",
 )
 def luhn_cardnumber_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
+    # spread=True: the md5-derive + 16-digit Luhn fold per row is a
+    # heavy map side (measured 1.6 -> 0.6s at sf0.1, A/B r12).
+    orders = load(spark, sf_dir, "orders", spread=True)
     body = F.lpad(
         (
             F.conv(

@@ -473,7 +473,9 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nulls/min/max combine across loads, distinct via the HLL variant.",
 )
 def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
+    # spread=True: the 9-column full-profile aggregation map side
+    # measured 2.9 -> 2.2s at sf0.1 (A/B r12).
+    orders = load(spark, sf_dir, "orders", spread=True)
     cents = (dec(F.col("o_totalprice"), 12, 2) * 100).cast("long")
     p = orders.agg(
         F.count("*").alias("n_total"),

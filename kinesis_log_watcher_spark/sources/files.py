@@ -134,8 +134,19 @@ def python_state_partitions() -> int:
     Derived from $SPARK_GRAFT_CPUS so the driver's low-core scaling
     bench sees a proportionally smaller count, never a 32-core
     constant."""
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
-    return max(2, min(16, cpus))
+    return max(2, min(16, _env_count("SPARK_GRAFT_CPUS", os.cpu_count() or 4)))
+
+
+def _env_count(name: str, default: int) -> int:
+    """Defensive env parse for partition counts: a malformed or
+    non-positive value falls back to the default instead of raising at
+    query start (or silently producing an invalid shuffle-partition
+    count)."""
+    try:
+        n = int(os.environ.get(name, "") or default)
+    except ValueError:
+        return default
+    return n if n >= 1 else default
 
 
 @contextlib.contextmanager
@@ -180,7 +191,7 @@ def replay_partitions(spark, n: int | None = None):
     sees the reduced count — that is the documented, perf-only trade
     the partitioning-independence contract allows."""
     if n is None:
-        n = int(os.environ.get("SPARK_GRAFT_REPLAY_PARTITIONS", "4"))
+        n = _env_count("SPARK_GRAFT_REPLAY_PARTITIONS", 4)
     key = "spark.sql.shuffle.partitions"
     sid = id(spark)
     with _REPLAY_LOCK:
@@ -298,4 +309,53 @@ def stage_replay_files(spark, parts, prefix: str = "replay_") -> str:
         shutil.copy(part, dest)
         os.utime(dest, (1_700_000_000 + 10 * i,) * 2)
         shutil.rmtree(stage)
+    return replay
+
+
+def stage_replay_files_split(
+    spark, df: DataFrame, part_col: str, n_parts: int, prefix: str = "replay_"
+) -> str:
+    """Like :func:`stage_replay_files`, but the parts are expressed as a
+    PART COLUMN (integer 0..n_parts-1) on one DataFrame and staged with
+    a single partitioned write instead of one write job per part — the
+    input is scanned ONCE instead of ``n_parts`` times. The part column
+    is written as a directory key (never a data column), each part dir's
+    single file is renamed to the mtime-ordered f{i}.parquet layout the
+    replay readers consume. Parts must all be non-empty (the caller's
+    split contract — an empty part would silently drop a micro-batch
+    boundary, so it raises)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from kinesis_log_watcher_spark.staging import scratch_dir
+
+    replay = scratch_dir(prefix=prefix)
+    stage = os.path.join(replay, "_staged")
+    (
+        df.repartition(n_parts, part_col)
+        .write.partitionBy(part_col)
+        .parquet(stage)
+    )
+    for i in range(n_parts):
+        files = _glob.glob(os.path.join(stage, f"{part_col}={i}", "*.parquet"))
+        if not files:
+            raise ValueError(f"replay part {i} is empty; staging aborted")
+        if len(files) == 1:
+            dest = os.path.join(replay, f"f{i}.parquet")
+            shutil.copy(files[0], dest)
+        else:
+            # >1 file only if a repartition put one part in two tasks —
+            # fold them through a local re-read to keep ONE file per
+            # micro-batch (never happens with repartition(n, col), kept
+            # for safety).
+            sub = spark.read.parquet(*files)
+            tmp = os.path.join(replay, f"_m{i}")
+            sub.coalesce(1).write.parquet(tmp)
+            (one,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+            dest = os.path.join(replay, f"f{i}.parquet")
+            shutil.copy(one, dest)
+            shutil.rmtree(tmp)
+        os.utime(dest, (1_700_000_000 + 10 * i,) * 2)
+    shutil.rmtree(stage)
     return replay

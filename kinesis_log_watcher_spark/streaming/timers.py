@@ -196,7 +196,7 @@ def run_timer_sessions(
     from kinesis_log_watcher_spark.sources.files import (
         await_or_raise,
         read_parquet_stream,
-        stage_replay_files,
+        stage_replay_files_split,
     )
 
     ensure_session_confs(spark)
@@ -206,7 +206,6 @@ def run_timer_sessions(
         F.expr("percentile_approx(ts, 0.5)").alias("mid"),
         F.max("ts").alias("mx"),
     ).collect()[0]
-    p1 = ev.filter(F.col("ts") <= bounds.mid)
     sentinel = spark.createDataFrame(
         [(int(-1), int(_SENTINEL_USER))], "event_id long, user_id long"
     ).select(
@@ -218,9 +217,13 @@ def run_timer_sessions(
     # the batch, so it still pushes the trailing no-data batch past every
     # real session's end+gap — one fewer micro-batch than a separate
     # sentinel file, with the cross-batch state continuation preserved
-    # by the p1/p2 time split
-    p2 = ev.filter(F.col("ts") > bounds.mid).unionAll(sentinel)
-    replay = stage_replay_files(spark, [p1, p2], prefix="timer_sess_")
+    # by the time split. Both halves are staged by ONE partitioned write
+    # (part = which side of the median ts) instead of two filter+
+    # coalesce(1) write jobs — events is scanned once, not twice.
+    staged = ev.withColumn(
+        "part", F.when(F.col("ts") <= bounds.mid, 0).otherwise(1)
+    ).unionAll(sentinel.withColumn("part", F.lit(1)))
+    replay = stage_replay_files_split(spark, staged, "part", 2, prefix="timer_sess_")
     stream = normalize_ts_cols(
         read_parquet_stream(spark, replay, max_files_per_trigger=1)
     )

@@ -25,12 +25,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def set_arm(spec: str) -> None:
-    for pair in spec.split(","):
-        k, _, v = pair.partition("=")
-        os.environ[k] = v
-
-
 def main() -> None:
     arm_a, arm_b, reps_s, *names = sys.argv[1:]
     reps = int(reps_s)
@@ -42,6 +36,17 @@ def main() -> None:
     spark = get_spark(app_name="klw-ab", extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
+
+    def set_arm(spec: str) -> None:
+        # keys starting with "spark." are runtime SQL confs (lets an arm
+        # toggle AQE knobs); everything else is a process env var read
+        # at query-build time.
+        for pair in spec.split(","):
+            k, _, v = pair.partition("=")
+            if k.startswith("spark."):
+                spark.conf.set(k, v)
+            else:
+                os.environ[k] = v
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
@@ -61,7 +66,15 @@ def main() -> None:
     res: dict[str, dict[str, list[float]]] = {n: {"A": [], "B": []} for n in names}
     for rep in range(reps):
         for name in names:
-            for arm_key, arm in (("A", arm_a), ("B", arm_b)):
+            # Alternate arm ORDER per rep: running the same query twice
+            # back-to-back systematically favors whichever arm goes
+            # second (identical-plan null pairs measured second-arm/first-
+            # arm ratios of 0.64-0.9), so each arm must go first equally
+            # often or marginal wins are harness artifacts.
+            arms = (("A", arm_a), ("B", arm_b))
+            if rep % 2:
+                arms = arms[::-1]
+            for arm_key, arm in arms:
                 set_arm(arm)
                 res[name][arm_key].append(run(name))
         print(f"-- rep {rep + 1}/{reps} done", file=sys.stderr)
