@@ -99,17 +99,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE coalesces post-shuffle partitions no smaller than this;
-        # the 1MB default collapses CPU-DENSE but byte-LIGHT stages
-        # (array_intersect verify, signature compares, per-key windows
-        # over narrow keys) onto 1-2 tasks. 256k keeps such stages as
-        # wide as the data allows while still merging true slivers; at
-        # production shuffle sizes the advisory target governs instead,
-        # so this only affects the small-byte regime it is meant for
-        # (measured at sf0.1: 11 wins / 3 within-noise over 16 queries,
-        # e.g. ppjoin verify 4.8s -> 3.1s, shingle containment
-        # 6.0s -> 4.7s).
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+        # coalescePartitions.minPartitionSize stays at the 1MB DEFAULT.
+        # Round 11 lowered it to 256k on an A/B whose harness always ran
+        # the new arm second (a systematic ~15% bias, found in round
+        # 12); under the order-alternating harness the 256k setting
+        # LOSES 11% on a 12-query basket (pagerank 2.7 -> 3.9s,
+        # part_cooccurrence 2.2 -> 2.8s, five sub-1s queries +14-18%
+        # each) with one winner (ppjoin 0.82x). Wider byte-light stages
+        # do not pay for the extra tasks at local core counts, and at
+        # production shuffle sizes the advisory target governs anyway.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
